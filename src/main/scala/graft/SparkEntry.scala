@@ -1,13 +1,231 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.sources.EventsAsQuads
+import graft.sparql.{SparqlCompiler, SparqlParser}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 registers a demonstration
+  * query here (Spark side) with a matching DuckDB oracle in [[oracleSql]]
+  * over the same parquet tables. Aggregate doubles are rounded identically
+  * on both sides so cross-engine float-summation order cannot flip the
+  * driver's hash compare.
+  */
 object SparkEntry {
+
+  private val Prefixes =
+    """PREFIX v: <http://graft.dev/vocab#>
+      |PREFIX janus: <https://janus.rs/fn#>
+      |""".stripMargin
+
+  /** Full engine path for the demo entries: events.parquet → quads →
+    * Janus SPARQL-subset parser → DataFrame compiler. */
+  private def sparql(s: SparkSession, dir: String, q: String): DataFrame =
+    SparqlCompiler.compile(
+      EventsAsQuads.quads(s, dir), SparqlParser.parse(Prefixes + q))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("r1_bgp_join")(spark, "/root/testdata/sf0.001")
+
+  // DuckDB-side IRI constructors, mirroring EventsAsQuads
+  private val E = "'http://graft.dev/e/' || CAST(event_id AS VARCHAR)"
+  private val U = "'http://graft.dev/u/' || CAST(user_id AS VARCHAR)"
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // R1: multi-pattern BGP with shared-variable equi-joins
+    "r1_bgp_join" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e ?u ?val WHERE {
+        |  ?e v:user ?u .
+        |  ?e v:type "click" .
+        |  ?e v:value ?val .
+        |}""".stripMargin)
+      .select(col("e"), col("u"), col("val").try_cast("double").as("val"))),
+
+    // R2: GRAPH scoping to a constant named graph
+    "r2_graph_scope" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e ?val WHERE {
+        |  GRAPH <http://graft.dev/g/purchase> { ?e v:value ?val }
+        |}""".stripMargin)
+      .select(col("e"), col("val").try_cast("double").as("val"))),
+
+    // R3: projection with (expr AS ?var)
+    "r3_project_expr" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e (?val * 1.1 AS ?scaled) WHERE {
+        |  ?e v:type "view" .
+        |  ?e v:value ?val .
+        |}""".stripMargin)),
+
+    // R4: FILTER with numeric comparisons and &&
+    "r4_filter_cmp" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e ?val WHERE {
+        |  ?e v:value ?val .
+        |  FILTER(?val > 90.0 && ?val <= 99.5)
+        |}""".stripMargin)
+      .select(col("e"), col("val").try_cast("double").as("val"))),
+
+    // R6: FILTER EXISTS → left-semi join
+    "r6_exists_semijoin" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?u (COUNT(?e) AS ?purchases) WHERE {
+        |  ?e v:user ?u .
+        |  ?e v:type "purchase" .
+        |  FILTER EXISTS { ?e2 v:user ?u . ?e2 v:type "error" . }
+        |} GROUP BY ?u""".stripMargin)),
+
+    // R7: GROUP BY aggregation (COUNT + AVG)
+    "r7_agg_groupby" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?t (COUNT(?e) AS ?n) (AVG(?val) AS ?avg_val) WHERE {
+        |  ?e v:type ?t .
+        |  ?e v:value ?val .
+        |} GROUP BY ?t""".stripMargin)
+      .select(col("t"), col("n"), round(col("avg_val"), 6).as("avg_val"))),
+
+    // R7: implicit-single-group COUNT
+    "r7_agg_count" -> ((s, dir) => sparql(s, dir,
+      """SELECT (COUNT(?e) AS ?count) WHERE { ?e v:user ?u . }""")),
+
+    // R8: ASK
+    "r8_ask" -> ((s, dir) => sparql(s, dir,
+      """ASK { ?e v:value ?val . FILTER(?val > 480.0) }""")),
+
+    // R9: CONSTRUCT template emission
+    "r9_construct" -> ((s, dir) => sparql(s, dir,
+      """CONSTRUCT { ?u <http://graft.dev/vocab#clicked> ?e }
+        |WHERE { ?e v:user ?u . ?e v:type "click" . }""".stripMargin)),
+
+    // §2.5: boolean extension function in FILTER (is_outlier)
+    "f_is_outlier" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e ?val WHERE {
+        |  ?e v:value ?val .
+        |  FILTER(janus:is_outlier(?val, 50.0, 28.0, 1.5))
+        |}""".stripMargin)
+      .select(col("e"), col("val").try_cast("double").as("val"))),
+
+    // §2.5: numeric extension function in projection (zscore)
+    "f_zscore" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e (janus:zscore(?val, 50.0, 28.0) AS ?z) WHERE {
+        |  ?e v:value ?val .
+        |}""".stripMargin)),
+
+    // §2.5: absolute_threshold_exceeded in FILTER
+    "f_abs_threshold" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e ?val WHERE {
+        |  ?e v:value ?val .
+        |  FILTER(janus:absolute_threshold_exceeded(?val, 50.0, 45.0))
+        |}""".stripMargin)
+      .select(col("e"), col("val").try_cast("double").as("val"))),
+
+    // §2.5: relative_change in projection (hist=50 constant)
+    "f_relative_change" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e (janus:relative_change(?val, 50.0) AS ?rc) WHERE {
+        |  ?e v:type "signup" .
+        |  ?e v:value ?val .
+        |}""".stripMargin)),
+
+    // S8: storage time-range read path (predicate pushdown to parquet)
+    "s8_time_range" -> ((s, dir) =>
+      EventsAsQuads.quads(s, dir)
+        .filter(col("timestamp") >= 1704844800000L &&
+          col("timestamp") < 1705708800000L)
+        .agg(count(lit(1)).as("n_quads"),
+          min("timestamp").as("min_ts"), max("timestamp").as("max_ts"))),
+
+    // Relational layer at TPC-H shape: wide aggregation (bench headline).
+    // Sums go through DECIMAL so the result is exact and independent of
+    // distributed summation order (a double sum can flip the last cent at
+    // the rounding boundary vs a sequential oracle).
+    "q1_agg" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+            .as("sum_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("n"))),
+
+    // Broadcast dimension join chain (customer ⋈ orders ⋈ lineitem)
+    "q3_join_broadcast" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy("o_orderkey")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1.0) - col("l_discount")).cast("decimal(18,4)"))
+          .cast("double").as("revenue"))
+    }))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "r1_bgp_join" ->
+      s"""SELECT $E AS e, $U AS u, value AS val
+         |FROM events WHERE event_type = 'click'""".stripMargin,
+    "r2_graph_scope" ->
+      s"""SELECT $E AS e, value AS val
+         |FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "r3_project_expr" ->
+      s"""SELECT $E AS e, value * 1.1 AS scaled
+         |FROM events WHERE event_type = 'view'""".stripMargin,
+    "r4_filter_cmp" ->
+      s"""SELECT $E AS e, value AS val
+         |FROM events WHERE value > 90.0 AND value <= 99.5""".stripMargin,
+    "r6_exists_semijoin" ->
+      s"""SELECT $U AS u, COUNT(*) AS purchases
+         |FROM events WHERE event_type = 'purchase'
+         |  AND user_id IN (SELECT user_id FROM events WHERE event_type = 'error')
+         |GROUP BY user_id""".stripMargin,
+    "r7_agg_groupby" ->
+      """SELECT event_type AS t, COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_val
+        |FROM events GROUP BY event_type""".stripMargin,
+    "r7_agg_count" ->
+      "SELECT COUNT(*) AS count FROM events",
+    "r8_ask" ->
+      "SELECT EXISTS(SELECT 1 FROM events WHERE value > 480.0) AS ask",
+    "r9_construct" ->
+      s"""SELECT $U AS subject,
+         |  'http://graft.dev/vocab#clicked' AS predicate,
+         |  $E AS object
+         |FROM events WHERE event_type = 'click'""".stripMargin,
+    "f_is_outlier" ->
+      s"""SELECT $E AS e, value AS val
+         |FROM events WHERE ABS((value - 50.0) / 28.0) > 1.5""".stripMargin,
+    "f_zscore" ->
+      s"""SELECT $E AS e, (value - 50.0) / 28.0 AS z
+         |FROM events""".stripMargin,
+    "f_abs_threshold" ->
+      s"""SELECT $E AS e, value AS val
+         |FROM events WHERE ABS(value - 50.0) > 45.0""".stripMargin,
+    "f_relative_change" ->
+      s"""SELECT $E AS e, (value - 50.0) / 50.0 AS rc
+         |FROM events WHERE event_type = 'signup'""".stripMargin,
+    "s8_time_range" ->
+      """SELECT COUNT(*) * 3 AS n_quads,
+        |  MIN(epoch_ms(ts)) AS min_ts, MAX(epoch_ms(ts)) AS max_ts
+        |FROM events
+        |WHERE epoch_ms(ts) >= 1704844800000 AND epoch_ms(ts) < 1705708800000""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  ROUND(AVG(l_discount), 6) AS avg_disc,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join_broadcast" ->
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey""".stripMargin)
 }

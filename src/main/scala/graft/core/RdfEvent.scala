@@ -52,5 +52,5 @@ object RdfEvent {
     * as doubles behave numerically in FILTERs/aggregates, others are NULL.
     */
   def withObjectNumeric(df: DataFrame): DataFrame =
-    df.withColumn("object_numeric", col("object").cast(DoubleType))
+    df.withColumn("object_numeric", col("object").try_cast(DoubleType))
 }

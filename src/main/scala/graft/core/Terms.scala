@@ -27,26 +27,28 @@ object Terms {
   def isDefaultGraph(graph: String): Boolean =
     graph.isEmpty || graph == "default"
 
-  private def isInteger(s: String): Boolean =
-    s.nonEmpty && {
-      val body = if (s.head == '-' || s.head == '+') s.tail else s
-      body.nonEmpty && body.forall(_.isDigit) &&
-      (try { s.toLong; true } catch { case _: NumberFormatException => false })
-    }
+  private val NumericLexical =
+    "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$".r
 
-  private def isDouble(s: String): Boolean =
-    try { s.trim.nonEmpty && { s.toDouble; true } } catch {
-      case _: NumberFormatException => false
-    }
+  /** Strict numeric-lexical test mirroring Rust's `str::parse::<f64>`
+    * acceptance (no '1f'/'1d'/hex/Infinity/NaN forms that Java's
+    * `Double.parseDouble` would admit). */
+  def isNumeric(s: String): Boolean =
+    NumericLexical.matches(s)
 
   /** Serialize a plain term value into the reference's wire convention:
-    * IRIs wrapped in angle brackets; integers/decimals typed; everything
-    * else a quoted plain literal (escapes applied).
+    * IRIs wrapped in angle brackets; numerics typed; everything else a
+    * quoted plain literal (escapes applied).
+    *
+    * The reference checks the f64 parse FIRST
+    * (`/root/reference/src/execution/historical_executor.rs:323-342`), so
+    * every numeric literal — including integer lexicals like "15" — is
+    * typed `xsd:decimal`; the i64 branch there is unreachable. We match
+    * that exactly.
     */
   def format(value: String): String =
     if (isIri(value)) s"<$value>"
-    else if (isInteger(value)) "\"" + value + "\"^^<" + XsdInteger + ">"
-    else if (isDouble(value)) "\"" + value + "\"^^<" + XsdDecimal + ">"
+    else if (isNumeric(value)) "\"" + value + "\"^^<" + XsdDecimal + ">"
     else "\"" + escape(value) + "\""
 
   def escape(s: String): String =
@@ -108,11 +110,25 @@ object Terms {
   def normalize(raw: String): String =
     normalizeIri(raw).orElse(normalizeLiteral(raw)).getOrElse(raw.trim)
 
-  /** Rust-`f64::Display`-style shortest formatting: integral doubles print
-    * without a trailing `.0` (`15.0` → `"15"`), matching the reference's
-    * baseline mean materialization (`src/api/janus_api.rs:760-765`).
+  /** Rust-`f64::Display`-style formatting: integral doubles print without
+    * a trailing `.0` (`15.0` → `"15"`) and large/fractional values print
+    * full decimal digits, never scientific notation (`1.0E16` would
+    * diverge from Rust Display's `10000000000000000`), matching the
+    * reference's baseline mean materialization
+    * (`src/api/janus_api.rs:760-765`).
     */
   def formatNumeric(v: Double): String =
     if (v.isWhole && math.abs(v) < 1e15) v.toLong.toString
-    else v.toString
+    else if (v.isNaN || v.isInfinite) v.toString
+    else {
+      // Java's shortest-roundtrip digits, but with scientific notation
+      // (used for |v| >= 1e7 or < 1e-3) expanded to plain decimal form.
+      val s = java.lang.Double.toString(v)
+      if (s.indexOf('E') < 0) {
+        if (s.endsWith(".0")) s.dropRight(2) else s
+      } else {
+        val bd = new java.math.BigDecimal(s).stripTrailingZeros
+        bd.toPlainString
+      }
+    }
 }

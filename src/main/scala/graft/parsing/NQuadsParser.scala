@@ -78,12 +78,20 @@ object NQuadsParser extends Serializable {
 
   private def parseLiteral(input: String): Either[String, (String, String)] = {
     val in = input.dropWhile(_.isWhitespace)
-    // closing quote = first '"' not preceded by a backslash
-    var end = 1
-    while (end < in.length &&
-        !(in.charAt(end) == '"' && (end == 1 || in.charAt(end - 1) != '\\')))
-      end += 1
-    if (end >= in.length) return Left("Missing closing quote for literal")
+    // closing quote = first unescaped '"', tracked with an escaped-flag
+    // state machine (same as Terms.normalizeLiteral) so literals ending in
+    // an escaped backslash ("a\\") parse correctly.
+    var end = -1
+    var i = 1
+    var escaped = false
+    while (i < in.length && end < 0) {
+      val c = in.charAt(i)
+      if (escaped) escaped = false
+      else if (c == '\\') escaped = true
+      else if (c == '"') end = i
+      i += 1
+    }
+    if (end < 0) return Left("Missing closing quote for literal")
 
     val value = in.substring(1, end)
     val after = in.substring(end + 1)
@@ -94,7 +102,7 @@ object NQuadsParser extends Serializable {
       if (afterCaret.startsWith("<"))
         // datatype stripped regardless of its IRI; lexical value kept
         parseUri(afterCaret, "datatype").map { case (_, rest) => (value, rest) }
-      else Right((value, after))
+      else Left(s"Malformed datatype annotation after literal: $trimmed")
     } else if (trimmed.startsWith("@")) {
       val afterAt = trimmed.substring(1).dropWhile(_.isWhitespace)
       val langEnd = afterAt.indexWhere(c => c.isWhitespace || c == '.') match {
@@ -106,18 +114,28 @@ object NQuadsParser extends Serializable {
   }
 
   /** Distributed parse of a text file / Dataset of lines into the canonical
-    * quads DataFrame. Malformed lines are dropped (the reference's stream
-    * bus counts-and-skips them). `defaultTs` makes missing timestamps
-    * deterministic; when None, ingest time is used (reference behavior).
+    * quads DataFrame. Malformed lines are dropped and counted in
+    * `errorCounter` when supplied (the reference's stream bus
+    * counts-and-skips them, `stream_bus.rs:134-394`). `defaultTs` makes
+    * missing timestamps deterministic; when None, ingest time is used
+    * (reference behavior).
     */
-  def parse(lines: Dataset[String], defaultTs: Option[Long] = None): DataFrame = {
+  def parse(
+      lines: Dataset[String],
+      defaultTs: Option[Long] = None,
+      errorCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     val spark = lines.sparkSession
     import spark.implicits._
     val ds = lines.flatMap { line =>
       val t = line.trim
       if (t.isEmpty || t.startsWith("#")) None
-      else parseLine(t, defaultTs.map(ts => () => ts)
-        .getOrElse(() => System.currentTimeMillis())).toOption
+      else {
+        val parsed = parseLine(t, defaultTs.map(ts => () => ts)
+          .getOrElse(() => System.currentTimeMillis()))
+        if (parsed.isLeft) errorCounter.foreach(_.add(1L))
+        parsed.toOption
+      }
     }
     ds.toDF("timestamp", "subject", "predicate", "object", "graph")
   }

@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Adapter turning the driver's `events.parquet` stream table into the
+  * engine's canonical quads DataFrame — the round-trippable equivalent of
+  * the reference ingesting an N-Quads event feed
+  * (`/root/reference/src/parsing/rdf_parser.rs` + stream bus): each event
+  * row becomes three timestamped quads under a per-event-type named
+  * graph.
+  *
+  *   e:<id>  v:user   u:<user_id>        (IRI object)
+  *   e:<id>  v:type   "<event_type>"     (plain literal)
+  *   e:<id>  v:value  "<value>"          (numeric literal, lexical form)
+  *
+  * Single scan + generator (inline), no self-union: one pass over the
+  * parquet at any scale.
+  */
+object EventsAsQuads {
+
+  val Base = "http://graft.dev/"
+  val Vocab: String = Base + "vocab#"
+  val PUser: String = Vocab + "user"
+  val PType: String = Vocab + "type"
+  val PValue: String = Vocab + "value"
+
+  /** Reads the events table with `ts` normalized to an epoch-millis LONG
+    * column `ts_ms`. The driver's parquet uses TIMESTAMP(NANOS), which
+    * Spark only reads as a raw Long via the nanosAsLong legacy conf (set
+    * dynamically so it also holds under a driver-created session). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val tsMs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case _                                   => unix_millis(col("ts"))
+    }
+    raw.withColumn("ts_ms", tsMs)
+  }
+
+  /** Canonical quads view of the events table. */
+  def quads(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+    ev.select(
+      col("ts_ms").as("timestamp"),
+      concat(lit(Base + "e/"), col("event_id")).as("subject"),
+      concat(lit(Base + "g/"), col("event_type")).as("graph"),
+      inline(array(
+        struct(lit(PUser).as("predicate"),
+          concat(lit(Base + "u/"), col("user_id")).as("object")),
+        struct(lit(PType).as("predicate"),
+          col("event_type").as("object")),
+        struct(lit(PValue).as("predicate"),
+          col("value").cast("string").as("object")))))
+      .select("timestamp", "subject", "predicate", "object", "graph")
+  }
+}

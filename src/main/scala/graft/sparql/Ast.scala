@@ -1,0 +1,93 @@
+package graft.sparql
+
+/** Algebra for the SPARQL subset the reference engine exercises
+  * (SURVEY.md §2.3 R1–R11: BGP joins, GRAPH scoping, projection with
+  * expression aliases, FILTER with comparisons and extension functions,
+  * FILTER (NOT) EXISTS, aggregates, ASK, CONSTRUCT). The de-facto feature
+  * contract is `/root/reference/tests/oxigraph_adapter_test.rs`.
+  *
+  * Terms carry *plain* lexical values (no angle brackets / quotes) —
+  * matching the engine's canonical quads DataFrame; wire-format
+  * serialization is applied only at result boundaries (graft.core.Terms).
+  */
+sealed trait Term extends Product with Serializable
+final case class Var(name: String) extends Term
+final case class Iri(value: String) extends Term
+final case class Lit(value: String) extends Term
+
+/** A triple pattern with optional GRAPH scope (None = match any graph —
+  * the engine's quads table is a quad log; the reference always queries
+  * through `GRAPH ?g {}` / `GRAPH <iri> {}` wrappers, so un-scoped
+  * patterns matching all graphs reproduces its observable behavior,
+  * `janusql_parser.rs:548-558`).
+  */
+final case class QuadPattern(s: Term, p: Term, o: Term, g: Option[Term])
+
+// ---- FILTER / projection expressions ----------------------------------
+
+sealed trait Expr extends Product with Serializable
+final case class EVar(name: String) extends Expr
+/** String literal (may still have a numeric lexical form, e.g. "25"). */
+final case class EStr(value: String) extends Expr
+/** Numeric literal token (unquoted in the query text). */
+final case class ENum(value: Double) extends Expr
+final case class EIriRef(value: String) extends Expr
+final case class ECall(iri: String, args: Seq[Expr]) extends Expr
+/** op ∈ {=, !=, <, <=, >, >=} */
+final case class ECmp(op: String, l: Expr, r: Expr) extends Expr
+final case class EAnd(l: Expr, r: Expr) extends Expr
+final case class EOr(l: Expr, r: Expr) extends Expr
+final case class ENot(e: Expr) extends Expr
+/** op ∈ {+, -, *, /} */
+final case class EArith(op: String, l: Expr, r: Expr) extends Expr
+final case class EExists(pattern: GroupPattern, negated: Boolean) extends Expr
+
+// ---- group pattern -----------------------------------------------------
+
+/** Flattened group graph pattern: triple patterns (each carrying its GRAPH
+  * scope) plus FILTER constraints. Nested `GRAPH x {}` blocks are
+  * flattened into per-pattern scopes at parse time.
+  */
+final case class GroupPattern(patterns: Seq[QuadPattern], filters: Seq[Expr]) {
+  /** All variables bound by triple patterns (not filter-only vars). */
+  def boundVars: Seq[String] = {
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    patterns.foreach { qp =>
+      Seq(qp.s, qp.p, qp.o).foreach {
+        case Var(n) => out += n
+        case _      => ()
+      }
+      qp.g.foreach { case Var(n) => out += n; case _ => () }
+    }
+    out.toSeq
+  }
+}
+
+// ---- projection --------------------------------------------------------
+
+/** func ∈ {COUNT, SUM, AVG, MIN, MAX}; arg None = COUNT(*). */
+final case class Aggregate(func: String, arg: Option[Expr], distinct: Boolean)
+
+sealed trait SelectItem extends Product with Serializable
+final case class VarItem(name: String) extends SelectItem
+final case class ExprItem(expr: Expr, alias: String) extends SelectItem
+final case class AggItem(agg: Aggregate, alias: String) extends SelectItem
+
+sealed trait Projection extends Product with Serializable
+case object Star extends Projection
+final case class Items(items: Seq[SelectItem]) extends Projection
+
+// ---- query forms -------------------------------------------------------
+
+sealed trait Query extends Product with Serializable {
+  def where: GroupPattern
+}
+final case class SelectQuery(
+    projection: Projection,
+    where: GroupPattern,
+    groupBy: Seq[String],
+    distinct: Boolean = false) extends Query
+final case class AskQuery(where: GroupPattern) extends Query
+final case class ConstructQuery(
+    template: Seq[QuadPattern],
+    where: GroupPattern) extends Query

@@ -1,0 +1,289 @@
+package graft.sparql
+
+import graft.core.Terms
+import graft.functions.Extensions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Compiles the SPARQL-subset algebra (Ast.scala) into DataFrame plans
+  * over the canonical quads table
+  * `(timestamp LONG, subject, predicate, object, graph STRING)`.
+  *
+  * Design (SURVEY.md §2.3, §4.2): declare everything with DataFrame ops
+  * and let Catalyst do pushdown/pruning/join-order refinement. The one
+  * planning decision made here — because Catalyst cannot know it — is the
+  * BGP join order: patterns with more constants bind first
+  * (constants-first, rarest-pattern-first heuristic), then greedy
+  * max-shared-variable chaining so every join is an equi-join rather than
+  * a cartesian product.
+  *
+  * `extraKeys` threads orchestration columns (e.g. `__window_id` from the
+  * historical sliding-window executor) through every join/aggregation, so
+  * per-window evaluation over N windows is ONE distributed plan, not a
+  * driver-side loop over windows — the difference between working at
+  * 100 TB and not.
+  */
+object SparqlCompiler {
+
+  final case class CompileException(msg: String) extends RuntimeException(msg)
+
+  /** Result bindings are plain lexical strings (wire-format wrapping
+    * happens at the serialization boundary, `Terms.format`). */
+  def compile(quads: DataFrame, query: Query,
+      extraKeys: Seq[String] = Nil): DataFrame = query match {
+    case q: SelectQuery =>
+      val grouped = compileGroup(quads, q.where, extraKeys)
+      val projected = project(grouped, q, extraKeys)
+      if (q.distinct) projected.distinct() else projected
+    case q: AskQuery =>
+      val df = compileGroup(quads, q.where, extraKeys).df
+      if (extraKeys.isEmpty)
+        df.select(lit(1).as("one")).limit(1)
+          .agg((count(lit(1)) > 0).as("ask"))
+      else
+        df.groupBy(extraKeys.map(col): _*)
+          .agg((count(lit(1)) > 0).as("ask"))
+    case q: ConstructQuery =>
+      val grouped = compileGroup(quads, q.where, extraKeys)
+      val parts = q.template.map { tp =>
+        grouped.df.select(
+          extraKeys.map(col) ++ Seq(
+            termCol(tp.s, grouped.vars).as("subject"),
+            termCol(tp.p, grouped.vars).as("predicate"),
+            termCol(tp.o, grouped.vars).as("object")): _*)
+      }
+      parts.reduceOption(_ unionAll _)
+        .getOrElse(throw new CompileException("CONSTRUCT with empty template"))
+  }
+
+  private def termCol(t: Term, vars: Set[String]): Column = t match {
+    case Var(n) =>
+      if (vars.contains(n)) col(n)
+      else lit(null).cast("string")
+    case Iri(v) => lit(v)
+    case Lit(v) => lit(v)
+  }
+
+  // ---- group graph pattern --------------------------------------------
+
+  final case class Grouped(df: DataFrame, vars: Set[String])
+
+  def compileGroup(quads: DataFrame, group: GroupPattern,
+      extraKeys: Seq[String]): Grouped = {
+    if (group.patterns.isEmpty)
+      throw new CompileException("Empty group pattern")
+
+    // one DataFrame per triple pattern
+    val patternDFs: Seq[(DataFrame, Set[String], Int)] =
+      group.patterns.zipWithIndex.map { case (qp, i) =>
+        val (df, vs) = patternDF(quads, qp, extraKeys)
+        (df, vs, constantCount(qp))
+      }
+
+    // greedy join order: start at most-constrained pattern, then repeatedly
+    // join the pattern sharing the most variables with what's bound so far
+    val remaining = scala.collection.mutable.ArrayBuffer(patternDFs: _*)
+    val first = remaining.maxBy(_._3)
+    remaining -= first
+    var acc = first._1
+    var accVars = first._2
+    while (remaining.nonEmpty) {
+      val nextPat = remaining.maxBy { case (_, vs, consts) =>
+        (vs.intersect(accVars).size, consts)
+      }
+      remaining -= nextPat
+      val shared = (nextPat._2.intersect(accVars).toSeq ++ extraKeys).distinct
+      acc =
+        if (shared.nonEmpty) acc.join(nextPat._1, shared, "inner")
+        else acc.crossJoin(nextPat._1)
+      accVars = accVars ++ nextPat._2
+    }
+
+    // FILTERs: EXISTS via semi/anti joins, everything else via where()
+    group.filters.foreach {
+      case EExists(inner, negated) =>
+        val innerG = compileGroup(quads, inner, extraKeys)
+        val shared =
+          (innerG.vars.intersect(accVars).toSeq ++ extraKeys).distinct
+        if (shared.isEmpty)
+          throw new CompileException(
+            "FILTER EXISTS with no shared variables is unsupported")
+        val joinType = if (negated) "leftanti" else "leftsemi"
+        acc = acc.join(
+          innerG.df.select(shared.map(col): _*), shared, joinType)
+      case e =>
+        acc = acc.where(boolC(e))
+    }
+    Grouped(acc, accVars)
+  }
+
+  private def constantCount(qp: QuadPattern): Int =
+    Seq(qp.s, qp.p, qp.o).count(!_.isInstanceOf[Var]) +
+      qp.g.count(!_.isInstanceOf[Var])
+
+  /** Single-pattern scan: constant terms → pushed-down filters; variable
+    * terms → column aliases. */
+  private def patternDF(quads: DataFrame, qp: QuadPattern,
+      extraKeys: Seq[String]): (DataFrame, Set[String]) = {
+    var df = quads
+    val bindings = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+    def bind(colName: String, term: Term): Unit = term match {
+      case Var(n) =>
+        bindings.get(n) match {
+          case Some(existing) => // repeated var in one pattern → equality
+            df = df.where(col(existing) === col(colName))
+          case None => bindings += (n -> colName)
+        }
+      case Iri(v) => df = df.where(col(colName) === v)
+      case Lit(v) =>
+        // numeric-aware literal match: "5.0" matches stored lexical "5.0"
+        // or any lexical whose numeric value equals 5.0
+        df =
+          if (Terms.isNumeric(v))
+            df.where(col(colName) === v ||
+              col(colName).try_cast("double") === v.toDouble)
+          else df.where(col(colName) === v)
+    }
+
+    bind("subject", qp.s)
+    bind("predicate", qp.p)
+    bind("object", qp.o)
+    qp.g.foreach(bind("graph", _))
+
+    val cols = extraKeys.map(col) ++
+      bindings.map { case (v, c) => col(c).as(v) }
+    (df.select(cols.toSeq: _*), bindings.keySet.toSet)
+  }
+
+  // ---- expressions -----------------------------------------------------
+
+  /** Numeric view of an expression (NULL when not numeric). */
+  def numC(e: Expr): Column = e match {
+    case EVar(n)  => col(n).try_cast("double")
+    case ENum(v)  => lit(v)
+    case EStr(v)  =>
+      if (Terms.isNumeric(v)) lit(v.toDouble) else lit(null).cast("double")
+    case EIriRef(_) => lit(null).cast("double")
+    case EArith(op, l, r) =>
+      val (ln, rn) = (numC(l), numC(r))
+      op match {
+        case "+" => ln + rn
+        case "-" => ln - rn
+        case "*" => ln * rn
+        case "/" => when(rn =!= 0.0, ln / rn) // div-by-zero → error → NULL
+        case other => throw new CompileException(s"Unknown operator $other")
+      }
+    case ECall(iri, args) =>
+      Extensions.call(iri, args.map(numC))
+        .getOrElse(lit(null).cast("double"))
+    case other =>
+      // boolean sub-expression in numeric position: EBV numeric projection
+      when(boolC(other), 1.0).otherwise(0.0)
+  }
+
+  /** String view of an expression. */
+  def strC(e: Expr): Column = e match {
+    case EVar(n)    => col(n)
+    case EStr(v)    => lit(v)
+    case ENum(v)    => lit(Terms.formatNumeric(v))
+    case EIriRef(v) => lit(v)
+    case other      => numC(other).cast("string")
+  }
+
+  /** Boolean view (FILTER context). NULL (type error) filters the row,
+    * matching SPARQL error semantics. */
+  def boolC(e: Expr): Column = e match {
+    case EAnd(l, r) => boolC(l) && boolC(r)
+    case EOr(l, r)  => boolC(l) || boolC(r)
+    case ENot(x)    => !boolC(x)
+    case ECmp(op, l, r) =>
+      val (ln, rn) = (numC(l), numC(r))
+      // numeric comparison when both sides are numeric, else lexical —
+      // reproduces the reference's observable FILTER(?age > "25")
+      // behavior over numeric-sniffed literals
+      // (tests/oxigraph_adapter_test.rs:183-201)
+      when(ln.isNotNull && rn.isNotNull, cmp(op, ln, rn))
+        .otherwise(cmp(op, strC(l), strC(r)))
+    case ECall(iri, args) =>
+      val local = if (iri.startsWith(Extensions.Namespace))
+        iri.substring(Extensions.Namespace.length) else iri
+      Extensions.all.get(local) match {
+        case Some(b) if b.arity == args.length =>
+          val c = b.build(args.map(numC))
+          if (b.isBoolean) c else c =!= 0.0 // EBV of a numeric result
+        case _ => lit(false) // unknown fn / wrong arity → row filtered
+      }
+    case EExists(_, _) =>
+      throw new CompileException(
+        "EXISTS is only supported as a top-level FILTER")
+    case EVar(n) => col(n) === "true" // EBV of a boolean-literal binding
+    case EStr(v) => lit(v == "true")
+    case ENum(v) => lit(v != 0.0)
+    case other =>
+      throw new CompileException(s"Cannot evaluate $other as boolean")
+  }
+
+  private def cmp(op: String, l: Column, r: Column): Column = op match {
+    case "="  => l === r
+    case "!=" => l =!= r
+    case "<"  => l < r
+    case "<=" => l <= r
+    case ">"  => l > r
+    case ">=" => l >= r
+    case other => throw new CompileException(s"Unknown comparator $other")
+  }
+
+  // ---- projection ------------------------------------------------------
+
+  private def aggCol(a: Aggregate): Column = a match {
+    case Aggregate("COUNT", None, _) => count(lit(1))
+    case Aggregate("COUNT", Some(arg), true) => countDistinct(strC(arg))
+    case Aggregate("COUNT", Some(arg), false) => count(strC(arg))
+    case Aggregate("SUM", Some(arg), d) =>
+      if (d) sum_distinct(numC(arg)) else sum(numC(arg))
+    case Aggregate("AVG", Some(arg), _) => avg(numC(arg))
+    case Aggregate("MIN", Some(arg), _) => min(numC(arg))
+    case Aggregate("MAX", Some(arg), _) => max(numC(arg))
+    case other => throw new CompileException(s"Unsupported aggregate $other")
+  }
+
+  private def project(grouped: Grouped, q: SelectQuery,
+      extraKeys: Seq[String]): DataFrame = {
+    val items: Seq[SelectItem] = q.projection match {
+      case Star => grouped.vars.toSeq.sorted.map(VarItem)
+      case Items(is) => is
+    }
+    val hasAgg = items.exists(_.isInstanceOf[AggItem])
+
+    if (!hasAgg && q.groupBy.isEmpty) {
+      val cols = extraKeys.map(col) ++ items.map {
+        case VarItem(n)      => col(n)
+        case ExprItem(e, as) => numC(e).as(as)
+        case AggItem(_, _)   => throw new CompileException("unreachable")
+      }
+      grouped.df.select(cols: _*)
+    } else {
+      val keys = (q.groupBy ++ extraKeys).distinct
+      // implicit single group when aggregating with no GROUP BY
+      val keyed =
+        if (keys.isEmpty) grouped.df.groupBy()
+        else grouped.df.groupBy(keys.map(col): _*)
+      val aggs = items.collect { case AggItem(a, as) => aggCol(a).as(as) }
+      if (aggs.isEmpty)
+        throw new CompileException("GROUP BY without aggregates")
+      val out = keyed.agg(aggs.head, aggs.tail: _*)
+      // order + post-agg expression items
+      val cols = extraKeys.map(col) ++ items.map {
+        case VarItem(n) =>
+          if (keys.contains(n)) col(n)
+          else throw new CompileException(
+            s"Projected variable ?$n is neither grouped nor aggregated")
+        case AggItem(_, as)  => col(as)
+        case ExprItem(e, as) => numC(e).as(as)
+      }
+      out.select(cols: _*)
+    }
+  }
+}

@@ -1,0 +1,174 @@
+package graft.sparql
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class SparqlParserSpec extends AnyFunSuite {
+
+  test("simple select-all-vars query") {
+    val q = SparqlParser.parse("SELECT ?s WHERE { ?s ?p ?o }")
+    val sq = q.asInstanceOf[SelectQuery]
+    assert(sq.projection === Items(Seq(VarItem("s"))))
+    assert(sq.where.patterns ===
+      Seq(QuadPattern(Var("s"), Var("p"), Var("o"), None)))
+  }
+
+  test("prefixed names expand") {
+    val q = SparqlParser.parse(
+      """PREFIX ex: <http://example.org/>
+        |SELECT ?s WHERE { ?s ex:knows ?o }""".stripMargin)
+    val sq = q.asInstanceOf[SelectQuery]
+    assert(sq.where.patterns.head.p === Iri("http://example.org/knows"))
+  }
+
+  test("multi-pattern BGP with '.' separators and shared vars") {
+    val q = SparqlParser.parse(
+      """PREFIX saref: <https://saref.etsi.org/core/>
+        |SELECT ?event ?temperature ?timestamp WHERE {
+        |  ?event saref:hasValue ?temperature .
+        |  ?event saref:hasTimestamp ?timestamp .
+        |}""".stripMargin)
+    val sq = q.asInstanceOf[SelectQuery]
+    assert(sq.where.patterns.size === 2)
+    assert(sq.where.patterns.map(_.s).distinct === Seq(Var("event")))
+  }
+
+  test("semicolon and comma sugar") {
+    val q = SparqlParser.parse(
+      """PREFIX ex: <http://example.org/>
+        |SELECT * WHERE { ?s ex:p1 ?a ; ex:p2 ?b , ?c . }""".stripMargin)
+    val pats = q.asInstanceOf[SelectQuery].where.patterns
+    assert(pats.size === 3)
+    assert(pats.forall(_.s === Var("s")))
+    assert(pats.map(_.o) === Seq(Var("a"), Var("b"), Var("c")))
+  }
+
+  test("FILTER with comparison against quoted literal") {
+    val q = SparqlParser.parse(
+      """PREFIX ex: <http://example.org/>
+        |SELECT ?s ?age WHERE {
+        |  ?s ex:age ?age .
+        |  FILTER(?age > "25")
+        |}""".stripMargin)
+    val filters = q.asInstanceOf[SelectQuery].where.filters
+    assert(filters === Seq(ECmp(">", EVar("age"), EStr("25"))))
+  }
+
+  test("FILTER with extension function call") {
+    val q = SparqlParser.parse(
+      """PREFIX janus: <https://janus.rs/fn#>
+        |SELECT ?s WHERE {
+        |  ?s <http://e.org/v> ?v .
+        |  FILTER(janus:is_outlier(?v, 50.0, 2.0, 3))
+        |}""".stripMargin)
+    val filters = q.asInstanceOf[SelectQuery].where.filters
+    assert(filters === Seq(ECall("https://janus.rs/fn#is_outlier",
+      Seq(EVar("v"), ENum(50.0), ENum(2.0), ENum(3)))))
+  }
+
+  test("FILTER EXISTS with nested braces") {
+    val q = SparqlParser.parse(
+      """PREFIX ex: <http://example.org/>
+        |SELECT ?s WHERE {
+        |  ?s ex:p ?o .
+        |  FILTER EXISTS { ?s ex:q ?x . }
+        |}""".stripMargin)
+    val filters = q.asInstanceOf[SelectQuery].where.filters
+    filters.head match {
+      case EExists(gp, negated) =>
+        assert(!negated)
+        assert(gp.patterns === Seq(QuadPattern(Var("s"),
+          Iri("http://example.org/q"), Var("x"), None)))
+      case other => fail(s"expected EExists, got $other")
+    }
+  }
+
+  test("GRAPH scoping attaches to inner patterns") {
+    val q = SparqlParser.parse(
+      """SELECT ?s WHERE {
+        |  GRAPH <http://g.org/g1> { ?s ?p ?o }
+        |  ?s <http://e.org/x> ?y .
+        |}""".stripMargin)
+    val pats = q.asInstanceOf[SelectQuery].where.patterns
+    assert(pats.head.g === Some(Iri("http://g.org/g1")))
+    assert(pats(1).g === None)
+  }
+
+  test("GRAPH with variable") {
+    val q = SparqlParser.parse(
+      "SELECT ?g WHERE { GRAPH ?g { ?s ?p ?o } }")
+    assert(q.asInstanceOf[SelectQuery].where.patterns.head.g === Some(Var("g")))
+  }
+
+  test("aggregate projection (COUNT ... AS)") {
+    val q = SparqlParser.parse(
+      """PREFIX ex: <http://example.org/>
+        |SELECT (COUNT(?s) AS ?count) WHERE { ?s ex:knows ?o }""".stripMargin)
+    val items = q.asInstanceOf[SelectQuery].projection.asInstanceOf[Items].items
+    assert(items === Seq(AggItem(
+      Aggregate("COUNT", Some(EVar("s")), distinct = false), "count")))
+  }
+
+  test("GROUP BY with AVG") {
+    val q = SparqlParser.parse(
+      """SELECT ?t (AVG(?v) AS ?avgV) WHERE {
+        |  ?s <http://e.org/t> ?t . ?s <http://e.org/v> ?v .
+        |} GROUP BY ?t""".stripMargin).asInstanceOf[SelectQuery]
+    assert(q.groupBy === Seq("t"))
+    assert(q.projection.asInstanceOf[Items].items(1) ===
+      AggItem(Aggregate("AVG", Some(EVar("v")), distinct = false), "avgV"))
+  }
+
+  test("expression alias projection") {
+    val q = SparqlParser.parse(
+      "SELECT (?a + ?b AS ?sum) WHERE { ?s <http://e.org/a> ?a . ?s <http://e.org/b> ?b }")
+    val items = q.asInstanceOf[SelectQuery].projection.asInstanceOf[Items].items
+    assert(items === Seq(ExprItem(EArith("+", EVar("a"), EVar("b")), "sum")))
+  }
+
+  test("ASK query") {
+    val q = SparqlParser.parse(
+      """PREFIX ex: <http://example.org/>
+        |ASK { ex:alice ex:knows ex:bob }""".stripMargin)
+    assert(q.isInstanceOf[AskQuery])
+    assert(q.where.patterns.head.s === Iri("http://example.org/alice"))
+  }
+
+  test("CONSTRUCT with template") {
+    val q = SparqlParser.parse(
+      """PREFIX ex: <http://example.org/>
+        |CONSTRUCT { ?s ex:connectedTo ?o }
+        |WHERE { ?s ex:knows ?o }""".stripMargin)
+    val cq = q.asInstanceOf[ConstructQuery]
+    assert(cq.template === Seq(QuadPattern(Var("s"),
+      Iri("http://example.org/connectedTo"), Var("o"), None)))
+  }
+
+  test("comments are skipped (# and /* */)") {
+    val q = SparqlParser.parse(
+      """# leading comment
+        |/* block
+        |   comment */
+        |SELECT ?s WHERE { ?s ?p ?o } # trailing""".stripMargin)
+    assert(q.isInstanceOf[SelectQuery])
+  }
+
+  test("'a' keyword expands to rdf:type") {
+    val q = SparqlParser.parse("SELECT ?s WHERE { ?s a <http://e.org/T> }")
+    assert(q.where.patterns.head.p ===
+      Iri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"))
+  }
+
+  test("angle-bracket IRI vs less-than disambiguation") {
+    val q = SparqlParser.parse(
+      "SELECT ?v WHERE { ?s <http://e.org/v> ?v . FILTER(?v < 10 && ?v<5) }")
+    val f = q.asInstanceOf[SelectQuery].where.filters.head
+    assert(f === EAnd(ECmp("<", EVar("v"), ENum(10)),
+      ECmp("<", EVar("v"), ENum(5))))
+  }
+
+  test("unknown prefix raises") {
+    assertThrows[SparqlParser.ParseException] {
+      SparqlParser.parse("SELECT ?s WHERE { ?s nope:p ?o }")
+    }
+  }
+}
