@@ -126,6 +126,39 @@ object SparkEntry {
         |  ?e v:value ?val .
         |}""".stripMargin)),
 
+    // W3: historical fixed window [START a END b] through the full
+    // parser → compiler → window-executor path
+    "w3_fixed_window" -> ((s, dir) =>
+      graft.historical.HistoricalExecutor.executeFixed(
+        EventsAsQuads.quads(s, dir),
+        SparqlParser.parse(Prefixes +
+          """SELECT ?t (COUNT(?e) AS ?n) (AVG(?val) AS ?avg_val) WHERE {
+            |  ?e v:type ?t .
+            |  ?e v:value ?val .
+            |} GROUP BY ?t""".stripMargin),
+        1704844800000L, 1705708800000L)
+        .select(col("t"), col("n"), round(col("avg_val"), 6).as("avg_val"),
+          col("timestamp_from"), col("timestamp_to"))),
+
+    // W4: historical sliding window [OFFSET 20d RANGE 2d STEP 1d] — all
+    // 21 windows evaluated in ONE distributed plan (window-id explode +
+    // per-window aggregation), no driver loop
+    "w4_sliding_window" -> ((s, dir) => {
+      import graft.historical.HistoricalExecutor
+      val quads = EventsAsQuads.quads(s, dir)
+      val now = quads.agg(max("timestamp")).head.getLong(0)
+      val spec = HistoricalExecutor.SlidingSpec(
+        20L * 86400000L, 2L * 86400000L, 86400000L)
+      HistoricalExecutor.executeSliding(quads,
+        SparqlParser.parse(Prefixes +
+          """SELECT (COUNT(?e) AS ?n) (AVG(?val) AS ?avg_val)
+            |WHERE { ?e v:value ?val . }""".stripMargin),
+        now, spec)
+        .select(col(HistoricalExecutor.WindowIdCol).as("window_id"),
+          col("n"), round(col("avg_val"), 6).as("avg_val"),
+          col("timestamp_from"), col("timestamp_to"))
+    }),
+
     // S8: storage time-range read path (predicate pushdown to parquet)
     "s8_time_range" -> ((s, dir) =>
       EventsAsQuads.quads(s, dir)
@@ -207,6 +240,25 @@ object SparkEntry {
     "f_relative_change" ->
       s"""SELECT $E AS e, (value - 50.0) / 50.0 AS rc
          |FROM events WHERE event_type = 'signup'""".stripMargin,
+    "w3_fixed_window" ->
+      """SELECT event_type AS t, COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_val,
+        |  1704844800000 AS timestamp_from, 1705708800000 AS timestamp_to
+        |FROM events
+        |WHERE epoch_ms(ts) BETWEEN 1704844800000 AND 1705708800000
+        |GROUP BY event_type""".stripMargin,
+    "w4_sliding_window" ->
+      """WITH p AS (SELECT MAX(epoch_ms(ts)) AS now FROM events),
+        |wb AS (
+        |  SELECT g.range AS window_id,
+        |    p.now - 1728000000 + g.range * 86400000 AS timestamp_from,
+        |    LEAST(p.now - 1728000000 + g.range * 86400000 + 172800000,
+        |          p.now) AS timestamp_to
+        |  FROM range(0, 21) g, p)
+        |SELECT wb.window_id, COUNT(*) AS n, ROUND(AVG(e.value), 6) AS avg_val,
+        |  wb.timestamp_from, wb.timestamp_to
+        |FROM events e
+        |JOIN wb ON epoch_ms(e.ts) BETWEEN wb.timestamp_from AND wb.timestamp_to
+        |GROUP BY wb.window_id, wb.timestamp_from, wb.timestamp_to""".stripMargin,
     "s8_time_range" ->
       """SELECT COUNT(*) * 3 AS n_quads,
         |  MIN(epoch_ms(ts)) AS min_ts, MAX(epoch_ms(ts)) AS max_ts

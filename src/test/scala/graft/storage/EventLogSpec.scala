@@ -1,0 +1,105 @@
+package graft.storage
+
+import graft.TestSpark
+import graft.core.RdfEvent
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Storage write/read contract (SURVEY.md §2.1 S5/S8) mirroring the
+  * semantics exercised by `/root/reference/tests/stream_bus_test.rs:172,501`
+  * (`storage.query_rdf(0, u64::MAX)` returns everything written) and the
+  * segmented read-path inclusive-bounds behavior. */
+class EventLogSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def freshLog(bucketMs: Long = 1000L): EventLog =
+    new EventLog(spark,
+      Files.createTempDirectory("eventlog").resolve("log").toString, bucketMs)
+
+  private def ev(ts: Long, n: Int): RdfEvent =
+    RdfEvent(ts, s"http://e.org/s$n", "http://e.org/p", n.toString, "")
+
+  test("append then full-range query returns everything") {
+    val log = freshLog()
+    log.append(RdfEvent.toDF(spark, (1 to 50).map(i => ev(i * 100L, i))))
+    assert(log.query(0, Long.MaxValue).count() === 50)
+  }
+
+  test("append is cumulative (read-your-writes across batches)") {
+    val log = freshLog()
+    log.append(RdfEvent.toDF(spark, Seq(ev(10, 1))))
+    log.append(RdfEvent.toDF(spark, Seq(ev(20, 2), ev(30, 3))))
+    assert(log.read().count() === 3)
+  }
+
+  test("time-range query has inclusive bounds (segmented_storage.rs:308-463)") {
+    val log = freshLog()
+    log.append(RdfEvent.toDF(spark,
+      Seq(ev(100, 1), ev(200, 2), ev(300, 3), ev(400, 4))))
+    val got = log.query(200, 300).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(200L, 300L))
+  }
+
+  test("bucket partition pruning: query range touches only relevant dirs") {
+    val log = freshLog(bucketMs = 1000L)
+    log.append(RdfEvent.toDF(spark,
+      (0 until 100).map(i => ev(i * 100L, i)))) // buckets 0..9
+    val plan = log.query(2500, 3500).queryExecution.executedPlan.toString
+    // partition filter must appear in the scan (pruned directory listing)
+    assert(plan.contains(EventLog.BucketCol))
+    val got = log.query(2500, 3500).collect().map(_.getLong(0))
+    assert(got.forall(t => t >= 2500 && t <= 3500))
+    assert(got.length === 11)
+  }
+
+  test("quads survive roundtrip with term values intact") {
+    val log = freshLog()
+    val in = Seq(RdfEvent(42L, "http://e.org/s", "http://e.org/p",
+      "a \"quoted\" value", "http://g.org/g1"))
+    log.append(RdfEvent.toDF(spark, in))
+    val r = log.read().collect()(0)
+    assert(r.getString(1) === "http://e.org/s")
+    assert(r.getString(3) === "a \"quoted\" value")
+    assert(r.getString(4) === "http://g.org/g1")
+  }
+
+  test("ReplayBus.ingestFile: N-Quads file → storage (stream_bus contract)") {
+    val dir = Files.createTempDirectory("replay")
+    val nq = dir.resolve("data.nq")
+    Files.writeString(nq,
+      """100 <http://e.org/a> <http://e.org/p> "1" .
+        |200 <http://e.org/b> <http://e.org/p> "2" <http://g.org/g> .
+        |garbage line
+        |300 <http://e.org/c> <http://e.org/p> "3.5"^^<http://www.w3.org/2001/XMLSchema#decimal> .
+        |""".stripMargin)
+    val log = new EventLog(spark, dir.resolve("log").toString, 1000L)
+    val (stored, errors) = ReplayBus.ingestFile(spark, nq.toString, log)
+    assert(stored === 3)
+    assert(errors === 1)
+    assert(log.query(0, Long.MaxValue).count() === 3)
+  }
+
+  test("ReplayBus paced replay publishes to sink and storage with metrics") {
+    val dir = Files.createTempDirectory("replay2")
+    val nq = dir.resolve("data.nq")
+    Files.writeString(nq,
+      (1 to 20).map(i =>
+        s"""${i * 10} <http://e.org/s$i> <http://e.org/p> "$i" .""")
+        .mkString("", "\n", "\n"))
+    val log = new EventLog(spark, dir.resolve("log").toString, 1000L)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val bus = new ReplayBus(spark, nq.toString, storage = Some(log),
+      sink = Some(evs => seen.synchronized { seen += evs.length }),
+      loopCount = 2, batchSize = 7)
+    val m = bus.run()
+    assert(m.linesRead === 40)
+    assert(m.published === 40)
+    assert(m.stored === 40)
+    assert(m.errors === 0)
+    assert(log.read().count() === 40)
+    assert(seen.sum === 40)
+  }
+}
