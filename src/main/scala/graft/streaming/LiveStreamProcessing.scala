@@ -1,0 +1,236 @@
+package graft.streaming
+
+import graft.core.RdfEvent
+import graft.janusql._
+import graft.sparql.{GroupPattern, Iri, Items, Query, QuadPattern, SelectQuery,
+  SparqlCompiler, SparqlParser, Star, VarItem}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.collection.mutable
+
+/** Live RSP path (SURVEY.md §2.2 W1/W2/W5) — rebuild of
+  * `/root/reference/src/stream/live_stream_processing.rs`.
+  *
+  * Semantics mirrored exactly:
+  *   - S2R sliding windows `[RANGE r STEP s]`: event-time driven; a close
+  *     fires at every step boundary `c = k*s` once stream time reaches
+  *     `c`; the fired window covers `[c - r, c)` and results carry
+  *     `timestamp_to - timestamp_from == r`
+  *     (`tests/live_stream_integration_test.rs:119-161`);
+  *   - sentinel close: `closeStream(uri, finalTs)` advances stream time
+  *     with a `urn:rsp:sentinel:*` event that never appears in results
+  *     (`live_stream_processing.rs:248-264`);
+  *   - W2 cross-window merge: at fire time every other window's content
+  *     at that timestamp joins the evaluation, each under its own window
+  *     graph (`live_stream_processing.rs:469-482`);
+  *   - per-fire full re-evaluation over a fresh snapshot (reference
+  *     builds a fresh Oxigraph store per fire — we build a fresh
+  *     DataFrame; no incremental state to diverge);
+  *   - static/baseline quads live in the default graph; non-WINDOW
+  *     patterns match ONLY static data, WINDOW blocks match only their
+  *     window's graph (R10 stream-static join);
+  *   - W5 RStream: the full answer set of each fired window is emitted.
+  *
+  * The event buffer is driver-side (window contents are bounded by
+  * RANGE — the same assumption the reference makes by holding windows in
+  * memory); evaluation of each fire is a distributed Spark job. For
+  * cluster-scale ingest, feed micro-batches through
+  * [[LiveStreamProcessing.addEvents]] from `foreachBatch` (SURVEY.md
+  * §7.3.3 snapshot evaluation).
+  */
+final class LiveStreamProcessing(spark: SparkSession, queryText: String) {
+
+  import LiveStreamProcessing._
+
+  val parsed: ParsedJanusQuery = JanusQLParser.parse(queryText)
+  require(parsed.liveWindows.nonEmpty,
+    "LiveStreamProcessing requires at least one ON STREAM window")
+
+  /** bindings = variable → plain lexical value. */
+  final case class LiveResult(
+      bindings: Map[String, String],
+      timestampFrom: Long,
+      timestampTo: Long)
+
+  private val compiledQuery: Query = buildCombinedQuery(parsed)
+
+  private val buffers =
+    mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[RdfEvent]]
+  private val staticData = mutable.ArrayBuffer.empty[RdfEvent]
+  private val results = new java.util.concurrent.ConcurrentLinkedQueue[LiveResult]
+  /** next close boundary per window (event-time, multiples of slide) */
+  private val nextClose = mutable.LinkedHashMap.empty[String, Long]
+  private var started = false
+
+  parsed.liveWindows.foreach(w => nextClose(w.windowName) = w.slide)
+
+  // ---- lifecycle (mirrors the unit contract of
+  //      tests/live_stream_integration_test.rs) ------------------------
+
+  def registerStream(uri: String): Unit = synchronized {
+    if (!buffers.contains(uri)) buffers(uri) = mutable.ArrayBuffer.empty
+  }
+
+  def getRegisteredStreams: Seq[String] = synchronized { buffers.keys.toSeq }
+
+  def startProcessing(): Unit = synchronized { started = true }
+
+  def addStaticData(events: Seq[RdfEvent]): Unit = synchronized {
+    staticData ++= events
+  }
+
+  def addEvent(uri: String, event: RdfEvent): Unit =
+    addEvents(uri, Seq(event))
+
+  def addEvents(uri: String, events: Seq[RdfEvent]): Unit = synchronized {
+    require(buffers.contains(uri), s"Stream not registered: $uri")
+    buffers(uri) ++= events
+    if (started && events.nonEmpty)
+      advanceTo(events.map(_.timestamp).max)
+  }
+
+  /** Sentinel close: advances event time so all windows up to `finalTs`
+    * fire; the sentinel itself never reaches results. */
+  def closeStream(uri: String, finalTs: Long): Unit =
+    addEvent(uri, RdfEvent(finalTs, SentinelSubject, SentinelPredicate,
+      SentinelObject, ""))
+
+  def tryReceiveResult(): Option[LiveResult] = Option(results.poll())
+
+  def collectResults(max: Option[Int] = None): Seq[LiveResult] = {
+    val out = mutable.ArrayBuffer.empty[LiveResult]
+    var next = results.poll()
+    while (next != null && max.forall(out.length < _)) {
+      out += next
+      next = results.poll()
+    }
+    out.toSeq
+  }
+
+  // ---- window firing (W1) ---------------------------------------------
+
+  /** Fire every window whose next close boundary has been reached by the
+    * advancing event time, in close-time order. */
+  private def advanceTo(maxTs: Long): Unit = {
+    var fired = true
+    while (fired) {
+      fired = false
+      // earliest pending close across windows
+      val due = parsed.liveWindows
+        .map(w => (w, nextClose(w.windowName)))
+        .filter { case (_, c) => c <= maxTs }
+        .sortBy(_._2)
+      due.headOption.foreach { case (w, c) =>
+        fire(w, c)
+        nextClose(w.windowName) = c + w.slide
+        fired = true
+      }
+    }
+  }
+
+  /** Evaluate the combined query at close time `c` of window `w`:
+    * window contents (all windows, W2 merge) + static data, one
+    * distributed evaluation, full answer emission (W5 RStream). */
+  private def fire(w: WindowDefinition, c: Long): Unit = {
+    val windowQuads: Seq[RdfEvent] = parsed.liveWindows.flatMap { lw =>
+      val from = c - lw.width
+      buffers.getOrElse(lw.streamName, mutable.ArrayBuffer.empty)
+        .filter(e => e.timestamp >= from && e.timestamp < c &&
+          e.subject != SentinelSubject)
+        .map(e => e.copy(graph = lw.windowName))
+    }
+    val staticQuads = staticData.map(_.copy(graph = DefaultGraph)).toSeq
+
+    val bindings: Seq[Map[String, String]] =
+      if (windowQuads.isEmpty && staticQuads.isEmpty) Nil
+      else {
+        val df = RdfEvent.toDF(spark, windowQuads ++ staticQuads)
+        val out = SparqlCompiler.compile(df, compiledQuery)
+        val cols = out.columns
+        out.collect().toSeq.map { row =>
+          cols.zipWithIndex.collect {
+            case (name, i) if !row.isNullAt(i) =>
+              name -> String.valueOf(row.get(i))
+          }.toMap
+        }
+      }
+    bindings.foreach { b =>
+      results.add(LiveResult(b, c - w.width, c))
+    }
+  }
+}
+
+object LiveStreamProcessing {
+  val SentinelSubject = "urn:rsp:sentinel:subject"
+  val SentinelPredicate = "urn:rsp:sentinel:predicate"
+  val SentinelObject = "urn:rsp:sentinel:object"
+  /** Graph tag for static/baseline data in the per-fire snapshot (the
+    * reference's default graph). */
+  val DefaultGraph = "urn:graft:default"
+
+  /** Build the single combined SPARQL-subset query for live evaluation:
+    * WINDOW blocks become per-window GRAPH scopes, non-window patterns
+    * (baseline joins) are scoped to the static default graph, filters
+    * stay top-level — reproducing the reference's store layout (window
+    * quads in window named graphs, static data in the default graph,
+    * `live_stream_processing.rs:509-552`).
+    */
+  def buildCombinedQuery(parsed: ParsedJanusQuery): Query = {
+    val prefixText = parsed.prefixes
+      .map { case (p, ns) => s"PREFIX $p: <$ns>" }.mkString("\n")
+
+    def parseGroup(body: String): GroupPattern =
+      SparqlParser.parse(s"$prefixText\nSELECT * WHERE {\n$body\n}")
+        .asInstanceOf[SelectQuery].where
+
+    // static patterns + filters (everything outside WINDOW blocks)
+    val nonWindow =
+      JanusQLParser.extractNonWindowWherePatterns(parsed.whereClause)
+    val staticGroup =
+      if (nonWindow.trim.isEmpty) GroupPattern(Nil, Nil)
+      else parseGroup(nonWindow)
+    val staticScoped = staticGroup.patterns
+      .map(p => p.copy(g = p.g.orElse(Some(Iri(DefaultGraph)))))
+
+    // each live window's body, scoped to the window graph
+    val windowGroups = parsed.liveWindows.flatMap { w =>
+      JanusQLParser.findWindowBody(parsed.ast.whereWindows, w,
+        parsed.prefixes).map(body => (w, parseGroup(body)))
+    }
+    val windowScoped = windowGroups.flatMap { case (w, g) =>
+      g.patterns.map(p => p.copy(g = p.g.orElse(Some(Iri(w.windowName)))))
+    }
+    val windowFilters = windowGroups.flatMap(_._2.filters)
+
+    val where = GroupPattern(
+      staticScoped ++ windowScoped,
+      staticGroup.filters ++ windowFilters)
+
+    // projection from the SELECT clause (parse it against a dummy body)
+    val projection = {
+      val sel =
+        if (parsed.selectClause.trim.isEmpty) "SELECT *"
+        else parsed.selectClause
+      SparqlParser.parse(s"$prefixText\n$sel WHERE { ?__a ?__b ?__c }") match {
+        case SelectQuery(proj, _, _, _) => proj
+        case _                          => Star
+      }
+    }
+    // drop projected vars that no pattern binds (e.g. historical-only
+    // vars in a hybrid query) — the reference's rspql adaptation keeps
+    // the original SELECT and Oxigraph returns unbound as absent
+    val bound = where.boundVars.toSet
+    val prunedProjection = projection match {
+      case Items(items) =>
+        val kept = items.filter {
+          case VarItem(n) => bound.contains(n)
+          case _          => true
+        }
+        if (kept.isEmpty) Star else Items(kept)
+      case Star => Star
+    }
+
+    SelectQuery(prunedProjection, where, groupBy = Nil)
+  }
+}
