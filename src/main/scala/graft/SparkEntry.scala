@@ -159,6 +159,20 @@ object SparkEntry {
           col("timestamp_from"), col("timestamp_to"))
     }),
 
+    // B3/B4: baseline bootstrap — AGGREGATE accumulation over bindings,
+    // materialized as baseline#var statements (object kept numeric here;
+    // Rust-Display string formatting is covered by TermsSpec)
+    "b3_baseline_agg" -> ((s, dir) => {
+      val bindings = sparql(s, dir,
+        """SELECT ?sensor ?val WHERE {
+          |  ?e v:user ?sensor .
+          |  ?e v:value ?val .
+          |}""".stripMargin)
+      graft.baseline.BaselineBootstrap.statements(bindings)
+        .select(col("subject"), col("predicate"),
+          round(col("object").try_cast("double"), 6).as("object_num"))
+    }),
+
     // S8: storage time-range read path (predicate pushdown to parquet)
     "s8_time_range" -> ((s, dir) =>
       EventsAsQuads.quads(s, dir)
@@ -259,6 +273,11 @@ object SparkEntry {
         |FROM events e
         |JOIN wb ON epoch_ms(e.ts) BETWEEN wb.timestamp_from AND wb.timestamp_to
         |GROUP BY wb.window_id, wb.timestamp_from, wb.timestamp_to""".stripMargin,
+    "b3_baseline_agg" ->
+      s"""SELECT $U AS subject,
+         |  'https://janus.rs/baseline#val' AS predicate,
+         |  ROUND(AVG(value), 6) AS object_num
+         |FROM events GROUP BY user_id""".stripMargin,
     "s8_time_range" ->
       """SELECT COUNT(*) * 3 AS n_quads,
         |  MIN(epoch_ms(ts)) AS min_ts, MAX(epoch_ms(ts)) AS max_ts
