@@ -173,6 +173,20 @@ object SparkEntry {
           round(col("object").try_cast("double"), 6).as("object_num"))
     }),
 
+    // §2.6: comparator rolling statistics — mean / population σ /
+    // least-squares slope over the last 10 events per user (distributed
+    // window-function formulation; x re-centered to days-since-epoch-of-
+    // dataset for numeric stability)
+    "c6_comparator_stats" -> ((s, dir) => {
+      val ev = EventsAsQuads.events(s, dir)
+        .withColumn("x", (col("ts_ms") - 1704067200000L) / 86400000.0)
+      graft.comparator.Comparator.stats(ev, col("user_id"), col("value"),
+        col("x"), Seq(col("ts_ms"), col("event_id")), windowSize = 10)
+        .select(col("event_id"), round(col("mean"), 6).as("mean"),
+          round(col("sigma"), 6).as("sigma"),
+          round(col("slope"), 6).as("slope"), col("n"))
+    }),
+
     // S8: storage time-range read path (predicate pushdown to parquet)
     "s8_time_range" -> ((s, dir) =>
       EventsAsQuads.quads(s, dir)
@@ -278,6 +292,15 @@ object SparkEntry {
          |  'https://janus.rs/baseline#val' AS predicate,
          |  ROUND(AVG(value), 6) AS object_num
          |FROM events GROUP BY user_id""".stripMargin,
+    "c6_comparator_stats" ->
+      """SELECT event_id, ROUND(AVG(value) OVER w, 6) AS mean,
+        |  ROUND(STDDEV_POP(value) OVER w, 6) AS sigma,
+        |  ROUND(COALESCE(REGR_SLOPE(value,
+        |    (epoch_ms(ts) - 1704067200000) / 86400000.0) OVER w, 0), 6) AS slope,
+        |  COUNT(value) OVER w AS n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""".stripMargin,
     "s8_time_range" ->
       """SELECT COUNT(*) * 3 AS n_quads,
         |  MIN(epoch_ms(ts)) AS min_ts, MAX(epoch_ms(ts)) AS max_ts
