@@ -195,6 +195,93 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_quads"),
           min("timestamp").as("min_ts"), max("timestamp").as("max_ts"))),
 
+    // ---- LLM-data-pipeline operators over documents/embeddings ----
+
+    // Exact dedup: content-hash groupBy (map-side combine)
+    "dedup_exact" -> ((s, dir) =>
+      graft.pipeline.Dedup.exactDuplicates(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"))),
+
+    // MinHash+LSH near-dup: banded candidates → exact-Jaccard verify;
+    // bands×rows chosen so recall at the threshold is effectively 1,
+    // making the bucketed pipeline equal the oracle's all-pairs scan
+    "dedup_minhash" -> ((s, dir) =>
+      graft.pipeline.Dedup.nearDuplicates(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+
+    // SimHash near-dup: chunk-bucketed hamming pairs (no SQL oracle —
+    // rows-only check; semantics covered by PipelineSpec)
+    "dedup_simhash" -> ((s, dir) =>
+      graft.pipeline.Dedup.simhashNearDuplicates(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), maxHamming = 3)),
+
+    // Token counting: whitespace + BPE-ish pre-tokenizer shape
+    "text_tokens" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          graft.pipeline.TextAnalysis.tokenCount(col("text"))
+            .cast("long").as("ws_tokens"),
+          graft.pipeline.TextAnalysis.bpeishTokenCount(col("text"))
+            .cast("long").as("bpe_tokens"))),
+
+    // Quality scoring: char-class ratios + composite score
+    "text_quality" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          round(graft.pipeline.TextAnalysis.punctRatio(col("text")), 6)
+            .as("punct_ratio"),
+          round(graft.pipeline.TextAnalysis.digitRatio(col("text")), 6)
+            .as("digit_ratio"),
+          round(graft.pipeline.TextAnalysis.meanWordLength(col("text")), 6)
+            .as("mean_word_len"),
+          graft.pipeline.TextAnalysis.qualityScore(col("text"))
+            .as("quality"))),
+
+    // Language ID: marker-word n-gram heuristic (deterministic argmax)
+    "text_langid" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          graft.pipeline.TextAnalysis.langId(col("text")).as("lang_guess"))),
+
+    // Document fingerprinting: min-hash shingle fingerprint
+    "text_fingerprint" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          graft.pipeline.TextAnalysis.minShingleFingerprint(col("text"))
+            .as("fingerprint"))),
+
+    // ANN: exact brute-force top-10 cosine for 3 query vectors
+    "ann_bruteforce_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      graft.pipeline.Ann.bruteForceTopK(emb,
+        emb.where(col("vec_id") < 3), k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("id"), col("sim"))
+    }),
+
+    // Embedding-cosine near-dup: hyperplane-LSH buckets + exact verify
+    "emb_cosine_neardup" -> ((s, dir) =>
+      graft.pipeline.Ann.cosineNearDuplicates(
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        col("vec_id"), col("embedding"), threshold = 0.9, dim = 64)),
+
+    // Multimodal plumbing: binary payload stats + frame sampling shape
+    "mm_binary_stats" -> ((s, dir) => {
+      val media = graft.pipeline.Multimodal.fromText(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"))
+      media.select(col("media_id"),
+        graft.pipeline.Multimodal.byteLength(col("payload"))
+          .cast("long").as("byte_len"),
+        size(graft.pipeline.Multimodal.frameSample(col("payload"), 4, 10))
+          .cast("long").as("n_frames"))
+    }),
+
     // Relational layer at TPC-H shape: wide aggregation (bench headline).
     // Sums go through DECIMAL so the result is exact and independent of
     // distributed summation order (a double sum can flip the last cent at
@@ -306,6 +393,109 @@ object SparkEntry {
         |  MIN(epoch_ms(ts)) AS min_ts, MAX(epoch_ms(ts)) AS max_ts
         |FROM events
         |WHERE epoch_ms(ts) >= 1704844800000 AND epoch_ms(ts) < 1705708800000""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, COUNT(*) AS n, MIN(doc_id) AS keep_id
+        |FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1""".stripMargin,
+    "dedup_minhash" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+        |    CAST(len(a.sh) + len(b.sh) AS DOUBLE)
+        |      - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS uni
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, ROUND(inter / uni, 6) AS jaccard
+        |FROM p WHERE uni > 0 AND inter / uni >= 0.8""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)
+        |      / CAST(greatest(len(text), 1) AS DOUBLE) AS pr,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+        |      / CAST(greatest(len(text), 1) AS DOUBLE) AS dr,
+        |    CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) > 0 THEN
+        |      CAST(list_sum(list_transform(
+        |        string_split_regex(lower(trim(text)), '\s+'), t -> len(t))) AS DOUBLE)
+        |      / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE)
+        |    ELSE 0.0 END AS mwl,
+        |    CAST(len(text) AS DOUBLE) AS n_chars
+        |  FROM documents)
+        |SELECT doc_id, ROUND(pr, 6) AS punct_ratio, ROUND(dr, 6) AS digit_ratio,
+        |  ROUND(mwl, 6) AS mean_word_len,
+        |  ROUND(least(n_chars / 200.0, 1.0) * 0.4
+        |    + greatest(0.0, 1.0 - pr * 4.0) * 0.2
+        |    + greatest(0.0, 1.0 - dr * 4.0) * 0.2
+        |    + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+        |    6) AS quality
+        |FROM r""".stripMargin,
+    "text_langid" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(the|and|of|is|to|in|that|it|for|with)\b')) AS c_en,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(der|die|das|und|ist|nicht|ein|eine|zu|mit)\b')) AS c_de,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(el|la|los|las|es|y|de|que|un|una|por)\b')) AS c_es,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(le|la|les|et|est|un|une|des|du|que|pour)\b')) AS c_fr,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS c_zh
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN c_zh > 0 THEN 'zh'
+        |       WHEN greatest(c_en, c_de, c_es, c_fr) = 0 THEN 'und'
+        |       WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+        |       WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+        |       WHEN c_es >= c_fr THEN 'es'
+        |       ELSE 'fr' END AS lang_guess
+        |FROM c""".stripMargin,
+    "text_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_min(list_transform(range(1, len(toks)-1),
+        |      i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))))
+        |  ELSE md5(lower(trim(text))) END AS fingerprint
+        |FROM t""".stripMargin,
+    "ann_bruteforce_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS id,
+        |    ROUND(list_cosine_similarity(e.v, q.qv), 6) AS sim
+        |  FROM e, q WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, id, sim FROM ranked WHERE rank <= 10""".stripMargin,
+    "emb_cosine_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.9""".stripMargin,
+    "mm_binary_stats" ->
+      """SELECT doc_id AS media_id, octet_length(encode(text)) AS byte_len,
+        |  CAST(4 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

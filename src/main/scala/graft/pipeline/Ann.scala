@@ -1,0 +1,131 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * [[bruteForceTopK]] is the exact baseline (broadcast the query set,
+  * one scan over the corpus — correct at any corpus size as long as the
+  * QUERY set is broadcastable). [[lshTopK]] and [[cosineNearDuplicates]]
+  * are the scale paths: random-hyperplane signatures bucket the corpus
+  * so candidate generation is an equi-join on (table, signature), never
+  * an all-pairs product.
+  */
+object Ann {
+
+  /** Dot product of two double-array columns (sequential fold — exact
+    * same summation order on every engine/partition). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Cosine similarity with zero-norm guard (NULL when either side has
+    * zero magnitude). */
+  def cosine(a: Column, b: Column): Column = {
+    val na = norm(a)
+    val nb = norm(b)
+    when(na > 0.0 && nb > 0.0, dot(a, b) / (na * nb))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries(query_id, query_vec)` is broadcast; the corpus
+    * `(id, vec)` streams through one scan + per-query top-k
+    * (rank window partitioned by query). Ranking is on cosine rounded
+    * to 1e-6 with id tie-break — fully deterministic. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int)
+      : DataFrame = {
+    val scored = corpus.toDF("id", "vec")
+      .crossJoin(broadcast(queries.toDF("query_id", "query_vec")))
+      .where(col("id") =!= col("query_id"))
+      .withColumn("sim",
+        round(cosine(toDouble(col("vec")), toDouble(col("query_vec"))), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "id", "sim")
+  }
+
+  /** Deterministic random hyperplanes: `tables × planes` unit-free
+    * normal vectors of dimension `dim`, seeded. */
+  private def hyperplanes(dim: Int, planes: Int, tables: Int)
+      : Seq[(Int, Seq[Seq[Double]])] = {
+    val rnd = new scala.util.Random(7)
+    (0 until tables).map { t =>
+      (t, Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian())))
+    }
+  }
+
+  /** (id, table, signature) — sign-bit signature of each vector under
+    * each table's hyperplanes. Planes ship as a literal array (tiny);
+    * signature computation is one codegen'd expression per row. */
+  def lshSignatures(df: DataFrame, idCol: Column, vecCol: Column,
+      dim: Int, planes: Int = 8, tables: Int = 24): DataFrame = {
+    val planesLit = typedLit(hyperplanes(dim, planes, tables)
+      .flatMap { case (t, ps) => ps.zipWithIndex.map { case (p, i) =>
+        (t, i, p) } })
+    val v = toDouble(vecCol)
+    df.select(idCol.as("id"), v.as("v"))
+      .select(col("id"), explode(
+        transform(planesLit, p => struct(
+          p.getField("_1").as("table"),
+          p.getField("_2").as("plane"),
+          when(dot(col("v"), p.getField("_3")) > 0.0, 1L).otherwise(0L)
+            .as("bit")))).as("pb"))
+      .groupBy(col("id"), col("pb.table").as("table"))
+      .agg(sum(col("pb.bit") * pow(lit(2.0), col("pb.plane")).cast("long"))
+        .as("signature"))
+      .select("id", "table", "signature")
+  }
+
+  /** Bucketed approximate top-k: candidates share at least one
+    * (table, signature) bucket with the query, then exact cosine
+    * re-ranking. Recall rises with `tables`; candidate volume with
+    * fewer `planes`. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      planes: Int = 8, tables: Int = 24): DataFrame = {
+    val c = corpus.toDF("id", "vec")
+    val q = queries.toDF("query_id", "query_vec")
+    val cSig = lshSignatures(c, col("id"), col("vec"), dim, planes, tables)
+    val qSig = lshSignatures(q, col("query_id"), col("query_vec"), dim,
+      planes, tables).toDF("query_id", "table", "signature")
+    val candidates = cSig.join(qSig, Seq("table", "signature"))
+      .where(col("id") =!= col("query_id"))
+      .select("query_id", "id").distinct()
+    val scored = candidates
+      .join(c, "id").join(q, "query_id")
+      .withColumn("sim",
+        round(cosine(toDouble(col("vec")), toDouble(col("query_vec"))), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "id", "sim")
+  }
+
+  /** Embedding-cosine near-duplicate pairs at `threshold`, LSH-bucketed
+    * with exact verification. */
+  def cosineNearDuplicates(df: DataFrame, idCol: Column, vecCol: Column,
+      threshold: Double, dim: Int, planes: Int = 8, tables: Int = 24)
+      : DataFrame = {
+    val base = df.select(idCol.as("id"), vecCol.as("vec"))
+    val sigs = lshSignatures(base, col("id"), col("vec"), dim, planes, tables)
+    val a = sigs.toDF("id_a", "table", "signature")
+    val b = sigs.toDF("id_b", "table", "signature")
+    val pairs = a.join(b, Seq("table", "signature"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val va = base.toDF("id_a", "vec_a")
+    val vb = base.toDF("id_b", "vec_b")
+    pairs.join(va, "id_a").join(vb, "id_b")
+      .withColumn("sim",
+        cosine(toDouble(col("vec_a")), toDouble(col("vec_b"))))
+      .where(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+}

@@ -1,0 +1,156 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for 100 TB-scale corpora.
+  *
+  * Every near-dup path is BUCKETED — candidates come from equi-joins on
+  * LSH band keys / simhash chunks, never an all-pairs crossJoin. The
+  * candidate step is the only shuffle; verification is an equi-join back
+  * to per-doc state. Expansion factors are tunable (bands × rows,
+  * chunks) so the same plan runs at any corpus size.
+  */
+object Dedup {
+
+  /** Exact duplicates by content hash: one row per duplicated content
+    * (hash, n copies, min doc id as keeper). Map-side combine via
+    * groupBy — the canonical exact-dedup shape. */
+  def exactDuplicates(df: DataFrame, idCol: Column, textCol: Column)
+      : DataFrame =
+    df.groupBy(md5(textCol).as("content_hash"))
+      .agg(count(lit(1)).as("n"), min(idCol).as("keep_id"))
+      .where(col("n") > 1)
+
+  /** Exact duplicates after whitespace/case normalization. */
+  def normalizedDuplicates(df: DataFrame, idCol: Column, textCol: Column)
+      : DataFrame =
+    exactDuplicates(df, idCol,
+      regexp_replace(lower(trim(textCol)), "\\s+", " "))
+
+  // ---- MinHash + LSH ---------------------------------------------------
+
+  /** Deterministic permutation seeds for the k min-hashes. */
+  private def seeds(k: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(k)((rnd.nextInt(Int.MaxValue - 1).toLong + 1,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  private val MersennePrime = 2305843009213693951L // 2^61 - 1
+
+  /** k-element MinHash signature over a shingle array column. Computed
+    * entirely inside one expression tree (no explode): shingle → 31-bit
+    * base hash → k affine permutations → array_min per permutation.
+    * Products stay < 2^62, safe under ANSI arithmetic. */
+  def minhashSignature(shingleCol: Column, k: Int = 128): Column = {
+    val seedCol = typedLit(seeds(k))
+    val baseHashes = transform(shingleCol,
+      s => pmod(xxhash64(s), lit(1L << 31)))
+    when(size(shingleCol) > 0,
+      transform(seedCol, seed =>
+        array_min(transform(baseHashes, h =>
+          pmod(h * seed.getField("_1") + seed.getField("_2"),
+            lit(MersennePrime))))))
+      .otherwise(lit(null))
+  }
+
+  /** (id, band_id, band) rows — the LSH banding step. Docs agreeing on
+    * any full band become candidates. */
+  def lshBands(df: DataFrame, idCol: Column, signatureCol: Column,
+      bands: Int, rows: Int): DataFrame =
+    df.where(signatureCol.isNotNull)
+      .select(idCol.as("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(signatureCol, b * rows + 1, lit(rows)))))
+      .toDF("id", "band_id", "band")
+
+  /** Candidate pairs: equi-join on (band_id, band) — bucketed, never
+    * all-pairs. Returns distinct (id_a < id_b). */
+  def candidatePairs(bands: DataFrame): DataFrame = {
+    val a = bands.toDF("id_a", "band_id", "band")
+    val b = bands.toDF("id_b", "band_id", "band")
+    a.join(b, Seq("band_id", "band"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs against per-doc
+    * shingle sets. */
+  def verifyJaccard(pairs: DataFrame, docShingles: DataFrame,
+      threshold: Double): DataFrame = {
+    val sa = docShingles.toDF("id_a", "sh_a")
+    val sb = docShingles.toDF("id_b", "sh_b")
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("double") - col("inter"))
+      .withColumn("jaccard",
+        when(col("uni") > 0, col("inter") / col("uni")).otherwise(lit(0.0)))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → signature → bands →
+    * bucketed candidates → exact-Jaccard verify.
+    *
+    * Default bands×rows = 64×2 drives the miss probability at
+    * `threshold`=0.5 below 1e-8 (1-(1-J^rows)^bands) — exact recall on
+    * verified output for any realistic threshold; raise `rows` to trade
+    * candidate volume for recall at higher corpus sizes.
+    */
+  def nearDuplicates(df: DataFrame, idCol: Column, textCol: Column,
+      threshold: Double, shingleSize: Int = 3, k: Int = 128,
+      bands: Int = 64, rows: Int = 2): DataFrame = {
+    require(bands * rows <= k, "bands*rows must not exceed k")
+    val docs = df.select(idCol.as("id"),
+      TextAnalysis.shingles(textCol, shingleSize).as("sh"))
+      .where(size(col("sh")) > 0)
+    val signatures = docs.withColumn("sig", minhashSignature(col("sh"), k))
+    val pairs = candidatePairs(
+      lshBands(signatures, col("id"), col("sig"), bands, rows))
+    verifyJaccard(pairs, docs.select(col("id"), col("sh")), threshold)
+  }
+
+  // ---- SimHash ---------------------------------------------------------
+
+  /** 32-bit SimHash over a token array: per bit, sum ±1 votes of each
+    * token hash; the sign vector packs into one long. Literal-shift
+    * unrolling keeps every op ANSI-safe and codegen-friendly. */
+  def simhash32(tokenCol: Column): Column = {
+    val hashes = transform(tokenCol, t => pmod(xxhash64(t), lit(1L << 32)))
+    val bits = (0 until 32).map { b =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + shiftrightunsigned(h, b).bitwiseAND(1L) * 2L - 1L)
+      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: bucket on 8-bit chunks (any doc pair within
+    * hamming distance 3 of a 32-bit hash agrees on at least one of the 4
+    * chunks — pigeonhole), then verify the true distance. */
+  def simhashNearDuplicates(df: DataFrame, idCol: Column, textCol: Column,
+      maxHamming: Int = 3): DataFrame = {
+    val sims = df.select(idCol.as("id"),
+      simhash32(TextAnalysis.tokens(textCol)).as("sim"))
+    // chunk extraction needs literal shifts — unroll the 4 chunks
+    val chunks = (0 until 4).map { c =>
+      sims.select(col("id"), col("sim"), lit(c).as("chunk_id"),
+        shiftrightunsigned(col("sim"), 8 * c).bitwiseAND(0xFFL).as("chunk"))
+    }.reduce(_ unionAll _)
+    val a = chunks.toDF("id_a", "sim_a", "chunk_id", "chunk")
+    val b = chunks.toDF("id_b", "sim_b", "chunk_id", "chunk")
+    a.join(b, Seq("chunk_id", "chunk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sim_a"), col("sim_b")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed partition-locally.
+  *
+  * The Spark-side machinery — schema, partitioning, batch shape,
+  * mapPartitions signatures — is real and tested. The media DECODE steps
+  * are STUBBED with deterministic byte-level fakes (this container has
+  * no image/audio codecs); each stub is marked and isolated behind one
+  * function so a real codec drops in without touching the dataflow.
+  */
+object Multimodal {
+
+  /** Canonical media-table schema: opaque payload + typed metadata. */
+  val schema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("codec", StringType, nullable = true))),
+      nullable = true)))
+
+  final case class MediaMeta(width: Option[Int], height: Option[Int],
+      durationMs: Option[Long], codec: Option[String])
+  final case class MediaRecord(mediaId: Long, kind: String,
+      payload: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(mediaId: Long, kind: String,
+      byteLength: Int, features: Array[Float])
+
+  /** Payload statistics — pure byte-level, fully real. */
+  def byteLength(payload: Column): Column = length(payload)
+
+  /** Evenly sample `n` frames (byte slices) from a payload — the real
+    * plumbing of video frame-sampling: slice offsets are computed from
+    * metadata, output is an array of binary chunks. */
+  def frameSample(payload: Column, n: Int, frameBytes: Int): Column = {
+    val total = length(payload)
+    val span = greatest(total - frameBytes, lit(0))
+    transform(sequence(lit(0), lit(n - 1)), i => {
+      val offset = span * i / lit(math.max(n - 1, 1)) + 1
+      payload.substr(offset, lit(frameBytes))
+    })
+  }
+
+  /** Deterministic fake feature extraction — STUB for the real decoder.
+    * Emits a `dim`-length float vector derived from payload byte
+    * windows. Runs as typed mapPartitions: one decoder instance per
+    * partition, batched rows — exactly the shape a real codec needs
+    * (expensive init amortized across the partition). */
+  def extractFeatures(ds: Dataset[MediaRecord], dim: Int = 16)
+      : Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // STUB: real implementation decodes payload with a codec here;
+      // the deterministic fake hashes byte windows into a vector.
+      it.map { rec =>
+        val bytes = rec.payload
+        val features = Array.tabulate(dim) { i =>
+          if (bytes.isEmpty) 0.0f
+          else {
+            var acc = 17L
+            var j = i
+            while (j < bytes.length) {
+              acc = acc * 31 + (bytes(j) & 0xFF)
+              j += dim
+            }
+            ((acc % 1000003L).toFloat / 1000003.0f)
+          }
+        }
+        MediaFeatures(rec.mediaId, rec.kind, bytes.length, features)
+      }
+    }
+  }
+
+  /** "Resize" STUB: real implementation decodes + scales; the fake
+    * truncates/pads the payload to the target byte budget while keeping
+    * metadata consistent — the dataflow (binary in, binary out, meta
+    * update) is the real contract. */
+  def resizeStub(ds: Dataset[MediaRecord], targetBytes: Int)
+      : Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.map { rec =>
+      val resized = java.util.Arrays.copyOf(rec.payload, targetBytes)
+      rec.copy(payload = resized,
+        meta = rec.meta.copy(codec = rec.meta.codec.map(_ + ";resized")))
+    }
+  }
+
+  /** Build a demo media table from any text source (payload = UTF-8
+    * bytes) — lets the binary plumbing run against the driver's
+    * documents table without real media files. */
+  def fromText(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.select(idCol.cast("long").as("media_id"), lit("text").as("kind"),
+      textCol.cast("binary").as("payload"),
+      struct(lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms"),
+        lit("utf-8").as("codec")).as("meta"))
+}

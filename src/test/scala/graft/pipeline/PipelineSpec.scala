@@ -1,0 +1,197 @@
+package graft.pipeline
+
+import graft.TestSpark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LLM-data-pipeline operator tests: dedup (exact/minhash/simhash),
+  * ANN, text analysis, multimodal plumbing — on synthetic fixtures with
+  * known ground truth. */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps " +
+      "in the warm afternoon sun near the old wooden fence"
+
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base), // exact dup of 0
+    (2L, base.replace("lazy", "sleepy")), // near dup of 0
+    (3L, "completely different content about distributed query engines " +
+      "and columnar storage formats for analytical workloads at scale"),
+    (4L, "yet another unrelated document discussing streaming windows " +
+      "and watermarks in modern dataflow systems everywhere")
+  ).toDF("doc_id", "text")
+
+  test("exact duplicates by content hash") {
+    val d = Dedup.exactDuplicates(docs, col("doc_id"), col("text")).collect()
+    assert(d.length === 1)
+    assert(d(0).getAs[Long]("n") === 2)
+    assert(d(0).getAs[Long]("keep_id") === 0L)
+  }
+
+  test("normalized duplicates catch case/whitespace variants") {
+    val noisy = Seq((0L, "Hello  World"), (1L, "hello world "),
+      (2L, "other")).toDF("doc_id", "text")
+    val d = Dedup.normalizedDuplicates(noisy, col("doc_id"), col("text"))
+      .collect()
+    assert(d.length === 1 && d(0).getAs[Long]("n") === 2)
+  }
+
+  test("minhash LSH finds exact and near dups, skips unrelated") {
+    val pairs = Dedup.nearDuplicates(docs, col("doc_id"), col("text"),
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // identical
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L))) // near
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash jaccard estimate is exact-1.0 for identical docs") {
+    val out = Dedup.nearDuplicates(docs, col("doc_id"), col("text"), 0.99)
+      .collect()
+    assert(out.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L &&
+      r.getDouble(2) == 1.0))
+  }
+
+  test("simhash near-duplicates: identical → distance 0; near → small") {
+    val out = Dedup.simhashNearDuplicates(docs, col("doc_id"), col("text"),
+      maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(out(((0L, 1L))) === 0)
+    assert(out.contains((0L, 2L))) // one word changed → few bits
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("ANN brute-force top-k: nearest by construction") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") === 0L)
+    val out = Ann.bruteForceTopK(
+      vecs.select(col("vec_id"), col("embedding")),
+      queries.select(col("vec_id"), col("embedding")), k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq === Seq(1L, 2L))
+    assert(out(0).getAs[Double]("sim") > 0.99)
+  }
+
+  test("ANN LSH top-k recalls the true neighbor set on clustered data") {
+    val rnd = new scala.util.Random(3)
+    def jitter(v: Array[Float]): Array[Float] =
+      v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)
+    val c1 = Array.fill(16)(1.0f)
+    val c2 = Array.tabulate(16)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val corpus = ((0 until 20).map(i => (i.toLong, jitter(c1))) ++
+      (20 until 40).map(i => (i.toLong, jitter(c2)))).toDF("id", "vec")
+    val queries = Seq((100L, c1)).toDF("qid", "qvec")
+    val exact = Ann.bruteForceTopK(corpus, queries, 5)
+      .collect().map(_.getAs[Long]("id")).toSet
+    val approx = Ann.lshTopK(corpus, queries, 5, dim = 16,
+      planes = 4, tables = 16)
+      .collect().map(_.getAs[Long]("id")).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall too low (exact=$exact approx=$approx)")
+    // all candidates come from cluster 1
+    assert(approx.forall(_ < 20))
+  }
+
+  test("cosine near-duplicates via LSH + exact verify") {
+    val v = Array.fill(16)(1.0f)
+    val vecs = Seq(
+      (0L, v), (1L, v.map(_ * 2.0f)), // cosine 1.0
+      (2L, Array.tabulate(16)(i => if (i < 8) 1.0f else -1.0f)))
+      .toDF("id", "vec")
+    val out = Ann.cosineNearDuplicates(vecs, col("id"), col("vec"),
+      threshold = 0.95, dim = 16, planes = 4, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((0L, 1L)))
+  }
+
+  test("token counts: whitespace and BPE-ish") {
+    val df = Seq(Tuple1("hello world, it's 42 degrees!")).toDF("text")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("text")).as("ws"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("bpe")).collect()(0)
+    assert(r.getAs[Int]("ws") === 5)
+    // hello|world|,|it|'|s|4|2|degrees|! = 10
+    assert(r.getAs[Int]("bpe") === 10)
+  }
+
+  test("language ID heuristic on real multilingual samples") {
+    val samples = Seq(
+      ("en", "the cat and the dog are in the house that it built"),
+      ("de", "der hund und die katze sind nicht in einem haus zu sehen"),
+      ("es", "el perro y la casa es que los gatos por una ventana"),
+      ("fr", "le chien et la maison est un des chats que pour demain"),
+      ("zh", "这是一个中文句子"),
+      ("und", "xyzzy qwerty plugh"))
+    val df = samples.toDF("expected", "text")
+      .withColumn("got", TextAnalysis.langId(col("text")))
+    val rows = df.collect()
+    rows.foreach(r => assert(r.getString(2) === r.getString(0),
+      s"text '${r.getString(1)}'"))
+  }
+
+  test("quality score: prose scores higher than garbage") {
+    val df = Seq(
+      ("prose", base),
+      ("garbage", "!!! ??? ### 12345 67890 @@@ %%% ^^^ &&&")).toDF("kind", "text")
+      .select(col("kind"), TextAnalysis.qualityScore(col("text")).as("q"))
+    val byKind = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byKind("prose") > byKind("garbage"))
+    assert(byKind("prose") > 0.5 && byKind("garbage") < 0.5)
+  }
+
+  test("fingerprints: identical docs agree, rolling hash is order-sensitive") {
+    val df = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "zeta epsilon delta gamma beta alpha")).toDF("id", "text")
+      .select(col("id"),
+        TextAnalysis.minShingleFingerprint(col("text")).as("fp"),
+        TextAnalysis.rollingHash(col("text")).as("rh"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val m = rows.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(m(0L) === m(1L))
+    assert(m(0L)._2 !== m(2L)._2) // reversed word order → different rolling hash
+  }
+
+  test("multimodal: feature extraction over binary payloads (stub decode)") {
+    import spark.implicits._
+    val media = Multimodal.fromText(docs, col("doc_id"), col("text"))
+    // same field names and types (nullability flags may differ on literals)
+    assert(media.schema.simpleString === Multimodal.schema.simpleString)
+    val ds = media.as[(Long, String, Array[Byte],
+      (Option[Int], Option[Int], Option[Long], Option[String]))]
+      .map { case (id, kind, payload, (w, h, d, c)) =>
+        Multimodal.MediaRecord(id, kind, payload,
+          Multimodal.MediaMeta(w, h, d, c)) }
+    val feats = Multimodal.extractFeatures(ds, dim = 8).collect()
+    assert(feats.length === 5)
+    assert(feats.forall(_.features.length === 8))
+    // identical payloads → identical features; different → different
+    val byId = feats.map(f => f.mediaId -> f.features.toSeq).toMap
+    assert(byId(0L) === byId(1L))
+    assert(byId(0L) !== byId(3L))
+  }
+
+  test("multimodal: frame sampling slices payload deterministically") {
+    val media = Multimodal.fromText(docs, col("doc_id"), col("text"))
+    val frames = media.select(col("media_id"),
+      Multimodal.frameSample(col("payload"), n = 4, frameBytes = 10)
+        .as("frames")).collect()
+    frames.foreach { r =>
+      val fs = r.getSeq[Array[Byte]](1)
+      assert(fs.length === 4)
+      assert(fs.forall(_.length === 10))
+    }
+  }
+}
