@@ -1,0 +1,343 @@
+package graft.api
+
+import graft.baseline.BaselineBootstrap
+import graft.core.RdfEvent
+import graft.historical.HistoricalExecutor
+import graft.janusql._
+import graft.sparql.SparqlParser
+import graft.streaming.LiveStreamProcessing
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.util.concurrent.{ConcurrentHashMap, CountDownLatch, LinkedBlockingQueue, TimeUnit}
+import java.util.concurrent.atomic.AtomicLong
+import scala.jdk.CollectionConverters._
+
+/** Orchestration layer (SURVEY.md §2.8 O1–O3 + §2.4 B5) — rebuild of
+  * `/root/reference/src/registry/query_registry.rs` and
+  * `src/api/janus_api.rs:100-515`.
+  *
+  * Lifecycle: register (parse + store, no execution) → start (historical
+  * workers + live processor + async baseline warm-up, all feeding ONE
+  * unified result queue) → stop. Statuses mirror the reference enum:
+  * Registered → WarmingBaseline (hybrid only) → Running →
+  * Completed/Stopped/Failed.
+  */
+object JanusApi {
+
+  sealed trait ExecutionStatus extends Product with Serializable
+  object ExecutionStatus {
+    case object Registered extends ExecutionStatus
+    case object WarmingBaseline extends ExecutionStatus
+    case object Running extends ExecutionStatus
+    case object Stopped extends ExecutionStatus
+    case object Completed extends ExecutionStatus
+    final case class Failed(msg: String) extends ExecutionStatus
+  }
+
+  sealed trait ResultSource extends Product with Serializable
+  object ResultSource {
+    case object Historical extends ResultSource
+    case object Live extends ResultSource
+  }
+
+  /** Unified result envelope (`janus_api.rs:33-47`). */
+  final case class QueryResult(
+      queryId: String,
+      timestamp: Long,
+      source: ResultSource,
+      bindings: Seq[Map[String, String]])
+
+  final case class QueryMetadata(
+      queryId: String,
+      queryText: String,
+      parsed: ParsedJanusQuery,
+      baselineMode: BaselineMode,
+      registeredAt: Long)
+
+  final case class ApiException(msg: String) extends RuntimeException(msg)
+}
+
+/** O1: the query registry — register (dup check, optional max), get,
+  * unregister, list (`query_registry.rs:61-198`). */
+final class QueryRegistry(maxQueries: Option[Int] = None) {
+  import JanusApi._
+
+  private val queries = new ConcurrentHashMap[String, QueryMetadata]()
+  private val executionCounts = new ConcurrentHashMap[String, AtomicLong]()
+
+  def register(queryId: String, text: String, parsed: ParsedJanusQuery,
+      baselineMode: BaselineMode): QueryMetadata = {
+    maxQueries.foreach { max =>
+      if (queries.size >= max)
+        throw ApiException(s"Registry is full (max $max queries)")
+    }
+    val meta = QueryMetadata(queryId, text, parsed, baselineMode,
+      System.currentTimeMillis())
+    if (queries.putIfAbsent(queryId, meta) != null)
+      throw ApiException(s"Query '$queryId' is already registered")
+    executionCounts.put(queryId, new AtomicLong(0))
+    meta
+  }
+
+  def get(queryId: String): Option[QueryMetadata] =
+    Option(queries.get(queryId))
+
+  def unregister(queryId: String): Boolean = {
+    executionCounts.remove(queryId)
+    queries.remove(queryId) != null
+  }
+
+  def list: Seq[QueryMetadata] = queries.values.asScala.toSeq
+
+  def executionCount(queryId: String): Long =
+    Option(executionCounts.get(queryId)).map(_.get).getOrElse(0L)
+
+  private[api] def incrementExecutions(queryId: String): Unit =
+    Option(executionCounts.get(queryId)).foreach(_.incrementAndGet())
+}
+
+/** Top-level API coordinating registry, historical quad sources, and
+  * live processing. `logProvider` maps a window's source IRI to its
+  * quads DataFrame (e.g. an [[graft.storage.EventLog]] read). */
+final class JanusApi(
+    spark: SparkSession,
+    registry: QueryRegistry,
+    logProvider: String => DataFrame,
+    clock: () => Long = () => System.currentTimeMillis()) {
+
+  import JanusApi._
+
+  final class QueryHandle private[JanusApi] (
+      val queryId: String,
+      resultQueue: LinkedBlockingQueue[QueryResult],
+      statusRef: java.util.concurrent.atomic.AtomicReference[ExecutionStatus],
+      val live: Option[LiveStreamProcessing],
+      threads: Seq[Thread],
+      warmupDone: CountDownLatch) {
+
+    def status: ExecutionStatus = statusRef.get
+
+    def receive(timeoutMs: Long = 5000): Option[QueryResult] =
+      Option(resultQueue.poll(timeoutMs, TimeUnit.MILLISECONDS))
+
+    def tryReceive(): Option[QueryResult] = Option(resultQueue.poll())
+
+    /** Block until the baseline warm-up finished (test convenience). */
+    def awaitWarmup(timeoutMs: Long = 30000): Boolean =
+      warmupDone.await(timeoutMs, TimeUnit.MILLISECONDS)
+
+    private[api] def shutdown(): Unit = {
+      threads.foreach(_.join(100))
+      threads.foreach(_.interrupt())
+      statusRef.set(ExecutionStatus.Stopped)
+    }
+  }
+
+  private val running = new ConcurrentHashMap[String, QueryHandle]()
+
+  def registerQuery(queryId: String, janusql: String,
+      baselineMode: BaselineMode = BaselineMode.Aggregate): QueryMetadata = {
+    val parsed =
+      try JanusQLParser.parse(janusql)
+      catch {
+        case e: JanusQLParser.JanusParseException =>
+          throw ApiException(s"Failed to parse JanusQL query: ${e.msg}")
+      }
+    registry.register(queryId, janusql, parsed, baselineMode)
+  }
+
+  def status(queryId: String): Option[ExecutionStatus] =
+    Option(running.get(queryId)).map(_.status)
+      .orElse(registry.get(queryId).map(_ => ExecutionStatus.Registered))
+
+  /** O2: start — historical workers, live processor, baseline warm-up,
+    * one unified result queue (`janus_api.rs:197-515`). */
+  def startQuery(queryId: String): QueryHandle = {
+    val meta = registry.get(queryId).getOrElse(
+      throw ApiException(s"Query '$queryId' not found in registry"))
+    if (running.containsKey(queryId))
+      throw ApiException(s"Query '$queryId' is already running")
+
+    val parsed = meta.parsed
+    val queue = new LinkedBlockingQueue[QueryResult]()
+    val isHybrid =
+      parsed.liveWindows.nonEmpty && parsed.historicalWindows.nonEmpty
+    val statusRef = new java.util.concurrent.atomic.AtomicReference[ExecutionStatus](
+      if (isHybrid) ExecutionStatus.WarmingBaseline else ExecutionStatus.Running)
+    val warmupDone = new CountDownLatch(if (isHybrid) 1 else 0)
+
+    val live = if (parsed.liveWindows.nonEmpty) {
+      val p = new LiveStreamProcessing(spark, meta.queryText)
+      parsed.liveWindows.foreach(w => p.registerStream(w.streamName))
+      p.startProcessing()
+      Some(p)
+    } else None
+
+    // live results drain into the unified queue via a poller thread
+    // (reference: 10 ms try_receive loop, janus_api.rs:443-471)
+    val pollerThread = live.map { p =>
+      val t = new Thread(() => {
+        try {
+          while (!Thread.currentThread().isInterrupted) {
+            p.tryReceiveResult() match {
+              case Some(r) =>
+                registry.incrementExecutions(queryId)
+                queue.put(QueryResult(queryId, r.timestampTo,
+                  ResultSource.Live, Seq(r.bindings)))
+              case None => Thread.sleep(10)
+            }
+          }
+        } catch { case _: InterruptedException => () }
+      }, s"graft-live-poller-$queryId")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+
+    // historical workers: one thread per historical window
+    val now = clock()
+    val historicalThreads = parsed.compiledHistoricalQueries.map {
+      case (window, query) =>
+        val t = new Thread(() => {
+          try {
+            val quads = logProvider(window.streamName)
+            window.windowType match {
+              case WindowType.HistoricalFixed =>
+                val out = HistoricalExecutor.executeFixed(quads, query,
+                  window.start.get, window.end.get)
+                val bindings = collectBindings(out,
+                  Seq("timestamp_from", "timestamp_to"))
+                registry.incrementExecutions(queryId)
+                queue.put(QueryResult(queryId, window.end.get,
+                  ResultSource.Historical, bindings))
+              case WindowType.HistoricalSliding =>
+                val spec = HistoricalExecutor.SlidingSpec(
+                  window.offset.get, window.width, window.slide)
+                val out = HistoricalExecutor.executeSliding(quads, query,
+                  now, spec)
+                // one result batch per window, in window order
+                val rows = out.collect()
+                val cols = out.columns
+                val byWindow = rows.groupBy(
+                  _.getAs[Long](HistoricalExecutor.WindowIdCol))
+                byWindow.toSeq.sortBy(_._1).foreach { case (_, ws) =>
+                  val bindings = ws.toSeq.map(rowToBinding(cols,
+                    Seq(HistoricalExecutor.WindowIdCol,
+                      "timestamp_from", "timestamp_to")))
+                  registry.incrementExecutions(queryId)
+                  queue.put(QueryResult(queryId, now,
+                    ResultSource.Historical, bindings))
+                }
+              case WindowType.Live => ()
+            }
+          } catch {
+            case e: Exception =>
+              statusRef.set(ExecutionStatus.Failed(e.getMessage))
+          }
+        }, s"graft-hist-$queryId-${window.windowName}")
+        t.setDaemon(true)
+        t.start()
+        t
+    }
+
+    // B5: async baseline warm-up for hybrid queries — compute baseline
+    // from the historical side, materialize into the live static data,
+    // flip WarmingBaseline → Running (`janus_api.rs:352-412`)
+    val baselineThread = if (isHybrid) {
+      val t = new Thread(() => {
+        try {
+          val mode = parsed.baseline.map(_.mode).getOrElse(meta.baselineMode)
+          val targetWindow = parsed.baseline.map(_.windowName)
+          val statements = computeBaseline(parsed, targetWindow, mode, now)
+          live.foreach(_.addStaticData(
+            BaselineBootstrap.asStaticQuads(statements)))
+          if (statusRef.compareAndSet(ExecutionStatus.WarmingBaseline,
+            ExecutionStatus.Running)) ()
+        } catch {
+          case e: Exception =>
+            statusRef.set(ExecutionStatus.Failed(e.getMessage))
+        } finally warmupDone.countDown()
+      }, s"graft-baseline-$queryId")
+      t.setDaemon(true)
+      t.start()
+      Some(t)
+    } else None
+
+    // completion watcher: historical-only queries flip to Completed once
+    // every window worker finished (`janus_api.rs` status transitions)
+    if (live.isEmpty) {
+      val t = new Thread(() => {
+        historicalThreads.foreach(_.join())
+        statusRef.compareAndSet(ExecutionStatus.Running,
+          ExecutionStatus.Completed)
+      }, s"graft-complete-$queryId")
+      t.setDaemon(true)
+      t.start()
+    }
+
+    val handle = new QueryHandle(queryId, queue, statusRef, live,
+      historicalThreads ++ pollerThread.toSeq ++ baselineThread.toSeq,
+      warmupDone)
+    running.put(queryId, handle)
+    handle
+  }
+
+  def stopQuery(queryId: String): Unit = {
+    val handle = Option(running.remove(queryId)).getOrElse(
+      throw ApiException(s"Query '$queryId' is not running"))
+    handle.shutdown()
+  }
+
+  /** Baseline over the (optionally USING BASELINE-selected) historical
+    * windows (`janus_api.rs:575-670`). */
+  private def computeBaseline(parsed: ParsedJanusQuery,
+      targetWindow: Option[String], mode: BaselineMode, now: Long)
+      : Seq[(String, String, String)] = {
+    val batches = parsed.compiledHistoricalQueries.flatMap {
+      case (window, query) =>
+        if (targetWindow.exists(_ != window.windowName)) Nil
+        else {
+          val quads = logProvider(window.streamName)
+          window.windowType match {
+            case WindowType.HistoricalFixed =>
+              val out = HistoricalExecutor.executeFixed(quads, query,
+                window.start.get, window.end.get)
+              Seq(collectBindings(out, Seq("timestamp_from", "timestamp_to")))
+            case WindowType.HistoricalSliding =>
+              val spec = HistoricalExecutor.SlidingSpec(
+                window.offset.get, window.width, window.slide)
+              val out = HistoricalExecutor.executeSliding(quads, query,
+                now, spec)
+              val rows = out.collect()
+              val cols = out.columns
+              rows.groupBy(_.getAs[Long](HistoricalExecutor.WindowIdCol))
+                .toSeq.sortBy(_._1).map { case (_, ws) =>
+                  ws.toSeq.map(rowToBinding(cols,
+                    Seq(HistoricalExecutor.WindowIdCol,
+                      "timestamp_from", "timestamp_to")))
+                }
+            case WindowType.Live => Nil
+          }
+        }
+    }
+    val bootMode = mode match {
+      case BaselineMode.Last      => BaselineBootstrap.Last
+      case BaselineMode.Aggregate => BaselineBootstrap.Aggregate
+    }
+    BaselineBootstrap.statementsLocal(batches, bootMode)
+  }
+
+  private def collectBindings(df: DataFrame, drop: Seq[String])
+      : Seq[Map[String, String]] = {
+    val cols = df.columns
+    df.collect().toSeq.map(rowToBinding(cols, drop))
+  }
+
+  private def rowToBinding(cols: Array[String], drop: Seq[String])(
+      row: org.apache.spark.sql.Row): Map[String, String] =
+    cols.zipWithIndex.collect {
+      case (name, i) if !drop.contains(name) && !row.isNullAt(i) =>
+        name -> String.valueOf(row.get(i))
+    }.toMap
+}
