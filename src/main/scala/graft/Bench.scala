@@ -1,24 +1,153 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.core.RdfEvent
+import graft.sources.EventsAsQuads
+import graft.storage.EventLog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark main — driver contract: ONE JSON line on stdout.
+  *
+  * Measures the BASELINE.md workload shapes (storage write throughput,
+  * time-range scans at 10/50/100%, point query — the reference's
+  * criterion benches) plus every registered SparkEntry query at
+  * SPARK_GRAFT_SF_DIR, plus live-injection latency-to-first-result
+  * (`benches/live_injection.rs` shape).
+  *
+  * Every query materializes through the noop sink (full execution, no
+  * collect, no footer-only count shortcuts); failures are recorded per
+  * query instead of masquerading as timings.
+  */
 object Bench {
+
+  private def timeSec(f: => Unit): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val extras = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    // warmup: spin codegen + IO paths once
+    try materialize(spark.range(1000).toDF("i")) catch { case _: Throwable => () }
+
+    // ---- storage write throughput (BASELINE: 2.6M quads/s @ 1M) ------
+    val benchDir = java.nio.file.Files
+      .createTempDirectory("graft-bench").resolve("log").toString
+    try {
+      val quads = EventsAsQuads.quads(spark, sfDir)
+      val reps = math.max(1, (1200000L / math.max(quads.count(), 1L)).toInt)
+      val big = quads.crossJoin(
+          spark.range(reps).toDF("rep").hint("broadcast"))
+        .withColumn("subject", concat(col("subject"), lit("#"), col("rep")))
+        .select("timestamp", "subject", "predicate", "object", "graph")
+        .persist()
+      val nQuads = big.count() // materialize: timing below is the write path
+      val log = new EventLog(spark, benchDir, bucketMs = 86400000L)
+      val tWrite = timeSec(log.appendBulk(big, cpus.toInt))
+      results += "storage_write" -> tWrite
+      // flat segment write — the apples-to-apples analogue of the
+      // reference's flat segment-file append (no directory partitioning,
+      // pruning via parquet footer stats)
+      val flatDir = java.nio.file.Files
+        .createTempDirectory("graft-bench-flat").resolve("log").toString
+      val tFlat = timeSec {
+        big.write.option("compression", "lz4").parquet(flatDir)
+      }
+      results += "storage_write_flat" -> tFlat
+      extras += "flat_write_quads_per_sec" -> nQuads / tFlat
+      big.unpersist()
+      extras += "write_quads" -> nQuads.toDouble
+      extras += "write_quads_per_sec" -> nQuads / tWrite
+
+      // ---- range queries over the written log ------------------------
+      val (minTs, maxTs) = {
+        val r = log.read().agg(min("timestamp"), max("timestamp")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val span = math.max(maxTs - minTs, 1L)
+      def rangeBench(name: String, frac: Double): Unit = {
+        val end = minTs + (span * frac).toLong
+        val t = timeSec(materialize(log.query(minTs, end)))
+        results += name -> t
+        if (frac == 1.0) extras += "range_scan_quads_per_sec" -> nQuads / t
+      }
+      rangeBench("range_query_10pct", 0.1)
+      rangeBench("range_query_50pct", 0.5)
+      rangeBench("range_query_100pct", 1.0)
+
+      // ---- point query (BASELINE: 0.235 ms @ 1M — index lookup) ------
+      val pointTs = minTs + span / 2
+      val tPoint = timeSec {
+        log.query(pointTs - 500, pointTs + 500).limit(1).collect()
+      }
+      results += "point_query" -> tPoint
+      extras += "point_query_ms" -> tPoint * 1000.0
+    } catch {
+      case e: Throwable => failed += s"storage:${e.getClass.getSimpleName}"
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- live injection latency-to-first-result --------------------
+    try {
+      val live = new graft.streaming.LiveStreamProcessing(spark,
+        """PREFIX ex: <http://example.org/>
+          |REGISTER RStream <out> AS
+          |SELECT ?s ?o
+          |FROM NAMED WINDOW ex:w ON STREAM ex:s [RANGE 10000 STEP 1000]
+          |WHERE { WINDOW ex:w { ?s ex:v ?o } }""".stripMargin)
+      live.registerStream("http://example.org/s")
+      live.startProcessing()
+      val tLive = timeSec {
+        (0 until 50).foreach(i => live.addEvent("http://example.org/s",
+          RdfEvent(i * 25L, s"http://example.org/e$i",
+            "http://example.org/v", i.toString, "")))
+        live.closeStream("http://example.org/s", 2000)
+        require(live.collectResults().nonEmpty)
+      }
+      results += "live_injection_50ev" -> tLive
+    } catch {
+      case e: Throwable => failed += s"live:${e.getClass.getSimpleName}"
+    }
+
+    // ---- every registered query at the bench scale factor ----------
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        // two runs, keep the faster (steady-state; first run may pay
+        // one-time planning/codegen costs)
+        val t1 = timeSec(materialize(fn(spark, sfDir)))
+        val t2 = timeSec(materialize(fn(spark, sfDir)))
+        results += name -> math.min(t1, t2)
+      } catch {
+        case e: Throwable =>
+          failed += s"$name:${e.getClass.getSimpleName}"
+      }
+    }
+
+    val total = results.values.sum
+    def jm(m: collection.Map[String, Double]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+        .mkString("{", ",", "}")
+    val failedJson =
+      failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":${jm(results)},"sf":"$sfDir","extras":${jm(extras)},"failed":$failedJson}""")
     spark.stop()
   }
 }

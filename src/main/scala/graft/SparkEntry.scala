@@ -209,7 +209,8 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) =>
       graft.pipeline.Dedup.nearDuplicates(
         s.read.parquet(s"$dir/documents.parquet"),
-        col("doc_id"), col("text"), threshold = 0.8)
+        col("doc_id"), col("text"), threshold = 0.8,
+        k = 64, bands = 16, rows = 4)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
     // SimHash near-dup: chunk-bucketed hamming pairs (no SQL oracle —
@@ -249,10 +250,10 @@ object SparkEntry {
 
     // Document fingerprinting: min-hash shingle fingerprint
     "text_fingerprint" -> ((s, dir) =>
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"),
-          graft.pipeline.TextAnalysis.minShingleFingerprint(col("text"))
-            .as("fingerprint"))),
+      graft.pipeline.TextAnalysis.fingerprintTable(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("fingerprint"))),
 
     // ANN: exact brute-force top-10 cosine for 3 query vectors
     "ann_bruteforce_topk" -> ((s, dir) => {
@@ -268,7 +269,8 @@ object SparkEntry {
     "emb_cosine_neardup" -> ((s, dir) =>
       graft.pipeline.Ann.cosineNearDuplicates(
         s.read.parquet(s"$dir/embeddings.parquet"),
-        col("vec_id"), col("embedding"), threshold = 0.9, dim = 64)),
+        col("vec_id"), col("embedding"), threshold = 0.9, dim = 64,
+        planes = 10, tables = 20)),
 
     // Multimodal plumbing: binary payload stats + frame sampling shape
     "mm_binary_stats" -> ((s, dir) => {

@@ -62,25 +62,39 @@ object Ann {
   }
 
   /** (id, table, signature) — sign-bit signature of each vector under
-    * each table's hyperplanes. Planes ship as a literal array (tiny);
-    * signature computation is one codegen'd expression per row. */
+    * each table's hyperplanes. The projection kernel runs as a typed
+    * mapPartitions JVM loop (tables × planes × dim multiply-adds per
+    * vector — a numeric kernel where interpreted Column folds would
+    * dominate; the planes array is built once per partition). */
   def lshSignatures(df: DataFrame, idCol: Column, vecCol: Column,
       dim: Int, planes: Int = 8, tables: Int = 24): DataFrame = {
-    val planesLit = typedLit(hyperplanes(dim, planes, tables)
-      .flatMap { case (t, ps) => ps.zipWithIndex.map { case (p, i) =>
-        (t, i, p) } })
-    val v = toDouble(vecCol)
-    df.select(idCol.as("id"), v.as("v"))
-      .select(col("id"), explode(
-        transform(planesLit, p => struct(
-          p.getField("_1").as("table"),
-          p.getField("_2").as("plane"),
-          when(dot(col("v"), p.getField("_3")) > 0.0, 1L).otherwise(0L)
-            .as("bit")))).as("pb"))
-      .groupBy(col("id"), col("pb.table").as("table"))
-      .agg(sum(col("pb.bit") * pow(lit(2.0), col("pb.plane")).cast("long"))
-        .as("signature"))
-      .select("id", "table", "signature")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val planeArr: Array[Array[Array[Double]]] =
+      hyperplanes(dim, planes, tables)
+        .map(_._2.map(_.toArray).toArray).toArray
+    df.select(idCol.cast("long").as("id"),
+        toDouble(vecCol).as("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, v) =>
+          planeArr.iterator.zipWithIndex.map { case (table, t) =>
+            var sig = 0L
+            var p = 0
+            while (p < table.length) {
+              val plane = table(p)
+              var s = 0.0
+              var i = 0
+              val n = math.min(plane.length, v.length)
+              while (i < n) { s += plane(i) * v(i); i += 1 }
+              if (s > 0.0) sig |= (1L << p)
+              p += 1
+            }
+            (id, t, sig)
+          }
+        }
+      }
+      .toDF("id", "table", "signature")
   }
 
   /** Bucketed approximate top-k: candidates share at least one

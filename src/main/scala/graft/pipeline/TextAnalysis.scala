@@ -125,6 +125,22 @@ object TextAnalysis {
       .otherwise(md5(lower(trim(text))))
   }
 
+  /** [[minShingleFingerprint]] as a table op: explode + codegen'd min
+    * aggregate (same values, much faster on large corpora); docs with
+    * fewer than n tokens fall back to the whole-text md5. */
+  def fingerprintTable(df: org.apache.spark.sql.DataFrame,
+      idCol: Column, textCol: Column, n: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    val base = df.select(idCol.as("id"), textCol.as("text"))
+    val mins = base
+      .select(col("id"), explode(shingles(col("text"), n)).as("s"))
+      .groupBy(col("id")).agg(min(md5(col("s"))).as("min_fp"))
+    base.join(mins, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("min_fp"), md5(lower(trim(col("text")))))
+          .as("fingerprint"))
+  }
+
   /** Order-sensitive rolling (polynomial) hash over tokens:
     * `acc = acc * 31 + tokenHash (mod 2^61-1)`. Distinguishes documents
     * that are permutations of each other (where set-based fingerprints

@@ -32,18 +32,43 @@ import org.apache.spark.sql.functions._
 final class EventLog(
     spark: SparkSession,
     path: String,
-    bucketMs: Long = 3600L * 1000L) extends Serializable {
+    bucketMs: Long = 3600L * 1000L,
+    compression: String = "lz4") extends Serializable {
 
   import EventLog._
 
   /** Append a canonical quads DataFrame (timestamp, subject, predicate,
     * object, graph). Equivalent of `write_rdf` + background flush
-    * (`segmented_storage.rs:478-657`): the write commit IS the flush. */
+    * (`segmented_storage.rs:478-657`): the write commit IS the flush.
+    *
+    * Tuned for the streaming case: a micro-batch is time-local and
+    * touches 1–2 bucket directories, so the dynamic-partition writer
+    * opens few files. For backfills spanning many buckets use
+    * [[appendBulk]].
+    */
   def append(quads: DataFrame): Unit =
     quads
       .withColumn(BucketCol, expr(s"timestamp div ${bucketMs}L"))
-      .sortWithinPartitions("timestamp") // ref sorts segments by ts (:222)
+      // sort by (bucket, ts): satisfies the file writer's required
+      // partition-column ordering (so it adds no extra sort of its own)
+      // while keeping segments ts-ordered like the reference (:222)
+      .sortWithinPartitions(BucketCol, "timestamp")
       .write
+      .option("compression", compression)
+      .mode(SaveMode.Append)
+      .partitionBy(BucketCol)
+      .parquet(path)
+
+  /** Backfill append for inputs spanning many buckets: range-repartition
+    * on timestamp first so each task covers a contiguous time slice and
+    * writes into only its own bucket directories (instead of every task
+    * churning a writer per bucket). */
+  def appendBulk(quads: DataFrame, parallelism: Int): Unit =
+    quads
+      .withColumn(BucketCol, expr(s"timestamp div ${bucketMs}L"))
+      .repartitionByRange(parallelism, col("timestamp"))
+      .write
+      .option("compression", compression)
       .mode(SaveMode.Append)
       .partitionBy(BucketCol)
       .parquet(path)
