@@ -1,0 +1,128 @@
+package graft.streaming
+
+import graft.comparator.{ComparatorConfig, ComparisonResult, DataPoint,
+  StatefulComparator, WindowStats}
+import graft.core.RdfEvent
+import graft.parsing.NQuadsParser
+import graft.storage.EventLog
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming formulations of the stream-side operators —
+  * the cluster-scale counterparts of the driver-side
+  * [[LiveStreamProcessing]] (which mirrors the reference's semantics
+  * 1:1 for parity tests).
+  *
+  *   - [[ingest]]: `readStream` N-Quads lines → parse → `foreachBatch`
+  *     append into the event log. The micro-batch commit IS the
+  *     reference's flush/segment creation (SURVEY.md §2.1 S5/S6): batch
+  *     boundaries give atomic, time-local segment files.
+  *   - [[windowedAggregates]]: event-time RANGE/STEP windows as
+  *     `window()` group-by with a watermark (W1 at scale — late data
+  *     handled by watermark instead of the reference's
+  *     whatever-window-is-open behavior).
+  *   - [[comparatorStream]]: §2.6's stateful comparator as
+  *     `flatMapGroupsWithState` — bounded per-key deques live in Spark
+  *     state storage, sharded across executors.
+  */
+object StructuredStreams {
+
+  /** Streaming N-Quads ingest: any streaming Dataset of raw lines
+    * (file source, socket, Kafka value, MemoryStream in tests) →
+    * canonical quads → event-log append per micro-batch. */
+  def ingest(lines: Dataset[String], log: EventLog,
+      checkpointDir: String): StreamingQuery = {
+    val spark = lines.sparkSession
+    lines.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[String], _: Long) =>
+        val quads = NQuadsParser.parse(batch)
+        log.append(quads)
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+  }
+
+  /** Event-time sliding-window aggregation over a streaming quads
+    * DataFrame: per (window, subject) count + mean of numeric objects.
+    * `rangeMs`/`stepMs` mirror the RSP RANGE/STEP spec; the watermark
+    * bounds state (the disciplined version of the reference's unbounded
+    * open-window behavior, SURVEY.md §2.2 W1). */
+  def windowedAggregates(quads: DataFrame, rangeMs: Long, stepMs: Long,
+      watermarkDelayMs: Long = 10000): DataFrame =
+    quads
+      .withColumn("event_time", timestamp_millis(col("timestamp")))
+      .withWatermark("event_time", s"$watermarkDelayMs milliseconds")
+      .groupBy(
+        window(col("event_time"), s"$rangeMs milliseconds",
+          s"$stepMs milliseconds"),
+        col("subject"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("object").try_cast("double")).as("mean_value"))
+
+  // ---- stateful comparator as flatMapGroupsWithState -----------------
+
+  /** One keyed observation: (key, ts, live value, historical value). */
+  final case class Observation(key: String, timestamp: Long,
+      liveValue: Double, histValue: Double)
+
+  /** Emitted trigger row. */
+  final case class Anomaly(key: String, timestamp: Long, trigger: String,
+      detail: Double)
+
+  /** Serializable per-key state: the two bounded deques. */
+  final case class ComparatorState(
+      live: Seq[(Double, Double)], hist: Seq[(Double, Double)])
+
+  /** §2.6 across a keyed stream: per-key bounded live/hist windows in
+    * Spark state storage, six triggers evaluated on every update batch.
+    * Works identically on a static Dataset (batch backfill) and a
+    * streaming one. */
+  def comparatorStream(obs: Dataset[Observation],
+      config: ComparatorConfig = ComparatorConfig()): Dataset[Anomaly] = {
+    import obs.sparkSession.implicits._
+    obs.groupByKey(_.key)
+      .flatMapGroupsWithState[ComparatorState, Anomaly](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[ComparatorState]) =>
+          val prev = state.getOption.getOrElse(ComparatorState(Nil, Nil))
+          // rebuild the exact comparator from persisted deques
+          val comparator = new StatefulComparator(config)
+          prev.live.zip(prev.hist).foreach { case ((ts, lv), (_, hv)) =>
+            comparator.updateAndCompare(ts, lv, hv)
+          }
+          var liveDeque = prev.live
+          var histDeque = prev.hist
+          val out = rows.toSeq.sortBy(_.timestamp).flatMap { o =>
+            liveDeque = (liveDeque :+ (o.timestamp.toDouble, o.liveValue))
+              .takeRight(config.windowSize)
+            histDeque = (histDeque :+ (o.timestamp.toDouble, o.histValue))
+              .takeRight(config.windowSize)
+            comparator.updateAndCompare(o.timestamp.toDouble, o.liveValue,
+              o.histValue).map(toAnomaly(key, o.timestamp, _))
+          }
+          state.update(ComparatorState(liveDeque, histDeque))
+          out.iterator
+      }
+  }
+
+  private def toAnomaly(key: String, ts: Long, r: ComparisonResult)
+      : Anomaly = r match {
+    case ComparisonResult.AbsoluteThresholdExceeded(d) =>
+      Anomaly(key, ts, "absolute_threshold_exceeded", d)
+    case ComparisonResult.RelativeDropDetected(d) =>
+      Anomaly(key, ts, "relative_drop_detected", d)
+    case ComparisonResult.CatchUpTriggered(d) =>
+      Anomaly(key, ts, "catch_up_triggered", d)
+    case ComparisonResult.TrendDivergence(l, _) =>
+      Anomaly(key, ts, "trend_divergence", l)
+    case ComparisonResult.VolatilityIncrease(l, _) =>
+      Anomaly(key, ts, "volatility_increase", l)
+    case ComparisonResult.LiveOutlierDetected(_, z) =>
+      Anomaly(key, ts, "live_outlier_detected", z)
+  }
+}
