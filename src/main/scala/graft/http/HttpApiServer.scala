@@ -1,0 +1,260 @@
+package graft.http
+
+import graft.api.{JanusApi, QueryRegistry}
+import graft.janusql.BaselineMode
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.{ConcurrentHashMap, CopyOnWriteArrayList,
+  Executors, LinkedBlockingQueue, TimeUnit}
+import scala.jdk.CollectionConverters._
+
+/** HTTP surface (SURVEY.md §2.8 O4) — the REST contract of
+  * `/root/reference/docs/HTTP_API_CURRENT.md` /
+  * `src/http/server.rs:273-750` over the Spark engine, on the JDK's
+  * built-in HttpServer (zero extra dependencies).
+  *
+  * One deliberate divergence: result streaming is Server-Sent Events
+  * (`GET /api/queries/:id/results` with `Accept: text/event-stream`)
+  * instead of WebSocket — same JSON message shape
+  * (`query_id`/`timestamp`/`source`/`bindings`); the container has no
+  * WS library and SSE carries the identical one-way result feed.
+  */
+final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
+    port: Int = 0, sseIdleTimeoutMs: Long = 30000) {
+
+  import HttpApiServer._
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  server.setExecutor(Executors.newCachedThreadPool())
+
+  private val handles =
+    new ConcurrentHashMap[String, JanusApi#QueryHandle]()
+  /** per-query subscriber queues fed by a forwarder thread (the
+    * reference's mpsc → broadcast chain, `server.rs:500-548`). */
+  private val subscribers =
+    new ConcurrentHashMap[String, CopyOnWriteArrayList[
+      LinkedBlockingQueue[String]]]()
+  private val forwarders = new ConcurrentHashMap[String, Thread]()
+
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): Unit = {
+    server.createContext("/health", (ex: HttpExchange) =>
+      respond(ex, 200,
+        """{"status":"ok","message":"graft HTTP API is running",""" +
+          """"storage_status":"ok","storage_error":null}"""))
+    server.createContext("/ops/status", (ex: HttpExchange) => {
+      val total = registry.list.size
+      val runningN = handles.size
+      respond(ex, 200,
+        s"""{"status":"ok","storage_status":"ok",""" +
+          s""""queries":{"registered":$total,"running":$runningN}}""")
+    })
+    server.createContext("/api/queries", (ex: HttpExchange) =>
+      try route(ex)
+      catch {
+        case e: Exception =>
+          respond(ex, 500, s"""{"error":${jstr(e.getMessage)}}""")
+      })
+    server.start()
+  }
+
+  def stop(): Unit = {
+    forwarders.values.asScala.foreach(_.interrupt())
+    server.stop(0)
+  }
+
+  private def route(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath.stripSuffix("/")
+    val method = ex.getRequestMethod
+    val parts = path.split("/").filter(_.nonEmpty) // api, queries, [id], [action]
+
+    (method, parts.toList) match {
+      case ("POST", List("api", "queries")) => handleRegister(ex)
+      case ("GET", List("api", "queries")) =>
+        val ids = registry.list.map(m => jstr(m.queryId)).mkString(",")
+        respond(ex, 200,
+          s"""{"queries":[$ids],"total":${registry.list.size}}""")
+      case ("GET", List("api", "queries", id)) => handleDetails(ex, id)
+      case ("POST", List("api", "queries", id, "start")) =>
+        handleStart(ex, id)
+      case ("POST", List("api", "queries", id, "stop")) =>
+        handleStop(ex, id)
+      case ("DELETE", List("api", "queries", id)) => handleDelete(ex, id)
+      case ("GET", List("api", "queries", id, "results")) =>
+        handleResults(ex, id)
+      case _ => respond(ex, 404, """{"error":"not found"}""")
+    }
+  }
+
+  private def handleRegister(ex: HttpExchange): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(),
+      StandardCharsets.UTF_8)
+    (jfield(body, "query_id"), jfield(body, "janusql")) match {
+      case (Some(id), Some(janusql)) =>
+        val mode = jfield(body, "baseline_mode").map(_.toLowerCase) match {
+          case Some("last")             => BaselineMode.Last
+          case Some("aggregate") | None => BaselineMode.Aggregate
+          case Some(other) =>
+            respond(ex, 400,
+              s"""{"error":"unsupported baseline_mode ${other}"}""")
+            return
+        }
+        try {
+          api.registerQuery(id, janusql, mode)
+          respond(ex, 201,
+            s"""{"query_id":${jstr(id)},"status":"Registered"}""")
+        } catch {
+          case e: JanusApi.ApiException =>
+            respond(ex, 400, s"""{"error":${jstr(e.msg)}}""")
+        }
+      case _ =>
+        respond(ex, 400,
+          """{"error":"query_id and janusql are required"}""")
+    }
+  }
+
+  private def handleDetails(ex: HttpExchange, id: String): Unit =
+    registry.get(id) match {
+      case None => respond(ex, 404, """{"error":"unknown query"}""")
+      case Some(m) =>
+        val status = api.status(id)
+          .map(statusString).getOrElse("Registered")
+        respond(ex, 200,
+          s"""{"query_id":${jstr(m.queryId)},""" +
+            s""""query_text":${jstr(m.queryText)},""" +
+            s""""baseline_mode":${jstr(m.baselineMode.toString.toLowerCase)},""" +
+            s""""registered_at":${m.registeredAt},""" +
+            s""""execution_count":${registry.executionCount(id)},""" +
+            s""""is_running":${handles.containsKey(id)},""" +
+            s""""status":${jstr(status)}}""")
+    }
+
+  private def handleStart(ex: HttpExchange, id: String): Unit =
+    try {
+      val handle = api.startQuery(id)
+      handles.put(id, handle)
+      val queues = new CopyOnWriteArrayList[LinkedBlockingQueue[String]]()
+      subscribers.put(id, queues)
+      val forwarder = new Thread(() => {
+        try {
+          while (!Thread.currentThread().isInterrupted) {
+            handle.receive(250) match {
+              case Some(r) =>
+                val json = resultJson(r)
+                queues.asScala.foreach(_.offer(json))
+              case None => ()
+            }
+          }
+        } catch { case _: InterruptedException => () }
+      }, s"graft-http-forwarder-$id")
+      forwarder.setDaemon(true)
+      forwarder.start()
+      forwarders.put(id, forwarder)
+      respond(ex, 200, s"""{"query_id":${jstr(id)},"started":true}""")
+    } catch {
+      case e: JanusApi.ApiException =>
+        respond(ex, 400, s"""{"error":${jstr(e.msg)}}""")
+    }
+
+  private def handleStop(ex: HttpExchange, id: String): Unit =
+    try {
+      api.stopQuery(id)
+      handles.remove(id)
+      Option(forwarders.remove(id)).foreach(_.interrupt())
+      respond(ex, 200, s"""{"query_id":${jstr(id)},"stopped":true}""")
+    } catch {
+      case e: JanusApi.ApiException =>
+        respond(ex, 400, s"""{"error":${jstr(e.msg)}}""")
+    }
+
+  private def handleDelete(ex: HttpExchange, id: String): Unit = {
+    if (handles.containsKey(id)) {
+      respond(ex, 409, """{"error":"query is running; stop it first"}""")
+    } else if (registry.unregister(id)) {
+      respond(ex, 200, s"""{"query_id":${jstr(id)},"deleted":true}""")
+    } else respond(ex, 404, """{"error":"unknown query"}""")
+  }
+
+  /** SSE result feed: one `data:` line per QueryResult. */
+  private def handleResults(ex: HttpExchange, id: String): Unit = {
+    val queues = subscribers.get(id)
+    if (queues == null) {
+      respond(ex, 404, """{"error":"query is not running"}""")
+      return
+    }
+    val q = new LinkedBlockingQueue[String]()
+    queues.add(q)
+    try {
+      ex.getResponseHeaders.add("Content-Type", "text/event-stream")
+      ex.getResponseHeaders.add("Cache-Control", "no-cache")
+      ex.sendResponseHeaders(200, 0)
+      val out = ex.getResponseBody
+      var open = true
+      while (open) {
+        val msg = q.poll(sseIdleTimeoutMs, TimeUnit.MILLISECONDS)
+        if (msg != null) {
+          try {
+            out.write(s"data: $msg\n\n".getBytes(StandardCharsets.UTF_8))
+            out.flush()
+          } catch { case _: java.io.IOException => open = false }
+        } else open = false // idle timeout closes the stream
+      }
+      out.close()
+    } finally queues.remove(q)
+  }
+
+  private def resultJson(r: JanusApi.QueryResult): String = {
+    val bindings = r.bindings.map { b =>
+      b.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+        .mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
+    s"""{"query_id":${jstr(r.queryId)},"timestamp":${r.timestamp},""" +
+      s""""source":${jstr(r.source.toString)},"bindings":$bindings}"""
+  }
+
+  private def statusString(s: JanusApi.ExecutionStatus): String = s match {
+    case JanusApi.ExecutionStatus.Failed(msg) => s"Failed($msg)"
+    case other => other.toString
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.getResponseBody.close()
+  }
+}
+
+object HttpApiServer {
+
+  /** Minimal JSON string-field extractor for the flat request bodies
+    * this API accepts ({"query_id": "...", "janusql": "...", ...}). */
+  def jfield(json: String, name: String): Option[String] = {
+    val m = java.util.regex.Pattern
+      .compile("\"" + java.util.regex.Pattern.quote(name) +
+        "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"", java.util.regex.Pattern.DOTALL)
+      .matcher(json)
+    if (m.find())
+      Some(m.group(1)
+        .replace("\\n", "\n").replace("\\t", "\t").replace("\\r", "\r")
+        .replace("\\\"", "\"").replace("\\\\", "\\"))
+    else None
+  }
+
+  def jstr(s: String): String =
+    "\"" + Option(s).getOrElse("").flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}
