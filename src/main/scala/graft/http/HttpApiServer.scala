@@ -208,9 +208,14 @@ final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
   }
 
   private def resultJson(r: JanusApi.QueryResult): String = {
+    // R11 wire convention at the serialization boundary: IRIs as
+    // `<iri>`, numerics typed, literals quoted (Terms.format — the
+    // reference's oxigraph term serialization,
+    // `oxigraph_adapter.rs:131-143`)
     val bindings = r.bindings.map { b =>
       b.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+        .map { case (k, v) =>
+          s"${jstr(k)}:${jstr(graft.core.Terms.format(v))}" }
         .mkString("{", ",", "}")
     }.mkString("[", ",", "]")
     s"""{"query_id":${jstr(r.queryId)},"timestamp":${r.timestamp},""" +

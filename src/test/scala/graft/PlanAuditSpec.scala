@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the properties that decide whether these
+  * operators survive a 100 TB scale-up — filter pushdown reaching the
+  * parquet scan, column pruning, broadcast joins for small dims, and no
+  * cartesian products in BGP chains. Regressions here are performance
+  * bugs even when results stay correct. */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(df: DataFrame): String = {
+    df.collect() // force AQE to finalize
+    def unwrap(p: SparkPlan): String = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case other                    => other.toString
+    }
+    unwrap(df.queryExecution.executedPlan)
+  }
+
+  test("time-range query pushes timestamp + bucket filters into the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("plan").resolve("log")
+    val log = new graft.storage.EventLog(spark, dir.toString, 1000L)
+    log.append(graft.core.RdfEvent.toDF(spark, (0 until 100).map(i =>
+      graft.core.RdfEvent(i * 100L, s"http://e.org/s$i", "http://e.org/p",
+        i.toString, ""))))
+    val plan = log.query(2000, 4000).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("timestamp"), s"no pushed timestamp filter in:\n$plan")
+    // partition (directory) pruning on the bucket column
+    assert(plan.contains(graft.storage.EventLog.BucketCol))
+  }
+
+  test("SPARQL pattern constants reach a physical quads scan as pushed " +
+      "filters") {
+    // on a REAL quads table (EventLog parquet), a constant-predicate
+    // pattern must push `predicate = <iri>` into the scan
+    val dir = java.nio.file.Files.createTempDirectory("plan2").resolve("log")
+    val log = new graft.storage.EventLog(spark, dir.toString, 86400000L)
+    log.append(graft.core.RdfEvent.toDF(spark, (0 until 50).map(i =>
+      graft.core.RdfEvent(i, s"http://e.org/s$i",
+        if (i % 2 == 0) "http://e.org/temp" else "http://e.org/hum",
+        i.toString, ""))))
+    val q = graft.sparql.SparqlParser.parse(
+      "SELECT ?s ?v WHERE { ?s <http://e.org/temp> ?v }")
+    val df = graft.sparql.SparqlCompiler.compile(log.read(), q)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(predicate"),
+      s"constant predicate not pushed to the scan:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesianproduct"), plan)
+  }
+
+  test("BGP over the inline quads adapter stays a single codegen stage " +
+      "with no cartesian product") {
+    val df = SparkEntry.queries("r1_bgp_join")(spark, sf)
+    val plan = executedPlan(df)
+    assert(!plan.toLowerCase.contains("cartesianproduct"),
+      s"BGP chain degenerated to a cartesian product:\n$plan")
+  }
+
+  test("BGP self-joins are hash equi-joins, never cartesian") {
+    val plan = executedPlan(SparkEntry.queries("r6_exists_semijoin")(spark, sf))
+    assert(!plan.toLowerCase.contains("cartesianproduct"), plan)
+    assert(plan.contains("Join"), plan)
+  }
+
+  test("small dimension join broadcasts (q3: customer side)") {
+    val plan = executedPlan(SparkEntry.queries("q3_join_broadcast")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast join for the filtered customer dim:\n$plan")
+  }
+
+  test("column pruning: token counting reads only the needed columns") {
+    val df = SparkEntry.queries("text_tokens")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"scan reads more columns than projected: $readSchema")
+  }
+
+  test("events scan prunes columns for the quads adapter") {
+    val df = graft.sources.EventsAsQuads.quads(spark, sf)
+      .select("subject", "predicate")
+    val plan = df.queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    // props is never needed by the quads mapping
+    assert(!readSchema.contains("props"),
+      s"quads adapter scan fails to prune: $readSchema")
+  }
+
+  test("whole-stage codegen covers the hot scan→filter→project spans") {
+    val df = SparkEntry.queries("f_is_outlier")(spark, sf)
+    val plan = executedPlan(df)
+    // codegen'd operators render with the `*(stageId)` marker
+    assert(plan.contains("*(1)"),
+      s"no codegen span in extension-function filter plan:\n$plan")
+  }
+
+  test("minhash LSH candidate generation shuffles on band keys " +
+      "(sort-merge/hash join, no broadcast of the full corpus, " +
+      "no cartesian)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = graft.pipeline.Dedup.nearDuplicates(docs,
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text"), threshold = 0.8,
+      k = 64, bands = 16, rows = 4)
+    val plan = executedPlan(pairs)
+    assert(!plan.toLowerCase.contains("cartesianproduct"), plan)
+  }
+}

@@ -77,6 +77,10 @@ class HttpApiServerSpec extends AnyFunSuite {
       assert(sse.statusCode() === 200)
       assert(sse.body().contains("\"source\":\"Historical\""))
       assert(sse.body().contains("\"sensor\""))
+      // R11 wire convention: IRI bindings arrive angle-bracketed,
+      // numeric literals typed as xsd:decimal
+      assert(sse.body().contains("<http://example.org/sensor0>"))
+      assert(sse.body().contains("XMLSchema#decimal"))
       // delete while running → 409
       assert(delete(c, s"$base/api/queries/q1").statusCode() === 409)
       // stop, then delete
