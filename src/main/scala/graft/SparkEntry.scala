@@ -220,6 +220,35 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         col("doc_id"), col("text"), maxHamming = 3)),
 
+    // Corpus-level dedup: drop near-matching higher-id docs, keep
+    // cluster representatives (anti-join against the verified pairs)
+    "dedup_corpus" -> ((s, dir) =>
+      graft.pipeline.Dedup.deduplicate(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), threshold = 0.8,
+        k = 64, bands = 16, rows = 4)
+        .select(col("doc_id"))),
+
+    // ANN scale path: IVF index (k-means cells, nprobe search) —
+    // approximate, so rows-only check; recall is spec-tested
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val model = graft.pipeline.Ann.trainIvf(emb, nCells = 16)
+      graft.pipeline.Ann.ivfTopK(emb, emb.where(col("vec_id") < 3),
+        k = 10, model, nprobe = 4)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("id"), col("sim"))
+    }),
+
+    // Semi-structured props: JSON field extraction + aggregation
+    "props_json" -> ((s, dir) =>
+      EventsAsQuads.events(s, dir)
+        .groupBy(col("event_type").as("t"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(get_json_object(col("props"), "$.k").cast("long")), 6)
+            .as("avg_k"))),
+
     // Token counting: whitespace + BPE-ish pre-tokenizer shape
     "text_tokens" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
@@ -414,6 +443,29 @@ object SparkEntry {
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, ROUND(inter / uni, 6) AS jaccard
         |FROM p WHERE uni > 0 AND inter / uni >= 0.8""".stripMargin,
+    "dedup_corpus" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+        |    CAST(len(a.sh) + len(b.sh) AS DOUBLE)
+        |      - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS uni
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+        |drops AS (
+        |  SELECT DISTINCT id_b FROM p WHERE uni > 0 AND inter / uni >= 0.8)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id_b FROM drops)""".stripMargin,
+    "props_json" ->
+      """SELECT event_type AS t, COUNT(*) AS n,
+        |  ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+        |    AS avg_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,

@@ -38,6 +38,12 @@ final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
     new ConcurrentHashMap[String, CopyOnWriteArrayList[
       LinkedBlockingQueue[String]]]()
   private val forwarders = new ConcurrentHashMap[String, Thread]()
+  /** bounded replay ring per query: results produced before a
+    * subscriber connects are replayed on connect (the reference's
+    * broadcast channel capacity, `server.rs:34`) */
+  private val replayBuffers =
+    new ConcurrentHashMap[String, java.util.ArrayDeque[String]]()
+  private val ReplayCapacity = 1024
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -139,13 +145,19 @@ final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
       handles.put(id, handle)
       val queues = new CopyOnWriteArrayList[LinkedBlockingQueue[String]]()
       subscribers.put(id, queues)
+      val buffer = new java.util.ArrayDeque[String]()
+      replayBuffers.put(id, buffer)
       val forwarder = new Thread(() => {
         try {
           while (!Thread.currentThread().isInterrupted) {
             handle.receive(250) match {
               case Some(r) =>
                 val json = resultJson(r)
-                queues.asScala.foreach(_.offer(json))
+                buffer.synchronized {
+                  buffer.addLast(json)
+                  if (buffer.size > ReplayCapacity) buffer.removeFirst()
+                  queues.asScala.foreach(_.offer(json))
+                }
               case None => ()
             }
           }
@@ -187,7 +199,15 @@ final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
       return
     }
     val q = new LinkedBlockingQueue[String]()
-    queues.add(q)
+    // subscribe + replay under the fan-out lock: results already
+    // produced land in the queue exactly once, new ones via fan-out
+    Option(replayBuffers.get(id)) match {
+      case Some(buffer) => buffer.synchronized {
+        buffer.forEach(msg => q.offer(msg))
+        queues.add(q)
+      }
+      case None => queues.add(q)
+    }
     try {
       ex.getResponseHeaders.add("Content-Type", "text/event-stream")
       ex.getResponseHeaders.add("Cache-Control", "no-cache")

@@ -122,6 +122,100 @@ object Ann {
       .select("query_id", "rank", "id", "sim")
   }
 
+  // ---- IVF (inverted-file) index --------------------------------------
+
+  /** Trained IVF model: k centroid vectors (tiny — ships as a literal /
+    * closure to executors). */
+  final case class IvfModel(centroids: Array[Array[Double]]) {
+    def nCells: Int = centroids.length
+  }
+
+  private def nearestCells(model: IvfModel, v: Array[Double], n: Int)
+      : Seq[Int] = {
+    val scored = model.centroids.zipWithIndex.map { case (c, i) =>
+      var s = 0.0; var cn = 0.0; var vn = 0.0
+      var j = 0
+      val d = math.min(c.length, v.length)
+      while (j < d) { s += c(j) * v(j); cn += c(j) * c(j); vn += v(j) * v(j); j += 1 }
+      val denom = math.sqrt(cn) * math.sqrt(vn)
+      (if (denom > 0) s / denom else -1.0, i)
+    }
+    scored.sortBy { case (sim, i) => (-sim, i) }.take(n).map(_._2).toSeq
+  }
+
+  /** Lloyd's k-means over the corpus (cosine-normalized), distributed:
+    * assignment is a partition-local JVM kernel, centroid update a
+    * groupBy-average; only the k×dim centroid matrix ever reaches the
+    * driver. Deterministic: seeds are an id-ordered systematic sample. */
+  def trainIvf(corpus: DataFrame, nCells: Int, iterations: Int = 2)
+      : IvfModel = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.toDF("id", "vec")
+      .select(col("id").cast("long").as("id"), toDouble(col("vec")).as("v"))
+      .as[(Long, Array[Double])]
+    val n = base.count()
+    val stride = math.max(n / nCells, 1L)
+    var model = IvfModel(
+      base.filter(_._1 % stride == 0).map(_._2).take(nCells).toArray)
+    (0 until iterations).foreach { _ =>
+      val m = model
+      val sums = base.mapPartitions { it =>
+        it.map { case (_, v) => (nearestCells(m, v, 1).head, (v, 1L)) }
+      }.rdd.reduceByKey {
+        (x: (Array[Double], Long), y: (Array[Double], Long)) =>
+          val merged = x._1.clone()
+          var i = 0
+          while (i < merged.length && i < y._1.length) {
+            merged(i) += y._1(i); i += 1
+          }
+          (merged, x._2 + y._2)
+      }.collect()
+      val next = m.centroids.clone()
+      sums.foreach { case (cell, (sum, count)) =>
+        next(cell) = sum.map(_ / count)
+      }
+      model = IvfModel(next)
+    }
+    model
+  }
+
+  /** IVF top-k: corpus rows live in their nearest cell; each query
+    * probes its `nprobe` nearest cells and re-ranks candidates exactly.
+    * Candidate generation is an equi-join on cell id — the classic
+    * IVF-flat search, shuffle-bounded by cell sizes. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      model: IvfModel, nprobe: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.toDF("id", "vec")
+    val q = queries.toDF("query_id", "query_vec")
+    val corpusCells = c
+      .select(col("id").cast("long").as("id"), toDouble(col("vec")).as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) => (id, nearestCells(model, v, 1).head) }
+      .toDF("id", "cell")
+    val queryCells = q
+      .select(col("query_id").cast("long").as("query_id"),
+        toDouble(col("query_vec")).as("v"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        nearestCells(model, v, nprobe).map(cell => (id, cell)) }
+      .toDF("query_id", "cell")
+    val candidates = corpusCells.join(broadcast(queryCells), "cell")
+      .where(col("id") =!= col("query_id"))
+      .select("query_id", "id").distinct()
+    val scored = candidates.join(c, "id").join(broadcast(q), "query_id")
+      .where(col("id") =!= col("query_id"))
+      .withColumn("sim",
+        round(cosine(toDouble(col("vec")), toDouble(col("query_vec"))), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "id", "sim")
+  }
+
   /** Embedding-cosine near-duplicate pairs at `threshold`, LSH-bucketed
     * with exact verification. */
   def cosineNearDuplicates(df: DataFrame, idCol: Column, vecCol: Column,

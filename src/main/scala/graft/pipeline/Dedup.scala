@@ -134,6 +134,21 @@ object Dedup {
     verifyJaccard(pairs, docs.select(col("id"), col("sh")), threshold)
   }
 
+  /** Corpus-level deduplication: drop every document that near-matches a
+    * lower-id document (exact dups at Jaccard 1.0 included). The keeper
+    * of each duplicate cluster is its smallest id (any doc appearing as
+    * the higher id of a verified pair is dropped — transitively this
+    * keeps one representative per connected chain). Anti-join against
+    * the pair table: fully distributed, no driver state. */
+  def deduplicate(df: DataFrame, idCol: Column, textCol: Column,
+      threshold: Double, shingleSize: Int = 3, k: Int = 128,
+      bands: Int = 32, rows: Int = 4): DataFrame = {
+    val pairs = nearDuplicates(df, idCol, textCol, threshold, shingleSize,
+      k, bands, rows)
+    val drop = pairs.select(col("id_b").as("__drop_id")).distinct()
+    df.join(drop, idCol === col("__drop_id"), "leftanti")
+  }
+
   // ---- SimHash ---------------------------------------------------------
 
   /** 32-bit SimHash over a token array: per bit, sum ±1 votes of each

@@ -115,6 +115,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(out === Set((0L, 1L)))
   }
 
+  test("deduplicate keeps one representative per duplicate cluster") {
+    val kept = Dedup.deduplicate(docs, col("doc_id"), col("text"),
+      threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // docs 0,1,2 form a near-dup cluster → keep 0; 3 and 4 unrelated
+    assert(kept === Set(0L, 3L, 4L))
+  }
+
+  test("IVF top-k recalls brute-force results on clustered data") {
+    val rnd = new scala.util.Random(11)
+    def jitter(v: Array[Float]): Array[Float] =
+      v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)
+    val c1 = Array.fill(16)(1.0f)
+    val c2 = Array.tabulate(16)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val c3 = Array.tabulate(16)(i => if (i < 8) 1.0f else -1.0f)
+    val corpus = ((0 until 20).map(i => (i.toLong, jitter(c1))) ++
+      (20 until 40).map(i => (i.toLong, jitter(c2))) ++
+      (40 until 60).map(i => (i.toLong, jitter(c3)))).toDF("id", "vec")
+    val queries = Seq((100L, c1)).toDF("qid", "qvec")
+    val model = Ann.trainIvf(corpus, nCells = 6, iterations = 2)
+    assert(model.nCells === 6)
+    val exact = Ann.bruteForceTopK(corpus, queries, 5)
+      .collect().map(_.getAs[Long]("id")).toSet
+    val ivf = Ann.ivfTopK(corpus, queries, 5, model, nprobe = 2)
+      .collect().map(_.getAs[Long]("id")).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall (exact=$exact ivf=$ivf)")
+  }
+
   test("token counts: whitespace and BPE-ish") {
     val df = Seq(Tuple1("hello world, it's 42 degrees!")).toDF("text")
     val r = df.select(
