@@ -271,6 +271,14 @@ object SparkEntry {
           graft.pipeline.TextAnalysis.qualityScore(col("text"))
             .as("quality"))),
 
+    // Stopword ratio against the English profile
+    "text_stopwords" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          round(graft.pipeline.TextAnalysis.stopwordRatio(col("text"),
+            graft.pipeline.TextAnalysis.EnglishStopwords), 6)
+            .as("stopword_ratio"))),
+
     // Language ID: marker-word n-gram heuristic (deterministic argmax)
     "text_langid" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
@@ -493,6 +501,19 @@ object SparkEntry {
         |    + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2,
         |    6) AS quality
         |FROM r""".stripMargin,
+    "text_stopwords" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN len(toks) > 0 THEN
+        |    ROUND(CAST(len(list_filter(toks, x -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','it',
+        |       'that','for','on','with','as'], x))) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE), 6)
+        |  ELSE 0.0 END AS stopword_ratio
+        |FROM t""".stripMargin,
     "text_langid" ->
       """WITH c AS (
         |  SELECT doc_id,
