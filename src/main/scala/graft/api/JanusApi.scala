@@ -1,10 +1,10 @@
 package graft.api
 
 import graft.baseline.BaselineBootstrap
-import graft.core.RdfEvent
+
 import graft.historical.HistoricalExecutor
 import graft.janusql._
-import graft.sparql.SparqlParser
+
 import graft.streaming.LiveStreamProcessing
 
 import org.apache.spark.sql.{DataFrame, SparkSession}

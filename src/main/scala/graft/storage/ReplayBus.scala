@@ -3,7 +3,7 @@ package graft.storage
 import graft.core.RdfEvent
 import graft.parsing.NQuadsParser
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 
 import java.util.concurrent.atomic.AtomicLong
 

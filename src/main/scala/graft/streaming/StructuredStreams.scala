@@ -1,12 +1,11 @@
 package graft.streaming
 
-import graft.comparator.{ComparatorConfig, ComparisonResult, DataPoint,
-  StatefulComparator, WindowStats}
-import graft.core.RdfEvent
+import graft.comparator.{ComparatorConfig, ComparisonResult,
+  StatefulComparator}
 import graft.parsing.NQuadsParser
 import graft.storage.EventLog
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   OutputMode, StreamingQuery, Trigger}
