@@ -23,7 +23,8 @@ import scala.jdk.CollectionConverters._
   * WS library and SSE carries the identical one-way result feed.
   */
 final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
-    port: Int = 0, sseIdleTimeoutMs: Long = 30000) {
+    port: Int = 0, sseIdleTimeoutMs: Long = 30000,
+    storageHealth: () => Option[String] = () => None) {
 
   import HttpApiServer._
 
@@ -48,10 +49,18 @@ final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
   def boundPort: Int = server.getAddress.getPort
 
   def start(): Unit = {
+    // storage degraded → 503 with the reference's degraded payload
+    // (`server.rs:293-316`, segmented_storage_error_test contract)
     server.createContext("/health", (ex: HttpExchange) =>
-      respond(ex, 200,
-        """{"status":"ok","message":"graft HTTP API is running",""" +
-          """"storage_status":"ok","storage_error":null}"""))
+      storageHealth() match {
+        case None => respond(ex, 200,
+          """{"status":"ok","message":"graft HTTP API is running",""" +
+            """"storage_status":"ok","storage_error":null}""")
+        case Some(err) => respond(ex, 503,
+          s"""{"status":"degraded","message":"graft HTTP API is """ +
+            s"""running with storage errors","storage_status":"error",""" +
+            s""""storage_error":${jstr(err)}}""")
+      })
     server.createContext("/ops/status", (ex: HttpExchange) => {
       val total = registry.list.size
       val runningN = handles.size

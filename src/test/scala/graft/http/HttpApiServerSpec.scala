@@ -103,6 +103,22 @@ class HttpApiServerSpec extends AnyFunSuite {
     }
   }
 
+  test("degraded storage → 503 with degraded payload " +
+      "(segmented_storage_error_test contract)") {
+    val registry = new QueryRegistry()
+    val api = new JanusApi(spark, registry, _ => store)
+    val server = new HttpApiServer(api, registry,
+      storageHealth = () => Some("Background flush failed: disk full"))
+    server.start()
+    try {
+      val r = get(HttpClient.newHttpClient(),
+        s"http://127.0.0.1:${server.boundPort}/health")
+      assert(r.statusCode() === 503)
+      assert(r.body().contains("\"status\":\"degraded\""))
+      assert(r.body().contains("disk full"))
+    } finally server.stop()
+  }
+
   test("ops status reports query counts") {
     withServer { (c, base) =>
       post(c, s"$base/api/queries", registerBody)
