@@ -336,6 +336,18 @@ object SparkEntry {
           round(avg("l_discount"), 6).as("avg_disc"),
           count(lit(1)).as("n"))),
 
+    // Selective-scan aggregation (TPC-H Q6 shape): every predicate must
+    // reach the parquet scan as a pushed filter
+    "q6_selective_scan" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1997-01-01" &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24.0)
+        .agg(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(18,6)")).cast("double").as("revenue"),
+          count(lit(1)).as("n"))),
+
     // Broadcast dimension join chain (customer ⋈ orders ⋈ lineitem)
     "q3_join_broadcast" -> ((s, dir) => {
       val cust = s.read.parquet(s"$dir/customer.parquet")
@@ -578,6 +590,13 @@ object SparkEntry {
         |  ROUND(AVG(l_discount), 6) AS avg_disc,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q6_selective_scan" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+        |         AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0""".stripMargin,
     "q3_join_broadcast" ->
       """SELECT o_orderkey,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
