@@ -210,7 +210,7 @@ object SparkEntry {
       graft.pipeline.Dedup.nearDuplicates(
         s.read.parquet(s"$dir/documents.parquet"),
         col("doc_id"), col("text"), threshold = 0.8,
-        k = 64, bands = 16, rows = 4)
+        k = 128, bands = 32, rows = 4)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
     // SimHash near-dup: chunk-bucketed hamming pairs (no SQL oracle —
@@ -226,7 +226,7 @@ object SparkEntry {
       graft.pipeline.Dedup.deduplicate(
         s.read.parquet(s"$dir/documents.parquet"),
         col("doc_id"), col("text"), threshold = 0.8,
-        k = 64, bands = 16, rows = 4)
+        k = 128, bands = 32, rows = 4)
         .select(col("doc_id"))),
 
     // ANN scale path: IVF index (k-means cells, nprobe search) —

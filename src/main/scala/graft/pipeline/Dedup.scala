@@ -30,28 +30,28 @@ object Dedup {
 
   // ---- MinHash + LSH ---------------------------------------------------
 
-  /** Deterministic permutation seeds for the k min-hashes. */
-  private def seeds(k: Int): Seq[(Long, Long)] = {
+  /** Deterministic seeds for the k min-hash "permutations". */
+  private def seeds(k: Int): Seq[Long] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(k)((rnd.nextInt(Int.MaxValue - 1).toLong + 1,
-      rnd.nextInt(Int.MaxValue).toLong))
+    Seq.fill(k)(rnd.nextLong())
   }
 
-  private val MersennePrime = 2305843009213693951L // 2^61 - 1
-
   /** k-element MinHash signature over a shingle array column. Computed
-    * entirely inside one expression tree (no explode): shingle → 31-bit
-    * base hash → k affine permutations → array_min per permutation.
-    * Products stay < 2^62, safe under ANSI arithmetic. */
+    * entirely inside one expression tree (no explode): shingle → base
+    * hash → per-seed re-hash `xxhash64(h ⊕ seed)` → array_min.
+    *
+    * The per-seed hash must be a full avalanche mix: an affine map
+    * `(a*h+b) mod P` with products below ~2P barely wraps and stays
+    * order-preserving, collapsing every min-hash onto the same
+    * min-base-hash element (observed agreement 0.46 where J=0.94 —
+    * a one-in-1e22 event under real permutations). */
   def minhashSignature(shingleCol: Column, k: Int = 128): Column = {
     val seedCol = typedLit(seeds(k))
-    val baseHashes = transform(shingleCol,
-      s => pmod(xxhash64(s), lit(1L << 31)))
+    val baseHashes = transform(shingleCol, s => xxhash64(s))
     when(size(shingleCol) > 0,
       transform(seedCol, seed =>
-        array_min(transform(baseHashes, h =>
-          pmod(h * seed.getField("_1") + seed.getField("_2"),
-            lit(MersennePrime))))))
+        array_min(transform(baseHashes,
+          h => xxhash64(h.bitwiseXOR(seed))))))
       .otherwise(lit(null))
   }
 
@@ -109,9 +109,9 @@ object Dedup {
     val ss = seeds(k)
     val exploded = docShingles.toDF("id", "sh")
       .select(col("id"), explode(col("sh")).as("s"))
-      .withColumn("h", pmod(xxhash64(col("s")), lit(1L << 31)))
-    val aggs = ss.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * a + b, lit(MersennePrime))).as(s"m$i")
+      .withColumn("h", xxhash64(col("s")))
+    val aggs = ss.zipWithIndex.map { case (seed, i) =>
+      min(xxhash64(col("h").bitwiseXOR(lit(seed)))).as(s"m$i")
     }
     exploded.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
       .select(col("id"),
