@@ -61,6 +61,10 @@ final class LiveStreamProcessing(spark: SparkSession, queryText: String) {
   private val results = new java.util.concurrent.ConcurrentLinkedQueue[LiveResult]
   /** next close boundary per window (event-time, multiples of slide) */
   private val nextClose = mutable.LinkedHashMap.empty[String, Long]
+  /** per-stream event-time high watermark — a window ticks only on ITS
+    * stream's time advancing (rsp-rs routes events to their stream's
+    * windows; another stream's progress must not fire it) */
+  private val streamMaxTs = mutable.LinkedHashMap.empty[String, Long]
   private var started = false
 
   parsed.liveWindows.foreach(w => nextClose(w.windowName) = w.slide)
@@ -86,8 +90,12 @@ final class LiveStreamProcessing(spark: SparkSession, queryText: String) {
   def addEvents(uri: String, events: Seq[RdfEvent]): Unit = synchronized {
     require(buffers.contains(uri), s"Stream not registered: $uri")
     buffers(uri) ++= events
-    if (started && events.nonEmpty)
-      advanceTo(events.map(_.timestamp).max)
+    if (events.nonEmpty) {
+      val maxTs = events.map(_.timestamp).max
+      streamMaxTs(uri) = math.max(streamMaxTs.getOrElse(uri, Long.MinValue),
+        maxTs)
+      if (started) advance()
+    }
   }
 
   /** Sentinel close: advances event time so all windows up to `finalTs`
@@ -110,16 +118,17 @@ final class LiveStreamProcessing(spark: SparkSession, queryText: String) {
 
   // ---- window firing (W1) ---------------------------------------------
 
-  /** Fire every window whose next close boundary has been reached by the
-    * advancing event time, in close-time order. */
-  private def advanceTo(maxTs: Long): Unit = {
+  /** Fire every window whose next close boundary has been reached by
+    * ITS OWN stream's event time, in close-time order. */
+  private def advance(): Unit = {
     var fired = true
     while (fired) {
       fired = false
-      // earliest pending close across windows
+      // earliest pending close among windows whose stream has advanced
       val due = parsed.liveWindows
         .map(w => (w, nextClose(w.windowName)))
-        .filter { case (_, c) => c <= maxTs }
+        .filter { case (w, c) =>
+          streamMaxTs.get(w.streamName).exists(c <= _) }
         .sortBy(_._2)
       due.headOption.foreach { case (w, c) =>
         fire(w, c)

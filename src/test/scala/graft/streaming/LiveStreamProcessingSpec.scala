@@ -166,6 +166,37 @@ class LiveStreamProcessingSpec extends AnyFunSuite {
       r.bindings.get("b").contains("2")))
   }
 
+  test("a window fires only when ITS stream's event time advances") {
+    val q =
+      """PREFIX ex: <http://example.org/>
+        |REGISTER RStream <output> AS
+        |SELECT ?s ?o
+        |FROM NAMED WINDOW ex:w1 ON STREAM ex:stream1 [RANGE 1000 STEP 1000]
+        |FROM NAMED WINDOW ex:w2 ON STREAM ex:stream2 [RANGE 1000 STEP 1000]
+        |WHERE {
+        |    WINDOW ex:w1 { ?s ex:a ?o . }
+        |    WINDOW ex:w2 { ?s ex:a ?o . }
+        |}""".stripMargin
+    val p = new LiveStreamProcessing(spark, q)
+    p.registerStream("http://example.org/stream1")
+    p.registerStream("http://example.org/stream2")
+    p.startProcessing()
+    // identical (s,o) in both streams so the cross-window join matches
+    p.addEvent("http://example.org/stream1",
+      RdfEvent(50L, "http://example.org/x", "http://example.org/a", "1", ""))
+    p.addEvent("http://example.org/stream2",
+      RdfEvent(100L, "http://example.org/x", "http://example.org/a", "1", ""))
+    // stream1 reaches 1000 → ONLY w1 fires (merging w2's content);
+    // w2's own stream time is still 100, so w2 must not fire yet
+    p.closeStream("http://example.org/stream1", 1000)
+    val first = p.collectResults()
+    assert(first.length === 1, s"expected exactly one fire, got $first")
+    // stream2 reaches 1000 → now w2 fires too
+    p.closeStream("http://example.org/stream2", 1000)
+    val second = p.collectResults()
+    assert(second.length === 1, s"expected exactly one more fire, got $second")
+  }
+
   test("literal and IRI objects both flow through") {
     val p = new LiveStreamProcessing(spark, basicQuery)
     p.registerStream("http://example.org/stream1")
