@@ -115,6 +115,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(out === Set((0L, 1L)))
   }
 
+  test("minhash signature: expression and table paths agree; agreement " +
+      "rate tracks Jaccard (permutation sanity)") {
+    val sh = docs.select(col("doc_id").as("id"),
+      TextAnalysis.shingles(col("text"), 3).as("sh"))
+      .where(size(col("sh")) > 0)
+    val exprSigs = sh.select(col("id"),
+      Dedup.minhashSignature(col("sh"), 64).as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val tableSigs = Dedup.minhashSignatureTable(sh, 64).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(exprSigs === tableSigs)
+    // doc 0 vs doc 2 differ by one word; their true 3-shingle Jaccard is
+    // high, and signature agreement must track it (a biased "permutation"
+    // collapses to all-or-nothing agreement — the round-2 bug)
+    val agree01 = exprSigs(0L).zip(exprSigs(1L)).count(t => t._1 == t._2)
+    assert(agree01 === 64) // identical docs → identical signatures
+    val agree02 = exprSigs(0L).zip(exprSigs(2L)).count(t => t._1 == t._2)
+    assert(agree02 > 32 && agree02 < 64,
+      s"agreement $agree02/64 inconsistent with a partial-overlap pair")
+  }
+
   test("deduplicate keeps one representative per duplicate cluster") {
     val kept = Dedup.deduplicate(docs, col("doc_id"), col("text"),
       threshold = 0.5)
