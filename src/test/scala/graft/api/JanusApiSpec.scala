@@ -157,6 +157,29 @@ class JanusApiSpec extends AnyFunSuite {
     api.stopQuery("hybrid")
   }
 
+  test("historical window ON STREAM scopes to the stream's named graph " +
+      "(janusql_parser.rs:556-558)") {
+    // quads from two streams, tagged with their stream graph
+    val multi = RdfEvent.toDF(spark, Seq(
+      RdfEvent(100L, "http://example.org/a", "http://example.org/reading",
+        "1", "http://example.org/streamA"),
+      RdfEvent(200L, "http://example.org/b", "http://example.org/reading",
+        "2", "http://example.org/streamB")))
+    val registry = new QueryRegistry()
+    val api = new JanusApi(spark, registry, _ => multi, () => 10000L)
+    api.registerQuery("qstream",
+      """PREFIX ex: <http://example.org/>
+        |SELECT ?sensor ?reading
+        |FROM NAMED WINDOW ex:hist ON STREAM ex:streamA [START 0 END 5000]
+        |WHERE {
+        |    WINDOW ex:hist { ?sensor ex:reading ?reading }
+        |}""".stripMargin)
+    val handle = api.startQuery("qstream")
+    val result = handle.receive(10000).getOrElse(fail("no result"))
+    // only streamA's quad matches the GRAPH <streamA> scope
+    assert(result.bindings.map(_("sensor")) === Seq("http://example.org/a"))
+  }
+
   test("registry enforces max queries and supports unregister/list") {
     val registry = new QueryRegistry(maxQueries = Some(1))
     val api = new JanusApi(spark, registry, _ => store)
