@@ -106,6 +106,11 @@ final class LiveStreamProcessing(spark: SparkSession, queryText: String) {
 
   def tryReceiveResult(): Option[LiveResult] = Option(results.poll())
 
+  /** Buffered events across streams (observability / eviction tests). */
+  def bufferedEventCount: Int = synchronized {
+    buffers.values.map(_.length).sum
+  }
+
   def collectResults(max: Option[Int] = None): Seq[LiveResult] = {
     val out = mutable.ArrayBuffer.empty[LiveResult]
     var next = results.poll()
@@ -134,6 +139,29 @@ final class LiveStreamProcessing(spark: SparkSession, queryText: String) {
         fire(w, c)
         nextClose(w.windowName) = c + w.slide
         fired = true
+      }
+    }
+    evictExpired()
+  }
+
+  /** Drop buffered events no future fire can reach. Any window's fire at
+    * time c merges EVERY window's content at c (W2), so the safe horizon
+    * for stream s is (earliest pending close across ALL windows) minus
+    * the largest range of s's own windows. Keeps long-running streams
+    * memory-bounded (the rsp engine evicts on window slide the same
+    * way). */
+  private def evictExpired(): Unit = {
+    if (nextClose.isEmpty) return
+    val earliestClose = nextClose.values.min
+    buffers.foreach { case (uri, buf) =>
+      val ranges = parsed.liveWindows.filter(_.streamName == uri).map(_.width)
+      if (ranges.nonEmpty) {
+        val horizon = earliestClose - ranges.max
+        val kept = buf.filter(_.timestamp >= horizon)
+        if (kept.length != buf.length) {
+          buf.clear()
+          buf ++= kept
+        }
       }
     }
   }

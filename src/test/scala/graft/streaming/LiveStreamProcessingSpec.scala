@@ -197,6 +197,20 @@ class LiveStreamProcessingSpec extends AnyFunSuite {
     assert(second.length === 1, s"expected exactly one more fire, got $second")
   }
 
+  test("buffers evict events no future window can cover") {
+    val p = new LiveStreamProcessing(spark, basicQuery) // RANGE 1000 STEP 300
+    p.registerStream("http://example.org/stream1")
+    p.startProcessing()
+    (0 until 20).foreach(i => p.addEvent("http://example.org/stream1",
+      RdfEvent(i * 50L, s"http://example.org/s$i", "http://example.org/p",
+        s"$i", "")))
+    // some early events already dropped as windows fired during the adds
+    assert(p.bufferedEventCount <= 20)
+    // advance far past the events: everything below nextClose-range drops
+    p.closeStream("http://example.org/stream1", 60000)
+    assert(p.bufferedEventCount <= 1) // only the sentinel can remain
+  }
+
   test("literal and IRI objects both flow through") {
     val p = new LiveStreamProcessing(spark, basicQuery)
     p.registerStream("http://example.org/stream1")
