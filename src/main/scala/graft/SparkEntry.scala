@@ -159,6 +159,64 @@ object SparkEntry {
           col("timestamp_from"), col("timestamp_to"))
     }),
 
+    // W4 with STEP > RANGE: the window sequence has coverage gaps —
+    // events between window k's end and window k+1's start belong to NO
+    // window and must not be assigned to one (the regression mode was
+    // sequence(idLow, idHigh) descending when idLow > idHigh)
+    "w4_sliding_gap" -> ((s, dir) => {
+      import graft.historical.HistoricalExecutor
+      val quads = EventsAsQuads.quads(s, dir)
+      val now = quads.agg(max("timestamp")).head.getLong(0)
+      val spec = HistoricalExecutor.SlidingSpec(
+        20L * 86400000L, 86400000L, 2L * 86400000L)
+      HistoricalExecutor.executeSliding(quads,
+        SparqlParser.parse(Prefixes +
+          """SELECT (COUNT(?e) AS ?n) (AVG(?val) AS ?avg_val)
+            |WHERE { ?e v:value ?val . }""".stripMargin),
+        now, spec)
+        .select(col(HistoricalExecutor.WindowIdCol).as("window_id"),
+          col("n"), round(col("avg_val"), 6).as("avg_val"),
+          col("timestamp_from"), col("timestamp_to"))
+    }),
+
+    // §2.5: abs_diff in projection
+    "f_abs_diff" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e (janus:abs_diff(?val, 250.0) AS ?d) WHERE {
+        |  ?e v:value ?val .
+        |}""".stripMargin)),
+
+    // §2.5: relative_threshold_exceeded in FILTER
+    "f_rel_threshold" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e ?val WHERE {
+        |  ?e v:value ?val .
+        |  FILTER(janus:relative_threshold_exceeded(?val, 50.0, 2.0))
+        |}""".stripMargin)
+      .select(col("e"), col("val").try_cast("double").as("val"))),
+
+    // §2.5: catch_up in FILTER (hist=300 leads live by more than 10)
+    "f_catch_up" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e ?val WHERE {
+        |  ?e v:value ?val .
+        |  FILTER(janus:catch_up(300.0, ?val, 10.0))
+        |}""".stripMargin)
+      .select(col("e"), col("val").try_cast("double").as("val"))),
+
+    // §2.5: volatility_increase in FILTER
+    "f_volatility" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e ?val WHERE {
+        |  ?e v:value ?val .
+        |  FILTER(janus:volatility_increase(?val, 100.0, 50.0))
+        |}""".stripMargin)
+      .select(col("e"), col("val").try_cast("double").as("val"))),
+
+    // §2.5: trend_divergent in FILTER
+    "f_trend_divergent" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e ?val WHERE {
+        |  ?e v:value ?val .
+        |  FILTER(janus:trend_divergent(?val, 200.0, 100.0))
+        |}""".stripMargin)
+      .select(col("e"), col("val").try_cast("double").as("val"))),
+
     // B3/B4: baseline bootstrap — AGGREGATE accumulation over bindings,
     // materialized as baseline#var statements (object kept numeric here;
     // Rust-Display string formatting is covered by TermsSpec)
@@ -425,6 +483,34 @@ object SparkEntry {
         |FROM events e
         |JOIN wb ON epoch_ms(e.ts) BETWEEN wb.timestamp_from AND wb.timestamp_to
         |GROUP BY wb.window_id, wb.timestamp_from, wb.timestamp_to""".stripMargin,
+    "w4_sliding_gap" ->
+      """WITH p AS (SELECT MAX(epoch_ms(ts)) AS now FROM events),
+        |wb AS (
+        |  SELECT g.range AS window_id,
+        |    p.now - 1728000000 + g.range * 172800000 AS timestamp_from,
+        |    LEAST(p.now - 1728000000 + g.range * 172800000 + 86400000,
+        |          p.now) AS timestamp_to
+        |  FROM range(0, 11) g, p)
+        |SELECT wb.window_id, COUNT(*) AS n, ROUND(AVG(e.value), 6) AS avg_val,
+        |  wb.timestamp_from, wb.timestamp_to
+        |FROM events e
+        |JOIN wb ON epoch_ms(e.ts) BETWEEN wb.timestamp_from AND wb.timestamp_to
+        |GROUP BY wb.window_id, wb.timestamp_from, wb.timestamp_to""".stripMargin,
+    "f_abs_diff" ->
+      s"""SELECT $E AS e, ABS(value - 250.0) AS d
+         |FROM events""".stripMargin,
+    "f_rel_threshold" ->
+      s"""SELECT $E AS e, value AS val
+         |FROM events WHERE (value - 50.0) / 50.0 > 2.0""".stripMargin,
+    "f_catch_up" ->
+      s"""SELECT $E AS e, value AS val
+         |FROM events WHERE (300.0 - value) > 10.0""".stripMargin,
+    "f_volatility" ->
+      s"""SELECT $E AS e, value AS val
+         |FROM events WHERE value > 100.0 + 50.0""".stripMargin,
+    "f_trend_divergent" ->
+      s"""SELECT $E AS e, value AS val
+         |FROM events WHERE ABS(value - 200.0) > 100.0""".stripMargin,
     "b3_baseline_agg" ->
       s"""SELECT $U AS subject,
          |  'https://janus.rs/baseline#val' AS predicate,

@@ -216,15 +216,10 @@ final class JanusApi(
                   window.offset.get, window.width, window.slide)
                 val out = HistoricalExecutor.executeSliding(quads, query,
                   now, spec)
-                // one result batch per window, in window order
-                val rows = out.collect()
-                val cols = out.columns
-                val byWindow = rows.groupBy(
-                  _.getAs[Long](HistoricalExecutor.WindowIdCol))
-                byWindow.toSeq.sortBy(_._1).foreach { case (_, ws) =>
-                  val bindings = ws.toSeq.map(rowToBinding(cols,
-                    Seq(HistoricalExecutor.WindowIdCol,
-                      "timestamp_from", "timestamp_to")))
+                // one result batch per window in window order, INCLUDING
+                // empty windows (the reference emits an empty bindings
+                // batch per window, janus_api.rs:276-298)
+                slidingBatches(out, spec).foreach { bindings =>
                   registry.incrementExecutions(queryId)
                   queue.put(QueryResult(queryId, now,
                     ResultSource.Historical, bindings))
@@ -289,43 +284,70 @@ final class JanusApi(
     handle.shutdown()
   }
 
+  /** All sliding-window batches in window order — one Seq per window id
+    * 0..windowCount-1, with an EMPTY batch for windows with no solutions
+    * (the reference sends one batch per window regardless,
+    * janus_api.rs:276-298, so a LAST-mode baseline over an empty newest
+    * window clears to empty). Streams windows through a range-partitioned
+    * local iterator, so the driver holds roughly one window at a time
+    * instead of the full result set. */
+  private def slidingBatches(out: DataFrame,
+      spec: HistoricalExecutor.SlidingSpec)
+      : Iterator[Seq[Map[String, String]]] = {
+    val cols = out.columns
+    val drop = Seq(HistoricalExecutor.WindowIdCol,
+      "timestamp_from", "timestamp_to")
+    val idCol = org.apache.spark.sql.functions.col(
+      HistoricalExecutor.WindowIdCol)
+    // range partitions are globally ordered and toLocalIterator fetches
+    // one partition at a time → rows arrive in window-id order
+    val rows = out.repartitionByRange(idCol).sortWithinPartitions(idCol)
+      .toLocalIterator().asScala.buffered
+    (0L until spec.windowCount).iterator.map { k =>
+      val batch = Seq.newBuilder[Map[String, String]]
+      while (rows.hasNext &&
+        rows.head.getAs[Long](HistoricalExecutor.WindowIdCol) == k) {
+        batch += rowToBinding(cols, drop)(rows.next())
+      }
+      batch.result()
+    }
+  }
+
   /** Baseline over the (optionally USING BASELINE-selected) historical
-    * windows (`janus_api.rs:575-670`). */
+    * windows (`janus_api.rs:575-670`). Statements are computed PER
+    * historical window and concatenated (janus_api.rs:606-640): LAST-mode
+    * clearing applies only across one window's sub-batches, never across
+    * window definitions, and AGGREGATE never blends means across
+    * windows. */
   private def computeBaseline(parsed: ParsedJanusQuery,
       targetWindow: Option[String], mode: BaselineMode, now: Long)
       : Seq[(String, String, String)] = {
-    val batches = parsed.compiledHistoricalQueries.flatMap {
-      case (window, query) =>
-        if (targetWindow.exists(_ != window.windowName)) Nil
-        else {
-          val quads = logProvider(window.streamName)
-          window.windowType match {
-            case WindowType.HistoricalFixed =>
-              val out = HistoricalExecutor.executeFixed(quads, query,
-                window.start.get, window.end.get)
-              Seq(collectBindings(out, Seq("timestamp_from", "timestamp_to")))
-            case WindowType.HistoricalSliding =>
-              val spec = HistoricalExecutor.SlidingSpec(
-                window.offset.get, window.width, window.slide)
-              val out = HistoricalExecutor.executeSliding(quads, query,
-                now, spec)
-              val rows = out.collect()
-              val cols = out.columns
-              rows.groupBy(_.getAs[Long](HistoricalExecutor.WindowIdCol))
-                .toSeq.sortBy(_._1).map { case (_, ws) =>
-                  ws.toSeq.map(rowToBinding(cols,
-                    Seq(HistoricalExecutor.WindowIdCol,
-                      "timestamp_from", "timestamp_to")))
-                }
-            case WindowType.Live => Nil
-          }
-        }
-    }
     val bootMode = mode match {
       case BaselineMode.Last      => BaselineBootstrap.Last
       case BaselineMode.Aggregate => BaselineBootstrap.Aggregate
     }
-    BaselineBootstrap.statementsLocal(batches, bootMode)
+    parsed.compiledHistoricalQueries.flatMap { case (window, query) =>
+      if (targetWindow.exists(_ != window.windowName)) Nil
+      else {
+        val quads = logProvider(window.streamName)
+        window.windowType match {
+          case WindowType.HistoricalFixed =>
+            val out = HistoricalExecutor.executeFixed(quads, query,
+              window.start.get, window.end.get)
+            BaselineBootstrap.statementsLocal(
+              Iterator.single(collectBindings(out,
+                Seq("timestamp_from", "timestamp_to"))), bootMode)
+          case WindowType.HistoricalSliding =>
+            val spec = HistoricalExecutor.SlidingSpec(
+              window.offset.get, window.width, window.slide)
+            val out = HistoricalExecutor.executeSliding(quads, query,
+              now, spec)
+            BaselineBootstrap.statementsLocal(
+              slidingBatches(out, spec), bootMode)
+          case WindowType.Live => Nil
+        }
+      }
+    }
   }
 
   private def collectBindings(df: DataFrame, drop: Seq[String])

@@ -20,11 +20,16 @@ import org.apache.spark.sql.functions._
   *     value)` static triples, mean formatted Rust-Display style
   *     (`15.0` → `"15"`), deterministic (subject, var) order.
   *
-  * Two implementations with identical semantics:
+  * Two implementations:
   * [[statements]] — distributed, for bindings DataFrames of any size
   * (the 100 TB path: melt + groupBy, no driver materialization);
   * [[statementsLocal]] — exact row-order-faithful port for the driver-side
   * api layer and for cross-checking the distributed path.
+  * The two agree whenever every accumulated value is numeric (mean path,
+  * shared Terms.formatNumeric formatting). They can diverge only on the
+  * non-numeric "last value" fallback: a DataFrame has no row order, so
+  * the distributed path takes max(value) while the local path takes the
+  * final row (itself HashMap-order-dependent in the reference).
   */
 object BaselineBootstrap {
 
@@ -56,8 +61,14 @@ object BaselineBootstrap {
       case _ => bindings
     }
 
+    // IRI test aligned with Terms.normalizeIri: bare http(s) scheme OR
+    // angle-bracket-wrapped form
     def isIriC(c: Column): Column =
-      c.isNotNull && (c.startsWith("http://") || c.startsWith("https://"))
+      c.isNotNull && (c.startsWith("http://") || c.startsWith("https://") ||
+        (c.startsWith("<") && c.endsWith(">") && length(c) > 2))
+    def iriValueC(c: Column): Column =
+      when(c.startsWith("<") && c.endsWith(">"),
+        c.substr(lit(2), length(c) - 2)).otherwise(c)
 
     // B2: per-row anchor variable = first IRI-valued candidate
     val candidates =
@@ -67,7 +78,7 @@ object BaselineBootstrap {
       (v, rest) => when(isIriC(col(v)), lit(v)).otherwise(rest)
     }
     val anchorVal = candidates.foldRight(lit(null).cast("string")) {
-      (v, rest) => when(isIriC(col(v)), col(v)).otherwise(rest)
+      (v, rest) => when(isIriC(col(v)), iriValueC(col(v))).otherwise(rest)
     }
 
     // melt: one row per (anchor, var, value), excluding the anchor var
@@ -95,10 +106,11 @@ object BaselineBootstrap {
         count(col("value")).as("total_count"),
         max(col("value")).as("last_value"))
 
-    val meanStr = when(
-      col("mean") === floor(col("mean")) && abs(col("mean")) < 1e15,
-      col("mean").cast("long").cast("string"))
-      .otherwise(col("mean").cast("string"))
+    // exact Terms.formatNumeric (Rust-Display style, never scientific
+    // notation). A UDF is fine here: it runs on the POST-aggregation
+    // result — one row per (anchor, var) — not on the data path.
+    val fmtNumeric = udf((v: Double) => Terms.formatNumeric(v))
+    val meanStr = fmtNumeric(col("mean"))
 
     agged.select(
       col("subject"),
@@ -162,11 +174,13 @@ object BaselineBootstrap {
     }
 
   /** Local one-shot: bindings batches (one per window, in window order)
-    * → statements, honoring LAST-mode clearing. */
-  def statementsLocal(batches: Seq[Seq[Map[String, String]]], mode: Mode)
-      : Seq[(String, String, String)] = {
+    * → statements, honoring LAST-mode clearing. Accepts any IterableOnce
+    * so callers can stream window batches without materializing all of
+    * them. */
+  def statementsLocal(batches: IterableOnce[Seq[Map[String, String]]],
+      mode: Mode): Seq[(String, String, String)] = {
     val acc = scala.collection.mutable.LinkedHashMap.empty[(String, String), Acc]
-    batches.foreach { batch =>
+    batches.iterator.foreach { batch =>
       if (mode == Last) acc.clear()
       accumulate(acc, batch)
     }

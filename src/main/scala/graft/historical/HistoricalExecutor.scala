@@ -66,8 +66,14 @@ object HistoricalExecutor {
     val idLow = greatest(lit(0L),
       expr(s"(timestamp - ${spec.rangeMs}L - ${base}L + ${spec.stepMs - 1}L)" +
         s" div ${spec.stepMs}L"))
+    // When STEP > RANGE the window sequence has coverage gaps; an event in
+    // a gap yields idLow > idHigh and `sequence` would generate a DESCENDING
+    // id list, assigning the event to windows that do not contain it
+    // (historical_executor.rs:120-147 allows arbitrary RANGE/STEP). Such
+    // events belong to no window — drop them before the explode.
     quads
       .where(col("timestamp").between(base, nowMs))
+      .where(idLow.cast("long") <= idHigh.cast("long"))
       .withColumn(WindowIdCol,
         explode(sequence(idLow.cast("long"), idHigh.cast("long"))))
   }

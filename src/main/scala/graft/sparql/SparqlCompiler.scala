@@ -200,12 +200,13 @@ object SparqlCompiler {
     case ENot(x)    => !boolC(x)
     case ECmp(op, l, r) =>
       val (ln, rn) = (numC(l), numC(r))
-      // numeric comparison when both sides are numeric, else lexical —
-      // reproduces the reference's observable FILTER(?age > "25")
-      // behavior over numeric-sniffed literals
-      // (tests/oxigraph_adapter_test.rs:183-201)
+      // numeric comparison when both sides are numeric; lexical only when
+      // NEITHER is (reproducing FILTER(?age > "25") over numeric-sniffed
+      // literals, tests/oxigraph_adapter_test.rs:183-201). Numeric vs
+      // non-numeric is a SPARQL type error: no branch matches → NULL →
+      // row filtered, matching Oxigraph.
       when(ln.isNotNull && rn.isNotNull, cmp(op, ln, rn))
-        .otherwise(cmp(op, strC(l), strC(r)))
+        .when(ln.isNull && rn.isNull, cmp(op, strC(l), strC(r)))
     case ECall(iri, args) =>
       val local = if (iri.startsWith(Extensions.Namespace))
         iri.substring(Extensions.Namespace.length) else iri

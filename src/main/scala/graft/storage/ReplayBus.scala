@@ -108,8 +108,13 @@ object ReplayBus {
     import spark.implicits._
     val quads = NQuadsParser.parse(
       spark.read.textFile(filePath).as[String], errorCounter = Some(acc))
-    storage.append(quads)
-    val n = storage.read().count()
-    (n, acc.value)
+      .persist()
+    try {
+      // count THIS batch (not the whole log post-append: the log may
+      // already hold data from earlier ingests)
+      val n = quads.count()
+      storage.append(quads)
+      (n, acc.value)
+    } finally { quads.unpersist(); () }
   }
 }

@@ -108,6 +108,25 @@ class JanusApiSpec extends AnyFunSuite {
     assert(registry.executionCount("qs") === 3)
   }
 
+  test("sliding windows with zero solutions still emit an (empty) batch " +
+      "(janus_api.rs:276-298)") {
+    // clock 15000, base 9000 → windows [9000,12000],[12000,15000],
+    // [15000,15000]; only ts 9000 exists → batches of 1, 0, 0 rows
+    val (api, registry) = newApi(clockMs = 15000)
+    api.registerQuery("qe",
+      """PREFIX ex: <http://example.org/>
+        |SELECT ?sensor ?reading
+        |FROM NAMED WINDOW ex:hist ON LOG ex:store [OFFSET 6000 RANGE 3000 STEP 3000]
+        |WHERE {
+        |    WINDOW ex:hist { ?sensor ex:reading ?reading }
+        |}""".stripMargin)
+    val handle = api.startQuery("qe")
+    val batches = (1 to 3).flatMap(_ => handle.receive(10000))
+    assert(batches.length === 3)
+    assert(batches.map(_.bindings.length) === Seq(1, 0, 0))
+    assert(registry.executionCount("qe") === 3)
+  }
+
   test("hybrid query: WarmingBaseline → Running, live joins baseline " +
       "(janus_api_integration_test.rs:624-682)") {
     val (api, _) = newApi()

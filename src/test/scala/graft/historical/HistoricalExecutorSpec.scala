@@ -71,6 +71,30 @@ class HistoricalExecutorSpec extends AnyFunSuite {
     assert(got === brute)
   }
 
+  test("assignWindows drops events in coverage gaps when STEP > RANGE") {
+    // base = 1000; windows [1000,1500],[3000,3500],[5000,5500],
+    // [7000,7500],[9000,9000] — events at 2000/4000/6000/8000 sit in
+    // gaps and belong to NO window (regression: sequence(idLow, idHigh)
+    // generated a descending id list when idLow > idHigh)
+    val spec = SlidingSpec(8000, 500, 2000)
+    val now = 9000L
+    val assigned = assignWindows(quads, now, spec)
+    val brute = (0 until 10).flatMap { i =>
+      val ts = i * 1000L
+      (0L to spec.windowCount - 1).flatMap { k =>
+        val from = now - spec.offsetMs + k * spec.stepMs
+        val to = math.min(from + spec.rangeMs, now)
+        if (ts >= from && ts <= to && ts >= now - spec.offsetMs)
+          Some((ts, k))
+        else None
+      }
+    }.toSet
+    val got = assigned.select("timestamp", WindowIdCol).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute)
+    assert(brute.map(_._1) === Set(1000L, 3000L, 5000L, 7000L, 9000L))
+  }
+
   test("executeSliding: per-window aggregation in one plan") {
     val spec = SlidingSpec(9000, 3000, 3000) // windows [0,3000],[3000,6000],[6000,9000],[9000,9000]
     val agg = SparqlParser.parse(

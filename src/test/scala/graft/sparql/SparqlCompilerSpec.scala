@@ -56,6 +56,29 @@ class SparqlCompilerSpec extends AnyFunSuite {
     assert(TestSpark.rows(df) === Set(Seq("http://example.org/alice", "30")))
   }
 
+  test("mixed-type comparison is a SPARQL type error: row filtered") {
+    // ?o is an IRI for the knows-triples: IRI > number must not fall back
+    // to lexical compare ("http://..." > "25" is true by codepoint order)
+    val df = run(
+      """PREFIX ex: <http://example.org/>
+        |SELECT ?s WHERE { ?s ex:knows ?o . FILTER(?o > 25) }""".stripMargin)
+    assert(df.count() === 0)
+    // same with the numeric side on the left
+    val df2 = run(
+      """PREFIX ex: <http://example.org/>
+        |SELECT ?s WHERE { ?s ex:knows ?o . FILTER(25 < ?o) }""".stripMargin)
+    assert(df2.count() === 0)
+  }
+
+  test("non-numeric vs non-numeric comparison stays lexical") {
+    val df = run(
+      """PREFIX ex: <http://example.org/>
+        |SELECT ?s WHERE {
+        |  ?s ex:knows ?o . FILTER(?o = "http://example.org/bob")
+        |}""".stripMargin)
+    assert(TestSpark.rows(df) === Set(Seq("http://example.org/alice")))
+  }
+
   test("extension function FILTER returns alice — " +
       "oxigraph_adapter_test.rs:204-229") {
     val df = run(
