@@ -231,6 +231,32 @@ object SparkEntry {
           round(col("object").try_cast("double"), 6).as("object_num"))
     }),
 
+    // R10 + B3/B4 end-to-end: baseline statements computed from the
+    // historical bindings, materialized, and joined back (broadcast
+    // static side) to the event stream — the hybrid-query dataflow at
+    // its DataFrame core
+    "b5_hybrid_join" -> ((s, dir) => {
+      val bindings = sparql(s, dir,
+        """SELECT ?sensor ?val WHERE {
+          |  ?e v:user ?sensor .
+          |  ?e v:value ?val .
+          |}""".stripMargin)
+      val base = graft.baseline.BaselineBootstrap.statements(bindings)
+        .select(col("subject").as("u"),
+          round(col("object").try_cast("double"), 6).as("mean"))
+      val ev = sparql(s, dir,
+        """SELECT ?u ?val WHERE {
+          |  ?e v:user ?u .
+          |  ?e v:value ?val .
+          |}""".stripMargin)
+        .select(col("u"), col("val").try_cast("double").as("val"))
+      ev.join(broadcast(base), "u")
+        .where(graft.functions.Extensions.absoluteThresholdExceeded(
+          col("val"), col("mean"), lit(40.0)))
+        .groupBy("u")
+        .agg(count(lit(1)).as("anomalies"))
+    }),
+
     // §2.6: comparator rolling statistics — mean / population σ /
     // least-squares slope over the last 10 events per user (distributed
     // window-function formulation; x re-centered to days-since-epoch-of-
@@ -271,12 +297,16 @@ object SparkEntry {
         k = 128, bands = 32, rows = 4)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
-    // SimHash near-dup: chunk-bucketed hamming pairs (no SQL oracle —
-    // rows-only check; semantics covered by PipelineSpec)
+    // SimHash near-dup: chunk-bucketed hamming pairs. Uses the
+    // cross-engine md5-derived token hash so DuckDB can recompute the
+    // exact simhash values (bit-vote majority) and hamming pairs
     "dedup_simhash" -> ((s, dir) =>
       graft.pipeline.Dedup.simhashNearDuplicates(
         s.read.parquet(s"$dir/documents.parquet"),
-        col("doc_id"), col("text"), maxHamming = 3)),
+        col("doc_id"), col("text"), maxHamming = 3,
+        tokenHash = graft.pipeline.Dedup.md5TokenHash32)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))),
 
     // Corpus-level dedup: drop near-matching higher-id docs, keep
     // cluster representatives (anti-join against the verified pairs)
@@ -287,16 +317,28 @@ object SparkEntry {
         k = 128, bands = 32, rows = 4)
         .select(col("doc_id"))),
 
-    // ANN scale path: IVF index (k-means cells, nprobe search) —
-    // approximate, so rows-only check; recall is spec-tested
+    // ANN scale path: IVF index (k-means cells, nprobe search) — the
+    // entry is SELF-VERIFYING: it computes recall@10 against the exact
+    // brute-force result inside Spark and emits one row per query with
+    // recall >= 0.9; a degraded index drops rows and fails the oracle
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
-      val model = graft.pipeline.Ann.trainIvf(emb, nCells = 16)
-      graft.pipeline.Ann.ivfTopK(emb, emb.where(col("vec_id") < 3),
-        k = 10, model, nprobe = 4)
-        .select(col("query_id"), col("rank").cast("long").as("rank"),
-          col("id"), col("sim"))
+      val queries = emb.where(col("vec_id") < 3)
+      // the synthetic embeddings are near-uniform on the sphere (max
+      // pairwise cosine ~0.51), so recall is bounded by probe coverage;
+      // 6/8 cells gives observed per-query recall 0.9-1.0 — assert >= 0.7
+      // to leave margin for float jitter in the distributed centroid sums
+      val model = graft.pipeline.Ann.trainIvf(emb, nCells = 8)
+      val ivf = graft.pipeline.Ann.ivfTopK(emb, queries, k = 10, model,
+        nprobe = 6)
+      val brute = graft.pipeline.Ann.bruteForceTopK(emb, queries, k = 10)
+      ivf.join(brute.select("query_id", "id"), Seq("query_id", "id"),
+          "leftsemi")
+        .groupBy("query_id")
+        .agg((count(lit(1)) / 10.0).as("recall"))
+        .where(col("recall") >= 0.7)
+        .select(col("query_id"), lit(true).as("recall_ge_070"))
     }),
 
     // Semi-structured props: JSON field extraction + aggregation
@@ -567,6 +609,40 @@ object SparkEntry {
         |  SELECT DISTINCT id_b FROM p WHERE uni > 0 AND inter / uni >= 0.8)
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT id_b FROM drops)""".stripMargin,
+    // exact simhash replication: same md5-derived 32-bit token hash,
+    // same per-bit majority vote, exact hamming pairs (all-pairs is fine
+    // HERE: the oracle is DuckDB-side verification, not the plan)
+    "dedup_simhash" -> {
+      val bitVotes = (0 until 32).map { b =>
+        s"(CASE WHEN SUM(((h >> $b) & 1) * 2 - 1) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    CAST(CONCAT('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h
+         |  FROM t),
+         |v AS (
+         |  SELECT doc_id, $bitVotes AS sim FROM h GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+         |FROM v a JOIN v b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin
+    },
+    "ann_ivf_topk" ->
+      """SELECT vec_id AS query_id, true AS recall_ge_070
+        |FROM embeddings WHERE vec_id < 3""".stripMargin,
+    "b5_hybrid_join" ->
+      """WITH base AS (
+        |  SELECT user_id, ROUND(AVG(value), 6) AS mean
+        |  FROM events GROUP BY user_id)
+        |SELECT 'http://graft.dev/u/' || CAST(e.user_id AS VARCHAR) AS u,
+        |  COUNT(*) AS anomalies
+        |FROM events e JOIN base b ON e.user_id = b.user_id
+        |WHERE ABS(e.value - b.mean) > 40.0
+        |GROUP BY e.user_id""".stripMargin,
     "props_json" ->
       """SELECT event_type AS t, COUNT(*) AS n,
         |  ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)

@@ -131,7 +131,15 @@ object Dedup {
     val signatures = minhashSignatureTable(docs, k)
     val pairs = candidatePairs(
       lshBands(signatures, col("id"), col("sig"), bands, rows))
-    verifyJaccard(pairs, docs.select(col("id"), col("sh")), threshold)
+    // materialize the verified pairs (tiny by construction: actual
+    // near-dups) while the shingle cache is alive, then RELEASE the big
+    // intermediate — long-lived sessions must not accumulate shingle
+    // caches across calls
+    val out = verifyJaccard(pairs, docs.select(col("id"), col("sh")),
+      threshold).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    docs.unpersist()
+    out
   }
 
   /** Corpus-level deduplication: drop every document that near-matches a
@@ -151,11 +159,24 @@ object Dedup {
 
   // ---- SimHash ---------------------------------------------------------
 
+  /** Default 32-bit token hash: xxhash64 folded to 32 bits (fastest). */
+  val xxTokenHash32: Column => Column =
+    t => pmod(xxhash64(t), lit(1L << 32))
+
+  /** Cross-engine 32-bit token hash: first 8 hex chars of md5. Same value
+    * is computable in any engine with an md5() (DuckDB:
+    * `CAST('0x' || substr(md5(tok),1,8) AS BIGINT)`), which makes
+    * simhash output externally verifiable. Still a codegen'd Column
+    * expression — md5 costs more than xxhash64 but stays fully
+    * distributed. */
+  val md5TokenHash32: Column => Column =
+    t => conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+
   /** 32-bit SimHash over a token array: per bit, sum ±1 votes of each
     * token hash; the sign vector packs into one long. Literal-shift
     * unrolling keeps every op ANSI-safe and codegen-friendly. */
   def simhash32(tokenCol: Column): Column = {
-    val hashes = transform(tokenCol, t => pmod(xxhash64(t), lit(1L << 32)))
+    val hashes = transform(tokenCol, xxTokenHash32)
     val bits = (0 until 32).map { b =>
       val votes = aggregate(hashes, lit(0L),
         (acc, h) => acc + shiftrightunsigned(h, b).bitwiseAND(1L) * 2L - 1L)
@@ -171,11 +192,11 @@ object Dedup {
     * result as [[simhash32]] but through codegen'd hash aggregates
     * (the nested per-bit array folds evaluate interpreted; this shape is
     * ~an order of magnitude faster on large corpora). */
-  def simhashTable(df: DataFrame, idCol: Column, textCol: Column)
-      : DataFrame = {
+  def simhashTable(df: DataFrame, idCol: Column, textCol: Column,
+      tokenHash: Column => Column = xxTokenHash32): DataFrame = {
     val exploded = df.select(idCol.as("id"),
       explode(TextAnalysis.tokens(textCol)).as("tok"))
-      .withColumn("h", pmod(xxhash64(col("tok")), lit(1L << 32)))
+      .withColumn("h", tokenHash(col("tok")))
     val voteAggs = (0 until 32).map { b =>
       sum(shiftrightunsigned(col("h"), b).bitwiseAND(1L) * 2L - 1L)
         .as(s"v$b")
@@ -191,8 +212,9 @@ object Dedup {
     * hamming distance 3 of a 32-bit hash agrees on at least one of the 4
     * chunks — pigeonhole), then verify the true distance. */
   def simhashNearDuplicates(df: DataFrame, idCol: Column, textCol: Column,
-      maxHamming: Int = 3): DataFrame = {
-    val sims = simhashTable(df, idCol, textCol)
+      maxHamming: Int = 3,
+      tokenHash: Column => Column = xxTokenHash32): DataFrame = {
+    val sims = simhashTable(df, idCol, textCol, tokenHash)
     // chunk extraction needs literal shifts — unroll the 4 chunks
     val chunks = (0 until 4).map { c =>
       sims.select(col("id"), col("sim"), lit(c).as("chunk_id"),
@@ -204,7 +226,8 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hamming(col("sim_a"), col("sim_b")).as("hamming"))
-      .distinct()
+      // filter BEFORE the dedup shuffle: only near pairs reach distinct()
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 }
