@@ -19,18 +19,26 @@ final class Dictionary(spark: SparkSession, path: String) {
 
   /** Build/extend the dictionary with every distinct term of the given
     * columns. Ids are dense, assigned in term-sort order per build
-    * (deterministic for a fixed input). */
+    * (deterministic for a fixed input).
+    *
+    * Id assignment uses sort + `zipWithIndex` — every partition numbers
+    * its rows independently against precomputed per-partition offsets. A
+    * `row_number()` over a global (unpartitioned) window would funnel
+    * every distinct term through ONE task, a scale-killer on wide
+    * vocabularies. */
   def build(quads: DataFrame, columns: Seq[String] = TermColumns): Unit = {
     val existing = loadOrEmpty()
     val terms = columns.map(c => quads.select(col(c).as("value")))
       .reduce(_ union _).distinct()
     val newTerms = terms.join(existing, Seq("value"), "leftanti")
     val maxId = existing.agg(coalesce(max("id"), lit(-1L))).head().getLong(0)
-    val withIds = newTerms
-      .withColumn("id",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy("value")).cast("long") + maxId)
-      .select("id", "value")
+    val session = spark
+    import session.implicits._
+    val withIds = newTerms.select("value").orderBy("value")
+      .as[String].rdd
+      .zipWithIndex()
+      .map { case (value, i) => (i + maxId + 1, value) }
+      .toDF("id", "value")
     withIds.write.mode(SaveMode.Append).parquet(path)
   }
 
@@ -60,8 +68,11 @@ final class Dictionary(spark: SparkSession, path: String) {
     }.select("timestamp", "subject", "predicate", "object", "graph")
   }
 
-  private def loadOrEmpty(): DataFrame =
-    if (new java.io.File(path).exists()) spark.read.parquet(path)
+  private def loadOrEmpty(): DataFrame = {
+    // Hadoop-FS existence check: works for HDFS/S3 paths too
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
@@ -69,6 +80,7 @@ final class Dictionary(spark: SparkSession, path: String) {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("value",
           org.apache.spark.sql.types.StringType))))
+  }
 }
 
 object Dictionary {

@@ -39,7 +39,8 @@ import scala.collection.mutable
   * [[LiveStreamProcessing.addEvents]] from `foreachBatch` (SURVEY.md
   * §7.3.3 snapshot evaluation).
   */
-final class LiveStreamProcessing(spark: SparkSession, queryText: String) {
+final class LiveStreamProcessing(spark: SparkSession, queryText: String,
+    maxBufferedResults: Int = 65536) {
 
   import LiveStreamProcessing._
 
@@ -58,7 +59,24 @@ final class LiveStreamProcessing(spark: SparkSession, queryText: String) {
   private val buffers =
     mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[RdfEvent]]
   private val staticData = mutable.ArrayBuffer.empty[RdfEvent]
-  private val results = new java.util.concurrent.ConcurrentLinkedQueue[LiveResult]
+  /** Bounded result buffer with drop-oldest lag semantics: a slow (or
+    * absent) consumer loses the OLDEST results and the loss is counted —
+    * mirroring the reference's tokio broadcast channel, which drops with
+    * a `Lagged(n)` signal instead of growing without limit
+    * (`server.rs:34`). */
+  private val results =
+    new java.util.concurrent.LinkedBlockingDeque[LiveResult](
+      math.max(1, maxBufferedResults))
+  private val dropped = new java.util.concurrent.atomic.AtomicLong
+
+  /** Results lost to the bounded buffer since start (lag counter). */
+  def droppedResults: Long = dropped.get
+
+  private def emit(r: LiveResult): Unit = {
+    while (!results.offerLast(r)) {
+      if (results.pollFirst() != null) dropped.incrementAndGet()
+    }
+  }
   /** next close boundary per window (event-time, multiples of slide) */
   private val nextClose = mutable.LinkedHashMap.empty[String, Long]
   /** per-stream event-time high watermark — a window ticks only on ITS
@@ -104,7 +122,7 @@ final class LiveStreamProcessing(spark: SparkSession, queryText: String) {
     addEvent(uri, RdfEvent(finalTs, SentinelSubject, SentinelPredicate,
       SentinelObject, ""))
 
-  def tryReceiveResult(): Option[LiveResult] = Option(results.poll())
+  def tryReceiveResult(): Option[LiveResult] = Option(results.pollFirst())
 
   /** Buffered events across streams (observability / eviction tests). */
   def bufferedEventCount: Int = synchronized {
@@ -113,10 +131,10 @@ final class LiveStreamProcessing(spark: SparkSession, queryText: String) {
 
   def collectResults(max: Option[Int] = None): Seq[LiveResult] = {
     val out = mutable.ArrayBuffer.empty[LiveResult]
-    var next = results.poll()
+    var next = results.pollFirst()
     while (next != null && max.forall(out.length < _)) {
       out += next
-      next = results.poll()
+      next = results.pollFirst()
     }
     out.toSeq
   }
@@ -193,7 +211,7 @@ final class LiveStreamProcessing(spark: SparkSession, queryText: String) {
         }
       }
     bindings.foreach { b =>
-      results.add(LiveResult(b, c - w.width, c))
+      emit(LiveResult(b, c - w.width, c))
     }
   }
 }

@@ -52,6 +52,30 @@ class LiveStreamProcessingSpec extends AnyFunSuite {
     assert(results.forall(!_.bindings.values.exists(_.contains("sentinel"))))
   }
 
+  test("bounded result buffer drops OLDEST results with lag accounting " +
+      "(slow consumer; server.rs:34 broadcast-channel semantics)") {
+    val p = new LiveStreamProcessing(spark, basicQuery,
+      maxBufferedResults = 3)
+    p.registerStream("http://example.org/stream1")
+    p.startProcessing()
+    // 6 events, one per step window → more results than the buffer holds,
+    // with NO consumer polling in between
+    (0 until 6).foreach { i =>
+      p.addEvent("http://example.org/stream1",
+        RdfEvent(i * 300L + 1, s"http://example.org/s$i",
+          "http://example.org/p", s"o$i", ""))
+    }
+    p.closeStream("http://example.org/stream1", 3000)
+    val kept = p.collectResults()
+    assert(kept.length === 3)
+    assert(p.droppedResults > 0)
+    // the KEPT results are the newest fires (drop-oldest): last event
+    // (ts 1501) is covered through close 2400 ([1400, 2400))
+    val allCloses = kept.map(_.timestampTo)
+    assert(allCloses === allCloses.sorted)
+    assert(allCloses.last === 2400L)
+  }
+
   test("window content: fire at c covers [c-range, c) only") {
     val p = new LiveStreamProcessing(spark, basicQuery)
     p.registerStream("http://example.org/stream1")
