@@ -1,0 +1,218 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression,
+  Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType,
+  LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions over the [[Kernels]] single-pass JVM
+  * kernels (SURVEY.md §4.2: custom `Expression` with `doGenCode` where
+  * the built-in operators genuinely can't express it efficiently).
+  *
+  * These replace interpreted higher-order-function formulations
+  * (`transform`/`aggregate` lambdas evaluate row-at-a-time interpreted)
+  * on the pipeline hot paths — document fingerprinting drops from an
+  * explode + shuffle + join plan to ONE codegen'd map stage. Semantics
+  * are value-identical to the formulations they replace
+  * (NativeExpressionsSpec asserts equality on real data).
+  */
+object native {
+
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+  private def e(col: Column): Expression = ColumnBridge.expression(col)
+
+  /** Distinct word n-gram shingles — TextAnalysis.shingles, one pass. */
+  def wordShingles(text: Column, n: Int): Column =
+    c(WordShinglesExpr(e(text), n))
+
+  /** Min-md5-shingle document fingerprint — zero-shuffle form of
+    * TextAnalysis.fingerprintTable. */
+  def minShingleFingerprint(text: Column, n: Int): Column =
+    c(MinShingleFingerprintExpr(e(text), n))
+
+  /** Heuristic language ID — TextAnalysis.langId in one run scan. */
+  def langId(text: Column): Column = c(LangIdExpr(e(text)))
+
+  /** 32-bit simhash of whitespace tokens — Dedup.simhashTable values
+    * without the explode + 32-aggregate shuffle. */
+  def simhash32(text: Column, useMd5: Boolean): Column =
+    c(SimHash32Expr(e(text), useMd5))
+
+  /** k-element MinHash signature over a shingle array —
+    * Dedup.minhashSignatureTable values without the shuffle. */
+  def minhashSig(shingles: Column, seeds: Seq[Long]): Column =
+    c(MinHashSigExpr(e(shingles), seeds.toArray))
+
+  /** Rolling polynomial token hash — TextAnalysis.rollingHash. */
+  def rollingHash(text: Column): Column = c(RollingHashExpr(e(text)))
+
+  /** Cosine similarity over two array<double> columns (null on zero
+    * norm) — Ann.cosine without the interpreted fold. */
+  def cosine(a: Column, b: Column): Column = c(CosineSimExpr(e(a), e(b)))
+}
+
+final case class WordShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.wordShingles(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, cv => s"graft.expressions.Kernels.wordShingles($cv, $n)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : WordShinglesExpr = copy(child = newChild)
+}
+
+final case class MinShingleFingerprintExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_fingerprint"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.minShingleFingerprint(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      cv => s"graft.expressions.Kernels.minShingleFingerprint($cv, $n)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : MinShingleFingerprintExpr = copy(child = newChild)
+}
+
+final case class LangIdExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_langid"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.langId(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, cv => s"graft.expressions.Kernels.langId($cv)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : LangIdExpr = copy(child = newChild)
+}
+
+final case class SimHash32Expr(child: Expression, useMd5: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash32"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.simhash32(input.asInstanceOf[UTF8String], useMd5)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      cv => s"graft.expressions.Kernels.simhash32($cv, $useMd5)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : SimHash32Expr = copy(child = newChild)
+}
+
+/** Null when the input array is empty (a doc with no shingles has no
+  * signature — mirrors the groupBy formulation, which emits no row). */
+final case class MinHashSigExpr(child: Expression, seeds: Array[Long])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash_sig"
+
+  @transient private lazy val seedArr: Array[Long] = seeds
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      if (arr.numElements() == 0) null else Kernels.minhashSig(arr, seedArr)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedRef = ctx.addReferenceObj("seeds", seeds, "long[]")
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${childGen.isNull} && ${childGen.value}.numElements() > 0) {
+          ${ev.isNull} = false;
+          ${ev.value} =
+            graft.expressions.Kernels.minhashSig(${childGen.value}, $seedRef);
+        }"""
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : MinHashSigExpr = copy(child = newChild)
+
+  // Array[Long] equality is reference-based; make the expression tree
+  // canonicalization stable across copies
+  override def equals(other: Any): Boolean = other match {
+    case MinHashSigExpr(c2, s2) =>
+      child == c2 && java.util.Arrays.equals(seeds, s2)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(seeds)
+}
+
+final case class RollingHashExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_hash"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.rollingHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, cv => s"graft.expressions.Kernels.rollingHash($cv)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : RollingHashExpr = copy(child = newChild)
+}
+
+/** Cosine over two array<double> columns; null on zero norm (and on
+  * null inputs). Accumulation order matches the sequential Column fold
+  * it replaces — bit-identical doubles. */
+final case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_cosine"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    val out = Kernels.cosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    if (out == null) null else out.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lg = left.genCode(ctx)
+    val rg = right.genCode(ctx)
+    val boxed = ctx.freshName("cosBoxed")
+    val code =
+      code"""
+        ${lg.code}
+        boolean ${ev.isNull} = true;
+        double ${ev.value} = 0.0;
+        if (!${lg.isNull}) {
+          ${rg.code}
+          if (!${rg.isNull}) {
+            java.lang.Double $boxed =
+              graft.expressions.Kernels.cosine(${lg.value}, ${rg.value});
+            if ($boxed != null) {
+              ${ev.isNull} = false;
+              ${ev.value} = $boxed.doubleValue();
+            }
+          }
+        }"""
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+}

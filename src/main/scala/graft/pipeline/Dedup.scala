@@ -31,7 +31,7 @@ object Dedup {
   // ---- MinHash + LSH ---------------------------------------------------
 
   /** Deterministic seeds for the k min-hash "permutations". */
-  private def seeds(k: Int): Seq[Long] = {
+  private[pipeline] def seeds(k: Int): Seq[Long] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(k)(rnd.nextLong())
   }
@@ -102,10 +102,22 @@ object Dedup {
     * band agreement ≈ J^4). For lower thresholds drop `rows` to 2 and
     * accept more candidates.
     */
-  /** Signature table via explode + k codegen'd min-aggregates — same
-    * values as [[minhashSignature]], an order of magnitude faster on
-    * large corpora (the nested array folds evaluate interpreted). */
-  def minhashSignatureTable(docShingles: DataFrame, k: Int): DataFrame = {
+  /** Signature table — same values as [[minhashSignature]], computed by
+    * the native [[graft.expressions.MinHashSigExpr]] kernel: one
+    * codegen'd map stage, NO shuffle (the earlier explode + k
+    * min-aggregates shape shuffled every shingle row; the interpreted
+    * array-fold shape was an order of magnitude slower still). Docs with
+    * an empty shingle array are dropped (they have no signature). */
+  def minhashSignatureTable(docShingles: DataFrame, k: Int): DataFrame =
+    docShingles.toDF("id", "sh")
+      .select(col("id"),
+        graft.expressions.native.minhashSig(col("sh"), seeds(k)).as("sig"))
+      .where(col("sig").isNotNull)
+
+  /** Explode + k codegen'd min-aggregates formulation (kept for
+    * cross-validation of the native kernel). */
+  private[graft] def minhashSignatureTableExploded(docShingles: DataFrame,
+      k: Int): DataFrame = {
     val ss = seeds(k)
     val exploded = docShingles.toDF("id", "sh")
       .select(col("id"), explode(col("sh")).as("s"))
@@ -188,12 +200,27 @@ object Dedup {
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Distributed simhash via explode + vectorized aggregation — same
-    * result as [[simhash32]] but through codegen'd hash aggregates
-    * (the nested per-bit array folds evaluate interpreted; this shape is
-    * ~an order of magnitude faster on large corpora). */
+  /** Distributed simhash — same result as [[simhash32]]. For the two
+    * standard token hashes the native [[graft.expressions.SimHash32Expr]]
+    * kernel computes each document's value in one pass (no explode, no
+    * 32-aggregate shuffle); a custom `tokenHash` falls back to the
+    * explode + vectorized-aggregation shape. */
   def simhashTable(df: DataFrame, idCol: Column, textCol: Column,
-      tokenHash: Column => Column = xxTokenHash32): DataFrame = {
+      tokenHash: Column => Column = xxTokenHash32): DataFrame =
+    if (tokenHash eq xxTokenHash32)
+      df.select(idCol.as("id"),
+        graft.expressions.native.simhash32(textCol, useMd5 = false).as("sim"))
+    else if (tokenHash eq md5TokenHash32)
+      df.select(idCol.as("id"),
+        graft.expressions.native.simhash32(textCol, useMd5 = true).as("sim"))
+    else simhashTableExploded(df, idCol, textCol, tokenHash)
+
+  /** Explode + vectorized aggregation formulation of [[simhashTable]]
+    * (generic over the token hash; also the native kernel's
+    * cross-validation reference). */
+  private[graft] def simhashTableExploded(df: DataFrame, idCol: Column,
+      textCol: Column, tokenHash: Column => Column = xxTokenHash32)
+      : DataFrame = {
     val exploded = df.select(idCol.as("id"),
       explode(TextAnalysis.tokens(textCol)).as("tok"))
       .withColumn("h", tokenHash(col("tok")))
@@ -214,20 +241,30 @@ object Dedup {
   def simhashNearDuplicates(df: DataFrame, idCol: Column, textCol: Column,
       maxHamming: Int = 3,
       tokenHash: Column => Column = xxTokenHash32): DataFrame = {
+    // persist the (tiny: one row per doc) simhash table — it feeds both
+    // join sides, and without it each side would re-hash every token
     val sims = simhashTable(df, idCol, textCol, tokenHash)
-    // chunk extraction needs literal shifts — unroll the 4 chunks
-    val chunks = (0 until 4).map { c =>
-      sims.select(col("id"), col("sim"), lit(c).as("chunk_id"),
-        shiftrightunsigned(col("sim"), 8 * c).bitwiseAND(0xFFL).as("chunk"))
-    }.reduce(_ unionAll _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one generator per row instead of a 4-way unionAll (which would
+    // re-evaluate the simhash per branch): chunk_id = array position
+    val chunks = sims.select(col("id"), col("sim"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("sim"), 8 * c).bitwiseAND(0xFFL)): _*)))
+      .toDF("id", "sim", "chunk_id", "chunk")
     val a = chunks.toDF("id_a", "sim_a", "chunk_id", "chunk")
     val b = chunks.toDF("id_b", "sim_b", "chunk_id", "chunk")
-    a.join(b, Seq("chunk_id", "chunk"))
+    val out = a.join(b, Seq("chunk_id", "chunk"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hamming(col("sim_a"), col("sim_b")).as("hamming"))
       // filter BEFORE the dedup shuffle: only near pairs reach distinct()
       .where(col("hamming") <= maxHamming)
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (near-pair-sized) output, then release the
+    // per-doc table — long-lived sessions must not accumulate caches
+    out.count()
+    sims.unpersist()
+    out
   }
 }

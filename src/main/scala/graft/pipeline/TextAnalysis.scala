@@ -23,8 +23,19 @@ object TextAnalysis {
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
   /** Word n-gram shingles (space-joined), distinct. Documents shorter
-    * than n tokens yield an empty array. */
-  def shingles(text: Column, n: Int): Column = {
+    * than n tokens yield an empty array.
+    *
+    * Evaluates through the native [[graft.expressions.WordShinglesExpr]]
+    * kernel — the higher-order-function formulation ([[shinglesHof]])
+    * runs interpreted per element and is ~10× slower at corpus scale.
+    * Values are identical on non-null text (NativeExpressionsSpec); the
+    * native form returns null (not an empty array) for null text. */
+  def shingles(text: Column, n: Int): Column =
+    graft.expressions.native.wordShingles(text, n)
+
+  /** Reference higher-order-function formulation of [[shingles]] (kept
+    * for cross-validation of the native kernel). */
+  private[graft] def shinglesHof(text: Column, n: Int): Column = {
     val toks = tokens(text)
     array_distinct(when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
@@ -98,8 +109,17 @@ object TextAnalysis {
 
   /** Heuristic language ID: CJK characters → zh; otherwise the language
     * whose marker words hit most (ties broken by profile order); no hits
-    * → "und". Deterministic, partition-local. */
-  def langId(text: Column): Column = {
+    * → "und". Deterministic, partition-local.
+    *
+    * Native single-scan kernel ([[graft.expressions.LangIdExpr]]); the
+    * five-regex formulation ([[langIdHof]]) is kept for
+    * cross-validation. A `\b(w…)\b` match over lowered text is exactly a
+    * maximal word-character run equal to a marker word, so the run scan
+    * is value-identical on non-null text. */
+  def langId(text: Column): Column = graft.expressions.native.langId(text)
+
+  /** Reference regex formulation of [[langId]]. */
+  private[graft] def langIdHof(text: Column): Column = {
     val lowered = lower(text)
     val scores = LangMarkers.map { case (lang, pattern) =>
       (lang, countMatches(lowered, pattern))
@@ -118,34 +138,40 @@ object TextAnalysis {
   /** Min-hash document fingerprint: the smallest md5 over the document's
     * word n-gram shingles. Identical content → identical fingerprint;
     * near-identical content → equal with probability ≈ Jaccard
-    * similarity. Empty shingle set → md5 of the whole trimmed text. */
-  def minShingleFingerprint(text: Column, n: Int = 3): Column = {
-    val sh = shingles(text, n)
+    * similarity. Empty shingle set → md5 of the whole trimmed text.
+    *
+    * Native single-pass kernel — no shingle array is materialized. */
+  def minShingleFingerprint(text: Column, n: Int = 3): Column =
+    graft.expressions.native.minShingleFingerprint(text, n)
+
+  /** Reference formulation of [[minShingleFingerprint]] (interpreted
+    * array fold; kept for cross-validation). */
+  private[graft] def minShingleFingerprintHof(text: Column, n: Int = 3)
+      : Column = {
+    val sh = shinglesHof(text, n)
     when(size(sh) > 0, array_min(transform(sh, s => md5(s))))
       .otherwise(md5(lower(trim(text))))
   }
 
-  /** [[minShingleFingerprint]] as a table op: explode + codegen'd min
-    * aggregate (same values, much faster on large corpora); docs with
-    * fewer than n tokens fall back to the whole-text md5. */
+  /** [[minShingleFingerprint]] as a table op. With the native kernel
+    * this is ONE codegen'd map stage over the corpus — no explode, no
+    * shuffle, no join (the previous explode + min-aggregate + join plan
+    * cost two shuffles and ~10× the time). */
   def fingerprintTable(df: org.apache.spark.sql.DataFrame,
       idCol: Column, textCol: Column, n: Int = 3)
-      : org.apache.spark.sql.DataFrame = {
-    val base = df.select(idCol.as("id"), textCol.as("text"))
-    val mins = base
-      .select(col("id"), explode(shingles(col("text"), n)).as("s"))
-      .groupBy(col("id")).agg(min(md5(col("s"))).as("min_fp"))
-    base.join(mins, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("min_fp"), md5(lower(trim(col("text")))))
-          .as("fingerprint"))
-  }
+      : org.apache.spark.sql.DataFrame =
+    df.select(idCol.as("id"),
+      minShingleFingerprint(textCol, n).as("fingerprint"))
 
   /** Order-sensitive rolling (polynomial) hash over tokens:
-    * `acc = acc * 31 + tokenHash (mod 2^61-1)`. Distinguishes documents
+    * `acc = acc * 31 + tokenHash (mod P)`. Distinguishes documents
     * that are permutations of each other (where set-based fingerprints
-    * collide). */
-  def rollingHash(text: Column): Column = {
+    * collide). Native kernel; [[rollingHashHof]] is the reference
+    * formulation. */
+  def rollingHash(text: Column): Column =
+    graft.expressions.native.rollingHash(text)
+
+  private[graft] def rollingHashHof(text: Column): Column = {
     // modulus keeps acc*31 + tokenHash < 2^35 — no ANSI overflow
     val P = 1000000007L
     val toks = tokens(text)
