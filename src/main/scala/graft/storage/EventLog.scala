@@ -134,6 +134,31 @@ final class EventLog(
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  /** Drop whole bucket directories that end at or before `ts` —
+    * retention for live windows (nothing below the fire horizon can
+    * enter any future snapshot). Directory-granular and Hadoop-FS
+    * based, so it is one cheap namespace operation per expired bucket
+    * regardless of row volume. Returns the number of buckets dropped. */
+  def pruneBefore(ts: Long): Int = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val prefix = s"$BucketCol="
+    var dropped = 0
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith(prefix)) {
+        val bucket = name.stripPrefix(prefix).toLong
+        if ((bucket + 1L) * bucketMs <= ts) {
+          fs.delete(st.getPath, true)
+          dropped += 1
+        }
+      }
+    }
+    if (dropped > 0) invalidate()
+    dropped
+  }
 }
 
 object EventLog {
