@@ -24,7 +24,9 @@ import scala.jdk.CollectionConverters._
   */
 final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
     port: Int = 0, sseIdleTimeoutMs: Long = 30000,
-    storageHealth: () => Option[String] = () => None) {
+    storageHealth: () => Option[String] = () => None,
+    replayBusFactory: Option[HttpApiServer.ReplayRequest =>
+      graft.storage.ReplayBus] = None) {
 
   import HttpApiServer._
 
@@ -61,13 +63,40 @@ final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
             s"""running with storage errors","storage_status":"error",""" +
             s""""storage_error":${jstr(err)}}""")
       })
+    // rich operational status (`server.rs:319-349` OpsStatusResponse):
+    // storage + replay + per-lifecycle query counts; degraded storage →
+    // 503 like the reference
     server.createContext("/ops/status", (ex: HttpExchange) => {
-      val total = registry.list.size
-      val runningN = handles.size
-      respond(ex, 200,
-        s"""{"status":"ok","storage_status":"ok",""" +
-          s""""queries":{"registered":$total,"running":$runningN}}""")
+      val ids = registry.list.map(_.queryId)
+      val statuses = ids.map(id => api.status(id)
+        .map(statusString).getOrElse("Registered"))
+      def n(p: String => Boolean) = statuses.count(p)
+      val queries =
+        s"""{"total_registered_queries":${ids.size},""" +
+          s""""active_runtime_queries":${handles.size},""" +
+          s""""registered_queries":${n(_ == "Registered")},""" +
+          s""""warming_baseline_queries":${n(_ == "WarmingBaseline")},""" +
+          s""""running_queries":${n(_ == "Running")},""" +
+          s""""stopped_queries":${n(_ == "Stopped")},""" +
+          s""""failed_queries":${n(_.startsWith("Failed"))}}"""
+      val (code, status, message, storage) = storageHealth() match {
+        case None => (200, "ok", "graft HTTP API is running",
+          """{"status":"ok","background_flush_error":null}""")
+        case Some(err) => (503, "degraded",
+          "graft HTTP API is running with degraded storage",
+          s"""{"status":"error","background_flush_error":${jstr(err)}}""")
+      }
+      respond(ex, code,
+        s"""{"status":${jstr(status)},"message":${jstr(message)},""" +
+          s""""storage":$storage,"replay":${replayStatusJson()},""" +
+          s""""queries":$queries}""")
     })
+    server.createContext("/api/replay", (ex: HttpExchange) =>
+      try routeReplay(ex)
+      catch {
+        case e: Exception =>
+          respond(ex, 500, s"""{"error":${jstr(e.getMessage)}}""")
+      })
     server.createContext("/api/queries", (ex: HttpExchange) =>
       try route(ex)
       catch {
@@ -103,6 +132,112 @@ final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
         handleResults(ex, id)
       case _ => respond(ex, 404, """{"error":"not found"}""")
     }
+  }
+
+  // ---- replay control (`server.rs:281-283,550-705`) -------------------
+
+  /** Replay lifecycle state; counters survive a stop so status keeps
+    * reporting the finished run (the reference keeps Arc'd counters in
+    * ReplayState the same way). */
+  private val replayLock = new Object
+  private var replayBus: Option[graft.storage.ReplayBus] = None
+  private var replayRunning = false
+  private var replayStartedAt = 0L
+
+  private def routeReplay(ex: HttpExchange): Unit = {
+    val parts = ex.getRequestURI.getPath.stripSuffix("/")
+      .split("/").filter(_.nonEmpty).toList
+    (ex.getRequestMethod, parts) match {
+      case ("POST", List("api", "replay", "start")) => handleReplayStart(ex)
+      case ("POST", List("api", "replay", "stop"))  => handleReplayStop(ex)
+      case ("GET", List("api", "replay", "status")) =>
+        respond(ex, 200, replayStatusJson())
+      case _ => respond(ex, 404, """{"error":"not found"}""")
+    }
+  }
+
+  private def handleReplayStart(ex: HttpExchange): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(),
+      StandardCharsets.UTF_8)
+    val factory = replayBusFactory.getOrElse {
+      respond(ex, 400,
+        """{"error":"replay storage is not configured on this server"}""")
+      return
+    }
+    val inputFile = jfield(body, "input_file").getOrElse {
+      respond(ex, 400, """{"error":"input_file is required"}""")
+      return
+    }
+    // defaults mirror StartReplayRequest's serde defaults
+    // (`server.rs:102-127`): broker "none", rate 0 = unpaced, no loop,
+    // add_timestamps on
+    val brokerType = jfield(body, "broker_type").getOrElse("none").toLowerCase
+    if (brokerType != "none" && brokerType != "mqtt") {
+      respond(ex, 400, s"""{"error":${jstr(
+        s"Invalid broker type: $brokerType. Use 'mqtt' or 'none'")}}""")
+      return
+    }
+    if (brokerType == "mqtt") {
+      // the MQTT transport is a seam without a broker in this build
+      // (SURVEY.md §2.1 S3) — fail the request honestly instead of
+      // silently downgrading to storage-only replay
+      respond(ex, 400,
+        """{"error":"mqtt broker transport is not available in this build; use broker_type 'none'"}""")
+      return
+    }
+    val request = ReplayRequest(
+      inputFile = inputFile,
+      rateEventsPerSec = jnum(body, "rate_of_publishing").filter(_ > 0),
+      loopFile = jbool(body, "loop_file").getOrElse(false),
+      addTimestamps = jbool(body, "add_timestamps").getOrElse(true))
+    replayLock.synchronized {
+      if (replayRunning) {
+        respond(ex, 400, """{"error":"Replay is already running"}""")
+        return
+      }
+      val bus = factory(request)
+      replayBus = Some(bus)
+      replayRunning = true
+      replayStartedAt = System.currentTimeMillis()
+      val t = new Thread(() => {
+        try bus.run()
+        finally replayLock.synchronized { replayRunning = false }
+      }, "graft-replay-bus")
+      t.setDaemon(true)
+      t.start()
+    }
+    respond(ex, 200, s"""{"message":${jstr(
+      s"Stream bus replay started with file: $inputFile")}}""")
+  }
+
+  private def handleReplayStop(ex: HttpExchange): Unit =
+    replayLock.synchronized {
+      if (!replayRunning) {
+        respond(ex, 400, """{"error":"Replay is not running"}""")
+      } else {
+        replayBus.foreach(_.stop())
+        replayRunning = false
+        respond(ex, 200, """{"message":"Stream bus replay stopped"}""")
+      }
+    }
+
+  /** ReplayStatusResponse shape (`server.rs:143-152,689-715`): counters
+    * persist after a run; rates report 0 when idle. */
+  private def replayStatusJson(): String = replayLock.synchronized {
+    val m = replayBus.map(_.metrics)
+    val read = m.map(_.linesRead).getOrElse(0L)
+    val published = m.map(_.published).getOrElse(0L)
+    val stored = m.map(_.stored).getOrElse(0L)
+    val errors = m.map(_.errors).getOrElse(0L)
+    val elapsedSec =
+      if (replayRunning)
+        (System.currentTimeMillis() - replayStartedAt) / 1000.0
+      else 0.0
+    val eps = if (elapsedSec > 0.0) read / elapsedSec else 0.0
+    s"""{"is_running":$replayRunning,"events_read":$read,""" +
+      s""""events_published":$published,"events_stored":$stored,""" +
+      s""""publish_errors":$errors,"storage_errors":0,""" +
+      s""""events_per_second":$eps,"elapsed_seconds":$elapsedSec}"""
   }
 
   private def handleRegister(ex: HttpExchange): Unit = {
@@ -200,13 +335,14 @@ final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
     } else respond(ex, 404, """{"error":"unknown query"}""")
   }
 
-  /** SSE result feed: one `data:` line per QueryResult. */
-  private def handleResults(ex: HttpExchange, id: String): Unit = {
+  /** Subscribe a fresh queue to a running query's result feed: replay
+    * of already-produced results + live fan-out, atomically. Returns
+    * the queue and an unsubscribe action; None when the query is not
+    * running. Shared by the SSE route and the WebSocket listener. */
+  private[http] def subscribe(id: String)
+      : Option[(LinkedBlockingQueue[String], () => Unit)] = {
     val queues = subscribers.get(id)
-    if (queues == null) {
-      respond(ex, 404, """{"error":"query is not running"}""")
-      return
-    }
+    if (queues == null) return None
     val q = new LinkedBlockingQueue[String]()
     // subscribe + replay under the fan-out lock: results already
     // produced land in the queue exactly once, new ones via fan-out
@@ -216,6 +352,17 @@ final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
         queues.add(q)
       }
       case None => queues.add(q)
+    }
+    Some((q, () => { queues.remove(q); () }))
+  }
+
+  /** SSE result feed: one `data:` line per QueryResult. */
+  private def handleResults(ex: HttpExchange, id: String): Unit = {
+    val (q, unsubscribe) = subscribe(id) match {
+      case None =>
+        respond(ex, 404, """{"error":"query is not running"}""")
+        return
+      case Some(sub) => sub
     }
     try {
       ex.getResponseHeaders.add("Content-Type", "text/event-stream")
@@ -233,7 +380,7 @@ final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
         } else open = false // idle timeout closes the stream
       }
       out.close()
-    } finally queues.remove(q)
+    } finally unsubscribe()
   }
 
   private def resultJson(r: JanusApi.QueryResult): String = {
@@ -267,6 +414,26 @@ final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
 
 object HttpApiServer {
 
+  /** Parsed replay-start request (StartReplayRequest,
+    * `server.rs:102-127`; topics/mqtt_config omitted — broker "none" is
+    * the only transport in this build). */
+  final case class ReplayRequest(
+      inputFile: String,
+      rateEventsPerSec: Option[Double],
+      loopFile: Boolean,
+      addTimestamps: Boolean)
+
+  /** Standard factory: replay an N-Quads file into the given event log
+    * (broker "none" semantics — store, no publish transport). */
+  def replayFactory(spark: org.apache.spark.sql.SparkSession,
+      storage: graft.storage.EventLog)
+      : ReplayRequest => graft.storage.ReplayBus =
+    req => new graft.storage.ReplayBus(spark, req.inputFile,
+      storage = Some(storage),
+      rateEventsPerSec = req.rateEventsPerSec,
+      loopCount = if (req.loopFile) Int.MaxValue else 1,
+      overwriteTimestamps = req.addTimestamps)
+
   /** Minimal JSON string-field extractor for the flat request bodies
     * this API accepts ({"query_id": "...", "janusql": "...", ...}). */
   def jfield(json: String, name: String): Option[String] = {
@@ -279,6 +446,24 @@ object HttpApiServer {
         .replace("\\n", "\n").replace("\\t", "\t").replace("\\r", "\r")
         .replace("\\\"", "\"").replace("\\\\", "\\"))
     else None
+  }
+
+  /** Numeric field extractor (flat JSON, no nesting). */
+  def jnum(json: String, name: String): Option[Double] = {
+    val m = java.util.regex.Pattern
+      .compile("\"" + java.util.regex.Pattern.quote(name) +
+        "\"\\s*:\\s*(-?[0-9]+(?:\\.[0-9]+)?)")
+      .matcher(json)
+    if (m.find()) Some(m.group(1).toDouble) else None
+  }
+
+  /** Boolean field extractor (flat JSON, no nesting). */
+  def jbool(json: String, name: String): Option[Boolean] = {
+    val m = java.util.regex.Pattern
+      .compile("\"" + java.util.regex.Pattern.quote(name) +
+        "\"\\s*:\\s*(true|false)")
+      .matcher(json)
+    if (m.find()) Some(m.group(1).toBoolean) else None
   }
 
   def jstr(s: String): String =

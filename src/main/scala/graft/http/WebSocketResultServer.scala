@@ -1,0 +1,250 @@
+package graft.http
+
+import java.io.{BufferedInputStream, BufferedOutputStream, InputStream,
+  OutputStream}
+import java.net.{ServerSocket, Socket, SocketTimeoutException}
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import java.util.Base64
+import java.util.concurrent.TimeUnit
+
+/** WebSocket result feed — the reference's
+  * `GET /api/queries/:id/results` WS route (`server.rs:475-548`) with
+  * the SAME message schema (`query_id`/`timestamp`/`source`/`bindings`)
+  * over an RFC 6455 server handshake + text frames, hand-rolled on the
+  * JDK socket API (the container has no WS library; the JDK's
+  * HttpServer cannot hijack connections for upgrades, so WS listens on
+  * its own port as a companion to the REST server).
+  *
+  * Supported surface: HTTP/1.1 upgrade handshake (Sec-WebSocket-Accept
+  * per RFC 6455 §4.2.2), unfragmented server→client text frames with
+  * 7/16/64-bit lengths, masked client frames for CLOSE (echoed, then
+  * the socket closes) and PING (answered with PONG). That is the whole
+  * contract the reference's result feed exercises — it only pushes
+  * text messages and reacts to disconnects.
+  */
+final class WebSocketResultServer(api: HttpApiServer, port: Int = 0,
+    idleTimeoutMs: Long = 30000) {
+
+  private val server = new ServerSocket(port)
+  @volatile private var closed = false
+
+  def boundPort: Int = server.getLocalPort
+
+  private val acceptor = new Thread(() => {
+    while (!closed) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => handle(sock), "graft-ws-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Exception => () /* closed */ }
+    }
+  }, "graft-ws-acceptor")
+
+  def start(): Unit = {
+    acceptor.setDaemon(true)
+    acceptor.start()
+  }
+
+  def stop(): Unit = {
+    closed = true
+    server.close()
+  }
+
+  // ---- connection handling --------------------------------------------
+
+  private val ResultsPath =
+    java.util.regex.Pattern.compile("/api/queries/([^/]+)/results/?")
+
+  private def handle(sock: Socket): Unit = {
+    try {
+      sock.setSoTimeout(250)
+      val in = new BufferedInputStream(sock.getInputStream)
+      val out = new BufferedOutputStream(sock.getOutputStream)
+      val (requestLine, headers) = readRequest(in)
+      val parts = requestLine.split(" ")
+      if (parts.length < 2 || parts(0) != "GET") {
+        httpError(out, 400, "only GET upgrade requests are supported")
+        return
+      }
+      val m = ResultsPath.matcher(parts(1))
+      if (!m.matches()) {
+        httpError(out, 404, "not found")
+        return
+      }
+      val queryId = java.net.URLDecoder.decode(m.group(1), "UTF-8")
+      val key = headers.get("sec-websocket-key")
+      val isUpgrade = headers.get("upgrade").exists(
+        _.equalsIgnoreCase("websocket"))
+      if (!isUpgrade || key.isEmpty) {
+        httpError(out, 400, "websocket upgrade required")
+        return
+      }
+      api.subscribe(queryId) match {
+        case None =>
+          httpError(out, 404, "query is not running")
+        case Some((queue, unsubscribe)) =>
+          try {
+            val accept = Base64.getEncoder.encodeToString(
+              MessageDigest.getInstance("SHA-1").digest(
+                (key.get + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11")
+                  .getBytes(StandardCharsets.US_ASCII)))
+            out.write((
+              "HTTP/1.1 101 Switching Protocols\r\n" +
+                "Upgrade: websocket\r\n" +
+                "Connection: Upgrade\r\n" +
+                s"Sec-WebSocket-Accept: $accept\r\n\r\n")
+              .getBytes(StandardCharsets.US_ASCII))
+            out.flush()
+            pump(in, out, queue)
+          } finally unsubscribe()
+      }
+    } catch {
+      case _: Exception => ()
+    } finally {
+      try sock.close() catch { case _: Exception => () }
+    }
+  }
+
+  /** Push results as text frames until close/idle/disconnect,
+    * answering PING and echoing CLOSE per RFC 6455 §5.5. */
+  private def pump(in: InputStream, out: OutputStream,
+      queue: java.util.concurrent.LinkedBlockingQueue[String]): Unit = {
+    val idleDeadline = () => System.currentTimeMillis() + idleTimeoutMs
+    var deadline = idleDeadline()
+    var open = true
+    while (open) {
+      // client control frames: only read when bytes are already
+      // buffered, so a socket timeout can never split a frame
+      if (in.available() > 0) {
+        try {
+          readFrame(in) match {
+            case Some((0x8, payload)) => // CLOSE: echo and finish
+              writeFrame(out, 0x8, payload)
+              open = false
+            case Some((0x9, payload)) => // PING → PONG
+              writeFrame(out, 0xA, payload)
+            case Some(_) => () // text/binary/pong from client: ignored
+            case None => open = false // EOF
+          }
+        } catch {
+          case _: SocketTimeoutException => () // truncated frame — skip
+        }
+      }
+      if (open) {
+        val msg = queue.poll(50, TimeUnit.MILLISECONDS)
+        if (msg != null) {
+          writeFrame(out, 0x1, msg.getBytes(StandardCharsets.UTF_8))
+          deadline = idleDeadline()
+        } else if (System.currentTimeMillis() > deadline) {
+          writeFrame(out, 0x8, Array(0x03.toByte, 0xE8.toByte)) // 1000
+          open = false
+        }
+      }
+    }
+  }
+
+  // ---- wire helpers ----------------------------------------------------
+
+  private def readRequest(in: InputStream)
+      : (String, Map[String, String]) = {
+    val sb = new StringBuilder
+    // append-then-check: reading one byte past the terminator would
+    // block on a socket that has sent its whole request
+    var done = false
+    while (!done) {
+      val b = in.read()
+      if (b == -1) done = true
+      else {
+        sb.append(b.toChar)
+        if (sb.endsWith("\r\n\r\n")) done = true
+        if (sb.length > 65536) throw new IllegalArgumentException(
+          "oversized request header")
+      }
+    }
+    val lines = sb.toString.split("\r\n").filter(_.nonEmpty)
+    val headers = lines.drop(1).flatMap { l =>
+      l.split(":", 2) match {
+        case Array(k, v) => Some(k.trim.toLowerCase -> v.trim)
+        case _           => None
+      }
+    }.toMap
+    (lines.headOption.getOrElse(""), headers)
+  }
+
+  /** One (possibly masked) client frame: (opcode, unmasked payload).
+    * None at EOF. */
+  private def readFrame(in: InputStream): Option[(Int, Array[Byte])] = {
+    val b0 = in.read()
+    if (b0 == -1) return None
+    val opcode = b0 & 0x0F
+    val b1 = in.read()
+    if (b1 == -1) return None
+    val masked = (b1 & 0x80) != 0
+    var len: Long = (b1 & 0x7F).toLong
+    if (len == 126) {
+      len = ((in.read() & 0xFF) << 8 | (in.read() & 0xFF)).toLong
+    } else if (len == 127) {
+      len = 0L
+      (0 until 8).foreach(_ => len = (len << 8) | (in.read() & 0xFF))
+    }
+    if (len > (1L << 20)) throw new IllegalArgumentException(
+      "oversized client frame")
+    val mask = new Array[Byte](4)
+    if (masked) {
+      var read = 0
+      while (read < 4) {
+        val n = in.read(mask, read, 4 - read)
+        if (n < 0) return None
+        read += n
+      }
+    }
+    val payload = new Array[Byte](len.toInt)
+    var off = 0
+    while (off < len) {
+      val n = in.read(payload, off, len.toInt - off)
+      if (n < 0) return None
+      off += n
+    }
+    if (masked) {
+      var i = 0
+      while (i < payload.length) {
+        payload(i) = (payload(i) ^ mask(i % 4)).toByte
+        i += 1
+      }
+    }
+    Some((opcode, payload))
+  }
+
+  /** One unmasked (server→client) frame, FIN set. */
+  private def writeFrame(out: OutputStream, opcode: Int,
+      payload: Array[Byte]): Unit = {
+    out.write(0x80 | opcode)
+    val n = payload.length
+    if (n < 126) out.write(n)
+    else if (n < 65536) {
+      out.write(126); out.write(n >> 8); out.write(n & 0xFF)
+    } else {
+      out.write(127)
+      (7 to 0 by -1).foreach(s => out.write(((n.toLong >> (8 * s)) & 0xFF).toInt))
+    }
+    out.write(payload)
+    out.flush()
+  }
+
+  private def httpError(out: OutputStream, code: Int, msg: String): Unit = {
+    val body = s"""{"error":${HttpApiServer.jstr(msg)}}"""
+    val reason = code match {
+      case 400 => "Bad Request"
+      case 404 => "Not Found"
+      case _   => "Error"
+    }
+    out.write((s"HTTP/1.1 $code $reason\r\n" +
+      "Content-Type: application/json\r\n" +
+      s"Content-Length: ${body.getBytes(StandardCharsets.UTF_8).length}\r\n" +
+      "Connection: close\r\n\r\n" + body)
+      .getBytes(StandardCharsets.UTF_8))
+    out.flush()
+  }
+}

@@ -119,12 +119,122 @@ class HttpApiServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
-  test("ops status reports query counts") {
+  test("ops status reports storage, replay and query-lifecycle counts " +
+      "(OpsStatusResponse shape, server.rs:166-174)") {
     withServer { (c, base) =>
       post(c, s"$base/api/queries", registerBody)
       val r = get(c, s"$base/ops/status")
       assert(r.statusCode() === 200)
-      assert(r.body().contains("\"registered\":1"))
+      assert(r.body().contains("\"total_registered_queries\":1"))
+      assert(r.body().contains("\"registered_queries\":1"))
+      assert(r.body().contains("\"running_queries\":0"))
+      assert(r.body().contains("\"storage\":{\"status\":\"ok\""))
+      assert(r.body().contains("\"replay\":{\"is_running\":false"))
+    }
+  }
+
+  // ---- /api/replay/* (server.rs:281-283,550-705 +
+  //      stream_bus_cli_test.rs semantics) ------------------------------
+
+  private def withReplayServer(f: (HttpClient, String,
+      graft.storage.EventLog) => Unit): Unit = {
+    val registry = new QueryRegistry()
+    val api = new JanusApi(spark, registry, _ => store, () => 10000L)
+    val dir = java.nio.file.Files.createTempDirectory("replay-http")
+    val log = new graft.storage.EventLog(spark,
+      dir.resolve("log").toString, bucketMs = 86400000L)
+    val server = new HttpApiServer(api, registry, sseIdleTimeoutMs = 3000,
+      replayBusFactory = Some(HttpApiServer.replayFactory(spark, log)))
+    server.start()
+    try f(HttpClient.newHttpClient(),
+      s"http://127.0.0.1:${server.boundPort}", log)
+    finally server.stop()
+  }
+
+  private def writeNquads(lines: Seq[String]): String = {
+    val file = java.nio.file.Files.createTempFile("replay", ".nq")
+    java.nio.file.Files.write(file,
+      lines.mkString("\n").getBytes("UTF-8"))
+    file.toString
+  }
+
+  test("replay lifecycle: start → status counters → storage landed") {
+    withReplayServer { (c, base, log) =>
+      val file = writeNquads((0 until 25).map(i =>
+        s"""${i * 100} <http://e.org/s$i> <http://e.org/p> "$i" ."""))
+      val r = post(c, s"$base/api/replay/start",
+        s"""{"input_file": ${HttpApiServer.jstr(file)}, "broker_type": "none", "add_timestamps": false}""")
+      assert(r.statusCode() === 200)
+      assert(r.body().contains("Stream bus replay started with file"))
+      // wait for the (tiny) replay to finish
+      val deadline = System.currentTimeMillis() + 30000
+      var status = ""
+      while (System.currentTimeMillis() < deadline &&
+          !status.contains("\"is_running\":false")) {
+        Thread.sleep(100)
+        status = get(c, s"$base/api/replay/status").body()
+      }
+      assert(status.contains("\"is_running\":false"))
+      assert(status.contains("\"events_read\":25"))
+      assert(status.contains("\"events_published\":25"))
+      assert(status.contains("\"events_stored\":25"))
+      assert(status.contains("\"publish_errors\":0"))
+      assert(log.read().count() === 25)
+      // idle status reports zero rates but keeps counters
+      assert(status.contains("\"elapsed_seconds\":0"))
+    }
+  }
+
+  test("replay double-start is rejected while running; stop ends it") {
+    withReplayServer { (c, base, _) =>
+      // slow replay (rate-limited) so it is still running at double-start
+      val file = writeNquads((0 until 2000).map(i =>
+        s"""${i} <http://e.org/s$i> <http://e.org/p> "$i" ."""))
+      val r1 = post(c, s"$base/api/replay/start",
+        s"""{"input_file": ${HttpApiServer.jstr(file)}, "rate_of_publishing": 50}""")
+      assert(r1.statusCode() === 200)
+      val r2 = post(c, s"$base/api/replay/start",
+        s"""{"input_file": ${HttpApiServer.jstr(file)}}""")
+      assert(r2.statusCode() === 400)
+      assert(r2.body().contains("Replay is already running"))
+      val running = get(c, s"$base/api/replay/status").body()
+      assert(running.contains("\"is_running\":true"))
+      val stop = post(c, s"$base/api/replay/stop")
+      assert(stop.statusCode() === 200)
+      assert(stop.body().contains("Stream bus replay stopped"))
+      // second stop → 400 (reference: "Replay is not running")
+      val stop2 = post(c, s"$base/api/replay/stop")
+      assert(stop2.statusCode() === 400)
+      assert(stop2.body().contains("Replay is not running"))
+    }
+  }
+
+  test("replay rejects bad broker types and missing input_file") {
+    withReplayServer { (c, base, _) =>
+      val bad = post(c, s"$base/api/replay/start",
+        """{"input_file": "/tmp/x.nq", "broker_type": "kafka"}""")
+      assert(bad.statusCode() === 400)
+      assert(bad.body().contains("Invalid broker type"))
+      // mqtt transport is honestly unavailable in this build
+      val mqtt = post(c, s"$base/api/replay/start",
+        """{"input_file": "/tmp/x.nq", "broker_type": "mqtt"}""")
+      assert(mqtt.statusCode() === 400)
+      val missing = post(c, s"$base/api/replay/start", """{}""")
+      assert(missing.statusCode() === 400)
+      assert(missing.body().contains("input_file is required"))
+    }
+  }
+
+  test("replay routes without a configured factory fail cleanly") {
+    withServer { (c, base) =>
+      val r = post(c, s"$base/api/replay/start",
+        """{"input_file": "/tmp/x.nq"}""")
+      assert(r.statusCode() === 400)
+      assert(r.body().contains("not configured"))
+      // status still answers (all-zero idle snapshot)
+      val s = get(c, s"$base/api/replay/status")
+      assert(s.statusCode() === 200)
+      assert(s.body().contains("\"is_running\":false"))
     }
   }
 }
