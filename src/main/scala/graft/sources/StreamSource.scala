@@ -33,18 +33,24 @@ final class InMemorySource extends StreamSource {
     }
 }
 
-/** MQTT-shaped source adapter (S3). The transport is intentionally left
-  * as a seam (this environment is egress-free and has no broker/MQTT
-  * client); the behavioral pieces the reference defines around the
-  * transport are implemented and tested:
+/** MQTT-shaped source adapter (S3):
   *   - URI parsing `mqtt[s]://host:port/topic` with the legacy fallback
   *     (any other scheme → localhost:1883, last path segment as topic,
   *     `/root/reference/src/api/janus_api.rs:846-880`);
   *   - payload handling: each message parses as one N-Quads line, the
   *     timestamp is OVERWRITTEN with arrival time and the graph cleared
-  *     (`src/stream/mqtt_subscriber.rs:146-152`).
+  *     (`src/stream/mqtt_subscriber.rs:146-152`);
+  *   - [[source]] builds the concrete QoS-0 MQTT 3.1.1 transport
+  *     ([[MqttStreamSource]]) for an endpoint — exercised against an
+  *     in-process broker in MqttTransportSpec (the environment has no
+  *     external broker).
   */
 object MqttAdapter {
+
+  /** Concrete transport for a parsed endpoint. */
+  def source(endpoint: MqttEndpoint,
+      clientId: String = "graft_subscriber"): MqttStreamSource =
+    new MqttStreamSource(endpoint.host, endpoint.port, clientId)
 
   final case class MqttEndpoint(host: String, port: Int, topic: String)
 
