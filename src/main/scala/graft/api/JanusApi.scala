@@ -104,7 +104,8 @@ final class JanusApi(
     spark: SparkSession,
     registry: QueryRegistry,
     logProvider: String => DataFrame,
-    clock: () => Long = () => System.currentTimeMillis()) {
+    clock: () => Long = () => System.currentTimeMillis(),
+    scaleLiveLogFactory: Option[String => graft.storage.EventLog] = None) {
 
   import JanusApi._
 
@@ -113,8 +114,21 @@ final class JanusApi(
       resultQueue: LinkedBlockingQueue[QueryResult],
       statusRef: java.util.concurrent.atomic.AtomicReference[ExecutionStatus],
       val live: Option[LiveStreamProcessing],
+      /** Cluster-scale live execution (present when the api was built
+        * with `scaleLiveLogFactory`): the compiled query runs per fire
+        * over EventLog-backed distributed windows instead of a
+        * driver-side event buffer. */
+      val compiledLive: Option[graft.streaming.CompiledLiveStream],
       threads: Seq[Thread],
       warmupDone: CountDownLatch) {
+
+    /** Feed live events through whichever live path is active. */
+    def addLiveEvents(streamUri: String, events: Seq[graft.core.RdfEvent])
+        : Unit = {
+      live.foreach(_.addEvents(streamUri, events))
+      compiledLive.foreach(_.processBatch(graft.core.RdfEvent.toDF(
+        spark, events.map(_.copy(graph = streamUri)))))
+    }
 
     def status: ExecutionStatus = statusRef.get
 
@@ -167,12 +181,27 @@ final class JanusApi(
       if (isHybrid) ExecutionStatus.WarmingBaseline else ExecutionStatus.Running)
     val warmupDone = new CountDownLatch(if (isHybrid) 1 else 0)
 
-    val live = if (parsed.liveWindows.nonEmpty) {
-      val p = new LiveStreamProcessing(spark, meta.queryText)
-      parsed.liveWindows.foreach(w => p.registerStream(w.streamName))
-      p.startProcessing()
-      Some(p)
-    } else None
+    // scale mode: the compiled plan per fire over distributed windows;
+    // one QueryResult per solution, like the parity poller emits
+    val compiledLive =
+      if (parsed.liveWindows.nonEmpty && scaleLiveLogFactory.isDefined) {
+        val log = scaleLiveLogFactory.get(queryId)
+        val sink: (DataFrame, Long, Long) => Unit = (df, _, to) =>
+          collectBindings(df, Seq.empty).foreach { b =>
+            registry.incrementExecutions(queryId)
+            queue.put(QueryResult(queryId, to, ResultSource.Live, Seq(b)))
+          }
+        Some(new graft.streaming.CompiledLiveStream(spark, meta.queryText,
+          log, sink))
+      } else None
+
+    val live =
+      if (parsed.liveWindows.nonEmpty && compiledLive.isEmpty) {
+        val p = new LiveStreamProcessing(spark, meta.queryText)
+        parsed.liveWindows.foreach(w => p.registerStream(w.streamName))
+        p.startProcessing()
+        Some(p)
+      } else None
 
     // live results drain into the unified queue via a poller thread
     // (reference: 10 ms try_receive loop, janus_api.rs:443-471)
@@ -247,6 +276,8 @@ final class JanusApi(
           val statements = computeBaseline(parsed, targetWindow, mode, now)
           live.foreach(_.addStaticData(
             BaselineBootstrap.asStaticQuads(statements)))
+          compiledLive.foreach(_.setStaticData(graft.core.RdfEvent.toDF(
+            spark, BaselineBootstrap.asStaticQuads(statements))))
           if (statusRef.compareAndSet(ExecutionStatus.WarmingBaseline,
             ExecutionStatus.Running)) ()
         } catch {
@@ -261,7 +292,7 @@ final class JanusApi(
 
     // completion watcher: historical-only queries flip to Completed once
     // every window worker finished (`janus_api.rs` status transitions)
-    if (live.isEmpty) {
+    if (live.isEmpty && compiledLive.isEmpty) {
       val t = new Thread(() => {
         historicalThreads.foreach(_.join())
         statusRef.compareAndSet(ExecutionStatus.Running,
@@ -272,6 +303,7 @@ final class JanusApi(
     }
 
     val handle = new QueryHandle(queryId, queue, statusRef, live,
+      compiledLive,
       historicalThreads ++ pollerThread.toSeq ++ baselineThread.toSeq,
       warmupDone)
     running.put(queryId, handle)

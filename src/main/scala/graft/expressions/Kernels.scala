@@ -137,6 +137,37 @@ object Kernels {
     acc
   }
 
+  /** Mean token length in CODEPOINTS (Spark's `length()` counts
+    * characters, not UTF-16 units) — TextAnalysis.meanWordLength; zero
+    * tokens → 0.0 (unreachable after split, which yields [""] for empty
+    * text, but kept for the Column formulation's `otherwise`). */
+  def meanWordLength(text: UTF8String): Double = {
+    val toks = tokensOfTrimmed(loweredTrimmed(text))
+    if (toks.length == 0) return 0.0
+    var sum = 0L
+    var i = 0
+    while (i < toks.length) {
+      sum += toks(i).codePointCount(0, toks(i).length)
+      i += 1
+    }
+    sum.toDouble / toks.length.toDouble
+  }
+
+  /** Fraction of tokens contained in `stopwords` —
+    * TextAnalysis.stopwordRatio. */
+  def stopwordRatio(text: UTF8String,
+      stopwords: java.util.Set[String]): Double = {
+    val toks = tokensOfTrimmed(loweredTrimmed(text))
+    if (toks.length == 0) return 0.0
+    var hits = 0
+    var i = 0
+    while (i < toks.length) {
+      if (stopwords.contains(toks(i))) hits += 1
+      i += 1
+    }
+    hits.toDouble / toks.length.toDouble
+  }
+
   // ---- language ID -----------------------------------------------------
 
   /** Marker sets matching TextAnalysis.LangMarkers. A `\b(w1|w2|…)\b`

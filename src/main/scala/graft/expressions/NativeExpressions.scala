@@ -53,6 +53,13 @@ object native {
   /** Rolling polynomial token hash — TextAnalysis.rollingHash. */
   def rollingHash(text: Column): Column = c(RollingHashExpr(e(text)))
 
+  /** Mean token length — TextAnalysis.meanWordLength. */
+  def meanWordLength(text: Column): Column = c(MeanWordLenExpr(e(text)))
+
+  /** Stopword-token fraction — TextAnalysis.stopwordRatio. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    c(StopwordRatioExpr(e(text), stopwords))
+
   /** Cosine similarity over two array<double> columns (null on zero
     * norm) — Ann.cosine without the interpreted fold. */
   def cosine(a: Column, b: Column): Column = c(CosineSimExpr(e(a), e(b)))
@@ -169,6 +176,42 @@ final case class RollingHashExpr(child: Expression)
     defineCodeGen(ctx, ev, cv => s"graft.expressions.Kernels.rollingHash($cv)")
   override protected def withNewChildInternal(newChild: Expression)
       : RollingHashExpr = copy(child = newChild)
+}
+
+final case class MeanWordLenExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_mean_word_len"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.meanWordLength(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, cv => s"graft.expressions.Kernels.meanWordLength($cv)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : MeanWordLenExpr = copy(child = newChild)
+}
+
+final case class StopwordRatioExpr(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_stopword_ratio"
+
+  @transient private lazy val set: java.util.Set[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwords.foreach(s.add)
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.stopwordRatio(input.asInstanceOf[UTF8String], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stopwords", set, "java.util.Set")
+    defineCodeGen(ctx, ev,
+      cv => s"graft.expressions.Kernels.stopwordRatio($cv, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : StopwordRatioExpr = copy(child = newChild)
 }
 
 /** Cosine over two array<double> columns; null on zero norm (and on

@@ -123,10 +123,38 @@ object GraftFunctions {
         (a: Seq[Expression]) =>
           GreaterThan(Abs(Subtract(num(a(0)), num(a(1)))), num(a(2)))))
 
+  /** Foldable int argument (e.g. shingle size) — must be a literal. */
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  // native single-pass text/vector kernels on the SQL surface
+  // (graft.expressions.*): shingling, fingerprints, simhash, language
+  // ID, rolling hash, cosine
+  private val pipelineBuilders: Seq[(String, Int, Seq[Expression] => Expression)] =
+    Seq(
+      ("graft_shingles", 2, (a: Seq[Expression]) =>
+        graft.expressions.WordShinglesExpr(a(0),
+          litInt(a(1), "shingle size"))),
+      ("graft_fingerprint", 2, (a: Seq[Expression]) =>
+        graft.expressions.MinShingleFingerprintExpr(a(0),
+          litInt(a(1), "shingle size"))),
+      ("graft_langid", 1, (a: Seq[Expression]) =>
+        graft.expressions.LangIdExpr(a(0))),
+      ("graft_simhash32", 1, (a: Seq[Expression]) =>
+        graft.expressions.SimHash32Expr(a(0), useMd5 = false)),
+      ("graft_rolling_hash", 1, (a: Seq[Expression]) =>
+        graft.expressions.RollingHashExpr(a(0))),
+      ("graft_cosine", 2, (a: Seq[Expression]) =>
+        graft.expressions.CosineSimExpr(a(0), a(1))))
+
   /** (sql name, arity, children → expression). */
   val builders: Seq[(String, Int, Seq[Expression] => Expression)] =
-    janusBuilders :+ (("graft_term_format", 1,
-      (children: Seq[Expression]) => TermFormatExpression(children.head)))
+    (janusBuilders :+ (("graft_term_format", 1,
+      (children: Seq[Expression]) =>
+        TermFormatExpression(children.head)))) ++ pipelineBuilders
 
   /** Register every function into an existing session's registry. */
   def register(spark: SparkSession): Unit =

@@ -60,7 +60,12 @@ object TextAnalysis {
     countMatches(text, "[A-Z]").cast("double") /
       greatest(length(text), lit(1)).cast("double")
 
-  def meanWordLength(text: Column): Column = {
+  /** Mean token length (native kernel; [[meanWordLengthHof]] is the
+    * interpreted-fold reference formulation). */
+  def meanWordLength(text: Column): Column =
+    graft.expressions.native.meanWordLength(text)
+
+  private[graft] def meanWordLengthHof(text: Column): Column = {
     val toks = tokens(text)
     when(size(toks) > 0,
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
@@ -68,7 +73,12 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
-  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+  /** Stopword-token fraction (native kernel). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    graft.expressions.native.stopwordRatio(text, stopwords)
+
+  private[graft] def stopwordRatioHof(text: Column,
+      stopwords: Seq[String]): Column = {
     val toks = tokens(text)
     when(size(toks) > 0,
       size(filter(toks, t => t.isInCollection(stopwords))).cast("double") /

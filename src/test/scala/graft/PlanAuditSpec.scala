@@ -105,6 +105,31 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no codegen span in extension-function filter plan:\n$plan")
   }
 
+  test("document fingerprinting is ONE codegen'd map stage: no explode, " +
+      "no shuffle, no join") {
+    val df = SparkEntry.queries("text_fingerprint")(spark, sf)
+    val plan = executedPlan(df)
+    assert(!plan.contains("Exchange"),
+      s"fingerprint plan shuffles — should be a pure map stage:\n$plan")
+    assert(!plan.contains("Generate") && !plan.toLowerCase.contains("join"),
+      s"fingerprint plan explodes/joins — should be a pure map stage:\n$plan")
+    assert(plan.contains("*(1)"), s"fingerprint stage not codegen'd:\n$plan")
+  }
+
+  test("simhash table is shuffle-free per doc; near-dup pairs shuffle " +
+      "only on chunk keys") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val c = org.apache.spark.sql.functions.col _
+    val sims = graft.pipeline.Dedup.simhashTable(docs, c("doc_id"), c("text"))
+    val simPlan = executedPlan(sims)
+    assert(!simPlan.contains("Exchange"),
+      s"per-doc simhash must not shuffle:\n$simPlan")
+    val pairs = graft.pipeline.Dedup.simhashNearDuplicates(docs,
+      c("doc_id"), c("text"), maxHamming = 3)
+    val pairPlan = executedPlan(pairs)
+    assert(!pairPlan.toLowerCase.contains("cartesianproduct"), pairPlan)
+  }
+
   test("minhash LSH candidate generation shuffles on band keys " +
       "(sort-merge/hash join, no broadcast of the full corpus, " +
       "no cartesian)") {

@@ -199,6 +199,59 @@ class JanusApiSpec extends AnyFunSuite {
     assert(result.bindings.map(_("sensor")) === Seq("http://example.org/a"))
   }
 
+  test("scale-live mode runs the hybrid query through CompiledLiveStream " +
+      "with the same results as the parity path") {
+    val registry = new QueryRegistry()
+    val api = new JanusApi(spark, registry, _ => store, () => 10000L,
+      scaleLiveLogFactory = Some(id => new graft.storage.EventLog(spark,
+        java.nio.file.Files.createTempDirectory(s"scale-live-$id")
+          .resolve("log").toString, bucketMs = 1000L)))
+    api.registerQuery("hybrid2",
+      """PREFIX ex: <http://example.org/>
+        |PREFIX baseline: <https://janus.rs/baseline#>
+        |PREFIX janus: <https://janus.rs/fn#>
+        |REGISTER RStream ex:out AS
+        |SELECT ?sensor ?live ?hist
+        |FROM NAMED WINDOW ex:hist ON LOG ex:store [START 0 END 9000]
+        |FROM NAMED WINDOW ex:live ON STREAM ex:liveStream [RANGE 1000 STEP 1000]
+        |USING BASELINE ex:hist AGGREGATE
+        |WHERE {
+        |    WINDOW ex:hist { ?sensor ex:reading ?hist }
+        |    WINDOW ex:live { ?sensor ex:reading ?live }
+        |    ?sensor baseline:hist ?mean .
+        |    FILTER(janus:absolute_threshold_exceeded(?live, ?mean, 10))
+        |}""".stripMargin)
+    val handle = api.startQuery("hybrid2")
+    assert(handle.live.isEmpty)
+    assert(handle.compiledLive.isDefined)
+    assert(handle.awaitWarmup())
+    assert(handle.status === ExecutionStatus.Running)
+    // same feed as the parity-path hybrid test: sensor0 anomaly (mean
+    // 24, live 40), sensor1 in range; a sentinel advances time to fire
+    handle.addLiveEvents("http://example.org/liveStream", Seq(
+      RdfEvent(100L, "http://example.org/sensor0",
+        "http://example.org/reading", "40", ""),
+      RdfEvent(200L, "http://example.org/sensor1",
+        "http://example.org/reading", "26", ""),
+      RdfEvent(1000L,
+        graft.streaming.LiveStreamProcessing.SentinelSubject,
+        graft.streaming.LiveStreamProcessing.SentinelPredicate,
+        graft.streaming.LiveStreamProcessing.SentinelObject, "")))
+    val deadline = System.currentTimeMillis() + 10000
+    var liveResults = Seq.empty[QueryResult]
+    while (liveResults.isEmpty && System.currentTimeMillis() < deadline) {
+      liveResults = Iterator.continually(handle.tryReceive())
+        .takeWhile(_.isDefined).flatten
+        .filter(_.source == ResultSource.Live).toSeq
+      if (liveResults.isEmpty) Thread.sleep(50)
+    }
+    assert(liveResults.nonEmpty, "expected a live anomaly result")
+    val b = liveResults.head.bindings.head
+    assert(b("sensor") === "http://example.org/sensor0")
+    assert(b("live") === "40")
+    api.stopQuery("hybrid2")
+  }
+
   test("registry enforces max queries and supports unregister/list") {
     val registry = new QueryRegistry(maxQueries = Some(1))
     val api = new JanusApi(spark, registry, _ => store)

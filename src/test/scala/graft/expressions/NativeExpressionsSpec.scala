@@ -64,6 +64,18 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(mismatch === 0)
   }
 
+  test("meanWordLength and stopwordRatio match the HOF formulations") {
+    val sw = TextAnalysis.EnglishStopwords
+    val mismatch = all.select(
+      TextAnalysis.meanWordLength(col("text")).as("mn"),
+      TextAnalysis.meanWordLengthHof(col("text")).as("mh"),
+      TextAnalysis.stopwordRatio(col("text"), sw).as("sn"),
+      TextAnalysis.stopwordRatioHof(col("text"), sw).as("sh"))
+      .where(not(col("mn") <=> col("mh")) or not(col("sn") <=> col("sh")))
+      .count()
+    assert(mismatch === 0)
+  }
+
   test("simhash32 matches the exploded table for both token hashes") {
     Seq(Dedup.xxTokenHash32 -> false, Dedup.md5TokenHash32 -> true)
       .foreach { case (hash, _) =>

@@ -34,6 +34,40 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.isNullAt(1))
   }
 
+  test("native pipeline kernels callable from SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  graft_fingerprint('alpha beta gamma delta', 3) AS fp,
+        |  md5('alpha beta gamma') AS h1, md5('beta gamma delta') AS h2,
+        |  graft_langid('the cat and the dog are in the house') AS lang,
+        |  graft_simhash32('a b a') AS sim,
+        |  size(graft_shingles('a b c d', 2)) AS nsh,
+        |  graft_rolling_hash('x y') AS rh,
+        |  graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos,
+        |  graft_cosine(array(0.0D, 0.0D), array(1.0D, 0.0D)) AS coz
+        |""".stripMargin).head()
+    // fingerprint = min md5 over the two 3-shingles
+    assert(r.getString(0) ===
+      Seq(r.getString(1), r.getString(2)).min)
+    assert(r.getString(3) === "en")
+    assert(r.getLong(4) === graft.expressions.Kernels.simhash32(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a b a"), false))
+    assert(r.getInt(5) === 3)
+    assert(r.getLong(6) === graft.expressions.Kernels.rollingHash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("x y")))
+    assert(r.getDouble(7) === 1.0)
+    assert(r.isNullAt(8)) // zero norm → null
+  }
+
+  test("graft_shingles rejects a non-literal shingle size") {
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_shingles('a b c', cast(id AS int)) FROM range(1)")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+
   test("wrong arity raises at analysis time") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_zscore(1.0)").collect()
