@@ -279,6 +279,47 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_quads"),
           min("timestamp").as("min_ts"), max("timestamp").as("max_ts"))),
 
+    // S9: opt-in surrogate-key dictionary — dense sorted ids over the
+    // IRI term columns (subject/predicate/graph; objects excluded: they
+    // carry double-formatted lexicals whose string form is not
+    // oracle-portable across engines)
+    "s9_dictionary" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("dict-oracle")
+        .resolve("dict").toString
+      val d = new graft.storage.Dictionary(s, path)
+      d.build(EventsAsQuads.quads(s, dir),
+        Seq("subject", "predicate", "graph"))
+      d.table().select(col("id"), col("value"))
+    }),
+
+    // R11: term wire-format serialization through the NATIVE expression
+    // (graft_term_format): IRI wrapping, numeric xsd:decimal typing,
+    // plain-literal quoting
+    "r11_term_format" -> ((s, dir) =>
+      EventsAsQuads.events(s, dir).select(
+        col("event_id"),
+        graft.extensions.GraftFunctions.termFormat(
+          concat(lit(EventsAsQuads.Base + "e/"), col("event_id")))
+          .as("t_iri"),
+        graft.extensions.GraftFunctions.termFormat(
+          col("user_id").cast("string")).as("t_num"),
+        graft.extensions.GraftFunctions.termFormat(col("event_type"))
+          .as("t_lit"))),
+
+    // S1: distributed N-Quads parse round-trip — serialize events to
+    // N-Quads lines in one map stage, parse them back with the
+    // distributed parser; the oracle reconstructs the expected quads
+    // directly (the parser must invert the serialization exactly)
+    "s1_parse_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val lines = EventsAsQuads.events(s, dir).select(concat(
+        col("ts_ms"), lit(s" <${EventsAsQuads.Base}e/"), col("event_id"),
+        lit(s"> <${EventsAsQuads.PType}> \""), col("event_type"),
+        lit(s"\" <${EventsAsQuads.Base}g/"), col("event_type"),
+        lit("> .")).as("line")).as[String]
+      graft.parsing.NQuadsParser.parse(lines)
+    }),
+
     // ---- LLM-data-pipeline operators over documents/embeddings ----
 
     // Exact dedup: content-hash groupBy (map-side combine)
@@ -572,6 +613,29 @@ object SparkEntry {
         |  MIN(epoch_ms(ts)) AS min_ts, MAX(epoch_ms(ts)) AS max_ts
         |FROM events
         |WHERE epoch_ms(ts) >= 1704844800000 AND epoch_ms(ts) < 1705708800000""".stripMargin,
+    "s9_dictionary" ->
+      s"""WITH terms AS (
+         |  SELECT DISTINCT $E AS value FROM events
+         |  UNION
+         |  SELECT DISTINCT 'http://graft.dev/g/' || event_type FROM events
+         |  UNION SELECT 'http://graft.dev/vocab#user'
+         |  UNION SELECT 'http://graft.dev/vocab#type'
+         |  UNION SELECT 'http://graft.dev/vocab#value')
+         |SELECT ROW_NUMBER() OVER (ORDER BY value) - 1 AS id, value
+         |FROM terms""".stripMargin,
+    "r11_term_format" ->
+      s"""SELECT event_id,
+         |  '<' || $E || '>' AS t_iri,
+         |  '"' || CAST(user_id AS VARCHAR) ||
+         |    '"^^<http://www.w3.org/2001/XMLSchema#decimal>' AS t_num,
+         |  '"' || event_type || '"' AS t_lit
+         |FROM events""".stripMargin,
+    "s1_parse_roundtrip" ->
+      s"""SELECT epoch_ms(ts) AS timestamp, $E AS subject,
+         |  'http://graft.dev/vocab#type' AS predicate,
+         |  event_type AS object,
+         |  'http://graft.dev/g/' || event_type AS graph
+         |FROM events""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, COUNT(*) AS n, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1""".stripMargin,
