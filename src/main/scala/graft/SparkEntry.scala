@@ -279,6 +279,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_quads"),
           min("timestamp").as("min_ts"), max("timestamp").as("max_ts"))),
 
+    // S5+S8 through the ACTUAL storage engine: bulk-append the quads
+    // into a fresh EventLog (bucket-partitioned parquet), then answer a
+    // time-range aggregate from the log's pruned read path —
+    // write+read round trip, not just an in-memory filter
+    "s5_storage_roundtrip" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("s5-log")
+        .resolve("log").toString
+      val log = new graft.storage.EventLog(s, path, bucketMs = 86400000L)
+      log.appendBulk(EventsAsQuads.quads(s, dir), parallelism = 8)
+      log.query(1704844800000L, 1705708799999L)
+        .agg(count(lit(1)).as("n_quads"),
+          countDistinct(col("subject")).as("n_subjects"),
+          min("timestamp").as("min_ts"), max("timestamp").as("max_ts"))
+    }),
+
     // S9: opt-in surrogate-key dictionary — dense sorted ids over the
     // IRI term columns (subject/predicate/graph; objects excluded: they
     // carry double-formatted lexicals whose string form is not
@@ -613,6 +628,13 @@ object SparkEntry {
         |  MIN(epoch_ms(ts)) AS min_ts, MAX(epoch_ms(ts)) AS max_ts
         |FROM events
         |WHERE epoch_ms(ts) >= 1704844800000 AND epoch_ms(ts) < 1705708800000""".stripMargin,
+    "s5_storage_roundtrip" ->
+      """SELECT COUNT(*) * 3 AS n_quads,
+        |  COUNT(DISTINCT event_id) AS n_subjects,
+        |  MIN(epoch_ms(ts)) AS min_ts, MAX(epoch_ms(ts)) AS max_ts
+        |FROM events
+        |WHERE epoch_ms(ts) >= 1704844800000
+        |  AND epoch_ms(ts) <= 1705708799999""".stripMargin,
     "s9_dictionary" ->
       s"""WITH terms AS (
          |  SELECT DISTINCT $E AS value FROM events
