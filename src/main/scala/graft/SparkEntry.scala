@@ -217,6 +217,66 @@ object SparkEntry {
         |}""".stripMargin)
       .select(col("e"), col("val").try_cast("double").as("val"))),
 
+    // R12: OPTIONAL (SPARQL leftjoin) — clicks left-joined to the same
+    // user's high-value error events; ?e2 stays unbound (sentinel) when
+    // the user has none. Oxigraph-parity feature: the reference's
+    // embedded SPARQL engine supports full 1.1, so its users have
+    // OPTIONAL even though in-repo tests never call it.
+    "r12_optional" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e ?u ?e2 WHERE {
+        |  ?e v:type "click" .
+        |  ?e v:user ?u .
+        |  OPTIONAL { ?e2 v:user ?u . ?e2 v:type "error" .
+        |             ?e2 v:value ?hv . FILTER(?hv > 200.0) }
+        |}""".stripMargin)
+      .select(col("e"), col("u"),
+        coalesce(col("e2"), lit("unbound")).as("e2"))),
+
+    // R13: UNION — multiset union (no dedup) of two branches
+    "r13_union" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e ?val WHERE {
+        |  { ?e v:type "click" . ?e v:value ?val }
+        |  UNION
+        |  { ?e v:type "error" . ?e v:value ?val }
+        |}""".stripMargin)
+      .select(col("e"), col("val").try_cast("double").as("val"))),
+
+    // R14: BIND extends solutions; the bound variable feeds FILTER and
+    // the projection
+    "r14_bind" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e ?v2 WHERE {
+        |  ?e v:value ?val .
+        |  BIND(?val * 2.0 AS ?v2)
+        |  FILTER(?v2 > 400.0)
+        |}""".stripMargin)),
+
+    // R15: MINUS — drop clicks from users having a high-value error
+    "r15_minus" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e ?u WHERE {
+        |  ?e v:type "click" .
+        |  ?e v:user ?u .
+        |  MINUS { ?e2 v:user ?u . ?e2 v:type "error" .
+        |          ?e2 v:value ?hv . FILTER(?hv > 200.0) }
+        |}""".stripMargin)),
+
+    // R16: ORDER BY DESC + tiebreak + LIMIT → TakeOrderedAndProject
+    // (per-partition top-k, no global sort)
+    "r16_topk" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?t (COUNT(?e) AS ?n) WHERE {
+        |  ?e v:type ?t .
+        |} GROUP BY ?t ORDER BY DESC(?n) ?t LIMIT 3""".stripMargin)),
+
+    // R17: !BOUND(?x) over an OPTIONAL — the SPARQL idiom for negation
+    // (same answer as R15 via the leftjoin-then-null-test route)
+    "r17_bound_filter" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e ?u WHERE {
+        |  ?e v:type "click" .
+        |  ?e v:user ?u .
+        |  OPTIONAL { ?e2 v:user ?u . ?e2 v:type "error" .
+        |             ?e2 v:value ?hv . FILTER(?hv > 200.0) }
+        |  FILTER(!BOUND(?e2))
+        |}""".stripMargin)),
+
     // B3/B4: baseline bootstrap — AGGREGATE accumulation over bindings,
     // materialized as baseline#var statements (object kept numeric here;
     // Rust-Display string formatting is covered by TermsSpec)
@@ -594,6 +654,37 @@ object SparkEntry {
         |FROM events e
         |JOIN wb ON epoch_ms(e.ts) BETWEEN wb.timestamp_from AND wb.timestamp_to
         |GROUP BY wb.window_id, wb.timestamp_from, wb.timestamp_to""".stripMargin,
+    "r12_optional" ->
+      s"""SELECT 'http://graft.dev/e/' || CAST(a.event_id AS VARCHAR) AS e,
+         |  'http://graft.dev/u/' || CAST(a.user_id AS VARCHAR) AS u,
+         |  COALESCE('http://graft.dev/e/' || CAST(b.event_id AS VARCHAR),
+         |           'unbound') AS e2
+         |FROM events a LEFT JOIN
+         |  (SELECT user_id, event_id FROM events
+         |   WHERE event_type = 'error' AND value > 200.0) b
+         |  ON a.user_id = b.user_id
+         |WHERE a.event_type = 'click'""".stripMargin,
+    "r13_union" ->
+      s"""SELECT $E AS e, value AS val FROM events WHERE event_type = 'click'
+         |UNION ALL
+         |SELECT $E AS e, value AS val FROM events WHERE event_type = 'error'""".stripMargin,
+    "r14_bind" ->
+      s"""SELECT $E AS e, value * 2.0 AS v2
+         |FROM events WHERE value * 2.0 > 400.0""".stripMargin,
+    "r15_minus" ->
+      s"""SELECT $E AS e, $U AS u
+         |FROM events WHERE event_type = 'click' AND user_id NOT IN
+         |  (SELECT user_id FROM events
+         |   WHERE event_type = 'error' AND value > 200.0)""".stripMargin,
+    "r16_topk" ->
+      """SELECT event_type AS t, COUNT(*) AS n
+        |FROM events GROUP BY event_type
+        |ORDER BY n DESC, t LIMIT 3""".stripMargin,
+    "r17_bound_filter" ->
+      s"""SELECT $E AS e, $U AS u
+         |FROM events WHERE event_type = 'click' AND user_id NOT IN
+         |  (SELECT user_id FROM events
+         |   WHERE event_type = 'error' AND value > 200.0)""".stripMargin,
     "f_abs_diff" ->
       s"""SELECT $E AS e, ABS(value - 250.0) AS d
          |FROM events""".stripMargin,

@@ -41,14 +41,29 @@ final case class ENot(e: Expr) extends Expr
 /** op ∈ {+, -, *, /} */
 final case class EArith(op: String, l: Expr, r: Expr) extends Expr
 final case class EExists(pattern: GroupPattern, negated: Boolean) extends Expr
+/** BOUND(?v) — true iff the variable is bound in the solution (the
+  * standard companion of OPTIONAL; Oxigraph exposes it, so reference
+  * users have it). */
+final case class EBound(name: String) extends Expr
 
 // ---- group pattern -----------------------------------------------------
 
 /** Flattened group graph pattern: triple patterns (each carrying its GRAPH
   * scope) plus FILTER constraints. Nested `GRAPH x {}` blocks are
   * flattened into per-pattern scopes at parse time.
+  *
+  * The Oxigraph-parity extensions (`unions`, `binds`, `optionals`,
+  * `minuses`) are compiled in SPARQL-algebra order: join(patterns) ⋈
+  * join(unions), then BIND extensions, then leftjoin(optionals in
+  * order), then minus(minuses), then FILTERs over the whole group.
   */
-final case class GroupPattern(patterns: Seq[QuadPattern], filters: Seq[Expr]) {
+final case class GroupPattern(
+    patterns: Seq[QuadPattern],
+    filters: Seq[Expr],
+    optionals: Seq[GroupPattern] = Nil,
+    binds: Seq[(Expr, String)] = Nil,
+    unions: Seq[Seq[GroupPattern]] = Nil,
+    minuses: Seq[GroupPattern] = Nil) {
   /** All variables bound by triple patterns (not filter-only vars). */
   def boundVars: Seq[String] = {
     val out = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -59,6 +74,9 @@ final case class GroupPattern(patterns: Seq[QuadPattern], filters: Seq[Expr]) {
       }
       qp.g.foreach { case Var(n) => out += n; case _ => () }
     }
+    unions.foreach(_.foreach(out ++= _.boundVars))
+    binds.foreach { case (_, v) => out += v }
+    optionals.foreach(out ++= _.boundVars)
     out.toSeq
   }
 }
@@ -79,6 +97,9 @@ final case class Items(items: Seq[SelectItem]) extends Projection
 
 // ---- query forms -------------------------------------------------------
 
+/** ORDER BY key; `desc` from DESC(expr), default ascending. */
+final case class OrderKey(expr: Expr, desc: Boolean)
+
 sealed trait Query extends Product with Serializable {
   def where: GroupPattern
 }
@@ -86,7 +107,10 @@ final case class SelectQuery(
     projection: Projection,
     where: GroupPattern,
     groupBy: Seq[String],
-    distinct: Boolean = false) extends Query
+    distinct: Boolean = false,
+    orderBy: Seq[OrderKey] = Nil,
+    limit: Option[Long] = None,
+    offset: Option[Long] = None) extends Query
 final case class AskQuery(where: GroupPattern) extends Query
 final case class ConstructQuery(
     template: Seq[QuadPattern],

@@ -35,7 +35,15 @@ object SparqlCompiler {
     case q: SelectQuery =>
       val grouped = compileGroup(quads, q.where, extraKeys)
       val projected = project(grouped, q, extraKeys)
-      if (q.distinct) projected.distinct() else projected
+      val deduped = if (q.distinct) projected.distinct() else projected
+      // solution modifiers (ORDER BY / OFFSET / LIMIT). With ORDER BY +
+      // LIMIT Catalyst plans TakeOrderedAndProject — a per-partition
+      // top-k + driver merge, no global sort of the full result.
+      val ordered =
+        if (q.orderBy.isEmpty) deduped
+        else deduped.orderBy(q.orderBy.flatMap(orderCols(_, deduped)): _*)
+      val shifted = q.offset.fold(ordered)(o => ordered.offset(o.toInt))
+      q.limit.fold(shifted)(l => shifted.limit(l.toInt))
     case q: AskQuery =>
       val df = compileGroup(quads, q.where, extraKeys).df
       if (extraKeys.isEmpty)
@@ -57,6 +65,22 @@ object SparqlCompiler {
         .getOrElse(throw new CompileException("CONSTRUCT with empty template"))
   }
 
+  /** ORDER BY key columns. Variables order numerically when their lexical
+    * form parses as a number, lexically otherwise (matching the engine's
+    * numeric-sniffed term model); the string form tiebreaks so mixed
+    * columns still get a total order. */
+  private def orderCols(k: OrderKey, df: DataFrame): Seq[Column] = {
+    val base: Seq[Column] = k.expr match {
+      case EVar(n) =>
+        if (!df.columns.contains(n))
+          throw new CompileException(
+            s"ORDER BY references ?$n which is not in the projection")
+        Seq(col(n).try_cast("double"), col(n).cast("string"))
+      case e => Seq(numC(e))
+    }
+    if (k.desc) base.map(_.desc_nulls_last) else base.map(_.asc_nulls_first)
+  }
+
   private def termCol(t: Term, vars: Set[String]): Column = t match {
     case Var(n) =>
       if (vars.contains(n)) col(n)
@@ -71,7 +95,7 @@ object SparqlCompiler {
 
   def compileGroup(quads: DataFrame, group: GroupPattern,
       extraKeys: Seq[String]): Grouped = {
-    if (group.patterns.isEmpty)
+    if (group.patterns.isEmpty && group.unions.isEmpty)
       throw new CompileException("Empty group pattern")
 
     // one DataFrame per triple pattern
@@ -83,21 +107,80 @@ object SparqlCompiler {
 
     // greedy join order: start at most-constrained pattern, then repeatedly
     // join the pattern sharing the most variables with what's bound so far
-    val remaining = scala.collection.mutable.ArrayBuffer(patternDFs: _*)
-    val first = remaining.maxBy(_._3)
-    remaining -= first
-    var acc = first._1
-    var accVars = first._2
-    while (remaining.nonEmpty) {
-      val nextPat = remaining.maxBy { case (_, vs, consts) =>
-        (vs.intersect(accVars).size, consts)
+    var acc: DataFrame = null
+    var accVars = Set.empty[String]
+    if (patternDFs.nonEmpty) {
+      val remaining = scala.collection.mutable.ArrayBuffer(patternDFs: _*)
+      val first = remaining.maxBy(_._3)
+      remaining -= first
+      acc = first._1
+      accVars = first._2
+      while (remaining.nonEmpty) {
+        val nextPat = remaining.maxBy { case (_, vs, consts) =>
+          (vs.intersect(accVars).size, consts)
+        }
+        remaining -= nextPat
+        val shared = (nextPat._2.intersect(accVars).toSeq ++ extraKeys).distinct
+        acc =
+          if (shared.nonEmpty) acc.join(nextPat._1, shared, "inner")
+          else acc.crossJoin(nextPat._1)
+        accVars = accVars ++ nextPat._2
       }
-      remaining -= nextPat
-      val shared = (nextPat._2.intersect(accVars).toSeq ++ extraKeys).distinct
+    }
+
+    // UNION blocks: branches evaluated independently, multiset-unioned
+    // (UNION ALL — SPARQL union does not deduplicate) with null fill for
+    // branch-local variables, then joined with the rest of the group.
+    group.unions.foreach { alts =>
+      val gs = alts.map(compileGroup(quads, _, extraKeys))
+      val uVars = gs.flatMap(_.vars.toSeq).distinct
+      // align columns: every branch projects the full variable set
+      val aligned = gs.map { g =>
+        g.df.select(extraKeys.map(col) ++ uVars.map { v =>
+          if (g.vars.contains(v)) col(v) else lit(null).cast("string").as(v)
+        }: _*)
+      }
+      val u = aligned.reduce(_ unionAll _)
+      if (acc == null) { acc = u; accVars = uVars.toSet }
+      else {
+        val shared = (uVars.filter(accVars.contains) ++ extraKeys).distinct
+        acc =
+          if (shared.nonEmpty) acc.join(u, shared, "inner")
+          else acc.crossJoin(u)
+        accVars = accVars ++ uVars
+      }
+    }
+
+    // BIND(expr AS ?v): extend each solution with a computed column
+    group.binds.foreach { case (e, alias) =>
+      if (accVars.contains(alias))
+        throw new CompileException(s"BIND would rebind ?$alias")
+      acc = acc.withColumn(alias, valueC(e))
+      accVars += alias
+    }
+
+    // OPTIONAL groups: SPARQL leftjoin — solutions keep going when the
+    // optional side has no compatible row; its variables stay unbound
+    // (null). Shared pattern variables are never null, so a
+    // using-columns left join implements compatibility exactly.
+    group.optionals.foreach { opt =>
+      val optG = compileGroup(quads, opt, extraKeys)
+      val shared = (optG.vars.intersect(accVars).toSeq ++ extraKeys).distinct
       acc =
-        if (shared.nonEmpty) acc.join(nextPat._1, shared, "inner")
-        else acc.crossJoin(nextPat._1)
-      accVars = accVars ++ nextPat._2
+        if (shared.nonEmpty) acc.join(optG.df, shared, "left_outer")
+        else acc.join(optG.df, lit(true), "left_outer")
+      accVars = accVars ++ optG.vars
+    }
+
+    // MINUS groups: remove solutions compatible on shared variables; a
+    // MINUS sharing no variables removes nothing (SPARQL semantics).
+    group.minuses.foreach { m =>
+      val mG = compileGroup(quads, m, extraKeys)
+      val sharedVars = mG.vars.intersect(accVars).toSeq
+      if (sharedVars.nonEmpty) {
+        val shared = (sharedVars ++ extraKeys).distinct
+        acc = acc.join(mG.df.select(shared.map(col): _*), shared, "leftanti")
+      }
     }
 
     // FILTERs: EXISTS via semi/anti joins, everything else via where()
@@ -116,6 +199,15 @@ object SparqlCompiler {
         acc = acc.where(boolC(e))
     }
     Grouped(acc, accVars)
+  }
+
+  /** Value view of an expression for BIND: variables/IRIs/strings keep
+    * their lexical string form, everything else is numeric. */
+  private def valueC(e: Expr): Column = e match {
+    case EVar(n)    => col(n)
+    case EStr(v)    => lit(v)
+    case EIriRef(v) => lit(v)
+    case other      => numC(other)
   }
 
   private def constantCount(qp: QuadPattern): Int =
@@ -219,6 +311,7 @@ object SparqlCompiler {
     case EExists(_, _) =>
       throw new CompileException(
         "EXISTS is only supported as a top-level FILTER")
+    case EBound(n) => col(n).isNotNull
     case EVar(n) => col(n) === "true" // EBV of a boolean-literal binding
     case EStr(v) => lit(v == "true")
     case ENum(v) => lit(v != 0.0)

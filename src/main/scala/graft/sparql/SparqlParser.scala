@@ -173,7 +173,8 @@ object SparqlParser {
 
   private val Keywords = Set("select", "ask", "construct", "where", "filter",
     "exists", "not", "graph", "group", "by", "as", "distinct", "prefix",
-    "count", "sum", "avg", "min", "max", "having")
+    "count", "sum", "avg", "min", "max", "having", "optional", "bind",
+    "union", "minus", "order", "limit", "offset", "asc", "desc", "bound")
 
   private final class P(toks: Vector[Tok]) {
     private var pos = 0
@@ -257,7 +258,49 @@ object SparqlParser {
         }
         if (groupBy.isEmpty) throw ParseException("GROUP BY requires variables")
       }
-      SelectQuery(projection, where, groupBy.toSeq, distinct)
+      // solution modifiers: ORDER BY ... LIMIT n OFFSET n (any of them
+      // optional; LIMIT/OFFSET accepted in either order, as in SPARQL)
+      val orderBy = ArrayBuffer.empty[OrderKey]
+      if (atWord("order")) {
+        pos += 1; eatWord("by")
+        var more = true
+        while (more) peek match {
+          case Some(TVar(v)) => orderBy += OrderKey(EVar(v), desc = false); pos += 1
+          case Some(t) if isWord(t, "asc") || isWord(t, "desc") =>
+            val d = isWord(t, "desc"); pos += 1
+            eatPunct("(")
+            val e = parseExpr()
+            eatPunct(")")
+            orderBy += OrderKey(e, d)
+          case Some(TPunct("(")) =>
+            pos += 1
+            val e = parseExpr()
+            eatPunct(")")
+            orderBy += OrderKey(e, desc = false)
+          case _ => more = false
+        }
+        if (orderBy.isEmpty) throw ParseException("ORDER BY requires keys")
+      }
+      var limit: Option[Long] = None
+      var offset: Option[Long] = None
+      var modLoop = true
+      while (modLoop) {
+        if (atWord("limit")) {
+          pos += 1
+          limit = Some(next() match {
+            case TNum(v) => v.toLong
+            case t => throw ParseException(s"Expected number after LIMIT, got $t")
+          })
+        } else if (atWord("offset")) {
+          pos += 1
+          offset = Some(next() match {
+            case TNum(v) => v.toLong
+            case t => throw ParseException(s"Expected number after OFFSET, got $t")
+          })
+        } else modLoop = false
+      }
+      SelectQuery(projection, where, groupBy.toSeq, distinct,
+        orderBy.toSeq, limit, offset)
     }
 
     /** After the opening '(' of a projection item: aggregate or expression,
@@ -314,12 +357,41 @@ object SparqlParser {
       eatPunct("{")
       val patterns = ArrayBuffer.empty[QuadPattern]
       val filters = ArrayBuffer.empty[Expr]
+      val optionals = ArrayBuffer.empty[GroupPattern]
+      val binds = ArrayBuffer.empty[(Expr, String)]
+      val unions = ArrayBuffer.empty[Seq[GroupPattern]]
+      val minuses = ArrayBuffer.empty[GroupPattern]
+      def absorb(inner: GroupPattern): Unit = {
+        patterns ++= inner.patterns
+        filters ++= inner.filters
+        optionals ++= inner.optionals
+        binds ++= inner.binds
+        unions ++= inner.unions
+        minuses ++= inner.minuses
+      }
       var done = false
       while (!done) {
         if (atPunct("}")) { pos += 1; done = true }
         else if (atWord("filter")) {
           pos += 1
           filters += parseFilterBody(graph)
+        } else if (atWord("optional")) {
+          pos += 1
+          optionals += parseGroup(graph)
+        } else if (atWord("minus")) {
+          pos += 1
+          minuses += parseGroup(graph)
+        } else if (atWord("bind")) {
+          pos += 1
+          eatPunct("(")
+          val e = parseExpr()
+          eatWord("as")
+          val alias = next() match {
+            case TVar(v) => v
+            case t => throw ParseException(s"Expected variable after AS, got $t")
+          }
+          eatPunct(")")
+          binds += (e -> alias)
         } else if (atWord("graph")) {
           pos += 1
           val g: Term = next() match {
@@ -328,19 +400,25 @@ object SparqlParser {
             case p: TPName      => Iri(expand(p))
             case t => throw ParseException(s"Expected graph name, got $t")
           }
-          val inner = parseGroup(Some(g))
-          patterns ++= inner.patterns
-          filters ++= inner.filters
+          absorb(parseGroup(Some(g)))
         } else if (atPunct("{")) {
-          // bare nested group — flatten
-          val inner = parseGroup(graph)
-          patterns ++= inner.patterns
-          filters ++= inner.filters
+          // nested group: `{A} UNION {B} [UNION {C}…]` becomes a union
+          // element; a bare group is flattened into this one
+          val first = parseGroup(graph)
+          if (atWord("union")) {
+            val alts = ArrayBuffer(first)
+            while (atWord("union")) {
+              pos += 1
+              alts += parseGroup(graph)
+            }
+            unions += alts.toSeq
+          } else absorb(first)
         } else {
           patterns ++= parseTriples(graph, stopAtFilterOrGraph = true)
         }
       }
-      GroupPattern(patterns.toSeq, filters.toSeq)
+      GroupPattern(patterns.toSeq, filters.toSeq, optionals.toSeq,
+        binds.toSeq, unions.toSeq, minuses.toSeq)
     }
 
     private def parseFilterBody(graph: Option[Term]): Expr = {
@@ -383,7 +461,9 @@ object SparqlParser {
         val stop = peek match {
           case None | Some(TPunct("}")) => true
           case Some(t) if stopAtFilterOrGraph &&
-              (isWord(t, "filter") || isWord(t, "graph")) => true
+              (isWord(t, "filter") || isWord(t, "graph") ||
+                isWord(t, "optional") || isWord(t, "bind") ||
+                isWord(t, "minus")) => true
           case Some(TPunct("{")) => true
           case _ => false
         }
@@ -473,6 +553,14 @@ object SparqlParser {
         EExists(parseGroup(None), negated = false)
       case w: TWord if w.v.equalsIgnoreCase("not") =>
         eatWord("exists"); EExists(parseGroup(None), negated = true)
+      case w: TWord if w.v.equalsIgnoreCase("bound") =>
+        eatPunct("(")
+        val v = next() match {
+          case TVar(name) => name
+          case t => throw ParseException(s"BOUND expects a variable, got $t")
+        }
+        eatPunct(")")
+        EBound(v)
       case w: TWord if w.v.equalsIgnoreCase("true")  => EStr("true")
       case w: TWord if w.v.equalsIgnoreCase("false") => EStr("false")
       case t => throw ParseException(s"Unexpected token in expression: $t")

@@ -268,7 +268,7 @@ object LiveStreamProcessing {
         if (parsed.selectClause.trim.isEmpty) "SELECT *"
         else parsed.selectClause
       SparqlParser.parse(s"$prefixText\n$sel WHERE { ?__a ?__b ?__c }") match {
-        case SelectQuery(proj, _, _, _) => proj
+        case q: SelectQuery => q.projection
         case _                          => Star
       }
     }

@@ -23,60 +23,59 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     mat(spark.range(1000).toDF("i"))
 
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-
     def bench(name: String)(f: => DataFrame): Unit = {
       val t1 = timeSec(mat(f)); val t2 = timeSec(mat(f))
       println(f"PROF $name%-28s ${math.min(t1, t2)}%.3f s  (runs $t1%.3f / $t2%.3f)")
     }
 
-    bench("read_only") {
-      docs.select("doc_id", "text")
-    }
-    bench("split_only") {
-      docs.select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("t"))
-    }
-    bench("shingles_hof") {
-      docs.select(col("doc_id"),
-        graft.pipeline.TextAnalysis.shingles(col("text"), 3).as("s"))
-    }
-    bench("fingerprint_current") {
-      graft.pipeline.TextAnalysis.fingerprintTable(docs, col("doc_id"), col("text"))
-    }
-    bench("langid_current") {
-      docs.select(col("doc_id"),
-        graft.pipeline.TextAnalysis.langId(col("text")).as("lang_guess"))
-    }
-    bench("quality_current") {
-      docs.select(col("doc_id"),
-        round(graft.pipeline.TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
-        round(graft.pipeline.TextAnalysis.digitRatio(col("text")), 6).as("digit_ratio"),
-        round(graft.pipeline.TextAnalysis.meanWordLength(col("text")), 6).as("mean_word_len"),
-        graft.pipeline.TextAnalysis.qualityScore(col("text")).as("quality"))
-    }
+    import graft.sources.EventsAsQuads
+    import graft.sparql.{SparqlCompiler, SparqlParser}
 
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
-    bench("emb_cosine_current") {
-      graft.pipeline.Ann.cosineNearDuplicates(emb, col("vec_id"),
-        col("embedding"), threshold = 0.9, dim = 64, planes = 10, tables = 20)
+    bench("events_raw") {
+      EventsAsQuads.events(spark, sfDir)
     }
-    bench("ivf_current") {
-      val queries = emb.where(col("vec_id") < 3)
-      val model = graft.pipeline.Ann.trainIvf(emb, nCells = 8)
-      val ivf = graft.pipeline.Ann.ivfTopK(emb, queries, k = 10, model, nprobe = 6)
-      val brute = graft.pipeline.Ann.bruteForceTopK(emb, queries, k = 10)
-      ivf.join(brute.select("query_id", "id"), Seq("query_id", "id"), "leftsemi")
-        .groupBy("query_id").agg((count(lit(1)) / 10.0).as("recall"))
-        .where(col("recall") >= 0.7)
-        .select(col("query_id"), lit(true).as("recall_ge_070"))
+    bench("quads_only") {
+      EventsAsQuads.quads(spark, sfDir)
     }
-    bench("simhash_current") {
-      graft.pipeline.Dedup.simhashNearDuplicates(docs,
-        col("doc_id"), col("text"), maxHamming = 3,
-        tokenHash = graft.pipeline.Dedup.md5TokenHash32)
-        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    bench("quads_filter_value") {
+      EventsAsQuads.quads(spark, sfDir)
+        .where(col("predicate") === EventsAsQuads.PValue)
     }
+    val Prefixes =
+      """PREFIX v: <http://graft.dev/vocab#>
+        |PREFIX janus: <https://janus.rs/fn#>
+        |""".stripMargin
+    def sparql(q: String): DataFrame =
+      SparqlCompiler.compile(
+        EventsAsQuads.quads(spark, sfDir), SparqlParser.parse(Prefixes + q))
+    bench("f_zscore_full") {
+      sparql(
+        """SELECT ?e (janus:zscore(?val, 50.0, 28.0) AS ?z) WHERE {
+          |  ?e v:value ?val .
+          |}""".stripMargin)
+    }
+    val compiled = sparql(
+      """SELECT ?e (janus:zscore(?val, 50.0, 28.0) AS ?z) WHERE {
+        |  ?e v:value ?val .
+        |}""".stripMargin)
+    bench("f_zscore_reuse_plan") { compiled }
+    bench("f_rel_threshold_full") {
+      sparql(
+        """SELECT ?e ?val WHERE {
+          |  ?e v:value ?val .
+          |  FILTER(janus:relative_threshold_exceeded(?val, 50.0, 2.0))
+          |}""".stripMargin)
+        .select(col("e"), col("val").try_cast("double").as("val"))
+    }
+    bench("q1_agg") {
+      SparkEntryRef.q1(spark, sfDir)
+    }
+    compiled.explain("formatted")
     spark.stop()
+  }
+
+  private object SparkEntryRef {
+    def q1(spark: SparkSession, dir: String): DataFrame =
+      graft.SparkEntry.queries("q1_agg")(spark, dir)
   }
 }
