@@ -413,6 +413,15 @@ object SparkEntry {
         k = 128, bands = 32, rows = 4)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // Exact n-gram-Jaccard near-dup via prefix filtering (AllPairs rule:
+    // guaranteed recall, no MinHash probability) — same 25 planted pairs
+    // as the LSH path, verified against the same all-pairs oracle
+    "dedup_jaccard" -> ((s, dir) =>
+      graft.pipeline.Dedup.jaccardNearDuplicates(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+
     // SimHash near-dup: chunk-bucketed hamming pairs. Uses the
     // cross-engine md5-derived token hash so DuckDB can recompute the
     // exact simhash values (bit-vote majority) and hamming pairs
@@ -752,6 +761,22 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, COUNT(*) AS n, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1""".stripMargin,
+    "dedup_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+        |    CAST(len(a.sh) + len(b.sh) AS DOUBLE)
+        |      - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS uni
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, ROUND(inter / uni, 6) AS jaccard
+        |FROM p WHERE uni > 0 AND inter / uni >= 0.8""".stripMargin,
     "dedup_minhash" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks

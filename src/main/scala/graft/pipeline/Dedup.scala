@@ -154,6 +154,50 @@ object Dedup {
     out
   }
 
+  /** EXACT n-gram-Jaccard near-dup pairs via prefix filtering (the
+    * AllPairs/PPJoin candidate rule). Unlike MinHash-LSH this has
+    * guaranteed recall: if J(A,B) ≥ t, then in ANY global total order on
+    * the shingle universe the first `|S| - ⌈t·|S|⌉ + 1` elements of A
+    * and of B must intersect — so indexing only those prefix elements
+    * and equi-joining on them finds every qualifying pair, at a fraction
+    * of the inverted-index volume (1-t of it, ~20% at t=0.8).
+    *
+    * The canonical order here is the shingle's xxhash64 value —
+    * content-independent, no frequency-table pass. Hash collisions can
+    * only ADD candidates (two shingles merging raises hash-set Jaccard
+    * above true Jaccard), never drop a true pair; the exact-Jaccard
+    * verification step removes them. One shuffle for candidates, one
+    * equi-join back for verification — same 100 TB shape as the LSH
+    * paths, with the candidate volume governed by the prefix rule
+    * instead of band-collision probability.
+    */
+  def jaccardNearDuplicates(df: DataFrame, idCol: Column, textCol: Column,
+      threshold: Double, shingleSize: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0,1]")
+    val docs = df.select(idCol.as("id"),
+      TextAnalysis.shingles(textCol, shingleSize).as("sh"))
+      .where(size(col("sh")) > 0)
+      // sorted-hash view of the shingle set: the prefix is its head
+      .withColumn("hs",
+        sort_array(array_distinct(transform(col("sh"), s => xxhash64(s)))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefLen =
+      (size(col("hs")) - ceil(lit(threshold) * size(col("hs"))) + 1)
+        .cast("int")
+    val prefix = docs.select(col("id"),
+      explode(slice(col("hs"), lit(1), prefLen)).as("h"))
+    val pairs = prefix.toDF("id_a", "h")
+      .join(prefix.toDF("id_b", "h"), Seq("h"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val out = verifyJaccard(pairs, docs.select(col("id"), col("sh")),
+      threshold).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    docs.unpersist()
+    out
+  }
+
   /** Corpus-level deduplication: drop every document that near-matches a
     * lower-id document (exact dups at Jaccard 1.0 included). The keeper
     * of each duplicate cluster is its smallest id (any doc appearing as

@@ -52,6 +52,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("prefix-filtered jaccard join: exact pairs, agrees with all-pairs") {
+    val pairs = Dedup.jaccardNearDuplicates(docs, col("doc_id"),
+      col("text"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys === Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(pairs.find(p => (p._1, p._2) == (0L, 1L)).get._3 === 1.0)
+    // exact recall guarantee: identical result to brute-force all-pairs
+    // verification over every candidate (here: every pair)
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0))
+    val all = for (a <- ids; b <- ids if a < b) yield (a, b)
+    val brute = Dedup.verifyJaccard(
+      all.toSeq.toDF("id_a", "id_b"),
+      docs.select(col("doc_id").as("id"),
+        TextAnalysis.shingles(col("text"), 3).as("sh")),
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys === brute)
+  }
+
   test("minhash jaccard estimate is exact-1.0 for identical docs") {
     val out = Dedup.nearDuplicates(docs, col("doc_id"), col("text"), 0.99)
       .collect()
