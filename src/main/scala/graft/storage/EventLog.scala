@@ -51,7 +51,10 @@ final class EventLog(
     }
   }
 
-  private def invalidate(): Unit = synchronized { cachedTable = None }
+  private def invalidate(): Unit = synchronized {
+    cachedTable = None
+    cachedIndex = None
+  }
 
   /** Append a canonical quads DataFrame (timestamp, subject, predicate,
     * object, graph). Equivalent of `write_rdf` + background flush
@@ -128,6 +131,141 @@ final class EventLog(
       .select("timestamp", "subject", "predicate", "object", "graph")
   }
 
+  // ---- point-lookup fast path -----------------------------------------
+
+  /** Driver-side sparse time index: one (path, minTs, maxTs) entry per
+    * data file, built from parquet footers once per log generation and
+    * invalidated on append — the direct analogue of the reference's
+    * in-memory two-level index (`segmented_storage.rs:117-163`; a few
+    * bytes per segment there, a few bytes per file here). */
+  @transient private var cachedIndex: Option[Vector[EventLog.FileSpan]] = None
+
+  private def fileIndex: Vector[EventLog.FileSpan] = synchronized {
+    cachedIndex.getOrElse {
+      val idx = buildFileIndex()
+      cachedIndex = Some(idx)
+      idx
+    }
+  }
+
+  private def buildFileIndex(): Vector[EventLog.FileSpan] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Vector.empty
+    val out = Vector.newBuilder[EventLog.FileSpan]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, conf))
+        try {
+          var lo = Long.MaxValue
+          var hi = Long.MinValue
+          rdr.getFooter.getBlocks.forEach { block =>
+            block.getColumns.forEach { c =>
+              if (c.getPath.toDotString == "timestamp") {
+                val stats = c.getStatistics
+                if (stats != null && !stats.isEmpty) {
+                  lo = math.min(lo,
+                    stats.genericGetMin.asInstanceOf[java.lang.Long])
+                  hi = math.max(hi,
+                    stats.genericGetMax.asInstanceOf[java.lang.Long])
+                }
+              }
+            }
+          }
+          if (lo <= hi)
+            out += EventLog.FileSpan(st.getPath.toString, lo, hi)
+        } finally rdr.close()
+      }
+    }
+    out.result().sortBy(_.minTs)
+  }
+
+  /** Bounded LRU of fully-decoded data files for the point-lookup path —
+    * the analogue of the reference's in-memory segments (its 0.235 ms
+    * point query binary-searches RAM-resident records;
+    * `segmented_storage.rs:308-380`). Parquet data files are IMMUTABLE
+    * (appends only add files), so entries never go stale; eviction keeps
+    * the footprint to the hottest [[EventLog.PointCacheFiles]] files.
+    * Rows are ts-sorted at decode for binary search. */
+  @transient private lazy val rowCache =
+    new java.util.LinkedHashMap[String, Array[graft.core.RdfEvent]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Array[graft.core.RdfEvent]])
+          : Boolean = size > EventLog.PointCacheFiles
+    }
+
+  private def decodedFile(filePath: String): Array[graft.core.RdfEvent] =
+    synchronized {
+      val hit = rowCache.get(filePath)
+      if (hit != null) hit
+      else {
+        val reader = org.apache.parquet.hadoop.ParquetReader
+          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+            new org.apache.hadoop.fs.Path(filePath))
+          .withConf(spark.sparkContext.hadoopConfiguration)
+          .build()
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[graft.core.RdfEvent]
+        try {
+          var g = reader.read()
+          while (g != null) {
+            buf += graft.core.RdfEvent(
+              g.getLong("timestamp", 0),
+              g.getString("subject", 0),
+              g.getString("predicate", 0),
+              g.getString("object", 0),
+              g.getString("graph", 0))
+            g = reader.read()
+          }
+        } finally reader.close()
+        val arr = buf.toArray.sortBy(_.timestamp)
+        rowCache.put(filePath, arr)
+        arr
+      }
+    }
+
+  /** Point/short-range lookup WITHOUT a Spark job. A distributed scan
+    * pays a fixed ~50 ms of job scheduling — three orders of magnitude
+    * over the reference's 0.235 ms indexed lookup. This path serves the
+    * same contract the reference's point query does (`query(ts,ts)` over
+    * the in-process index): binary-search the driver-side file index,
+    * decode only overlapping files (cached — see [[rowCache]]), then
+    * binary-search the ts-sorted rows. Steady-state lookups touch no
+    * I/O at all, matching the reference's RAM-resident design; use
+    * [[query]] for anything that should scan distributed.
+    *
+    * Scale: the index is per-file metadata (fine at millions of files);
+    * a lookup decodes at most the files whose stats contain the range —
+    * on a ts-bucketed log that is one file generation. */
+  def pointQuery(start: Long, end: Long,
+      limit: Int = Int.MaxValue): Seq[graft.core.RdfEvent] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[graft.core.RdfEvent]
+    val files = fileIndex.iterator
+      .filter(f => f.minTs <= end && f.maxTs >= start)
+    while (files.hasNext && out.size < limit) {
+      val arr = decodedFile(files.next().path)
+      // lower bound: first index with ts >= start
+      var lo = 0
+      var hi = arr.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (arr(mid).timestamp < start) lo = mid + 1 else hi = mid
+      }
+      while (lo < arr.length && arr(lo).timestamp <= end &&
+          out.size < limit) {
+        out += arr(lo)
+        lo += 1
+      }
+    }
+    out.toSeq
+  }
+
   /** Hadoop-FS existence check (works for HDFS/S3 paths, not just
     * local files). */
   def exists: Boolean = {
@@ -156,13 +294,27 @@ final class EventLog(
         }
       }
     }
-    if (dropped > 0) invalidate()
+    if (dropped > 0) {
+      invalidate()
+      // deleted files can never be looked up again (the rebuilt index
+      // excludes them) — release their decoded rows eagerly
+      synchronized(rowCache.clear())
+    }
     dropped
   }
 }
 
 object EventLog {
   val BucketCol = "ts_bucket"
+
+  /** One data file's ts span in the driver-side sparse index. */
+  final case class FileSpan(path: String, minTs: Long, maxTs: Long)
+
+  /** Max decoded files held by the point-lookup row cache. Bounds driver
+    * memory to ~(files × rows-per-file × record size); at 100 TB the
+    * point-serving layer holds only the hottest segments, exactly like
+    * the reference's RAM-resident recent segments. */
+  val PointCacheFiles = 8
 
   /** Log schema, partition column last. Passing it to the reader skips
     * per-query schema inference (one footer read + listing job). */

@@ -23,59 +23,37 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     mat(spark.range(1000).toDF("i"))
 
-    def bench(name: String)(f: => DataFrame): Unit = {
-      val t1 = timeSec(mat(f)); val t2 = timeSec(mat(f))
-      println(f"PROF $name%-28s ${math.min(t1, t2)}%.3f s  (runs $t1%.3f / $t2%.3f)")
-    }
-
     import graft.sources.EventsAsQuads
-    import graft.sparql.{SparqlCompiler, SparqlParser}
+    import graft.storage.EventLog
 
-    bench("events_raw") {
-      EventsAsQuads.events(spark, sfDir)
+    val quads = EventsAsQuads.quads(spark, sfDir).repartition(32).persist()
+    println("quads " + quads.count())
+    val dir = java.nio.file.Files.createTempDirectory("prof-log")
+      .resolve("log").toString
+    val log = new EventLog(spark, dir, bucketMs = 86400000L)
+    log.appendBulk(quads, 32)
+    val r = log.read().agg(min("timestamp"), max("timestamp")).head()
+    val (minTs, maxTs) = (r.getLong(0), r.getLong(1))
+    val mid = log.query(minTs + (maxTs - minTs) / 2, maxTs)
+      .agg(min("timestamp")).head().getLong(0)
+    println(s"minTs=$minTs maxTs=$maxTs mid=$mid (existing ts)")
+    try {
+      val t0 = System.nanoTime()
+      val res = log.pointQuery(mid, mid, limit = 1)
+      println(f"cold pointQuery: ${(System.nanoTime() - t0) / 1e6}%.2f ms rows=${res.size}")
+      for (_ <- 1 to 5) {
+        val t1 = System.nanoTime()
+        val res2 = log.pointQuery(mid, mid, limit = 1)
+        println(f"warm pointQuery: ${(System.nanoTime() - t1) / 1e6}%.3f ms rows=${res2.size}")
+      }
+      val t2 = System.nanoTime()
+      val all = log.pointQuery(mid - 60000, mid + 60000)
+      println(f"2-min-range pointQuery: ${(System.nanoTime() - t2) / 1e6}%.2f ms rows=${all.size}")
+    } catch {
+      case e: Throwable =>
+        println("EXC " + e)
+        e.printStackTrace()
     }
-    bench("quads_only") {
-      EventsAsQuads.quads(spark, sfDir)
-    }
-    bench("quads_filter_value") {
-      EventsAsQuads.quads(spark, sfDir)
-        .where(col("predicate") === EventsAsQuads.PValue)
-    }
-    val Prefixes =
-      """PREFIX v: <http://graft.dev/vocab#>
-        |PREFIX janus: <https://janus.rs/fn#>
-        |""".stripMargin
-    def sparql(q: String): DataFrame =
-      SparqlCompiler.compile(
-        EventsAsQuads.quads(spark, sfDir), SparqlParser.parse(Prefixes + q))
-    bench("f_zscore_full") {
-      sparql(
-        """SELECT ?e (janus:zscore(?val, 50.0, 28.0) AS ?z) WHERE {
-          |  ?e v:value ?val .
-          |}""".stripMargin)
-    }
-    val compiled = sparql(
-      """SELECT ?e (janus:zscore(?val, 50.0, 28.0) AS ?z) WHERE {
-        |  ?e v:value ?val .
-        |}""".stripMargin)
-    bench("f_zscore_reuse_plan") { compiled }
-    bench("f_rel_threshold_full") {
-      sparql(
-        """SELECT ?e ?val WHERE {
-          |  ?e v:value ?val .
-          |  FILTER(janus:relative_threshold_exceeded(?val, 50.0, 2.0))
-          |}""".stripMargin)
-        .select(col("e"), col("val").try_cast("double").as("val"))
-    }
-    bench("q1_agg") {
-      SparkEntryRef.q1(spark, sfDir)
-    }
-    compiled.explain("formatted")
     spark.stop()
-  }
-
-  private object SparkEntryRef {
-    def q1(spark: SparkSession, dir: String): DataFrame =
-      graft.SparkEntry.queries("q1_agg")(spark, dir)
   }
 }

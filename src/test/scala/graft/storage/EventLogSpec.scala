@@ -55,6 +55,26 @@ class EventLogSpec extends AnyFunSuite {
     assert(got.length === 11)
   }
 
+  test("pointQuery agrees with the distributed read path (inclusive " +
+      "bounds, cross-file ranges, limit)") {
+    val log = freshLog(bucketMs = 1000L)
+    log.append(RdfEvent.toDF(spark, (1 to 50).map(i => ev(i * 100L, i))))
+    log.append(RdfEvent.toDF(spark, (51 to 80).map(i => ev(i * 100L, i))))
+    for ((lo, hi) <- Seq((0L, Long.MaxValue / 2), (500L, 500L),
+        (450L, 550L), (4900L, 5300L), (99999L, 100000L))) {
+      val local = log.pointQuery(lo, hi).map(e =>
+        (e.timestamp, e.subject, e.objectValue)).sorted
+      val dist = log.query(lo, hi).collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(3))).toSeq.sorted
+      assert(local === dist, s"range [$lo,$hi]")
+    }
+    assert(log.pointQuery(0, Long.MaxValue / 2, limit = 7).size === 7)
+    // index invalidation: appended data is visible to the local path
+    log.append(RdfEvent.toDF(spark, Seq(ev(100000L, 999))))
+    assert(log.pointQuery(100000L, 100000L).map(_.subject) ===
+      Seq("http://e.org/s999"))
+  }
+
   test("quads survive roundtrip with term values intact") {
     val log = freshLog()
     val in = Seq(RdfEvent(42L, "http://e.org/s", "http://e.org/p",
