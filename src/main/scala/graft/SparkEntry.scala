@@ -277,6 +277,30 @@ object SparkEntry {
         |  FILTER(!BOUND(?e2))
         |}""".stripMargin)),
 
+    // R18: VALUES inline-data join (broadcast by construction)
+    "r18_values" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e ?t ?val WHERE {
+        |  ?e v:type ?t .
+        |  ?e v:value ?val .
+        |  VALUES ?t { "click" "error" }
+        |}""".stripMargin)
+      .select(col("e"), col("t"),
+        col("val").try_cast("double").as("val"))),
+
+    // R19: HAVING — group filter whose aggregate rides the same .agg()
+    "r19_having" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?u (COUNT(?e) AS ?n) (AVG(?val) AS ?avg_val) WHERE {
+        |  ?e v:user ?u .
+        |  ?e v:value ?val .
+        |} GROUP BY ?u HAVING (COUNT(?e) >= 70)""".stripMargin)
+      .select(col("u"), col("n"), round(col("avg_val"), 6).as("avg_val"))),
+
+    // R20: IF builtin producing a string-valued projection
+    "r20_if_builtin" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e (IF(?val >= 100.0, "high", "low") AS ?bucket) WHERE {
+        |  ?e v:value ?val .
+        |}""".stripMargin)),
+
     // B3/B4: baseline bootstrap — AGGREGATE accumulation over bindings,
     // materialized as baseline#var statements (object kept numeric here;
     // Rust-Display string formatting is covered by TermsSpec)
@@ -349,6 +373,21 @@ object SparkEntry {
       val log = new graft.storage.EventLog(s, path, bucketMs = 86400000L)
       log.appendBulk(EventsAsQuads.quads(s, dir), parallelism = 8)
       log.query(1704844800000L, 1705708799999L)
+        .agg(count(lit(1)).as("n_quads"),
+          countDistinct(col("subject")).as("n_subjects"),
+          min("timestamp").as("min_ts"), max("timestamp").as("max_ts"))
+    }),
+
+    // S8 point-lookup path: same write as s5, read through the JOBLESS
+    // driver-side path (sparse file index + decoded-row binary search) —
+    // proves the fast path returns exactly the stored rows
+    "s8_point_lookup" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("s8p-log")
+        .resolve("log").toString
+      val log = new graft.storage.EventLog(s, path, bucketMs = 86400000L)
+      log.appendBulk(EventsAsQuads.quads(s, dir), parallelism = 8)
+      val rows = log.pointQuery(1704844800000L, 1704931199999L)
+      graft.core.RdfEvent.toDF(s, rows)
         .agg(count(lit(1)).as("n_quads"),
           countDistinct(col("subject")).as("n_subjects"),
           min("timestamp").as("min_ts"), max("timestamp").as("max_ts"))
@@ -689,6 +728,16 @@ object SparkEntry {
       """SELECT event_type AS t, COUNT(*) AS n
         |FROM events GROUP BY event_type
         |ORDER BY n DESC, t LIMIT 3""".stripMargin,
+    "r18_values" ->
+      s"""SELECT $E AS e, event_type AS t, value AS val
+         |FROM events WHERE event_type IN ('click', 'error')""".stripMargin,
+    "r19_having" ->
+      s"""SELECT $U AS u, COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_val
+         |FROM events GROUP BY user_id HAVING COUNT(*) >= 70""".stripMargin,
+    "r20_if_builtin" ->
+      s"""SELECT $E AS e,
+         |  CASE WHEN value >= 100.0 THEN 'high' ELSE 'low' END AS bucket
+         |FROM events""".stripMargin,
     "r17_bound_filter" ->
       s"""SELECT $E AS e, $U AS u
          |FROM events WHERE event_type = 'click' AND user_id NOT IN
@@ -735,6 +784,13 @@ object SparkEntry {
         |FROM events
         |WHERE epoch_ms(ts) >= 1704844800000
         |  AND epoch_ms(ts) <= 1705708799999""".stripMargin,
+    "s8_point_lookup" ->
+      """SELECT COUNT(*) * 3 AS n_quads,
+        |  COUNT(DISTINCT event_id) AS n_subjects,
+        |  MIN(epoch_ms(ts)) AS min_ts, MAX(epoch_ms(ts)) AS max_ts
+        |FROM events
+        |WHERE epoch_ms(ts) >= 1704844800000
+        |  AND epoch_ms(ts) <= 1704931199999""".stripMargin,
     "s9_dictionary" ->
       s"""WITH terms AS (
          |  SELECT DISTINCT $E AS value FROM events

@@ -45,6 +45,12 @@ final case class EExists(pattern: GroupPattern, negated: Boolean) extends Expr
   * standard companion of OPTIONAL; Oxigraph exposes it, so reference
   * users have it). */
 final case class EBound(name: String) extends Expr
+/** Aggregate reference inside a HAVING condition (COUNT(?x) > 5). */
+final case class EAggRef(agg: Aggregate) extends Expr
+
+/** Inline data block: `VALUES (?x ?y) { ("a" 1) ... }`. Rows carry
+  * fully-bound lexical terms (UNDEF is rejected at parse time). */
+final case class ValuesBlock(vars: Seq[String], rows: Seq[Seq[Term]])
 
 // ---- group pattern -----------------------------------------------------
 
@@ -63,7 +69,8 @@ final case class GroupPattern(
     optionals: Seq[GroupPattern] = Nil,
     binds: Seq[(Expr, String)] = Nil,
     unions: Seq[Seq[GroupPattern]] = Nil,
-    minuses: Seq[GroupPattern] = Nil) {
+    minuses: Seq[GroupPattern] = Nil,
+    values: Seq[ValuesBlock] = Nil) {
   /** All variables bound by triple patterns (not filter-only vars). */
   def boundVars: Seq[String] = {
     val out = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -77,6 +84,7 @@ final case class GroupPattern(
     unions.foreach(_.foreach(out ++= _.boundVars))
     binds.foreach { case (_, v) => out += v }
     optionals.foreach(out ++= _.boundVars)
+    values.foreach(out ++= _.vars)
     out.toSeq
   }
 }
@@ -110,7 +118,8 @@ final case class SelectQuery(
     distinct: Boolean = false,
     orderBy: Seq[OrderKey] = Nil,
     limit: Option[Long] = None,
-    offset: Option[Long] = None) extends Query
+    offset: Option[Long] = None,
+    having: Seq[Expr] = Nil) extends Query
 final case class AskQuery(where: GroupPattern) extends Query
 final case class ConstructQuery(
     template: Seq[QuadPattern],

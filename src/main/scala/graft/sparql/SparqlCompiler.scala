@@ -95,7 +95,8 @@ object SparqlCompiler {
 
   def compileGroup(quads: DataFrame, group: GroupPattern,
       extraKeys: Seq[String]): Grouped = {
-    if (group.patterns.isEmpty && group.unions.isEmpty)
+    if (group.patterns.isEmpty && group.unions.isEmpty &&
+        group.values.isEmpty)
       throw new CompileException("Empty group pattern")
 
     // one DataFrame per triple pattern
@@ -151,6 +152,34 @@ object SparqlCompiler {
       }
     }
 
+    // VALUES blocks: inline data joined on shared variables. The block
+    // is driver-literal and tiny, so Catalyst broadcasts the join.
+    group.values.foreach { vb =>
+      val spark = quads.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(
+        vb.vars.map(v => org.apache.spark.sql.types.StructField(
+          v, org.apache.spark.sql.types.StringType)))
+      val rows = vb.rows.map { r =>
+        org.apache.spark.sql.Row.fromSeq(r.map {
+          case Iri(v) => v
+          case Lit(v) => v
+          case Var(n) =>
+            throw new CompileException(s"Variable ?$n in VALUES row")
+        })
+      }
+      val vdf = spark.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), schema)
+      if (acc == null) { acc = vdf; accVars = vb.vars.toSet }
+      else {
+        val shared = vb.vars.filter(accVars.contains)
+        acc =
+          if (shared.nonEmpty) acc.join(vdf, shared, "inner")
+          else acc.crossJoin(vdf)
+        accVars = accVars ++ vb.vars
+      }
+    }
+
     // BIND(expr AS ?v): extend each solution with a computed column
     group.binds.foreach { case (e, alias) =>
       if (accVars.contains(alias))
@@ -201,14 +230,23 @@ object SparqlCompiler {
     Grouped(acc, accVars)
   }
 
-  /** Value view of an expression for BIND: variables/IRIs/strings keep
-    * their lexical string form, everything else is numeric. */
-  private def valueC(e: Expr): Column = e match {
-    case EVar(n)    => col(n)
-    case EStr(v)    => lit(v)
-    case EIriRef(v) => lit(v)
-    case other      => numC(other)
+  /** Whether an expression is string-shaped (its value view should be
+    * the lexical string, not a numeric cast): bare terms, STR(), and
+    * IF/COALESCE with any string-shaped branch. Arithmetic, comparisons
+    * and extension calls stay numeric. */
+  private def stringish(e: Expr): Boolean = e match {
+    case EVar(_) | EStr(_) | EIriRef(_) => true
+    case ECall("STR", _)                => true
+    case ECall("IF", Seq(_, a, b))      => stringish(a) || stringish(b)
+    case ECall("COALESCE", args)        => args.exists(stringish)
+    case _                              => false
   }
+
+  /** Value view of an expression (BIND / projection): string-shaped
+    * expressions keep their lexical string form, everything else is
+    * numeric. */
+  private def valueC(e: Expr): Column =
+    if (stringish(e)) strC(e) else numC(e)
 
   private def constantCount(qp: QuadPattern): Int =
     Seq(qp.s, qp.p, qp.o).count(!_.isInstanceOf[Var]) +
@@ -267,6 +305,11 @@ object SparqlCompiler {
         case "/" => when(rn =!= 0.0, ln / rn) // div-by-zero → error → NULL
         case other => throw new CompileException(s"Unknown operator $other")
       }
+    case ECall("IF", Seq(c, a, b)) =>
+      when(boolC(c), numC(a)).otherwise(numC(b))
+    case ECall("COALESCE", args) => coalesce(args.map(numC): _*)
+    case ECall("ABS", Seq(a))    => abs(numC(a))
+    case ECall("STR", Seq(a))    => strC(a).try_cast("double")
     case ECall(iri, args) =>
       Extensions.call(iri, args.map(numC))
         .getOrElse(lit(null).cast("double"))
@@ -281,6 +324,10 @@ object SparqlCompiler {
     case EStr(v)    => lit(v)
     case ENum(v)    => lit(Terms.formatNumeric(v))
     case EIriRef(v) => lit(v)
+    case ECall("IF", Seq(c, a, b)) =>
+      when(boolC(c), strC(a)).otherwise(strC(b))
+    case ECall("COALESCE", args) => coalesce(args.map(strC): _*)
+    case ECall("STR", Seq(a))    => strC(a)
     case other      => numC(other).cast("string")
   }
 
@@ -299,6 +346,9 @@ object SparqlCompiler {
       // row filtered, matching Oxigraph.
       when(ln.isNotNull && rn.isNotNull, cmp(op, ln, rn))
         .when(ln.isNull && rn.isNull, cmp(op, strC(l), strC(r)))
+    case ECall("IF", Seq(c, a, b)) =>
+      when(boolC(c), boolC(a)).otherwise(boolC(b))
+    case ECall("COALESCE", args) => coalesce(args.map(boolC): _*)
     case ECall(iri, args) =>
       val local = if (iri.startsWith(Extensions.Namespace))
         iri.substring(Extensions.Namespace.length) else iri
@@ -343,6 +393,33 @@ object SparqlCompiler {
     case other => throw new CompileException(s"Unsupported aggregate $other")
   }
 
+  /** Aggregate references mentioned inside a HAVING condition. */
+  private def collectAggRefs(e: Expr): Seq[Aggregate] = e match {
+    case EAggRef(a)      => Seq(a)
+    case ECmp(_, l, r)   => collectAggRefs(l) ++ collectAggRefs(r)
+    case EAnd(l, r)      => collectAggRefs(l) ++ collectAggRefs(r)
+    case EOr(l, r)       => collectAggRefs(l) ++ collectAggRefs(r)
+    case ENot(x)         => collectAggRefs(x)
+    case EArith(_, l, r) => collectAggRefs(l) ++ collectAggRefs(r)
+    case ECall(_, args)  => args.flatMap(collectAggRefs)
+    case _               => Nil
+  }
+
+  /** Rewrite EAggRef nodes to the temp columns they were aggregated
+    * into, so the HAVING condition compiles with the ordinary views. */
+  private def substAggRefs(e: Expr, m: Map[Aggregate, String]): Expr =
+    e match {
+      case EAggRef(a)       => EVar(m(a))
+      case ECmp(op, l, r)   => ECmp(op, substAggRefs(l, m), substAggRefs(r, m))
+      case EAnd(l, r)       => EAnd(substAggRefs(l, m), substAggRefs(r, m))
+      case EOr(l, r)        => EOr(substAggRefs(l, m), substAggRefs(r, m))
+      case ENot(x)          => ENot(substAggRefs(x, m))
+      case EArith(op, l, r) =>
+        EArith(op, substAggRefs(l, m), substAggRefs(r, m))
+      case ECall(i, args)   => ECall(i, args.map(substAggRefs(_, m)))
+      case other            => other
+    }
+
   private def project(grouped: Grouped, q: SelectQuery,
       extraKeys: Seq[String]): DataFrame = {
     val items: Seq[SelectItem] = q.projection match {
@@ -351,10 +428,10 @@ object SparqlCompiler {
     }
     val hasAgg = items.exists(_.isInstanceOf[AggItem])
 
-    if (!hasAgg && q.groupBy.isEmpty) {
+    if (!hasAgg && q.groupBy.isEmpty && q.having.isEmpty) {
       val cols = extraKeys.map(col) ++ items.map {
         case VarItem(n)      => col(n)
-        case ExprItem(e, as) => numC(e).as(as)
+        case ExprItem(e, as) => valueC(e).as(as)
         case AggItem(_, _)   => throw new CompileException("unreachable")
       }
       grouped.df.select(cols: _*)
@@ -364,20 +441,28 @@ object SparqlCompiler {
       val keyed =
         if (keys.isEmpty) grouped.df.groupBy()
         else grouped.df.groupBy(keys.map(col): _*)
-      val aggs = items.collect { case AggItem(a, as) => aggCol(a).as(as) }
+      // HAVING aggregates ride the same .agg() under temp aliases
+      val havingAggs = q.having.flatMap(collectAggRefs).distinct
+      val hAlias = havingAggs.zipWithIndex
+        .map { case (a, i) => a -> s"__h$i" }.toMap
+      val aggs = items.collect { case AggItem(a, as) => aggCol(a).as(as) } ++
+        havingAggs.map(a => aggCol(a).as(hAlias(a)))
       if (aggs.isEmpty)
         throw new CompileException("GROUP BY without aggregates")
       val out = keyed.agg(aggs.head, aggs.tail: _*)
-      // order + post-agg expression items
+      val filtered = q.having.foldLeft(out) { (df, h) =>
+        df.where(boolC(substAggRefs(h, hAlias)))
+      }
+      // order + post-agg expression items (final select drops __h* cols)
       val cols = extraKeys.map(col) ++ items.map {
         case VarItem(n) =>
           if (keys.contains(n)) col(n)
           else throw new CompileException(
             s"Projected variable ?$n is neither grouped nor aggregated")
         case AggItem(_, as)  => col(as)
-        case ExprItem(e, as) => numC(e).as(as)
+        case ExprItem(e, as) => valueC(e).as(as)
       }
-      out.select(cols: _*)
+      filtered.select(cols: _*)
     }
   }
 }

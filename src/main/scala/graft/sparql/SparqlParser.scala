@@ -174,7 +174,8 @@ object SparqlParser {
   private val Keywords = Set("select", "ask", "construct", "where", "filter",
     "exists", "not", "graph", "group", "by", "as", "distinct", "prefix",
     "count", "sum", "avg", "min", "max", "having", "optional", "bind",
-    "union", "minus", "order", "limit", "offset", "asc", "desc", "bound")
+    "union", "minus", "order", "limit", "offset", "asc", "desc", "bound",
+    "values", "undef", "if", "coalesce", "str", "abs")
 
   private final class P(toks: Vector[Tok]) {
     private var pos = 0
@@ -258,6 +259,23 @@ object SparqlParser {
         }
         if (groupBy.isEmpty) throw ParseException("GROUP BY requires variables")
       }
+      // HAVING Constraint+ — each a bracketted expression or bare call;
+      // aggregates inside (COUNT(?x) > 5) parse to EAggRef nodes
+      val having = ArrayBuffer.empty[Expr]
+      while (atWord("having")) {
+        pos += 1
+        var more = true
+        while (more) {
+          if (atPunct("(")) {
+            pos += 1
+            having += parseExpr()
+            eatPunct(")")
+          } else more = false
+          if (atWord("having")) more = false
+        }
+        if (having.isEmpty)
+          throw ParseException("HAVING requires a condition")
+      }
       // solution modifiers: ORDER BY ... LIMIT n OFFSET n (any of them
       // optional; LIMIT/OFFSET accepted in either order, as in SPARQL)
       val orderBy = ArrayBuffer.empty[OrderKey]
@@ -300,7 +318,7 @@ object SparqlParser {
         } else modLoop = false
       }
       SelectQuery(projection, where, groupBy.toSeq, distinct,
-        orderBy.toSeq, limit, offset)
+        orderBy.toSeq, limit, offset, having.toSeq)
     }
 
     /** After the opening '(' of a projection item: aggregate or expression,
@@ -361,6 +379,7 @@ object SparqlParser {
       val binds = ArrayBuffer.empty[(Expr, String)]
       val unions = ArrayBuffer.empty[Seq[GroupPattern]]
       val minuses = ArrayBuffer.empty[GroupPattern]
+      val values = ArrayBuffer.empty[ValuesBlock]
       def absorb(inner: GroupPattern): Unit = {
         patterns ++= inner.patterns
         filters ++= inner.filters
@@ -368,6 +387,7 @@ object SparqlParser {
         binds ++= inner.binds
         unions ++= inner.unions
         minuses ++= inner.minuses
+        values ++= inner.values
       }
       var done = false
       while (!done) {
@@ -381,6 +401,9 @@ object SparqlParser {
         } else if (atWord("minus")) {
           pos += 1
           minuses += parseGroup(graph)
+        } else if (atWord("values")) {
+          pos += 1
+          values += parseValues()
         } else if (atWord("bind")) {
           pos += 1
           eatPunct("(")
@@ -418,7 +441,56 @@ object SparqlParser {
         }
       }
       GroupPattern(patterns.toSeq, filters.toSeq, optionals.toSeq,
-        binds.toSeq, unions.toSeq, minuses.toSeq)
+        binds.toSeq, unions.toSeq, minuses.toSeq, values.toSeq)
+    }
+
+    /** After the VALUES keyword: `?x { t* }` (single var) or
+      * `(?x ?y) { (t t)* }`. UNDEF rows are rejected — the wildcard
+      * compatibility semantics has no equi-join encoding. */
+    private def parseValues(): ValuesBlock = {
+      def valueTerm(): Term = next() match {
+        case TIri(v)   => Iri(v)
+        case p: TPName => Iri(expand(p))
+        case TStr(v)   => Lit(v)
+        case TNum(v)   => Lit(graft.core.Terms.formatNumeric(v))
+        case TWord(w) if w.equalsIgnoreCase("undef") =>
+          throw ParseException("VALUES UNDEF is not supported")
+        case t => throw ParseException(s"Expected VALUES term, got $t")
+      }
+      peek match {
+        case Some(TVar(v)) =>
+          pos += 1
+          eatPunct("{")
+          val rows = ArrayBuffer.empty[Seq[Term]]
+          while (!atPunct("}")) rows += Seq(valueTerm())
+          pos += 1
+          ValuesBlock(Seq(v), rows.toSeq)
+        case Some(TPunct("(")) =>
+          pos += 1
+          val vars = ArrayBuffer.empty[String]
+          while (!atPunct(")")) next() match {
+            case TVar(v) => vars += v
+            case t => throw ParseException(s"Expected variable in VALUES, got $t")
+          }
+          pos += 1
+          if (vars.isEmpty)
+            throw ParseException("VALUES requires at least one variable")
+          eatPunct("{")
+          val rows = ArrayBuffer.empty[Seq[Term]]
+          while (!atPunct("}")) {
+            eatPunct("(")
+            val row = ArrayBuffer.empty[Term]
+            while (!atPunct(")")) row += valueTerm()
+            pos += 1
+            if (row.length != vars.length)
+              throw ParseException(
+                s"VALUES row arity ${row.length} != ${vars.length}")
+            rows += row.toSeq
+          }
+          pos += 1
+          ValuesBlock(vars.toSeq, rows.toSeq)
+        case t => throw ParseException(s"Malformed VALUES clause at $t")
+      }
     }
 
     private def parseFilterBody(graph: Option[Term]): Expr = {
@@ -463,7 +535,7 @@ object SparqlParser {
           case Some(t) if stopAtFilterOrGraph &&
               (isWord(t, "filter") || isWord(t, "graph") ||
                 isWord(t, "optional") || isWord(t, "bind") ||
-                isWord(t, "minus")) => true
+                isWord(t, "minus") || isWord(t, "values")) => true
           case Some(TPunct("{")) => true
           case _ => false
         }
@@ -561,6 +633,29 @@ object SparqlParser {
         }
         eatPunct(")")
         EBound(v)
+      case w: TWord
+          if Set("if", "coalesce", "str", "abs")
+            .contains(w.v.toLowerCase) && atPunct("(") =>
+        // SPARQL builtin functions, carried as upper-case ECall names
+        // (extension functions are full IRIs — no collision)
+        parseCallArgs(w.v.toUpperCase) match {
+          case ECall("IF", args) if args.length != 3 =>
+            throw ParseException("IF expects 3 arguments")
+          case ECall("STR" | "ABS", args) if args.length != 1 =>
+            throw ParseException(s"${w.v.toUpperCase} expects 1 argument")
+          case e => e
+        }
+      case w: TWord
+          if Set("count", "sum", "avg", "min", "max")
+            .contains(w.v.toLowerCase) && atPunct("(") =>
+        // aggregate reference (valid in HAVING conditions)
+        val func = w.v.toUpperCase
+        eatPunct("(")
+        val distinct = atWord("distinct") && { pos += 1; true }
+        val arg: Option[Expr] =
+          if (atPunct("*")) { pos += 1; None } else Some(parseExpr())
+        eatPunct(")")
+        EAggRef(Aggregate(func, arg, distinct))
       case w: TWord if w.v.equalsIgnoreCase("true")  => EStr("true")
       case w: TWord if w.v.equalsIgnoreCase("false") => EStr("false")
       case t => throw ParseException(s"Unexpected token in expression: $t")

@@ -163,6 +163,72 @@ class SparqlExtendedSpec extends AnyFunSuite {
     assert(df.collect().map(_.getString(1)).toSeq === Seq("35", "30", "25"))
   }
 
+  test("VALUES single-var block restricts solutions (broadcast semi)") {
+    val df = run(
+      """SELECT ?s ?age WHERE {
+        |  ?s ex:age ?age .
+        |  VALUES ?s { <http://ex.org/alice> <http://ex.org/bob> }
+        |}""".stripMargin)
+    assert(TestSpark.rows(df) === Set(
+      Seq("http://ex.org/alice", "30"), Seq("http://ex.org/bob", "25")))
+  }
+
+  test("VALUES multi-var block joins like inline data") {
+    val df = run(
+      """SELECT ?s ?age ?tag WHERE {
+        |  ?s ex:age ?age .
+        |  VALUES (?s ?tag) {
+        |    (<http://ex.org/alice> "admin")
+        |    (<http://ex.org/dave> "ghost")
+        |  }
+        |}""".stripMargin)
+    assert(TestSpark.rows(df) === Set(
+      Seq("http://ex.org/alice", "30", "admin")))
+  }
+
+  test("HAVING filters aggregated groups; agg only in the condition") {
+    val df = run(
+      """SELECT ?s WHERE {
+        |  { ?s ex:knows ?o } UNION { ?s ex:email ?o }
+        |} GROUP BY ?s HAVING (COUNT(?o) >= 2)""".stripMargin)
+    assert(TestSpark.rows(df) === Set(Seq("http://ex.org/alice")))
+  }
+
+  test("HAVING composes with projected aggregates and ORDER BY") {
+    val df = run(
+      """SELECT ?s (COUNT(?o) AS ?n) WHERE {
+        |  ?s ?p ?o .
+        |} GROUP BY ?s HAVING (COUNT(?o) > 1) ORDER BY DESC(?n) ?s""".stripMargin)
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("http://ex.org/alice", 4L)))
+  }
+
+  test("IF / COALESCE / STR / ABS builtins in projection and filter") {
+    val df = run(
+      """SELECT ?s (IF(?age >= 30.0, "senior", "junior") AS ?bracket)
+        |WHERE { ?s ex:age ?age . }""".stripMargin)
+    assert(TestSpark.rows(df) === Set(
+      Seq("http://ex.org/alice", "senior"),
+      Seq("http://ex.org/bob", "junior"),
+      Seq("http://ex.org/charlie", "senior")))
+    val abs = run(
+      """SELECT ?s WHERE {
+        |  ?s ex:age ?age . FILTER(ABS(?age - 30.0) <= 5.0)
+        |}""".stripMargin)
+    assert(TestSpark.rows(abs) === Set(
+      Seq("http://ex.org/alice"), Seq("http://ex.org/bob"),
+      Seq("http://ex.org/charlie")))
+    val coal = run(
+      """SELECT ?s (COALESCE(?mail, STR("none")) AS ?contact) WHERE {
+        |  ?s ex:age ?age .
+        |  OPTIONAL { ?s ex:email ?mail }
+        |}""".stripMargin)
+    assert(TestSpark.rows(coal) === Set(
+      Seq("http://ex.org/alice", "alice@ex.org"),
+      Seq("http://ex.org/bob", "none"),
+      Seq("http://ex.org/charlie", "none")))
+  }
+
   test("aggregate over UNION + ORDER BY count DESC + LIMIT") {
     val df = run(
       """SELECT ?s (COUNT(?o) AS ?n) WHERE {
