@@ -301,6 +301,23 @@ object SparkEntry {
         |  ?e v:value ?val .
         |}""".stripMargin)),
 
+    // R21: GROUP_CONCAT (sorted → deterministic, a conformant choice
+    // since SPARQL leaves concatenation order undefined) + DISTINCT
+    "r21_group_concat" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?u (GROUP_CONCAT(DISTINCT ?t; SEPARATOR=",") AS ?types)
+        |WHERE {
+        |  ?e v:user ?u .
+        |  ?e v:type ?t .
+        |} GROUP BY ?u""".stripMargin)),
+
+    // R22: string builtins in projection and FILTER
+    "r22_strfuncs" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e (UCASE(?t) AS ?tu) (STRLEN(?t) AS ?len) WHERE {
+        |  ?e v:type ?t .
+        |  FILTER(STRSTARTS(?t, "c"))
+        |}""".stripMargin)
+      .select(col("e"), col("tu"), col("len").cast("long").as("len"))),
+
     // B3/B4: baseline bootstrap — AGGREGATE accumulation over bindings,
     // materialized as baseline#var statements (object kept numeric here;
     // Rust-Display string formatting is covered by TermsSpec)
@@ -738,6 +755,14 @@ object SparkEntry {
       s"""SELECT $E AS e,
          |  CASE WHEN value >= 100.0 THEN 'high' ELSE 'low' END AS bucket
          |FROM events""".stripMargin,
+    "r21_group_concat" ->
+      s"""SELECT $U AS u,
+         |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+         |FROM events GROUP BY user_id""".stripMargin,
+    "r22_strfuncs" ->
+      s"""SELECT $E AS e, UPPER(event_type) AS tu,
+         |  LENGTH(event_type) AS len
+         |FROM events WHERE event_type LIKE 'c%'""".stripMargin,
     "r17_bound_filter" ->
       s"""SELECT $E AS e, $U AS u
          |FROM events WHERE event_type = 'click' AND user_id NOT IN

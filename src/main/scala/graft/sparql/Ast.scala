@@ -91,8 +91,11 @@ final case class GroupPattern(
 
 // ---- projection --------------------------------------------------------
 
-/** func ∈ {COUNT, SUM, AVG, MIN, MAX}; arg None = COUNT(*). */
-final case class Aggregate(func: String, arg: Option[Expr], distinct: Boolean)
+/** func ∈ {COUNT, SUM, AVG, MIN, MAX, GROUP_CONCAT, SAMPLE}; arg None =
+  * COUNT(*). `sep` is GROUP_CONCAT's SEPARATOR (default single space per
+  * the SPARQL spec). */
+final case class Aggregate(func: String, arg: Option[Expr],
+    distinct: Boolean, sep: Option[String] = None)
 
 sealed trait SelectItem extends Product with Serializable
 final case class VarItem(name: String) extends SelectItem

@@ -236,7 +236,7 @@ object SparqlCompiler {
     * and extension calls stay numeric. */
   private def stringish(e: Expr): Boolean = e match {
     case EVar(_) | EStr(_) | EIriRef(_) => true
-    case ECall("STR", _)                => true
+    case ECall("STR" | "CONCAT" | "UCASE" | "LCASE" | "SUBSTR", _) => true
     case ECall("IF", Seq(_, a, b))      => stringish(a) || stringish(b)
     case ECall("COALESCE", args)        => args.exists(stringish)
     case _                              => false
@@ -307,9 +307,17 @@ object SparqlCompiler {
       }
     case ECall("IF", Seq(c, a, b)) =>
       when(boolC(c), numC(a)).otherwise(numC(b))
-    case ECall("COALESCE", args) => coalesce(args.map(numC): _*)
-    case ECall("ABS", Seq(a))    => abs(numC(a))
-    case ECall("STR", Seq(a))    => strC(a).try_cast("double")
+    case ECall("COALESCE", args)  => coalesce(args.map(numC): _*)
+    case ECall("ABS", Seq(a))     => abs(numC(a))
+    case ECall("STR", Seq(a))     => strC(a).try_cast("double")
+    case ECall("STRLEN", Seq(a))  => length(strC(a)).cast("double")
+    case ECall("ROUND", Seq(a))   => round(numC(a), 0)
+    case ECall("CEIL", Seq(a))    => ceil(numC(a)).cast("double")
+    case ECall("FLOOR", Seq(a))   => floor(numC(a)).cast("double")
+    case c @ ECall("CONTAINS" | "STRSTARTS" | "STRENDS" | "REGEX", _) =>
+      when(boolC(c), 1.0).otherwise(0.0) // EBV numeric projection
+    case c @ ECall("CONCAT" | "UCASE" | "LCASE" | "SUBSTR", _) =>
+      strC(c).try_cast("double")
     case ECall(iri, args) =>
       Extensions.call(iri, args.map(numC))
         .getOrElse(lit(null).cast("double"))
@@ -328,6 +336,13 @@ object SparqlCompiler {
       when(boolC(c), strC(a)).otherwise(strC(b))
     case ECall("COALESCE", args) => coalesce(args.map(strC): _*)
     case ECall("STR", Seq(a))    => strC(a)
+    case ECall("CONCAT", args)   => concat(args.map(strC): _*)
+    case ECall("UCASE", Seq(a))  => upper(strC(a))
+    case ECall("LCASE", Seq(a))  => lower(strC(a))
+    case ECall("SUBSTR", Seq(a, p)) =>
+      strC(a).substr(numC(p).cast("int"), lit(Int.MaxValue))
+    case ECall("SUBSTR", Seq(a, p, l)) =>
+      strC(a).substr(numC(p).cast("int"), numC(l).cast("int"))
     case other      => numC(other).cast("string")
   }
 
@@ -349,6 +364,19 @@ object SparqlCompiler {
     case ECall("IF", Seq(c, a, b)) =>
       when(boolC(c), boolC(a)).otherwise(boolC(b))
     case ECall("COALESCE", args) => coalesce(args.map(boolC): _*)
+    case ECall("CONTAINS", Seq(a, b))  => strC(a).contains(strC(b))
+    case ECall("STRSTARTS", Seq(a, b)) => strC(a).startsWith(strC(b))
+    case ECall("STRENDS", Seq(a, b))   => strC(a).endsWith(strC(b))
+    case ECall("REGEX", args) =>
+      // SPARQL REGEX(str, pattern[, flags]); flags fold into the
+      // pattern as an inline group, so only a literal flags arg works
+      val pat = args match {
+        case Seq(_, p)               => strC(p)
+        case Seq(_, p, EStr(flags))  => concat(lit(s"(?$flags)"), strC(p))
+        case _ => throw new CompileException(
+          "REGEX flags must be a string literal")
+      }
+      regexp_like(strC(args.head), pat)
     case ECall(iri, args) =>
       val local = if (iri.startsWith(Extensions.Namespace))
         iri.substring(Extensions.Namespace.length) else iri
@@ -382,14 +410,23 @@ object SparqlCompiler {
   // ---- projection ------------------------------------------------------
 
   private def aggCol(a: Aggregate): Column = a match {
-    case Aggregate("COUNT", None, _) => count(lit(1))
-    case Aggregate("COUNT", Some(arg), true) => countDistinct(strC(arg))
-    case Aggregate("COUNT", Some(arg), false) => count(strC(arg))
-    case Aggregate("SUM", Some(arg), d) =>
+    case Aggregate("COUNT", None, _, _) => count(lit(1))
+    case Aggregate("COUNT", Some(arg), true, _) => countDistinct(strC(arg))
+    case Aggregate("COUNT", Some(arg), false, _) => count(strC(arg))
+    case Aggregate("SUM", Some(arg), d, _) =>
       if (d) sum_distinct(numC(arg)) else sum(numC(arg))
-    case Aggregate("AVG", Some(arg), _) => avg(numC(arg))
-    case Aggregate("MIN", Some(arg), _) => min(numC(arg))
-    case Aggregate("MAX", Some(arg), _) => max(numC(arg))
+    case Aggregate("AVG", Some(arg), _, _) => avg(numC(arg))
+    case Aggregate("MIN", Some(arg), _, _) => min(numC(arg))
+    case Aggregate("MAX", Some(arg), _, _) => max(numC(arg))
+    case Aggregate("GROUP_CONCAT", Some(arg), d, sep) =>
+      // SPARQL leaves concatenation order undefined; sorting makes the
+      // result deterministic (and thus oracle-comparable) — a conformant
+      // choice
+      val vals = if (d) collect_set(strC(arg)) else collect_list(strC(arg))
+      array_join(sort_array(vals), sep.getOrElse(" "))
+    case Aggregate("SAMPLE", Some(arg), _, _) =>
+      // any element is conformant; min is the deterministic choice
+      min(strC(arg))
     case other => throw new CompileException(s"Unsupported aggregate $other")
   }
 

@@ -326,7 +326,8 @@ object SparqlParser {
     private def parseProjectionExpr(): SelectItem = {
       val aggWord = peek match {
         case Some(TWord(w))
-            if Set("count", "sum", "avg", "min", "max").contains(w.toLowerCase) =>
+            if Set("count", "sum", "avg", "min", "max", "group_concat",
+              "sample").contains(w.toLowerCase) =>
           Some(w.toUpperCase)
         case _ => None
       }
@@ -337,6 +338,19 @@ object SparqlParser {
           val distinct = atWord("distinct") && { pos += 1; true }
           val arg: Option[Expr] =
             if (atPunct("*")) { pos += 1; None } else Some(parseExpr())
+          // GROUP_CONCAT(?x; SEPARATOR="…")
+          var sep: Option[String] = None
+          if (atPunct(";")) {
+            pos += 1
+            if (!peek.exists(isWord(_, "separator")))
+              throw ParseException("Expected SEPARATOR after ';'")
+            pos += 1
+            eatPunct("=")
+            sep = Some(next() match {
+              case TStr(v) => v
+              case t => throw ParseException(s"Expected separator string, got $t")
+            })
+          }
           eatPunct(")")
           eatWord("as")
           val alias = next() match {
@@ -344,7 +358,7 @@ object SparqlParser {
             case t => throw ParseException(s"Expected variable after AS, got $t")
           }
           eatPunct(")")
-          AggItem(Aggregate(func, arg, distinct), alias)
+          AggItem(Aggregate(func, arg, distinct, sep), alias)
         case None =>
           val e = parseExpr()
           eatWord("as")
@@ -634,19 +648,31 @@ object SparqlParser {
         eatPunct(")")
         EBound(v)
       case w: TWord
-          if Set("if", "coalesce", "str", "abs")
+          if Set("if", "coalesce", "str", "abs", "concat", "strlen",
+            "ucase", "lcase", "contains", "strstarts", "strends", "regex",
+            "round", "ceil", "floor", "substr")
             .contains(w.v.toLowerCase) && atPunct("(") =>
         // SPARQL builtin functions, carried as upper-case ECall names
         // (extension functions are full IRIs — no collision)
         parseCallArgs(w.v.toUpperCase) match {
           case ECall("IF", args) if args.length != 3 =>
             throw ParseException("IF expects 3 arguments")
-          case ECall("STR" | "ABS", args) if args.length != 1 =>
+          case ECall("STR" | "ABS" | "STRLEN" | "UCASE" | "LCASE" |
+              "ROUND" | "CEIL" | "FLOOR", args) if args.length != 1 =>
             throw ParseException(s"${w.v.toUpperCase} expects 1 argument")
+          case ECall("CONTAINS" | "STRSTARTS" | "STRENDS", args)
+              if args.length != 2 =>
+            throw ParseException(s"${w.v.toUpperCase} expects 2 arguments")
+          case ECall("REGEX" | "SUBSTR", args)
+              if args.length < 2 || args.length > 3 =>
+            throw ParseException(
+              s"${w.v.toUpperCase} expects 2 or 3 arguments")
+          case ECall("CONCAT", args) if args.isEmpty =>
+            throw ParseException("CONCAT expects at least 1 argument")
           case e => e
         }
       case w: TWord
-          if Set("count", "sum", "avg", "min", "max")
+          if Set("count", "sum", "avg", "min", "max", "sample")
             .contains(w.v.toLowerCase) && atPunct("(") =>
         // aggregate reference (valid in HAVING conditions)
         val func = w.v.toUpperCase

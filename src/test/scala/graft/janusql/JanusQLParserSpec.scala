@@ -272,4 +272,37 @@ class JanusQLParserSpec extends AnyFunSuite {
     assert(graft.TestSpark.rows(out.select("sensor", "v")) ===
       Set(Seq("http://example.org/s1", "42")))
   }
+
+  test("Oxigraph-parity SPARQL forms survive the window-block split " +
+      "(OPTIONAL/BIND/FILTER inside WINDOW bodies)") {
+    val parsed = JanusQLParser.parse(
+      """PREFIX ex: <http://example.org/>
+        |SELECT ?sensor ?v ?unit
+        |FROM NAMED WINDOW ex:hist ON LOG ex:store [START 0 END 10000]
+        |WHERE {
+        |    WINDOW ex:hist {
+        |      ?sensor ex:value ?v .
+        |      OPTIONAL { ?sensor ex:unit ?unit }
+        |      FILTER(?v >= 40.0)
+        |    }
+        |}""".stripMargin)
+    val compiled = parsed.compiledHistoricalQueries
+    assert(compiled.length === 1)
+    val (w, q) = compiled.head
+    val spark = graft.TestSpark.spark
+    val quads = graft.core.RdfEvent.toDF(spark, Seq(
+      graft.core.RdfEvent(5, "http://example.org/s1",
+        "http://example.org/value", "42", "http://g.org/any"),
+      graft.core.RdfEvent(5, "http://example.org/s1",
+        "http://example.org/unit", "celsius", "http://g.org/any"),
+      graft.core.RdfEvent(6, "http://example.org/s2",
+        "http://example.org/value", "55", "http://g.org/any"),
+      graft.core.RdfEvent(7, "http://example.org/s3",
+        "http://example.org/value", "12", "http://g.org/any")))
+    val out = graft.historical.HistoricalExecutor.executeFixed(
+      quads, q, w.start.get, w.end.get)
+    assert(graft.TestSpark.rows(out.select("sensor", "v", "unit")) ===
+      Set(Seq("http://example.org/s1", "42", "celsius"),
+        Seq("http://example.org/s2", "55", "null")))
+  }
 }

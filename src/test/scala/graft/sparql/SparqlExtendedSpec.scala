@@ -229,6 +229,64 @@ class SparqlExtendedSpec extends AnyFunSuite {
       Seq("http://ex.org/charlie", "none")))
   }
 
+  test("string builtins: CONCAT/UCASE/LCASE/STRLEN/SUBSTR in projection") {
+    val df = run(
+      """SELECT ?s (CONCAT(UCASE(?age), "!") AS ?shout)
+        |  (STRLEN(?age) AS ?len) (SUBSTR(?age, 1, 1) AS ?first)
+        |WHERE { ?s ex:age ?age . FILTER(?s = <http://ex.org/alice>) }""".stripMargin)
+    val r = df.collect()(0)
+    assert(r.getString(1) === "30!")
+    assert(r.getDouble(2) === 2.0)
+    assert(r.getString(3) === "3")
+  }
+
+  test("string predicates: CONTAINS/STRSTARTS/STRENDS/REGEX in FILTER") {
+    def names(q: String): Set[Seq[String]] = TestSpark.rows(run(q))
+    assert(names(
+      """SELECT ?s WHERE { ?s ex:email ?m . FILTER(CONTAINS(?m, "@ex")) }""")
+      === Set(Seq("http://ex.org/alice")))
+    assert(names(
+      """SELECT ?s WHERE { ?s ex:email ?m . FILTER(STRSTARTS(?m, "alice")) }""")
+      === Set(Seq("http://ex.org/alice")))
+    assert(names(
+      """SELECT ?s WHERE { ?s ex:email ?m . FILTER(STRENDS(?m, ".org")) }""")
+      === Set(Seq("http://ex.org/alice")))
+    assert(names(
+      """SELECT ?s WHERE { ?s ex:email ?m . FILTER(REGEX(?m, "^ALICE@", "i")) }""")
+      === Set(Seq("http://ex.org/alice")))
+    assert(names(
+      """SELECT ?s WHERE { ?s ex:email ?m . FILTER(REGEX(?m, "^ALICE@")) }""")
+      === Set.empty[Seq[String]])
+  }
+
+  test("numeric builtins: ROUND/CEIL/FLOOR") {
+    val df = run(
+      """SELECT ?s (ROUND(?age / 7.0) AS ?r) (CEIL(?age / 7.0) AS ?c)
+        |  (FLOOR(?age / 7.0) AS ?f)
+        |WHERE { ?s ex:age ?age . FILTER(?s = <http://ex.org/bob>) }""".stripMargin)
+    val r = df.collect()(0) // 25/7 = 3.571…
+    assert(r.getDouble(1) === 4.0 && r.getDouble(2) === 4.0 &&
+      r.getDouble(3) === 3.0)
+  }
+
+  test("GROUP_CONCAT with separator and DISTINCT; SAMPLE is deterministic") {
+    val df = run(
+      """SELECT ?s (GROUP_CONCAT(?o; SEPARATOR=",") AS ?known)
+        |WHERE { ?s ex:knows ?o . } GROUP BY ?s""".stripMargin)
+    assert(TestSpark.rows(df) === Set(
+      Seq("http://ex.org/alice", "http://ex.org/bob,http://ex.org/charlie")))
+    val dd = run(
+      """SELECT (GROUP_CONCAT(DISTINCT ?p; SEPARATOR="|") AS ?preds)
+        |WHERE { ?s ?p ?o . }""".stripMargin)
+    assert(dd.collect()(0).getString(0) ===
+      "http://ex.org/age|http://ex.org/email|http://ex.org/knows")
+    val samp = run(
+      """SELECT ?s (SAMPLE(?o) AS ?one) WHERE { ?s ex:knows ?o . }
+        |GROUP BY ?s""".stripMargin)
+    assert(TestSpark.rows(samp) === Set(
+      Seq("http://ex.org/alice", "http://ex.org/bob")))
+  }
+
   test("aggregate over UNION + ORDER BY count DESC + LIMIT") {
     val df = run(
       """SELECT ?s (COUNT(?o) AS ?n) WHERE {
