@@ -318,6 +318,37 @@ object SparkEntry {
         |}""".stripMargin)
       .select(col("e"), col("tu"), col("len").cast("long").as("len"))),
 
+    // R23: property-path transitive closure (?a v:next+ ?b) over a user
+    // successor chain derived from the events table — the distributed
+    // closure-by-squaring path operator. Dense ids ⇒ closure of the
+    // chain = all ordered pairs, giving DuckDB a non-recursive oracle.
+    "r23_path_closure" -> ((s, dir) => {
+      val users = EventsAsQuads.events(s, dir)
+        .select(col("user_id")).distinct()
+      val edges = users.toDF("u")
+        .join(users.toDF("v"), col("v") === col("u") + 1)
+      val chain = edges.select(
+        lit(0L).as("timestamp"),
+        concat(lit(EventsAsQuads.Base + "u/"),
+          col("u").cast("string")).as("subject"),
+        lit(EventsAsQuads.Vocab + "next").as("predicate"),
+        concat(lit(EventsAsQuads.Base + "u/"),
+          col("v").cast("string")).as("object"),
+        lit("").as("graph"))
+      SparqlCompiler.compile(chain, SparqlParser.parse(Prefixes +
+        "SELECT ?a ?b WHERE { ?a v:next+ ?b . }"))
+    }),
+
+    // R24: subquery — inner per-user aggregation joined with the outer
+    // pattern, filtered on the aggregated value
+    "r24_subquery" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e ?u ?n WHERE {
+        |  ?e v:user ?u .
+        |  { SELECT ?u (COUNT(?e2) AS ?n) WHERE { ?e2 v:user ?u . }
+        |    GROUP BY ?u }
+        |  FILTER(?n >= 70.0)
+        |}""".stripMargin)),
+
     // B3/B4: baseline bootstrap — AGGREGATE accumulation over bindings,
     // materialized as baseline#var statements (object kept numeric here;
     // Rust-Display string formatting is covered by TermsSpec)
@@ -763,6 +794,16 @@ object SparkEntry {
       s"""SELECT $E AS e, UPPER(event_type) AS tu,
          |  LENGTH(event_type) AS len
          |FROM events WHERE event_type LIKE 'c%'""".stripMargin,
+    "r23_path_closure" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT 'http://graft.dev/u/' || CAST(a.user_id AS VARCHAR) AS a,
+        |       'http://graft.dev/u/' || CAST(b.user_id AS VARCHAR) AS b
+        |FROM u a JOIN u b ON a.user_id < b.user_id""".stripMargin,
+    "r24_subquery" ->
+      s"""SELECT $E AS e, $U AS u, c.n AS n
+         |FROM events e JOIN
+         |  (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+         |   HAVING COUNT(*) >= 70) c USING (user_id)""".stripMargin,
     "r17_bound_filter" ->
       s"""SELECT $E AS e, $U AS u
          |FROM events WHERE event_type = 'click' AND user_id NOT IN

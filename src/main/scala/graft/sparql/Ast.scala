@@ -23,6 +23,23 @@ final case class Lit(value: String) extends Term
   */
 final case class QuadPattern(s: Term, p: Term, o: Term, g: Option[Term])
 
+// ---- property paths ----------------------------------------------------
+
+/** Property-path subset: direct links, inverse (`^p`), sequence
+  * (`p1/p2`), alternative (`p1|p2`), one-or-more (`p+`). `*` and `?`
+  * (zero-length paths) are rejected at parse time — their
+  * every-node-relates-to-itself semantics has no bounded relational
+  * encoding. */
+sealed trait Path extends Product with Serializable
+final case class PLink(iri: String) extends Path
+final case class PInverse(p: Path) extends Path
+final case class PSeq(l: Path, r: Path) extends Path
+final case class PAlt(l: Path, r: Path) extends Path
+final case class PPlus(p: Path) extends Path
+
+/** A subject–path–object pattern (constant GRAPH scope only). */
+final case class PathPattern(s: Term, path: Path, o: Term, g: Option[Term])
+
 // ---- FILTER / projection expressions ----------------------------------
 
 sealed trait Expr extends Product with Serializable
@@ -70,7 +87,9 @@ final case class GroupPattern(
     binds: Seq[(Expr, String)] = Nil,
     unions: Seq[Seq[GroupPattern]] = Nil,
     minuses: Seq[GroupPattern] = Nil,
-    values: Seq[ValuesBlock] = Nil) {
+    values: Seq[ValuesBlock] = Nil,
+    subqueries: Seq[SelectQuery] = Nil,
+    paths: Seq[PathPattern] = Nil) {
   /** All variables bound by triple patterns (not filter-only vars). */
   def boundVars: Seq[String] = {
     val out = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -81,10 +100,26 @@ final case class GroupPattern(
       }
       qp.g.foreach { case Var(n) => out += n; case _ => () }
     }
+    paths.foreach { pp =>
+      Seq(pp.s, pp.o).foreach {
+        case Var(n) => out += n
+        case _      => ()
+      }
+    }
     unions.foreach(_.foreach(out ++= _.boundVars))
     binds.foreach { case (_, v) => out += v }
     optionals.foreach(out ++= _.boundVars)
     values.foreach(out ++= _.vars)
+    subqueries.foreach { sq =>
+      sq.projection match {
+        case Star => out ++= sq.where.boundVars
+        case Items(items) => items.foreach {
+          case VarItem(n)     => out += n
+          case ExprItem(_, a) => out += a
+          case AggItem(_, a)  => out += a
+        }
+      }
+    }
     out.toSeq
   }
 }

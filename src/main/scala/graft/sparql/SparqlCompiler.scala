@@ -34,16 +34,46 @@ object SparqlCompiler {
       extraKeys: Seq[String] = Nil): DataFrame = query match {
     case q: SelectQuery =>
       val grouped = compileGroup(quads, q.where, extraKeys)
-      val projected = project(grouped, q, extraKeys)
-      val deduped = if (q.distinct) projected.distinct() else projected
       // solution modifiers (ORDER BY / OFFSET / LIMIT). With ORDER BY +
       // LIMIT Catalyst plans TakeOrderedAndProject — a per-partition
       // top-k + driver merge, no global sort of the full result.
-      val ordered =
-        if (q.orderBy.isEmpty) deduped
-        else deduped.orderBy(q.orderBy.flatMap(orderCols(_, deduped)): _*)
-      val shifted = q.offset.fold(ordered)(o => ordered.offset(o.toInt))
-      q.limit.fold(shifted)(l => shifted.limit(l.toInt))
+      // SPARQL sorts the full solution BEFORE projection (order keys may
+      // reference non-projected variables) — so for plain selects the
+      // modifiers apply to the group frame; aggregate/DISTINCT queries
+      // sort their (projected) result, where order keys must be
+      // projected columns.
+      val isAggShape = q.groupBy.nonEmpty || q.having.nonEmpty ||
+        (q.projection match {
+          case Items(is) => is.exists(_.isInstanceOf[AggItem])
+          case Star      => false
+        })
+      // an order key naming a SELECT-expression alias only exists after
+      // projection — those queries sort the projected frame instead
+      val exprAliases = q.projection match {
+        case Items(is) => is.collect { case ExprItem(_, a) => a }
+        case Star      => Nil
+      }
+      val ordersOnAlias = q.orderBy.exists(_.expr match {
+        case EVar(n) => exprAliases.contains(n)
+        case _       => false
+      })
+      if (!isAggShape && !q.distinct && !ordersOnAlias) {
+        val base = grouped.df
+        val ordered =
+          if (q.orderBy.isEmpty) base
+          else base.orderBy(q.orderBy.flatMap(orderCols(_, base)): _*)
+        val shifted = q.offset.fold(ordered)(o => ordered.offset(o.toInt))
+        val limited = q.limit.fold(shifted)(l => shifted.limit(l.toInt))
+        project(Grouped(limited, grouped.vars), q, extraKeys)
+      } else {
+        val projected = project(grouped, q, extraKeys)
+        val deduped = if (q.distinct) projected.distinct() else projected
+        val ordered =
+          if (q.orderBy.isEmpty) deduped
+          else deduped.orderBy(q.orderBy.flatMap(orderCols(_, deduped)): _*)
+        val shifted = q.offset.fold(ordered)(o => ordered.offset(o.toInt))
+        q.limit.fold(shifted)(l => shifted.limit(l.toInt))
+      }
     case q: AskQuery =>
       val df = compileGroup(quads, q.where, extraKeys).df
       if (extraKeys.isEmpty)
@@ -96,7 +126,8 @@ object SparqlCompiler {
   def compileGroup(quads: DataFrame, group: GroupPattern,
       extraKeys: Seq[String]): Grouped = {
     if (group.patterns.isEmpty && group.unions.isEmpty &&
-        group.values.isEmpty)
+        group.values.isEmpty && group.subqueries.isEmpty &&
+        group.paths.isEmpty)
       throw new CompileException("Empty group pattern")
 
     // one DataFrame per triple pattern
@@ -126,6 +157,52 @@ object SparqlCompiler {
           if (shared.nonEmpty) acc.join(nextPat._1, shared, "inner")
           else acc.crossJoin(nextPat._1)
         accVars = accVars ++ nextPat._2
+      }
+    }
+
+    // Property-path patterns: each compiles to an (s, o) edge relation
+    // (see pathEdges), then binds its subject/object terms and joins
+    // like an ordinary pattern.
+    group.paths.foreach { pp =>
+      var df = pathEdges(quads, pp.path, pp.g)
+      val bindings = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      def bind(colName: String, term: Term): Unit = term match {
+        case Var(n) =>
+          bindings.get(n) match {
+            case Some(existing) => df = df.where(col(existing) === col(colName))
+            case None           => bindings += (n -> colName)
+          }
+        case Iri(v) => df = df.where(col(colName) === v)
+        case Lit(v) => df = df.where(col(colName) === v)
+      }
+      bind(PathSrcCol, pp.s)
+      bind(PathDstCol, pp.o)
+      val bound = df.select(extraKeys.map(col) ++
+        bindings.map { case (v, c) => col(c).as(v) }: _*)
+      val vs = bindings.keySet.toSet
+      if (acc == null) { acc = bound; accVars = vs }
+      else {
+        val shared = (vs.intersect(accVars).toSeq ++ extraKeys).distinct
+        acc =
+          if (shared.nonEmpty) acc.join(bound, shared, "inner")
+          else acc.crossJoin(bound)
+        accVars = accVars ++ vs
+      }
+    }
+
+    // Subqueries: `{ SELECT … }` evaluated independently (their own
+    // grouping/modifiers), then joined on the projected variables they
+    // share with the enclosing group.
+    group.subqueries.foreach { sq =>
+      val sdf = compile(quads, sq, extraKeys)
+      val sVars = sdf.columns.toSet -- extraKeys
+      if (acc == null) { acc = sdf; accVars = sVars }
+      else {
+        val shared = (sVars.intersect(accVars).toSeq ++ extraKeys).distinct
+        acc =
+          if (shared.nonEmpty) acc.join(sdf, shared, "inner")
+          else acc.crossJoin(sdf)
+        accVars = accVars ++ sVars
       }
     }
 
@@ -247,6 +324,52 @@ object SparqlCompiler {
     * numeric. */
   private def valueC(e: Expr): Column =
     if (stringish(e)) strC(e) else numC(e)
+
+  private val PathSrcCol = "__ps"
+  private val PathDstCol = "__po"
+
+  /** Edge relation of a property path: a DataFrame with columns
+    * (__ps, __po). Links are filtered scans; inverse swaps; sequence is
+    * an equi-join on the midpoint; alternative is a multiset union;
+    * one-or-more is a distributed transitive closure by squaring
+    * (closure ⋈ closure each round → O(log diameter) iterations, each a
+    * shuffle join + distinct, lineage truncated via localCheckpoint).
+    * That iterative-BFS shape is how distributed graph engines compute
+    * reachability — it scales with executors, not with the driver. */
+  private def pathEdges(quads: DataFrame, p: Path,
+      g: Option[Term]): DataFrame = p match {
+    case PLink(iri) =>
+      var df = quads.where(col("predicate") === iri)
+      g.foreach {
+        case Iri(v) => df = df.where(col("graph") === v)
+        case Lit(v) => df = df.where(col("graph") === v)
+        case Var(_) => throw new CompileException(
+          "Variable GRAPH scope is not supported with property paths")
+      }
+      df.select(col("subject").as(PathSrcCol), col("object").as(PathDstCol))
+    case PInverse(x) =>
+      pathEdges(quads, x, g).select(
+        col(PathDstCol).as(PathSrcCol), col(PathSrcCol).as(PathDstCol))
+    case PSeq(l, r) =>
+      val lhs = pathEdges(quads, l, g).toDF(PathSrcCol, "__mid")
+      val rhs = pathEdges(quads, r, g).toDF("__mid", PathDstCol)
+      lhs.join(rhs, "__mid").select(PathSrcCol, PathDstCol)
+    case PAlt(l, r) =>
+      pathEdges(quads, l, g) unionAll pathEdges(quads, r, g)
+    case PPlus(x) =>
+      var closure = pathEdges(quads, x, g).distinct().localCheckpoint()
+      var prev = -1L
+      var n = closure.count()
+      while (n != prev) {
+        prev = n
+        val step = closure.toDF(PathSrcCol, "__mid")
+          .join(closure.toDF("__mid", PathDstCol), "__mid")
+          .select(PathSrcCol, PathDstCol)
+        closure = closure.unionAll(step).distinct().localCheckpoint()
+        n = closure.count()
+      }
+      closure
+  }
 
   private def constantCount(qp: QuadPattern): Int =
     Seq(qp.s, qp.p, qp.o).count(!_.isInstanceOf[Var]) +

@@ -157,7 +157,7 @@ object SparqlParser {
           case "!=" | ">=" | "&&" | "||" | "^^" =>
             out += TPunct(two); i += 2
           case _ =>
-            "{}().,;*=><!+-/".indexOf(c) match {
+            "{}().,;*=><!+-/^|".indexOf(c) match {
               case -1 => throw ParseException(s"Unexpected character '$c' at $i")
               case _  => out += TPunct(c.toString); i += 1
             }
@@ -378,7 +378,10 @@ object SparqlParser {
 
     private def parseConstruct(): ConstructQuery = {
       eatPunct("{")
-      val template = parseTriples(None, stopAtFilterOrGraph = false)
+      val (template, templatePaths) =
+        parseTriples(None, stopAtFilterOrGraph = false)
+      if (templatePaths.nonEmpty)
+        throw ParseException("Property paths are not allowed in CONSTRUCT templates")
       eatPunct("}")
       if (atWord("where")) pos += 1
       ConstructQuery(template, parseGroup(None))
@@ -394,6 +397,8 @@ object SparqlParser {
       val unions = ArrayBuffer.empty[Seq[GroupPattern]]
       val minuses = ArrayBuffer.empty[GroupPattern]
       val values = ArrayBuffer.empty[ValuesBlock]
+      val subqueries = ArrayBuffer.empty[SelectQuery]
+      val paths = ArrayBuffer.empty[PathPattern]
       def absorb(inner: GroupPattern): Unit = {
         patterns ++= inner.patterns
         filters ++= inner.filters
@@ -402,6 +407,8 @@ object SparqlParser {
         unions ++= inner.unions
         minuses ++= inner.minuses
         values ++= inner.values
+        subqueries ++= inner.subqueries
+        paths ++= inner.paths
       }
       var done = false
       while (!done) {
@@ -438,6 +445,14 @@ object SparqlParser {
             case t => throw ParseException(s"Expected graph name, got $t")
           }
           absorb(parseGroup(Some(g)))
+        } else if (atPunct("{") &&
+            (pos + 1 < toks.length && isWord(toks(pos + 1), "select"))) {
+          // subquery: `{ SELECT … }` — evaluated independently, joined
+          // on its projected variables
+          pos += 1
+          eatWord("select")
+          subqueries += parseSelect()
+          eatPunct("}")
         } else if (atPunct("{")) {
           // nested group: `{A} UNION {B} [UNION {C}…]` becomes a union
           // element; a bare group is flattened into this one
@@ -451,11 +466,14 @@ object SparqlParser {
             unions += alts.toSeq
           } else absorb(first)
         } else {
-          patterns ++= parseTriples(graph, stopAtFilterOrGraph = true)
+          val (qps, pps) = parseTriples(graph, stopAtFilterOrGraph = true)
+          patterns ++= qps
+          paths ++= pps
         }
       }
       GroupPattern(patterns.toSeq, filters.toSeq, optionals.toSeq,
-        binds.toSeq, unions.toSeq, minuses.toSeq, values.toSeq)
+        binds.toSeq, unions.toSeq, minuses.toSeq, values.toSeq,
+        subqueries.toSeq, paths.toSeq)
     }
 
     /** After the VALUES keyword: `?x { t* }` (single var) or
@@ -521,20 +539,26 @@ object SparqlParser {
     }
 
     /** One or more triple statements under the current graph scope, with
-      * ';' (same subject) and ',' (same subject+predicate) sugar. */
+      * ';' (same subject) and ',' (same subject+predicate) sugar.
+      * Predicates may be property paths; those land in the second
+      * element of the result. */
     private def parseTriples(graph: Option[Term], stopAtFilterOrGraph: Boolean)
-        : Seq[QuadPattern] = {
+        : (Seq[QuadPattern], Seq[PathPattern]) = {
       val out = ArrayBuffer.empty[QuadPattern]
+      val pathsOut = ArrayBuffer.empty[PathPattern]
       var more = true
       while (more) {
         val s = parseTerm("subject")
         var pLoop = true
         while (pLoop) {
-          val p = parseTerm("predicate")
+          val p: Either[Term, Path] = parsePredicate()
           var oLoop = true
           while (oLoop) {
             val o = parseTerm("object")
-            out += QuadPattern(s, p, o, graph)
+            p match {
+              case Left(term)  => out += QuadPattern(s, term, o, graph)
+              case Right(path) => pathsOut += PathPattern(s, path, o, graph)
+            }
             if (atPunct(",")) pos += 1 else oLoop = false
           }
           if (atPunct(";")) {
@@ -555,7 +579,61 @@ object SparqlParser {
         }
         if (stop) more = false
       }
-      out.toSeq
+      (out.toSeq, pathsOut.toSeq)
+    }
+
+    /** Predicate position: a variable/term, or a property path.
+      * Grammar (SPARQL 1.1 path subset):
+      * {{{
+      * Path     := PathSeq ('|' PathSeq)*
+      * PathSeq  := PathElt ('/' PathElt)*
+      * PathElt  := '^'? PathPrimary ('+' | '*' | '?')?
+      * Primary  := iri | pname | 'a' | '(' Path ')'
+      * }}}
+      */
+    private def parsePredicate(): Either[Term, Path] = peek match {
+      case Some(TVar(_)) | Some(TStr(_)) | Some(TNum(_)) =>
+        Left(parseTerm("predicate"))
+      case _ =>
+        parsePath() match {
+          case PLink(v) => Left(Iri(v)) // plain IRI — ordinary pattern
+          case path     => Right(path)
+        }
+    }
+
+    private def parsePath(): Path = {
+      var p = parsePathSeq()
+      while (atPunct("|")) { pos += 1; p = PAlt(p, parsePathSeq()) }
+      p
+    }
+
+    private def parsePathSeq(): Path = {
+      var p = parsePathElt()
+      while (atPunct("/")) { pos += 1; p = PSeq(p, parsePathElt()) }
+      p
+    }
+
+    private def parsePathElt(): Path = {
+      val inverse = atPunct("^") && { pos += 1; true }
+      var prim: Path = peek match {
+        case Some(TPunct("(")) =>
+          pos += 1
+          val p = parsePath()
+          eatPunct(")")
+          p
+        case Some(TIri(v))   => pos += 1; PLink(v)
+        case Some(p: TPName) => pos += 1; PLink(expand(p))
+        case Some(t) if isWord(t, "a") =>
+          pos += 1
+          PLink("http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+        case t => throw ParseException(s"Expected path primary, got $t")
+      }
+      if (atPunct("+")) { pos += 1; prim = PPlus(prim) }
+      else if (atPunct("*"))
+        throw ParseException(
+          "Zero-or-more path '*' is not supported (zero-length semantics)")
+      // '?' never reaches here: the tokenizer folds it into a variable
+      if (inverse) PInverse(prim) else prim
     }
 
     private def parseTerm(what: String): Term = next() match {

@@ -287,6 +287,91 @@ class SparqlExtendedSpec extends AnyFunSuite {
       Seq("http://ex.org/alice", "http://ex.org/bob")))
   }
 
+  test("subquery: inner aggregation joined with outer patterns") {
+    val df = run(
+      """SELECT ?s ?age ?n WHERE {
+        |  ?s ex:age ?age .
+        |  { SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ex:knows ?o . }
+        |    GROUP BY ?s }
+        |}""".stripMargin)
+    assert(TestSpark.rows(df) === Set(
+      Seq("http://ex.org/alice", "30", "2")))
+  }
+
+  test("subquery with LIMIT inside: modifiers apply before the join") {
+    val df = run(
+      """SELECT ?s ?age WHERE {
+        |  ?s ex:age ?age .
+        |  { SELECT ?s WHERE { ?s ex:age ?a . }
+        |    ORDER BY DESC(?a) LIMIT 1 }
+        |}""".stripMargin)
+    assert(TestSpark.rows(df) === Set(Seq("http://ex.org/charlie", "35")))
+  }
+
+  test("property path: sequence knows/age (friend-of ages)") {
+    val df = run(
+      """SELECT ?s ?fage WHERE { ?s ex:knows/ex:age ?fage . }""")
+    assert(TestSpark.rows(df) === Set(
+      Seq("http://ex.org/alice", "25"),   // bob's age
+      Seq("http://ex.org/alice", "35"))) // charlie's age
+  }
+
+  test("property path: inverse ^knows (who is known by whom)") {
+    val df = run(
+      """SELECT ?o ?s WHERE { ?o ^ex:knows ?s . }""")
+    assert(TestSpark.rows(df) === Set(
+      Seq("http://ex.org/bob", "http://ex.org/alice"),
+      Seq("http://ex.org/charlie", "http://ex.org/alice")))
+  }
+
+  test("property path: alternative age|email") {
+    val df = run(
+      """SELECT ?s ?v WHERE { ?s ex:age|ex:email ?v . }""")
+    assert(df.count() === 4) // 3 ages + 1 email
+  }
+
+  test("property path: one-or-more knows+ computes transitive closure") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val chain = RdfEvent.toDF(spark, Seq(
+      RdfEvent(1, "a", "http://ex.org/next", "b", ""),
+      RdfEvent(1, "b", "http://ex.org/next", "c", ""),
+      RdfEvent(1, "c", "http://ex.org/next", "d", "")))
+    val df = SparqlCompiler.compile(chain, SparqlParser.parse(
+      """PREFIX ex: <http://ex.org/>
+        |SELECT ?x ?y WHERE { ?x ex:next+ ?y . }""".stripMargin))
+    assert(TestSpark.rows(df) === Set(
+      Seq("a", "b"), Seq("a", "c"), Seq("a", "d"),
+      Seq("b", "c"), Seq("b", "d"), Seq("c", "d")))
+    // cyclic graph terminates (fixpoint, not infinite expansion)
+    val cyc = RdfEvent.toDF(spark, Seq(
+      RdfEvent(1, "a", "http://ex.org/next", "b", ""),
+      RdfEvent(1, "b", "http://ex.org/next", "a", "")))
+    val closure = SparqlCompiler.compile(cyc, SparqlParser.parse(
+      """PREFIX ex: <http://ex.org/>
+        |SELECT ?x ?y WHERE { ?x ex:next+ ?y . }""".stripMargin))
+    assert(TestSpark.rows(closure) === Set(
+      Seq("a", "b"), Seq("b", "a"), Seq("a", "a"), Seq("b", "b")))
+  }
+
+  test("property path: grouped (knows|email)/nothing-else mixes with BGP") {
+    val df = run(
+      """SELECT ?s ?fage WHERE {
+        |  ?s ex:age "30" .
+        |  ?s ex:knows/ex:age ?fage .
+        |  FILTER(?fage > 30.0)
+        |}""".stripMargin)
+    assert(TestSpark.rows(df) === Set(Seq("http://ex.org/alice", "35")))
+  }
+
+  test("zero-or-more '*' path is rejected with a clear error") {
+    intercept[SparqlParser.ParseException] {
+      SparqlParser.parse(
+        """PREFIX ex: <http://ex.org/>
+          |SELECT ?x WHERE { ?x ex:next* ?y . }""".stripMargin)
+    }
+  }
+
   test("aggregate over UNION + ORDER BY count DESC + LIMIT") {
     val df = run(
       """SELECT ?s (COUNT(?o) AS ?n) WHERE {
