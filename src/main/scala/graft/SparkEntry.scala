@@ -323,8 +323,10 @@ object SparkEntry {
     // closure-by-squaring path operator. Dense ids ⇒ closure of the
     // chain = all ordered pairs, giving DuckDB a non-recursive oracle.
     "r23_path_closure" -> ((s, dir) => {
+      // chain capped at 120 nodes: closure work grows as N³/6 join rows
+      // (dense reachability on a chain), and the bench times this entry
       val users = EventsAsQuads.events(s, dir)
-        .select(col("user_id")).distinct()
+        .select(col("user_id")).where(col("user_id") < 120).distinct()
       val edges = users.toDF("u")
         .join(users.toDF("v"), col("v") === col("u") + 1)
       val chain = edges.select(
@@ -795,7 +797,7 @@ object SparkEntry {
          |  LENGTH(event_type) AS len
          |FROM events WHERE event_type LIKE 'c%'""".stripMargin,
     "r23_path_closure" ->
-      """WITH u AS (SELECT DISTINCT user_id FROM events)
+      """WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 120)
         |SELECT 'http://graft.dev/u/' || CAST(a.user_id AS VARCHAR) AS a,
         |       'http://graft.dev/u/' || CAST(b.user_id AS VARCHAR) AS b
         |FROM u a JOIN u b ON a.user_id < b.user_id""".stripMargin,
