@@ -351,6 +351,20 @@ object SparkEntry {
         |  FILTER(?n >= 70.0)
         |}""".stripMargin)),
 
+    // R25: IN-list filter (numeric-aware chained equality)
+    "r25_in_filter" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e ?t WHERE {
+        |  ?e v:type ?t .
+        |  FILTER(?t IN ("click", "signup"))
+        |}""".stripMargin)),
+
+    // R26: DESCRIBE via WHERE solutions (subject-based description;
+    // object column dropped — double→string lexical forms are not
+    // oracle-portable across engines)
+    "r26_describe" -> ((s, dir) => sparql(s, dir,
+      """DESCRIBE ?e WHERE { ?e v:value ?hv . FILTER(?hv > 480.0) }""")
+      .select(col("subject"), col("predicate"))),
+
     // B3/B4: baseline bootstrap — AGGREGATE accumulation over bindings,
     // materialized as baseline#var statements (object kept numeric here;
     // Rust-Display string formatting is covered by TermsSpec)
@@ -806,6 +820,16 @@ object SparkEntry {
          |FROM events e JOIN
          |  (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
          |   HAVING COUNT(*) >= 70) c USING (user_id)""".stripMargin,
+    "r25_in_filter" ->
+      s"""SELECT $E AS e, event_type AS t
+         |FROM events WHERE event_type IN ('click', 'signup')""".stripMargin,
+    "r26_describe" ->
+      s"""SELECT $E AS subject, t.p AS predicate
+         |FROM events,
+         |  (VALUES ('http://graft.dev/vocab#user'),
+         |          ('http://graft.dev/vocab#type'),
+         |          ('http://graft.dev/vocab#value')) t(p)
+         |WHERE value > 480.0""".stripMargin,
     "r17_bound_filter" ->
       s"""SELECT $E AS e, $U AS u
          |FROM events WHERE event_type = 'click' AND user_id NOT IN

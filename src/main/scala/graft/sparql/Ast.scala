@@ -64,6 +64,8 @@ final case class EExists(pattern: GroupPattern, negated: Boolean) extends Expr
 final case class EBound(name: String) extends Expr
 /** Aggregate reference inside a HAVING condition (COUNT(?x) > 5). */
 final case class EAggRef(agg: Aggregate) extends Expr
+/** `?x IN (e1, e2, …)` / `?x NOT IN (…)`. */
+final case class EIn(e: Expr, items: Seq[Expr], negated: Boolean) extends Expr
 
 /** Inline data block: `VALUES (?x ?y) { ("a" 1) ... }`. Rows carry
   * fully-bound lexical terms (UNDEF is rejected at parse time). */
@@ -161,4 +163,10 @@ final case class SelectQuery(
 final case class AskQuery(where: GroupPattern) extends Query
 final case class ConstructQuery(
     template: Seq[QuadPattern],
+    where: GroupPattern) extends Query
+/** DESCRIBE ?v WHERE {…} / DESCRIBE <iri>: all statements whose subject
+  * is a described resource (simple subject-based description). A
+  * constant-only DESCRIBE has an empty WHERE. */
+final case class DescribeQuery(
+    targets: Seq[Term],
     where: GroupPattern) extends Query

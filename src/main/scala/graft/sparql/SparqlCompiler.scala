@@ -93,6 +93,35 @@ object SparqlCompiler {
       }
       parts.reduceOption(_ unionAll _)
         .getOrElse(throw new CompileException("CONSTRUCT with empty template"))
+    case q: DescribeQuery =>
+      // subject-based description: statements whose subject is a
+      // described resource. Variable targets come from the WHERE
+      // solutions (distinct → small → broadcast semi join); constants
+      // filter directly.
+      val constParts = q.targets.collect {
+        case Iri(v) => v
+        case Lit(v) => v
+      }
+      val varTargets = q.targets.collect { case Var(n) => n }
+      val byConst =
+        if (constParts.isEmpty) None
+        else Some(quads.where(col("subject").isInCollection(constParts)))
+      val byVar =
+        if (varTargets.isEmpty) None
+        else {
+          val grouped = compileGroup(quads, q.where, extraKeys)
+          val missing = varTargets.filterNot(grouped.vars.contains)
+          if (missing.nonEmpty)
+            throw new CompileException(
+              s"DESCRIBE variable(s) ${missing.mkString(", ")} not bound in WHERE")
+          val targets = varTargets.map(v =>
+            grouped.df.select(col(v).as("subject"))).reduce(_ unionAll _)
+            .distinct()
+          Some(quads.join(broadcast(targets), Seq("subject"), "leftsemi"))
+        }
+      (byConst.toSeq ++ byVar.toSeq).reduceOption(_ unionAll _)
+        .map(_.select("subject", "predicate", "object"))
+        .getOrElse(throw new CompileException("DESCRIBE with no targets"))
   }
 
   /** ORDER BY key columns. Variables order numerically when their lexical
@@ -437,7 +466,8 @@ object SparqlCompiler {
     case ECall("ROUND", Seq(a))   => round(numC(a), 0)
     case ECall("CEIL", Seq(a))    => ceil(numC(a)).cast("double")
     case ECall("FLOOR", Seq(a))   => floor(numC(a)).cast("double")
-    case c @ ECall("CONTAINS" | "STRSTARTS" | "STRENDS" | "REGEX", _) =>
+    case c @ ECall("CONTAINS" | "STRSTARTS" | "STRENDS" | "REGEX" |
+        "ISIRI" | "ISURI" | "ISLITERAL" | "ISNUMERIC" | "ISBLANK", _) =>
       when(boolC(c), 1.0).otherwise(0.0) // EBV numeric projection
     case c @ ECall("CONCAT" | "UCASE" | "LCASE" | "SUBSTR", _) =>
       strC(c).try_cast("double")
@@ -487,6 +517,21 @@ object SparqlCompiler {
     case ECall("IF", Seq(c, a, b)) =>
       when(boolC(c), boolC(a)).otherwise(boolC(b))
     case ECall("COALESCE", args) => coalesce(args.map(boolC): _*)
+    case EIn(e, items, negated) =>
+      // SPARQL IN = chained equality with the same numeric-aware
+      // semantics as '='; NOT IN negates the disjunction
+      val any = items.map(i => boolC(ECmp("=", e, i)))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      if (negated) !any else any
+    // term type predicates over the engine's numeric-sniffed model
+    // (SURVEY §1.2: object starting with http(s):// is an IRI; there
+    // are no blank nodes in the event model)
+    case ECall("ISIRI" | "ISURI", Seq(a)) =>
+      strC(a).startsWith("http://") || strC(a).startsWith("https://")
+    case ECall("ISLITERAL", Seq(a)) =>
+      !(strC(a).startsWith("http://") || strC(a).startsWith("https://"))
+    case ECall("ISNUMERIC", Seq(a)) => numC(a).isNotNull
+    case ECall("ISBLANK", Seq(_))   => lit(false)
     case ECall("CONTAINS", Seq(a, b))  => strC(a).contains(strC(b))
     case ECall("STRSTARTS", Seq(a, b)) => strC(a).startsWith(strC(b))
     case ECall("STRENDS", Seq(a, b))   => strC(a).endsWith(strC(b))

@@ -223,8 +223,29 @@ object SparqlParser {
         case w: TWord if w.v.equalsIgnoreCase("select")    => parseSelect()
         case w: TWord if w.v.equalsIgnoreCase("ask")       => parseAsk()
         case w: TWord if w.v.equalsIgnoreCase("construct") => parseConstruct()
-        case t => throw ParseException(s"Expected SELECT/ASK/CONSTRUCT, got $t")
+        case w: TWord if w.v.equalsIgnoreCase("describe")  => parseDescribe()
+        case t => throw ParseException(
+          s"Expected SELECT/ASK/CONSTRUCT/DESCRIBE, got $t")
       }
+    }
+
+    private def parseDescribe(): DescribeQuery = {
+      val targets = ArrayBuffer.empty[Term]
+      var more = true
+      while (more) peek match {
+        case Some(TVar(v))   => targets += Var(v); pos += 1
+        case Some(TIri(v))   => targets += Iri(v); pos += 1
+        case Some(p: TPName) => targets += Iri(expand(p)); pos += 1
+        case _               => more = false
+      }
+      if (targets.isEmpty)
+        throw ParseException("DESCRIBE requires at least one target")
+      val where =
+        if (atWord("where") || atPunct("{")) {
+          if (atWord("where")) pos += 1
+          parseGroup(None)
+        } else GroupPattern(Nil, Nil)
+      DescribeQuery(targets.toSeq, where)
     }
 
     private def parseSelect(): SelectQuery = {
@@ -665,11 +686,28 @@ object SparqlParser {
 
     private def parseRelational(): Expr = {
       val l = parseAdditive()
+      def inList(negated: Boolean): Expr = {
+        eatPunct("(")
+        val items = ArrayBuffer.empty[Expr]
+        if (!atPunct(")")) {
+          items += parseExpr()
+          while (atPunct(",")) { pos += 1; items += parseExpr() }
+        }
+        eatPunct(")")
+        EIn(l, items.toSeq, negated)
+      }
       peek match {
         case Some(TPunct(op))
             if Set("=", "!=", "<", "<=", ">", ">=").contains(op) =>
           pos += 1
           ECmp(op, l, parseAdditive())
+        case Some(t) if isWord(t, "in") =>
+          pos += 1
+          inList(negated = false)
+        case Some(t) if isWord(t, "not") &&
+            pos + 1 < toks.length && isWord(toks(pos + 1), "in") =>
+          pos += 2
+          inList(negated = true)
         case _ => l
       }
     }
@@ -728,7 +766,8 @@ object SparqlParser {
       case w: TWord
           if Set("if", "coalesce", "str", "abs", "concat", "strlen",
             "ucase", "lcase", "contains", "strstarts", "strends", "regex",
-            "round", "ceil", "floor", "substr")
+            "round", "ceil", "floor", "substr", "isiri", "isuri",
+            "isliteral", "isnumeric", "isblank")
             .contains(w.v.toLowerCase) && atPunct("(") =>
         // SPARQL builtin functions, carried as upper-case ECall names
         // (extension functions are full IRIs — no collision)
@@ -736,7 +775,9 @@ object SparqlParser {
           case ECall("IF", args) if args.length != 3 =>
             throw ParseException("IF expects 3 arguments")
           case ECall("STR" | "ABS" | "STRLEN" | "UCASE" | "LCASE" |
-              "ROUND" | "CEIL" | "FLOOR", args) if args.length != 1 =>
+              "ROUND" | "CEIL" | "FLOOR" | "ISIRI" | "ISURI" |
+              "ISLITERAL" | "ISNUMERIC" | "ISBLANK", args)
+              if args.length != 1 =>
             throw ParseException(s"${w.v.toUpperCase} expects 1 argument")
           case ECall("CONTAINS" | "STRSTARTS" | "STRENDS", args)
               if args.length != 2 =>

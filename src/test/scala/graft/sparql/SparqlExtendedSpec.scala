@@ -372,6 +372,46 @@ class SparqlExtendedSpec extends AnyFunSuite {
     }
   }
 
+  test("IN / NOT IN with numeric-aware equality") {
+    val in = run(
+      """SELECT ?s WHERE {
+        |  ?s ex:age ?age . FILTER(?age IN (25.0, "35"))
+        |}""".stripMargin)
+    assert(TestSpark.rows(in) === Set(
+      Seq("http://ex.org/bob"), Seq("http://ex.org/charlie")))
+    val notIn = run(
+      """SELECT ?s WHERE {
+        |  ?s ex:age ?age . FILTER(?age NOT IN (25.0, "35"))
+        |}""".stripMargin)
+    assert(TestSpark.rows(notIn) === Set(Seq("http://ex.org/alice")))
+  }
+
+  test("isIRI / isLiteral / isNumeric type predicates") {
+    val iris = run(
+      """SELECT ?o WHERE { ?s ?p ?o . FILTER(isIRI(?o)) }""")
+    assert(iris.count() === 2) // the two knows-objects
+    val lits = run(
+      """SELECT ?o WHERE { ?s ?p ?o . FILTER(isLiteral(?o) && isNumeric(?o)) }""")
+    assert(TestSpark.rows(lits) === Set(Seq("30"), Seq("25"), Seq("35")))
+    val nonNum = run(
+      """SELECT ?o WHERE { ?s ?p ?o . FILTER(isLiteral(?o) && !isNumeric(?o)) }""")
+    assert(TestSpark.rows(nonNum) === Set(Seq("alice@ex.org")))
+  }
+
+  test("DESCRIBE a constant IRI returns its statements") {
+    val df = run("""DESCRIBE <http://ex.org/alice>""")
+    assert(df.count() === 4) // 2 knows + age + email
+    assert(df.columns.toSeq === Seq("subject", "predicate", "object"))
+  }
+
+  test("DESCRIBE ?v WHERE selects statement sets via solutions") {
+    val df = run(
+      """DESCRIBE ?s WHERE { ?s ex:age ?age . FILTER(?age >= 30.0) }""")
+    // alice (4 statements) + charlie (1 statement)
+    assert(df.count() === 5)
+    assert(df.select("subject").distinct().count() === 2)
+  }
+
   test("aggregate over UNION + ORDER BY count DESC + LIMIT") {
     val df = run(
       """SELECT ?s (COUNT(?o) AS ?n) WHERE {
