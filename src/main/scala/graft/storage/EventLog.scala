@@ -273,6 +273,64 @@ final class EventLog(
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Compact bucket directories that have accumulated more than
+    * `maxFilesPerBucket` data files into `filesPerBucket` ts-sorted
+    * files. Streaming appends write one file per micro-batch per
+    * bucket (the reference's per-flush segments,
+    * `segmented_storage.rs:478-657`); left alone, a long-running
+    * stream leaves thousands of small files per bucket — slow
+    * listings, weak row-group stats, tiny scan tasks. Compaction is
+    * the log-structured answer: rewrite cold buckets into few large
+    * ts-ordered files (tight stats → hard pruning).
+    *
+    * Per-bucket swap is rename-based: the rewritten data lands in a
+    * sibling temp dir, the old dir moves aside, the temp moves in,
+    * the old data is deleted. Single-writer assumption (same as
+    * append); concurrent readers re-list on their next query.
+    * Returns the number of buckets compacted. */
+  def compact(maxFilesPerBucket: Int = 8, filesPerBucket: Int = 1): Int = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val prefix = s"$BucketCol="
+    var compacted = 0
+    fs.listStatus(root).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith(prefix)) {
+        val dataFiles = fs.listStatus(st.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        if (dataFiles > maxFilesPerBucket) {
+          val bucketDir = st.getPath
+          val tmp = new org.apache.hadoop.fs.Path(
+            root, s".compact-tmp-${bucketDir.getName}")
+          val old = new org.apache.hadoop.fs.Path(
+            root, s".compact-old-${bucketDir.getName}")
+          fs.delete(tmp, true)
+          fs.delete(old, true)
+          spark.read
+            .schema(org.apache.spark.sql.types.StructType(
+              LogSchema.fields.filterNot(_.name == BucketCol)))
+            .parquet(bucketDir.toString)
+            .repartition(filesPerBucket)
+            .sortWithinPartitions("timestamp")
+            .write
+            .option("compression", compression)
+            .parquet(tmp.toString)
+          // drop the _SUCCESS marker so the dir holds data files only
+          fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
+          fs.rename(bucketDir, old)
+          fs.rename(tmp, bucketDir)
+          fs.delete(old, true)
+          compacted += 1
+        }
+      }
+    }
+    if (compacted > 0) {
+      invalidate()
+      synchronized(rowCache.clear())
+    }
+    compacted
+  }
+
   /** Drop whole bucket directories that end at or before `ts` —
     * retention for live windows (nothing below the fire horizon can
     * enter any future snapshot). Directory-granular and Hadoop-FS

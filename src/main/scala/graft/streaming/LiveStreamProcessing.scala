@@ -3,7 +3,7 @@ package graft.streaming
 import graft.core.RdfEvent
 import graft.janusql._
 import graft.sparql.{GroupPattern, Iri, Items, Query, QuadPattern, SelectQuery,
-  SparqlCompiler, SparqlParser, Star, VarItem}
+  SparqlCompiler, SparqlParser, Star, Term, VarItem}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -239,28 +239,42 @@ object LiveStreamProcessing {
       SparqlParser.parse(s"$prefixText\nSELECT * WHERE {\n$body\n}")
         .asInstanceOf[SelectQuery].where
 
+    // recursively pin every pattern of a group (incl. those inside
+    // OPTIONAL/UNION/MINUS/subqueries and path patterns) to a graph —
+    // window bodies may use the full SPARQL surface
+    def scope(g: GroupPattern, graph: Term): GroupPattern = g.copy(
+      patterns = g.patterns.map(p => p.copy(g = p.g.orElse(Some(graph)))),
+      optionals = g.optionals.map(scope(_, graph)),
+      unions = g.unions.map(_.map(scope(_, graph))),
+      minuses = g.minuses.map(scope(_, graph)),
+      paths = g.paths.map(pp => pp.copy(g = pp.g.orElse(Some(graph)))),
+      subqueries = g.subqueries.map(sq =>
+        sq.copy(where = scope(sq.where, graph))))
+
+    def merge(gs: Seq[GroupPattern]): GroupPattern = GroupPattern(
+      gs.flatMap(_.patterns), gs.flatMap(_.filters),
+      gs.flatMap(_.optionals), gs.flatMap(_.binds),
+      gs.flatMap(_.unions), gs.flatMap(_.minuses),
+      gs.flatMap(_.values), gs.flatMap(_.subqueries),
+      gs.flatMap(_.paths))
+
     // static patterns + filters (everything outside WINDOW blocks)
     val nonWindow =
       JanusQLParser.extractNonWindowWherePatterns(parsed.whereClause)
-    val staticGroup =
+    val staticScoped =
       if (nonWindow.trim.isEmpty) GroupPattern(Nil, Nil)
-      else parseGroup(nonWindow)
-    val staticScoped = staticGroup.patterns
-      .map(p => p.copy(g = p.g.orElse(Some(Iri(DefaultGraph)))))
+      else scope(parseGroup(nonWindow), Iri(DefaultGraph))
 
     // each live window's body, scoped to the window graph
     val windowGroups = parsed.liveWindows.flatMap { w =>
       JanusQLParser.findWindowBody(parsed.ast.whereWindows, w,
         parsed.prefixes).map(body => (w, parseGroup(body)))
     }
-    val windowScoped = windowGroups.flatMap { case (w, g) =>
-      g.patterns.map(p => p.copy(g = p.g.orElse(Some(Iri(w.windowName)))))
+    val windowScoped = windowGroups.map { case (w, g) =>
+      scope(g, Iri(w.windowName))
     }
-    val windowFilters = windowGroups.flatMap(_._2.filters)
 
-    val where = GroupPattern(
-      staticScoped ++ windowScoped,
-      staticGroup.filters ++ windowFilters)
+    val where = merge(staticScoped +: windowScoped)
 
     // projection from the SELECT clause (parse it against a dummy body)
     val projection = {

@@ -75,6 +75,29 @@ class EventLogSpec extends AnyFunSuite {
       Seq("http://e.org/s999"))
   }
 
+  test("compact: many small appends collapse to few files, data intact") {
+    val log = freshLog(bucketMs = 10000L) // all events in one bucket
+    (1 to 12).foreach { i =>
+      log.append(RdfEvent.toDF(spark, Seq(ev(i * 100L, i))))
+    }
+    val before = log.query(0, Long.MaxValue / 2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(log.compact(maxFilesPerBucket = 8) === 1)
+    // second call is a no-op: the bucket is already compact
+    assert(log.compact(maxFilesPerBucket = 8) === 0)
+    val after = log.query(0, Long.MaxValue / 2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(after === before)
+    // the point path agrees post-compaction (index + cache invalidated)
+    assert(log.pointQuery(500L, 500L).map(_.subject) ===
+      Seq("http://e.org/s5"))
+    // file count actually dropped
+    val dir = new java.io.File(
+      log.query(0, 1).inputFiles.head.stripPrefix("file:")).getParentFile
+    val files = dir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files === 1)
+  }
+
   test("quads survive roundtrip with term values intact") {
     val log = freshLog()
     val in = Seq(RdfEvent(42L, "http://e.org/s", "http://e.org/p",

@@ -144,6 +144,40 @@ class CompiledLiveStreamSpec extends AnyFunSuite {
         b.get("base").contains("10") })
   }
 
+  test("parity on Oxigraph-parity forms in a live window: OPTIONAL + " +
+      "BOUND negation") {
+    val query =
+      """PREFIX ex: <http://example.org/>
+        |REGISTER RStream <output> AS
+        |SELECT ?s ?v ?lbl
+        |FROM NAMED WINDOW ex:w1 ON STREAM ex:stream1 [RANGE 1000 STEP 500]
+        |WHERE {
+        |    WINDOW ex:w1 {
+        |        ?s ex:value ?v .
+        |        OPTIONAL { ?s ex:label ?lbl }
+        |    }
+        |}""".stripMargin
+    val events = Seq(
+      Stream1 -> RdfEvent(100L, "http://example.org/a",
+        "http://example.org/value", "1", ""),
+      Stream1 -> RdfEvent(150L, "http://example.org/a",
+        "http://example.org/label", "hot", ""),
+      Stream1 -> RdfEvent(200L, "http://example.org/b",
+        "http://example.org/value", "2", ""),
+      Stream1 -> RdfEvent(2000L, LiveStreamProcessing.SentinelSubject,
+        LiveStreamProcessing.SentinelPredicate,
+        LiveStreamProcessing.SentinelObject, ""))
+    val (parity, compiled) = runBoth(query, Seq(events))
+    assert(parity.nonEmpty)
+    assert(compiled === parity)
+    // a carries its label; b fires with ?lbl unbound
+    assert(compiled.exists { case (b, _, _) =>
+      b.get("s").contains("http://example.org/a") &&
+        b.get("lbl").contains("hot") })
+    assert(compiled.exists { case (b, _, _) =>
+      b.get("s").contains("http://example.org/b") && !b.contains("lbl") })
+  }
+
   test("log stays pruned to the fire horizon (bounded storage)") {
     val log = newLog()
     val buf = new SinkBuffer
