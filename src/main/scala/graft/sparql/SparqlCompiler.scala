@@ -58,21 +58,12 @@ object SparqlCompiler {
         case _       => false
       })
       if (!isAggShape && !q.distinct && !ordersOnAlias) {
-        val base = grouped.df
-        val ordered =
-          if (q.orderBy.isEmpty) base
-          else base.orderBy(q.orderBy.flatMap(orderCols(_, base)): _*)
-        val shifted = q.offset.fold(ordered)(o => ordered.offset(o.toInt))
-        val limited = q.limit.fold(shifted)(l => shifted.limit(l.toInt))
+        val limited = applyModifiers(grouped.df, q, extraKeys)
         project(Grouped(limited, grouped.vars), q, extraKeys)
       } else {
         val projected = project(grouped, q, extraKeys)
         val deduped = if (q.distinct) projected.distinct() else projected
-        val ordered =
-          if (q.orderBy.isEmpty) deduped
-          else deduped.orderBy(q.orderBy.flatMap(orderCols(_, deduped)): _*)
-        val shifted = q.offset.fold(ordered)(o => ordered.offset(o.toInt))
-        q.limit.fold(shifted)(l => shifted.limit(l.toInt))
+        applyModifiers(deduped, q, extraKeys)
       }
     case q: AskQuery =>
       val df = compileGroup(quads, q.where, extraKeys).df
@@ -122,6 +113,40 @@ object SparqlCompiler {
       (byConst.toSeq ++ byVar.toSeq).reduceOption(_ unionAll _)
         .map(_.select("subject", "predicate", "object"))
         .getOrElse(throw new CompileException("DESCRIBE with no targets"))
+  }
+
+  /** Solution modifiers. Without extraKeys this is plain
+    * sort/offset/limit (ORDER BY + LIMIT → TakeOrderedAndProject).
+    * With extraKeys (windowed evaluation) LIMIT/OFFSET must apply PER
+    * WINDOW — the reference evaluates each window independently — so
+    * they compile to a `row_number()` over a window-id partition:
+    * still one distributed plan, one shuffle on the window id. */
+  private def applyModifiers(df: DataFrame, q: SelectQuery,
+      extraKeys: Seq[String]): DataFrame = {
+    if (q.orderBy.isEmpty && q.limit.isEmpty && q.offset.isEmpty) df
+    else if (extraKeys.isEmpty) {
+      val ordered =
+        if (q.orderBy.isEmpty) df
+        else df.orderBy(q.orderBy.flatMap(orderCols(_, df)): _*)
+      val shifted = q.offset.fold(ordered)(o => ordered.offset(o.toInt))
+      q.limit.fold(shifted)(l => shifted.limit(l.toInt))
+    } else if (q.limit.isEmpty && q.offset.isEmpty) {
+      // pure ORDER BY: group rows per window, then the requested order
+      df.orderBy(extraKeys.map(col) ++
+        q.orderBy.flatMap(orderCols(_, df)): _*)
+    } else {
+      val part = org.apache.spark.sql.expressions.Window
+        .partitionBy(extraKeys.map(col): _*)
+      val win =
+        if (q.orderBy.nonEmpty)
+          part.orderBy(q.orderBy.flatMap(orderCols(_, df)): _*)
+        else part.orderBy(lit(1)) // unordered LIMIT: any rows qualify
+      val off = q.offset.getOrElse(0L)
+      val hi = q.limit.map(off + _).getOrElse(Long.MaxValue)
+      df.withColumn("__rn", row_number().over(win))
+        .where(col("__rn") > off && col("__rn") <= hi)
+        .drop("__rn")
+    }
   }
 
   /** ORDER BY key columns. Variables order numerically when their lexical
@@ -193,7 +218,7 @@ object SparqlCompiler {
     // (see pathEdges), then binds its subject/object terms and joins
     // like an ordinary pattern.
     group.paths.foreach { pp =>
-      var df = pathEdges(quads, pp.path, pp.g)
+      var df = pathEdges(quads, pp.path, pp.g, extraKeys)
       val bindings = scala.collection.mutable.LinkedHashMap.empty[String, String]
       def bind(colName: String, term: Term): Unit = term match {
         case Var(n) =>
@@ -358,46 +383,59 @@ object SparqlCompiler {
   private val PathDstCol = "__po"
 
   /** Edge relation of a property path: a DataFrame with columns
-    * (__ps, __po). Links are filtered scans; inverse swaps; sequence is
-    * an equi-join on the midpoint; alternative is a multiset union;
-    * one-or-more is a distributed transitive closure by squaring
-    * (closure ⋈ closure each round → O(log diameter) iterations, each a
-    * shuffle join + distinct, lineage truncated via localCheckpoint).
-    * That iterative-BFS shape is how distributed graph engines compute
-    * reachability — it scales with executors, not with the driver. */
-  private def pathEdges(quads: DataFrame, p: Path,
-      g: Option[Term]): DataFrame = p match {
-    case PLink(iri) =>
-      var df = quads.where(col("predicate") === iri)
-      g.foreach {
-        case Iri(v) => df = df.where(col("graph") === v)
-        case Lit(v) => df = df.where(col("graph") === v)
-        case Var(_) => throw new CompileException(
-          "Variable GRAPH scope is not supported with property paths")
-      }
-      df.select(col("subject").as(PathSrcCol), col("object").as(PathDstCol))
-    case PInverse(x) =>
-      pathEdges(quads, x, g).select(
-        col(PathDstCol).as(PathSrcCol), col(PathSrcCol).as(PathDstCol))
-    case PSeq(l, r) =>
-      val lhs = pathEdges(quads, l, g).toDF(PathSrcCol, "__mid")
-      val rhs = pathEdges(quads, r, g).toDF("__mid", PathDstCol)
-      lhs.join(rhs, "__mid").select(PathSrcCol, PathDstCol)
-    case PAlt(l, r) =>
-      pathEdges(quads, l, g) unionAll pathEdges(quads, r, g)
-    case PPlus(x) =>
-      var closure = pathEdges(quads, x, g).distinct().localCheckpoint()
-      var prev = -1L
-      var n = closure.count()
-      while (n != prev) {
-        prev = n
-        val step = closure.toDF(PathSrcCol, "__mid")
-          .join(closure.toDF("__mid", PathDstCol), "__mid")
-          .select(PathSrcCol, PathDstCol)
-        closure = closure.unionAll(step).distinct().localCheckpoint()
-        n = closure.count()
-      }
-      closure
+    * (extraKeys…, __ps, __po). Links are filtered scans; inverse swaps;
+    * sequence is an equi-join on the midpoint; alternative is a
+    * multiset union; one-or-more is a distributed transitive closure by
+    * squaring (closure ⋈ closure each round → O(log diameter)
+    * iterations, each a shuffle join + distinct, lineage truncated via
+    * localCheckpoint). That iterative-BFS shape is how distributed
+    * graph engines compute reachability — it scales with executors,
+    * not with the driver. `extraKeys` (window ids) join through every
+    * step, so per-window closures stay one plan. */
+  private def pathEdges(quads: DataFrame, p: Path, g: Option[Term],
+      extraKeys: Seq[String]): DataFrame = {
+    val keyCols = extraKeys.map(col)
+    p match {
+      case PLink(iri) =>
+        var df = quads.where(col("predicate") === iri)
+        g.foreach {
+          case Iri(v) => df = df.where(col("graph") === v)
+          case Lit(v) => df = df.where(col("graph") === v)
+          case Var(_) => throw new CompileException(
+            "Variable GRAPH scope is not supported with property paths")
+        }
+        df.select(keyCols ++ Seq(col("subject").as(PathSrcCol),
+          col("object").as(PathDstCol)): _*)
+      case PInverse(x) =>
+        pathEdges(quads, x, g, extraKeys).select(keyCols ++ Seq(
+          col(PathDstCol).as(PathSrcCol),
+          col(PathSrcCol).as(PathDstCol)): _*)
+      case PSeq(l, r) =>
+        val lhs = pathEdges(quads, l, g, extraKeys)
+          .withColumnRenamed(PathDstCol, "__mid")
+        val rhs = pathEdges(quads, r, g, extraKeys)
+          .withColumnRenamed(PathSrcCol, "__mid")
+        lhs.join(rhs, "__mid" +: extraKeys)
+          .select(keyCols ++ Seq(col(PathSrcCol), col(PathDstCol)): _*)
+      case PAlt(l, r) =>
+        pathEdges(quads, l, g, extraKeys) unionAll
+          pathEdges(quads, r, g, extraKeys)
+      case PPlus(x) =>
+        var closure = pathEdges(quads, x, g, extraKeys)
+          .distinct().localCheckpoint()
+        var prev = -1L
+        var n = closure.count()
+        while (n != prev) {
+          prev = n
+          val step = closure.withColumnRenamed(PathDstCol, "__mid")
+            .join(closure.withColumnRenamed(PathSrcCol, "__mid"),
+              "__mid" +: extraKeys)
+            .select(keyCols ++ Seq(col(PathSrcCol), col(PathDstCol)): _*)
+          closure = closure.unionAll(step).distinct().localCheckpoint()
+          n = closure.count()
+        }
+        closure
+    }
   }
 
   private def constantCount(qp: QuadPattern): Int =

@@ -412,6 +412,48 @@ class SparqlExtendedSpec extends AnyFunSuite {
     assert(df.select("subject").distinct().count() === 2)
   }
 
+  test("extraKeys thread through property paths (per-window closure)") {
+    val spark = TestSpark.spark
+    // same chain in window 0; a shorter one in window 1
+    val rows = Seq(
+      (0L, "a", "http://ex.org/next", "b", ""),
+      (0L, "b", "http://ex.org/next", "c", ""),
+      (1L, "a", "http://ex.org/next", "b", ""))
+    import spark.implicits._
+    val quads = rows.toDF("__wid", "subject", "predicate", "object", "graph")
+      .withColumn("timestamp", org.apache.spark.sql.functions.lit(1L))
+    val df = SparqlCompiler.compile(quads, SparqlParser.parse(
+      """PREFIX ex: <http://ex.org/>
+        |SELECT ?x ?y WHERE { ?x ex:next+ ?y . }""".stripMargin),
+      extraKeys = Seq("__wid"))
+    val byWid = df.collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getString(2))))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    assert(byWid(0L) === Set(("a", "b"), ("b", "c"), ("a", "c")))
+    assert(byWid(1L) === Set(("a", "b"))) // window 1 has no b→c edge
+  }
+
+  test("LIMIT applies per window when extraKeys are present") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val quads = Seq(
+      (0L, "s1", "http://ex.org/v", "3", ""),
+      (0L, "s2", "http://ex.org/v", "1", ""),
+      (0L, "s3", "http://ex.org/v", "2", ""),
+      (1L, "s4", "http://ex.org/v", "9", ""),
+      (1L, "s5", "http://ex.org/v", "8", ""))
+      .toDF("__wid", "subject", "predicate", "object", "graph")
+      .withColumn("timestamp", org.apache.spark.sql.functions.lit(1L))
+    val df = SparqlCompiler.compile(quads, SparqlParser.parse(
+      """PREFIX ex: <http://ex.org/>
+        |SELECT ?s ?v WHERE { ?s ex:v ?v . }
+        |ORDER BY DESC(?v) LIMIT 1""".stripMargin),
+      extraKeys = Seq("__wid"))
+    // top-1 per window, not global top-1
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((0L, "s1"), (1L, "s4")))
+  }
+
   test("aggregate over UNION + ORDER BY count DESC + LIMIT") {
     val df = run(
       """SELECT ?s (COUNT(?o) AS ?n) WHERE {
