@@ -141,4 +141,43 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = executedPlan(pairs)
     assert(!plan.toLowerCase.contains("cartesianproduct"), plan)
   }
+
+  test("OPTIONAL compiles to an outer hash/sort-merge join, no cartesian") {
+    val plan = executedPlan(SparkEntry.queries("r12_optional")(spark, sf))
+    assert(!plan.toLowerCase.contains("cartesianproduct"), plan)
+    assert(plan.contains("Outer") || plan.contains("LeftOuter"),
+      s"no outer join in OPTIONAL plan:\n$plan")
+  }
+
+  test("VALUES inline data joins via broadcast (never shuffles the scan " +
+      "side onto a 2-row local relation)") {
+    val plan = executedPlan(SparkEntry.queries("r18_values")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"VALUES join did not broadcast:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesianproduct"), plan)
+  }
+
+  test("ORDER BY + LIMIT plans TakeOrderedAndProject (per-partition " +
+      "top-k, no global sort)") {
+    val plan = executedPlan(SparkEntry.queries("r16_topk")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k query fell back to a global sort:\n$plan")
+  }
+
+  test("MINUS compiles to an anti join; subquery join is not cartesian") {
+    val minusPlan = executedPlan(SparkEntry.queries("r15_minus")(spark, sf))
+    assert(minusPlan.contains("Anti"),
+      s"MINUS did not plan an anti join:\n$minusPlan")
+    val subqPlan = executedPlan(SparkEntry.queries("r24_subquery")(spark, sf))
+    assert(!subqPlan.toLowerCase.contains("cartesianproduct"), subqPlan)
+  }
+
+  test("prefix-filtered jaccard join has no cartesian product") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = graft.pipeline.Dedup.jaccardNearDuplicates(docs,
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text"), threshold = 0.8)
+    val plan = executedPlan(pairs)
+    assert(!plan.toLowerCase.contains("cartesianproduct"), plan)
+  }
 }
