@@ -123,13 +123,14 @@ object SparqlCompiler {
     * still one distributed plan, one shuffle on the window id. */
   private def applyModifiers(df: DataFrame, q: SelectQuery,
       extraKeys: Seq[String]): DataFrame = {
+    def clamp(v: Long): Int = math.min(v, Int.MaxValue.toLong).toInt
     if (q.orderBy.isEmpty && q.limit.isEmpty && q.offset.isEmpty) df
     else if (extraKeys.isEmpty) {
       val ordered =
         if (q.orderBy.isEmpty) df
         else df.orderBy(q.orderBy.flatMap(orderCols(_, df)): _*)
-      val shifted = q.offset.fold(ordered)(o => ordered.offset(o.toInt))
-      q.limit.fold(shifted)(l => shifted.limit(l.toInt))
+      val shifted = q.offset.fold(ordered)(o => ordered.offset(clamp(o)))
+      q.limit.fold(shifted)(l => shifted.limit(clamp(l)))
     } else if (q.limit.isEmpty && q.offset.isEmpty) {
       // pure ORDER BY: group rows per window, then the requested order
       df.orderBy(extraKeys.map(col) ++
@@ -175,7 +176,33 @@ object SparqlCompiler {
 
   // ---- group graph pattern --------------------------------------------
 
-  final case class Grouped(df: DataFrame, vars: Set[String])
+  /** `nullable` tracks which vars may be unbound (null) — introduced by
+    * OPTIONAL, or bound in only some UNION branches. Joins on such vars
+    * need SPARQL compatibility semantics (unbound matches anything)
+    * instead of a plain equi-join. */
+  final case class Grouped(df: DataFrame, vars: Set[String],
+      nullable: Set[String] = Set.empty)
+
+  /** SPARQL-compatibility join for shared vars that may be null on
+    * either side: unbound (null) is compatible with anything, and the
+    * merged binding takes whichever side is bound. This is NOT an
+    * equi-join (Spark plans a broadcast-nested-loop / filtered join),
+    * so [[compileGroup]] only reaches for it when a shared variable is
+    * actually nullable — plain patterns keep hash equi-joins. */
+  private def compatJoin(l: DataFrame, r: DataFrame, shared: Seq[String],
+      extraKeys: Seq[String], joinType: String): DataFrame = {
+    val pref = "__cj_"
+    val renamed = (shared ++ extraKeys).distinct
+    val rr = renamed.foldLeft(r)((df, v) => df.withColumnRenamed(v, pref + v))
+    val conds = extraKeys.map(k => col(k) === col(pref + k)) ++
+      shared.map(v =>
+        col(v).isNull || col(pref + v).isNull || col(v) === col(pref + v))
+    val joined = l.join(rr,
+      conds.reduceOption(_ && _).getOrElse(lit(true)), joinType)
+    val merged = shared.foldLeft(joined)((df, v) =>
+      df.withColumn(v, coalesce(col(v), col(pref + v))))
+    renamed.foldLeft(merged)((df, v) => df.drop(pref + v))
+  }
 
   def compileGroup(quads: DataFrame, group: GroupPattern,
       extraKeys: Seq[String]): Grouped = {
@@ -195,6 +222,8 @@ object SparqlCompiler {
     // join the pattern sharing the most variables with what's bound so far
     var acc: DataFrame = null
     var accVars = Set.empty[String]
+    // vars that may be null in acc (OPTIONAL-introduced / partial UNION)
+    var nullable = Set.empty[String]
     if (patternDFs.nonEmpty) {
       val remaining = scala.collection.mutable.ArrayBuffer(patternDFs: _*)
       val first = remaining.maxBy(_._3)
@@ -227,7 +256,13 @@ object SparqlCompiler {
             case None           => bindings += (n -> colName)
           }
         case Iri(v) => df = df.where(col(colName) === v)
-        case Lit(v) => df = df.where(col(colName) === v)
+        case Lit(v) =>
+          // same numeric-aware literal matching as ordinary patterns
+          df =
+            if (Terms.isNumeric(v))
+              df.where(col(colName) === v ||
+                col(colName).try_cast("double") === v.toDouble)
+            else df.where(col(colName) === v)
       }
       bind(PathSrcCol, pp.s)
       bind(PathDstCol, pp.o)
@@ -262,10 +297,15 @@ object SparqlCompiler {
 
     // UNION blocks: branches evaluated independently, multiset-unioned
     // (UNION ALL — SPARQL union does not deduplicate) with null fill for
-    // branch-local variables, then joined with the rest of the group.
+    // branch-local variables, then joined with the rest of the group. A
+    // variable missing from some branch (or nullable inside one) may be
+    // null in the union result — joins on it take the compatibility
+    // path (unbound matches anything, merged with coalesce).
     group.unions.foreach { alts =>
       val gs = alts.map(compileGroup(quads, _, extraKeys))
       val uVars = gs.flatMap(_.vars.toSeq).distinct
+      val uNullable = uVars.filter(v =>
+        gs.exists(g => !g.vars.contains(v) || g.nullable.contains(v))).toSet
       // align columns: every branch projects the full variable set
       val aligned = gs.map { g =>
         g.df.select(extraKeys.map(col) ++ uVars.map { v =>
@@ -273,12 +313,25 @@ object SparqlCompiler {
         }: _*)
       }
       val u = aligned.reduce(_ unionAll _)
-      if (acc == null) { acc = u; accVars = uVars.toSet }
-      else {
-        val shared = (uVars.filter(accVars.contains) ++ extraKeys).distinct
+      if (acc == null) {
+        acc = u
+        accVars = uVars.toSet
+        nullable = uNullable
+      } else {
+        val shared = uVars.filter(accVars.contains)
+        val anyNullable =
+          shared.exists(v => uNullable.contains(v) || nullable.contains(v))
         acc =
-          if (shared.nonEmpty) acc.join(u, shared, "inner")
-          else acc.crossJoin(u)
+          if (shared.isEmpty) {
+            if (extraKeys.nonEmpty) acc.join(u, extraKeys, "inner")
+            else acc.crossJoin(u)
+          } else if (anyNullable) compatJoin(acc, u, shared, extraKeys, "inner")
+          else acc.join(u, (shared ++ extraKeys).distinct, "inner")
+        // a joined shared var is null only when BOTH sides were; union-
+        // local vars inherit the union's nullability
+        nullable = nullable.filter(v =>
+          !shared.contains(v) || uNullable.contains(v)) ++
+          uNullable.filter(v => !accVars.contains(v) || nullable.contains(v))
         accVars = accVars ++ uVars
       }
     }
@@ -311,24 +364,26 @@ object SparqlCompiler {
       }
     }
 
-    // BIND(expr AS ?v): extend each solution with a computed column
-    group.binds.foreach { case (e, alias) =>
-      if (accVars.contains(alias))
-        throw new CompileException(s"BIND would rebind ?$alias")
-      acc = acc.withColumn(alias, valueC(e))
-      accVars += alias
-    }
-
     // OPTIONAL groups: SPARQL leftjoin — solutions keep going when the
     // optional side has no compatible row; its variables stay unbound
-    // (null). Shared pattern variables are never null, so a
-    // using-columns left join implements compatibility exactly.
+    // (null). Shared vars from plain patterns are never null, so the
+    // using-columns left join implements compatibility exactly; when a
+    // shared var may be null (earlier OPTIONAL / partial UNION), the
+    // compatibility join takes over (unbound matches anything).
     group.optionals.foreach { opt =>
       val optG = compileGroup(quads, opt, extraKeys)
-      val shared = (optG.vars.intersect(accVars).toSeq ++ extraKeys).distinct
+      val shared = optG.vars.intersect(accVars).toSeq
+      val anyNullable = shared.exists(v =>
+        nullable.contains(v) || optG.nullable.contains(v))
       acc =
-        if (shared.nonEmpty) acc.join(optG.df, shared, "left_outer")
-        else acc.join(optG.df, lit(true), "left_outer")
+        if (shared.isEmpty) acc.join(optG.df, lit(true), "left_outer")
+        else if (anyNullable)
+          compatJoin(acc, optG.df, shared, extraKeys, "left_outer")
+        else acc.join(optG.df, (shared ++ extraKeys).distinct, "left_outer")
+      // every optional-side variable may be unbound in the result, and
+      // a left join keeps unmatched rows — previously-nullable shared
+      // vars stay nullable (no-match rows keep their null)
+      nullable = nullable ++ (optG.vars -- accVars)
       accVars = accVars ++ optG.vars
     }
 
@@ -341,6 +396,16 @@ object SparqlCompiler {
         val shared = (sharedVars ++ extraKeys).distinct
         acc = acc.join(mG.df.select(shared.map(col): _*), shared, "leftanti")
       }
+    }
+
+    // BIND(expr AS ?v): extend each solution with a computed column.
+    // Applied after OPTIONAL so the COALESCE-over-optional-vars idiom
+    // works (BIND scopes over the preceding group elements).
+    group.binds.foreach { case (e, alias) =>
+      if (accVars.contains(alias))
+        throw new CompileException(s"BIND would rebind ?$alias")
+      acc = acc.withColumn(alias, valueC(e))
+      accVars += alias
     }
 
     // FILTERs: EXISTS via semi/anti joins, everything else via where()
@@ -358,7 +423,7 @@ object SparqlCompiler {
       case e =>
         acc = acc.where(boolC(e))
     }
-    Grouped(acc, accVars)
+    Grouped(acc, accVars, nullable)
   }
 
   /** Whether an expression is string-shaped (its value view should be

@@ -171,12 +171,6 @@ object SparqlParser {
 
   def parse(query: String): Query = new P(tokenize(query)).parseQuery()
 
-  private val Keywords = Set("select", "ask", "construct", "where", "filter",
-    "exists", "not", "graph", "group", "by", "as", "distinct", "prefix",
-    "count", "sum", "avg", "min", "max", "having", "optional", "bind",
-    "union", "minus", "order", "limit", "offset", "asc", "desc", "bound",
-    "values", "undef", "if", "coalesce", "str", "abs")
-
   private final class P(toks: Vector[Tok]) {
     private var pos = 0
     private var prefixes = Map.empty[String, String]
@@ -408,9 +402,18 @@ object SparqlParser {
       ConstructQuery(template, parseGroup(None))
     }
 
-    /** Parse `{ ... }` with the given active GRAPH scope. */
+    /** Parse `{ ... }` with the given active GRAPH scope. Per the SPARQL
+      * grammar, a group whose first token is SELECT is a SubSelect —
+      * that lets `{ SELECT … }` appear anywhere a group can, including
+      * as a UNION branch. */
     private def parseGroup(graph: Option[Term]): GroupPattern = {
       eatPunct("{")
+      if (peek.exists(isWord(_, "select"))) {
+        pos += 1
+        val sq = parseSelect()
+        eatPunct("}")
+        return GroupPattern(Nil, Nil, subqueries = Seq(sq))
+      }
       val patterns = ArrayBuffer.empty[QuadPattern]
       val filters = ArrayBuffer.empty[Expr]
       val optionals = ArrayBuffer.empty[GroupPattern]
@@ -466,14 +469,6 @@ object SparqlParser {
             case t => throw ParseException(s"Expected graph name, got $t")
           }
           absorb(parseGroup(Some(g)))
-        } else if (atPunct("{") &&
-            (pos + 1 < toks.length && isWord(toks(pos + 1), "select"))) {
-          // subquery: `{ SELECT … }` — evaluated independently, joined
-          // on its projected variables
-          pos += 1
-          eatWord("select")
-          subqueries += parseSelect()
-          eatPunct("}")
         } else if (atPunct("{")) {
           // nested group: `{A} UNION {B} [UNION {C}…]` becomes a union
           // element; a bare group is flattened into this one

@@ -153,11 +153,20 @@ final class EventLog(
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return Vector.empty
+    val rootPath = root.toUri.getPath
+    // hidden ('.'/'_'-prefixed) path segments are invisible to the Spark
+    // read path (temp/staging dirs, _SUCCESS markers, interrupted
+    // compaction leftovers) — the index must skip them too or
+    // pointQuery diverges from query()
+    def visible(p: org.apache.hadoop.fs.Path): Boolean =
+      p.toUri.getPath.stripPrefix(rootPath).split('/')
+        .forall(seg => !(seg.startsWith(".") || seg.startsWith("_")))
     val out = Vector.newBuilder[EventLog.FileSpan]
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val st = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+      if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+          visible(st.getPath)) {
         val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile
             .fromStatus(st, conf))
@@ -294,6 +303,12 @@ final class EventLog(
     if (!fs.exists(root)) return 0
     val prefix = s"$BucketCol="
     var compacted = 0
+    // clean leftovers of interrupted compactions (hidden dirs are
+    // invisible to readers, but they hold disk until removed)
+    fs.listStatus(root).foreach { st =>
+      if (st.getPath.getName.startsWith(".compact-"))
+        fs.delete(st.getPath, true)
+    }
     fs.listStatus(root).foreach { st =>
       if (st.isDirectory && st.getPath.getName.startsWith(prefix)) {
         val dataFiles = fs.listStatus(st.getPath)
@@ -317,10 +332,17 @@ final class EventLog(
             .parquet(tmp.toString)
           // drop the _SUCCESS marker so the dir holds data files only
           fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
-          fs.rename(bucketDir, old)
-          fs.rename(tmp, bucketDir)
-          fs.delete(old, true)
-          compacted += 1
+          // rename-swap, aborting cleanly on failure (a rename into an
+          // existing dir would NEST instead of replacing)
+          if (!fs.rename(bucketDir, old)) {
+            fs.delete(tmp, true)
+          } else if (!fs.rename(tmp, bucketDir)) {
+            fs.rename(old, bucketDir) // restore the original bucket
+            fs.delete(tmp, true)
+          } else {
+            fs.delete(old, true)
+            compacted += 1
+          }
         }
       }
     }

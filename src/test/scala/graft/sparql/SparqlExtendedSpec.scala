@@ -454,6 +454,65 @@ class SparqlExtendedSpec extends AnyFunSuite {
       Set((0L, "s1"), (1L, "s4")))
   }
 
+  test("UNION branch not binding a shared var still joins (unbound is " +
+      "compatible)") {
+    // branch 2 does not bind ?o — its solutions must survive the join
+    // with the outer pattern and take ?o from it
+    val df = run(
+      """SELECT ?s ?o WHERE {
+        |  ?s ex:knows ?o .
+        |  { ?s ex:knows ?o } UNION { ?s ex:email ?m }
+        |}""".stripMargin)
+    // branch 1: alice×(bob, charlie) matching outer rows = 2 solutions;
+    // branch 2: alice's email row joins both outer knows rows = 2 more
+    assert(df.count() === 4)
+    assert(TestSpark.rows(df) === Set(
+      Seq("http://ex.org/alice", "http://ex.org/bob"),
+      Seq("http://ex.org/alice", "http://ex.org/charlie")))
+  }
+
+  test("BIND after OPTIONAL can reference the optional variable") {
+    val df = run(
+      """SELECT ?s ?contact WHERE {
+        |  ?s ex:age ?age .
+        |  OPTIONAL { ?s ex:email ?mail }
+        |  BIND(COALESCE(?mail, "none") AS ?contact)
+        |}""".stripMargin)
+    assert(TestSpark.rows(df) === Set(
+      Seq("http://ex.org/alice", "alice@ex.org"),
+      Seq("http://ex.org/bob", "none"),
+      Seq("http://ex.org/charlie", "none")))
+  }
+
+  test("chained OPTIONALs: a null var from the first extends in the " +
+      "second (compatibility join)") {
+    // bob/charlie have no email → ?m null after the first OPTIONAL; the
+    // second OPTIONAL shares ?m and must still extend those solutions
+    val df = run(
+      """SELECT ?s ?m ?who WHERE {
+        |  ?s ex:age ?age .
+        |  OPTIONAL { ?s ex:email ?m }
+        |  OPTIONAL { ?who ex:email ?m }
+        |}""".stripMargin)
+    // alice: m=alice@ex.org, who=alice. bob/charlie: m unbound →
+    // compatible with alice's email row → m+who bound from it
+    assert(TestSpark.rows(df) === Set(
+      Seq("http://ex.org/alice", "alice@ex.org", "http://ex.org/alice"),
+      Seq("http://ex.org/bob", "alice@ex.org", "http://ex.org/alice"),
+      Seq("http://ex.org/charlie", "alice@ex.org", "http://ex.org/alice")))
+  }
+
+  test("subquery works as a UNION branch (SubSelect group form)") {
+    val df = run(
+      """SELECT ?s WHERE {
+        |  { SELECT ?s WHERE { ?s ex:email ?m } }
+        |  UNION
+        |  { ?s ex:age "35" }
+        |}""".stripMargin)
+    assert(TestSpark.rows(df) === Set(
+      Seq("http://ex.org/alice"), Seq("http://ex.org/charlie")))
+  }
+
   test("aggregate over UNION + ORDER BY count DESC + LIMIT") {
     val df = run(
       """SELECT ?s (COUNT(?o) AS ?n) WHERE {
