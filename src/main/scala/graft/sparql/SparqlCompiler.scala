@@ -686,7 +686,10 @@ object SparqlCompiler {
     case Aggregate("COUNT", Some(arg), false, _) => count(strC(arg))
     case Aggregate("SUM", Some(arg), d, _) =>
       if (d) sum_distinct(numC(arg)) else sum(numC(arg))
-    case Aggregate("AVG", Some(arg), _, _) => avg(numC(arg))
+    case Aggregate("AVG", Some(arg), true, _) =>
+      // no native avg_distinct: sum/count over the distinct multiset
+      sum_distinct(numC(arg)) / countDistinct(numC(arg))
+    case Aggregate("AVG", Some(arg), false, _) => avg(numC(arg))
     case Aggregate("MIN", Some(arg), _, _) => min(numC(arg))
     case Aggregate("MAX", Some(arg), _, _) => max(numC(arg))
     case Aggregate("GROUP_CONCAT", Some(arg), d, sep) =>

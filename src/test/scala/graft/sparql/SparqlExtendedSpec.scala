@@ -513,6 +513,21 @@ class SparqlExtendedSpec extends AnyFunSuite {
       Seq("http://ex.org/alice"), Seq("http://ex.org/charlie")))
   }
 
+  test("AVG(DISTINCT) averages the distinct multiset") {
+    val spark = TestSpark.spark
+    val dup = RdfEvent.toDF(spark, Seq(
+      RdfEvent(1, "a", "http://ex.org/v", "10", ""),
+      RdfEvent(2, "a", "http://ex.org/v", "10", ""),
+      RdfEvent(3, "a", "http://ex.org/v", "40", "")))
+    val df = SparqlCompiler.compile(dup, SparqlParser.parse(
+      """PREFIX ex: <http://ex.org/>
+        |SELECT (AVG(DISTINCT ?v) AS ?a) (AVG(?v) AS ?b)
+        |WHERE { ?s ex:v ?v . }""".stripMargin))
+    val r = df.collect()(0)
+    assert(r.getDouble(0) === 25.0) // (10+40)/2
+    assert(r.getDouble(1) === 20.0) // (10+10+40)/3
+  }
+
   test("aggregate over UNION + ORDER BY count DESC + LIMIT") {
     val df = run(
       """SELECT ?s (COUNT(?o) AS ?n) WHERE {
