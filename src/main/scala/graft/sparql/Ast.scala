@@ -25,17 +25,23 @@ final case class QuadPattern(s: Term, p: Term, o: Term, g: Option[Term])
 
 // ---- property paths ----------------------------------------------------
 
-/** Property-path subset: direct links, inverse (`^p`), sequence
-  * (`p1/p2`), alternative (`p1|p2`), one-or-more (`p+`). `*` and `?`
-  * (zero-length paths) are rejected at parse time — their
-  * every-node-relates-to-itself semantics has no bounded relational
-  * encoding. */
+/** Property-path algebra: direct links, inverse (`^p`), sequence
+  * (`p1/p2`), alternative (`p1|p2`), one-or-more (`p+`), zero-or-more
+  * (`p*`), zero-or-one (`p?`), and negated property sets
+  * (`!iri`, `!(iri1|^iri2|…)` — `fwd` are forward-excluded predicate
+  * IRIs, `inv` inverse-excluded ones, SPARQL 1.1 §9.1 PathNegatedSet).
+  * Zero-length paths (`*`/`?`) relate every node of the scoped graph —
+  * plus a constant endpoint, if any — to itself (§18.4 ZeroLengthPath).
+  */
 sealed trait Path extends Product with Serializable
 final case class PLink(iri: String) extends Path
 final case class PInverse(p: Path) extends Path
 final case class PSeq(l: Path, r: Path) extends Path
 final case class PAlt(l: Path, r: Path) extends Path
 final case class PPlus(p: Path) extends Path
+final case class PStar(p: Path) extends Path
+final case class PZeroOrOne(p: Path) extends Path
+final case class PNeg(fwd: Seq[String], inv: Seq[String]) extends Path
 
 /** A subject–path–object pattern (constant GRAPH scope only). */
 final case class PathPattern(s: Term, path: Path, o: Term, g: Option[Term])

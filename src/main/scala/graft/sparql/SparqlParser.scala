@@ -112,8 +112,11 @@ object SparqlParser {
         var j = i + 1
         while (j < n && (input.charAt(j).isLetterOrDigit ||
             input.charAt(j) == '_')) j += 1
-        if (j == i + 1) throw ParseException(s"Bare '$c' at offset $i")
-        out += TVar(input.substring(i + 1, j)); i = j
+        if (j == i + 1) {
+          // a '?' with no name char is the zero-or-one path modifier
+          if (c == '?') { out += TPunct("?"); i = j }
+          else throw ParseException(s"Bare '$c' at offset $i")
+        } else { out += TVar(input.substring(i + 1, j)); i = j }
       } else if (c.isDigit ||
           ((c == '+' || c == '-' || c == '.') && peek(1).isDigit)) {
         var j = i
