@@ -545,6 +545,15 @@ object SparkEntry {
         k = 128, bands = 32, rows = 4)
         .select(col("doc_id"))),
 
+    // Duplicate clusters: transitive completion of the verified pair
+    // table via distributed connected components (min-label propagation
+    // + pointer jumping) — A≈B≈C clusters {A,B,C} even when A≉C
+    "dedup_cluster" -> ((s, dir) =>
+      graft.pipeline.Dedup.duplicateClusters(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), threshold = 0.8,
+        k = 128, bands = 32, rows = 4)),
+
     // ANN scale path: IVF index (k-means cells, nprobe search) — the
     // entry is SELF-VERIFYING: it computes recall@10 against the exact
     // brute-force result inside Spark and emits one row per query with
@@ -959,6 +968,34 @@ object SparkEntry {
         |  SELECT DISTINCT id_b FROM p WHERE uni > 0 AND inter / uni >= 0.8)
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT id_b FROM drops)""".stripMargin,
+    // transitive duplicate clusters: DuckDB recursive CTE computes, per
+    // node of the near-dup graph, the set of reachable labels; MIN is
+    // the component representative — exactly the fixpoint the Spark
+    // label propagation converges to
+    "dedup_cluster" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+        |    CAST(len(a.sh) + len(b.sh) AS DOUBLE)
+        |      - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS uni
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+        |e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  WHERE uni > 0 AND inter / uni >= 0.8
+        |  UNION
+        |  SELECT id_b, id_a FROM p WHERE uni > 0 AND inter / uni >= 0.8),
+        |walk(id, lbl) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.src, w.lbl FROM e JOIN walk w ON e.dst = w.id)
+        |SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY id""".stripMargin,
     // exact simhash replication: same md5-derived 32-bit token hash,
     // same per-bit majority vote, exact hamming pairs (all-pairs is fine
     // HERE: the oracle is DuckDB-side verification, not the plan)

@@ -213,6 +213,75 @@ object Dedup {
     df.join(drop, idCol === col("__drop_id"), "leftanti")
   }
 
+  // ---- duplicate clusters (connected components) -----------------------
+
+  /** Connected components over a pair table — distributed iterative
+    * min-label propagation with pointer jumping.
+    *
+    * Each round every node takes the minimum label among itself and its
+    * neighbors (one equi-join + one min-aggregate), then compresses
+    * `lbl → label(lbl)` (pointer jumping), so convergence needs
+    * O(log diameter) rounds rather than O(diameter). Each round's state
+    * is one (node, label) row per node — never edges × labels — and is
+    * persisted + materialized so no lineage re-computation compounds
+    * across rounds. Near-dup graphs are unions of small cliques/chains,
+    * so in practice this converges in 2–4 rounds regardless of corpus
+    * size; the shuffle volume per round is |V| + |E|, the same as one
+    * candidate-join pass.
+    *
+    * Returns one row per node appearing in `pairs`:
+    * (id, lbl = smallest node id of its component).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // each round's state must be BOTH materialized and lineage-truncated:
+    // the pointer-jump self-join doubles the logical plan per round, so
+    // plain persist() (which keeps lineage) grows the plan exponentially
+    var labels = edges.select(col("src").as("id"), col("src").as("lbl"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // min over self + neighbor labels
+      val viaNbr = edges.join(labels.toDF("dst", "lbl"), "dst")
+        .select(col("src").as("id"), col("lbl"))
+      val propagated = labels.unionAll(viaNbr)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+      // pointer jumping: follow the label one more hop (labels are node
+      // ids, so every lbl resolves; coalesce guards the frontier)
+      val next = propagated
+        .join(propagated.toDF("jid", "jlbl"), col("lbl") === col("jid"), "left")
+        .select(col("id"), coalesce(col("jlbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.toDF("id", "prev"), "id")
+        .where(col("lbl") =!= col("prev")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Duplicate-cluster assignment: one row per document participating in
+    * a verified near-dup pair, labeled with its cluster representative
+    * (the smallest doc id of its connected component). This is the
+    * transitive completion of [[deduplicate]]'s pairwise view — A≈B and
+    * B≈C land A, B, C in one cluster even when A≉C directly. */
+  def duplicateClusters(df: DataFrame, idCol: Column, textCol: Column,
+      threshold: Double, shingleSize: Int = 3, k: Int = 128,
+      bands: Int = 32, rows: Int = 4): DataFrame = {
+    val pairs = nearDuplicates(df, idCol, textCol, threshold, shingleSize,
+      k, bands, rows)
+    connectedComponents(pairs.select(col("id_a"), col("id_b")))
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   // ---- SimHash ---------------------------------------------------------
 
   /** Default 32-bit token hash: xxhash64 folded to 32 bits (fastest). */

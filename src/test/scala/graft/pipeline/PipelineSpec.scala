@@ -79,6 +79,30 @@ class PipelineSpec extends AnyFunSuite {
       r.getDouble(2) == 1.0))
   }
 
+  test("connected components: chains merge transitively, islands stay apart") {
+    // 1-2, 2-3 chain; 5-6 island; 9 never appears (no row expected)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("connected components: long chain converges via pointer jumping") {
+    // a 64-node path needs log-rounds, not 64 rounds, to converge
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain, maxIter = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.length === 64 && cc.forall(_._2 === 0L))
+  }
+
+  test("duplicate clusters: transitive closure of near-dup pairs") {
+    // docs 0,1,2 are pairwise near dups → one cluster labeled 0
+    val out = Dedup.duplicateClusters(docs, col("doc_id"), col("text"),
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+  }
+
   test("simhash near-duplicates: identical → distance 0; near → small") {
     val out = Dedup.simhashNearDuplicates(docs, col("doc_id"), col("text"),
       maxHamming = 3)
