@@ -629,6 +629,48 @@ object SparkEntry {
         col("doc_id"), col("text"))
         .select(col("id").as("doc_id"), col("fingerprint"))),
 
+    // PII detection + redaction. The synthetic documents are clean prose
+    // (verified: no '@', no digits), so deterministic PII is planted
+    // from doc_id — the SAME derivation the oracle applies — making the
+    // regex surface non-trivial on both engines
+    "text_pii" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10.2."), (col("doc_id") % 256).cast("string"),
+            lit("."), ((col("doc_id") * 7) % 256).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      graft.pipeline.Pii.piiTable(
+        s.read.parquet(s"$dir/documents.parquet")
+          .withColumn("pii_text", planted),
+        col("doc_id"), col("pii_text"))
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Deterministic stratified Bernoulli sample: md5-prefix hash of the
+    // key vs per-stratum rates — a pure filter, reproducible on any
+    // engine/partitioning (the oracle recomputes the same hash)
+    "sample_stratified" -> ((s, dir) =>
+      graft.pipeline.Sampling.stratifiedSample(
+        EventsAsQuads.events(s, dir),
+        col("event_type"), col("event_id"),
+        Map("click" -> 0.5, "error" -> 0.25), defaultRate = 0.1)
+        .select(col("event_id"), col("event_type"))),
+
+    // Exact per-stratum quota sample: n smallest key hashes per stratum
+    // via skew-proof two-phase top-n
+    "sample_quota" -> ((s, dir) =>
+      graft.pipeline.Sampling.quotaSample(
+        EventsAsQuads.events(s, dir),
+        col("event_type"), col("event_id"), n = 20)
+        .select(col("event_id"), col("event_type"))),
+
     // ANN: exact brute-force top-10 cosine for 3 query vectors
     "ann_bruteforce_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -1035,6 +1077,43 @@ object SparkEntry {
         |  ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
         |    AS avg_k
         |FROM events GROUP BY event_type""".stripMargin,
+    "text_pii" ->
+      """WITH d AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+        |         || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' from 10.2.'
+        |         || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |         || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' call +1-555-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(t,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |  len(regexp_extract_all(t, '\+\d{1,2}-\d{3}-\d{4}')) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted
+        |FROM d""".stripMargin,
+    "sample_stratified" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE CAST(CONCAT('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) / 4294967296.0
+        |  < CASE event_type WHEN 'click' THEN 0.5 WHEN 'error' THEN 0.25
+        |    ELSE 0.1 END""".stripMargin,
+    "sample_quota" ->
+      """SELECT event_id, event_type FROM (
+        |  SELECT event_id, event_type,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY
+        |      CAST(CONCAT('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) / 4294967296.0, event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 20""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,

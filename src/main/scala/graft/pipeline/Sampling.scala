@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for corpus curation.
+  *
+  * All selection decisions derive from a content-addressed hash of a key
+  * column (md5 prefix → uniform [0,1)), never from `rand()`: the same
+  * row is selected on every run, on every engine, at any partitioning —
+  * which makes samples reproducible, incrementally extendable (raising
+  * the rate only ADDS rows), and externally auditable.
+  */
+object Sampling {
+
+  /** Deterministic uniform [0,1) from a key: the first 8 hex digits of
+    * `md5(key)` as an integer, divided by 2^32. Both operands are exact
+    * in double precision, so the comparison against a rate is
+    * bit-reproducible across engines. */
+  def hashUnit(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("double") /
+      lit(4294967296.0)
+
+  /** Bernoulli sample at `rate`, keyed on `key` — a pure filter: no
+    * shuffle, pushes down past column pruning, scan-bound at 100 TB. */
+  def sampleByKey(df: DataFrame, key: Column, rate: Double): DataFrame =
+    df.where(hashUnit(key) < lit(rate))
+
+  /** Stratified Bernoulli sample: per-stratum rates with a default for
+    * unlisted strata. Still a pure filter (the rate lookup is a CASE
+    * chain) — the canonical shape for class-rebalancing a web corpus
+    * (e.g. downsample boilerplate-heavy domains, keep rare languages). */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    val rateCol = rates.foldLeft(lit(defaultRate): Column) {
+      case (acc, (s, r)) => when(stratum === lit(s), lit(r)).otherwise(acc)
+    }
+    df.where(hashUnit(key) < rateCol)
+  }
+
+  /** Exact per-stratum quota: the `n` rows with the smallest key hashes
+    * in each stratum (ties broken by key) — a deterministic "random"
+    * sample of fixed size.
+    *
+    * Two-phase top-n so a giant stratum never funnels through one
+    * reducer: phase 1 takes the per-(stratum, input-partition) top-n —
+    * the shuffle key is salted by partition id, so skew spreads across
+    * the cluster — and phase 2 re-ranks the surviving ≤ n × P rows per
+    * stratum. Any global top-n row is a top-n row of whichever partition
+    * it lands in, so phase 1 never drops a winner and the result is
+    * independent of the input partitioning. */
+  def quotaSample(df: DataFrame, stratum: Column, key: Column, n: Int)
+      : DataFrame = {
+    val u = hashUnit(key)
+    val phase1 = df
+      .withColumn("__u", u)
+      .withColumn("__p", spark_partition_id())
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(stratum, col("__p")).orderBy(col("__u"), key)))
+      .where(col("__rn") <= n)
+    phase1
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(stratum).orderBy(col("__u"), key)))
+      .where(col("__rn") <= n)
+      .drop("__rn", "__u", "__p")
+  }
+}

@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import graft.TestSpark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Curation-operator tests: PII detection/redaction and deterministic
+  * sampling. */
+class CurationSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- PII -------------------------------------------------------------
+
+  test("PII counts: emails, IPs, phones detected independently") {
+    val df = Seq(
+      (0L, "mail a.b-c_d@sub.example.org and e@x.io from 192.168.0.1 " +
+        "call +1-555-0199"),
+      (1L, "no pii here at all")).toDF("id", "text")
+    val out = Pii.piiTable(df, col("id"), col("text"))
+      .orderBy("id").collect()
+    assert(out(0).getAs[Long]("n_emails") === 2)
+    assert(out(0).getAs[Long]("n_ips") === 1)
+    assert(out(0).getAs[Long]("n_phones") === 1)
+    assert(out(1).getAs[Long]("n_emails") === 0)
+    assert(out(1).getAs[Long]("n_ips") === 0)
+    assert(out(1).getAs[Long]("n_phones") === 0)
+  }
+
+  test("PII redaction replaces every occurrence with typed placeholders") {
+    val df = Seq((0L, "x@y.com then 10.0.0.1 then +44-123-4567 then x@y.com"))
+      .toDF("id", "text")
+    val red = Pii.piiTable(df, col("id"), col("text"))
+      .collect()(0).getAs[String]("redacted")
+    assert(red === "<EMAIL> then <IP> then <PHONE> then <EMAIL>")
+  }
+
+  test("PII: redaction consumes emails before the IP pass sees their domain") {
+    // the domain embeds a dotted quad; email-first redaction must take
+    // the whole address (counts stay independent detections on the raw
+    // text, so the embedded quad still counts as an IP sighting)
+    val df = Seq((0L, "ping bob@192.168.0.1.example.com now"))
+      .toDF("id", "text")
+    val row = Pii.piiTable(df, col("id"), col("text")).collect()(0)
+    assert(row.getAs[String]("redacted") === "ping <EMAIL> now")
+    assert(row.getAs[Long]("n_emails") === 1)
+    assert(row.getAs[Long]("n_ips") === 1)
+  }
+
+  test("hasPii: clean text is clean") {
+    val df = Seq((0L, "perfectly ordinary prose with no identifiers"),
+      (1L, "reach me at someone@example.com")).toDF("id", "text")
+    val flags = df.select(col("id"), Pii.hasPii(col("text")).as("f"))
+      .orderBy("id").collect().map(_.getBoolean(1))
+    assert(flags.toSeq === Seq(false, true))
+  }
+
+  // ---- sampling --------------------------------------------------------
+
+  private lazy val keyed = (0L until 2000L).map(i =>
+    (i, if (i % 4 == 0) "rare" else "common")).toDF("id", "grp")
+
+  test("sampleByKey: deterministic, monotone in rate, roughly calibrated") {
+    val half = Sampling.sampleByKey(keyed, col("id"), 0.5)
+      .collect().map(_.getLong(0)).toSet
+    val again = Sampling.sampleByKey(keyed, col("id"), 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(half === again)
+    assert(half.size > 800 && half.size < 1200, s"got ${half.size}")
+    // raising the rate only ADDS rows (incremental extension property)
+    val more = Sampling.sampleByKey(keyed, col("id"), 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(half.subsetOf(more))
+    assert(Sampling.sampleByKey(keyed, col("id"), 0.0).count() === 0)
+    assert(Sampling.sampleByKey(keyed, col("id"), 1.0).count() === 2000)
+  }
+
+  test("stratifiedSample: per-stratum rates and default") {
+    val out = Sampling.stratifiedSample(keyed, col("grp"), col("id"),
+      Map("rare" -> 1.0), defaultRate = 0.1)
+    val byGrp = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp("rare") === 500) // rate 1.0 keeps all
+    assert(byGrp("common") > 75 && byGrp("common") < 225,
+      s"got ${byGrp("common")}")
+  }
+
+  test("quotaSample: exact n per stratum, deterministic, partitioning-proof") {
+    val out = Sampling.quotaSample(keyed, col("grp"), col("id"), n = 25)
+    val byGrp = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp === Map("rare" -> 25L, "common" -> 25L))
+    // matches the single-pass brute-force definition
+    val brute = keyed.withColumn("u", Sampling.hashUnit(col("id")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("grp")
+          .orderBy(col("u"), col("id"))))
+      .where(col("rn") <= 25).select("id").collect().map(_.getLong(0)).toSet
+    val ids = out.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids === brute)
+    // independent of input partitioning
+    val repart = Sampling.quotaSample(keyed.repartition(7), col("grp"),
+      col("id"), n = 25).select("id").collect().map(_.getLong(0)).toSet
+    assert(repart === ids)
+  }
+
+  test("quotaSample: small strata are kept whole") {
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "grp")
+    assert(Sampling.quotaSample(tiny, col("grp"), col("id"), 10).count() === 3)
+  }
+}
