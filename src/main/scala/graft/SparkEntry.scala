@@ -341,6 +341,32 @@ object SparkEntry {
         "SELECT ?a ?b WHERE { ?a v:next+ ?b . }"))
     }),
 
+    // R27: zero-or-more path — identity over the graph's nodes unioned
+    // with the transitive closure (SPARQL §18.4 ZeroLengthPath + squaring)
+    "r27_star_path" -> ((s, dir) => {
+      val users = EventsAsQuads.events(s, dir)
+        .select(col("user_id")).where(col("user_id") < 80).distinct()
+      val edges = users.toDF("u")
+        .join(users.toDF("v"), col("v") === col("u") + 1)
+      val chain = edges.select(
+        lit(0L).as("timestamp"),
+        concat(lit(EventsAsQuads.Base + "u/"),
+          col("u").cast("string")).as("subject"),
+        lit(EventsAsQuads.Vocab + "next").as("predicate"),
+        concat(lit(EventsAsQuads.Base + "u/"),
+          col("v").cast("string")).as("object"),
+        lit("").as("graph"))
+      SparqlCompiler.compile(chain, SparqlParser.parse(Prefixes +
+        "SELECT ?a ?b WHERE { ?a v:next* ?b . }"))
+    }),
+
+    // R28: negated property set — every edge whose predicate is NOT in
+    // the excluded list (here: only the v:value statements survive)
+    "r28_negated_path" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e ((?o + 0.0) AS ?val) WHERE {
+        |  ?e !(v:user|v:type) ?o .
+        |}""".stripMargin)),
+
     // R24: subquery — inner per-user aggregation joined with the outer
     // pattern, filtered on the aggregated value
     "r24_subquery" -> ((s, dir) => sparql(s, dir,
@@ -866,6 +892,13 @@ object SparkEntry {
         |SELECT 'http://graft.dev/u/' || CAST(a.user_id AS VARCHAR) AS a,
         |       'http://graft.dev/u/' || CAST(b.user_id AS VARCHAR) AS b
         |FROM u a JOIN u b ON a.user_id < b.user_id""".stripMargin,
+    "r27_star_path" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 80)
+        |SELECT 'http://graft.dev/u/' || CAST(a.user_id AS VARCHAR) AS a,
+        |       'http://graft.dev/u/' || CAST(b.user_id AS VARCHAR) AS b
+        |FROM u a JOIN u b ON a.user_id <= b.user_id""".stripMargin,
+    "r28_negated_path" ->
+      s"""SELECT $E AS e, value AS val FROM events""".stripMargin,
     "r24_subquery" ->
       s"""SELECT $E AS e, $U AS u, c.n AS n
          |FROM events e JOIN

@@ -247,7 +247,11 @@ object SparqlCompiler {
     // (see pathEdges), then binds its subject/object terms and joins
     // like an ordinary pattern.
     group.paths.foreach { pp =>
-      var df = pathEdges(quads, pp.path, pp.g, extraKeys)
+      val constEndpoints = Seq(pp.s, pp.o).collect {
+        case Iri(v) => v
+        case Lit(v) => v
+      }
+      var df = pathEdges(quads, pp.path, pp.g, extraKeys, constEndpoints)
       val bindings = scala.collection.mutable.LinkedHashMap.empty[String, String]
       def bind(colName: String, term: Term): Unit = term match {
         case Var(n) =>
@@ -447,46 +451,101 @@ object SparqlCompiler {
   private val PathSrcCol = "__ps"
   private val PathDstCol = "__po"
 
+  /** Graph-scoped view of the quads (constant scope only — variable
+    * GRAPH over paths would need per-graph closures). */
+  private def scopedQuads(quads: DataFrame, g: Option[Term]): DataFrame =
+    g match {
+      case None         => quads
+      case Some(Iri(v)) => quads.where(col("graph") === v)
+      case Some(Lit(v)) => quads.where(col("graph") === v)
+      case Some(Var(_)) => throw new CompileException(
+        "Variable GRAPH scope is not supported with property paths")
+    }
+
+  /** Zero-length path relation: every node of the scoped graph — plus
+    * the pattern's constant endpoints, which §18.4 ZeroLengthPath
+    * includes even when absent from the graph — related to itself.
+    * Per extra-key group (each window has its own node set). */
+  private def zeroLengthEdges(quads: DataFrame, g: Option[Term],
+      extraKeys: Seq[String], constTerms: Seq[String]): DataFrame = {
+    val keyCols = extraKeys.map(col)
+    val base = scopedQuads(quads, g)
+    var nodes = base.select(keyCols :+ col("subject").as("__n"): _*)
+      .unionAll(base.select(keyCols :+ col("object").as("__n"): _*))
+    constTerms.foreach { v =>
+      nodes = nodes.unionAll(
+        if (extraKeys.isEmpty)
+          quads.sparkSession.range(1).select(lit(v).as("__n"))
+        else base.select(keyCols: _*).distinct()
+          .withColumn("__n", lit(v)))
+    }
+    nodes.distinct().select(keyCols ++ Seq(col("__n").as(PathSrcCol),
+      col("__n").as(PathDstCol)): _*)
+  }
+
   /** Edge relation of a property path: a DataFrame with columns
     * (extraKeys…, __ps, __po). Links are filtered scans; inverse swaps;
     * sequence is an equi-join on the midpoint; alternative is a
-    * multiset union; one-or-more is a distributed transitive closure by
-    * squaring (closure ⋈ closure each round → O(log diameter)
-    * iterations, each a shuffle join + distinct, lineage truncated via
-    * localCheckpoint). That iterative-BFS shape is how distributed
-    * graph engines compute reachability — it scales with executors,
-    * not with the driver. `extraKeys` (window ids) join through every
-    * step, so per-window closures stay one plan. */
+    * multiset union; a negated property set is a scan excluding the
+    * listed predicates per direction; one-or-more is a distributed
+    * transitive closure by squaring (closure ⋈ closure each round →
+    * O(log diameter) iterations, each a shuffle join + distinct,
+    * lineage truncated via localCheckpoint). That iterative-BFS shape
+    * is how distributed graph engines compute reachability — it scales
+    * with executors, not with the driver. `extraKeys` (window ids) join
+    * through every step, so per-window closures stay one plan.
+    * Zero-length forms (`*`/`?`) union the identity relation over the
+    * scoped graph's nodes; `constTerms` carries the pattern's constant
+    * endpoints into that node set (harmless supersets at sequence
+    * junctions — a spurious identity row only survives the surrounding
+    * joins when the term actually occurs in the graph). */
   private def pathEdges(quads: DataFrame, p: Path, g: Option[Term],
-      extraKeys: Seq[String]): DataFrame = {
+      extraKeys: Seq[String], constTerms: Seq[String]): DataFrame = {
     val keyCols = extraKeys.map(col)
     p match {
       case PLink(iri) =>
-        var df = quads.where(col("predicate") === iri)
-        g.foreach {
-          case Iri(v) => df = df.where(col("graph") === v)
-          case Lit(v) => df = df.where(col("graph") === v)
-          case Var(_) => throw new CompileException(
-            "Variable GRAPH scope is not supported with property paths")
-        }
-        df.select(keyCols ++ Seq(col("subject").as(PathSrcCol),
-          col("object").as(PathDstCol)): _*)
+        scopedQuads(quads, g).where(col("predicate") === iri)
+          .select(keyCols ++ Seq(col("subject").as(PathSrcCol),
+            col("object").as(PathDstCol)): _*)
+      case PNeg(fwd, inv) =>
+        val base = scopedQuads(quads, g)
+        val fwdDf =
+          if (fwd.nonEmpty)
+            Some(base.where(!col("predicate").isin(fwd: _*))
+              .select(keyCols ++ Seq(col("subject").as(PathSrcCol),
+                col("object").as(PathDstCol)): _*))
+          else None
+        val invDf =
+          if (inv.nonEmpty)
+            Some(base.where(!col("predicate").isin(inv: _*))
+              .select(keyCols ++ Seq(col("object").as(PathSrcCol),
+                col("subject").as(PathDstCol)): _*))
+          else None
+        (fwdDf.toSeq ++ invDf.toSeq).reduce(_ unionAll _)
       case PInverse(x) =>
-        pathEdges(quads, x, g, extraKeys).select(keyCols ++ Seq(
+        pathEdges(quads, x, g, extraKeys, constTerms).select(keyCols ++ Seq(
           col(PathDstCol).as(PathSrcCol),
           col(PathSrcCol).as(PathDstCol)): _*)
       case PSeq(l, r) =>
-        val lhs = pathEdges(quads, l, g, extraKeys)
+        val lhs = pathEdges(quads, l, g, extraKeys, constTerms)
           .withColumnRenamed(PathDstCol, "__mid")
-        val rhs = pathEdges(quads, r, g, extraKeys)
+        val rhs = pathEdges(quads, r, g, extraKeys, constTerms)
           .withColumnRenamed(PathSrcCol, "__mid")
         lhs.join(rhs, "__mid" +: extraKeys)
           .select(keyCols ++ Seq(col(PathSrcCol), col(PathDstCol)): _*)
       case PAlt(l, r) =>
-        pathEdges(quads, l, g, extraKeys) unionAll
-          pathEdges(quads, r, g, extraKeys)
+        pathEdges(quads, l, g, extraKeys, constTerms) unionAll
+          pathEdges(quads, r, g, extraKeys, constTerms)
+      case PStar(x) =>
+        zeroLengthEdges(quads, g, extraKeys, constTerms)
+          .unionAll(pathEdges(quads, PPlus(x), g, extraKeys, constTerms))
+          .distinct()
+      case PZeroOrOne(x) =>
+        zeroLengthEdges(quads, g, extraKeys, constTerms)
+          .unionAll(pathEdges(quads, x, g, extraKeys, constTerms))
+          .distinct()
       case PPlus(x) =>
-        var closure = pathEdges(quads, x, g, extraKeys)
+        var closure = pathEdges(quads, x, g, extraKeys, constTerms)
           .distinct().localCheckpoint()
         var prev = -1L
         var n = closure.count()

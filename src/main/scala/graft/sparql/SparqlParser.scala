@@ -640,6 +640,9 @@ object SparqlParser {
           val p = parsePath()
           eatPunct(")")
           p
+        case Some(TPunct("!")) =>
+          pos += 1
+          parseNegatedSet()
         case Some(TIri(v))   => pos += 1; PLink(v)
         case Some(p: TPName) => pos += 1; PLink(expand(p))
         case Some(t) if isWord(t, "a") =>
@@ -648,11 +651,37 @@ object SparqlParser {
         case t => throw ParseException(s"Expected path primary, got $t")
       }
       if (atPunct("+")) { pos += 1; prim = PPlus(prim) }
-      else if (atPunct("*"))
-        throw ParseException(
-          "Zero-or-more path '*' is not supported (zero-length semantics)")
-      // '?' never reaches here: the tokenizer folds it into a variable
+      else if (atPunct("*")) { pos += 1; prim = PStar(prim) }
+      else if (atPunct("?")) { pos += 1; prim = PZeroOrOne(prim) }
       if (inverse) PInverse(prim) else prim
+    }
+
+    /** Negated property set after `!`: a single (possibly `^`-inverted)
+      * IRI, or a `(p1|^p2|…)` list. Members split into forward-excluded
+      * and inverse-excluded IRIs (SPARQL 1.1 §9.1). */
+    private def parseNegatedSet(): Path = {
+      val fwd = ArrayBuffer.empty[String]
+      val inv = ArrayBuffer.empty[String]
+      def member(): Unit = {
+        val isInv = atPunct("^") && { pos += 1; true }
+        val iri = peek match {
+          case Some(TIri(v))   => pos += 1; v
+          case Some(p: TPName) => pos += 1; expand(p)
+          case Some(t) if isWord(t, "a") =>
+            pos += 1
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+          case t => throw ParseException(
+            s"Expected IRI in negated property set, got $t")
+        }
+        if (isInv) inv += iri else fwd += iri
+      }
+      if (atPunct("(")) {
+        pos += 1
+        member()
+        while (atPunct("|")) { pos += 1; member() }
+        eatPunct(")")
+      } else member()
+      PNeg(fwd.toSeq, inv.toSeq)
     }
 
     private def parseTerm(what: String): Term = next() match {

@@ -364,12 +364,52 @@ class SparqlExtendedSpec extends AnyFunSuite {
     assert(TestSpark.rows(df) === Set(Seq("http://ex.org/alice", "35")))
   }
 
-  test("zero-or-more '*' path is rejected with a clear error") {
-    intercept[SparqlParser.ParseException] {
-      SparqlParser.parse(
-        """PREFIX ex: <http://ex.org/>
-          |SELECT ?x WHERE { ?x ex:next* ?y . }""".stripMargin)
-    }
+  test("property path: zero-or-more '*' = identity over nodes + closure") {
+    val spark = TestSpark.spark
+    val chain = RdfEvent.toDF(spark, Seq(
+      RdfEvent(1, "a", "http://ex.org/next", "b", ""),
+      RdfEvent(1, "b", "http://ex.org/next", "c", "")))
+    val df = SparqlCompiler.compile(chain, SparqlParser.parse(
+      """PREFIX ex: <http://ex.org/>
+        |SELECT ?x ?y WHERE { ?x ex:next* ?y . }""".stripMargin))
+    assert(TestSpark.rows(df) === Set(
+      Seq("a", "a"), Seq("b", "b"), Seq("c", "c"), // zero-length
+      Seq("a", "b"), Seq("b", "c"), Seq("a", "c"))) // closure
+  }
+
+  test("property path: '*' zero-length includes constant endpoints " +
+      "absent from the graph") {
+    val df = run("""SELECT ?y WHERE { ex:dave ex:knows* ?y . }""")
+    assert(TestSpark.rows(df) === Set(Seq("http://ex.org/dave")))
+  }
+
+  test("property path: zero-or-one '?' = identity + single step") {
+    // nodes: alice, bob, charlie, "30", "25", "35", "alice@ex.org" (7)
+    // plus the two knows edges
+    val df = run("""SELECT ?x ?y WHERE { ?x ex:knows? ?y . }""")
+    assert(df.count() === 9)
+    val rows = TestSpark.rows(df)
+    assert(rows.contains(Seq("http://ex.org/alice", "http://ex.org/bob")))
+    assert(rows.contains(Seq("30", "30"))) // literal node, zero-length
+  }
+
+  test("property path: negated set !p and !(p1|p2)") {
+    val notKnows = run("""SELECT ?s ?o WHERE { ?s !ex:knows ?o . }""")
+    assert(notKnows.count() === 4) // 3 ages + email
+    val neither = run(
+      """SELECT ?s ?o WHERE { ?s !(ex:knows|ex:age) ?o . }""")
+    assert(TestSpark.rows(neither) === Set(
+      Seq("http://ex.org/alice", "alice@ex.org")))
+  }
+
+  test("property path: negated set with inverse members !(p|^p)") {
+    // forward non-knows edges (4) + reversed non-knows edges (4)
+    val df = run(
+      """SELECT ?s ?o WHERE { ?s !(ex:knows|^ex:knows) ?o . }""")
+    assert(df.count() === 8)
+    val rows = TestSpark.rows(df)
+    assert(rows.contains(Seq("30", "http://ex.org/alice"))) // reversed age
+    assert(!rows.contains(Seq("http://ex.org/alice", "http://ex.org/bob")))
   }
 
   test("IN / NOT IN with numeric-aware equality") {
