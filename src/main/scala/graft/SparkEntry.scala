@@ -655,6 +655,21 @@ object SparkEntry {
         col("doc_id"), col("text"))
         .select(col("id").as("doc_id"), col("fingerprint"))),
 
+    // Repetition/boilerplate signals: distinct token/bigram fractions +
+    // most-frequent-token share (Gopher-style repetition filters)
+    "text_repetition" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.repetitionTable(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")),
+
+    // Corpus vocabulary with document frequency + smoothed IDF — the
+    // one-shuffle TF-IDF foundation (map-side combined token counts)
+    "corpus_vocab" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.vocabulary(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), minDf = 2L)),
+
     // PII detection + redaction. The synthetic documents are clean prose
     // (verified: no '@', no digits), so deterministic PII is planted
     // from doc_id — the SAME derivation the oracle applies — making the
@@ -1110,6 +1125,40 @@ object SparkEntry {
         |  ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
         |    AS avg_k
         |FROM events GROUP BY event_type""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, MAX(c) AS top_c, SUM(c) AS tot FROM (
+        |    SELECT doc_id, tok, COUNT(*) AS c FROM (
+        |      SELECT doc_id, unnest(toks) AS tok FROM t)
+        |    GROUP BY doc_id, tok)
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  ROUND(CASE WHEN len(t.toks) > 0
+        |    THEN CAST(len(list_distinct(t.toks)) AS DOUBLE) / len(t.toks)
+        |    ELSE 1.0 END, 6) AS distinct_ratio,
+        |  ROUND(CASE WHEN len(t.toks) > 1
+        |    THEN CAST(len(list_distinct(list_transform(range(1, len(t.toks)),
+        |      i -> concat(t.toks[i], ' ', t.toks[i+1])))) AS DOUBLE)
+        |      / (len(t.toks) - 1)
+        |    ELSE 1.0 END, 6) AS bigram_ratio,
+        |  ROUND(COALESCE(CAST(m.top_c AS DOUBLE) / m.tot, 0.0), 6)
+        |    AS top_token_ratio
+        |FROM t LEFT JOIN m USING (doc_id)""".stripMargin,
+    "corpus_vocab" ->
+      """WITH f AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |    AS token
+        |  FROM documents),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT token, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf,
+        |  ROUND(ln((n.n + 1.0) / (COUNT(DISTINCT doc_id) + 1.0)) + 1.0, 6)
+        |    AS idf
+        |FROM f, n GROUP BY token, n.n
+        |HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin,
     "text_pii" ->
       """WITH d AS (
         |  SELECT doc_id, text

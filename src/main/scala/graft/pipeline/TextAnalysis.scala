@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -172,6 +172,80 @@ object TextAnalysis {
       : org.apache.spark.sql.DataFrame =
     df.select(idCol.as("id"),
       minShingleFingerprint(textCol, n).as("fingerprint"))
+
+  // ---- repetition / boilerplate signals --------------------------------
+
+  /** Distinct-token fraction: 1.0 = no repeated word, → 0 for highly
+    * repetitive text (the Gopher-style repetition signal). Pure Column
+    * expression, no shuffle. */
+  def distinctTokenRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+      .otherwise(lit(1.0))
+  }
+
+  /** Distinct-bigram fraction over consecutive token pairs — catches
+    * phrase-level boilerplate that single-token ratios miss. */
+  def distinctBigramRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks) - 1
+    val grams = when(n > 0,
+      transform(sequence(lit(0), n - 1),
+        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    when(n > 0,
+      size(array_distinct(grams)).cast("double") / n.cast("double"))
+      .otherwise(lit(1.0))
+  }
+
+  /** Per-document repetition profile as a table op:
+    * (id, n_tokens, distinct_ratio, bigram_ratio, top_token_ratio) where
+    * top_token_ratio is the most frequent token's share. The mode count
+    * goes through explode + two map-side-combining aggregations (token
+    * frequencies are per-(doc, token) — no global hot key), everything
+    * else is a map stage. */
+  def repetitionTable(df: DataFrame, idCol: Column, textCol: Column)
+      : DataFrame = {
+    val base = df.select(idCol.as("id"), textCol.as("__text"))
+    val perDoc = base.select(col("id"),
+      size(tokens(col("__text"))).cast("long").as("n_tokens"),
+      round(distinctTokenRatio(col("__text")), 6).as("distinct_ratio"),
+      round(distinctBigramRatio(col("__text")), 6).as("bigram_ratio"))
+    val top = base
+      .select(col("id"), explode(tokens(col("__text"))).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id")).agg(max(col("c")).as("top_c"),
+        sum(col("c")).as("tot"))
+      .select(col("id"),
+        round(col("top_c").cast("double") / col("tot").cast("double"), 6)
+          .as("top_token_ratio"))
+    perDoc.join(top, Seq("id"), "left")
+      .withColumn("top_token_ratio",
+        coalesce(col("top_token_ratio"), lit(0.0)))
+  }
+
+  // ---- corpus vocabulary / TF-IDF --------------------------------------
+
+  /** Corpus vocabulary with document frequency, collection term
+    * frequency, and smoothed IDF `ln((N+1)/(df+1)) + 1`. One explode +
+    * one aggregation — the map side pre-combines per-partition token
+    * counts, so the shuffle carries at most |vocab| × partitions rows
+    * regardless of corpus size. The distinct-doc count rides the same
+    * aggregation via count(DISTINCT id) per token (Spark plans the
+    * two-phase distinct aggregate; token keys are near-uniform — no
+    * skew salt needed for natural-language vocabularies). */
+  def vocabulary(df: DataFrame, idCol: Column, textCol: Column,
+      minDf: Long = 1L): DataFrame = {
+    val n = df.count()
+    df.select(idCol.as("id"), explode(tokens(textCol)).as("token"))
+      .groupBy(col("token"))
+      .agg(countDistinct(col("id")).as("df"),
+        count(lit(1)).as("tf"))
+      .where(col("df") >= minDf)
+      .withColumn("idf",
+        round(log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0, 6))
+  }
 
   /** Order-sensitive rolling (polynomial) hash over tokens:
     * `acc = acc * 31 + tokenHash (mod P)`. Distinguishes documents

@@ -57,6 +57,45 @@ class CurationSpec extends AnyFunSuite {
     assert(flags.toSeq === Seq(false, true))
   }
 
+  // ---- repetition / vocabulary -----------------------------------------
+
+  test("repetition signals: repetitive text scores low, diverse high") {
+    val df = Seq(
+      (0L, "spam spam spam spam spam"),
+      (1L, "every word here is completely different"),
+      (2L, "")).toDF("id", "text")
+    val out = TextAnalysis.repetitionTable(df, col("id"), col("text"))
+      .orderBy("id").collect()
+    assert(out(0).getAs[Double]("distinct_ratio") === 0.2)
+    assert(out(0).getAs[Double]("bigram_ratio") === 0.25)
+    assert(out(0).getAs[Double]("top_token_ratio") === 1.0)
+    assert(out(1).getAs[Double]("distinct_ratio") === 1.0)
+    assert(out(1).getAs[Double]("bigram_ratio") === 1.0)
+    // empty text tokenizes to one empty token (split semantics)
+    assert(out(2).getAs[Long]("n_tokens") === 1)
+  }
+
+  test("vocabulary: df/tf counts and smoothed idf") {
+    val df = Seq(
+      (0L, "alpha beta alpha"),
+      (1L, "beta gamma"),
+      (2L, "beta")).toDF("id", "text")
+    val v = TextAnalysis.vocabulary(df, col("id"), col("text"))
+      .collect().map(r => r.getAs[String]("token") ->
+        ((r.getAs[Long]("df"), r.getAs[Long]("tf"), r.getAs[Double]("idf"))))
+      .toMap
+    assert(v("alpha")._1 === 1 && v("alpha")._2 === 2)
+    assert(v("beta")._1 === 3 && v("beta")._2 === 3)
+    assert(v("gamma")._1 === 1)
+    // smoothed idf: ln((N+1)/(df+1)) + 1, N = 3
+    assert(math.abs(v("beta")._3 - 1.0) < 1e-9) // ln(4/4)+1
+    assert(math.abs(v("alpha")._3 - (math.log(2.0) + 1.0)) < 1e-6)
+    // minDf prunes rare terms
+    val pruned = TextAnalysis.vocabulary(df, col("id"), col("text"),
+      minDf = 2L).collect()
+    assert(pruned.map(_.getAs[String]("token")).toSeq === Seq("beta"))
+  }
+
   // ---- sampling --------------------------------------------------------
 
   private lazy val keyed = (0L until 2000L).map(i =>
