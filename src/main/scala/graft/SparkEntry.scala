@@ -367,6 +367,12 @@ object SparkEntry {
         |  ?e !(v:user|v:type) ?o .
         |}""".stripMargin)),
 
+    // R29: property path under variable GRAPH — the graph column keys
+    // every closure round, so each named graph gets its own reachability
+    // in one plan and ?g binds from the key
+    "r29_graph_path" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?g ?e ?u WHERE { GRAPH ?g { ?e v:user+ ?u . } }""")),
+
     // R24: subquery — inner per-user aggregation joined with the outer
     // pattern, filtered on the aggregated value
     "r24_subquery" -> ((s, dir) => sparql(s, dir,
@@ -914,6 +920,9 @@ object SparkEntry {
         |FROM u a JOIN u b ON a.user_id <= b.user_id""".stripMargin,
     "r28_negated_path" ->
       s"""SELECT $E AS e, value AS val FROM events""".stripMargin,
+    "r29_graph_path" ->
+      s"""SELECT 'http://graft.dev/g/' || event_type AS g, $E AS e, $U AS u
+         |FROM events""".stripMargin,
     "r24_subquery" ->
       s"""SELECT $E AS e, $U AS u, c.n AS n
          |FROM events e JOIN

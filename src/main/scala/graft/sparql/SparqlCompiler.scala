@@ -251,7 +251,16 @@ object SparqlCompiler {
         case Iri(v) => v
         case Lit(v) => v
       }
-      var df = pathEdges(quads, pp.path, pp.g, extraKeys, constEndpoints)
+      // variable GRAPH scope: the graph column itself becomes an extra
+      // key through every path join/closure round, so each graph gets
+      // its own edge relation (and its own zero-length node set) in ONE
+      // distributed plan — then binds to the graph variable like any
+      // other column
+      val graphVar = pp.g.collect { case Var(n) => n }
+      val pathKeys =
+        if (graphVar.isDefined) extraKeys :+ "graph" else extraKeys
+      var df = pathEdges(quads, pp.path,
+        if (graphVar.isDefined) None else pp.g, pathKeys, constEndpoints)
       val bindings = scala.collection.mutable.LinkedHashMap.empty[String, String]
       def bind(colName: String, term: Term): Unit = term match {
         case Var(n) =>
@@ -270,6 +279,7 @@ object SparqlCompiler {
       }
       bind(PathSrcCol, pp.s)
       bind(PathDstCol, pp.o)
+      graphVar.foreach(n => bind("graph", Var(n)))
       val bound = df.select(extraKeys.map(col) ++
         bindings.map { case (v, c) => col(c).as(v) }: _*)
       val vs = bindings.keySet.toSet

@@ -402,6 +402,29 @@ class SparqlExtendedSpec extends AnyFunSuite {
       Seq("http://ex.org/alice", "alice@ex.org")))
   }
 
+  test("property path under variable GRAPH: per-graph closure + ?g binding") {
+    val spark = TestSpark.spark
+    val quads = RdfEvent.toDF(spark, Seq(
+      RdfEvent(1, "a", "http://ex.org/next", "b", "g1"),
+      RdfEvent(1, "b", "http://ex.org/next", "c", "g1"),
+      RdfEvent(1, "a", "http://ex.org/next", "b", "g2")))
+    val df = SparqlCompiler.compile(quads, SparqlParser.parse(
+      """PREFIX ex: <http://ex.org/>
+        |SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x ex:next+ ?y . } }""".stripMargin))
+    val rows = TestSpark.rows(df)
+    // g1 has the 2-step chain; g2 must NOT see the b→c edge
+    assert(rows === Set(
+      Seq("g1", "a", "b"), Seq("g1", "b", "c"), Seq("g1", "a", "c"),
+      Seq("g2", "a", "b")))
+    // zero-length under variable graph: node sets stay per-graph
+    val star = SparqlCompiler.compile(quads, SparqlParser.parse(
+      """PREFIX ex: <http://ex.org/>
+        |SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x ex:next* ?y . } }""".stripMargin))
+    val starRows = TestSpark.rows(star)
+    assert(starRows.contains(Seq("g1", "c", "c")))
+    assert(!starRows.contains(Seq("g2", "c", "c"))) // c not a g2 node
+  }
+
   test("property path: negated set with inverse members !(p|^p)") {
     // forward non-knows edges (4) + reversed non-knows edges (4)
     val df = run(
