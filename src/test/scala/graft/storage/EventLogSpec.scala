@@ -28,6 +28,23 @@ class EventLogSpec extends AnyFunSuite {
     assert(log.query(0, Long.MaxValue).count() === 50)
   }
 
+  test("storage failure surfaces as an error; append restores service " +
+      "(ref: segmented_storage_error_test.rs)") {
+    val dir = Files.createTempDirectory("eventlog-err").resolve("log")
+    val log = new EventLog(spark, dir.toString, 1000L)
+    log.append(RdfEvent.toDF(spark, (1 to 10).map(i => ev(i * 100L, i))))
+    assert(log.query(0, Long.MaxValue).count() === 10)
+    // yank the storage out from under the log — the analogue of the
+    // reference's background-flush failure; queries must surface an
+    // error, not silently return partial/empty results
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    intercept[Exception] { log.query(0, Long.MaxValue).count() }
+    // deliberate divergence from the reference (which poisons the store
+    // until shutdown): an append re-creates the log and restores service
+    log.append(RdfEvent.toDF(spark, Seq(ev(50L, 1))))
+    assert(log.query(0, Long.MaxValue).count() === 1)
+  }
+
   test("append is cumulative (read-your-writes across batches)") {
     val log = freshLog()
     log.append(RdfEvent.toDF(spark, Seq(ev(10, 1))))
