@@ -180,4 +180,65 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = executedPlan(pairs)
     assert(!plan.toLowerCase.contains("cartesianproduct"), plan)
   }
+
+  test("PII profile is one shuffle-free codegen'd map stage") {
+    val c = org.apache.spark.sql.functions.col _
+    val df = graft.pipeline.Pii.piiTable(
+      spark.read.parquet(s"$sf/documents.parquet"), c("doc_id"), c("text"))
+    val plan = executedPlan(df)
+    assert(!plan.contains("Exchange"),
+      s"PII profile shuffles — should be a pure map stage:\n$plan")
+    assert(plan.contains("*(1)"), s"PII stage not codegen'd:\n$plan")
+  }
+
+  test("hash sampling is a pure filter: no shuffle, scan columns pruned") {
+    val c = org.apache.spark.sql.functions.col _
+    val df = graft.pipeline.Sampling.stratifiedSample(
+      spark.read.parquet(s"$sf/documents.parquet"),
+      c("lang"), c("doc_id"), Map("en" -> 0.5), defaultRate = 0.1)
+      .select("doc_id")
+    val plan = executedPlan(df)
+    assert(!plan.contains("Exchange"),
+      s"hash sampling shuffles — should be a pure filter:\n$plan")
+  }
+
+  test("quota sampling shuffles on the SALTED stratum key first (skew-" +
+      "proof two-phase top-n), never a lone global stratum window") {
+    val c = org.apache.spark.sql.functions.col _
+    val df = graft.pipeline.Sampling.quotaSample(
+      spark.read.parquet(s"$sf/documents.parquet"),
+      c("lang"), c("doc_id"), n = 5)
+    val plan = executedPlan(df)
+    // phase 1 partitions by (stratum, input partition id): the exchange
+    // key includes the salt column
+    assert(plan.contains("__p"),
+      s"phase-1 salt column missing from the plan:\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("vocabulary aggregation pre-combines map-side (partial aggregate " +
+      "before the token-key exchange)") {
+    val c = org.apache.spark.sql.functions.col _
+    val df = graft.pipeline.TextAnalysis.vocabulary(
+      spark.read.parquet(s"$sf/documents.parquet"), c("doc_id"), c("text"))
+    val plan = executedPlan(df)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("partial"),
+      s"no map-side partial aggregation in vocabulary plan:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesianproduct"), plan)
+  }
+
+  test("connected components: per-round plans are equi-joins, no cartesian") {
+    val spark2 = spark
+    import spark2.implicits._
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = graft.pipeline.Dedup.connectedComponents(pairs)
+    val plan = executedPlan(cc)
+    // the final labels frame is localCheckpoint-backed; the audit is on
+    // convergence having used joins (scan of checkpointed RDD) — the
+    // strongest assertion available post-truncation is no cartesian and
+    // a bounded row count
+    assert(!plan.toLowerCase.contains("cartesianproduct"), plan)
+    assert(cc.count() === 41)
+  }
 }
