@@ -367,6 +367,14 @@ object SparkEntry {
         |  ?e !(v:user|v:type) ?o .
         |}""".stripMargin)),
 
+    // R30: the remaining SPARQL string transforms — STRBEFORE/STRAFTER
+    // (empty-needle and no-occurrence edge semantics) and regex REPLACE
+    "r30_str_transforms" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e (STRAFTER(STR(?e), "/e/") AS ?id)
+        |  (STRBEFORE(?t, "i") AS ?pre)
+        |  (REPLACE(?t, "i", "y") AS ?rep)
+        |WHERE { ?e v:type ?t . }""".stripMargin)),
+
     // R29: property path under variable GRAPH — the graph column keys
     // every closure round, so each named graph gets its own reachability
     // in one plan and ?g binds from the key
@@ -922,6 +930,13 @@ object SparkEntry {
       s"""SELECT $E AS e, value AS val FROM events""".stripMargin,
     "r29_graph_path" ->
       s"""SELECT 'http://graft.dev/g/' || event_type AS g, $E AS e, $U AS u
+         |FROM events""".stripMargin,
+    "r30_str_transforms" ->
+      s"""SELECT $E AS e, CAST(event_id AS VARCHAR) AS id,
+         |  CASE WHEN strpos(event_type, 'i') > 0
+         |    THEN substr(event_type, 1, strpos(event_type, 'i') - 1)
+         |    ELSE '' END AS pre,
+         |  regexp_replace(event_type, 'i', 'y', 'g') AS rep
          |FROM events""".stripMargin,
     "r24_subquery" ->
       s"""SELECT $E AS e, $U AS u, c.n AS n

@@ -446,7 +446,8 @@ object SparqlCompiler {
     * and extension calls stay numeric. */
   private def stringish(e: Expr): Boolean = e match {
     case EVar(_) | EStr(_) | EIriRef(_) => true
-    case ECall("STR" | "CONCAT" | "UCASE" | "LCASE" | "SUBSTR", _) => true
+    case ECall("STR" | "CONCAT" | "UCASE" | "LCASE" | "SUBSTR" |
+        "STRBEFORE" | "STRAFTER" | "REPLACE", _) => true
     case ECall("IF", Seq(_, a, b))      => stringish(a) || stringish(b)
     case ECall("COALESCE", args)        => args.exists(stringish)
     case _                              => false
@@ -641,7 +642,8 @@ object SparqlCompiler {
     case c @ ECall("CONTAINS" | "STRSTARTS" | "STRENDS" | "REGEX" |
         "ISIRI" | "ISURI" | "ISLITERAL" | "ISNUMERIC" | "ISBLANK", _) =>
       when(boolC(c), 1.0).otherwise(0.0) // EBV numeric projection
-    case c @ ECall("CONCAT" | "UCASE" | "LCASE" | "SUBSTR", _) =>
+    case c @ ECall("CONCAT" | "UCASE" | "LCASE" | "SUBSTR" | "STRBEFORE" |
+        "STRAFTER" | "REPLACE", _) =>
       strC(c).try_cast("double")
     case ECall(iri, args) =>
       Extensions.call(iri, args.map(numC))
@@ -668,6 +670,29 @@ object SparqlCompiler {
       strC(a).substr(numC(p).cast("int"), lit(Int.MaxValue))
     case ECall("SUBSTR", Seq(a, p, l)) =>
       strC(a).substr(numC(p).cast("int"), numC(l).cast("int"))
+    // SPARQL §17.4.3: STRBEFORE/STRAFTER return "" when the needle does
+    // not occur; an empty needle yields "" / the whole string
+    case ECall("STRBEFORE", Seq(a, b)) =>
+      val (s, sub) = (strC(a), strC(b))
+      when(length(sub) === 0, lit(""))
+        .when(instr(s, sub) > 0, s.substr(lit(1), instr(s, sub) - 1))
+        .otherwise(lit(""))
+    case ECall("STRAFTER", Seq(a, b)) =>
+      val (s, sub) = (strC(a), strC(b))
+      when(length(sub) === 0, s)
+        .when(instr(s, sub) > 0,
+          s.substr(instr(s, sub) + length(sub), lit(Int.MaxValue)))
+        .otherwise(lit(""))
+    case ECall("REPLACE", args) =>
+      // REPLACE(str, pattern, replacement[, flags]) — regex semantics;
+      // flags fold into the pattern as an inline group (same as REGEX)
+      val pat = args match {
+        case Seq(_, p, _)              => strC(p)
+        case Seq(_, p, _, EStr(flags)) => concat(lit(s"(?$flags)"), strC(p))
+        case _ => throw new CompileException(
+          "REPLACE flags must be a string literal")
+      }
+      regexp_replace(strC(args.head), pat, strC(args(2)))
     case other      => numC(other).cast("string")
   }
 

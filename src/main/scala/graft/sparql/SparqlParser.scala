@@ -794,8 +794,8 @@ object SparqlParser {
           if Set("if", "coalesce", "str", "abs", "concat", "strlen",
             "ucase", "lcase", "contains", "strstarts", "strends", "regex",
             "round", "ceil", "floor", "substr", "isiri", "isuri",
-            "isliteral", "isnumeric", "isblank")
-            .contains(w.v.toLowerCase) && atPunct("(") =>
+            "isliteral", "isnumeric", "isblank", "strbefore", "strafter",
+            "replace").contains(w.v.toLowerCase) && atPunct("(") =>
         // SPARQL builtin functions, carried as upper-case ECall names
         // (extension functions are full IRIs — no collision)
         parseCallArgs(w.v.toUpperCase) match {
@@ -806,13 +806,16 @@ object SparqlParser {
               "ISLITERAL" | "ISNUMERIC" | "ISBLANK", args)
               if args.length != 1 =>
             throw ParseException(s"${w.v.toUpperCase} expects 1 argument")
-          case ECall("CONTAINS" | "STRSTARTS" | "STRENDS", args)
-              if args.length != 2 =>
+          case ECall("CONTAINS" | "STRSTARTS" | "STRENDS" | "STRBEFORE" |
+              "STRAFTER", args) if args.length != 2 =>
             throw ParseException(s"${w.v.toUpperCase} expects 2 arguments")
           case ECall("REGEX" | "SUBSTR", args)
               if args.length < 2 || args.length > 3 =>
             throw ParseException(
               s"${w.v.toUpperCase} expects 2 or 3 arguments")
+          case ECall("REPLACE", args)
+              if args.length < 3 || args.length > 4 =>
+            throw ParseException("REPLACE expects 3 or 4 arguments")
           case ECall("CONCAT", args) if args.isEmpty =>
             throw ParseException("CONCAT expects at least 1 argument")
           case e => e

@@ -402,6 +402,18 @@ class SparqlExtendedSpec extends AnyFunSuite {
       Seq("http://ex.org/alice", "alice@ex.org")))
   }
 
+  test("STRBEFORE / STRAFTER / REPLACE builtins (SPARQL §17.4.3 edges)") {
+    val df = run(
+      """SELECT ?s (STRAFTER(STR(?s), "org/") AS ?name)
+        |  (STRBEFORE("alice@ex.org", "@") AS ?local)
+        |  (STRBEFORE("abc", "z") AS ?none)
+        |  (STRAFTER("abc", "") AS ?whole)
+        |  (REPLACE("banana", "a+", "o") AS ?rep)
+        |WHERE { ?s ex:age "30" . }""".stripMargin)
+    assert(TestSpark.rows(df) === Set(Seq(
+      "http://ex.org/alice", "alice", "alice", "", "abc", "bonono")))
+  }
+
   test("property path under variable GRAPH: per-graph closure + ?g binding") {
     val spark = TestSpark.spark
     val quads = RdfEvent.toDF(spark, Seq(
