@@ -585,6 +585,20 @@ object SparkEntry {
         k = 128, bands = 32, rows = 4)
         .select(col("doc_id"))),
 
+    // Incremental dedup: docs >= 400 arrive as the "new batch" and match
+    // against a standing LSH index of docs < 400 — the always-on ingest
+    // shape (per-batch cost ∝ batch, not corpus)
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val index = graft.pipeline.Dedup.buildCorpusIndex(
+        docs.where(col("doc_id") < 400), col("doc_id"), col("text"))
+      val out = graft.pipeline.Dedup.matchAgainstIndex(
+        docs.where(col("doc_id") >= 400), col("doc_id"), col("text"),
+        index, threshold = 0.8)
+      index.unpersist()
+      out
+    }),
+
     // Duplicate clusters: transitive completion of the verified pair
     // table via distributed connected components (min-label propagation
     // + pointer jumping) — A≈B≈C clusters {A,B,C} even when A≉C
@@ -1082,6 +1096,22 @@ object SparkEntry {
         |  SELECT DISTINCT id_b FROM p WHERE uni > 0 AND inter / uni >= 0.8)
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT id_b FROM drops)""".stripMargin,
+    "dedup_incremental" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |p AS (
+        |  SELECT b.doc_id AS new_id, a.doc_id AS corpus_id,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+        |    CAST(len(a.sh) + len(b.sh) AS DOUBLE)
+        |      - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS uni
+        |  FROM s a JOIN s b ON a.doc_id < 400 AND b.doc_id >= 400)
+        |SELECT new_id, corpus_id, ROUND(inter / uni, 6) AS jaccard
+        |FROM p WHERE uni > 0 AND inter / uni >= 0.8""".stripMargin,
     // transitive duplicate clusters: DuckDB recursive CTE computes, per
     // node of the near-dup graph, the set of reachable labels; MIN is
     // the component representative — exactly the fixpoint the Spark

@@ -213,6 +213,68 @@ object Dedup {
     df.join(drop, idCol === col("__drop_id"), "leftanti")
   }
 
+  // ---- incremental dedup against a standing corpus ---------------------
+
+  /** Precomputed LSH state of a standing corpus, reusable across many
+    * incremental batches: the banded signatures (candidate-join side)
+    * and the shingle sets (verification side). Both persisted — at
+    * 100 TB this is the "dedup index" a curation service keeps warm,
+    * a few hundred bytes per document. */
+  final case class CorpusIndex(bands: DataFrame, shingles: DataFrame,
+      shingleSize: Int, k: Int, bandCount: Int, rowsPerBand: Int) {
+    def unpersist(): Unit = { bands.unpersist(); shingles.unpersist() }
+  }
+
+  def buildCorpusIndex(df: DataFrame, idCol: Column, textCol: Column,
+      shingleSize: Int = 3, k: Int = 128, bands: Int = 32, rows: Int = 4)
+      : CorpusIndex = {
+    require(bands * rows <= k, "bands*rows must not exceed k")
+    val docs = df.select(idCol.as("id"),
+      TextAnalysis.shingles(textCol, shingleSize).as("sh"))
+      .where(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = lshBands(minhashSignatureTable(docs, k), col("id"),
+      col("sig"), bands, rows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    banded.count() // materialize both (bands pull the shingle cache)
+    CorpusIndex(banded, docs, shingleSize, k, bands, rows)
+  }
+
+  /** Near-dup matches of NEW documents against the standing corpus:
+    * (new_id, corpus_id, jaccard). The new side is typically one
+    * micro-batch — small — so its bands broadcast into the equi-join
+    * against the (large, persisted) corpus bands; verification touches
+    * only candidates. This is the incremental-ingest dedup shape: cost
+    * per batch is proportional to the batch, not the corpus. */
+  def matchAgainstIndex(newDocs: DataFrame, idCol: Column, textCol: Column,
+      index: CorpusIndex, threshold: Double): DataFrame = {
+    val nd = newDocs.select(idCol.as("id"),
+      TextAnalysis.shingles(textCol, index.shingleSize).as("sh"))
+      .where(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newBands = lshBands(minhashSignatureTable(nd, index.k), col("id"),
+      col("sig"), index.bandCount, index.rowsPerBand)
+    val pairs = broadcast(newBands.toDF("new_id", "band_id", "band"))
+      .join(index.bands.toDF("corpus_id", "band_id", "band"),
+        Seq("band_id", "band"))
+      .select("new_id", "corpus_id")
+      .distinct()
+    val out = pairs
+      .join(nd.toDF("new_id", "sh_a"), "new_id")
+      .join(index.shingles.toDF("corpus_id", "sh_b"), "corpus_id")
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("double") - col("inter"))
+      .where(col("uni") > 0 && col("inter") / col("uni") >= threshold)
+      .select(col("new_id"), col("corpus_id"),
+        round(col("inter") / col("uni"), 6).as("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    nd.unpersist()
+    out
+  }
+
   // ---- duplicate clusters (connected components) -----------------------
 
   /** Connected components over a pair table — distributed iterative

@@ -63,6 +63,45 @@ object StructuredStreams {
       .agg(count(lit(1)).as("n"),
         avg(col("object").try_cast("double")).as("mean_value"))
 
+  // ---- streaming curation ---------------------------------------------
+
+  /** Streaming exact dedup: keep the first document per (normalized)
+    * content hash within the watermark horizon.
+    * `dropDuplicatesWithinWatermark` bounds the dedup state — the
+    * undisciplined `dropDuplicates` grows state forever on an unbounded
+    * stream. Arriving duplicates outside the horizon pass (the standing
+    * corpus is the batch layer's job — see
+    * [[graft.pipeline.Dedup.matchAgainstIndex]]). */
+  def streamingExactDedup(docs: DataFrame, tsCol: String, textCol: String,
+      watermarkDelayMs: Long = 10000): DataFrame =
+    docs
+      .withColumn("__event_time", timestamp_millis(col(tsCol)))
+      .withColumn("__content_hash",
+        md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")))
+      .withWatermark("__event_time", s"$watermarkDelayMs milliseconds")
+      .dropDuplicatesWithinWatermark("__content_hash")
+      .drop("__event_time", "__content_hash")
+
+  /** Incremental near-dup detection: per micro-batch, match the new
+    * documents against a standing [[graft.pipeline.Dedup.CorpusIndex]]
+    * and hand the verified (new_id, corpus_id, jaccard) matches to
+    * `onMatches`. The per-batch cost is proportional to the batch
+    * (bands broadcast against the persisted corpus index), not to the
+    * corpus — the shape an always-on curation ingest needs. */
+  def streamingNearDup(docs: DataFrame, idCol: String, textCol: String,
+      index: graft.pipeline.Dedup.CorpusIndex, threshold: Double,
+      checkpointDir: String,
+      onMatches: DataFrame => Unit): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        onMatches(graft.pipeline.Dedup.matchAgainstIndex(
+          batch.toDF(), col(idCol), col(textCol), index, threshold))
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
   // ---- stateful comparator as flatMapGroupsWithState -----------------
 
   /** One keyed observation: (key, ts, live value, historical value). */

@@ -69,6 +69,67 @@ class StructuredStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup keeps first-seen content within the " +
+      "watermark horizon (normalized hashes)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, String)]
+    val docs = input.toDS().toDF("ts", "doc_id", "text")
+    val q = StructuredStreams.streamingExactDedup(docs, "ts", "text",
+      watermarkDelayMs = 60000)
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      input.addData((1000L, 1L, "Hello  World"), (1100L, 2L, "hello world "),
+        (1200L, 3L, "something else"))
+      q.processAllAvailable()
+      // cross-batch duplicate inside the horizon is dropped too
+      input.addData((1300L, 4L, "HELLO WORLD"))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM sdedup")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("incremental near-dup matches stream batches against a standing " +
+      "corpus index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "cat sleeps in the warm afternoon sun near the old wooden fence"
+    val corpus = Seq((0L, base),
+      (1L, "ancient library shelves hold countless forgotten stories " +
+        "about distant mountains and rivers crossing silent valleys"))
+      .toDF("doc_id", "text")
+    val c = org.apache.spark.sql.functions.col _
+    val index = graft.pipeline.Dedup.buildCorpusIndex(corpus,
+      c("doc_id"), c("text"))
+    val input = MemoryStream[(Long, String)]
+    val matches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val dir = Files.createTempDirectory("neardup-ckpt")
+    val q = StructuredStreams.streamingNearDup(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text", index,
+      threshold = 0.5, dir.toString,
+      out => matches ++= out.collect()
+        .map(r => (r.getLong(0), r.getLong(1))))
+    try {
+      input.addData(
+        (100L, base.replace("lazy", "sleepy")), // near dup of corpus 0
+        (101L, "completely unrelated text about streaming watermarks " +
+          "and window state in distributed query processing engines"))
+      q.processAllAvailable()
+      assert(matches.toSet === Set((100L, 0L)))
+      // a second batch reuses the same standing index
+      input.addData((102L, base))
+      q.processAllAvailable()
+      assert(matches.toSet === Set((100L, 0L), (102L, 0L)))
+    } finally {
+      q.stop()
+      index.unpersist()
+    }
+  }
+
   test("flatMapGroupsWithState comparator matches the exact deque core " +
       "(batch mode)") {
     import spark.implicits._
