@@ -740,6 +740,20 @@ object SparkEntry {
         col("event_type"), col("event_id"), n = 20)
         .select(col("event_id"), col("event_type"))),
 
+    // Vector hygiene: dimension check + L2 norms + normalization (the
+    // map-stage preprocessing every embedding index assumes). The fold
+    // order of the norm sum is sequential on both engines, so the
+    // rounded doubles agree bit-for-bit
+    "emb_norms" -> ((s, dir) => {
+      val emb = graft.pipeline.Ann
+      val v = col("embedding")
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          size(v).cast("long").as("dim"),
+          round(emb.norm(emb.toDouble(v)), 6).as("l2_norm"),
+          round(element_at(emb.normalize(v), 1), 6).as("first_unit"))
+    }),
+
     // ANN: exact brute-force top-10 cosine for 3 query vectors
     "ann_bruteforce_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -1165,6 +1179,16 @@ object SparkEntry {
     "ann_ivf_topk" ->
       """SELECT vec_id AS query_id, true AS recall_ge_070
         |FROM embeddings WHERE vec_id < 3""".stripMargin,
+    "emb_norms" ->
+      """WITH n AS (
+        |  SELECT vec_id, len(embedding) AS dim,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
+        |  FROM embeddings)
+        |SELECT n.vec_id, CAST(n.dim AS BIGINT) AS dim,
+        |  ROUND(n.l2, 6) AS l2_norm,
+        |  ROUND(CAST(e.embedding[1] AS DOUBLE) / n.l2, 6) AS first_unit
+        |FROM n JOIN embeddings e ON n.vec_id = e.vec_id""".stripMargin,
     "b5_hybrid_join" ->
       """WITH base AS (
         |  SELECT user_id, ROUND(AVG(value), 6) AS mean

@@ -24,6 +24,16 @@ object Ann {
 
   def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
+  /** L2-normalized copy of a vector column (unit length; zero vectors →
+    * NULL). Pure Column expression — normalization before indexing /
+    * cosine search is a map stage at any scale. */
+  def normalize(a: Column): Column = {
+    val d = toDouble(a)
+    val n = norm(d)
+    when(n > 0.0, transform(d, x => x / n))
+      .otherwise(lit(null))
+  }
+
   /** Cosine similarity with zero-norm guard (NULL when either side has
     * zero magnitude). Native codegen'd kernel
     * ([[graft.expressions.CosineSimExpr]]) with the same sequential

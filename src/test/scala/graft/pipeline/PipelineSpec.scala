@@ -112,6 +112,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("normalize: unit length, zero vector → null, cosine-invariant") {
+    val vecs = Seq(
+      (0L, Array(3.0f, 4.0f)),
+      (1L, Array(0.0f, 0.0f))).toDF("id", "vec")
+    val out = vecs.select(col("id"),
+      Ann.normalize(col("vec")).as("u"),
+      Ann.norm(Ann.toDouble(col("vec"))).as("n")).orderBy("id").collect()
+    assert(out(0).getAs[Double]("n") === 5.0)
+    val u = out(0).getSeq[Double](1)
+    assert(math.abs(u(0) - 0.6) < 1e-12 && math.abs(u(1) - 0.8) < 1e-12)
+    assert(out(1).isNullAt(1)) // zero vector has no direction
+  }
+
   test("ANN brute-force top-k: nearest by construction") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
