@@ -691,6 +691,12 @@ object SparkEntry {
         col("doc_id"), col("text"))
         .withColumnRenamed("id", "doc_id")),
 
+    // Corpus length distribution: exact interpolated token-count
+    // quantiles (the length-filter calibration report)
+    "corpus_lengths" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.lengthStats(
+        s.read.parquet(s"$dir/documents.parquet"), col("text"))),
+
     // Corpus vocabulary with document frequency + smoothed IDF — the
     // one-shuffle TF-IDF foundation (map-side combined token counts)
     "corpus_vocab" -> ((s, dir) =>
@@ -1226,6 +1232,16 @@ object SparkEntry {
         |  ROUND(COALESCE(CAST(m.top_c AS DOUBLE) / m.tot, 0.0), 6)
         |    AS top_token_ratio
         |FROM t LEFT JOIN m USING (doc_id)""".stripMargin,
+    "corpus_lengths" ->
+      """WITH t AS (
+        |  SELECT CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+        |    AS DOUBLE) AS n
+        |  FROM documents)
+        |SELECT COUNT(*) AS n_docs, ROUND(AVG(n), 6) AS mean_tokens,
+        |  ROUND(quantile_cont(n, 0.5), 6) AS p50_tokens,
+        |  ROUND(quantile_cont(n, 0.9), 6) AS p90_tokens,
+        |  ROUND(quantile_cont(n, 0.99), 6) AS p99_tokens
+        |FROM t""".stripMargin,
     "corpus_vocab" ->
       """WITH f AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+'))

@@ -225,6 +225,21 @@ object TextAnalysis {
         coalesce(col("top_token_ratio"), lit(0.0)))
   }
 
+  /** Corpus length-distribution report: doc count, token-count mean and
+    * exact interpolated quantiles (p50/p90/p99). One aggregation over a
+    * map stage; `percentile` runs distributed with per-partition
+    * buffers. The curation dashboard numbers for choosing length
+    * filters. */
+  def lengthStats(df: DataFrame, textCol: Column): DataFrame =
+    df.select(tokenCount(textCol).cast("double").as("__n"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("__n")), 6).as("mean_tokens"),
+        expr("percentile(__n, array(0.5D, 0.9D, 0.99D))").as("__q"))
+      .select(col("n_docs"), col("mean_tokens"),
+        round(element_at(col("__q"), 1), 6).as("p50_tokens"),
+        round(element_at(col("__q"), 2), 6).as("p90_tokens"),
+        round(element_at(col("__q"), 3), 6).as("p99_tokens"))
+
   // ---- corpus vocabulary / TF-IDF --------------------------------------
 
   /** Corpus vocabulary with document frequency, collection term

@@ -75,6 +75,16 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2).getAs[Long]("n_tokens") === 1)
   }
 
+  test("length stats: count, mean, interpolated quantiles") {
+    val df = (1 to 100).map(i => (i.toLong, ("w " * i).trim))
+      .toDF("id", "text")
+    val r = TextAnalysis.lengthStats(df, col("text")).collect()(0)
+    assert(r.getAs[Long]("n_docs") === 100)
+    assert(r.getAs[Double]("mean_tokens") === 50.5)
+    assert(r.getAs[Double]("p50_tokens") === 50.5) // (N-1)*0.5 = 49.5
+    assert(r.getAs[Double]("p90_tokens") === 90.1)
+  }
+
   test("vocabulary: df/tf counts and smoothed idf") {
     val df = Seq(
       (0L, "alpha beta alpha"),
