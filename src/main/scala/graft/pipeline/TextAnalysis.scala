@@ -176,9 +176,19 @@ object TextAnalysis {
   // ---- repetition / boilerplate signals --------------------------------
 
   /** Distinct-token fraction: 1.0 = no repeated word, → 0 for highly
-    * repetitive text (the Gopher-style repetition signal). Pure Column
-    * expression, no shuffle. */
+    * repetitive text (the Gopher-style repetition signal). The distinct
+    * count comes from the native shingle kernel at n=1 — one codegen'd
+    * scan, no interpreted array lambdas ([[distinctTokenRatioHof]] is
+    * the reference formulation). */
   def distinctTokenRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      size(graft.expressions.native.wordShingles(text, 1)).cast("double") /
+        size(toks).cast("double"))
+      .otherwise(lit(1.0))
+  }
+
+  private[graft] def distinctTokenRatioHof(text: Column): Column = {
     val toks = tokens(text)
     when(size(toks) > 0,
       size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
@@ -186,8 +196,18 @@ object TextAnalysis {
   }
 
   /** Distinct-bigram fraction over consecutive token pairs — catches
-    * phrase-level boilerplate that single-token ratios miss. */
+    * phrase-level boilerplate that single-token ratios miss. Native
+    * kernel at n=2 (the interpreted transform+slice lambda formulation,
+    * [[distinctBigramRatioHof]], cost ~10× at corpus scale). */
   def distinctBigramRatio(text: Column): Column = {
+    val n = size(tokens(text)) - 1
+    when(n > 0,
+      size(graft.expressions.native.wordShingles(text, 2)).cast("double") /
+        n.cast("double"))
+      .otherwise(lit(1.0))
+  }
+
+  private[graft] def distinctBigramRatioHof(text: Column): Column = {
     val toks = tokens(text)
     val n = size(toks) - 1
     val grams = when(n > 0,

@@ -75,6 +75,18 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2).getAs[Long]("n_tokens") === 1)
   }
 
+  test("repetition ratios: native kernel ≡ HOF formulation on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+    val diverging = docs.select(
+      TextAnalysis.distinctTokenRatio(col("text")).as("a"),
+      TextAnalysis.distinctTokenRatioHof(col("text")).as("b"),
+      TextAnalysis.distinctBigramRatio(col("text")).as("c"),
+      TextAnalysis.distinctBigramRatioHof(col("text")).as("d"))
+      .where(col("a") =!= col("b") || col("c") =!= col("d"))
+    assert(diverging.count() === 0)
+  }
+
   test("length stats: count, mean, interpolated quantiles") {
     val df = (1 to 100).map(i => (i.toLong, ("w " * i).trim))
       .toDF("id", "text")
