@@ -66,10 +66,33 @@ object Dedup {
       .toDF("id", "band_id", "band")
 
   /** Candidate pairs: equi-join on (band_id, band) — bucketed, never
-    * all-pairs. Returns distinct (id_a < id_b). */
-  def candidatePairs(bands: DataFrame): DataFrame = {
-    val a = bands.toDF("id_a", "band_id", "band")
-    val b = bands.toDF("id_b", "band_id", "band")
+    * all-pairs. Returns distinct (id_a < id_b).
+    *
+    * `maxBandWidth` is the hot-bucket safety valve for web-scale
+    * corpora: a degenerate band shared by w documents contributes
+    * w²/2 candidate pairs (one stopword-ish signature pattern over a
+    * billion docs is a joined-table explosion no cluster survives).
+    * Buckets wider than the cap are dropped BEFORE the self-join,
+    * bounding the join output by bands × cap²/2 per bucket. Recall
+    * cost is negligible for real near-dups: at J ≥ 0.8 with 32×4
+    * banding a pair agrees on ~13 bands in expectation, so it still
+    * meets in a non-degenerate bucket. */
+  def candidatePairs(bands: DataFrame,
+      maxBandWidth: Int = Int.MaxValue): DataFrame = {
+    val pruned =
+      if (maxBandWidth == Int.MaxValue) bands
+      else {
+        val narrow = bands.groupBy("band_id", "band")
+          .agg(count(lit(1)).as("__w"))
+          .where(col("__w") <= maxBandWidth)
+          .select("band_id", "band")
+        // a using-join moves the join keys first — restore the
+        // (id, band_id, band) order the positional toDF below expects
+        bands.join(narrow, Seq("band_id", "band"))
+          .select("id", "band_id", "band")
+      }
+    val a = pruned.toDF("id_a", "band_id", "band")
+    val b = pruned.toDF("id_b", "band_id", "band")
     a.join(b, Seq("band_id", "band"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
@@ -132,7 +155,8 @@ object Dedup {
 
   def nearDuplicates(df: DataFrame, idCol: Column, textCol: Column,
       threshold: Double, shingleSize: Int = 3, k: Int = 128,
-      bands: Int = 32, rows: Int = 4): DataFrame = {
+      bands: Int = 32, rows: Int = 4,
+      maxBandWidth: Int = Int.MaxValue): DataFrame = {
     require(bands * rows <= k, "bands*rows must not exceed k")
     // the shingle table feeds three branches (signatures + both verify
     // sides) — cache it so the scan+shingling runs once
@@ -142,7 +166,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val signatures = minhashSignatureTable(docs, k)
     val pairs = candidatePairs(
-      lshBands(signatures, col("id"), col("sig"), bands, rows))
+      lshBands(signatures, col("id"), col("sig"), bands, rows),
+      maxBandWidth)
     // materialize the verified pairs (tiny by construction: actual
     // near-dups) while the shingle cache is alive, then RELEASE the big
     // intermediate — long-lived sessions must not accumulate shingle

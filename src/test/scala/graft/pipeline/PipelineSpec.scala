@@ -79,6 +79,24 @@ class PipelineSpec extends AnyFunSuite {
       r.getDouble(2) == 1.0))
   }
 
+  test("hot-band cap bounds candidate volume; narrow buckets still pair") {
+    // one degenerate band shared by 50 docs, one clean 2-doc band
+    val hot = (0L until 50L).map(i => (i, 0, "HOT"))
+    val cool = Seq((100L, 1, "COOL"), (101L, 1, "COOL"))
+    val bands = (hot ++ cool).toDF("id", "band_id", "band")
+    val uncapped = Dedup.candidatePairs(bands).count()
+    assert(uncapped === 50L * 49 / 2 + 1)
+    val capped = Dedup.candidatePairs(bands, maxBandWidth = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((100L, 101L))) // hot bucket dropped entirely
+    // end-to-end: the cap leaves real near-dup recall intact (planted
+    // pairs agree on many bands, none of which is corpus-degenerate)
+    val pairs = Dedup.nearDuplicates(docs, col("doc_id"), col("text"),
+      threshold = 0.5, maxBandWidth = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)))
+  }
+
   test("connected components: chains merge transitively, islands stay apart") {
     // 1-2, 2-3 chain; 5-6 island; 9 never appears (no row expected)
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
