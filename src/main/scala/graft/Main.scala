@@ -46,9 +46,16 @@ object Main {
         out(Overview)
         0
       case "benchmark-storage-rdf" :: rest =>
-        val n = rest.headOption.map(_.toLong).getOrElse(1000000L)
-        benchmarkStorageRdf(session(), n, out)
-        0
+        rest.headOption.map(a => scala.util.Try(a.toLong).toOption) match {
+          case Some(None) =>
+            out(Overview)
+            out(s"invalid count: ${rest.head}")
+            2
+          case parsed =>
+            benchmarkStorageRdf(session(), parsed.flatten.getOrElse(1000000L),
+              out)
+            0
+        }
       case "replay" :: file :: storageDir :: Nil =>
         val spark = session()
         val log = new graft.storage.EventLog(spark, storageDir)
@@ -56,7 +63,8 @@ object Main {
           graft.storage.ReplayBus.ingestFile(spark, file, log)
         out(s"replay complete: stored=$stored parse_errors=$errors")
         0
-      case "serve" :: storageDir :: rest =>
+      case "serve" :: storageDir :: rest
+          if rest.headOption.forall(a => scala.util.Try(a.toInt).isSuccess) =>
         val port = rest.headOption.map(_.toInt).getOrElse(8080)
         val spark = session()
         val registry = new graft.api.QueryRegistry()

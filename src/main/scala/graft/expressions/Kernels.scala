@@ -323,4 +323,29 @@ object Kernels {
     if (sna > 0.0 && snb > 0.0) java.lang.Double.valueOf(dot / (sna * snb))
     else null
   }
+
+  /** L2-normalized copy of a float/double array; null on zero norm.
+    * One pass for the norm (sequential order — matches the Column
+    * fold), one for the division: O(d), not the O(d²) of a norm
+    * aggregate inlined into a per-element lambda. */
+  def l2normalize(a: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      ss += x * x
+      i += 1
+    }
+    if (!(ss > 0.0)) return null
+    val norm = math.sqrt(ss)
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      out(i) = x / norm
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }

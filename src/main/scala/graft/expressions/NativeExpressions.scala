@@ -63,6 +63,54 @@ object native {
   /** Cosine similarity over two array<double> columns (null on zero
     * norm) — Ann.cosine without the interpreted fold. */
   def cosine(a: Column, b: Column): Column = c(CosineSimExpr(e(a), e(b)))
+
+  /** L2 normalization of an array<float|double> column (null on zero
+    * norm): one O(d) pass, vs O(d²) for a norm aggregate inlined into
+    * a per-element transform lambda. */
+  def l2normalize(a: Column): Column = c(L2NormalizeExpr(e(a)))
+}
+
+/** Unit-length copy of a float/double array column; null on zero norm
+  * or null input. Element type resolved from the child at bind time;
+  * output is always array<double>. */
+final case class L2NormalizeExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_l2_normalize"
+
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else Kernels.l2normalize(v.asInstanceOf[ArrayData], isFloat)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cg = child.genCode(ctx)
+    val arr = ctx.freshName("l2arr")
+    val code =
+      code"""
+        ${cg.code}
+        boolean ${ev.isNull} = true;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${cg.isNull}) {
+          org.apache.spark.sql.catalyst.util.ArrayData $arr =
+            graft.expressions.Kernels.l2normalize(${cg.value}, $isFloat);
+          if ($arr != null) {
+            ${ev.isNull} = false;
+            ${ev.value} = $arr;
+          }
+        }"""
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : L2NormalizeExpr = copy(child = newChild)
 }
 
 final case class WordShinglesExpr(child: Expression, n: Int)

@@ -25,9 +25,16 @@ object Ann {
   def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
   /** L2-normalized copy of a vector column (unit length; zero vectors →
-    * NULL). Pure Column expression — normalization before indexing /
-    * cosine search is a map stage at any scale. */
-  def normalize(a: Column): Column = {
+    * NULL). Native codegen'd kernel — one O(d) pass per row; an
+    * `aggregate` norm inlined into a per-element `transform` lambda
+    * would re-fold the whole vector per element (O(d²), interpreted).
+    * Map stage at any scale. */
+  def normalize(a: Column): Column =
+    graft.expressions.native.l2normalize(a)
+
+  /** Reference Column-fold formulation of [[normalize]] (kept for
+    * cross-validation of the native kernel). */
+  private[graft] def normalizeHof(a: Column): Column = {
     val d = toDouble(a)
     val n = norm(d)
     when(n > 0.0, transform(d, x => x / n))

@@ -79,16 +79,19 @@ object Dedup {
     * meets in a non-degenerate bucket. */
   def candidatePairs(bands: DataFrame,
       maxBandWidth: Int = Int.MaxValue): DataFrame = {
+    // normalize POSITIONALLY first — the function's contract is any
+    // 3-column (id, band_id, band)-shaped frame, independent of names
+    val named = bands.toDF("id", "band_id", "band")
     val pruned =
-      if (maxBandWidth == Int.MaxValue) bands
+      if (maxBandWidth == Int.MaxValue) named
       else {
-        val narrow = bands.groupBy("band_id", "band")
+        val narrow = named.groupBy("band_id", "band")
           .agg(count(lit(1)).as("__w"))
           .where(col("__w") <= maxBandWidth)
           .select("band_id", "band")
         // a using-join moves the join keys first — restore the
         // (id, band_id, band) order the positional toDF below expects
-        bands.join(narrow, Seq("band_id", "band"))
+        named.join(narrow, Seq("band_id", "band"))
           .select("id", "band_id", "band")
       }
     val a = pruned.toDF("id_a", "band_id", "band")
@@ -102,9 +105,17 @@ object Dedup {
   /** Exact Jaccard verification of candidate pairs against per-doc
     * shingle sets. */
   def verifyJaccard(pairs: DataFrame, docShingles: DataFrame,
-      threshold: Double): DataFrame = {
-    val sa = docShingles.toDF("id_a", "sh_a")
-    val sb = docShingles.toDF("id_b", "sh_b")
+      threshold: Double): DataFrame =
+    verifyJaccardSides(pairs, docShingles, docShingles, threshold)
+
+  /** [[verifyJaccard]] generalized to DIFFERENT shingle tables per pair
+    * side (e.g. new-batch ids vs standing-corpus ids) — one copy of the
+    * inter/union/threshold semantics. */
+  private[pipeline] def verifyJaccardSides(pairs: DataFrame,
+      shinglesA: DataFrame, shinglesB: DataFrame, threshold: Double)
+      : DataFrame = {
+    val sa = shinglesA.toDF("id_a", "sh_a")
+    val sb = shinglesB.toDF("id_b", "sh_b")
     pairs.join(sa, "id_a").join(sb, "id_b")
       .withColumn("inter",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
@@ -282,18 +293,11 @@ object Dedup {
     val pairs = broadcast(newBands.toDF("new_id", "band_id", "band"))
       .join(index.bands.toDF("corpus_id", "band_id", "band"),
         Seq("band_id", "band"))
-      .select("new_id", "corpus_id")
+      .select(col("new_id").as("id_a"), col("corpus_id").as("id_b"))
       .distinct()
-    val out = pairs
-      .join(nd.toDF("new_id", "sh_a"), "new_id")
-      .join(index.shingles.toDF("corpus_id", "sh_b"), "corpus_id")
-      .withColumn("inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("uni",
-        (size(col("sh_a")) + size(col("sh_b"))).cast("double") - col("inter"))
-      .where(col("uni") > 0 && col("inter") / col("uni") >= threshold)
-      .select(col("new_id"), col("corpus_id"),
-        round(col("inter") / col("uni"), 6).as("jaccard"))
+    val out = verifyJaccardSides(pairs, nd, index.shingles, threshold)
+      .select(col("id_a").as("new_id"), col("id_b").as("corpus_id"),
+        round(col("jaccard"), 6).as("jaccard"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     nd.unpersist()

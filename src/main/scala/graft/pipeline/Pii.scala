@@ -26,12 +26,12 @@ object Pii {
   /** International-prefix phone shape `+CC-NNN-NNNN`. */
   val PhonePattern: String = "\\+\\d{1,2}-\\d{3}-\\d{4}"
 
-  private def countMatches(text: Column, pattern: String): Column =
-    size(regexp_extract_all(text, lit(pattern), lit(0)))
-
-  def emailCount(text: Column): Column = countMatches(text, EmailPattern)
-  def ipv4Count(text: Column): Column = countMatches(text, Ipv4Pattern)
-  def phoneCount(text: Column): Column = countMatches(text, PhonePattern)
+  def emailCount(text: Column): Column =
+    TextAnalysis.countMatches(text, EmailPattern)
+  def ipv4Count(text: Column): Column =
+    TextAnalysis.countMatches(text, Ipv4Pattern)
+  def phoneCount(text: Column): Column =
+    TextAnalysis.countMatches(text, PhonePattern)
 
   def hasPii(text: Column): Column =
     (emailCount(text) + ipv4Count(text) + phoneCount(text)) > 0

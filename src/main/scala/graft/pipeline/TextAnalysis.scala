@@ -45,7 +45,7 @@ object TextAnalysis {
 
   // ---- quality signals -------------------------------------------------
 
-  private def countMatches(text: Column, pattern: String): Column =
+  private[pipeline] def countMatches(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
   def punctRatio(text: Column): Column =
@@ -272,14 +272,19 @@ object TextAnalysis {
     * skew salt needed for natural-language vocabularies). */
   def vocabulary(df: DataFrame, idCol: Column, textCol: Column,
       minDf: Long = 1L): DataFrame = {
-    val n = df.count()
+    // the corpus size N rides the same plan as a broadcast single-row
+    // aggregate (the oracle's `n` CTE shape) — an eager df.count() here
+    // would run a full scan at CALL time, before/without execution
+    val n = df.agg(count(lit(1)).as("__n"))
     df.select(idCol.as("id"), explode(tokens(textCol)).as("token"))
       .groupBy(col("token"))
       .agg(countDistinct(col("id")).as("df"),
         count(lit(1)).as("tf"))
       .where(col("df") >= minDf)
+      .crossJoin(broadcast(n))
       .withColumn("idf",
-        round(log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0, 6))
+        round(log((col("__n") + 1.0) / (col("df") + 1.0)) + 1.0, 6))
+      .drop("__n")
   }
 
   /** Order-sensitive rolling (polynomial) hash over tokens:

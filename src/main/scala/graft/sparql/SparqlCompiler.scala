@@ -671,29 +671,51 @@ object SparqlCompiler {
     case ECall("SUBSTR", Seq(a, p, l)) =>
       strC(a).substr(numC(p).cast("int"), numC(l).cast("int"))
     // SPARQL §17.4.3: STRBEFORE/STRAFTER return "" when the needle does
-    // not occur; an empty needle yields "" / the whole string
+    // not occur; an empty needle yields "" / the whole string. NULL
+    // (unbound/error) arguments propagate as NULL — the leading guard
+    // keeps the final `.otherwise` from turning an error into ""
     case ECall("STRBEFORE", Seq(a, b)) =>
       val (s, sub) = (strC(a), strC(b))
-      when(length(sub) === 0, lit(""))
+      when(s.isNull || sub.isNull, lit(null).cast("string"))
+        .when(length(sub) === 0, lit(""))
         .when(instr(s, sub) > 0, s.substr(lit(1), instr(s, sub) - 1))
         .otherwise(lit(""))
     case ECall("STRAFTER", Seq(a, b)) =>
       val (s, sub) = (strC(a), strC(b))
-      when(length(sub) === 0, s)
+      when(s.isNull || sub.isNull, lit(null).cast("string"))
+        .when(length(sub) === 0, s)
         .when(instr(s, sub) > 0,
           s.substr(instr(s, sub) + length(sub), lit(Int.MaxValue)))
         .otherwise(lit(""))
     case ECall("REPLACE", args) =>
-      // REPLACE(str, pattern, replacement[, flags]) — regex semantics;
-      // flags fold into the pattern as an inline group (same as REGEX)
+      // REPLACE(str, pattern, replacement[, flags]) — regex semantics
       val pat = args match {
-        case Seq(_, p, _)              => strC(p)
-        case Seq(_, p, _, EStr(flags)) => concat(lit(s"(?$flags)"), strC(p))
+        case Seq(_, p, _)              => regexPattern(p, "")
+        case Seq(_, p, _, EStr(flags)) => regexPattern(p, flags)
         case _ => throw new CompileException(
           "REPLACE flags must be a string literal")
       }
       regexp_replace(strC(args.head), pat, strC(args(2)))
     case other      => numC(other).cast("string")
+  }
+
+  /** Regex pattern with SPARQL/XPath flags applied: `smix` fold into a
+    * Java inline group; `q` (match literally) quotes a literal pattern.
+    * Unsupported flag letters fail at COMPILE time with a clear error —
+    * an unknown inline modifier would otherwise surface as a runtime
+    * PatternSyntaxException mid-query. */
+  private def regexPattern(pat: Expr, flags: String): Column = {
+    val bad = flags.filterNot("smixq".contains(_))
+    if (bad.nonEmpty)
+      throw new CompileException(s"Unsupported regex flags: $bad")
+    val base: Column =
+      if (flags.contains('q')) pat match {
+        case EStr(v) => lit(java.util.regex.Pattern.quote(v))
+        case _ => throw new CompileException(
+          "Regex flag 'q' requires a literal pattern")
+      } else strC(pat)
+    val inline = flags.filter(_ != 'q')
+    if (inline.nonEmpty) concat(lit(s"(?$inline)"), base) else base
   }
 
   /** Boolean view (FILTER context). NULL (type error) filters the row,
@@ -733,11 +755,11 @@ object SparqlCompiler {
     case ECall("STRSTARTS", Seq(a, b)) => strC(a).startsWith(strC(b))
     case ECall("STRENDS", Seq(a, b))   => strC(a).endsWith(strC(b))
     case ECall("REGEX", args) =>
-      // SPARQL REGEX(str, pattern[, flags]); flags fold into the
-      // pattern as an inline group, so only a literal flags arg works
+      // SPARQL REGEX(str, pattern[, flags]); only a literal flags arg
+      // works (flags fold into the compiled pattern)
       val pat = args match {
-        case Seq(_, p)               => strC(p)
-        case Seq(_, p, EStr(flags))  => concat(lit(s"(?$flags)"), strC(p))
+        case Seq(_, p)              => regexPattern(p, "")
+        case Seq(_, p, EStr(flags)) => regexPattern(p, flags)
         case _ => throw new CompileException(
           "REGEX flags must be a string literal")
       }

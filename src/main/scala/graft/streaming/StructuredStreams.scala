@@ -96,8 +96,12 @@ object StructuredStreams {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        onMatches(graft.pipeline.Dedup.matchAgainstIndex(
-          batch.toDF(), col(idCol), col(textCol), index, threshold))
+        val matches = graft.pipeline.Dedup.matchAgainstIndex(
+          batch.toDF(), col(idCol), col(textCol), index, threshold)
+        // the match frame arrives persisted+materialized; release it
+        // once consumed — an always-on stream must not accumulate one
+        // cached RDD per micro-batch
+        try onMatches(matches) finally matches.unpersist()
       }
       .trigger(Trigger.ProcessingTime(0))
       .start()

@@ -37,6 +37,15 @@ class MainSpec extends AnyFunSuite {
     assert(out.contains("graft package entry point"))
   }
 
+  test("malformed numeric arguments fail with usage, not a stack trace") {
+    val (code, out) = captured(Array("benchmark-storage-rdf", "abc"))
+    assert(code === 2)
+    assert(out.contains("invalid count: abc"))
+    val (code2, out2) = captured(Array("serve", "/tmp/x", "notaport"))
+    assert(code2 === 2)
+    assert(out2.contains("unknown command"))
+  }
+
   test("benchmark-storage-rdf runs the reference benchmark shape") {
     val sb = new StringBuilder
     Main.benchmarkStorageRdf(TestSpark.spark, n = 2000L,

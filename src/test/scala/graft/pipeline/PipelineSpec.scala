@@ -141,6 +141,22 @@ class PipelineSpec extends AnyFunSuite {
     val u = out(0).getSeq[Double](1)
     assert(math.abs(u(0) - 0.6) < 1e-12 && math.abs(u(1) - 0.8) < 1e-12)
     assert(out(1).isNullAt(1)) // zero vector has no direction
+    // native kernel ≡ Column-fold reference on real float embeddings
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50)
+    val diverging = emb.select(
+      Ann.normalize(col("embedding")).as("a"),
+      Ann.normalizeHof(col("embedding")).as("b"))
+      .where(col("a") =!= col("b"))
+    assert(diverging.count() === 0)
+  }
+
+  test("candidatePairs contract is positional: any column names work") {
+    val bands = Seq((1L, 0, "X"), (2L, 0, "X"), (3L, 1, "Y"))
+      .toDF("doc", "bid", "b") // deliberately non-standard names
+    val capped = Dedup.candidatePairs(bands, maxBandWidth = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((1L, 2L)))
   }
 
   test("ANN brute-force top-k: nearest by construction") {

@@ -414,6 +414,33 @@ class SparqlExtendedSpec extends AnyFunSuite {
       "http://ex.org/alice", "alice", "alice", "", "abc", "bonono")))
   }
 
+  test("STRBEFORE/STRAFTER propagate NULL (unbound stays unbound, not \"\")") {
+    // ?n is unbound for alice (no email on bob/charlie): BIND over an
+    // error must leave ?x unbound, not bind it to the empty string
+    val df = run(
+      """SELECT ?s ?x WHERE {
+        |  ?s ex:age ?age .
+        |  OPTIONAL { ?s ex:email ?n }
+        |  BIND(STRBEFORE(?n, "@") AS ?x)
+        |}""".stripMargin)
+    val rows = df.collect().map(r => (r.getString(0), r.isNullAt(1)))
+    assert(rows.count(!_._2) === 1) // only alice has an email → bound
+    assert(rows.filter(_._1.endsWith("bob")).forall(_._2))
+  }
+
+  test("REPLACE/REGEX flag validation: 'q' quotes, unknown flags fail " +
+      "at compile time") {
+    val df = run(
+      """SELECT (REPLACE("a.b.c", ".", "-", "q") AS ?lit)
+        |  (REPLACE("A.B", ".", "-") AS ?any)
+        |WHERE { ?s ex:age "30" . }""".stripMargin)
+    assert(TestSpark.rows(df) === Set(Seq("a-b-c", "---")))
+    intercept[SparqlCompiler.CompileException] {
+      run("""SELECT (REPLACE("a", "b", "c", "z") AS ?x)
+            |WHERE { ?s ex:age "30" . }""".stripMargin).collect()
+    }
+  }
+
   test("property path under variable GRAPH: per-graph closure + ?g binding") {
     val spark = TestSpark.spark
     val quads = RdfEvent.toDF(spark, Seq(
