@@ -375,6 +375,13 @@ object SparkEntry {
         |  (REPLACE(?t, "i", "y") AS ?rep)
         |WHERE { ?e v:type ?t . }""".stripMargin)),
 
+    // R31: GROUP BY expression key — desugars to a per-solution BIND
+    // (the SPARQL semantics), grouped on the computed column
+    "r31_groupby_expr" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?high (COUNT(?e) AS ?n) WHERE {
+        |  ?e v:value ?v .
+        |} GROUP BY ((?v >= 250.0) AS ?high)""".stripMargin)),
+
     // R29: property path under variable GRAPH — the graph column keys
     // every closure round, so each named graph gets its own reachability
     // in one plan and ?g binds from the key
@@ -965,6 +972,10 @@ object SparkEntry {
     "r29_graph_path" ->
       s"""SELECT 'http://graft.dev/g/' || event_type AS g, $E AS e, $U AS u
          |FROM events""".stripMargin,
+    "r31_groupby_expr" ->
+      """SELECT CASE WHEN value >= 250.0 THEN 1.0 ELSE 0.0 END AS high,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
     "r30_str_transforms" ->
       s"""SELECT $E AS e, CAST(event_id AS VARCHAR) AS id,
          |  CASE WHEN strpos(event_type, 'i') > 0

@@ -268,12 +268,32 @@ object SparqlParser {
       if (atWord("where")) pos += 1
       val where = parseGroup(None)
       val groupBy = ArrayBuffer.empty[String]
+      // GROUP BY keys: bare variables, or `(expr)` / `(expr AS ?v)` —
+      // expression keys desugar to a BIND in the WHERE group (that IS
+      // the SPARQL semantics: the key is computed per solution, then
+      // grouped on), unaliased ones under a synthetic name
+      val groupKeyBinds = ArrayBuffer.empty[(Expr, String)]
       if (atWord("group")) {
         pos += 1; eatWord("by")
         var more = true
         while (more) peek match {
           case Some(TVar(v)) => groupBy += v; pos += 1
-          case _             => more = false
+          case Some(TPunct("(")) =>
+            pos += 1
+            val e = parseExpr()
+            val alias =
+              if (atWord("as")) {
+                pos += 1
+                next() match {
+                  case TVar(v) => v
+                  case t => throw ParseException(
+                    s"Expected variable after AS in GROUP BY, got $t")
+                }
+              } else s"__gk${groupKeyBinds.length}"
+            eatPunct(")")
+            groupKeyBinds += ((e, alias))
+            groupBy += alias
+          case _ => more = false
         }
         if (groupBy.isEmpty) throw ParseException("GROUP BY requires variables")
       }
@@ -335,7 +355,10 @@ object SparqlParser {
           })
         } else modLoop = false
       }
-      SelectQuery(projection, where, groupBy.toSeq, distinct,
+      val whereWithKeys =
+        if (groupKeyBinds.isEmpty) where
+        else where.copy(binds = where.binds ++ groupKeyBinds)
+      SelectQuery(projection, whereWithKeys, groupBy.toSeq, distinct,
         orderBy.toSeq, limit, offset, having.toSeq)
     }
 

@@ -414,6 +414,20 @@ class SparqlExtendedSpec extends AnyFunSuite {
       "http://ex.org/alice", "alice", "alice", "", "abc", "bonono")))
   }
 
+  test("GROUP BY expression keys: (expr AS ?v) and bare (expr)") {
+    val df = run(
+      """SELECT ?adult (COUNT(?s) AS ?n) WHERE { ?s ex:age ?age . }
+        |GROUP BY ((?age >= 30.0) AS ?adult)""".stripMargin)
+    val byKey = df.collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(byKey === Map(1.0 -> 2L, 0.0 -> 1L)) // ages 30,35 vs 25
+    // unaliased expression key groups correctly (key not projectable)
+    val bare = run(
+      """SELECT (COUNT(?s) AS ?n) WHERE { ?s ex:age ?age . }
+        |GROUP BY (?age >= 30.0)""".stripMargin)
+    assert(bare.collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
   test("STRBEFORE/STRAFTER propagate NULL (unbound stays unbound, not \"\")") {
     // ?n is unbound for alice (no email on bob/charlie): BIND over an
     // error must leave ?x unbound, not bind it to the empty string
