@@ -148,7 +148,9 @@ object GraftFunctions {
       ("graft_rolling_hash", 1, (a: Seq[Expression]) =>
         graft.expressions.RollingHashExpr(a(0))),
       ("graft_cosine", 2, (a: Seq[Expression]) =>
-        graft.expressions.CosineSimExpr(a(0), a(1))))
+        graft.expressions.CosineSimExpr(a(0), a(1))),
+      ("graft_l2_normalize", 1, (a: Seq[Expression]) =>
+        graft.expressions.L2NormalizeExpr(a(0))))
 
   /** (sql name, arity, children → expression). */
   val builders: Seq[(String, Int, Seq[Expression] => Expression)] =

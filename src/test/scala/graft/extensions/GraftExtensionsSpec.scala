@@ -44,7 +44,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  size(graft_shingles('a b c d', 2)) AS nsh,
         |  graft_rolling_hash('x y') AS rh,
         |  graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos,
-        |  graft_cosine(array(0.0D, 0.0D), array(1.0D, 0.0D)) AS coz
+        |  graft_cosine(array(0.0D, 0.0D), array(1.0D, 0.0D)) AS coz,
+        |  graft_l2_normalize(array(3.0D, 4.0D)) AS unit,
+        |  graft_l2_normalize(array(0.0D, 0.0D)) AS unitz
         |""".stripMargin).head()
     // fingerprint = min md5 over the two 3-shingles
     assert(r.getString(0) ===
@@ -57,6 +59,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       org.apache.spark.unsafe.types.UTF8String.fromString("x y")))
     assert(r.getDouble(7) === 1.0)
     assert(r.isNullAt(8)) // zero norm → null
+    assert(r.getSeq[Double](9) === Seq(0.6, 0.8))
+    assert(r.isNullAt(10)) // zero norm → null
   }
 
   test("graft_shingles rejects a non-literal shingle size") {
