@@ -375,6 +375,12 @@ object SparkEntry {
         |  (REPLACE(?t, "i", "y") AS ?rep)
         |WHERE { ?e v:type ?t . }""".stripMargin)),
 
+    // R32: SPARQL §17.4.4 hash builtins over term strings
+    "r32_hash_builtins" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e (MD5(?t) AS ?h1) (SHA256(?t) AS ?h2) WHERE {
+        |  ?e v:type ?t .
+        |}""".stripMargin)),
+
     // R31: GROUP BY expression key — desugars to a per-solution BIND
     // (the SPARQL semantics), grouped on the computed column
     "r31_groupby_expr" -> ((s, dir) => sparql(s, dir,
@@ -976,6 +982,9 @@ object SparkEntry {
       """SELECT CASE WHEN value >= 250.0 THEN 1.0 ELSE 0.0 END AS high,
         |  COUNT(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
+    "r32_hash_builtins" ->
+      s"""SELECT $E AS e, md5(event_type) AS h1, sha256(event_type) AS h2
+         |FROM events""".stripMargin,
     "r30_str_transforms" ->
       s"""SELECT $E AS e, CAST(event_id AS VARCHAR) AS id,
          |  CASE WHEN strpos(event_type, 'i') > 0

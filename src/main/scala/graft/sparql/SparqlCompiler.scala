@@ -447,7 +447,8 @@ object SparqlCompiler {
   private def stringish(e: Expr): Boolean = e match {
     case EVar(_) | EStr(_) | EIriRef(_) => true
     case ECall("STR" | "CONCAT" | "UCASE" | "LCASE" | "SUBSTR" |
-        "STRBEFORE" | "STRAFTER" | "REPLACE", _) => true
+        "STRBEFORE" | "STRAFTER" | "REPLACE" | "MD5" | "SHA1" |
+        "SHA256", _) => true
     case ECall("IF", Seq(_, a, b))      => stringish(a) || stringish(b)
     case ECall("COALESCE", args)        => args.exists(stringish)
     case _                              => false
@@ -643,7 +644,7 @@ object SparqlCompiler {
         "ISIRI" | "ISURI" | "ISLITERAL" | "ISNUMERIC" | "ISBLANK", _) =>
       when(boolC(c), 1.0).otherwise(0.0) // EBV numeric projection
     case c @ ECall("CONCAT" | "UCASE" | "LCASE" | "SUBSTR" | "STRBEFORE" |
-        "STRAFTER" | "REPLACE", _) =>
+        "STRAFTER" | "REPLACE" | "MD5" | "SHA1" | "SHA256", _) =>
       strC(c).try_cast("double")
     case ECall(iri, args) =>
       Extensions.call(iri, args.map(numC))
@@ -666,6 +667,10 @@ object SparqlCompiler {
     case ECall("CONCAT", args)   => concat(args.map(strC): _*)
     case ECall("UCASE", Seq(a))  => upper(strC(a))
     case ECall("LCASE", Seq(a))  => lower(strC(a))
+    // SPARQL §17.4.4 hash functions — lowercase hex digests
+    case ECall("MD5", Seq(a))    => md5(strC(a))
+    case ECall("SHA1", Seq(a))   => sha1(strC(a))
+    case ECall("SHA256", Seq(a)) => sha2(strC(a), 256)
     case ECall("SUBSTR", Seq(a, p)) =>
       strC(a).substr(numC(p).cast("int"), lit(Int.MaxValue))
     case ECall("SUBSTR", Seq(a, p, l)) =>

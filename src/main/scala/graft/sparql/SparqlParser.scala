@@ -818,7 +818,8 @@ object SparqlParser {
             "ucase", "lcase", "contains", "strstarts", "strends", "regex",
             "round", "ceil", "floor", "substr", "isiri", "isuri",
             "isliteral", "isnumeric", "isblank", "strbefore", "strafter",
-            "replace").contains(w.v.toLowerCase) && atPunct("(") =>
+            "replace", "md5", "sha1", "sha256")
+            .contains(w.v.toLowerCase) && atPunct("(") =>
         // SPARQL builtin functions, carried as upper-case ECall names
         // (extension functions are full IRIs — no collision)
         parseCallArgs(w.v.toUpperCase) match {
@@ -826,7 +827,8 @@ object SparqlParser {
             throw ParseException("IF expects 3 arguments")
           case ECall("STR" | "ABS" | "STRLEN" | "UCASE" | "LCASE" |
               "ROUND" | "CEIL" | "FLOOR" | "ISIRI" | "ISURI" |
-              "ISLITERAL" | "ISNUMERIC" | "ISBLANK", args)
+              "ISLITERAL" | "ISNUMERIC" | "ISBLANK" | "MD5" | "SHA1" |
+              "SHA256", args)
               if args.length != 1 =>
             throw ParseException(s"${w.v.toUpperCase} expects 1 argument")
           case ECall("CONTAINS" | "STRSTARTS" | "STRENDS" | "STRBEFORE" |

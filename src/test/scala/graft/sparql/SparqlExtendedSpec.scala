@@ -414,6 +414,17 @@ class SparqlExtendedSpec extends AnyFunSuite {
       "http://ex.org/alice", "alice", "alice", "", "abc", "bonono")))
   }
 
+  test("hash builtins MD5/SHA1/SHA256 produce lowercase hex digests") {
+    val df = run(
+      """SELECT (MD5("abc") AS ?m) (SHA1("abc") AS ?s1)
+        |  (SHA256("abc") AS ?s2)
+        |WHERE { ?s ex:age "30" . }""".stripMargin)
+    assert(TestSpark.rows(df) === Set(Seq(
+      "900150983cd24fb0d6963f7d28e17f72",
+      "a9993e364706816aba3e25717850c26c9cd0d89d",
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")))
+  }
+
   test("GROUP BY expression keys: (expr AS ?v) and bare (expr)") {
     val df = run(
       """SELECT ?adult (COUNT(?s) AS ?n) WHERE { ?s ex:age ?age . }
