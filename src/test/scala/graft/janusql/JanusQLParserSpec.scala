@@ -305,4 +305,26 @@ class JanusQLParserSpec extends AnyFunSuite {
       Set(Seq("http://example.org/s1", "42", "celsius"),
         Seq("http://example.org/s2", "55", "null")))
   }
+
+  test("property-path operators (* ? !) survive the window-block split") {
+    // '*' and '?' inside a WINDOW body must reach the SPARQL compiler
+    // intact (the splitter is brace-based, not token-based)
+    val parsed = JanusQLParser.parse(
+      """PREFIX ex: <http://example.org/>
+        |SELECT ?a ?b
+        |FROM NAMED WINDOW ex:hist ON LOG ex:store [START 0 END 10000]
+        |WHERE {
+        |    WINDOW ex:hist {
+        |      ?a ex:next* ?b .
+        |    }
+        |}""".stripMargin)
+    val (w, q) = parsed.compiledHistoricalQueries.head
+    val spark = graft.TestSpark.spark
+    val quads = graft.core.RdfEvent.toDF(spark, Seq(
+      graft.core.RdfEvent(5, "a", "http://example.org/next", "b", "g"),
+      graft.core.RdfEvent(6, "b", "http://example.org/next", "c", "g")))
+    val out = graft.historical.HistoricalExecutor.executeFixed(
+      quads, q, w.start.get, w.end.get)
+    assert(out.count() === 6) // 3 identity + 3 closure
+  }
 }
