@@ -704,6 +704,13 @@ object SparkEntry {
         col("doc_id"), col("text"))
         .withColumnRenamed("id", "doc_id")),
 
+    // Context-window chunking: 64-token windows advancing by 48 (16
+    // overlap), final chunk clamped — the training-prep chunker
+    "text_chunks" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.chunk(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), chunkTokens = 64, overlap = 16)),
+
     // Corpus length distribution: exact interpolated token-count
     // quantiles (the length-filter calibration report)
     "corpus_lengths" -> ((s, dir) =>
@@ -1252,6 +1259,25 @@ object SparkEntry {
         |  ROUND(COALESCE(CAST(m.top_c AS DOUBLE) / m.tot, 0.0), 6)
         |    AS top_token_ratio
         |FROM t LEFT JOIN m USING (doc_id)""".stripMargin,
+    "text_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) <= 64 THEN 1
+        |      ELSE CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT) + 1
+        |    END AS nc
+        |  FROM t),
+        |e AS (
+        |  SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_id FROM c)
+        |SELECT doc_id, chunk_id,
+        |  array_to_string(
+        |    list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64), ' ')
+        |    AS chunk_text,
+        |  CAST(len(list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64))
+        |    AS BIGINT) AS n_tokens
+        |FROM e""".stripMargin,
     "corpus_lengths" ->
       """WITH t AS (
         |  SELECT CAST(len(string_split_regex(lower(trim(text)), '\s+'))

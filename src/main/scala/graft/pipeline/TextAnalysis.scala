@@ -245,6 +245,32 @@ object TextAnalysis {
         coalesce(col("top_token_ratio"), lit(0.0)))
   }
 
+  /** Fixed-size token-window chunking with overlap — the
+    * context-window preparation step of a training pipeline. Chunks of
+    * `chunkTokens` whitespace tokens advance by `chunkTokens - overlap`;
+    * the final chunk clamps at the document end, and a document shorter
+    * than one window yields exactly one chunk. Case-preserving (chunk
+    * text must stay verbatim). One generator per document row — a map +
+    * explode stage, no shuffle, scan-bound at any scale. */
+  def chunk(df: DataFrame, idCol: Column, textCol: Column,
+      chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      "need chunkTokens > overlap >= 0")
+    val step = chunkTokens - overlap
+    val toks = split(trim(textCol), "\\s+")
+    val n = size(toks)
+    val numChunks = when(n <= chunkTokens, lit(1))
+      .otherwise(ceil((n - chunkTokens).cast("double") / step)
+        .cast("int") + 1)
+    val piece = slice(col("__toks"), col("chunk_id") * step + 1,
+      lit(chunkTokens))
+    df.select(idCol.as("doc_id"), toks.as("__toks"),
+        explode(sequence(lit(0), numChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        concat_ws(" ", piece).as("chunk_text"),
+        size(piece).cast("long").as("n_tokens"))
+  }
+
   /** Corpus length-distribution report: doc count, token-count mean and
     * exact interpolated quantiles (p50/p90/p99). One aggregation over a
     * map stage; `percentile` runs distributed with per-partition

@@ -87,6 +87,26 @@ class CurationSpec extends AnyFunSuite {
     assert(diverging.count() === 0)
   }
 
+  test("chunking: windows advance by step, tail clamps, short docs whole") {
+    val df = Seq(
+      (0L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (1L, "short doc")).toDF("id", "text")
+    val out = TextAnalysis.chunk(df, col("id"), col("text"),
+      chunkTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_id").collect()
+    val doc0 = out.filter(_.getLong(0) == 0L)
+    // starts 0,3,6: [t1..t4], [t4..t7], [t7..t10]
+    assert(doc0.map(_.getAs[String]("chunk_text")).toSeq === Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(doc0.forall(_.getAs[Long]("n_tokens") === 4))
+    val doc1 = out.filter(_.getLong(0) == 1L)
+    assert(doc1.length === 1 &&
+      doc1(0).getAs[String]("chunk_text") === "short doc")
+    // overlap invariant: consecutive chunks share `overlap` tokens
+    assert(doc0(0).getString(2).split(" ").last ===
+      doc0(1).getString(2).split(" ").head)
+  }
+
   test("length stats: count, mean, interpolated quantiles") {
     val df = (1 to 100).map(i => (i.toLong, ("w " * i).trim))
       .toDF("id", "text")
