@@ -175,8 +175,11 @@ object Kernels {
     * equal to some wi (all markers are alphabetic), so one run scan
     * replaces the five regex passes. */
   private val MarkerLangs: Array[String] = Array("en", "de", "es", "fr")
-  private val MarkerWords: java.util.HashMap[String, Int] = {
-    val m = new java.util.HashMap[String, Int]()
+  // value type is the BOXED Integer so a missing key is an honest null
+  // (an unboxed Int signature silently turns null into 0 — it happened
+  // to behave, but only by accident of BoxesRunTime.unboxToInt)
+  private val MarkerWords: java.util.HashMap[String, java.lang.Integer] = {
+    val m = new java.util.HashMap[String, java.lang.Integer]()
     val profiles = Array(
       Array("the", "and", "of", "is", "to", "in", "that", "it", "for", "with"),
       Array("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit"),
@@ -189,7 +192,7 @@ object Kernels {
     var l = 0
     while (l < profiles.length) {
       profiles(l).foreach { w =>
-        val prev = Option(m.get(w)).getOrElse(0)
+        val prev: Int = { val p = m.get(w); if (p == null) 0 else p.intValue() }
         m.put(w, prev | (1 << l))
       }
       l += 1
@@ -223,7 +226,7 @@ object Kernels {
         while (j < len && isWordChar(s.charAt(j))) j += 1
         val mask0 = MarkerWords.get(s.substring(i, j))
         if (mask0 != null) {
-          val mask: Int = mask0
+          val mask: Int = mask0.intValue()
           var l = 0
           while (l < counts.length) {
             if ((mask & (1 << l)) != 0) counts(l) += 1
