@@ -704,6 +704,27 @@ object SparkEntry {
         col("doc_id"), col("text"))
         .withColumnRenamed("id", "doc_id")),
 
+    // End-to-end curation pipeline: normalized exact dedup (keep min
+    // doc per content hash) → quality filter ≥ 0.9 → deterministic
+    // hash-sample at 0.5 → 64/16 token-window chunking. The operators
+    // COMPOSE into one declarative plan — the whole chain is still a
+    // handful of scans/joins Catalyst can reorder, not four
+    // materialization barriers
+    "pipeline_e2e" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val withH = docs.withColumn("__h",
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      val keepers = withH.groupBy(col("__h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val deduped = withH.join(keepers, Seq("__h", "doc_id")).drop("__h")
+      val quality = deduped.where(
+        graft.pipeline.TextAnalysis.qualityScore(col("text")) >= 0.9)
+      val sampled = graft.pipeline.Sampling.sampleByKey(quality,
+        col("doc_id"), 0.5)
+      graft.pipeline.TextAnalysis.chunk(sampled, col("doc_id"),
+        col("text"), chunkTokens = 64, overlap = 16)
+    }),
+
     // Context-window chunking: 64-token windows advancing by 48 (16
     // overlap), final chunk clamped — the training-prep chunker
     "text_chunks" -> ((s, dir) =>
@@ -1259,6 +1280,59 @@ object SparkEntry {
         |  ROUND(COALESCE(CAST(m.top_c AS DOUBLE) / m.tot, 0.0), 6)
         |    AS top_token_ratio
         |FROM t LEFT JOIN m USING (doc_id)""".stripMargin,
+    "pipeline_e2e" ->
+      """WITH norm AS (
+        |  SELECT doc_id, text,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        |  FROM documents),
+        |keep AS (
+        |  SELECT n.doc_id, n.text FROM norm n
+        |  JOIN (SELECT h, MIN(doc_id) AS doc_id FROM norm GROUP BY h) k
+        |    ON n.h = k.h AND n.doc_id = k.doc_id),
+        |sig AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)
+        |      / CAST(greatest(len(text), 1) AS DOUBLE) AS pr,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+        |      / CAST(greatest(len(text), 1) AS DOUBLE) AS dr,
+        |    CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) > 0
+        |      THEN CAST(list_sum(list_transform(
+        |        string_split_regex(lower(trim(text)), '\s+'),
+        |        x -> len(x))) AS DOUBLE)
+        |        / CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+        |          AS DOUBLE)
+        |      ELSE 0.0 END AS mwl,
+        |    CAST(len(text) AS DOUBLE) AS n_chars
+        |  FROM keep),
+        |passq AS (
+        |  SELECT doc_id, text FROM sig
+        |  WHERE ROUND(least(n_chars / 200.0, 1.0) * 0.4
+        |    + greatest(0.0, 1.0 - pr * 4.0) * 0.2
+        |    + greatest(0.0, 1.0 - dr * 4.0) * 0.2
+        |    + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)
+        |      * 0.2, 6) >= 0.9),
+        |samp AS (
+        |  SELECT doc_id, text FROM passq
+        |  WHERE CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) / 4294967296.0 < 0.5),
+        |t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM samp),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) <= 64 THEN 1
+        |      ELSE CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT) + 1
+        |    END AS nc
+        |  FROM t),
+        |e AS (
+        |  SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_id FROM c)
+        |SELECT doc_id, chunk_id,
+        |  array_to_string(
+        |    list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64), ' ')
+        |    AS chunk_text,
+        |  CAST(len(list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64))
+        |    AS BIGINT) AS n_tokens
+        |FROM e""".stripMargin,
     "text_chunks" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks

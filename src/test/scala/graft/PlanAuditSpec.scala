@@ -228,6 +228,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("cartesianproduct"), plan)
   }
 
+  test("end-to-end curation pipeline composes into one plan: no " +
+      "cartesian, dedup join is the only join") {
+    val plan = executedPlan(SparkEntry.queries("pipeline_e2e")(spark, sf))
+    assert(!plan.toLowerCase.contains("cartesianproduct"), plan)
+    // quality filter + sample are pure filters; chunking is a generate —
+    // the only join in the whole chain is the keep-min dedup equi-join
+    assert(plan.contains("Join"), plan)
+    assert(plan.contains("Generate"), plan)
+  }
+
   test("connected components: per-round plans are equi-joins, no cartesian") {
     val spark2 = spark
     import spark2.implicits._
