@@ -745,6 +745,50 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         col("doc_id"), col("text"), minDf = 2L)),
 
+    // Benchmark-contamination screen: docs >= 450 act as the "eval set";
+    // each train doc's distinct-3-gram overlap against the broadcast
+    // eval n-gram set (semi-join + one doc-keyed agg — no corpus×corpus)
+    "contam_overlap" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.pipeline.Contamination.overlapTable(
+        docs.where(col("doc_id") < 450), col("doc_id"), col("text"),
+        docs.where(col("doc_id") >= 450), col("text"))
+    }),
+
+    // Boilerplate mining: corpus-wide most-common 3-grams by document
+    // frequency, deterministic (doc_freq desc, ngram asc) top-k cut
+    "corpus_ngrams" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.commonNgrams(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), n = 3, minDf = 2L, k = 100)),
+
+    // URL/domain stats over deterministically planted URLs (the
+    // synthetic prose has none) — extraction + domain normalization +
+    // one domain-keyed aggregation
+    "url_domains" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val planted = concat(col("text"),
+        lit(" see https://"),
+        when(col("doc_id") % 4 === 0, lit("www.")).otherwise(lit("")),
+        lit("site"), (col("doc_id") % 7).cast("string"),
+        lit(".example.com/p/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" and http://mirror"),
+            (col("doc_id") % 3).cast("string"),
+            lit(".example.org:8080/x"))).otherwise(lit("")))
+      graft.pipeline.UrlAnalysis.domainStats(
+        docs.withColumn("url_text", planted),
+        col("doc_id"), col("url_text"))
+    }),
+
+    // Deterministic global shuffle: contiguous training-order position
+    // under md5(salt || doc_id) — distributed range-sort + zipWithIndex
+    "corpus_shuffle" -> ((s, dir) =>
+      graft.pipeline.Sampling.globalShuffle(
+        s.read.parquet(s"$dir/documents.parquet").select(col("doc_id")),
+        col("doc_id"), salt = "graft-r6")
+        .select(col("doc_id"), col("shuffle_pos"))),
+
     // PII detection + redaction. The synthetic documents are clean prose
     // (verified: no '@', no digits), so deterministic PII is planted
     // from doc_id — the SAME derivation the oracle applies — making the
@@ -1373,6 +1417,58 @@ object SparkEntry {
         |    AS idf
         |FROM f, n GROUP BY token, n.n
         |HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin,
+    "contam_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |ev AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id >= 450),
+        |tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id < 450),
+        |h AS (SELECT tr.doc_id, COUNT(*) AS c FROM tr
+        |      JOIN ev USING (g) GROUP BY tr.doc_id)
+        |SELECT s.doc_id, len(s.sh) AS n_shingles,
+        |  COALESCE(h.c, 0) AS overlap_ngrams,
+        |  ROUND(COALESCE(h.c, 0) / CAST(len(s.sh) AS DOUBLE), 6)
+        |    AS contamination
+        |FROM s LEFT JOIN h ON s.doc_id = h.doc_id
+        |WHERE s.doc_id < 450""".stripMargin,
+    "corpus_ngrams" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |g AS (SELECT unnest(sh) AS ngram FROM s)
+        |SELECT ngram, COUNT(*) AS doc_freq FROM g GROUP BY ngram
+        |HAVING COUNT(*) >= 2
+        |ORDER BY doc_freq DESC, ngram LIMIT 100""".stripMargin,
+    "url_domains" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || ' see https://'
+        |    || CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+        |    || 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/'
+        |    || CAST(doc_id AS VARCHAR)
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' and http://mirror'
+        |         || CAST(doc_id % 3 AS VARCHAR) || '.example.org:8080/x'
+        |         ELSE '' END AS t
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^\s]+'))
+        |        AS url FROM d),
+        |n AS (SELECT doc_id, regexp_replace(regexp_replace(
+        |        lower(regexp_extract(url, '^https?://([^/?#]+)', 1)),
+        |        '^www\.', ''), ':[0-9]+$', '') AS domain FROM u)
+        |SELECT domain, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM n GROUP BY domain""".stripMargin,
+    "corpus_shuffle" ->
+      """SELECT doc_id, row_number() OVER (
+        |  ORDER BY md5('graft-r6' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |  AS shuffle_pos
+        |FROM documents""".stripMargin,
     "text_pii" ->
       """WITH d AS (
         |  SELECT doc_id, text

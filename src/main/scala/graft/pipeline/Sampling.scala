@@ -39,6 +39,33 @@ object Sampling {
     df.where(hashUnit(key) < rateCol)
   }
 
+  /** Deterministic global shuffle for training order: every row gets a
+    * contiguous 0-based `shuffle_pos` under the total order
+    * `(md5(salt || key), key)`. Changing the salt re-deals the whole
+    * order; the same salt reproduces it exactly on any engine or
+    * partitioning.
+    *
+    * Scale shape: the hash order is uniform, so `repartitionByRange` +
+    * partition-local sort is a balanced distributed sort (Spark samples
+    * range bounds), and the contiguous index comes from
+    * `RDD.zipWithIndex` — one extra count job for per-partition offsets,
+    * no single-partition window, no driver materialization. */
+  def globalShuffle(df: DataFrame, key: Column, salt: String): DataFrame = {
+    val spark = df.sparkSession
+    val withH = df.withColumn("__h",
+      md5(concat(lit(salt), key.cast("string"))))
+    val sorted = withH
+      .repartitionByRange(col("__h"), key)
+      .sortWithinPartitions(col("__h"), key)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "shuffle_pos", org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+    }
+    spark.createDataFrame(indexed, outSchema).drop("__h")
+  }
+
   /** Exact per-stratum quota: the `n` rows with the smallest key hashes
     * in each stratum (ties broken by key) — a deterministic "random"
     * sample of fixed size.

@@ -313,6 +313,24 @@ object TextAnalysis {
       .drop("__n")
   }
 
+  /** Corpus-wide most-common word n-grams by DOCUMENT frequency — the
+    * boilerplate-mining report (an n-gram shared verbatim by many
+    * documents is headers/footers/license text, not prose). Shingles are
+    * distinct per document (native kernel), so the count after one
+    * explode + one map-side-combined aggregation IS the document
+    * frequency. The top-k runs as TakeOrdered over the (already small,
+    * `minDf`-filtered) aggregate — no global sort of the full n-gram
+    * table. Total order (doc_freq desc, ngram asc) keeps the cut
+    * deterministic across engines. */
+  def commonNgrams(df: DataFrame, idCol: Column, textCol: Column,
+      n: Int = 3, minDf: Long = 2L, k: Int = 100): DataFrame =
+    df.select(explode(shingles(textCol, n)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .where(col("doc_freq") >= minDf)
+      .orderBy(col("doc_freq").desc, col("ngram").asc)
+      .limit(k)
+
   /** Order-sensitive rolling (polynomial) hash over tokens:
     * `acc = acc * 31 + tokenHash (mod P)`. Distinguishes documents
     * that are permutations of each other (where set-based fingerprints

@@ -1,0 +1,153 @@
+package graft.pipeline
+
+import graft.TestSpark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-level curation operators: contamination screening, boilerplate
+  * n-gram mining, URL/domain analysis, deterministic global shuffle. */
+class CorpusOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- contamination ---------------------------------------------------
+
+  test("contamination: verbatim copy scores 1.0, disjoint doc 0.0") {
+    val train = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "completely unrelated prose about distributed systems design"))
+      .toDF("id", "text")
+    val eval = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text")
+    val out = Contamination.overlapTable(train, col("id"), col("text"),
+      eval, col("text")).orderBy("doc_id").collect()
+    assert(out(0).getAs[Double]("contamination") === 1.0)
+    assert(out(1).getAs[Double]("contamination") === 0.0)
+    assert(out(1).getAs[Long]("overlap_ngrams") === 0L)
+  }
+
+  test("contamination: partial overlap is the exact distinct-ngram fraction") {
+    // train doc: 6 tokens -> 4 distinct 3-grams; the first 5 tokens
+    // (3 shingles) appear verbatim in the eval doc -> 3/4
+    val train = Seq((0L, "a b c d e zz")).toDF("id", "text")
+    val eval = Seq((1L, "a b c d e different tail")).toDF("id", "text")
+    val r = Contamination.overlapTable(train, col("id"), col("text"),
+      eval, col("text")).collect()(0)
+    assert(r.getAs[Long]("n_shingles") === 4L)
+    assert(r.getAs[Long]("overlap_ngrams") === 3L)
+    assert(r.getAs[Double]("contamination") === 0.75)
+  }
+
+  test("contamination: sub-n-token docs are excluded, threshold filters") {
+    val train = Seq((0L, "too short"), (1L, "a b c d")).toDF("id", "text")
+    val eval = Seq((9L, "a b c")).toDF("id", "text")
+    val all = Contamination.overlapTable(train, col("id"), col("text"),
+      eval, col("text"))
+    assert(all.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    val hits = Contamination.contaminated(train, col("id"), col("text"),
+      eval, col("text"), threshold = 0.5)
+    assert(hits.count() === 1) // 1 of 2 shingles matches = 0.5
+    assert(Contamination.contaminated(train, col("id"), col("text"),
+      eval, col("text"), threshold = 0.6).count() === 0)
+  }
+
+  // ---- boilerplate n-gram mining ---------------------------------------
+
+  test("commonNgrams: document frequency, minDf cut, deterministic order") {
+    val docs = Seq(
+      (0L, "all rights reserved by the author"),
+      (1L, "all rights reserved forever"),
+      (2L, "all rights reserved by the author"), // verbatim duplicate
+      (3L, "no shared phrases in this one"))
+      .toDF("id", "text")
+    val out = TextAnalysis.commonNgrams(docs, col("id"), col("text"),
+      n = 3, minDf = 2L, k = 10).collect()
+    val freq = out.map(r =>
+      r.getAs[String]("ngram") -> r.getAs[Long]("doc_freq")).toMap
+    assert(freq("all rights reserved") === 3L)
+    assert(freq("rights reserved by") === 2L)
+    assert(!freq.contains("no shared phrases")) // df 1 < minDf
+    // ordering: doc_freq desc then ngram asc
+    assert(out.head.getAs[String]("ngram") === "all rights reserved")
+    val after = out.tail.map(_.getAs[Long]("doc_freq"))
+    assert(after.forall(_ <= out.head.getAs[Long]("doc_freq")))
+  }
+
+  test("commonNgrams: duplicate n-gram inside ONE doc counts once") {
+    val docs = Seq((0L, "x y z x y z x y z"), (1L, "x y z end"))
+      .toDF("id", "text")
+    val freq = TextAnalysis.commonNgrams(docs, col("id"), col("text"),
+      n = 3, minDf = 1L, k = 100).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(freq("x y z") === 2L) // per-doc distinct: once per document
+  }
+
+  // ---- URL / domain analysis -------------------------------------------
+
+  test("url extraction and domain normalization") {
+    val df = Seq(
+      (0L, "see https://WWW.Example.COM:8080/a/b?q=1 and http://sub.other.org/x"),
+      (1L, "no links here")).toDF("id", "text")
+    val rows = UrlAnalysis.urlTable(df, col("id"), col("text"))
+      .orderBy("url").collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getAs[String]("domain")).toSet ===
+      Set("example.com", "sub.other.org"))
+    // port and www stripped, lowercased
+    assert(rows.exists(r => r.getAs[String]("url")
+      .startsWith("https://WWW.Example.COM:8080")
+      && r.getAs[String]("domain") === "example.com"))
+  }
+
+  test("domainStats: url counts vs distinct doc counts") {
+    val df = Seq(
+      (0L, "https://a.com/1 https://a.com/2 https://b.com/x"),
+      (1L, "https://a.com/3")).toDF("id", "text")
+    val stats = UrlAnalysis.domainStats(df, col("id"), col("text"))
+      .collect().map(r => r.getAs[String]("domain") ->
+        ((r.getAs[Long]("n_urls"), r.getAs[Long]("n_docs")))).toMap
+    assert(stats("a.com") === ((3L, 2L)))
+    assert(stats("b.com") === ((1L, 1L)))
+  }
+
+  test("dropBlockedDomains keeps clean docs, drops any blocklisted mention") {
+    val df = Seq(
+      (0L, "fine doc https://good.org/x"),
+      (1L, "bad doc https://spam.example/y and https://good.org/z"),
+      (2L, "no urls at all")).toDF("id", "text")
+    val kept = UrlAnalysis.dropBlockedDomains(df, col("text"),
+      Seq("spam.example")).select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 2L))
+  }
+
+  // ---- deterministic global shuffle ------------------------------------
+
+  test("globalShuffle: contiguous positions matching the hash total order") {
+    val df = (0L until 500L).toDF("id")
+    val out = Sampling.globalShuffle(df, col("id"), salt = "s1")
+    val got = out.orderBy("shuffle_pos").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("shuffle_pos")))
+    assert(got.map(_._2).toSeq === (0L until 500L).toSeq)
+    // brute-force expected order on the driver
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String = {
+      md.reset()
+      md.digest(s"s1$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val expected = (0L until 500L).sortBy(i => (h(i), i))
+    assert(got.map(_._1).toSeq === expected)
+  }
+
+  test("globalShuffle: independent of input partitioning, salt re-deals") {
+    val df = (0L until 300L).toDF("id")
+    def order(d: org.apache.spark.sql.DataFrame, salt: String): Seq[Long] =
+      Sampling.globalShuffle(d, col("id"), salt)
+        .orderBy("shuffle_pos").collect().map(_.getAs[Long]("id")).toSeq
+    val a = order(df, "x")
+    assert(order(df.repartition(11), "x") === a)
+    assert(order(df, "y") !== a)
+    assert(a.sorted === (0L until 300L).toSeq) // a permutation
+  }
+}
