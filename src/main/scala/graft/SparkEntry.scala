@@ -381,6 +381,23 @@ object SparkEntry {
         |  ?e v:type ?t .
         |}""".stripMargin)),
 
+    // R33: term introspection — DATATYPE/LANG over the numeric-sniffed
+    // term model (IRI object → type error → NULL; every numeric literal
+    // is xsd:decimal, reference f64-first sniffing; lang tags dropped)
+    "r33_datatype_lang" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e ?p (DATATYPE(?o) AS ?dt) (LANG(?o) AS ?lang) WHERE {
+        |  ?e ?p ?o .
+        |}""".stripMargin)),
+
+    // R34: IRI construction from a computed string + ENCODE_FOR_URI
+    // percent-encoding (uppercase hex, RFC 3986 unreserved set)
+    "r34_iri_encode" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e (IRI(CONCAT("http://graft.dev/t/", ?t)) AS ?u)
+        |  (ENCODE_FOR_URI(CONCAT("a b/", ?t)) AS ?enc) WHERE {
+        |  ?e v:type ?t .
+        |  FILTER(ISIRI(IRI(CONCAT("http://graft.dev/t/", ?t))))
+        |}""".stripMargin)),
+
     // R31: GROUP BY expression key — desugars to a per-solution BIND
     // (the SPARQL semantics), grouped on the computed column
     "r31_groupby_expr" -> ((s, dir) => sparql(s, dir,
@@ -1056,6 +1073,23 @@ object SparkEntry {
         |FROM events GROUP BY 1""".stripMargin,
     "r32_hash_builtins" ->
       s"""SELECT $E AS e, md5(event_type) AS h1, sha256(event_type) AS h2
+         |FROM events""".stripMargin,
+    "r33_datatype_lang" ->
+      s"""SELECT e, p, dt, lang FROM (
+         |  SELECT $E AS e, 'http://graft.dev/vocab#user' AS p,
+         |    CAST(NULL AS VARCHAR) AS dt, CAST(NULL AS VARCHAR) AS lang
+         |  FROM events
+         |  UNION ALL
+         |  SELECT $E AS e, 'http://graft.dev/vocab#type' AS p,
+         |    'http://www.w3.org/2001/XMLSchema#string' AS dt, '' AS lang
+         |  FROM events
+         |  UNION ALL
+         |  SELECT $E AS e, 'http://graft.dev/vocab#value' AS p,
+         |    'http://www.w3.org/2001/XMLSchema#decimal' AS dt, '' AS lang
+         |  FROM events)""".stripMargin,
+    "r34_iri_encode" ->
+      s"""SELECT $E AS e, 'http://graft.dev/t/' || event_type AS u,
+         |  'a%20b%2F' || event_type AS enc
          |FROM events""".stripMargin,
     "r30_str_transforms" ->
       s"""SELECT $E AS e, CAST(event_id AS VARCHAR) AS id,

@@ -18,6 +18,7 @@ object Terms {
   val XsdInteger = "http://www.w3.org/2001/XMLSchema#integer"
   val XsdDecimal = "http://www.w3.org/2001/XMLSchema#decimal"
   val XsdBoolean = "http://www.w3.org/2001/XMLSchema#boolean"
+  val XsdString = "http://www.w3.org/2001/XMLSchema#string"
 
   def isIri(value: String): Boolean = {
     val t = value.trim

@@ -448,7 +448,8 @@ object SparqlCompiler {
     case EVar(_) | EStr(_) | EIriRef(_) => true
     case ECall("STR" | "CONCAT" | "UCASE" | "LCASE" | "SUBSTR" |
         "STRBEFORE" | "STRAFTER" | "REPLACE" | "MD5" | "SHA1" |
-        "SHA256", _) => true
+        "SHA256" | "DATATYPE" | "LANG" | "IRI" | "URI" | "STRDT" |
+        "STRLANG" | "ENCODE_FOR_URI", _) => true
     case ECall("IF", Seq(_, a, b))      => stringish(a) || stringish(b)
     case ECall("COALESCE", args)        => args.exists(stringish)
     case _                              => false
@@ -644,7 +645,9 @@ object SparqlCompiler {
         "ISIRI" | "ISURI" | "ISLITERAL" | "ISNUMERIC" | "ISBLANK", _) =>
       when(boolC(c), 1.0).otherwise(0.0) // EBV numeric projection
     case c @ ECall("CONCAT" | "UCASE" | "LCASE" | "SUBSTR" | "STRBEFORE" |
-        "STRAFTER" | "REPLACE" | "MD5" | "SHA1" | "SHA256", _) =>
+        "STRAFTER" | "REPLACE" | "MD5" | "SHA1" | "SHA256" | "DATATYPE" |
+        "LANG" | "IRI" | "URI" | "STRDT" | "STRLANG" |
+        "ENCODE_FOR_URI", _) =>
       strC(c).try_cast("double")
     case ECall(iri, args) =>
       Extensions.call(iri, args.map(numC))
@@ -653,6 +656,11 @@ object SparqlCompiler {
       // boolean sub-expression in numeric position: EBV numeric projection
       when(boolC(other), 1.0).otherwise(0.0)
   }
+
+  /** IRI test on a term column — the engine's scheme-prefix convention
+    * (Terms.isIri as a Column predicate). */
+  private def iriShaped(s: Column): Column =
+    s.startsWith("http://") || s.startsWith("https://")
 
   /** String view of an expression. */
   def strC(e: Expr): Column = e match {
@@ -692,6 +700,35 @@ object SparqlCompiler {
         .when(instr(s, sub) > 0,
           s.substr(instr(s, sub) + length(sub), lit(Int.MaxValue)))
         .otherwise(lit(""))
+    // SPARQL §17.4.2 term introspection over the engine's term model
+    // (SURVEY §1.2): IRIs are bare http(s):// strings; the reference's
+    // f64-first sniffing types every numeric literal xsd:decimal
+    // (historical_executor.rs:323-342); lang tags are dropped at parse
+    // (rdf_parser.rs:103-168), so LANG of any literal is "". DATATYPE
+    // and LANG of an IRI are type errors → NULL (row filtered in
+    // FILTER context, unbound in BIND).
+    case ECall("DATATYPE", Seq(a)) =>
+      val s = strC(a)
+      when(s.isNull || iriShaped(s), lit(null).cast("string"))
+        .when(s.try_cast("double").isNotNull, lit(Terms.XsdDecimal))
+        .otherwise(lit(Terms.XsdString))
+    case ECall("LANG", Seq(a)) =>
+      val s = strC(a)
+      when(s.isNull || iriShaped(s), lit(null).cast("string"))
+        .otherwise(lit(""))
+    // IRI/URI constructs an IRI from the lexical form; STRDT/STRLANG
+    // attach a datatype/lang tag the engine's model immediately strips
+    // (exactly what the reference's parser does on ingest) — all four
+    // reduce to the lexical value of their first argument
+    case ECall("IRI" | "URI" | "STRDT" | "STRLANG", args) =>
+      strC(args.head)
+    // XPath fn:encode-for-uri: percent-encode everything outside
+    // ALPHA/DIGIT/'-'/'.'/'_'/'~' with uppercase hex. url_encode gives
+    // form encoding; fix its three divergences (space→'+', '~' escaped,
+    // '*' kept)
+    case ECall("ENCODE_FOR_URI", Seq(a)) =>
+      regexp_replace(regexp_replace(regexp_replace(
+        url_encode(strC(a)), "\\+", "%20"), "%7E", "~"), "\\*", "%2A")
     case ECall("REPLACE", args) =>
       // REPLACE(str, pattern, replacement[, flags]) — regex semantics
       val pat = args match {
@@ -756,6 +793,15 @@ object SparqlCompiler {
       !(strC(a).startsWith("http://") || strC(a).startsWith("https://"))
     case ECall("ISNUMERIC", Seq(a)) => numC(a).isNotNull
     case ECall("ISBLANK", Seq(_))   => lit(false)
+    // RFC 4647 basic filtering: "*" matches any non-empty tag; else
+    // case-insensitive exact tag or extended-subtag prefix match. NULL
+    // tag/range (type error upstream) propagates → row filtered
+    case ECall("LANGMATCHES", Seq(t, r)) =>
+      val (tag, range) = (lower(strC(t)), lower(strC(r)))
+      when(tag.isNull || range.isNull, lit(null).cast("boolean"))
+        .when(range === "*", length(tag) > 0)
+        .otherwise(tag === range ||
+          tag.startsWith(concat(range, lit("-"))))
     case ECall("CONTAINS", Seq(a, b))  => strC(a).contains(strC(b))
     case ECall("STRSTARTS", Seq(a, b)) => strC(a).startsWith(strC(b))
     case ECall("STRENDS", Seq(a, b))   => strC(a).endsWith(strC(b))

@@ -818,7 +818,9 @@ object SparqlParser {
             "ucase", "lcase", "contains", "strstarts", "strends", "regex",
             "round", "ceil", "floor", "substr", "isiri", "isuri",
             "isliteral", "isnumeric", "isblank", "strbefore", "strafter",
-            "replace", "md5", "sha1", "sha256")
+            "replace", "md5", "sha1", "sha256", "datatype", "lang",
+            "langmatches", "iri", "uri", "strdt", "strlang",
+            "encode_for_uri")
             .contains(w.v.toLowerCase) && atPunct("(") =>
         // SPARQL builtin functions, carried as upper-case ECall names
         // (extension functions are full IRIs — no collision)
@@ -828,11 +830,13 @@ object SparqlParser {
           case ECall("STR" | "ABS" | "STRLEN" | "UCASE" | "LCASE" |
               "ROUND" | "CEIL" | "FLOOR" | "ISIRI" | "ISURI" |
               "ISLITERAL" | "ISNUMERIC" | "ISBLANK" | "MD5" | "SHA1" |
-              "SHA256", args)
+              "SHA256" | "DATATYPE" | "LANG" | "IRI" | "URI" |
+              "ENCODE_FOR_URI", args)
               if args.length != 1 =>
             throw ParseException(s"${w.v.toUpperCase} expects 1 argument")
           case ECall("CONTAINS" | "STRSTARTS" | "STRENDS" | "STRBEFORE" |
-              "STRAFTER", args) if args.length != 2 =>
+              "STRAFTER" | "LANGMATCHES" | "STRDT" | "STRLANG", args)
+              if args.length != 2 =>
             throw ParseException(s"${w.v.toUpperCase} expects 2 arguments")
           case ECall("REGEX" | "SUBSTR", args)
               if args.length < 2 || args.length > 3 =>

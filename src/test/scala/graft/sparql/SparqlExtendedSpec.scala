@@ -662,4 +662,87 @@ class SparqlExtendedSpec extends AnyFunSuite {
         |} GROUP BY ?s ORDER BY DESC(?n) ?s LIMIT 1""".stripMargin)
     assert(TestSpark.rows(df) === Set(Seq("http://ex.org/alice", "3")))
   }
+
+  // ---- term introspection builtins -------------------------------------
+
+  test("DATATYPE: decimal for numerics, string for plain literals, " +
+      "type error (null) for IRIs") {
+    val df = run(
+      """SELECT ?s ?o (DATATYPE(?o) AS ?dt) WHERE {
+        |  ?s ?p ?o . FILTER(?p = "http://ex.org/age" ||
+        |    ?p = "http://ex.org/email" || ?p = "http://ex.org/knows")
+        |  FILTER(?s = "http://ex.org/alice")
+        |}""".stripMargin)
+    val dts = df.collect().map(r =>
+      r.getAs[String]("o") -> r.getAs[String]("dt")).toMap
+    assert(dts("30") === "http://www.w3.org/2001/XMLSchema#decimal")
+    assert(dts("alice@ex.org") === "http://www.w3.org/2001/XMLSchema#string")
+    assert(dts("http://ex.org/bob") === null)
+  }
+
+  test("LANG is empty for literals (tags dropped at parse), null for IRIs") {
+    val df = run(
+      """SELECT ?o (LANG(?o) AS ?l) WHERE {
+        |  ?s ?p ?o . FILTER(?s = "http://ex.org/alice")
+        |  FILTER(?p = "http://ex.org/email" || ?p = "http://ex.org/knows")
+        |}""".stripMargin)
+    val langs = df.collect().map(r =>
+      r.getAs[String]("o") -> Option(r.getAs[String]("l"))).toMap
+    assert(langs("alice@ex.org") === Some(""))
+    assert(langs("http://ex.org/bob") === None)
+  }
+
+  test("FILTER(DATATYPE(?o) = <xsd:decimal>) keeps only numerics; " +
+      "IRI rows are type-errors and filtered") {
+    val df = run(
+      """SELECT ?s ?o WHERE {
+        |  ?s ?p ?o .
+        |  FILTER(DATATYPE(?o) = <http://www.w3.org/2001/XMLSchema#decimal>)
+        |}""".stripMargin)
+    assert(df.collect().map(_.getAs[String]("o")).toSet ===
+      Set("30", "25", "35"))
+  }
+
+  test("LANGMATCHES: '*' wants a non-empty tag; prefix match is " +
+      "case-insensitive") {
+    // all stored literals have lang "" → LANGMATCHES(LANG(?o), "*") is
+    // false for literals and a type error for IRIs → zero rows survive
+    val df = run(
+      """SELECT ?o WHERE {
+        |  ?s ex:email ?o . FILTER(LANGMATCHES(LANG(?o), "*"))
+        |}""".stripMargin)
+    assert(df.count() === 0)
+    // constant-tag checks exercise the matcher itself
+    val probe = run(
+      """SELECT ?o (IF(LANGMATCHES("en-GB", "EN"), 1, 0) AS ?a)
+        |  (IF(LANGMATCHES("en-GB", "en-gb"), 1, 0) AS ?b)
+        |  (IF(LANGMATCHES("fr", "en"), 1, 0) AS ?c)
+        |  (IF(LANGMATCHES("en", "*"), 1, 0) AS ?d)
+        |WHERE { ?s ex:email ?o . }""".stripMargin).collect()(0)
+    assert((probe.getDouble(1), probe.getDouble(2), probe.getDouble(3),
+      probe.getDouble(4)) === ((1.0, 1.0, 0.0, 1.0)))
+  }
+
+  test("IRI/URI construct from CONCAT; STRDT/STRLANG reduce to the " +
+      "lexical form under the stripped-tag term model") {
+    val df = run(
+      """SELECT ?s (IRI(CONCAT("http://ex.org/p/", STR(?age))) AS ?u)
+        |  (STRDT(STR(?age), <http://www.w3.org/2001/XMLSchema#int>) AS ?d)
+        |  (STRLANG("chat", "en") AS ?sl)
+        |WHERE { ?s ex:age ?age . FILTER(?s = "http://ex.org/bob")
+        |  FILTER(ISIRI(IRI("http://ex.org/x"))) }""".stripMargin)
+    val r = df.collect()(0)
+    assert(r.getAs[String]("u") === "http://ex.org/p/25")
+    assert(r.getAs[String]("d") === "25")
+    assert(r.getAs[String]("sl") === "chat")
+  }
+
+  test("ENCODE_FOR_URI: RFC 3986 unreserved kept, the rest uppercase " +
+      "percent-encoded") {
+    val df = run(
+      """SELECT (ENCODE_FOR_URI("A-b_c.d~e f/g?h*i") AS ?e)
+        |WHERE { ?s ex:email ?o . }""".stripMargin)
+    assert(df.collect()(0).getAs[String]("e") ===
+      "A-b_c.d~e%20f%2Fg%3Fh%2Ai")
+  }
 }
