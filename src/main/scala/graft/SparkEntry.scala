@@ -806,6 +806,17 @@ object SparkEntry {
         col("doc_id"), salt = "graft-r6")
         .select(col("doc_id"), col("shuffle_pos"))),
 
+    // Token-budget corpus mixing: per-source token targets met in
+    // key-hash order (first overshooting doc included) via the
+    // two-phase distributed running sum — no per-stratum window task
+    "corpus_mix" -> ((s, dir) =>
+      graft.pipeline.Sampling.tokenBudgetSample(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("source"), col("doc_id"),
+        graft.pipeline.TextAnalysis.tokenCount(col("text")),
+        Map("src0" -> 600L, "src1" -> 400L), defaultBudget = 200L)
+        .select(col("doc_id"), col("source"))),
+
     // PII detection + redaction. The synthetic documents are clean prose
     // (verified: no '@', no digits), so deterministic PII is planted
     // from doc_id — the SAME derivation the oracle applies — making the
@@ -1503,6 +1514,23 @@ object SparkEntry {
         |  ORDER BY md5('graft-r6' || CAST(doc_id AS VARCHAR)), doc_id) - 1
         |  AS shuffle_pos
         |FROM documents""".stripMargin,
+    "corpus_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    len(string_split_regex(trim(text), '\s+')) AS toks,
+        |    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) / 4294967296.0 AS u
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, toks,
+        |    COALESCE(SUM(toks) OVER (PARTITION BY source
+        |      ORDER BY u, CAST(doc_id AS VARCHAR)
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS before
+        |  FROM d)
+        |SELECT doc_id, source FROM c
+        |WHERE before < CASE source WHEN 'src0' THEN 600
+        |  WHEN 'src1' THEN 400 ELSE 200 END""".stripMargin,
     "text_pii" ->
       """WITH d AS (
         |  SELECT doc_id, text

@@ -66,6 +66,25 @@ object Kernels {
   /** `pmod(xxhash64(t), 2^32)` (Dedup.xxTokenHash32). */
   def xxHash32(s: String): Long = java.lang.Math.floorMod(xx64(s), 1L << 32)
 
+  /** Highest within-document frequency of any whitespace token — the
+    * numerator of the Gopher-style top-token-share repetition signal.
+    * Value-identical to `explode(tokens) → groupBy(doc, token) → max`
+    * (including the empty-string token a blank text tokenizes to), but
+    * one partition-local pass instead of two shuffles. */
+  def topTokenCount(text: UTF8String): Long = {
+    val toks = tokensOfTrimmed(loweredTrimmed(text))
+    if (toks.isEmpty) return 0L
+    val counts = new java.util.HashMap[String, Int](toks.length * 2)
+    var best = 0
+    var i = 0
+    while (i < toks.length) {
+      val c = counts.merge(toks(i), 1, Integer.sum)
+      if (c > best) best = c
+      i += 1
+    }
+    best.toLong
+  }
+
   // ---- shingles / fingerprints ----------------------------------------
 
   /** Distinct word n-gram shingles (space-joined, first-occurrence

@@ -53,6 +53,11 @@ object native {
   /** Rolling polynomial token hash — TextAnalysis.rollingHash. */
   def rollingHash(text: Column): Column = c(RollingHashExpr(e(text)))
 
+  /** Max within-document token frequency — turns the repetition
+    * profile's mode count from explode + two shuffles into a map
+    * stage. */
+  def topTokenCount(text: Column): Column = c(TopTokenCountExpr(e(text)))
+
   /** Mean token length — TextAnalysis.meanWordLength. */
   def meanWordLength(text: Column): Column = c(MeanWordLenExpr(e(text)))
 
@@ -224,6 +229,18 @@ final case class RollingHashExpr(child: Expression)
     defineCodeGen(ctx, ev, cv => s"graft.expressions.Kernels.rollingHash($cv)")
   override protected def withNewChildInternal(newChild: Expression)
       : RollingHashExpr = copy(child = newChild)
+}
+
+final case class TopTokenCountExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_top_token_count"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.topTokenCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, cv => s"graft.expressions.Kernels.topTokenCount($cv)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : TopTokenCountExpr = copy(child = newChild)
 }
 
 final case class MeanWordLenExpr(child: Expression)

@@ -66,6 +66,64 @@ object Sampling {
     spark.createDataFrame(indexed, outSchema).drop("__h")
   }
 
+  /** Deterministic token-budget mixing: per stratum (source/domain/
+    * language), admit documents in key-hash order until the stratum's
+    * token budget is reached — the "data mixing" step that assembles a
+    * training corpus to per-source token targets. A document is admitted
+    * iff the tokens admitted BEFORE it fall short of the budget, so the
+    * first overshooting document is included: budgets are met, never
+    * silently undershot. Same hash ⇒ the mix is reproducible and
+    * monotone in the budgets (raising one only adds documents).
+    *
+    * Scale shape: an exact running sum without a per-stratum window
+    * (which would funnel each stratum through ONE task). Rows are
+    * range-sorted by (stratum, hash); phase 1 aggregates per-(partition,
+    * stratum) token subtotals (≤ P×S tiny rows to the driver); phase 2
+    * rescans with each partition's per-stratum prefix offset broadcast,
+    * keeping the cumulative check partition-local. A giant stratum
+    * spans many partitions and still parallelizes. The sorted input is
+    * localCheckpoint-pinned so both phases see identical partitioning.
+    */
+  def tokenBudgetSample(df: DataFrame, stratum: Column, key: Column,
+      tokens: Column, budgets: Map[String, Long],
+      defaultBudget: Long = 0L): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .withColumn("__s", stratum.cast("string"))
+      .withColumn("__u", hashUnit(key))
+      .withColumn("__k", key.cast("string"))
+      .withColumn("__t", tokens.cast("long"))
+      .repartitionByRange(col("__s"), col("__u"), col("__k"))
+      .sortWithinPartitions(col("__s"), col("__u"), col("__k"))
+      .localCheckpoint() // pin rows to partitions across the two passes
+    val subtotals = sorted
+      .select(spark_partition_id().as("__p"), col("__s"), col("__t"))
+      .groupBy("__p", "__s").agg(sum("__t").as("__sum"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val offsets: Map[(Int, String), Long] = subtotals.map { case ((p, s), _) =>
+      (p, s) -> subtotals.collect {
+        case ((p2, s2), v) if s2 == s && p2 < p => v
+      }.sum
+    }
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val bBudgets = spark.sparkContext.broadcast(budgets)
+    val schema = sorted.schema
+    val kept = sorted.rdd.mapPartitionsWithIndex { case (pid, rows) =>
+      val running = collection.mutable.Map.empty[String, Long]
+      rows.filter { row =>
+        val s = row.getAs[String]("__s")
+        val t = row.getAs[Long]("__t")
+        val before = running.getOrElse(s,
+          bOffsets.value.getOrElse((pid, s), 0L))
+        running(s) = before + t
+        before < bBudgets.value.getOrElse(s, defaultBudget)
+      }
+    }
+    spark.createDataFrame(kept, schema)
+      .drop("__s", "__u", "__k", "__t")
+  }
+
   /** Exact per-stratum quota: the `n` rows with the smallest key hashes
     * in each stratum (ties broken by key) — a deterministic "random"
     * sample of fixed size.

@@ -222,11 +222,24 @@ object TextAnalysis {
   /** Per-document repetition profile as a table op:
     * (id, n_tokens, distinct_ratio, bigram_ratio, top_token_ratio) where
     * top_token_ratio is the most frequent token's share. The mode count
-    * goes through explode + two map-side-combining aggregations (token
-    * frequencies are per-(doc, token) — no global hot key), everything
-    * else is a map stage. */
+    * is within-document, so it runs in the native
+    * [[graft.expressions.TopTokenCountExpr]] kernel — the whole profile
+    * is ONE codegen'd map stage, no explode, no shuffle
+    * ([[repetitionTableShuffled]] is the aggregation formulation, kept
+    * for cross-validation). */
   def repetitionTable(df: DataFrame, idCol: Column, textCol: Column)
-      : DataFrame = {
+      : DataFrame =
+    df.select(idCol.as("id"),
+      size(tokens(textCol)).cast("long").as("n_tokens"),
+      round(distinctTokenRatio(textCol), 6).as("distinct_ratio"),
+      round(distinctBigramRatio(textCol), 6).as("bigram_ratio"),
+      round(graft.expressions.native.topTokenCount(textCol).cast("double") /
+        size(tokens(textCol)).cast("double"), 6).as("top_token_ratio"))
+
+  /** Reference explode + two-aggregation formulation of
+    * [[repetitionTable]] (cross-validation of the native mode kernel). */
+  private[graft] def repetitionTableShuffled(df: DataFrame, idCol: Column,
+      textCol: Column): DataFrame = {
     val base = df.select(idCol.as("id"), textCol.as("__text"))
     val perDoc = base.select(col("id"),
       size(tokens(col("__text"))).cast("long").as("n_tokens"),

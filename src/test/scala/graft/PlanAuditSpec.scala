@@ -238,6 +238,61 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("Generate"), plan)
   }
 
+  test("repetition profile is one shuffle-free codegen'd map stage " +
+      "(native mode kernel, no explode)") {
+    val c = org.apache.spark.sql.functions.col _
+    val df = graft.pipeline.TextAnalysis.repetitionTable(
+      spark.read.parquet(s"$sf/documents.parquet"), c("doc_id"), c("text"))
+    val plan = executedPlan(df)
+    assert(!plan.contains("Exchange"),
+      s"repetition profile shuffles — should be a pure map stage:\n$plan")
+    assert(!plan.contains("Generate"), plan)
+    assert(plan.contains("*(1)"), s"repetition stage not codegen'd:\n$plan")
+  }
+
+  test("contamination screen broadcasts the eval n-gram set (semi-join, " +
+      "no shuffle of corpus n-grams onto eval keys, no cartesian)") {
+    val c = org.apache.spark.sql.functions.col _
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.pipeline.Contamination.overlapTable(
+      docs.where(c("doc_id") < 450), c("doc_id"), c("text"),
+      docs.where(c("doc_id") >= 450), c("text"))
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"eval side not broadcast into a semi-join:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesianproduct"), plan)
+  }
+
+  test("common-ngram mining pre-combines map-side and takes top-k " +
+      "without a global sort") {
+    val c = org.apache.spark.sql.functions.col _
+    val df = graft.pipeline.TextAnalysis.commonNgrams(
+      spark.read.parquet(s"$sf/documents.parquet"), c("doc_id"), c("text"),
+      n = 3, minDf = 2L, k = 50)
+    val plan = executedPlan(df)
+    assert(plan.contains("partial"),
+      s"no map-side partial aggregation in ngram plan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k cut fell back to a global sort:\n$plan")
+  }
+
+  test("URL domain stats shuffle only on the domain key; extraction is " +
+      "a codegen'd map+generate stage") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    // synthetic prose has no URLs (AQE would collapse the aggregate on
+    // an empty generate) — plant one per doc as the oracle entry does
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("t", concat(col("text"), lit(" https://x"),
+        col("doc_id") % 5, lit(".example.com/p")))
+    val df = graft.pipeline.UrlAnalysis.domainStats(docs, col("doc_id"),
+      col("t"))
+    val plan = executedPlan(df)
+    assert(!plan.toLowerCase.contains("cartesianproduct"), plan)
+    assert(plan.contains("Generate"), plan)
+    assert(plan.contains("partial"),
+      s"no map-side partial aggregation in domain stats plan:\n$plan")
+  }
+
   test("connected components: per-round plans are equi-joins, no cartesian") {
     val spark2 = spark
     import spark2.implicits._

@@ -140,6 +140,56 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq === expected)
   }
 
+  test("tokenBudgetSample: budget met by first overshooting doc, " +
+      "matches the single-window brute force, partitioning-proof") {
+    val docs = (0L until 200L).map(i =>
+      (i, if (i % 3 == 0) "a" else "b", 10L + (i % 7))).toDF("id", "s", "tok")
+    val out = Sampling.tokenBudgetSample(docs, col("s"), col("id"),
+      col("tok"), Map("a" -> 100L, "b" -> 55L))
+    val got = out.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // brute force: driver-side cumulative walk in hash order
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(id: Long): Double = {
+      md.reset()
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    val rows = (0L until 200L).map(i =>
+      (i, if (i % 3 == 0) "a" else "b", 10L + (i % 7)))
+    val expected = rows.groupBy(_._2).flatMap { case (s, grp) =>
+      val budget = if (s == "a") 100L else 55L
+      var cum = 0L
+      grp.sortBy(r => (u(r._1), r._1.toString)).flatMap { r =>
+        val admit = cum < budget
+        cum += r._3
+        if (admit) Some((r._1, r._2)) else None
+      }
+    }.toSet
+    assert(got === expected)
+    // each admitted set's tokens meet the budget (never undershoot)
+    val byStratum = out.groupBy("s").agg(sum("tok").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum("a") >= 100L && byStratum("b") >= 55L)
+    // independent of input partitioning
+    val repart = Sampling.tokenBudgetSample(docs.repartition(13), col("s"),
+      col("id"), col("tok"), Map("a" -> 100L, "b" -> 55L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(repart === got)
+    // raising a budget only ADDS documents
+    val more = Sampling.tokenBudgetSample(docs, col("s"), col("id"),
+      col("tok"), Map("a" -> 150L, "b" -> 55L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.subsetOf(more))
+  }
+
+  test("tokenBudgetSample: zero default budget drops unlisted strata") {
+    val docs = Seq((1L, "x", 5L), (2L, "y", 5L)).toDF("id", "s", "tok")
+    val out = Sampling.tokenBudgetSample(docs, col("s"), col("id"),
+      col("tok"), Map("x" -> 1L))
+    assert(out.collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("globalShuffle: independent of input partitioning, salt re-deals") {
     val df = (0L until 300L).toDF("id")
     def order(d: org.apache.spark.sql.DataFrame, salt: String): Seq[Long] =

@@ -87,6 +87,16 @@ class CurationSpec extends AnyFunSuite {
     assert(diverging.count() === 0)
   }
 
+  test("repetitionTable: native mode kernel ≡ explode formulation on " +
+      "real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = TextAnalysis.repetitionTable(docs, col("doc_id"), col("text"))
+    val b = TextAnalysis.repetitionTableShuffled(docs, col("doc_id"),
+      col("text"))
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+  }
+
   test("chunking: windows advance by step, tail clamps, short docs whole") {
     val df = Seq(
       (0L, (1 to 10).map(i => s"t$i").mkString(" ")),
