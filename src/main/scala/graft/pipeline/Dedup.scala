@@ -344,10 +344,13 @@ object Dedup {
         .groupBy("id").agg(min("lbl").as("lbl"))
       // pointer jumping: follow the label one more hop (labels are node
       // ids, so every lbl resolves; coalesce guards the frontier)
+      // lazy checkpoint: the changed-check join below is the first
+      // action on `next`, so its blocks materialize (and lineage
+      // truncates) inside that job — one action per round, not two
       val next = propagated
         .join(propagated.toDF("jid", "jlbl"), col("lbl") === col("jid"), "left")
         .select(col("id"), coalesce(col("jlbl"), col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val changed = next.join(labels.toDF("id", "prev"), "id")
         .where(col("lbl") =!= col("prev")).limit(1).count()
       labels.unpersist()

@@ -558,8 +558,13 @@ object SparqlCompiler {
           .unionAll(pathEdges(quads, x, g, extraKeys, constTerms))
           .distinct()
       case PPlus(x) =>
+        // LAZY checkpoints: the convergence count is the first action on
+        // each round's closure, so block materialization + lineage
+        // truncation ride the same job — one Spark action per squaring
+        // round instead of two (round latency dominates on small
+        // closures; data cost is unchanged)
         var closure = pathEdges(quads, x, g, extraKeys, constTerms)
-          .distinct().localCheckpoint()
+          .distinct().localCheckpoint(eager = false)
         var prev = -1L
         var n = closure.count()
         while (n != prev) {
@@ -568,7 +573,8 @@ object SparqlCompiler {
             .join(closure.withColumnRenamed(PathSrcCol, "__mid"),
               "__mid" +: extraKeys)
             .select(keyCols ++ Seq(col(PathSrcCol), col(PathDstCol)): _*)
-          closure = closure.unionAll(step).distinct().localCheckpoint()
+          closure = closure.unionAll(step).distinct()
+            .localCheckpoint(eager = false)
           n = closure.count()
         }
         closure
