@@ -629,6 +629,14 @@ object SparkEntry {
       out
     }),
 
+    // Substring-level dedup: exact 12-token windows shared verbatim by
+    // >= 2 documents (native shingle kernel → md5 → one map-side-
+    // combined aggregation; the shuffle never carries text)
+    "dedup_spans" -> ((s, dir) =>
+      graft.pipeline.Dedup.duplicatedSpans(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), windowTokens = 12)),
+
     // Duplicate clusters: transitive completion of the verified pair
     // table via distributed connected components (min-label propagation
     // + pointer jumping) — A≈B≈C clusters {A,B,C} even when A≉C
@@ -1273,6 +1281,18 @@ object SparkEntry {
     // node of the near-dup graph, the set of reachable labels; MIN is
     // the component representative — exactly the fixpoint the Spark
     // label propagation converges to
+    "dedup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(toks) - 10),
+        |    i -> md5(array_to_string(toks[i:i+11], ' ')))) AS sh
+        |  FROM t WHERE len(toks) >= 12),
+        |g AS (SELECT unnest(sh) AS span_hash FROM s)
+        |SELECT span_hash, COUNT(*) AS n_docs FROM g GROUP BY span_hash
+        |HAVING COUNT(*) >= 2""".stripMargin,
     "dedup_cluster" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks

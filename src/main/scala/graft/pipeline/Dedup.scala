@@ -249,6 +249,47 @@ object Dedup {
     df.join(drop, idCol === col("__drop_id"), "leftanti")
   }
 
+  // ---- substring (token-window) dedup ----------------------------------
+
+  /** Exact duplicated token spans across documents: every distinct
+    * `windowTokens`-token window (stride 1) shared verbatim by at least
+    * `minDocs` documents — the substring-level signal that document-hash
+    * dedup misses (boilerplate paragraphs, license blocks, quoted
+    * passages duplicated inside otherwise-distinct documents; the
+    * motivation behind suffix-array training-data dedup).
+    *
+    * Windows come from the native shingle kernel (distinct per document,
+    * one codegen'd pass), are md5-keyed, and meet ONE map-side-combined
+    * aggregation; the shuffle carries (span_hash, partial doc count) —
+    * never document text. Returns `(span_hash, n_docs)`. At 100 TB the
+    * span table is token-count-proportional: use a larger window or a
+    * pre-filter (e.g. only docs that shared a fingerprint band) to bound
+    * it; the aggregation itself has no hot key worse than the most
+    * duplicated span. */
+  def duplicatedSpans(df: DataFrame, idCol: Column, textCol: Column,
+      windowTokens: Int, minDocs: Long = 2L): DataFrame =
+    df.select(explode(
+        TextAnalysis.shingles(textCol, windowTokens)).as("__span"))
+      .select(md5(col("__span")).as("span_hash"))
+      .groupBy(col("span_hash"))
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+
+  /** Which documents contain which duplicated spans — `(id, span_hash)`
+    * rows for every span meeting `minDocs`, the locate step a span-cut
+    * pass downstream needs. Second scan + semi-join against the
+    * (already small) duplicated-span table. */
+  def duplicatedSpanOccurrences(df: DataFrame, idCol: Column,
+      textCol: Column, windowTokens: Int, minDocs: Long = 2L): DataFrame = {
+    val spans = df.select(idCol.as("id"), explode(
+        TextAnalysis.shingles(textCol, windowTokens)).as("__span"))
+      .select(col("id"), md5(col("__span")).as("span_hash"))
+    spans.join(
+      duplicatedSpans(df, idCol, textCol, windowTokens, minDocs)
+        .select("span_hash"),
+      Seq("span_hash"), "leftsemi")
+  }
+
   // ---- incremental dedup against a standing corpus ---------------------
 
   /** Precomputed LSH state of a standing corpus, reusable across many

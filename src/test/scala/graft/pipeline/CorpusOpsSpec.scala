@@ -84,6 +84,39 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(freq("x y z") === 2L) // per-doc distinct: once per document
   }
 
+  // ---- substring (token-window) dedup ----------------------------------
+
+  test("duplicatedSpans: shared verbatim windows found, unique text not") {
+    val boiler = "all rights reserved no part of this work may be reproduced"
+    val docs = Seq(
+      (0L, s"first document begins here $boiler and then diverges fully"),
+      (1L, s"second one opens differently $boiler before its own ending"),
+      (2L, "entirely original prose with no shared passage at all okay"))
+      .toDF("id", "text")
+    val spans = Dedup.duplicatedSpans(docs, col("id"), col("text"),
+      windowTokens = 8).collect()
+    assert(spans.nonEmpty)
+    assert(spans.forall(_.getAs[Long]("n_docs") === 2L))
+    // the 11-token boilerplate contributes exactly 4 shared 8-windows
+    // (the surrounding context differs, so longer overlaps don't exist)
+    assert(spans.length === 4)
+    val occ = Dedup.duplicatedSpanOccurrences(docs, col("id"), col("text"),
+      windowTokens = 8)
+    assert(occ.select("id").distinct().collect().map(_.getLong(0)).toSet
+      === Set(0L, 1L))
+    assert(occ.count() === 8) // 4 spans × 2 docs
+  }
+
+  test("duplicatedSpans: windows are distinct per doc (internal " +
+      "repetition is not cross-doc duplication)") {
+    val docs = Seq(
+      (0L, "x y z x y z x y z x y z"), // internal repeats only
+      (1L, "totally different words in this second document here"))
+      .toDF("id", "text")
+    assert(Dedup.duplicatedSpans(docs, col("id"), col("text"),
+      windowTokens = 3).count() === 0)
+  }
+
   // ---- URL / domain analysis -------------------------------------------
 
   test("url extraction and domain normalization") {
