@@ -670,6 +670,29 @@ object SparkEntry {
         .select(col("query_id"), lit(true).as("recall_ge_070"))
     }),
 
+    // PQ compressed ANN: 16-byte codes (16× compression of the 64-dim
+    // float vectors), ADC shortlist over codes + exact re-rank.
+    // SELF-VERIFYING like ann_ivf_topk: recall@10 vs brute force
+    // computed inside Spark; a degraded quantizer drops rows and fails
+    // the oracle (observed recall 1.0 at m=16/ksub=64/rerank=16 on the
+    // near-uniform synthetic embeddings; assert >= 0.7 for jitter)
+    "ann_pq_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val queries = emb.where(col("vec_id") < 3)
+      val model = graft.pipeline.Ann.trainPq(emb, m = 16, ksub = 64,
+        iterations = 2)
+      val pq = graft.pipeline.Ann.pqTopK(emb, queries, k = 10, model,
+        rerank = 16)
+      val brute = graft.pipeline.Ann.bruteForceTopK(emb, queries, k = 10)
+      pq.join(brute.select("query_id", "id"), Seq("query_id", "id"),
+          "leftsemi")
+        .groupBy("query_id")
+        .agg((count(lit(1)) / 10.0).as("recall"))
+        .where(col("recall") >= 0.7)
+        .select(col("query_id"), lit(true).as("recall_ge_070"))
+    }),
+
     // Semi-structured props: JSON field extraction + aggregation
     "props_json" -> ((s, dir) =>
       EventsAsQuads.events(s, dir)
@@ -1340,6 +1363,9 @@ object SparkEntry {
          |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin
     },
     "ann_ivf_topk" ->
+      """SELECT vec_id AS query_id, true AS recall_ge_070
+        |FROM embeddings WHERE vec_id < 3""".stripMargin,
+    "ann_pq_topk" ->
       """SELECT vec_id AS query_id, true AS recall_ge_070
         |FROM embeddings WHERE vec_id < 3""".stripMargin,
     "emb_norms" ->

@@ -246,6 +246,170 @@ object Ann {
       .select("query_id", "rank", "id", "sim")
   }
 
+  // ---- PQ (product quantization) ---------------------------------------
+
+  /** Trained product quantizer: `m` codebooks of `ksub` sub-centroids
+    * over equal subspace splits of the L2-normalized vectors. m×ksub×dsub
+    * doubles — tiny, ships to executors as a closure. A PQ code is m
+    * bytes per vector: the 100 TB memory story for embedding search
+    * (64-dim float = 256 B → 8 B at m=8). */
+  final case class PqModel(codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def ksub: Int = codebooks(0).length
+    def dsub: Int = codebooks(0)(0).length
+  }
+
+  /** Index of the L2-nearest sub-centroid for the subspace starting at
+    * `off` (deterministic: first minimum wins). */
+  private def nearestSub(book: Array[Array[Double]], v: Array[Double],
+      off: Int): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < book.length) {
+      val cen = book(c)
+      var d = 0.0; var j = 0
+      while (j < cen.length) {
+        val x = v(off + j) - cen(j); d += x * x; j += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def normalized(v: Array[Double]): Array[Double] = {
+    var n = 0.0; var i = 0
+    while (i < v.length) { n += v(i) * v(i); i += 1 }
+    val s = math.sqrt(n)
+    if (s == 0.0) v else v.map(_ / s)
+  }
+
+  /** Per-subspace Lloyd's k-means, all `m` codebooks trained jointly in
+    * one distributed loop: assignment is a partition-local kernel
+    * emitting ((subspace, cell), partial sums), the update one
+    * reduceByKey — only the m×ksub×dsub codebook matrix reaches the
+    * driver. Vectors are L2-normalized first so PQ inner product
+    * approximates cosine. Deterministic seeding: an id-ordered
+    * systematic sample sliced into subspaces. */
+  def trainPq(corpus: DataFrame, m: Int, ksub: Int = 16,
+      iterations: Int = 2): PqModel = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.toDF("id", "vec")
+      .select(col("id").cast("long").as("id"), toDouble(col("vec")).as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) => (id, normalized(v)) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = base.count()
+    val dim = base.head()._2.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val stride = math.max(n / ksub, 1L)
+    val seeds = base.filter(_._1 % stride == 0).map(_._2).take(ksub)
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m, ksub) {
+      (j, c) => seeds(c % seeds.length).slice(j * dsub, (j + 1) * dsub)
+    }
+    (0 until iterations).foreach { _ =>
+      val cur = books
+      val sums = base.mapPartitions { it =>
+        it.flatMap { case (_, v) =>
+          (0 until cur.length).iterator.map { j =>
+            val cell = nearestSub(cur(j), v, j * dsub)
+            ((j, cell), (v.slice(j * dsub, (j + 1) * dsub), 1L))
+          }
+        }
+      }.rdd.reduceByKey { (x, y) =>
+        val s = x._1.clone()
+        var i = 0
+        while (i < s.length) { s(i) += y._1(i); i += 1 }
+        (s, x._2 + y._2)
+      }.collect()
+      val next = books.map(_.clone())
+      sums.foreach { case ((j, cell), (sum, count)) =>
+        next(j)(cell) = sum.map(_ / count)
+      }
+      books = next
+    }
+    base.unpersist()
+    PqModel(books)
+  }
+
+  /** PQ-encode the corpus: `(id, code array<int> of length m)` — the
+    * compressed representation an ADC scan reads instead of the raw
+    * vectors. Pure map stage. */
+  def pqEncode(corpus: DataFrame, model: PqModel): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.toDF("id", "vec")
+      .select(col("id").cast("long").as("id"), toDouble(col("vec")).as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val nv = normalized(v)
+        val code = Array.tabulate(model.m)(j =>
+          nearestSub(model.codebooks(j), nv, j * model.dsub))
+        (id, code)
+      }
+      .toDF("id", "code")
+  }
+
+  /** PQ top-k with exact re-rank: asymmetric-distance (ADC) scan over
+    * the m-byte codes shortlists `k × rerank` candidates per query —
+    * each query ships only its m×ksub inner-product lookup table, and
+    * the scan never touches raw corpus vectors — then the shortlist
+    * joins back to the full vectors for exact cosine ordering. The
+    * output sims are exact; PQ error only affects WHICH candidates are
+    * shortlisted (recall), the classic IVF-PQ search contract. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, model: PqModel,
+      rerank: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.toDF("id", "vec")
+    val q = queries.toDF("query_id", "query_vec")
+    // per-query ADC tables: table(j)(cell) = <q_sub_j, centroid(j)(cell)>
+    val qTables: Array[(Long, Array[Array[Double]])] = q
+      .select(col("query_id").cast("long"), toDouble(col("query_vec")))
+      .as[(Long, Array[Double])]
+      .collect()
+      .map { case (qid, v) =>
+        val nv = normalized(v)
+        val t = Array.tabulate(model.m, model.ksub) { (j, cell) =>
+          val cen = model.codebooks(j)(cell)
+          var s = 0.0; var i = 0
+          while (i < cen.length) { s += cen(i) * nv(j * model.dsub + i); i += 1 }
+          s
+        }
+        (qid, t)
+      }
+    val bTables = spark.sparkContext.broadcast(qTables)
+    val shortlist = pqEncode(c, model)
+      .as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, code) =>
+          bTables.value.iterator.collect {
+            case (qid, t) if qid != id =>
+              var s = 0.0; var j = 0
+              while (j < code.length) { s += t(j)(code(j)); j += 1 }
+              (qid, id, s)
+          }
+        }
+      }
+      .toDF("query_id", "id", "adc")
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("id"))
+    val candidates = shortlist
+      .withColumn("r", row_number().over(wAdc))
+      .where(col("r") <= k * rerank)
+      .select("query_id", "id")
+    val scored = candidates.join(c, "id").join(broadcast(q), "query_id")
+      .withColumn("sim",
+        round(cosine(toDouble(col("vec")), toDouble(col("query_vec"))), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "id", "sim")
+  }
+
   /** Embedding-cosine near-duplicate pairs at `threshold`, LSH-bucketed
     * with exact verification. */
   def cosineNearDuplicates(df: DataFrame, idCol: Column, vecCol: Column,

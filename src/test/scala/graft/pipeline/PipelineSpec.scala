@@ -256,6 +256,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall $recall (exact=$exact ivf=$ivf)")
   }
 
+  test("PQ: codes are deterministic, in range, and ADC+rerank recalls " +
+      "brute force on clustered data") {
+    val rnd = new scala.util.Random(13)
+    def jitter(v: Array[Float]): Array[Float] =
+      v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)
+    val c1 = Array.fill(16)(1.0f)
+    val c2 = Array.tabulate(16)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val corpus = ((0 until 30).map(i => (i.toLong, jitter(c1))) ++
+      (30 until 60).map(i => (i.toLong, jitter(c2)))).toDF("id", "vec")
+    val model = Ann.trainPq(corpus, m = 4, ksub = 8, iterations = 2)
+    assert(model.m === 4 && model.ksub === 8 && model.dsub === 4)
+    val codes = Ann.pqEncode(corpus, model)
+    assert(codes.count() === 60)
+    val arr = codes.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Int](1))
+    assert(arr.forall(_._2.length === 4))
+    assert(arr.forall(_._2.forall(c => c >= 0 && c < 8)))
+    // deterministic: re-encoding yields identical codes
+    val again = Ann.pqEncode(corpus, model).collect().map(r =>
+      r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(arr.forall { case (id, code) => again(id) === code })
+    val queries = Seq((100L, c1)).toDF("qid", "qvec")
+    val exact = Ann.bruteForceTopK(corpus, queries, 5)
+      .collect().map(_.getAs[Long]("id")).toSet
+    val pq = Ann.pqTopK(corpus, queries, 5, model, rerank = 4)
+    val got = pq.collect()
+    assert(got.length === 5)
+    // output sims are EXACT (re-ranked) — identical to brute-force sims
+    val recall = exact.intersect(got.map(_.getAs[Long]("id")).toSet)
+      .size.toDouble / exact.size
+    assert(recall >= 0.8, s"PQ recall $recall")
+  }
+
   test("token counts: whitespace and BPE-ish") {
     val df = Seq(Tuple1("hello world, it's 42 degrees!")).toDF("text")
     val r = df.select(
