@@ -848,6 +848,21 @@ object SparkEntry {
         Map("src0" -> 600L, "src1" -> 400L), defaultBudget = 200L)
         .select(col("doc_id"), col("source"))),
 
+    // Canonical text cleanup: NFC composition + control-char strip +
+    // whitespace squeeze (planted combining accents / control bytes /
+    // double spaces — the synthetic prose is already clean ASCII)
+    "text_normalize" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" cafe\u0301")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("\ta\u0007b  c"))
+          .otherwise(lit("")))
+      val clean = graft.pipeline.TextAnalysis.cleanText(col("raw"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("raw", planted)
+        .select(col("doc_id"), clean.as("clean"),
+          length(clean).cast("long").as("n_chars"))
+    }),
+
     // PII detection + redaction. The synthetic documents are clean prose
     // (verified: no '@', no digits), so deterministic PII is planted
     // from doc_id — the SAME derivation the oracle applies — making the
@@ -1577,6 +1592,20 @@ object SparkEntry {
         |SELECT doc_id, source FROM c
         |WHERE before < CASE source WHEN 'src0' THEN 600
         |  WHEN 'src1' THEN 400 ELSE 200 END""".stripMargin,
+    "text_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769)
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0 THEN chr(9) || 'a' || chr(7)
+        |         || 'b  c' ELSE '' END AS raw
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |    nfc_normalize(raw), '[[:cntrl:]]', ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS clean
+        |  FROM d)
+        |SELECT doc_id, clean, length(clean) AS n_chars FROM c""".stripMargin,
     "text_pii" ->
       """WITH d AS (
         |  SELECT doc_id, text

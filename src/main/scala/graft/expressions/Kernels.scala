@@ -66,6 +66,19 @@ object Kernels {
   /** `pmod(xxhash64(t), 2^32)` (Dedup.xxTokenHash32). */
   def xxHash32(s: String): Long = java.lang.Math.floorMod(xx64(s), 1L << 32)
 
+  /** Unicode NFC normalization (canonical composition) — combining
+    * sequences collapse to precomposed forms so byte-level equality,
+    * hashing, and dedup see one spelling per grapheme. */
+  def nfc(text: UTF8String): UTF8String = {
+    val s = text.toString
+    // fast path: Normalizer.isNormalized is a cheap scan; most corpus
+    // text is already NFC and skips the rebuild
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC))
+      text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   /** Highest within-document frequency of any whitespace token — the
     * numerator of the Gopher-style top-token-share repetition signal.
     * Value-identical to `explode(tokens) → groupBy(doc, token) → max`

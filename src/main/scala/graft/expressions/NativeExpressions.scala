@@ -58,6 +58,9 @@ object native {
     * stage. */
   def topTokenCount(text: Column): Column = c(TopTokenCountExpr(e(text)))
 
+  /** Unicode NFC normalization — TextAnalysis.normalizeNfc. */
+  def normalizeNfc(text: Column): Column = c(NormalizeNfcExpr(e(text)))
+
   /** Mean token length — TextAnalysis.meanWordLength. */
   def meanWordLength(text: Column): Column = c(MeanWordLenExpr(e(text)))
 
@@ -229,6 +232,18 @@ final case class RollingHashExpr(child: Expression)
     defineCodeGen(ctx, ev, cv => s"graft.expressions.Kernels.rollingHash($cv)")
   override protected def withNewChildInternal(newChild: Expression)
       : RollingHashExpr = copy(child = newChild)
+}
+
+final case class NormalizeNfcExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, cv => s"graft.expressions.Kernels.nfc($cv)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : NormalizeNfcExpr = copy(child = newChild)
 }
 
 final case class TopTokenCountExpr(child: Expression)

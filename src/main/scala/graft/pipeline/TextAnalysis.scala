@@ -326,6 +326,22 @@ object TextAnalysis {
       .drop("__n")
   }
 
+  // ---- text normalization ----------------------------------------------
+
+  /** Unicode NFC normalization (native kernel with an is-already-NFC
+    * fast path — most corpus text skips the rebuild). */
+  def normalizeNfc(text: Column): Column =
+    graft.expressions.native.normalizeNfc(text)
+
+  /** Canonical text cleanup for hashing/dedup: NFC-compose, replace
+    * control characters with spaces, squeeze whitespace runs, trim.
+    * Pure codegen'd map stage; the regex classes stay inside the
+    * RE2 ∩ Java dialect so external engines reproduce it verbatim. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(normalizeNfc(text), "[\\p{Cntrl}]", " "),
+      "\\s+", " "))
+
   /** Corpus-wide most-common word n-grams by DOCUMENT frequency — the
     * boilerplate-mining report (an n-gram shared verbatim by many
     * documents is headers/footers/license text, not prose). Shingles are

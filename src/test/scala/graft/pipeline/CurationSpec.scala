@@ -57,6 +57,38 @@ class CurationSpec extends AnyFunSuite {
     assert(flags.toSeq === Seq(false, true))
   }
 
+  // ---- text normalization ----------------------------------------------
+
+  test("cleanText: NFC composes combining marks, control chars become " +
+      "spaces, whitespace squeezes, ends trim") {
+    val df = Seq(
+      (0L, "café au lait"),          // decomposed é
+      (1L, "ab\tc\r\nd"),            // bell, tab, CRLF
+      (2L, "  padded   and    gappy  "),
+      (3L, "already clean")).toDF("id", "text")
+    val out = df.select(col("id"),
+      TextAnalysis.cleanText(col("text")).as("c"))
+      .orderBy("id").collect().map(_.getString(1))
+    assert(out(0) === "café au lait")
+    assert(out(0).length === 12) // é is ONE char after composition
+    assert(out(1) === "a b c d")
+    assert(out(2) === "padded and gappy")
+    assert(out(3) === "already clean")
+  }
+
+  test("normalizeNfc: idempotent and equal to java.text.Normalizer") {
+    val inputs = Seq("café", "é", "Ångström", "x")
+    val df = inputs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+      TextAnalysis.normalizeNfc(col("text")).as("n"))
+      .orderBy("id").collect().map(_.getString(1))
+    inputs.zip(got).foreach { case (in, out) =>
+      assert(out === java.text.Normalizer.normalize(in,
+        java.text.Normalizer.Form.NFC))
+    }
+  }
+
   // ---- repetition / vocabulary -----------------------------------------
 
   test("repetition signals: repetitive text scores low, diverse high") {
