@@ -422,20 +422,29 @@ object SparqlCompiler {
       accVars += alias
     }
 
-    // FILTERs: EXISTS via semi/anti joins, everything else via where()
-    group.filters.foreach {
-      case EExists(inner, negated) =>
-        val innerG = compileGroup(quads, inner, extraKeys)
-        val shared =
-          (innerG.vars.intersect(accVars).toSeq ++ extraKeys).distinct
-        if (shared.isEmpty)
-          throw new CompileException(
-            "FILTER EXISTS with no shared variables is unsupported")
-        val joinType = if (negated) "leftanti" else "leftsemi"
-        acc = acc.join(
-          innerG.df.select(shared.map(col): _*), shared, joinType)
-      case e =>
-        acc = acc.where(boolC(e))
+    // FILTERs: EXISTS via semi/anti joins, everything else via where().
+    // `FILTER(!EXISTS {…})` (and any stack of NOTs) normalizes to the
+    // same semi/anti join — each NOT flips the join polarity.
+    @annotation.tailrec
+    def unwrapNot(e: Expr, flip: Boolean): (Expr, Boolean) = e match {
+      case ENot(x) => unwrapNot(x, !flip)
+      case other   => (other, flip)
+    }
+    group.filters.foreach { f =>
+      unwrapNot(f, flip = false) match {
+        case (EExists(inner, negated), flip) =>
+          val innerG = compileGroup(quads, inner, extraKeys)
+          val shared =
+            (innerG.vars.intersect(accVars).toSeq ++ extraKeys).distinct
+          if (shared.isEmpty)
+            throw new CompileException(
+              "FILTER EXISTS with no shared variables is unsupported")
+          val joinType = if (negated ^ flip) "leftanti" else "leftsemi"
+          acc = acc.join(
+            innerG.df.select(shared.map(col): _*), shared, joinType)
+        case _ =>
+          acc = acc.where(boolC(f))
+      }
     }
     Grouped(acc, accVars, nullable)
   }

@@ -663,6 +663,21 @@ class SparqlExtendedSpec extends AnyFunSuite {
     assert(TestSpark.rows(df) === Set(Seq("http://ex.org/alice", "3")))
   }
 
+  test("FILTER(!EXISTS{}) is the anti join; double negation restores " +
+      "the semi join") {
+    val anti = run(
+      """SELECT ?s ?age WHERE {
+        |  ?s ex:age ?age . FILTER(!EXISTS { ?s ex:email ?m })
+        |}""".stripMargin)
+    assert(TestSpark.rows(anti) === Set(
+      Seq("http://ex.org/bob", "25"), Seq("http://ex.org/charlie", "35")))
+    val semi = run(
+      """SELECT ?s ?age WHERE {
+        |  ?s ex:age ?age . FILTER(!(!EXISTS { ?s ex:email ?m }))
+        |}""".stripMargin)
+    assert(TestSpark.rows(semi) === Set(Seq("http://ex.org/alice", "30")))
+  }
+
   // ---- term introspection builtins -------------------------------------
 
   test("DATATYPE: decimal for numerics, string for plain literals, " +
