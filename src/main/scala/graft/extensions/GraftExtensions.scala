@@ -150,7 +150,11 @@ object GraftFunctions {
       ("graft_cosine", 2, (a: Seq[Expression]) =>
         graft.expressions.CosineSimExpr(a(0), a(1))),
       ("graft_l2_normalize", 1, (a: Seq[Expression]) =>
-        graft.expressions.L2NormalizeExpr(a(0))))
+        graft.expressions.L2NormalizeExpr(a(0))),
+      ("graft_top_token_count", 1, (a: Seq[Expression]) =>
+        graft.expressions.TopTokenCountExpr(a(0))),
+      ("graft_nfc", 1, (a: Seq[Expression]) =>
+        graft.expressions.NormalizeNfcExpr(a(0))))
 
   /** (sql name, arity, children → expression). */
   val builders: Seq[(String, Int, Seq[Expression] => Expression)] =

@@ -63,6 +63,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.isNullAt(10)) // zero norm → null
   }
 
+  test("graft_top_token_count and graft_nfc callable from SQL") {
+    val r = spark.sql(
+      """SELECT graft_top_token_count('a b a c a') AS top,
+        |  graft_nfc('cafe\u0301') AS composed""".stripMargin).head()
+    assert(r.getLong(0) === 3L)
+    assert(r.getString(1) === "café")
+  }
+
   test("graft_shingles rejects a non-literal shingle size") {
     val e = intercept[Exception] {
       spark.sql(
