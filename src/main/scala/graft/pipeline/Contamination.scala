@@ -67,4 +67,30 @@ object Contamination {
       n: Int = 3): DataFrame =
     overlapTable(corpus, idCol, textCol, evalSet, evalTextCol, n)
       .where(col("contamination") >= threshold)
+
+  /** Bloom filter over the eval set's distinct n-grams — the STATELESS
+    * decontamination carrier for streaming ingest (a per-doc overlap
+    * aggregation needs stateful streaming; a membership sketch needs
+    * none). Built once batch-side, a few MB at fpp=1e-3 for millions of
+    * grams; ship it through [[mightBeContaminated]]. */
+  def evalNgramBloom(evalSet: DataFrame, evalTextCol: Column, n: Int = 3,
+      expectedItems: Long = 1000000L, fpp: Double = 0.001)
+      : org.apache.spark.util.sketch.BloomFilter =
+    evalSet
+      .select(explode(TextAnalysis.shingles(evalTextCol, n)).as("__g"))
+      .distinct()
+      .stat.bloomFilter("__g", expectedItems, fpp)
+
+  /** TRUE when any n-gram of `text` is (probably) in the eval bloom —
+    * the streaming-safe contamination predicate. One broadcast + a pure
+    * per-row filter: works identically on batch and streaming frames.
+    * False positives (rate `fpp`) drop clean documents — the
+    * conservative direction for decontamination; there are no false
+    * negatives. */
+  def mightBeContaminated(bloom: org.apache.spark.util.sketch.BloomFilter,
+      textCol: Column, n: Int = 3): Column = {
+    val check = udf((grams: Seq[String]) =>
+      grams != null && grams.exists(g => bloom.mightContainString(g)))
+    check(TextAnalysis.shingles(textCol, n))
+  }
 }

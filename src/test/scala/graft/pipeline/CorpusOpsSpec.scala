@@ -84,6 +84,60 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(freq("x y z") === 2L) // per-doc distinct: once per document
   }
 
+  test("bloom decontamination: contaminated docs flagged, clean pass; " +
+      "agrees with the exact semi-join screen") {
+    val eval = Seq((100L, "the secret benchmark answer is forty two"))
+      .toDF("id", "text")
+    val corpus = Seq(
+      (0L, "prefix words then the secret benchmark answer is forty two"),
+      (1L, "completely unrelated prose about distributed query engines"))
+      .toDF("id", "text")
+    val bloom = Contamination.evalNgramBloom(eval, col("text"),
+      expectedItems = 1000L)
+    val flagged = corpus.select(col("id"),
+      Contamination.mightBeContaminated(bloom, col("text")).as("f"))
+      .orderBy("id").collect().map(_.getBoolean(1))
+    assert(flagged.toSeq === Seq(true, false))
+    // exact screen agrees (no false positive at this scale)
+    val exact = Contamination.contaminated(corpus, col("id"), col("text"),
+      eval, col("text"), threshold = 1e-9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact === Set(0L))
+  }
+
+  test("bloom decontamination composes statelessly on a stream with " +
+      "cleanup and quality filtering") {
+    implicit val sqlCtx = spark.sqlContext
+    val eval = Seq((100L, "the secret benchmark answer is forty two"))
+      .toDF("id", "text")
+    val bloom = Contamination.evalNgramBloom(eval, col("text"),
+      expectedItems = 1000L)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val longTail = " and then a good deal of additional ordinary prose " +
+      "follows here so the length based quality signal stays high for " +
+      "this synthetic document under test today"
+    val docs = input.toDS().toDF("doc_id", "text")
+      .withColumn("text", TextAnalysis.cleanText(col("text")))
+      .where(TextAnalysis.qualityScore(col("text")) >= 0.7)
+      .where(!Contamination.mightBeContaminated(bloom, col("text")))
+    val q = docs.writeStream.format("memory").queryName("scurate")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (0L, "a  clean\tdocument with ordinary text" + longTail),
+        (1L, "contains the secret benchmark answer is forty two" + longTail),
+        (2L, "x")) // fails the quality gate
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM scurate")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept === Set(0L))
+      // the cleanup ran inside the stream (control chars squeezed)
+      val text = spark.sql("SELECT text FROM scurate").head().getString(0)
+      assert(text.startsWith("a clean document"))
+    } finally q.stop()
+  }
+
   // ---- substring (token-window) dedup ----------------------------------
 
   test("duplicatedSpans: shared verbatim windows found, unique text not") {
