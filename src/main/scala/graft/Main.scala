@@ -22,6 +22,11 @@ object Main {
       |  graft.Verify <sf> <out>     correctness dump (driver contract)
       |  graft.Bench                 benchmark main (SPARK_GRAFT_SF_DIR)
       |
+      |Pipeline subcommands:
+      |  curate <docs.parquet> <outDir> [minQuality] [sampleRate]
+      |                              clean -> dedup -> quality-filter ->
+      |                              sample a document corpus
+      |
       |Benchmark subcommands:
       |  benchmark-storage-rdf [n]   quad-log write/read benchmark
       |""".stripMargin
@@ -75,11 +80,43 @@ object Main {
         out(s"serving REST/SSE on port ${server.boundPort}")
         Thread.currentThread().join() // serve until killed
         0
+      case "curate" :: docs :: outDir :: rest if rest.length <= 2 &&
+          rest.forall(a => scala.util.Try(a.toDouble).isSuccess) =>
+        val minQuality = rest.headOption.map(_.toDouble).getOrElse(0.7)
+        val sampleRate = rest.drop(1).headOption.map(_.toDouble).getOrElse(1.0)
+        val (inDocs, outDocs) =
+          curate(session(), docs, outDir, minQuality, sampleRate)
+        out(s"curate complete: in=$inDocs out=$outDocs -> $outDir")
+        0
       case other =>
         out(Overview)
         out(s"unknown command: ${other.mkString(" ")}")
         2
     }
+
+  /** One-command corpus curation: NFC/whitespace cleanup → exact dedup
+    * (keep the smallest doc_id per normalized content hash) → quality
+    * gate → deterministic hash sample → parquet. The same declarative
+    * chain as the `pipeline_e2e` driver entry — a handful of scans and
+    * one join, no materialization barriers between stages. */
+  def curate(spark: SparkSession, docsPath: String, outDir: String,
+      minQuality: Double, sampleRate: Double): (Long, Long) = {
+    import graft.pipeline.{Sampling, TextAnalysis}
+    val docs = spark.read.parquet(docsPath)
+    val cleaned = docs.withColumn("text",
+      TextAnalysis.cleanText(col("text")))
+    val withH = cleaned.withColumn("__h", md5(col("text")))
+    val keepers = withH.groupBy(col("__h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val deduped = withH.join(keepers, Seq("__h", "doc_id")).drop("__h")
+    val gated = deduped.where(
+      TextAnalysis.qualityScore(col("text")) >= minQuality)
+    val sampled =
+      if (sampleRate >= 1.0) gated
+      else Sampling.sampleByKey(gated, col("doc_id"), sampleRate)
+    sampled.write.mode("overwrite").parquet(outDir)
+    (docs.count(), spark.read.parquet(outDir).count())
+  }
 
   /** The reference's RDF storage benchmark shape
     * (`main.rs:benchmark_segmented_storage_rdf`): n synthetic quads with

@@ -46,6 +46,29 @@ class MainSpec extends AnyFunSuite {
     assert(out2.contains("unknown command"))
   }
 
+  test("curate subcommand cleans, dedups, gates, and writes parquet") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("curate-in")
+      .resolve("docs.parquet").toString
+    val out = java.nio.file.Files.createTempDirectory("curate-out")
+      .resolve("result").toString
+    val prose = "a perfectly ordinary paragraph of reasonable prose " +
+      "repeated to pass the length based quality gate " * 3
+    Seq(
+      (1L, prose),
+      (2L, prose + " "),        // whitespace-only variant → deduped
+      (3L, "x"),                // fails the quality gate
+      (4L, prose + " distinct tail keeps this document alive"))
+      .toDF("doc_id", "text").write.parquet(in)
+    val (inN, outN) = Main.curate(spark, in, out,
+      minQuality = 0.7, sampleRate = 1.0)
+    assert(inN === 4L && outN === 2L)
+    val kept = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L))
+  }
+
   test("benchmark-storage-rdf runs the reference benchmark shape") {
     val sb = new StringBuilder
     Main.benchmarkStorageRdf(TestSpark.spark, n = 2000L,
