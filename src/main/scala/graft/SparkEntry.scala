@@ -793,6 +793,18 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         col("doc_id"), col("text"), minDf = 2L)),
 
+    // LM-based quality: per-doc unigram surprisal (mean -log2 p,
+    // Laplace-smoothed) against the corpus's own unigram model — token
+    // explode → vocab join → one doc-keyed aggregation
+    "text_surprisal" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val vocab = graft.pipeline.TextAnalysis.vocabulary(
+        docs, col("doc_id"), col("text"), minDf = 1L)
+      graft.pipeline.TextAnalysis.unigramSurprisal(
+        docs, col("doc_id"), col("text"), vocab)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Benchmark-contamination screen: docs >= 450 act as the "eval set";
     // each train doc's distinct-3-gram overlap against the broadcast
     // eval n-gram set (semi-join + one doc-keyed agg — no corpus×corpus)
@@ -1523,6 +1535,19 @@ object SparkEntry {
         |    AS idf
         |FROM f, n GROUP BY token, n.n
         |HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin,
+    "text_surprisal" ->
+      """WITH f AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+        |    '\s+')) AS token
+        |  FROM documents),
+        |v AS (SELECT token, COUNT(*) AS tf FROM f GROUP BY token),
+        |tot AS (SELECT SUM(tf) AS t, COUNT(*) AS nv FROM v)
+        |SELECT f.doc_id,
+        |  ROUND(AVG(-log2((COALESCE(v.tf, 0) + 1.0) / (tot.t + tot.nv))),
+        |    6) AS bits_per_token,
+        |  COUNT(*) AS n_tokens
+        |FROM f LEFT JOIN v USING (token), tot
+        |GROUP BY f.doc_id""".stripMargin,
     "contam_overlap" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks

@@ -360,6 +360,33 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("ngram").asc)
       .limit(k)
 
+  /** Per-document unigram surprisal (mean -log2 p(token), bits/token) —
+    * the LM-based quality signal: gibberish and boilerplate-stuffed text
+    * sit far from the corpus distribution. The model is the corpus
+    * unigram itself (`vocab` as produced by [[vocabulary]]), Laplace-
+    * smoothed: p(t) = (tf(t)+1) / (T+V) with tf(t)=0 for OOV tokens, so
+    * the score is defined for every document.
+    *
+    * Scale shape: token explode → join on the vocab (broadcast when it
+    * fits — natural-language vocabularies are ≤ tens of millions of
+    * rows, far below the corpus; Spark picks sort-merge otherwise) →
+    * one doc-keyed aggregation. The T/V totals ride the plan as a
+    * broadcast single-row aggregate. */
+  def unigramSurprisal(df: DataFrame, idCol: Column, textCol: Column,
+      vocab: DataFrame): DataFrame = {
+    val totals = vocab.agg(sum(col("tf")).as("__t"),
+      count(lit(1)).as("__v"))
+    df.select(idCol.as("id"), explode(tokens(textCol)).as("token"))
+      .join(vocab.select(col("token"), col("tf")), Seq("token"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__logp",
+        log2((coalesce(col("tf"), lit(0L)) + 1.0) /
+          (col("__t") + col("__v"))))
+      .groupBy(col("id"))
+      .agg(round(avg(-col("__logp")), 6).as("bits_per_token"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Order-sensitive rolling (polynomial) hash over tokens:
     * `acc = acc * 31 + tokenHash (mod P)`. Distinguishes documents
     * that are permutations of each other (where set-based fingerprints

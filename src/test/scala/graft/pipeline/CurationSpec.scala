@@ -180,6 +180,30 @@ class CurationSpec extends AnyFunSuite {
     assert(pruned.map(_.getAs[String]("token")).toSeq === Seq("beta"))
   }
 
+  test("unigram surprisal: rare-token docs score higher bits/token; " +
+      "OOV tokens are smoothed, not dropped") {
+    val corpus = Seq(
+      (0L, "the the the the the the the the"),
+      (1L, "the the the the the the the rareword")).toDF("id", "text")
+    val vocab = TextAnalysis.vocabulary(corpus, col("id"), col("text"))
+    val scores = TextAnalysis.unigramSurprisal(corpus, col("id"),
+      col("text"), vocab)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Double]("bits_per_token")).toMap
+    assert(scores(1L) > scores(0L)) // the rare token costs bits
+    // hand-check doc 0: p(the) = (15+1)/(16+2), 8 tokens
+    val expected = -math.log(16.0 / 18.0) / math.log(2.0)
+    assert(math.abs(scores(0L) - expected) < 1e-6)
+    // an OOV-only doc still gets a finite score via Laplace smoothing
+    val oov = TextAnalysis.unigramSurprisal(
+      Seq((9L, "neverseen tokens here")).toDF("id", "text"),
+      col("id"), col("text"), vocab).collect()(0)
+    assert(oov.getAs[Long]("n_tokens") === 3L)
+    // p(OOV) = 1/18 → -log2 = log2(18)
+    assert(math.abs(oov.getAs[Double]("bits_per_token") -
+      math.log(18.0) / math.log(2.0)) < 1e-6)
+  }
+
   // ---- sampling --------------------------------------------------------
 
   private lazy val keyed = (0L until 2000L).map(i =>
