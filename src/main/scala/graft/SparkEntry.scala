@@ -849,6 +849,14 @@ object SparkEntry {
         col("doc_id"), salt = "graft-r6")
         .select(col("doc_id"), col("shuffle_pos"))),
 
+    // Deterministic train/val/test split: cumulative hash ranges, a
+    // pure filterless map stage (membership depends only on the key)
+    "corpus_split" -> ((s, dir) =>
+      graft.pipeline.Sampling.hashSplit(
+        s.read.parquet(s"$dir/documents.parquet").select(col("doc_id")),
+        col("doc_id"),
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))),
+
     // Token-budget corpus mixing: per-source token targets met in
     // key-hash order (first overshooting doc included) via the
     // two-phase distributed running sum — no per-stratum window task
@@ -1600,6 +1608,15 @@ object SparkEntry {
         |  ORDER BY md5('graft-r6' || CAST(doc_id AS VARCHAR)), doc_id) - 1
         |  AS shuffle_pos
         |FROM documents""".stripMargin,
+    "corpus_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) / 4294967296.0 AS u
+        |  FROM documents)""".stripMargin,
     "corpus_mix" ->
       """WITH d AS (
         |  SELECT doc_id, source,

@@ -39,6 +39,30 @@ object Sampling {
     df.where(hashUnit(key) < rateCol)
   }
 
+  /** Deterministic dataset split: assigns each row a split label by
+    * cumulative hash ranges — `("train" -> 0.9, "val" -> 0.05,
+    * "test" -> 0.05)` sends hashUnit ∈ [0, 0.9) to train, [0.9, 0.95)
+    * to val, [0.95, 1.0) to test. Reproducible on any engine and
+    * partitioning; a document never migrates between splits when other
+    * data arrives (membership depends only on its own key). Fractions
+    * must sum to 1 (±1e-9). Pure map stage, no shuffle. */
+  def hashSplit(df: DataFrame, key: Column,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0) &&
+      math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must be non-negative and sum to 1")
+    val u = hashUnit(key)
+    val uppers = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
+      .tail.init // cumulative upper bound of every split but the last
+    // the last split is the open-ended otherwise, so the hash
+    // 0.999999… edge always lands somewhere
+    df.withColumn("split",
+      splits.init.zip(uppers).reverse.foldLeft(lit(splits.last._1)) {
+        case (acc, ((name, _), upper)) =>
+          when(u < upper, lit(name)).otherwise(acc)
+      })
+  }
+
   /** Deterministic global shuffle for training order: every row gets a
     * contiguous 0-based `shuffle_pos` under the total order
     * `(md5(salt || key), key)`. Changing the salt re-deals the whole

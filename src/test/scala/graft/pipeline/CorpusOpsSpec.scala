@@ -211,6 +211,28 @@ class CorpusOpsSpec extends AnyFunSuite {
 
   // ---- deterministic global shuffle ------------------------------------
 
+  test("hashSplit: exhaustive, disjoint, stable under corpus growth, " +
+      "roughly calibrated") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (0L until 2000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.hashSplit(df, col("id"), splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size === 2000) // every row labeled exactly once
+    val counts = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 1500 && counts("train") < 1700)
+    assert(counts("val") > 120 && counts("val") < 280)
+    // membership depends only on the key: a subset corpus agrees
+    val sub = Sampling.hashSplit((0L until 500L).toDF("id"), col("id"),
+      splits).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sub.forall { case (id, s) => out(id) === s })
+    // invalid fractions rejected
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(df, col("id"), Seq("a" -> 0.5, "b" -> 0.6))
+    }
+  }
+
   test("globalShuffle: contiguous positions matching the hash total order") {
     val df = (0L until 500L).toDF("id")
     val out = Sampling.globalShuffle(df, col("id"), salt = "s1")
