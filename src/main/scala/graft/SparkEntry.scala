@@ -841,6 +841,19 @@ object SparkEntry {
         col("doc_id"), col("url_text"))
     }),
 
+    // Domain blocklist filter: drop documents mentioning a blocked
+    // domain — scan-side exists over extracted URLs, no shuffle
+    "url_blocklist" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val planted = concat(col("text"),
+        lit(" via https://site"), (col("doc_id") % 7).cast("string"),
+        lit(".example.com/p"))
+      graft.pipeline.UrlAnalysis.dropBlockedDomains(
+        docs.withColumn("url_text", planted), col("url_text"),
+        Seq("site3.example.com", "site5.example.com"))
+        .select(col("doc_id"))
+    }),
+
     // Deterministic global shuffle: contiguous training-order position
     // under md5(salt || doc_id) — distributed range-sort + zipWithIndex
     "corpus_shuffle" -> ((s, dir) =>
@@ -1608,6 +1621,9 @@ object SparkEntry {
         |  ORDER BY md5('graft-r6' || CAST(doc_id AS VARCHAR)), doc_id) - 1
         |  AS shuffle_pos
         |FROM documents""".stripMargin,
+    "url_blocklist" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id % 7 NOT IN (3, 5)""".stripMargin,
     "corpus_split" ->
       """SELECT doc_id,
         |  CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val'
