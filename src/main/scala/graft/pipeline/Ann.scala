@@ -210,6 +210,49 @@ object Ann {
     model
   }
 
+  /** Materialized IVF index: `(id, cell, vec)` — the standing,
+    * persistable form (write it to parquet partitioned/bucketed by
+    * `cell` and searches prune to the probed cells at the SCAN). Build
+    * once, query many times; [[ivfTopK]] rebuilds the assignment per
+    * call, which is the right shape only for one-shot searches. New
+    * batches append through the same map (assignment is stateless given
+    * the model). */
+  def buildIvfIndex(corpus: DataFrame, model: IvfModel): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.toDF("id", "vec")
+      .select(col("id").cast("long").as("id"), toDouble(col("vec")).as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) => (id, nearestCells(model, v, 1).head, v) }
+      .toDF("id", "cell", "vec")
+  }
+
+  /** IVF top-k over a standing [[buildIvfIndex]] table: probe-cell
+    * equi-join + exact re-rank, no corpus re-assignment. */
+  def ivfTopKIndexed(index: DataFrame, queries: DataFrame, k: Int,
+      model: IvfModel, nprobe: Int = 3): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val q = queries.toDF("query_id", "query_vec")
+    val queryCells = q
+      .select(col("query_id").cast("long").as("query_id"),
+        toDouble(col("query_vec")).as("v"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        nearestCells(model, v, nprobe).map(cell => (id, cell)) }
+      .toDF("query_id", "cell")
+    val scored = index.join(broadcast(queryCells), "cell")
+      .join(broadcast(q), "query_id")
+      .where(col("id") =!= col("query_id"))
+      .withColumn("sim",
+        round(cosine(col("vec"), toDouble(col("query_vec"))), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "id", "sim")
+  }
+
   /** IVF top-k: corpus rows live in their nearest cell; each query
     * probes its `nprobe` nearest cells and re-ranks candidates exactly.
     * Candidate generation is an equi-join on cell id — the classic

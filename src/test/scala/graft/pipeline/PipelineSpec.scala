@@ -256,6 +256,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall $recall (exact=$exact ivf=$ivf)")
   }
 
+  test("standing IVF index: ivfTopKIndexed over buildIvfIndex equals " +
+      "the one-shot ivfTopK") {
+    val rnd = new scala.util.Random(17)
+    def jitter(v: Array[Float]): Array[Float] =
+      v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)
+    val c1 = Array.fill(16)(1.0f)
+    val c2 = Array.tabulate(16)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val corpus = ((0 until 20).map(i => (i.toLong, jitter(c1))) ++
+      (20 until 40).map(i => (i.toLong, jitter(c2)))).toDF("id", "vec")
+    val queries = Seq((100L, c1)).toDF("qid", "qvec")
+    val model = Ann.trainIvf(corpus, nCells = 4, iterations = 2)
+    val index = Ann.buildIvfIndex(corpus, model)
+    assert(index.columns.toSeq === Seq("id", "cell", "vec"))
+    val direct = Ann.ivfTopK(corpus, queries, 5, model, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val viaIndex = Ann.ivfTopKIndexed(index, queries, 5, model, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(viaIndex.toSeq.sorted === direct.toSeq.sorted)
+  }
+
   test("PQ: codes are deterministic, in range, and ADC+rerank recalls " +
       "brute force on clustered data") {
     val rnd = new scala.util.Random(13)
