@@ -293,6 +293,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no map-side partial aggregation in domain stats plan:\n$plan")
   }
 
+  test("hash split is a pure map stage; surprisal pre-combines map-side") {
+    val c = org.apache.spark.sql.functions.col _
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val split = graft.pipeline.Sampling.hashSplit(
+      docs.select(c("doc_id")), c("doc_id"),
+      Seq("train" -> 0.9, "val" -> 0.1))
+    val splitPlan = executedPlan(split)
+    assert(!splitPlan.contains("Exchange"),
+      s"hash split shuffles — should be a pure map stage:\n$splitPlan")
+    val vocab = graft.pipeline.TextAnalysis.vocabulary(
+      docs, c("doc_id"), c("text"))
+    val surprisal = graft.pipeline.TextAnalysis.unigramSurprisal(
+      docs, c("doc_id"), c("text"), vocab)
+    val sPlan = executedPlan(surprisal)
+    assert(sPlan.contains("partial"),
+      s"no map-side partial aggregation in surprisal plan:\n$sPlan")
+    assert(!sPlan.toLowerCase.contains("cartesianproduct"), sPlan)
+  }
+
   test("connected components: per-round plans are equi-joins, no cartesian") {
     val spark2 = spark
     import spark2.implicits._
