@@ -635,7 +635,7 @@ object SparkEntry {
     "dedup_spans" -> ((s, dir) =>
       graft.pipeline.Dedup.duplicatedSpans(
         s.read.parquet(s"$dir/documents.parquet"),
-        col("doc_id"), col("text"), windowTokens = 12)),
+        col("text"), windowTokens = 12)),
 
     // Duplicate clusters: transitive completion of the verified pair
     // table via distributed connected components (min-label propagation

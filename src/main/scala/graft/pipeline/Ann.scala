@@ -185,8 +185,14 @@ object Ann {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = base.count()
     val stride = math.max(n / nCells, 1L)
-    var model = IvfModel(
-      base.filter(_._1 % stride == 0).map(_._2).take(nCells).toArray)
+    // systematic id sample; ids need not be dense (or include a
+    // stride-divisible one at all), so top up deterministically from
+    // the id-ordered head when the sample runs short
+    val sampled = base.filter(_._1 % stride == 0).map(_._2).take(nCells)
+    val seedVecs =
+      if (sampled.length >= nCells) sampled
+      else (sampled ++ base.sort("_1").map(_._2).take(nCells)).take(nCells)
+    var model = IvfModel(seedVecs.toArray)
     (0 until iterations).foreach { _ =>
       val m = model
       val sums = base.mapPartitions { it =>
@@ -256,38 +262,12 @@ object Ann {
   /** IVF top-k: corpus rows live in their nearest cell; each query
     * probes its `nprobe` nearest cells and re-ranks candidates exactly.
     * Candidate generation is an equi-join on cell id — the classic
-    * IVF-flat search, shuffle-bounded by cell sizes. */
+    * IVF-flat search, shuffle-bounded by cell sizes. One-shot form of
+    * [[ivfTopKIndexed]] (assignment + search in one call; build the
+    * index once with [[buildIvfIndex]] when querying repeatedly). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      model: IvfModel, nprobe: Int = 3): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val c = corpus.toDF("id", "vec")
-    val q = queries.toDF("query_id", "query_vec")
-    val corpusCells = c
-      .select(col("id").cast("long").as("id"), toDouble(col("vec")).as("v"))
-      .as[(Long, Array[Double])]
-      .map { case (id, v) => (id, nearestCells(model, v, 1).head) }
-      .toDF("id", "cell")
-    val queryCells = q
-      .select(col("query_id").cast("long").as("query_id"),
-        toDouble(col("query_vec")).as("v"))
-      .as[(Long, Array[Double])]
-      .flatMap { case (id, v) =>
-        nearestCells(model, v, nprobe).map(cell => (id, cell)) }
-      .toDF("query_id", "cell")
-    val candidates = corpusCells.join(broadcast(queryCells), "cell")
-      .where(col("id") =!= col("query_id"))
-      .select("query_id", "id").distinct()
-    val scored = candidates.join(c, "id").join(broadcast(q), "query_id")
-      .where(col("id") =!= col("query_id"))
-      .withColumn("sim",
-        round(cosine(toDouble(col("vec")), toDouble(col("query_vec"))), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "id", "sim")
-  }
+      model: IvfModel, nprobe: Int = 3): DataFrame =
+    ivfTopKIndexed(buildIvfIndex(corpus, model), queries, k, model, nprobe)
 
   // ---- PQ (product quantization) ---------------------------------------
 
@@ -348,7 +328,14 @@ object Ann {
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
     val stride = math.max(n / ksub, 1L)
-    val seeds = base.filter(_._1 % stride == 0).map(_._2).take(ksub)
+    // systematic id sample, topped up from the id-ordered head when ids
+    // are sparse/hashed and few (or none) are stride-divisible — an
+    // empty sample would otherwise crash, a short one would train
+    // duplicate dead sub-centroids
+    val sampled = base.filter(_._1 % stride == 0).map(_._2).take(ksub)
+    val seeds =
+      if (sampled.length >= ksub) sampled
+      else (sampled ++ base.sort("_1").map(_._2).take(ksub)).take(ksub)
     var books: Array[Array[Array[Double]]] = Array.tabulate(m, ksub) {
       (j, c) => seeds(c % seeds.length).slice(j * dsub, (j + 1) * dsub)
     }
@@ -424,16 +411,34 @@ object Ann {
         (qid, t)
       }
     val bTables = spark.sparkContext.broadcast(qTables)
+    // two-phase shortlist: each input partition keeps its own local
+    // top-(k·rerank) per query BEFORE the global rank, so the
+    // query-keyed window sees ≤ partitions × k × rerank rows per query
+    // instead of the whole corpus funneling through one task
+    val take = k * rerank
     val shortlist = pqEncode(c, model)
       .as[(Long, Array[Int])]
       .mapPartitions { it =>
-        it.flatMap { case (id, code) =>
-          bTables.value.iterator.collect {
-            case (qid, t) if qid != id =>
+        val heaps = collection.mutable.Map
+          .empty[Long, collection.mutable.PriorityQueue[(Double, Long)]]
+        // min-heap by (adc, -id): evict the weakest candidate
+        val ord = Ordering.by[(Double, Long), (Double, Long)] {
+          case (s, id) => (-s, id)
+        }
+        it.foreach { case (id, code) =>
+          bTables.value.foreach { case (qid, t) =>
+            if (qid != id) {
               var s = 0.0; var j = 0
               while (j < code.length) { s += t(j)(code(j)); j += 1 }
-              (qid, id, s)
+              val heap = heaps.getOrElseUpdate(qid,
+                collection.mutable.PriorityQueue.empty(ord))
+              heap.enqueue((s, id))
+              if (heap.size > take) heap.dequeue()
+            }
           }
+        }
+        heaps.iterator.flatMap { case (qid, heap) =>
+          heap.iterator.map { case (s, id) => (qid, id, s) }
         }
       }
       .toDF("query_id", "id", "adc")
@@ -441,7 +446,7 @@ object Ann {
       .orderBy(col("adc").desc, col("id"))
     val candidates = shortlist
       .withColumn("r", row_number().over(wAdc))
-      .where(col("r") <= k * rerank)
+      .where(col("r") <= take)
       .select("query_id", "id")
     val scored = candidates.join(c, "id").join(broadcast(q), "query_id")
       .withColumn("sim",

@@ -34,26 +34,22 @@ object Contamination {
       val g = evalSet
         .select(explode(TextAnalysis.shingles(evalTextCol, n)).as("__g"))
         .distinct()
+        .withColumn("__hit", lit(1L))
       if (broadcastEval) broadcast(g) else g
     }
-    val docGrams = corpus
+    // ONE corpus scan: shingle, explode, left-join the hit marker, and
+    // aggregate per doc (every kept doc has >= 1 gram row, and eval
+    // grams are distinct, so the join never duplicates rows)
+    corpus
       .select(idCol.as("doc_id"),
         TextAnalysis.shingles(textCol, n).as("__sh"))
       .where(size(col("__sh")) > 0)
-      .select(col("doc_id"), size(col("__sh")).cast("long").as("n_shingles"),
+      .select(col("doc_id"), size(col("__sh")).cast("long").as("__n"),
         explode(col("__sh")).as("__g"))
-    val hits = docGrams
-      .join(evalGrams, Seq("__g"), "leftsemi")
+      .join(evalGrams, Seq("__g"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("overlap_ngrams"))
-    corpus
-      .select(idCol.as("doc_id"),
-        size(TextAnalysis.shingles(textCol, n)).cast("long")
-          .as("n_shingles"))
-      .where(col("n_shingles") > 0)
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("overlap_ngrams"), lit(0L)).as("overlap_ngrams"))
+      .agg(max(col("__n")).as("n_shingles"),
+        coalesce(sum(col("__hit")), lit(0L)).as("overlap_ngrams"))
       .withColumn("contamination",
         round(col("overlap_ngrams").cast("double") /
           col("n_shingles").cast("double"), 6))
@@ -64,8 +60,9 @@ object Contamination {
     * pushed filter. */
   def contaminated(corpus: DataFrame, idCol: Column, textCol: Column,
       evalSet: DataFrame, evalTextCol: Column, threshold: Double,
-      n: Int = 3): DataFrame =
-    overlapTable(corpus, idCol, textCol, evalSet, evalTextCol, n)
+      n: Int = 3, broadcastEval: Boolean = true): DataFrame =
+    overlapTable(corpus, idCol, textCol, evalSet, evalTextCol, n,
+      broadcastEval)
       .where(col("contamination") >= threshold)
 
   /** Bloom filter over the eval set's distinct n-grams — the STATELESS

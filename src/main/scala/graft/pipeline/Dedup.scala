@@ -266,7 +266,7 @@ object Dedup {
     * pre-filter (e.g. only docs that shared a fingerprint band) to bound
     * it; the aggregation itself has no hot key worse than the most
     * duplicated span. */
-  def duplicatedSpans(df: DataFrame, idCol: Column, textCol: Column,
+  def duplicatedSpans(df: DataFrame, textCol: Column,
       windowTokens: Int, minDocs: Long = 2L): DataFrame =
     df.select(explode(
         TextAnalysis.shingles(textCol, windowTokens)).as("__span"))
@@ -285,7 +285,7 @@ object Dedup {
         TextAnalysis.shingles(textCol, windowTokens)).as("__span"))
       .select(col("id"), md5(col("__span")).as("span_hash"))
     spans.join(
-      duplicatedSpans(df, idCol, textCol, windowTokens, minDocs)
+      duplicatedSpans(df, textCol, windowTokens, minDocs)
         .select("span_hash"),
       Seq("span_hash"), "leftsemi")
   }

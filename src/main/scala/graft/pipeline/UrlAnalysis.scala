@@ -54,7 +54,9 @@ object UrlAnalysis {
   def dropBlockedDomains(df: DataFrame, textCol: Column,
       blocked: Seq[String]): DataFrame = {
     val blockedLower = blocked.map(_.toLowerCase)
-    df.where(!exists(urls(textCol),
-      u => domain(u).isInCollection(blockedLower)))
+    // null text mentions nothing — keep it (a null predicate would
+    // silently drop the row)
+    df.where(coalesce(!exists(urls(textCol),
+      u => domain(u).isInCollection(blockedLower)), lit(true)))
   }
 }

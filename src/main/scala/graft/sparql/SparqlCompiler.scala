@@ -657,7 +657,8 @@ object SparqlCompiler {
     case ECall("CEIL", Seq(a))    => ceil(numC(a)).cast("double")
     case ECall("FLOOR", Seq(a))   => floor(numC(a)).cast("double")
     case c @ ECall("CONTAINS" | "STRSTARTS" | "STRENDS" | "REGEX" |
-        "ISIRI" | "ISURI" | "ISLITERAL" | "ISNUMERIC" | "ISBLANK", _) =>
+        "ISIRI" | "ISURI" | "ISLITERAL" | "ISNUMERIC" | "ISBLANK" |
+        "LANGMATCHES", _) =>
       when(boolC(c), 1.0).otherwise(0.0) // EBV numeric projection
     case c @ ECall("CONCAT" | "UCASE" | "LCASE" | "SUBSTR" | "STRBEFORE" |
         "STRAFTER" | "REPLACE" | "MD5" | "SHA1" | "SHA256" | "DATATYPE" |

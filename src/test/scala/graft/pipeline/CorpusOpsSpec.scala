@@ -147,7 +147,7 @@ class CorpusOpsSpec extends AnyFunSuite {
       (1L, s"second one opens differently $boiler before its own ending"),
       (2L, "entirely original prose with no shared passage at all okay"))
       .toDF("id", "text")
-    val spans = Dedup.duplicatedSpans(docs, col("id"), col("text"),
+    val spans = Dedup.duplicatedSpans(docs, col("text"),
       windowTokens = 8).collect()
     assert(spans.nonEmpty)
     assert(spans.forall(_.getAs[Long]("n_docs") === 2L))
@@ -167,7 +167,7 @@ class CorpusOpsSpec extends AnyFunSuite {
       (0L, "x y z x y z x y z x y z"), // internal repeats only
       (1L, "totally different words in this second document here"))
       .toDF("id", "text")
-    assert(Dedup.duplicatedSpans(docs, col("id"), col("text"),
+    assert(Dedup.duplicatedSpans(docs, col("text"),
       windowTokens = 3).count() === 0)
   }
 
@@ -207,6 +207,16 @@ class CorpusOpsSpec extends AnyFunSuite {
     val kept = UrlAnalysis.dropBlockedDomains(df, col("text"),
       Seq("spam.example")).select("id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(0L, 2L))
+    // null text mentions no domain — it must survive the filter
+    val withNull = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(9L, null: String)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    assert(UrlAnalysis.dropBlockedDomains(withNull, col("text"),
+      Seq("spam.example")).count() === 1)
   }
 
   // ---- deterministic global shuffle ------------------------------------

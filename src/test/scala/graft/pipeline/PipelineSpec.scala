@@ -256,6 +256,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall $recall (exact=$exact ivf=$ivf)")
   }
 
+  test("IVF/PQ training survives sparse ids (no stride-divisible id)") {
+    // all-odd ids with stride 2: the systematic seed sample matches
+    // nothing and must top up from the id-ordered head
+    val corpus = (0 until 16).map(i =>
+      (2L * i + 1, Array.tabulate(8)(j => (i + j).toFloat)))
+      .toDF("id", "vec")
+    val ivf = Ann.trainIvf(corpus, nCells = 8, iterations = 1)
+    assert(ivf.nCells === 8)
+    val pq = Ann.trainPq(corpus, m = 2, ksub = 8, iterations = 1)
+    assert(pq.m === 2 && pq.ksub === 8)
+    assert(Ann.pqEncode(corpus, pq).count() === 16)
+  }
+
   test("standing IVF index: ivfTopKIndexed over buildIvfIndex equals " +
       "the one-shot ivfTopK") {
     val rnd = new scala.util.Random(17)

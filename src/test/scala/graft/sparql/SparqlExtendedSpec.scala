@@ -736,6 +736,11 @@ class SparqlExtendedSpec extends AnyFunSuite {
         |WHERE { ?s ex:email ?o . }""".stripMargin).collect()(0)
     assert((probe.getDouble(1), probe.getDouble(2), probe.getDouble(3),
       probe.getDouble(4)) === ((1.0, 1.0, 0.0, 1.0)))
+    // projecting LANGMATCHES directly yields its EBV, not NULL
+    val proj = run(
+      """SELECT (LANGMATCHES("en-GB", "en") AS ?m) WHERE {
+        |  ?s ex:email ?o . }""".stripMargin).collect()(0)
+    assert(proj.getDouble(0) === 1.0)
   }
 
   test("IRI/URI construct from CONCAT; STRDT/STRLANG reduce to the " +
