@@ -382,14 +382,31 @@ object Ann {
       .toDF("id", "code")
   }
 
+  /** Standing PQ code table — [[pqEncode]] under the index-building
+    * name: persist it (parquet) and pass to [[pqTopKIndexed]] so
+    * repeated searches skip the encode scan; new batches append through
+    * the same stateless encode. */
+  def buildPqIndex(corpus: DataFrame, model: PqModel): DataFrame =
+    pqEncode(corpus, model)
+
   /** PQ top-k with exact re-rank: asymmetric-distance (ADC) scan over
     * the m-byte codes shortlists `k × rerank` candidates per query —
     * each query ships only its m×ksub inner-product lookup table, and
     * the scan never touches raw corpus vectors — then the shortlist
     * joins back to the full vectors for exact cosine ordering. The
     * output sims are exact; PQ error only affects WHICH candidates are
-    * shortlisted (recall), the classic IVF-PQ search contract. */
+    * shortlisted (recall), the classic IVF-PQ search contract.
+    * One-shot form of [[pqTopKIndexed]]. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, model: PqModel,
+      rerank: Int = 4): DataFrame =
+    pqTopKIndexed(pqEncode(corpus, model), corpus, queries, k, model,
+      rerank)
+
+  /** PQ top-k over a standing [[buildPqIndex]] code table (`codes` =
+    * `(id, code)`); `corpus` supplies the raw vectors for the exact
+    * re-rank join only — the ADC scan reads codes alone. */
+  def pqTopKIndexed(codes: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int, model: PqModel,
       rerank: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -416,7 +433,8 @@ object Ann {
     // query-keyed window sees ≤ partitions × k × rerank rows per query
     // instead of the whole corpus funneling through one task
     val take = k * rerank
-    val shortlist = pqEncode(c, model)
+    val shortlist = codes.toDF("id", "code")
+      .select(col("id").cast("long"), col("code"))
       .as[(Long, Array[Int])]
       .mapPartitions { it =>
         val heaps = collection.mutable.Map

@@ -320,6 +320,12 @@ class PipelineSpec extends AnyFunSuite {
     val recall = exact.intersect(got.map(_.getAs[Long]("id")).toSet)
       .size.toDouble / exact.size
     assert(recall >= 0.8, s"PQ recall $recall")
+    // standing code table gives identical results to the one-shot form
+    val viaIndex = Ann.pqTopKIndexed(Ann.buildPqIndex(corpus, model),
+      corpus, queries, 5, model, rerank = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(viaIndex.toSeq.sorted ===
+      got.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted)
   }
 
   test("token counts: whitespace and BPE-ish") {
