@@ -142,7 +142,6 @@ final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
   private val replayLock = new Object
   private var replayBus: Option[graft.storage.ReplayBus] = None
   private var replayRunning = false
-  private var replayStartedAt = 0L
 
   private def routeReplay(ex: HttpExchange): Unit = {
     val parts = ex.getRequestURI.getPath.stripSuffix("/")
@@ -198,7 +197,6 @@ final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
       val bus = factory(request)
       replayBus = Some(bus)
       replayRunning = true
-      replayStartedAt = System.currentTimeMillis()
       val t = new Thread(() => {
         try bus.run()
         finally replayLock.synchronized { replayRunning = false }
@@ -229,10 +227,10 @@ final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
     val published = m.map(_.published).getOrElse(0L)
     val stored = m.map(_.stored).getOrElse(0L)
     val errors = m.map(_.errors).getOrElse(0L)
+    // one clock: the bus's own elapsedMs (zero when idle, matching the
+    // reference's idle-rates contract) — not a second HTTP-side timer
     val elapsedSec =
-      if (replayRunning)
-        (System.currentTimeMillis() - replayStartedAt) / 1000.0
-      else 0.0
+      if (replayRunning) m.map(_.elapsedMs).getOrElse(0L) / 1000.0 else 0.0
     val eps = if (elapsedSec > 0.0) read / elapsedSec else 0.0
     s"""{"is_running":$replayRunning,"events_read":$read,""" +
       s""""events_published":$published,"events_stored":$stored,""" +
@@ -250,7 +248,7 @@ final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
           case Some("aggregate") | None => BaselineMode.Aggregate
           case Some(other) =>
             respond(ex, 400,
-              s"""{"error":"unsupported baseline_mode ${other}"}""")
+              s"""{"error":${jstr(s"unsupported baseline_mode $other")}}""")
             return
         }
         try {
@@ -300,7 +298,13 @@ final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
                 buffer.synchronized {
                   buffer.addLast(json)
                   if (buffer.size > ReplayCapacity) buffer.removeFirst()
-                  queues.asScala.foreach(_.offer(json))
+                  // bounded fan-out: a stalled subscriber loses its
+                  // OLDEST results instead of growing the heap without
+                  // limit (the reference's broadcast-channel lag-drop,
+                  // `server.rs:34`)
+                  queues.asScala.foreach { q =>
+                    while (!q.offer(json)) q.poll()
+                  }
                 }
               case None => ()
             }
@@ -321,6 +325,12 @@ final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
       api.stopQuery(id)
       handles.remove(id)
       Option(forwarders.remove(id)).foreach(_.interrupt())
+      // drop the fan-out state: subscribe() must return None for a
+      // stopped query (its documented contract), stale results must not
+      // replay into late subscribers, and entries must not accumulate
+      // across start/stop cycles
+      subscribers.remove(id)
+      replayBuffers.remove(id)
       respond(ex, 200, s"""{"query_id":${jstr(id)},"stopped":true}""")
     } catch {
       case e: JanusApi.ApiException =>
@@ -343,7 +353,7 @@ final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
       : Option[(LinkedBlockingQueue[String], () => Unit)] = {
     val queues = subscribers.get(id)
     if (queues == null) return None
-    val q = new LinkedBlockingQueue[String]()
+    val q = new LinkedBlockingQueue[String](ReplayCapacity)
     // subscribe + replay under the fan-out lock: results already
     // produced land in the queue exactly once, new ones via fan-out
     Option(replayBuffers.get(id)) match {
@@ -441,11 +451,31 @@ object HttpApiServer {
       .compile("\"" + java.util.regex.Pattern.quote(name) +
         "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"", java.util.regex.Pattern.DOTALL)
       .matcher(json)
-    if (m.find())
-      Some(m.group(1)
-        .replace("\\n", "\n").replace("\\t", "\t").replace("\\r", "\r")
-        .replace("\\\"", "\"").replace("\\\\", "\\"))
-    else None
+    if (m.find()) Some(unescapeJson(m.group(1))) else None
+  }
+
+  /** Single-pass JSON string unescape — sequential `.replace` chains
+    * mis-decode an escaped backslash followed by n/t/r/quote (e.g.
+    * `C:\\node` must decode to `C:\node`, not `C:<newline>ode`). */
+  private def unescapeJson(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n'  => b.append('\n'); i += 2
+          case 't'  => b.append('\t'); i += 2
+          case 'r'  => b.append('\r'); i += 2
+          case 'u' if i + 5 < s.length =>
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16)
+              .toChar)
+            i += 6
+          case esc  => b.append(esc); i += 2 // \" \\ \/ and friends
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
   }
 
   /** Numeric field extractor (flat JSON, no nesting). */

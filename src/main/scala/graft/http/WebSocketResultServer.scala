@@ -59,7 +59,9 @@ final class WebSocketResultServer(api: HttpApiServer, port: Int = 0,
 
   private def handle(sock: Socket): Unit = {
     try {
-      sock.setSoTimeout(250)
+      // generous handshake timeout (slow links / proxies flushing the
+      // request in pieces); the pump drops to a short poll afterwards
+      sock.setSoTimeout(5000)
       val in = new BufferedInputStream(sock.getInputStream)
       val out = new BufferedOutputStream(sock.getOutputStream)
       val (requestLine, headers) = readRequest(in)
@@ -73,7 +75,10 @@ final class WebSocketResultServer(api: HttpApiServer, port: Int = 0,
         httpError(out, 404, "not found")
         return
       }
-      val queryId = java.net.URLDecoder.decode(m.group(1), "UTF-8")
+      // percent-decode ONLY: URLDecoder's form decoding would turn a
+      // literal '+' into a space, diverging from the REST route
+      val queryId = java.net.URLDecoder.decode(
+        m.group(1).replace("+", "%2B"), "UTF-8")
       val key = headers.get("sec-websocket-key")
       val isUpgrade = headers.get("upgrade").exists(
         _.equalsIgnoreCase("websocket"))
@@ -97,7 +102,8 @@ final class WebSocketResultServer(api: HttpApiServer, port: Int = 0,
                 s"Sec-WebSocket-Accept: $accept\r\n\r\n")
               .getBytes(StandardCharsets.US_ASCII))
             out.flush()
-            pump(in, out, queue)
+            sock.setSoTimeout(250)
+            pump(sock, in, out, queue)
           } finally unsubscribe()
       }
     } catch {
@@ -109,16 +115,20 @@ final class WebSocketResultServer(api: HttpApiServer, port: Int = 0,
 
   /** Push results as text frames until close/idle/disconnect,
     * answering PING and echoing CLOSE per RFC 6455 §5.5. */
-  private def pump(in: InputStream, out: OutputStream,
+  private def pump(sock: Socket, in: InputStream, out: OutputStream,
       queue: java.util.concurrent.LinkedBlockingQueue[String]): Unit = {
     val idleDeadline = () => System.currentTimeMillis() + idleTimeoutMs
     var deadline = idleDeadline()
     var open = true
     while (open) {
-      // client control frames: only read when bytes are already
-      // buffered, so a socket timeout can never split a frame
+      // client control frames: start a read only when bytes are already
+      // buffered; once a frame is STARTED it must be read to completion
+      // (a longer mid-frame timeout covers fragmented TCP delivery) or
+      // the connection closed — abandoning it halfway would desync the
+      // stream and parse payload bytes as frame headers
       if (in.available() > 0) {
         try {
+          sock.setSoTimeout(5000)
           readFrame(in) match {
             case Some((0x8, payload)) => // CLOSE: echo and finish
               writeFrame(out, 0x8, payload)
@@ -129,8 +139,9 @@ final class WebSocketResultServer(api: HttpApiServer, port: Int = 0,
             case None => open = false // EOF
           }
         } catch {
-          case _: SocketTimeoutException => () // truncated frame — skip
-        }
+          case _: SocketTimeoutException =>
+            open = false // frame never completed — drop the connection
+        } finally sock.setSoTimeout(250)
       }
       if (open) {
         val msg = queue.poll(50, TimeUnit.MILLISECONDS)

@@ -22,11 +22,17 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(idCol).as("keep_id"))
       .where(col("n") > 1)
 
+  /** The engine's ONE content-normalization rule for exact dedup:
+    * lowercase, trim, collapse whitespace runs. Batch and streaming
+    * dedup share this definition so they can never disagree on what
+    * counts as a duplicate. */
+  def normalizedText(textCol: Column): Column =
+    regexp_replace(lower(trim(textCol)), "\\s+", " ")
+
   /** Exact duplicates after whitespace/case normalization. */
   def normalizedDuplicates(df: DataFrame, idCol: Column, textCol: Column)
       : DataFrame =
-    exactDuplicates(df, idCol,
-      regexp_replace(lower(trim(textCol)), "\\s+", " "))
+    exactDuplicates(df, idCol, normalizedText(textCol))
 
   // ---- MinHash + LSH ---------------------------------------------------
 

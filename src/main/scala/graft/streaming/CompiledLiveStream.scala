@@ -34,11 +34,14 @@ import scala.collection.mutable
   *     aggregates, baseline joins — executes as one distributed job;
   *   - results go to `resultSink` as a DataFrame: the consumer decides
   *     whether to write, stream on, or collect. The engine never
-  *     materializes results on the driver;
+  *     materializes results on the driver. A lazy sink must evaluate
+  *     before the NEXT micro-batch arrives — see the pruning note;
   *   - buckets no future fire can reach are PRUNED from the log
   *     (`EventLog.pruneBefore`) — storage stays bounded by
   *     `max(RANGE) + slide`, the distributed analogue of
-  *     [[LiveStreamProcessing]]'s buffer eviction.
+  *     [[LiveStreamProcessing]]'s buffer eviction. Pruning is deferred
+  *     one advance cycle so the files behind a just-fired snapshot
+  *     outlive the fire that produced it.
   *
   * Failure note: `foreachBatch` is at-least-once on restart — a
   * replayed batch re-appends its quads. The reference's in-process bus
@@ -116,9 +119,18 @@ final class CompiledLiveStream(
       .trigger(Trigger.ProcessingTime(0))
       .start()
 
+  /** Prune cutoff computed at the previous advance, applied at the
+    * next: the snapshot DataFrames handed to `resultSink` stay backed
+    * by their parquet files until the NEXT micro-batch — pruning
+    * immediately after a fire would delete files under a sink that
+    * evaluates lazily (async write, downstream stream). */
+  private var pendingPruneCutoff: Option[Long] = None
+
   /** Fire every due window in close-time order (same loop as
-    * [[LiveStreamProcessing]]), then prune the log. */
+    * [[LiveStreamProcessing]]), then schedule the log prune. */
   private def advance(): Unit = {
+    pendingPruneCutoff.foreach(log.pruneBefore)
+    pendingPruneCutoff = None
     var fired = true
     while (fired) {
       fired = false
@@ -133,9 +145,10 @@ final class CompiledLiveStream(
       }
     }
     // nothing below (earliest pending close - max range) can enter any
-    // future snapshot — drop those buckets from the distributed log
+    // future snapshot — those buckets are dropped at the NEXT advance
+    // (deferred one cycle so just-fired lazy snapshots stay readable)
     if (nextClose.nonEmpty)
-      log.pruneBefore(nextClose.values.min - maxRange)
+      pendingPruneCutoff = Some(nextClose.values.min - maxRange)
   }
 
   /** One distributed evaluation at close `c`: window graphs from the

@@ -77,7 +77,7 @@ object StructuredStreams {
     docs
       .withColumn("__event_time", timestamp_millis(col(tsCol)))
       .withColumn("__content_hash",
-        md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")))
+        md5(graft.pipeline.Dedup.normalizedText(col(textCol))))
       .withWatermark("__event_time", s"$watermarkDelayMs milliseconds")
       .dropDuplicatesWithinWatermark("__content_hash")
       .drop("__event_time", "__content_hash")

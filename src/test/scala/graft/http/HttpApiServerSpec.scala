@@ -85,9 +85,27 @@ class HttpApiServerSpec extends AnyFunSuite {
       assert(delete(c, s"$base/api/queries/q1").statusCode() === 409)
       // stop, then delete
       assert(post(c, s"$base/api/queries/q1/stop").statusCode() === 200)
+      // a stopped query is no longer subscribable: 404, not a replay of
+      // stale pre-stop results
+      assert(get(c, s"$base/api/queries/q1/results").statusCode() === 404)
       assert(delete(c, s"$base/api/queries/q1").statusCode() === 200)
       assert(get(c, s"$base/api/queries/q1").statusCode() === 404)
     }
+  }
+
+  test("JSON unescape handles escaped backslashes before letter escapes") {
+    // C:\node must survive; the naive replace-chain turned it into
+    // C:<newline>ode
+    assert(HttpApiServer.jfield("""{"x":"C:\\node"}""", "x")
+      === Some("C:\\node"))
+    assert(HttpApiServer.jfield("""{"x":"a\\\\nb"}""", "x")
+      === Some("a\\\\nb"))
+    assert(HttpApiServer.jfield("""{"x":"line\nnext"}""", "x")
+      === Some("line\nnext"))
+    assert(HttpApiServer.jfield("""{"x":"q\"end"}""", "x")
+      === Some("q\"end"))
+    assert(HttpApiServer.jfield("{\"x\":\"u\\" + "u0041b\"}", "x")
+      === Some("uAb"))
   }
 
   test("error paths: malformed register, unknown id, bad baseline mode") {
