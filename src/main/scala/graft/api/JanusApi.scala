@@ -149,6 +149,35 @@ final class JanusApi(
   }
 
   private val running = new ConcurrentHashMap[String, QueryHandle]()
+  /** Final status of queries that have been stopped — `status()` keeps
+    * reporting Stopped after the handle leaves `running` (the
+    * reference's status machine does not forget a stop). */
+  private val lastStatus =
+    new ConcurrentHashMap[String, ExecutionStatus]()
+  private val startLock = new Object
+
+  /** Unified-queue capacity; producers drop the OLDEST result when a
+    * consumer stalls (the bounded-buffer discipline the live path's
+    * drop-oldest buffer establishes — an unbounded queue here would
+    * defeat it and grow the driver without limit). */
+  private val QueueCapacity = 65536
+
+  private def enqueue(queue: LinkedBlockingQueue[QueryResult],
+      r: QueryResult): Unit =
+    while (!queue.offer(r)) queue.poll()
+
+  /** Record a failure unless the query was deliberately stopped — a
+    * worker interrupted by shutdown must not overwrite Stopped with
+    * Failed. */
+  private def failUnlessStopped(
+      statusRef: java.util.concurrent.atomic.AtomicReference[ExecutionStatus],
+      msg: String): Unit = {
+    statusRef.getAndUpdate {
+      case ExecutionStatus.Stopped => ExecutionStatus.Stopped
+      case _ => ExecutionStatus.Failed(msg)
+    }
+    ()
+  }
 
   def registerQuery(queryId: String, janusql: String,
       baselineMode: BaselineMode = BaselineMode.Aggregate): QueryMetadata = {
@@ -163,18 +192,22 @@ final class JanusApi(
 
   def status(queryId: String): Option[ExecutionStatus] =
     Option(running.get(queryId)).map(_.status)
+      .orElse(Option(lastStatus.get(queryId)))
       .orElse(registry.get(queryId).map(_ => ExecutionStatus.Registered))
 
   /** O2: start — historical workers, live processor, baseline warm-up,
-    * one unified result queue (`janus_api.rs:197-515`). */
-  def startQuery(queryId: String): QueryHandle = {
+    * one unified result queue (`janus_api.rs:197-515`). Serialized under
+    * a lock: a naked check-then-put would let two concurrent starts of
+    * the same id both succeed, leaking the first handle's threads. */
+  def startQuery(queryId: String): QueryHandle = startLock.synchronized {
     val meta = registry.get(queryId).getOrElse(
       throw ApiException(s"Query '$queryId' not found in registry"))
     if (running.containsKey(queryId))
       throw ApiException(s"Query '$queryId' is already running")
+    lastStatus.remove(queryId)
 
     val parsed = meta.parsed
-    val queue = new LinkedBlockingQueue[QueryResult]()
+    val queue = new LinkedBlockingQueue[QueryResult](QueueCapacity)
     val isHybrid =
       parsed.liveWindows.nonEmpty && parsed.historicalWindows.nonEmpty
     val statusRef = new java.util.concurrent.atomic.AtomicReference[ExecutionStatus](
@@ -189,7 +222,7 @@ final class JanusApi(
         val sink: (DataFrame, Long, Long) => Unit = (df, _, to) =>
           collectBindings(df, Seq.empty).foreach { b =>
             registry.incrementExecutions(queryId)
-            queue.put(QueryResult(queryId, to, ResultSource.Live, Seq(b)))
+            enqueue(queue, QueryResult(queryId, to, ResultSource.Live, Seq(b)))
           }
         Some(new graft.streaming.CompiledLiveStream(spark, meta.queryText,
           log, sink))
@@ -212,7 +245,7 @@ final class JanusApi(
             p.tryReceiveResult() match {
               case Some(r) =>
                 registry.incrementExecutions(queryId)
-                queue.put(QueryResult(queryId, r.timestampTo,
+                enqueue(queue, QueryResult(queryId, r.timestampTo,
                   ResultSource.Live, Seq(r.bindings)))
               case None => Thread.sleep(10)
             }
@@ -238,7 +271,7 @@ final class JanusApi(
                 val bindings = collectBindings(out,
                   Seq("timestamp_from", "timestamp_to"))
                 registry.incrementExecutions(queryId)
-                queue.put(QueryResult(queryId, window.end.get,
+                enqueue(queue, QueryResult(queryId, window.end.get,
                   ResultSource.Historical, bindings))
               case WindowType.HistoricalSliding =>
                 val spec = HistoricalExecutor.SlidingSpec(
@@ -250,14 +283,15 @@ final class JanusApi(
                 // batch per window, janus_api.rs:276-298)
                 slidingBatches(out, spec).foreach { bindings =>
                   registry.incrementExecutions(queryId)
-                  queue.put(QueryResult(queryId, now,
+                  enqueue(queue, QueryResult(queryId, now,
                     ResultSource.Historical, bindings))
                 }
               case WindowType.Live => ()
             }
           } catch {
+            case _: InterruptedException => () // shutdown interrupt
             case e: Exception =>
-              statusRef.set(ExecutionStatus.Failed(e.getMessage))
+              failUnlessStopped(statusRef, e.getMessage)
           }
         }, s"graft-hist-$queryId-${window.windowName}")
         t.setDaemon(true)
@@ -281,8 +315,9 @@ final class JanusApi(
           if (statusRef.compareAndSet(ExecutionStatus.WarmingBaseline,
             ExecutionStatus.Running)) ()
         } catch {
+          case _: InterruptedException => () // shutdown interrupt
           case e: Exception =>
-            statusRef.set(ExecutionStatus.Failed(e.getMessage))
+            failUnlessStopped(statusRef, e.getMessage)
         } finally warmupDone.countDown()
       }, s"graft-baseline-$queryId")
       t.setDaemon(true)
@@ -314,6 +349,7 @@ final class JanusApi(
     val handle = Option(running.remove(queryId)).getOrElse(
       throw ApiException(s"Query '$queryId' is not running"))
     handle.shutdown()
+    lastStatus.put(queryId, handle.status)
   }
 
   /** All sliding-window batches in window order — one Seq per window id

@@ -45,7 +45,14 @@ final class EventLog(
 
   private def table: DataFrame = synchronized {
     cachedTable.getOrElse {
-      val df = spark.read.schema(LogSchema).parquet(path)
+      // a log that has never been appended to reads as EMPTY (the
+      // reference's fresh storage dir), not as a PATH_NOT_FOUND error;
+      // the cache is invalidated on append, so the first write upgrades
+      // the reader to the real directory
+      val df =
+        if (exists) spark.read.schema(LogSchema).parquet(path)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], LogSchema)
       cachedTable = Some(df)
       df
     }
@@ -65,9 +72,16 @@ final class EventLog(
     * opens few files. For backfills spanning many buckets use
     * [[appendBulk]].
     */
+  /** Floor-division bucket id as a SQL expression. SQL `div` truncates
+    * toward zero, which would disagree with `query()`'s
+    * `math.floorDiv` range arithmetic on NEGATIVE timestamps
+    * (pre-1970 data would land in a bucket the query prunes away). */
+  private def bucketExpr =
+    expr(s"(timestamp - pmod(timestamp, ${bucketMs}L)) div ${bucketMs}L")
+
   def append(quads: DataFrame): Unit = {
     quads
-      .withColumn(BucketCol, expr(s"timestamp div ${bucketMs}L"))
+      .withColumn(BucketCol, bucketExpr)
       // sort by (bucket, ts): satisfies the file writer's required
       // partition-column ordering (so it adds no extra sort of its own)
       // while keeping segments ts-ordered like the reference (:222)
@@ -92,8 +106,7 @@ final class EventLog(
     * when single buckets are skew-heavy. */
   def appendBulk(quads: DataFrame, parallelism: Int,
       splitsPerBucket: Int = 1): Unit = {
-    val withBucket =
-      quads.withColumn(BucketCol, expr(s"timestamp div ${bucketMs}L"))
+    val withBucket = quads.withColumn(BucketCol, bucketExpr)
     val keyed =
       if (splitsPerBucket <= 1)
         withBucket.repartition(parallelism, col(BucketCol))
@@ -153,7 +166,10 @@ final class EventLog(
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return Vector.empty
-    val rootPath = root.toUri.getPath
+    // qualified root: listed file paths are absolute, so a RELATIVE log
+    // path would make stripPrefix a no-op and ancestor segments (e.g. a
+    // "_work" directory) would mark every file invisible
+    val rootPath = fs.makeQualified(root).toUri.getPath
     // hidden ('.'/'_'-prefixed) path segments are invisible to the Spark
     // read path (temp/staging dirs, _SUCCESS markers, interrupted
     // compaction leftovers) — the index must skip them too or
@@ -257,7 +273,12 @@ final class EventLog(
     val out = scala.collection.mutable.ArrayBuffer.empty[graft.core.RdfEvent]
     val files = fileIndex.iterator
       .filter(f => f.minTs <= end && f.maxTs >= start)
-    while (files.hasNext && out.size < limit) {
+    // gather matches from EVERY overlapping file before sorting —
+    // micro-batch files within a bucket can overlap in ts, so a
+    // per-file early exit would truncate with first-file bias and the
+    // result would not be globally ts-ordered (the reference's segment
+    // scan merges ts-sorted; `segmented_storage.rs:308-463`)
+    while (files.hasNext) {
       val arr = decodedFile(files.next().path)
       // lower bound: first index with ts >= start
       var lo = 0
@@ -266,13 +287,13 @@ final class EventLog(
         val mid = (lo + hi) >>> 1
         if (arr(mid).timestamp < start) lo = mid + 1 else hi = mid
       }
-      while (lo < arr.length && arr(lo).timestamp <= end &&
-          out.size < limit) {
+      while (lo < arr.length && arr(lo).timestamp <= end) {
         out += arr(lo)
         lo += 1
       }
     }
-    out.toSeq
+    val sorted = out.sortInPlaceBy(_.timestamp)
+    if (limit < sorted.length) sorted.take(limit).toSeq else sorted.toSeq
   }
 
   /** Hadoop-FS existence check (works for HDFS/S3 paths, not just
@@ -303,11 +324,20 @@ final class EventLog(
     if (!fs.exists(root)) return 0
     val prefix = s"$BucketCol="
     var compacted = 0
-    // clean leftovers of interrupted compactions (hidden dirs are
-    // invisible to readers, but they hold disk until removed)
+    // recover from interrupted compactions BEFORE cleaning: a crash
+    // between the two rename steps leaves the bucket's only surviving
+    // copy in `.compact-old-<bucket>` — restore it; only leftovers
+    // whose bucket directory still exists are safe to delete
     fs.listStatus(root).foreach { st =>
-      if (st.getPath.getName.startsWith(".compact-"))
+      val name = st.getPath.getName
+      if (name.startsWith(".compact-old-")) {
+        val bucketDir = new org.apache.hadoop.fs.Path(
+          root, name.stripPrefix(".compact-old-"))
+        if (!fs.exists(bucketDir)) fs.rename(st.getPath, bucketDir)
+        else fs.delete(st.getPath, true)
+      } else if (name.startsWith(".compact-tmp-")) {
         fs.delete(st.getPath, true)
+      }
     }
     fs.listStatus(root).foreach { st =>
       if (st.isDirectory && st.getPath.getName.startsWith(prefix)) {

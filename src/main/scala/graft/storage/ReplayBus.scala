@@ -51,7 +51,8 @@ final class ReplayBus(
     * counters. */
   def run(): Metrics = {
     startedAt = System.currentTimeMillis()
-    val lines = scala.io.Source.fromFile(filePath).getLines().toVector
+    val src = scala.io.Source.fromFile(filePath)
+    val lines = try src.getLines().toVector finally src.close()
     val perEventDelayNanos =
       rateEventsPerSec.map(r => (1e9 / r).toLong).getOrElse(0L)
     var loop = 0

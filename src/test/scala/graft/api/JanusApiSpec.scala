@@ -85,8 +85,12 @@ class JanusApiSpec extends AnyFunSuite {
     val h = api.startQuery("q1")
     api.stopQuery("q1")
     assert(h.status === ExecutionStatus.Stopped)
+    // api.status remembers the stop even though the handle left the
+    // running map (the reference's status machine does not forget)
+    assert(api.status("q1") === Some(ExecutionStatus.Stopped))
     val h2 = api.startQuery("q1")
     assert(h2.receive(10000).isDefined)
+    assert(api.status("q1") !== Some(ExecutionStatus.Stopped))
     api.stopQuery("q1")
   }
 

@@ -115,6 +115,55 @@ class EventLogSpec extends AnyFunSuite {
     assert(files === 1)
   }
 
+  test("fresh log reads as empty, not as a missing-path error") {
+    val log = freshLog()
+    assert(log.read().count() === 0)
+    assert(log.query(0, 1000).count() === 0)
+    assert(log.pointQuery(0, 1000).isEmpty)
+  }
+
+  test("negative timestamps: write buckets agree with query pruning " +
+      "(floor division on both sides)") {
+    val log = freshLog(bucketMs = 1000L)
+    log.append(RdfEvent.toDF(spark,
+      Seq(ev(-5000L, 0), ev(-1L, 1), ev(500L, 2))))
+    assert(log.query(-6000, -1).count() === 2)
+    assert(log.query(-5000, -5000).count() === 1)
+    assert(log.query(-6000, 600).count() === 3)
+    assert(log.pointQuery(-6000, -1).map(_.timestamp).sorted ===
+      Seq(-5000L, -1L))
+  }
+
+  test("pointQuery is globally ts-ordered across overlapping files; " +
+      "limit takes the earliest") {
+    val log = freshLog(bucketMs = 1000000L) // one bucket, many files
+    log.append(RdfEvent.toDF(spark, Seq(ev(10, 0), ev(100, 1))))
+    log.append(RdfEvent.toDF(spark, Seq(ev(50, 2), ev(150, 3))))
+    val all = log.pointQuery(0, 200)
+    assert(all.map(_.timestamp) === Seq(10L, 50L, 100L, 150L))
+    assert(log.pointQuery(0, 200, limit = 2).map(_.timestamp) ===
+      Seq(10L, 50L))
+  }
+
+  test("compact recovery: a crash between the rename steps leaves only " +
+      ".compact-old — the next compact restores it, no data loss") {
+    val log = freshLog(bucketMs = 1000L)
+    log.append(RdfEvent.toDF(spark, (0 until 20).map(i => ev(i * 10L, i))))
+    val root = new org.apache.hadoop.fs.Path(
+      log.read().inputFiles.head).getParent.getParent
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the crash window: bucket dir moved aside, replacement
+    // never landed
+    val bucket = fs.listStatus(root)
+      .find(_.getPath.getName.startsWith("ts_bucket=")).get.getPath
+    val old = new org.apache.hadoop.fs.Path(root,
+      s".compact-old-${bucket.getName}")
+    assert(fs.rename(bucket, old))
+    val log2 = new EventLog(spark, root.toString, bucketMs = 1000L)
+    log2.compact() // must RESTORE, not delete, the orphaned copy
+    assert(log2.read().count() === 20)
+  }
+
   test("quads survive roundtrip with term values intact") {
     val log = freshLog()
     val in = Seq(RdfEvent(42L, "http://e.org/s", "http://e.org/p",
