@@ -47,17 +47,27 @@ object BaselineBootstrap {
     * row per (anchor, var)).
     */
   def statements(bindings: DataFrame, mode: Mode = Aggregate,
-      windowIdCol: Option[String] = None): DataFrame = {
+      windowIdCol: Option[String] = None,
+      lastWindowId: Option[Long] = None): DataFrame = {
     val vars = bindings.columns.filterNot(windowIdCol.contains).toSeq
     require(vars.nonEmpty, "bindings must have at least one variable column")
 
-    // LAST mode: the accumulator clears on every new window batch, so
-    // only the max-window-id batch survives (janus_api.rs:659-661)
+    // LAST mode: the accumulator clears on every new window batch —
+    // INCLUDING empty ones — so only the final window's batch survives
+    // (janus_api.rs:659-661). Pass `lastWindowId` (= windowCount - 1)
+    // when the caller knows the window schedule: an EMPTY newest window
+    // then correctly clears the baseline, and the extra max() job
+    // disappears. Without it the newest window is approximated as the
+    // max id PRESENT, which cannot represent the empty-newest case.
     val scoped = (mode, windowIdCol) match {
       case (Last, Some(w)) =>
-        val maxW = bindings.agg(max(col(w))).head()
-        if (maxW.isNullAt(0)) bindings
-        else bindings.where(col(w) === maxW.get(0))
+        lastWindowId match {
+          case Some(id) => bindings.where(col(w) === id)
+          case None =>
+            val maxW = bindings.agg(max(col(w))).head()
+            if (maxW.isNullAt(0)) bindings
+            else bindings.where(col(w) === maxW.get(0))
+        }
       case _ => bindings
     }
 

@@ -162,10 +162,17 @@ object JanusQLParser {
     val windowName = unwrapIri(h(3), prefixes)
     val sourceName = unwrapIri(h(6), prefixes)
 
-    def num(s: String, what: String): Long =
-      try s.toLong catch {
-        case _: NumberFormatException => fail(s"Invalid $what value: $s")
-      }
+    // the reference parses u64 (`janusql_parser.rs:382-413`): a negative
+    // OFFSET/RANGE/STEP/START/END is a parse ERROR, not a window that
+    // silently matches nothing
+    def num(s: String, what: String): Long = {
+      val v =
+        try s.toLong catch {
+          case _: NumberFormatException => fail(s"Invalid $what value: $s")
+        }
+      if (v < 0) fail(s"Invalid $what value: $s")
+      v
+    }
 
     val spec = specStr.split("\\s+").toSeq match {
       case Seq("RANGE", r, "STEP", s) =>
@@ -405,8 +412,14 @@ object JanusQLParser {
       if (input.charAt(i) == '?') {
         val start = i
         i += 1
-        while (i < input.length && (input.charAt(i).isLetterOrDigit ||
-            input.charAt(i) == '_')) i += 1
+        // ASCII alphanumerics + '_' only, mirroring the reference's
+        // is_ascii_alphanumeric scan (`janusql_parser.rs:800-823`) —
+        // Unicode isLetterOrDigit would extract different names for
+        // non-ASCII variables and desync the generated sub-queries
+        def ok(c: Char): Boolean =
+          (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+            (c >= '0' && c <= '9') || c == '_'
+        while (i < input.length && ok(input.charAt(i))) i += 1
         if (i > start + 1) out += input.substring(start, i)
       } else i += 1
     }

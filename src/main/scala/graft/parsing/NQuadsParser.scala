@@ -102,7 +102,12 @@ object NQuadsParser extends Serializable {
       if (afterCaret.startsWith("<"))
         // datatype stripped regardless of its IRI; lexical value kept
         parseUri(afterCaret, "datatype").map { case (_, rest) => (value, rest) }
-      else Left(s"Malformed datatype annotation after literal: $trimmed")
+      else
+        // malformed (non-bracketed) datatype: the reference keeps the
+        // lexical value and leaves the annotation as trailing content
+        // the graph fallback ignores (`rdf_parser.rs:148-154`) — the
+        // line still ingests
+        Right((value, after))
     } else if (trimmed.startsWith("@")) {
       val afterAt = trimmed.substring(1).dropWhile(_.isWhitespace)
       val langEnd = afterAt.indexWhere(c => c.isWhitespace || c == '.') match {

@@ -8,21 +8,22 @@ import java.net.Socket
 import java.nio.charset.StandardCharsets
 import java.util.concurrent.atomic.AtomicLong
 
-/** Minimal MQTT 3.1.1 transport (CONNECT/SUBSCRIBE/PUBLISH at QoS 0,
-  * PINGREQ keep-alive, DISCONNECT) on the JDK socket API — the concrete
-  * connector behind the [[StreamSource]] seam, completing S3
+/** Minimal MQTT 3.1.1 transport (CONNECT, SUBSCRIBE at QoS 1 with
+  * PUBACK receipts — the reference subscribes at QoS::AtLeastOnce,
+  * `mqtt_subscriber.rs:122` — PUBLISH at QoS 0, PINGREQ keep-alive,
+  * DISCONNECT) on the JDK socket API — the concrete connector behind
+  * the [[StreamSource]] seam, completing S3
   * (`/root/reference/src/stream/mqtt_subscriber.rs:100-191`, which
   * subscribes via rumqttc and feeds parsed events to the live engine).
   *
-  * Scope: QoS 0 only — exactly what the reference uses
-  * (`mqtt_subscriber.rs:128` subscribes at QoS::AtMostOnce) — with
-  * exact-match topic filters. No TLS, retained messages, wills, or
-  * session resumption: the reference exercises none of them.
+  * Scope: exact-match topic filters; no TLS, retained messages, wills,
+  * or session resumption: the reference exercises none of them.
   */
 object Mqtt {
 
   // packet types
-  val CONNECT = 1; val CONNACK = 2; val PUBLISH = 3; val SUBSCRIBE = 8
+  val CONNECT = 1; val CONNACK = 2; val PUBLISH = 3; val PUBACK = 4
+  val SUBSCRIBE = 8
   val SUBACK = 9; val PINGREQ = 12; val PINGRESP = 13; val DISCONNECT = 14
 
   final case class Packet(packetType: Int, flags: Int, body: Array[Byte])
@@ -85,7 +86,9 @@ object Mqtt {
 
   def subscribeBody(packetId: Int, topics: Seq[String]): Array[Byte] =
     Array[Byte]((packetId >> 8).toByte, (packetId & 0xFF).toByte) ++
-      topics.flatMap(t => utf8(t) ++ Array[Byte](0 /* QoS 0 */)).toArray
+      topics.flatMap(t => utf8(t) ++
+        Array[Byte](1 /* QoS 1 = AtLeastOnce, mqtt_subscriber.rs:122 */))
+        .toArray
 
   def publishBody(topic: String, payload: Array[Byte]): Array[Byte] =
     utf8(topic) ++ payload // QoS 0: no packet id
@@ -120,9 +123,16 @@ final class MqttConnection(host: String, port: Int, clientId: String,
       var running = true
       while (running && !closed) {
         readPacket(in) match {
-          case Some(Packet(PUBLISH, _, body)) =>
+          case Some(Packet(PUBLISH, flags, body)) =>
+            val qos = (flags >> 1) & 0x3
             val (topic, off) = readUtf8(body, 0)
-            onMessage(topic, body.drop(off)) // QoS 0: payload follows topic
+            // QoS > 0: a 2-byte packet id precedes the payload and the
+            // broker expects a PUBACK receipt (at-least-once delivery)
+            val payloadOff = if (qos > 0) off + 2 else off
+            if (qos > 0)
+              writePacket(out, PUBACK, 0,
+                Array[Byte](body(off), body(off + 1)))
+            onMessage(topic, body.drop(payloadOff))
           case Some(Packet(PINGRESP, _, _)) => ()
           case Some(Packet(SUBACK, _, _))   => ()
           case Some(_)                      => ()
@@ -181,6 +191,10 @@ final class MqttStreamSource(host: String, port: Int,
 
   override def subscribe(topics: Seq[String],
       callback: RdfEvent => Unit): Unit = {
+    // a re-subscribe replaces the connection — close the old one or its
+    // socket and reader thread leak and keep delivering to the new
+    // callback
+    conn.foreach(_.close())
     cb = callback
     val c = new MqttConnection(host, port, clientId,
       onMessage = (_, payload) =>

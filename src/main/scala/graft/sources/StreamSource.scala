@@ -58,9 +58,13 @@ object MqttAdapter {
     if (streamUri.startsWith("mqtt://") || streamUri.startsWith("mqtts://")) {
       val rest = streamUri.substring(streamUri.indexOf("://") + 3)
       val slash = rest.indexOf('/')
-      val (hostPort, topic) =
+      // no path (or an empty one) → topic "default", mirroring the
+      // reference (`janus_api.rs` parse_mqtt_uri); an empty MQTT topic
+      // filter is illegal and brokers reject the SUBSCRIBE
+      val (hostPort, rawTopic) =
         if (slash >= 0) (rest.substring(0, slash), rest.substring(slash + 1))
         else (rest, "")
+      val topic = if (rawTopic.isEmpty) "default" else rawTopic
       val colon = hostPort.lastIndexOf(':')
       if (colon >= 0)
         MqttEndpoint(hostPort.substring(0, colon),

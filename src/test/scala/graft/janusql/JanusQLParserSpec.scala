@@ -227,6 +227,24 @@ class JanusQLParserSpec extends AnyFunSuite {
     }
   }
 
+  test("negative window-spec numbers are parse errors (reference " +
+      "parses u64)") {
+    assertThrows[JanusQLParser.JanusParseException] {
+      JanusQLParser.parseAst(
+        """PREFIX ex: <http://example.org/>
+          |SELECT ?s
+          |FROM NAMED WINDOW ex:w ON LOG ex:store [OFFSET -100 RANGE 10 STEP 5]
+          |WHERE { WINDOW ex:w { ?s ex:v ?v } }""".stripMargin)
+    }
+    assertThrows[JanusQLParser.JanusParseException] {
+      JanusQLParser.parseAst(
+        """PREFIX ex: <http://example.org/>
+          |SELECT ?s
+          |FROM NAMED WINDOW ex:w ON STREAM ex:str [RANGE -10 STEP 5]
+          |WHERE { WINDOW ex:w { ?s ex:v ?v } }""".stripMargin)
+    }
+  }
+
   test("unknown baseline mode errors") {
     assertThrows[JanusQLParser.JanusParseException] {
       JanusQLParser.parseAst("USING BASELINE ex:h SOMETIMES")

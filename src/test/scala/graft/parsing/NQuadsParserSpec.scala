@@ -63,10 +63,14 @@ class NQuadsParserSpec extends AnyFunSuite {
     assert(e.objectValue === "say \\\"hi\\\"")
   }
 
-  test("^^ not followed by < is a deliberate parse error") {
+  test("^^ not followed by < keeps the lexical value (reference " +
+      "tolerates the malformed annotation, rdf_parser.rs:148-154)") {
     val r = NQuadsParser.parseLine(
-      """<http://e.org/s> <http://e.org/p> "v"^^garbage .""", () => 0L)
-    assert(r.isLeft)
+      """<http://e.org/s> <http://e.org/p> "23.5"^^xsd:decimal .""",
+      () => 0L)
+    assert(r.isRight)
+    assert(r.toOption.get.objectValue === "23.5")
+    assert(r.toOption.get.graph === "") // trailing annotation ignored
   }
 
   test("malformed line yields Left") {

@@ -86,6 +86,11 @@ class StorageCoverageSpec extends AnyFunSuite {
       === MqttAdapter.MqttEndpoint("secure.example", 1883, "topic"))
     assert(MqttAdapter.parseMqttUri("http://example.org/sensors")
       === MqttAdapter.MqttEndpoint("localhost", 1883, "sensors"))
+    // pathless URI → topic "default" (empty topic filters are illegal)
+    assert(MqttAdapter.parseMqttUri("mqtt://broker:1883")
+      === MqttAdapter.MqttEndpoint("broker", 1883, "default"))
+    assert(MqttAdapter.parseMqttUri("mqtt://broker/")
+      === MqttAdapter.MqttEndpoint("broker", 1883, "default"))
   }
 
   test("MQTT payload semantics: timestamp overwritten, graph cleared " +
