@@ -81,6 +81,11 @@ object SparqlCompiler {
             termCol(tp.s, grouped.vars).as("subject"),
             termCol(tp.p, grouped.vars).as("predicate"),
             termCol(tp.o, grouped.vars).as("object")): _*)
+          // §16.2: a template instantiation with any unbound component
+          // is omitted from the constructed graph, not emitted with
+          // NULL holes
+          .where(col("subject").isNotNull && col("predicate").isNotNull &&
+            col("object").isNotNull)
       }
       parts.reduceOption(_ unionAll _)
         .getOrElse(throw new CompileException("CONSTRUCT with empty template"))
@@ -390,7 +395,14 @@ object SparqlCompiler {
       val anyNullable = shared.exists(v =>
         nullable.contains(v) || optG.nullable.contains(v))
       acc =
-        if (shared.isEmpty) acc.join(optG.df, lit(true), "left_outer")
+        if (shared.isEmpty)
+          // no shared vars: every optional row extends every solution —
+          // but only within the same window/orchestration key, so the
+          // extraKeys still join (a bare cross join would mix windows
+          // and leave ambiguous key columns)
+          if (extraKeys.nonEmpty)
+            acc.join(optG.df, extraKeys, "left_outer")
+          else acc.join(optG.df, lit(true), "left_outer")
         else if (anyNullable)
           compatJoin(acc, optG.df, shared, extraKeys, "left_outer")
         else acc.join(optG.df, (shared ++ extraKeys).distinct, "left_outer")
@@ -407,8 +419,30 @@ object SparqlCompiler {
       val mG = compileGroup(quads, m, extraKeys)
       val sharedVars = mG.vars.intersect(accVars).toSeq
       if (sharedVars.nonEmpty) {
-        val shared = (sharedVars ++ extraKeys).distinct
-        acc = acc.join(mG.df.select(shared.map(col): _*), shared, "leftanti")
+        val anyNullable = sharedVars.exists(v =>
+          nullable.contains(v) || mG.nullable.contains(v))
+        if (!anyNullable) {
+          val shared = (sharedVars ++ extraKeys).distinct
+          acc = acc.join(mG.df.select(shared.map(col): _*), shared,
+            "leftanti")
+        } else {
+          // §8.3 Minus with possibly-unbound shared vars: remove when
+          // COMPATIBLE (equal wherever both bound) AND the domains
+          // overlap (at least one var bound on both sides — under
+          // compatibility that var is equal). A plain equi anti join
+          // would never match through a null key and keep rows SPARQL
+          // removes.
+          val keep = (sharedVars ++ extraKeys).distinct
+          val mdf = mG.df.select(keep.map(c => col(c).as(s"__m_$c")): _*)
+          val compat = sharedVars.map(v =>
+            col(v) === col(s"__m_$v") || col(v).isNull ||
+              col(s"__m_$v").isNull).reduce(_ && _)
+          val domOverlap = sharedVars.map(v =>
+            col(v) === col(s"__m_$v")).reduce(_ || _)
+          val cond = extraKeys.map(k => col(k) === col(s"__m_$k"))
+            .foldLeft(compat && domOverlap)(_ && _)
+          acc = acc.join(mdf, cond, "left_anti")
+        }
       }
     }
 
@@ -653,7 +687,10 @@ object SparqlCompiler {
     case ECall("ABS", Seq(a))     => abs(numC(a))
     case ECall("STR", Seq(a))     => strC(a).try_cast("double")
     case ECall("STRLEN", Seq(a))  => length(strC(a)).cast("double")
-    case ECall("ROUND", Seq(a))   => round(numC(a), 0)
+    // fn:round rounds a half toward POSITIVE infinity (round(-2.5) =
+    // -2); Spark's round() is HALF_UP (gives -3). floor(x + 0.5) is the
+    // exact fn:round definition.
+    case ECall("ROUND", Seq(a))   => floor(numC(a) + 0.5).cast("double")
     case ECall("CEIL", Seq(a))    => ceil(numC(a)).cast("double")
     case ECall("FLOOR", Seq(a))   => floor(numC(a)).cast("double")
     case c @ ECall("CONTAINS" | "STRSTARTS" | "STRENDS" | "REGEX" |
@@ -924,7 +961,12 @@ object SparqlCompiler {
 
     if (!hasAgg && q.groupBy.isEmpty && q.having.isEmpty) {
       val cols = extraKeys.map(col) ++ items.map {
-        case VarItem(n)      => col(n)
+        // a projected variable bound nowhere in WHERE is valid SPARQL —
+        // it projects as unbound (NULL), not as an unresolved-column
+        // crash
+        case VarItem(n) =>
+          if (grouped.vars.contains(n)) col(n)
+          else lit(null).cast("string").as(n)
         case ExprItem(e, as) => valueC(e).as(as)
         case AggItem(_, _)   => throw new CompileException("unreachable")
       }

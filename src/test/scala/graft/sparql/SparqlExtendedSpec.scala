@@ -678,6 +678,51 @@ class SparqlExtendedSpec extends AnyFunSuite {
     assert(TestSpark.rows(semi) === Set(Seq("http://ex.org/alice", "30")))
   }
 
+  test("MINUS with a nullable shared var removes compatible rows " +
+      "(unbound matches anything, domains must overlap)") {
+    // ?m is nullable (from OPTIONAL); MINUS shares {s, m}: alice's row
+    // {s=alice, m=alice@ex.org} is compatible with the minus row and
+    // must go; bob/charlie have m=null — domains overlap on s, so they
+    // are compatible with any minus row sharing their s (none) and stay
+    val df = run(
+      """SELECT ?s ?m WHERE {
+        |  ?s ex:age ?age .
+        |  OPTIONAL { ?s ex:email ?m }
+        |  MINUS { ?s ex:email ?m . FILTER(?s = "http://ex.org/alice") }
+        |}""".stripMargin)
+    assert(TestSpark.rows(df) === Set(
+      Seq("http://ex.org/bob", "null"),
+      Seq("http://ex.org/charlie", "null")))
+  }
+
+  test("CONSTRUCT omits template instantiations with unbound components") {
+    val df = run(
+      """CONSTRUCT { ?s ex:mail ?m } WHERE {
+        |  ?s ex:age ?age . OPTIONAL { ?s ex:email ?m }
+        |}""".stripMargin)
+    val rows = df.collect()
+    assert(rows.length === 1) // only alice has an email
+    assert(rows(0).getAs[String]("object") === "alice@ex.org")
+  }
+
+  test("projecting a variable bound nowhere yields unbound (null), " +
+      "not an analysis crash") {
+    val df = run(
+      """SELECT ?s ?never WHERE { ?s ex:age ?age . }""")
+    assert(df.count() === 3)
+    assert(df.collect().forall(_.isNullAt(1)))
+  }
+
+  test("ROUND rounds a half toward positive infinity (fn:round)") {
+    val r = run(
+      """SELECT (ROUND(-2.5) AS ?a) (ROUND(2.5) AS ?b)
+        |  (ROUND(-2.4) AS ?c) WHERE { ?s ex:email ?o . }""".stripMargin)
+      .collect()(0)
+    assert(r.getDouble(0) === -2.0)
+    assert(r.getDouble(1) === 3.0)
+    assert(r.getDouble(2) === -2.0)
+  }
+
   // ---- term introspection builtins -------------------------------------
 
   test("DATATYPE: decimal for numerics, string for plain literals, " +
