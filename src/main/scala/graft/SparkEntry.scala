@@ -398,6 +398,55 @@ object SparkEntry {
         |  FILTER(ISIRI(IRI(CONCAT("http://graft.dev/t/", ?t))))
         |}""".stripMargin)),
 
+    // R35: source-order group compilation (SPARQL §18.2.2.6) — a BIND
+    // declared BETWEEN two patterns is in scope for the second pattern
+    // run and for the OPTIONAL and MINUS that follow, each of which
+    // joins on the BIND-introduced ?et (the old segregated-kind compile
+    // either rebound-crashed or silently joined on ?u alone)
+    "r35_bind_order" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e ?u ?hv WHERE {
+        |  ?e v:type "click" .
+        |  BIND("error" AS ?et)
+        |  ?e v:user ?u .
+        |  OPTIONAL { ?e2 v:type ?et . ?e2 v:user ?u .
+        |             ?e2 v:value ?hv . FILTER(?hv > 450.0) }
+        |  MINUS { ?e3 v:type ?et . ?e3 v:user ?u .
+        |          ?e3 v:value ?lv . FILTER(?lv < 5.0) }
+        |}""".stripMargin)
+      .select(col("e"), col("u"), col("hv").try_cast("double").as("hv"))),
+
+    // R36: typed MIN/MAX — the aggregate returns the extreme TERM, so a
+    // string-valued variable yields its lexicographic min/max (DuckDB
+    // min(varchar)), not a NULL from a numeric-only view
+    "r36_minmax_string" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?u (MIN(?t) AS ?tmin) (MAX(?t) AS ?tmax)
+        |  (MIN(?val) AS ?vmin) WHERE {
+        |  ?e v:user ?u . ?e v:type ?t . ?e v:value ?val .
+        |} GROUP BY ?u""".stripMargin)
+      .select(col("u"), col("tmin"), col("tmax"),
+        col("vmin").try_cast("double").as("vmin"))),
+
+    // R37: EBV error semantics — FILTER(?t) over plain strings is true
+    // iff non-empty (first branch keeps every row), while EBV of an IRI
+    // is a type ERROR that `!` does NOT resurrect (second branch
+    // contributes nothing — the old coercion turned the error into
+    // false and !false kept all rows)
+    "r37_ebv_error" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e ?t WHERE {
+        |  { ?e v:type ?t . FILTER(?t) }
+        |  UNION
+        |  { ?e v:type ?t . FILTER(!(?e)) }
+        |}""".stripMargin)),
+
+    // R38: VALUES with UNDEF — an UNDEF cell is unbound and compatible
+    // with anything (§10.2): row 1 tags clicks with "c", row 2's UNDEF
+    // ?t matches every event with "z"
+    "r38_values_undef" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e ?t ?x WHERE {
+        |  ?e v:type ?t .
+        |  VALUES (?t ?x) { ("click" "c") (UNDEF "z") }
+        |}""".stripMargin)),
+
     // R31: GROUP BY expression key — desugars to a per-solution BIND
     // (the SPARQL semantics), grouped on the computed column
     "r31_groupby_expr" -> ((s, dir) => sparql(s, dir,
@@ -1181,6 +1230,29 @@ object SparkEntry {
       s"""SELECT $E AS e, 'http://graft.dev/t/' || event_type AS u,
          |  'a%20b%2F' || event_type AS enc
          |FROM events""".stripMargin,
+    "r35_bind_order" ->
+      s"""SELECT 'http://graft.dev/e/' || CAST(a.event_id AS VARCHAR) AS e,
+         |  'http://graft.dev/u/' || CAST(a.user_id AS VARCHAR) AS u,
+         |  b.value AS hv
+         |FROM events a
+         |LEFT JOIN (SELECT user_id, value FROM events
+         |           WHERE event_type = 'error' AND value > 450.0) b
+         |  ON a.user_id = b.user_id
+         |WHERE a.event_type = 'click'
+         |  AND a.user_id NOT IN (SELECT user_id FROM events
+         |                        WHERE event_type = 'error' AND value < 5.0)""".stripMargin,
+    "r36_minmax_string" ->
+      s"""SELECT $U AS u, MIN(event_type) AS tmin, MAX(event_type) AS tmax,
+         |  MIN(value) AS vmin
+         |FROM events GROUP BY user_id""".stripMargin,
+    "r37_ebv_error" ->
+      s"""SELECT $E AS e, event_type AS t
+         |FROM events WHERE LENGTH(event_type) > 0""".stripMargin,
+    "r38_values_undef" ->
+      s"""SELECT $E AS e, event_type AS t, 'z' AS x FROM events
+         |UNION ALL
+         |SELECT $E AS e, event_type AS t, 'c' AS x FROM events
+         |WHERE event_type = 'click'""".stripMargin,
     "r30_str_transforms" ->
       s"""SELECT $E AS e, CAST(event_id AS VARCHAR) AS id,
          |  CASE WHEN strpos(event_type, 'i') > 0

@@ -73,60 +73,88 @@ final case class EAggRef(agg: Aggregate) extends Expr
 /** `?x IN (e1, e2, …)` / `?x NOT IN (…)`. */
 final case class EIn(e: Expr, items: Seq[Expr], negated: Boolean) extends Expr
 
-/** Inline data block: `VALUES (?x ?y) { ("a" 1) ... }`. Rows carry
-  * fully-bound lexical terms (UNDEF is rejected at parse time). */
-final case class ValuesBlock(vars: Seq[String], rows: Seq[Seq[Term]])
+/** Inline data block: `VALUES (?x ?y) { ("a" 1) (UNDEF "z") ... }`.
+  * A `None` cell is UNDEF — the variable is unbound in that row and is
+  * compatible with any binding (SPARQL §10.2). */
+final case class ValuesBlock(vars: Seq[String], rows: Seq[Seq[Option[Term]]]) {
+  /** Variables with at least one UNDEF cell — may be null after the
+    * VALUES join, so downstream joins need compatibility semantics. */
+  def undefVars: Set[String] =
+    vars.zipWithIndex.collect {
+      case (v, i) if rows.exists(_(i).isEmpty) => v
+    }.toSet
+}
 
 // ---- group pattern -----------------------------------------------------
 
-/** Flattened group graph pattern: triple patterns (each carrying its GRAPH
-  * scope) plus FILTER constraints. Nested `GRAPH x {}` blocks are
-  * flattened into per-pattern scopes at parse time.
-  *
-  * The Oxigraph-parity extensions (`unions`, `binds`, `optionals`,
-  * `minuses`) are compiled in SPARQL-algebra order: join(patterns) ⋈
-  * join(unions), then BIND extensions, then leftjoin(optionals in
-  * order), then minus(minuses), then FILTERs over the whole group.
-  */
-final case class GroupPattern(
-    patterns: Seq[QuadPattern],
-    filters: Seq[Expr],
-    optionals: Seq[GroupPattern] = Nil,
-    binds: Seq[(Expr, String)] = Nil,
-    unions: Seq[Seq[GroupPattern]] = Nil,
-    minuses: Seq[GroupPattern] = Nil,
-    values: Seq[ValuesBlock] = Nil,
-    subqueries: Seq[SelectQuery] = Nil,
-    paths: Seq[PathPattern] = Nil) {
-  /** All variables bound by triple patterns (not filter-only vars). */
+/** One element of a group graph pattern, in SOURCE ORDER. SPARQL 1.1
+  * §18.2.2.6 translates a group left-to-right: join elements (BGPs,
+  * paths, unions, VALUES, subqueries) fold in with Join, OPTIONAL with
+  * LeftJoin, MINUS with Minus, BIND with Extend — so a BIND between two
+  * patterns scopes over exactly the elements before it, and an OPTIONAL
+  * or MINUS after a BIND sees the BIND-introduced variable. FILTERs are
+  * the one exception: they scope over the WHOLE group regardless of
+  * position, so they stay on [[GroupPattern.filters]]. */
+sealed trait GroupElem extends Product with Serializable
+/** A run of consecutive triple patterns (a BGP — join order inside is
+  * free, so the compiler picks constants-first greedy chaining). */
+final case class GBgp(patterns: Seq[QuadPattern]) extends GroupElem
+final case class GPath(pattern: PathPattern) extends GroupElem
+final case class GOptional(group: GroupPattern) extends GroupElem
+final case class GMinus(group: GroupPattern) extends GroupElem
+final case class GBind(expr: Expr, alias: String) extends GroupElem
+final case class GUnion(alts: Seq[GroupPattern]) extends GroupElem
+final case class GValues(block: ValuesBlock) extends GroupElem
+final case class GSubquery(query: SelectQuery) extends GroupElem
+
+/** Group graph pattern: ordered elements plus FILTER constraints
+  * (filters scope over the whole group — §18.2.2.2 collects them group-
+  * wide before translation). Nested `GRAPH x {}` blocks are flattened
+  * into per-pattern scopes at parse time. The kind-selector views
+  * (`patterns`, `optionals`, …) are derived from `elems` — the ordered
+  * list is the single source of truth. */
+final case class GroupPattern(elems: Seq[GroupElem], filters: Seq[Expr]) {
+  def patterns: Seq[QuadPattern] =
+    elems.collect { case GBgp(ps) => ps }.flatten
+  def optionals: Seq[GroupPattern] = elems.collect { case GOptional(g) => g }
+  def binds: Seq[(Expr, String)] =
+    elems.collect { case GBind(e, a) => (e, a) }
+  def unions: Seq[Seq[GroupPattern]] = elems.collect { case GUnion(a) => a }
+  def minuses: Seq[GroupPattern] = elems.collect { case GMinus(g) => g }
+  def values: Seq[ValuesBlock] = elems.collect { case GValues(v) => v }
+  def subqueries: Seq[SelectQuery] = elems.collect { case GSubquery(q) => q }
+  def paths: Seq[PathPattern] = elems.collect { case GPath(p) => p }
+
+  /** All variables bound by group elements (not filter-only vars), in
+    * first-binding order. */
   def boundVars: Seq[String] = {
     val out = scala.collection.mutable.LinkedHashSet.empty[String]
-    patterns.foreach { qp =>
-      Seq(qp.s, qp.p, qp.o).foreach {
-        case Var(n) => out += n
-        case _      => ()
-      }
-      qp.g.foreach { case Var(n) => out += n; case _ => () }
-    }
-    paths.foreach { pp =>
-      Seq(pp.s, pp.o).foreach {
-        case Var(n) => out += n
-        case _      => ()
-      }
-    }
-    unions.foreach(_.foreach(out ++= _.boundVars))
-    binds.foreach { case (_, v) => out += v }
-    optionals.foreach(out ++= _.boundVars)
-    values.foreach(out ++= _.vars)
-    subqueries.foreach { sq =>
-      sq.projection match {
-        case Star => out ++= sq.where.boundVars
-        case Items(items) => items.foreach {
-          case VarItem(n)     => out += n
-          case ExprItem(_, a) => out += a
-          case AggItem(_, a)  => out += a
+    elems.foreach {
+      case GBgp(ps) => ps.foreach { qp =>
+        Seq(qp.s, qp.p, qp.o).foreach {
+          case Var(n) => out += n
+          case _      => ()
         }
+        qp.g.foreach { case Var(n) => out += n; case _ => () }
       }
+      case GPath(pp) => Seq(pp.s, pp.o).foreach {
+        case Var(n) => out += n
+        case _      => ()
+      }
+      case GUnion(alts)  => alts.foreach(out ++= _.boundVars)
+      case GBind(_, v)   => out += v
+      case GOptional(g)  => out ++= g.boundVars
+      case GMinus(_)     => () // MINUS binds nothing in the outer group
+      case GValues(vb)   => out ++= vb.vars
+      case GSubquery(sq) =>
+        sq.projection match {
+          case Star => out ++= sq.where.boundVars
+          case Items(items) => items.foreach {
+            case VarItem(n)     => out += n
+            case ExprItem(_, a) => out += a
+            case AggItem(_, a)  => out += a
+          }
+        }
     }
     out.toSeq
   }

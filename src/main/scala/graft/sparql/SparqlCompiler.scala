@@ -211,249 +211,251 @@ object SparqlCompiler {
 
   def compileGroup(quads: DataFrame, group: GroupPattern,
       extraKeys: Seq[String]): Grouped = {
-    if (group.patterns.isEmpty && group.unions.isEmpty &&
-        group.values.isEmpty && group.subqueries.isEmpty &&
-        group.paths.isEmpty)
+    if (group.elems.isEmpty)
       throw new CompileException("Empty group pattern")
 
-    // one DataFrame per triple pattern
-    val patternDFs: Seq[(DataFrame, Set[String], Int)] =
-      group.patterns.zipWithIndex.map { case (qp, i) =>
-        val (df, vs) = patternDF(quads, qp, extraKeys)
-        (df, vs, constantCount(qp))
-      }
-
-    // greedy join order: start at most-constrained pattern, then repeatedly
-    // join the pattern sharing the most variables with what's bound so far
     var acc: DataFrame = null
     var accVars = Set.empty[String]
-    // vars that may be null in acc (OPTIONAL-introduced / partial UNION)
+    // vars that may be null in acc (OPTIONAL-introduced / partial
+    // UNION / VALUES UNDEF / BIND whose expression can error)
     var nullable = Set.empty[String]
-    if (patternDFs.nonEmpty) {
-      val remaining = scala.collection.mutable.ArrayBuffer(patternDFs: _*)
-      val first = remaining.maxBy(_._3)
-      remaining -= first
-      acc = first._1
-      accVars = first._2
-      while (remaining.nonEmpty) {
-        val nextPat = remaining.maxBy { case (_, vs, consts) =>
-          (vs.intersect(accVars).size, consts)
-        }
-        remaining -= nextPat
-        val shared = (nextPat._2.intersect(accVars).toSeq ++ extraKeys).distinct
-        acc =
-          if (shared.nonEmpty) acc.join(nextPat._1, shared, "inner")
-          else acc.crossJoin(nextPat._1)
-        accVars = accVars ++ nextPat._2
-      }
-    }
 
-    // Property-path patterns: each compiles to an (s, o) edge relation
-    // (see pathEdges), then binds its subject/object terms and joins
-    // like an ordinary pattern.
-    group.paths.foreach { pp =>
-      val constEndpoints = Seq(pp.s, pp.o).collect {
-        case Iri(v) => v
-        case Lit(v) => v
-      }
-      // variable GRAPH scope: the graph column itself becomes an extra
-      // key through every path join/closure round, so each graph gets
-      // its own edge relation (and its own zero-length node set) in ONE
-      // distributed plan — then binds to the graph variable like any
-      // other column
-      val graphVar = pp.g.collect { case Var(n) => n }
-      val pathKeys =
-        if (graphVar.isDefined) extraKeys :+ "graph" else extraKeys
-      var df = pathEdges(quads, pp.path,
-        if (graphVar.isDefined) None else pp.g, pathKeys, constEndpoints)
-      val bindings = scala.collection.mutable.LinkedHashMap.empty[String, String]
-      def bind(colName: String, term: Term): Unit = term match {
-        case Var(n) =>
-          bindings.get(n) match {
-            case Some(existing) => df = df.where(col(existing) === col(colName))
-            case None           => bindings += (n -> colName)
-          }
-        case Iri(v) => df = df.where(col(colName) === v)
-        case Lit(v) =>
-          // same numeric-aware literal matching as ordinary patterns
-          df =
-            if (Terms.isNumeric(v))
-              df.where(col(colName) === v ||
-                col(colName).try_cast("double") === v.toDouble)
-            else df.where(col(colName) === v)
-      }
-      bind(PathSrcCol, pp.s)
-      bind(PathDstCol, pp.o)
-      graphVar.foreach(n => bind("graph", Var(n)))
-      val bound = df.select(extraKeys.map(col) ++
-        bindings.map { case (v, c) => col(c).as(v) }: _*)
-      val vs = bindings.keySet.toSet
-      if (acc == null) { acc = bound; accVars = vs }
+    // SPARQL Join of a compiled element into the accumulator: plain
+    // equi-join normally; compatibility join (unbound matches anything,
+    // merged with coalesce) when a shared variable may be null on
+    // either side.
+    def joinIn(df: DataFrame, vs: Set[String],
+        vNullable: Set[String]): Unit = {
+      if (acc == null) { acc = df; accVars = vs; nullable = vNullable }
       else {
-        val shared = (vs.intersect(accVars).toSeq ++ extraKeys).distinct
+        val shared = vs.intersect(accVars).toSeq
+        val anyNullable = shared.exists(v =>
+          nullable.contains(v) || vNullable.contains(v))
         acc =
-          if (shared.nonEmpty) acc.join(bound, shared, "inner")
-          else acc.crossJoin(bound)
+          if (shared.isEmpty) {
+            if (extraKeys.nonEmpty) acc.join(df, extraKeys, "inner")
+            else acc.crossJoin(df)
+          } else if (anyNullable) compatJoin(acc, df, shared, extraKeys, "inner")
+          else acc.join(df, (shared ++ extraKeys).distinct, "inner")
+        // a joined shared var is null only when BOTH sides were;
+        // element-local vars carry their own nullability
+        nullable = nullable.filter(v =>
+          !shared.contains(v) || vNullable.contains(v)) ++
+          vNullable.filter(v => !accVars.contains(v) || nullable.contains(v))
         accVars = accVars ++ vs
       }
     }
 
-    // Subqueries: `{ SELECT … }` evaluated independently (their own
-    // grouping/modifiers), then joined on the projected variables they
-    // share with the enclosing group.
-    group.subqueries.foreach { sq =>
-      val sdf = compile(quads, sq, extraKeys)
-      val sVars = sdf.columns.toSet -- extraKeys
-      if (acc == null) { acc = sdf; accVars = sVars }
-      else {
-        val shared = (sVars.intersect(accVars).toSeq ++ extraKeys).distinct
-        acc =
-          if (shared.nonEmpty) acc.join(sdf, shared, "inner")
-          else acc.crossJoin(sdf)
-        accVars = accVars ++ sVars
-      }
+    // §18.2.2.6 folds a group starting from the empty BGP (one empty
+    // solution) — materialize that unit solution when the first element
+    // is BIND/OPTIONAL/MINUS rather than a join element
+    def ensureAcc(): Unit = if (acc == null) {
+      if (extraKeys.nonEmpty)
+        throw new CompileException(
+          "Group must start with a pattern under windowed evaluation")
+      acc = quads.sparkSession.range(1).drop("id")
     }
 
-    // UNION blocks: branches evaluated independently, multiset-unioned
-    // (UNION ALL — SPARQL union does not deduplicate) with null fill for
-    // branch-local variables, then joined with the rest of the group. A
-    // variable missing from some branch (or nullable inside one) may be
-    // null in the union result — joins on it take the compatibility
-    // path (unbound matches anything, merged with coalesce).
-    group.unions.foreach { alts =>
-      val gs = alts.map(compileGroup(quads, _, extraKeys))
-      val uVars = gs.flatMap(_.vars.toSeq).distinct
-      val uNullable = uVars.filter(v =>
-        gs.exists(g => !g.vars.contains(v) || g.nullable.contains(v))).toSet
-      // align columns: every branch projects the full variable set
-      val aligned = gs.map { g =>
-        g.df.select(extraKeys.map(col) ++ uVars.map { v =>
-          if (g.vars.contains(v)) col(v) else lit(null).cast("string").as(v)
-        }: _*)
-      }
-      val u = aligned.reduce(_ unionAll _)
-      if (acc == null) {
-        acc = u
-        accVars = uVars.toSet
-        nullable = uNullable
-      } else {
-        val shared = uVars.filter(accVars.contains)
-        val anyNullable =
-          shared.exists(v => uNullable.contains(v) || nullable.contains(v))
-        acc =
-          if (shared.isEmpty) {
-            if (extraKeys.nonEmpty) acc.join(u, extraKeys, "inner")
-            else acc.crossJoin(u)
-          } else if (anyNullable) compatJoin(acc, u, shared, extraKeys, "inner")
-          else acc.join(u, (shared ++ extraKeys).distinct, "inner")
-        // a joined shared var is null only when BOTH sides were; union-
-        // local vars inherit the union's nullability
-        nullable = nullable.filter(v =>
-          !shared.contains(v) || uNullable.contains(v)) ++
-          uNullable.filter(v => !accVars.contains(v) || nullable.contains(v))
-        accVars = accVars ++ uVars
-      }
-    }
+    // Elements compile LEFT-TO-RIGHT in source order (SPARQL 1.1
+    // §18.2.2.6): join elements fold in with Join, OPTIONAL with
+    // LeftJoin, MINUS with Minus, BIND with Extend — so a BIND between
+    // patterns scopes over exactly the preceding elements, and a later
+    // OPTIONAL/MINUS/pattern sees (and joins on) the BIND-introduced
+    // variable.
+    group.elems.foreach {
+      case GBgp(ps) =>
+        // BGP: join order inside the run is free — fold patterns into
+        // the accumulator greedily (most shared variables with what's
+        // bound so far, then most constants) so every join is an
+        // equi-join rather than a cartesian product
+        val remaining = scala.collection.mutable.ArrayBuffer(
+          ps.map { qp =>
+            val (df, vs) = patternDF(quads, qp, extraKeys)
+            (df, vs, constantCount(qp))
+          }: _*)
+        if (acc == null && remaining.nonEmpty) {
+          val first = remaining.maxBy(_._3)
+          remaining -= first
+          acc = first._1
+          accVars = first._2
+        }
+        while (remaining.nonEmpty) {
+          val nextPat = remaining.maxBy { case (_, vs, consts) =>
+            (vs.intersect(accVars).size, consts)
+          }
+          remaining -= nextPat
+          joinIn(nextPat._1, nextPat._2, Set.empty)
+        }
 
-    // VALUES blocks: inline data joined on shared variables. The block
-    // is driver-literal and tiny, so Catalyst broadcasts the join.
-    group.values.foreach { vb =>
-      val spark = quads.sparkSession
-      val schema = org.apache.spark.sql.types.StructType(
-        vb.vars.map(v => org.apache.spark.sql.types.StructField(
-          v, org.apache.spark.sql.types.StringType)))
-      val rows = vb.rows.map { r =>
-        org.apache.spark.sql.Row.fromSeq(r.map {
+      // Property-path pattern: compiles to an (s, o) edge relation
+      // (see pathEdges), then binds its subject/object terms and joins
+      // like an ordinary pattern.
+      case GPath(pp) =>
+        val constEndpoints = Seq(pp.s, pp.o).collect {
           case Iri(v) => v
           case Lit(v) => v
-          case Var(n) =>
-            throw new CompileException(s"Variable ?$n in VALUES row")
-        })
-      }
-      val vdf = spark.createDataFrame(
-        new java.util.ArrayList(scala.jdk.CollectionConverters
-          .SeqHasAsJava(rows).asJava), schema)
-      if (acc == null) { acc = vdf; accVars = vb.vars.toSet }
-      else {
-        val shared = vb.vars.filter(accVars.contains)
-        acc =
-          if (shared.nonEmpty) acc.join(vdf, shared, "inner")
-          else acc.crossJoin(vdf)
-        accVars = accVars ++ vb.vars
-      }
-    }
-
-    // OPTIONAL groups: SPARQL leftjoin — solutions keep going when the
-    // optional side has no compatible row; its variables stay unbound
-    // (null). Shared vars from plain patterns are never null, so the
-    // using-columns left join implements compatibility exactly; when a
-    // shared var may be null (earlier OPTIONAL / partial UNION), the
-    // compatibility join takes over (unbound matches anything).
-    group.optionals.foreach { opt =>
-      val optG = compileGroup(quads, opt, extraKeys)
-      val shared = optG.vars.intersect(accVars).toSeq
-      val anyNullable = shared.exists(v =>
-        nullable.contains(v) || optG.nullable.contains(v))
-      acc =
-        if (shared.isEmpty)
-          // no shared vars: every optional row extends every solution —
-          // but only within the same window/orchestration key, so the
-          // extraKeys still join (a bare cross join would mix windows
-          // and leave ambiguous key columns)
-          if (extraKeys.nonEmpty)
-            acc.join(optG.df, extraKeys, "left_outer")
-          else acc.join(optG.df, lit(true), "left_outer")
-        else if (anyNullable)
-          compatJoin(acc, optG.df, shared, extraKeys, "left_outer")
-        else acc.join(optG.df, (shared ++ extraKeys).distinct, "left_outer")
-      // every optional-side variable may be unbound in the result, and
-      // a left join keeps unmatched rows — previously-nullable shared
-      // vars stay nullable (no-match rows keep their null)
-      nullable = nullable ++ (optG.vars -- accVars)
-      accVars = accVars ++ optG.vars
-    }
-
-    // MINUS groups: remove solutions compatible on shared variables; a
-    // MINUS sharing no variables removes nothing (SPARQL semantics).
-    group.minuses.foreach { m =>
-      val mG = compileGroup(quads, m, extraKeys)
-      val sharedVars = mG.vars.intersect(accVars).toSeq
-      if (sharedVars.nonEmpty) {
-        val anyNullable = sharedVars.exists(v =>
-          nullable.contains(v) || mG.nullable.contains(v))
-        if (!anyNullable) {
-          val shared = (sharedVars ++ extraKeys).distinct
-          acc = acc.join(mG.df.select(shared.map(col): _*), shared,
-            "leftanti")
-        } else {
-          // §8.3 Minus with possibly-unbound shared vars: remove when
-          // COMPATIBLE (equal wherever both bound) AND the domains
-          // overlap (at least one var bound on both sides — under
-          // compatibility that var is equal). A plain equi anti join
-          // would never match through a null key and keep rows SPARQL
-          // removes.
-          val keep = (sharedVars ++ extraKeys).distinct
-          val mdf = mG.df.select(keep.map(c => col(c).as(s"__m_$c")): _*)
-          val compat = sharedVars.map(v =>
-            col(v) === col(s"__m_$v") || col(v).isNull ||
-              col(s"__m_$v").isNull).reduce(_ && _)
-          val domOverlap = sharedVars.map(v =>
-            col(v) === col(s"__m_$v")).reduce(_ || _)
-          val cond = extraKeys.map(k => col(k) === col(s"__m_$k"))
-            .foldLeft(compat && domOverlap)(_ && _)
-          acc = acc.join(mdf, cond, "left_anti")
         }
-      }
-    }
+        // variable GRAPH scope: the graph column itself becomes an
+        // extra key through every path join/closure round, so each
+        // graph gets its own edge relation (and its own zero-length
+        // node set) in ONE distributed plan — then binds to the graph
+        // variable like any other column
+        val graphVar = pp.g.collect { case Var(n) => n }
+        val pathKeys =
+          if (graphVar.isDefined) extraKeys :+ "graph" else extraKeys
+        var df = pathEdges(quads, pp.path,
+          if (graphVar.isDefined) None else pp.g, pathKeys, constEndpoints)
+        val bindings =
+          scala.collection.mutable.LinkedHashMap.empty[String, String]
+        def bind(colName: String, term: Term): Unit = term match {
+          case Var(n) =>
+            bindings.get(n) match {
+              case Some(existing) =>
+                df = df.where(col(existing) === col(colName))
+              case None => bindings += (n -> colName)
+            }
+          case Iri(v) => df = df.where(col(colName) === v)
+          case Lit(v) =>
+            // same numeric-aware literal matching as ordinary patterns
+            df =
+              if (Terms.isNumeric(v))
+                df.where(col(colName) === v ||
+                  col(colName).try_cast("double") === v.toDouble)
+              else df.where(col(colName) === v)
+        }
+        bind(PathSrcCol, pp.s)
+        bind(PathDstCol, pp.o)
+        graphVar.foreach(n => bind("graph", Var(n)))
+        val bound = df.select(extraKeys.map(col) ++
+          bindings.map { case (v, c) => col(c).as(v) }: _*)
+        joinIn(bound, bindings.keySet.toSet, Set.empty)
 
-    // BIND(expr AS ?v): extend each solution with a computed column.
-    // Applied after OPTIONAL so the COALESCE-over-optional-vars idiom
-    // works (BIND scopes over the preceding group elements).
-    group.binds.foreach { case (e, alias) =>
-      if (accVars.contains(alias))
-        throw new CompileException(s"BIND would rebind ?$alias")
-      acc = acc.withColumn(alias, valueC(e))
-      accVars += alias
+      // Subquery: `{ SELECT … }` evaluated independently (its own
+      // grouping/modifiers), then joined on the projected variables it
+      // shares with the enclosing group.
+      case GSubquery(sq) =>
+        val sdf = compile(quads, sq, extraKeys)
+        joinIn(sdf, sdf.columns.toSet -- extraKeys, Set.empty)
+
+      // UNION block: branches evaluated independently, multiset-unioned
+      // (UNION ALL — SPARQL union does not deduplicate) with null fill
+      // for branch-local variables. A variable missing from some branch
+      // (or nullable inside one) may be null in the union result —
+      // joins on it take the compatibility path.
+      case GUnion(alts) =>
+        val gs = alts.map(compileGroup(quads, _, extraKeys))
+        val uVars = gs.flatMap(_.vars.toSeq).distinct
+        val uNullable = uVars.filter(v =>
+          gs.exists(g => !g.vars.contains(v) || g.nullable.contains(v))).toSet
+        // align columns: every branch projects the full variable set
+        val aligned = gs.map { g =>
+          g.df.select(extraKeys.map(col) ++ uVars.map { v =>
+            if (g.vars.contains(v)) col(v) else lit(null).cast("string").as(v)
+          }: _*)
+        }
+        joinIn(aligned.reduce(_ unionAll _), uVars.toSet, uNullable)
+
+      // VALUES block: inline data joined on shared variables. The block
+      // is driver-literal and tiny, so Catalyst broadcasts the join.
+      // UNDEF cells are null and their variables nullable — the join
+      // takes the compatibility path (unbound matches anything, §10.2).
+      case GValues(vb) =>
+        val spark = quads.sparkSession
+        val schema = org.apache.spark.sql.types.StructType(
+          vb.vars.map(v => org.apache.spark.sql.types.StructField(
+            v, org.apache.spark.sql.types.StringType)))
+        val rows = vb.rows.map { r =>
+          org.apache.spark.sql.Row.fromSeq(r.map {
+            case Some(Iri(v)) => v
+            case Some(Lit(v)) => v
+            case Some(Var(n)) =>
+              throw new CompileException(s"Variable ?$n in VALUES row")
+            case None => null
+          })
+        }
+        val vdf = spark.createDataFrame(
+          new java.util.ArrayList(scala.jdk.CollectionConverters
+            .SeqHasAsJava(rows).asJava), schema)
+        joinIn(vdf, vb.vars.toSet, vb.undefVars)
+
+      // OPTIONAL group: SPARQL leftjoin — solutions keep going when the
+      // optional side has no compatible row; its variables stay unbound
+      // (null). Shared never-null vars make the using-columns left join
+      // exact; when a shared var may be null (earlier OPTIONAL, partial
+      // UNION, BIND, VALUES UNDEF), the compatibility join takes over.
+      case GOptional(opt) =>
+        ensureAcc()
+        val optG = compileGroup(quads, opt, extraKeys)
+        val shared = optG.vars.intersect(accVars).toSeq
+        val anyNullable = shared.exists(v =>
+          nullable.contains(v) || optG.nullable.contains(v))
+        acc =
+          if (shared.isEmpty)
+            // no shared vars: every optional row extends every solution
+            // — but only within the same window/orchestration key, so
+            // the extraKeys still join (a bare cross join would mix
+            // windows and leave ambiguous key columns)
+            if (extraKeys.nonEmpty)
+              acc.join(optG.df, extraKeys, "left_outer")
+            else acc.join(optG.df, lit(true), "left_outer")
+          else if (anyNullable)
+            compatJoin(acc, optG.df, shared, extraKeys, "left_outer")
+          else acc.join(optG.df, (shared ++ extraKeys).distinct, "left_outer")
+        // every optional-side variable may be unbound in the result,
+        // and a left join keeps unmatched rows — previously-nullable
+        // shared vars stay nullable (no-match rows keep their null)
+        nullable = nullable ++ (optG.vars -- accVars)
+        accVars = accVars ++ optG.vars
+
+      // MINUS group: remove solutions compatible on shared variables; a
+      // MINUS sharing no variables removes nothing (SPARQL semantics).
+      case GMinus(m) =>
+        ensureAcc()
+        val mG = compileGroup(quads, m, extraKeys)
+        val sharedVars = mG.vars.intersect(accVars).toSeq
+        if (sharedVars.nonEmpty) {
+          val anyNullable = sharedVars.exists(v =>
+            nullable.contains(v) || mG.nullable.contains(v))
+          if (!anyNullable) {
+            val shared = (sharedVars ++ extraKeys).distinct
+            acc = acc.join(mG.df.select(shared.map(col): _*), shared,
+              "leftanti")
+          } else {
+            // §8.3 Minus with possibly-unbound shared vars: remove when
+            // COMPATIBLE (equal wherever both bound) AND the domains
+            // overlap (at least one var bound on both sides — under
+            // compatibility that var is equal). A plain equi anti join
+            // would never match through a null key and keep rows SPARQL
+            // removes.
+            val keep = (sharedVars ++ extraKeys).distinct
+            val mdf = mG.df.select(keep.map(c => col(c).as(s"__m_$c")): _*)
+            val compat = sharedVars.map(v =>
+              col(v) === col(s"__m_$v") || col(v).isNull ||
+                col(s"__m_$v").isNull).reduce(_ && _)
+            val domOverlap = sharedVars.map(v =>
+              col(v) === col(s"__m_$v")).reduce(_ || _)
+            val cond = extraKeys.map(k => col(k) === col(s"__m_$k"))
+              .foldLeft(compat && domOverlap)(_ && _)
+            acc = acc.join(mdf, cond, "left_anti")
+          }
+        }
+
+      // BIND(expr AS ?v): extend each solution with a computed column.
+      // The rebind check against accVars is exactly the spec's in-scope
+      // rule — the target must not be bound by any PRECEDING element.
+      case GBind(e, alias) =>
+        ensureAcc()
+        if (accVars.contains(alias))
+          throw new CompileException(s"BIND would rebind ?$alias")
+        acc = acc.withColumn(alias, valueC(e))
+        accVars += alias
+        // any non-literal expression can evaluate to an error (NULL) —
+        // a later join on the bound var must use compatibility
+        // semantics, so track it as nullable
+        e match {
+          case ENum(_) | EStr(_) | EIriRef(_) => ()
+          case _                              => nullable += alias
+        }
     }
 
     // FILTERs: EXISTS via semi/anti joins, everything else via where().
@@ -682,7 +684,9 @@ object SparqlCompiler {
         case other => throw new CompileException(s"Unknown operator $other")
       }
     case ECall("IF", Seq(c, a, b)) =>
-      when(boolC(c), numC(a)).otherwise(numC(b))
+      // §17.4.1.2: IF with an error condition is an error — the second
+      // `when` (not `otherwise`) keeps a NULL condition NULL
+      when(boolC(c), numC(a)).when(!boolC(c), numC(b))
     case ECall("COALESCE", args)  => coalesce(args.map(numC): _*)
     case ECall("ABS", Seq(a))     => abs(numC(a))
     case ECall("STR", Seq(a))     => strC(a).try_cast("double")
@@ -696,7 +700,9 @@ object SparqlCompiler {
     case c @ ECall("CONTAINS" | "STRSTARTS" | "STRENDS" | "REGEX" |
         "ISIRI" | "ISURI" | "ISLITERAL" | "ISNUMERIC" | "ISBLANK" |
         "LANGMATCHES", _) =>
-      when(boolC(c), 1.0).otherwise(0.0) // EBV numeric projection
+      // EBV numeric projection; an EBV error (NULL) stays NULL — the
+      // final when-branch is deliberately not an `otherwise`
+      when(boolC(c), 1.0).when(!boolC(c), 0.0)
     case c @ ECall("CONCAT" | "UCASE" | "LCASE" | "SUBSTR" | "STRBEFORE" |
         "STRAFTER" | "REPLACE" | "MD5" | "SHA1" | "SHA256" | "DATATYPE" |
         "LANG" | "IRI" | "URI" | "STRDT" | "STRLANG" |
@@ -706,8 +712,9 @@ object SparqlCompiler {
       Extensions.call(iri, args.map(numC))
         .getOrElse(lit(null).cast("double"))
     case other =>
-      // boolean sub-expression in numeric position: EBV numeric projection
-      when(boolC(other), 1.0).otherwise(0.0)
+      // boolean sub-expression in numeric position: EBV numeric
+      // projection; an error (NULL) propagates instead of becoming 0.0
+      when(boolC(other), 1.0).when(!boolC(other), 0.0)
   }
 
   /** IRI test on a term column — the engine's scheme-prefix convention
@@ -722,7 +729,8 @@ object SparqlCompiler {
     case ENum(v)    => lit(Terms.formatNumeric(v))
     case EIriRef(v) => lit(v)
     case ECall("IF", Seq(c, a, b)) =>
-      when(boolC(c), strC(a)).otherwise(strC(b))
+      // IF(error, …) is an error (NULL), not the else branch
+      when(boolC(c), strC(a)).when(!boolC(c), strC(b))
     case ECall("COALESCE", args) => coalesce(args.map(strC): _*)
     case ECall("STR", Seq(a))    => strC(a)
     case ECall("CONCAT", args)   => concat(args.map(strC): _*)
@@ -829,7 +837,7 @@ object SparqlCompiler {
       when(ln.isNotNull && rn.isNotNull, cmp(op, ln, rn))
         .when(ln.isNull && rn.isNull, cmp(op, strC(l), strC(r)))
     case ECall("IF", Seq(c, a, b)) =>
-      when(boolC(c), boolC(a)).otherwise(boolC(b))
+      when(boolC(c), boolC(a)).when(!boolC(c), boolC(b))
     case ECall("COALESCE", args) => coalesce(args.map(boolC): _*)
     case EIn(e, items, negated) =>
       // SPARQL IN = chained equality with the same numeric-aware
@@ -881,8 +889,26 @@ object SparqlCompiler {
       throw new CompileException(
         "EXISTS is only supported as a top-level FILTER")
     case EBound(n) => col(n).isNotNull
-    case EVar(n) => col(n) === "true" // EBV of a boolean-literal binding
-    case EStr(v) => lit(v == "true")
+    case EVar(n) =>
+      // §17.2.2 effective boolean value over the engine's term model:
+      // boolean lexicals take their value; numerics are true iff ≠ 0;
+      // other plain literals are true iff non-empty; an IRI (or
+      // unbound) has no EBV — a type error (NULL: row filtered in
+      // FILTER, NOT resurrected by `!`, NULL in projection)
+      val s = col(n)
+      val d = s.try_cast("double")
+      when(s.isNull, lit(null).cast("boolean"))
+        .when(s === "true", lit(true))
+        .when(s === "false", lit(false))
+        .when(d.isNotNull, d =!= 0.0)
+        .when(iriShaped(s), lit(null).cast("boolean"))
+        .otherwise(length(s) > 0)
+    case EStr(v) =>
+      // same EBV, folded at compile time for literals
+      if (v == "true") lit(true)
+      else if (v == "false") lit(false)
+      else if (Terms.isNumeric(v)) lit(v.toDouble != 0.0)
+      else lit(v.nonEmpty)
     case ENum(v) => lit(v != 0.0)
     case other =>
       throw new CompileException(s"Cannot evaluate $other as boolean")
@@ -910,8 +936,8 @@ object SparqlCompiler {
       // no native avg_distinct: sum/count over the distinct multiset
       sum_distinct(numC(arg)) / countDistinct(numC(arg))
     case Aggregate("AVG", Some(arg), false, _) => avg(numC(arg))
-    case Aggregate("MIN", Some(arg), _, _) => min(numC(arg))
-    case Aggregate("MAX", Some(arg), _, _) => max(numC(arg))
+    case Aggregate("MIN", Some(arg), _, _) => typedMinMax(arg, isMin = true)
+    case Aggregate("MAX", Some(arg), _, _) => typedMinMax(arg, isMin = false)
     case Aggregate("GROUP_CONCAT", Some(arg), d, sep) =>
       // SPARQL leaves concatenation order undefined; sorting makes the
       // result deterministic (and thus oracle-comparable) — a conformant
@@ -922,6 +948,25 @@ object SparqlCompiler {
       // any element is conformant; min is the deterministic choice
       min(strC(arg))
     case other => throw new CompileException(s"Unsupported aggregate $other")
+  }
+
+  /** SPARQL MIN/MAX return the extreme TERM, not a numeric view of it —
+    * a string-valued variable aggregates to its lexicographic min/max
+    * (what Oxigraph returns), a numeric-valued one to its numeric
+    * min/max, and the result is always the winning term's own lexical
+    * form. Implemented as min/max over an orderable struct key
+    * `(type-rank, numeric-value, lexical)` — numerics (rank 0) order
+    * among themselves by value and sort before strings (rank 1, ordered
+    * lexicographically), one ordinary partial-aggregate, no extra
+    * shuffle. Unbound values are skipped (null key). */
+  private def typedMinMax(arg: Expr, isMin: Boolean): Column = {
+    val n = numC(arg)
+    val s = strC(arg)
+    val key = when(s.isNotNull, struct(
+      when(n.isNotNull, lit(0)).otherwise(lit(1)).as("t"),
+      coalesce(n, lit(0.0)).as("n"),
+      s.as("s")))
+    (if (isMin) min(key) else max(key)).getField("s")
   }
 
   /** Aggregate references mentioned inside a HAVING condition. */

@@ -58,15 +58,20 @@ object SparqlParser {
         while (i + 1 < n && !(input.charAt(i) == '*' && peek(1) == '/')) i += 1
         i = math.min(n, i + 2)
       } else if (c == '<') {
-        // IRIREF if a '>' appears before any whitespace; else the '<'
-        // comparison operator (possibly '<=').
+        // IRIREF if a '>' appears before any character the IRIREF
+        // production excludes — `[^<>"{}|^`\] - [#x00-#x20]` (SPARQL 1.1
+        // §19.8). Greedy longest-match means `FILTER(?a<?b&&?c>?d)`
+        // lexes the IRI `<?b&&?c>` exactly as Jena/Oxigraph do ('?' and
+        // '&' are legal IRI characters); writing a comparison there
+        // requires whitespace. Otherwise '<' is the comparison operator
+        // (possibly '<=').
         var j = i + 1
         var isIri = false
         var break = false
         while (j < n && !break) {
           val d = input.charAt(j)
           if (d == '>') { isIri = true; break = true }
-          else if (d.isWhitespace || d == '"') break = true
+          else if (d <= ' ' || "<\"{}|^`\\".indexOf(d) >= 0) break = true
           else j += 1
         }
         if (isIri) { out += TIri(input.substring(i + 1, j)); i = j + 1 }
@@ -357,7 +362,8 @@ object SparqlParser {
       }
       val whereWithKeys =
         if (groupKeyBinds.isEmpty) where
-        else where.copy(binds = where.binds ++ groupKeyBinds)
+        else where.copy(elems = where.elems ++
+          groupKeyBinds.map { case (e, a) => GBind(e, a) })
       SelectQuery(projection, whereWithKeys, groupBy.toSeq, distinct,
         orderBy.toSeq, limit, offset, having.toSeq)
     }
@@ -438,27 +444,18 @@ object SparqlParser {
         pos += 1
         val sq = parseSelect()
         eatPunct("}")
-        return GroupPattern(Nil, Nil, subqueries = Seq(sq))
+        return GroupPattern(Seq(GSubquery(sq)), Nil)
       }
-      val patterns = ArrayBuffer.empty[QuadPattern]
+      // elements in SOURCE ORDER (SPARQL §18.2.2.6 compiles a group
+      // left-to-right); filters collected separately — they scope over
+      // the whole group regardless of position
+      val elems = ArrayBuffer.empty[GroupElem]
       val filters = ArrayBuffer.empty[Expr]
-      val optionals = ArrayBuffer.empty[GroupPattern]
-      val binds = ArrayBuffer.empty[(Expr, String)]
-      val unions = ArrayBuffer.empty[Seq[GroupPattern]]
-      val minuses = ArrayBuffer.empty[GroupPattern]
-      val values = ArrayBuffer.empty[ValuesBlock]
-      val subqueries = ArrayBuffer.empty[SelectQuery]
-      val paths = ArrayBuffer.empty[PathPattern]
       def absorb(inner: GroupPattern): Unit = {
-        patterns ++= inner.patterns
+        // a bare nested group / GRAPH block flattens in place, keeping
+        // its elements' relative order at the absorption point
+        elems ++= inner.elems
         filters ++= inner.filters
-        optionals ++= inner.optionals
-        binds ++= inner.binds
-        unions ++= inner.unions
-        minuses ++= inner.minuses
-        values ++= inner.values
-        subqueries ++= inner.subqueries
-        paths ++= inner.paths
       }
       var done = false
       while (!done) {
@@ -468,13 +465,13 @@ object SparqlParser {
           filters += parseFilterBody(graph)
         } else if (atWord("optional")) {
           pos += 1
-          optionals += parseGroup(graph)
+          elems += GOptional(parseGroup(graph))
         } else if (atWord("minus")) {
           pos += 1
-          minuses += parseGroup(graph)
+          elems += GMinus(parseGroup(graph))
         } else if (atWord("values")) {
           pos += 1
-          values += parseValues()
+          elems += GValues(parseValues())
         } else if (atWord("bind")) {
           pos += 1
           eatPunct("(")
@@ -485,7 +482,7 @@ object SparqlParser {
             case t => throw ParseException(s"Expected variable after AS, got $t")
           }
           eatPunct(")")
-          binds += (e -> alias)
+          elems += GBind(e, alias)
         } else if (atWord("graph")) {
           pos += 1
           val g: Term = next() match {
@@ -505,37 +502,34 @@ object SparqlParser {
               pos += 1
               alts += parseGroup(graph)
             }
-            unions += alts.toSeq
+            elems += GUnion(alts.toSeq)
           } else absorb(first)
         } else {
           val (qps, pps) = parseTriples(graph, stopAtFilterOrGraph = true)
-          patterns ++= qps
-          paths ++= pps
+          if (qps.nonEmpty) elems += GBgp(qps)
+          elems ++= pps.map(GPath)
         }
       }
-      GroupPattern(patterns.toSeq, filters.toSeq, optionals.toSeq,
-        binds.toSeq, unions.toSeq, minuses.toSeq, values.toSeq,
-        subqueries.toSeq, paths.toSeq)
+      GroupPattern(elems.toSeq, filters.toSeq)
     }
 
     /** After the VALUES keyword: `?x { t* }` (single var) or
-      * `(?x ?y) { (t t)* }`. UNDEF rows are rejected — the wildcard
-      * compatibility semantics has no equi-join encoding. */
+      * `(?x ?y) { (t t)* }`. UNDEF cells parse to `None` — the variable
+      * is unbound in that row (compatible with anything, §10.2). */
     private def parseValues(): ValuesBlock = {
-      def valueTerm(): Term = next() match {
-        case TIri(v)   => Iri(v)
-        case p: TPName => Iri(expand(p))
-        case TStr(v)   => Lit(v)
-        case TNum(v)   => Lit(graft.core.Terms.formatNumeric(v))
-        case TWord(w) if w.equalsIgnoreCase("undef") =>
-          throw ParseException("VALUES UNDEF is not supported")
+      def valueTerm(): Option[Term] = next() match {
+        case TIri(v)   => Some(Iri(v))
+        case p: TPName => Some(Iri(expand(p)))
+        case TStr(v)   => Some(Lit(v))
+        case TNum(v)   => Some(Lit(graft.core.Terms.formatNumeric(v)))
+        case TWord(w) if w.equalsIgnoreCase("undef") => None
         case t => throw ParseException(s"Expected VALUES term, got $t")
       }
       peek match {
         case Some(TVar(v)) =>
           pos += 1
           eatPunct("{")
-          val rows = ArrayBuffer.empty[Seq[Term]]
+          val rows = ArrayBuffer.empty[Seq[Option[Term]]]
           while (!atPunct("}")) rows += Seq(valueTerm())
           pos += 1
           ValuesBlock(Seq(v), rows.toSeq)
@@ -550,10 +544,10 @@ object SparqlParser {
           if (vars.isEmpty)
             throw ParseException("VALUES requires at least one variable")
           eatPunct("{")
-          val rows = ArrayBuffer.empty[Seq[Term]]
+          val rows = ArrayBuffer.empty[Seq[Option[Term]]]
           while (!atPunct("}")) {
             eatPunct("(")
-            val row = ArrayBuffer.empty[Term]
+            val row = ArrayBuffer.empty[Option[Term]]
             while (!atPunct(")")) row += valueTerm()
             pos += 1
             if (row.length != vars.length)

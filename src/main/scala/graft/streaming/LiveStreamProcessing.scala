@@ -2,7 +2,8 @@ package graft.streaming
 
 import graft.core.RdfEvent
 import graft.janusql._
-import graft.sparql.{GroupPattern, Iri, Items, Query, QuadPattern, SelectQuery,
+import graft.sparql.{GBgp, GBind, GMinus, GOptional, GPath, GSubquery,
+  GUnion, GValues, GroupPattern, Iri, Items, Query, QuadPattern, SelectQuery,
   SparqlCompiler, SparqlParser, Star, Term, VarItem}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -243,20 +244,19 @@ object LiveStreamProcessing {
     // OPTIONAL/UNION/MINUS/subqueries and path patterns) to a graph —
     // window bodies may use the full SPARQL surface
     def scope(g: GroupPattern, graph: Term): GroupPattern = g.copy(
-      patterns = g.patterns.map(p => p.copy(g = p.g.orElse(Some(graph)))),
-      optionals = g.optionals.map(scope(_, graph)),
-      unions = g.unions.map(_.map(scope(_, graph))),
-      minuses = g.minuses.map(scope(_, graph)),
-      paths = g.paths.map(pp => pp.copy(g = pp.g.orElse(Some(graph)))),
-      subqueries = g.subqueries.map(sq =>
-        sq.copy(where = scope(sq.where, graph))))
+      elems = g.elems.map {
+        case GBgp(ps) =>
+          GBgp(ps.map(p => p.copy(g = p.g.orElse(Some(graph)))))
+        case GPath(pp)     => GPath(pp.copy(g = pp.g.orElse(Some(graph))))
+        case GOptional(og) => GOptional(scope(og, graph))
+        case GMinus(mg)    => GMinus(scope(mg, graph))
+        case GUnion(alts)  => GUnion(alts.map(scope(_, graph)))
+        case GSubquery(sq) => GSubquery(sq.copy(where = scope(sq.where, graph)))
+        case other @ (_: GBind | _: GValues) => other
+      })
 
-    def merge(gs: Seq[GroupPattern]): GroupPattern = GroupPattern(
-      gs.flatMap(_.patterns), gs.flatMap(_.filters),
-      gs.flatMap(_.optionals), gs.flatMap(_.binds),
-      gs.flatMap(_.unions), gs.flatMap(_.minuses),
-      gs.flatMap(_.values), gs.flatMap(_.subqueries),
-      gs.flatMap(_.paths))
+    def merge(gs: Seq[GroupPattern]): GroupPattern =
+      GroupPattern(gs.flatMap(_.elems), gs.flatMap(_.filters))
 
     // static patterns + filters (everything outside WINDOW blocks)
     val nonWindow =

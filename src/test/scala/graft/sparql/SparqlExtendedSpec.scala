@@ -810,4 +810,156 @@ class SparqlExtendedSpec extends AnyFunSuite {
     assert(df.collect()(0).getAs[String]("e") ===
       "A-b_c.d~e%20f%2Fg%3Fh%2Ai")
   }
+
+  // ---- source-order group compilation (SPARQL 1.1 §18.2.2.6) ----------
+
+  test("a pattern AFTER a BIND joins on the BIND-introduced variable") {
+    // BIND fixes ?age := "25"; the following pattern ?who ex:age ?age
+    // must join on it (only bob matches). Kind-segregated compilation
+    // would have applied the BIND last and cross-joined all ages.
+    val df = run(
+      """SELECT ?who WHERE {
+        |  ?s ex:email ?m .
+        |  BIND("25" AS ?age)
+        |  ?who ex:age ?age .
+        |}""".stripMargin)
+    assert(TestSpark.rows(df) === Set(Seq("http://ex.org/bob")))
+  }
+
+  test("OPTIONAL and MINUS after a BIND see the BIND-introduced variable") {
+    val opt = run(
+      """SELECT ?s ?m WHERE {
+        |  ?s ex:age ?age .
+        |  BIND("http://ex.org/bob" AS ?target)
+        |  OPTIONAL { ?s ex:knows ?target . ?s ex:email ?m }
+        |}""".stripMargin)
+    assert(TestSpark.rows(opt) === Set(
+      Seq("http://ex.org/alice", "alice@ex.org"),
+      Seq("http://ex.org/bob", "null"),
+      Seq("http://ex.org/charlie", "null")))
+    val minus = run(
+      """SELECT ?s WHERE {
+        |  ?s ex:age ?age .
+        |  BIND("http://ex.org/bob" AS ?o)
+        |  MINUS { ?s ex:knows ?o . }
+        |}""".stripMargin)
+    assert(TestSpark.rows(minus) === Set(
+      Seq("http://ex.org/bob"), Seq("http://ex.org/charlie")))
+  }
+
+  test("BIND referencing an earlier OPTIONAL variable sees its binding") {
+    val df = run(
+      """SELECT ?s ?has WHERE {
+        |  ?s ex:age ?age .
+        |  OPTIONAL { ?s ex:email ?mail }
+        |  BIND(IF(BOUND(?mail), "y", "n") AS ?has)
+        |}""".stripMargin)
+    assert(TestSpark.rows(df) === Set(
+      Seq("http://ex.org/alice", "y"),
+      Seq("http://ex.org/bob", "n"),
+      Seq("http://ex.org/charlie", "n")))
+  }
+
+  test("a group may start with BIND (unit solution, §18.2.2.6)") {
+    val df = run(
+      """SELECT ?who WHERE {
+        |  BIND("30" AS ?age)
+        |  ?who ex:age ?age .
+        |}""".stripMargin)
+    assert(TestSpark.rows(df) === Set(Seq("http://ex.org/alice")))
+  }
+
+  // ---- VALUES UNDEF ----------------------------------------------------
+
+  test("VALUES UNDEF cell is compatible with any binding") {
+    val df = run(
+      """SELECT ?s ?tag WHERE {
+        |  ?s ex:age ?age .
+        |  VALUES (?s ?tag) {
+        |    ("http://ex.org/bob" "b")
+        |    (UNDEF "all")
+        |  }
+        |}""".stripMargin)
+    assert(TestSpark.rows(df) === Set(
+      Seq("http://ex.org/alice", "all"),
+      Seq("http://ex.org/bob", "b"),
+      Seq("http://ex.org/bob", "all"),
+      Seq("http://ex.org/charlie", "all")))
+  }
+
+  test("single-variable VALUES with UNDEF keeps every solution") {
+    val df = run(
+      """SELECT ?s WHERE {
+        |  ?s ex:email ?m .
+        |  VALUES ?m { UNDEF }
+        |}""".stripMargin)
+    assert(TestSpark.rows(df) === Set(Seq("http://ex.org/alice")))
+  }
+
+  // ---- typed MIN/MAX ---------------------------------------------------
+
+  test("MIN/MAX over a string-valued variable are lexicographic terms") {
+    val df = run(
+      """SELECT (MIN(?o) AS ?lo) (MAX(?o) AS ?hi) WHERE {
+        |  ?s ex:knows ?o .
+        |}""".stripMargin)
+    val r = df.collect()(0)
+    assert(r.getAs[String]("lo") === "http://ex.org/bob")
+    assert(r.getAs[String]("hi") === "http://ex.org/charlie")
+  }
+
+  test("MIN/MAX over numeric-sniffed terms compare by value, not " +
+      "lexically, and return the winning lexical form") {
+    // ages 30/25/35: lexicographic min would be "25" too, but lexical
+    // MAX would be "35" == numeric here; add a 3-digit age to separate
+    val data2 = RdfEvent.toDF(spark, Seq(
+      RdfEvent(1, "http://ex.org/a", "http://ex.org/age", "9", ""),
+      RdfEvent(1, "http://ex.org/b", "http://ex.org/age", "100", ""),
+      RdfEvent(1, "http://ex.org/c", "http://ex.org/age", "25", "")))
+    val df = SparqlCompiler.compile(data2, SparqlParser.parse(
+      """PREFIX ex: <http://ex.org/>
+        |SELECT (MIN(?age) AS ?lo) (MAX(?age) AS ?hi) WHERE {
+        |  ?s ex:age ?age .
+        |}""".stripMargin))
+    val r = df.collect()(0)
+    assert(r.getAs[String]("lo") === "9")    // lexical min would be "100"
+    assert(r.getAs[String]("hi") === "100")  // lexical max would be "9"
+  }
+
+  // ---- EBV error semantics --------------------------------------------
+
+  test("EBV of an IRI is a type error: FILTER drops the row and ! does " +
+      "not resurrect it") {
+    val direct = run(
+      """SELECT ?s WHERE { ?s ex:age ?age . FILTER(?s) }""")
+    assert(direct.count() === 0)
+    val negated = run(
+      """SELECT ?s WHERE { ?s ex:age ?age . FILTER(!(?s)) }""")
+    assert(negated.count() === 0)
+  }
+
+  test("EBV of plain literals: non-empty true, numeric by value, " +
+      "boolean lexicals by value") {
+    val ebv = RdfEvent.toDF(spark, Seq(
+      RdfEvent(1, "http://ex.org/s1", "http://ex.org/p", "hello", ""),
+      RdfEvent(1, "http://ex.org/s2", "http://ex.org/p", "0", ""),
+      RdfEvent(1, "http://ex.org/s3", "http://ex.org/p", "false", ""),
+      RdfEvent(1, "http://ex.org/s4", "http://ex.org/p", "2.5", ""),
+      RdfEvent(1, "http://ex.org/s5", "http://ex.org/p", "true", "")))
+    val df = SparqlCompiler.compile(ebv, SparqlParser.parse(
+      """PREFIX ex: <http://ex.org/>
+        |SELECT ?s WHERE { ?s ex:p ?o . FILTER(?o) }""".stripMargin))
+    assert(TestSpark.rows(df) === Set(
+      Seq("http://ex.org/s1"), Seq("http://ex.org/s4"),
+      Seq("http://ex.org/s5")))
+  }
+
+  test("IF with an error condition is an error, not the else branch") {
+    // EBV(?s) errors (IRI) → IF errors → ?r is unbound (NULL)
+    val df = run(
+      """SELECT ?s (IF(?s, "t", "f") AS ?r) WHERE {
+        |  ?s ex:email ?m .
+        |}""".stripMargin)
+    assert(TestSpark.rows(df) === Set(Seq("http://ex.org/alice", "null")))
+  }
 }

@@ -171,4 +171,66 @@ class SparqlParserSpec extends AnyFunSuite {
       SparqlParser.parse("SELECT ?s WHERE { ?s nope:p ?o }")
     }
   }
+
+  test("FILTER(?a<?b&&?c>?d) lexes a greedy IRIREF, matching the SPARQL " +
+      "grammar (Jena/Oxigraph behavior)") {
+    // §19.8 IRIREF = '<' ([^<>\"{}|^`\\]-[#x00-#x20])* '>' — '?' and '&'
+    // are legal IRI characters, so the longest match wins: the lexeme is
+    // the (odd but well-formed) IRI <?b&&?c>, leaving `?a <iri> ?d`,
+    // which is NOT a valid expression — a syntax error, exactly what
+    // Jena/Oxigraph report. Writing two comparisons requires whitespace.
+    assert(SparqlParser.tokenize("?a<?b&&?c>?d") ===
+      Vector(SparqlParser.TVar("a"), SparqlParser.TIri("?b&&?c"),
+        SparqlParser.TVar("d")))
+    assertThrows[SparqlParser.ParseException] {
+      SparqlParser.parse("SELECT ?a WHERE { ?a ?p ?d . FILTER(?a<?b&&?c>?d) }")
+    }
+    // the spaced spelling is the two-comparison conjunction
+    val q2 = SparqlParser.parse(
+      "SELECT ?a WHERE { ?a ?p ?d . FILTER(?a < ?b && ?c > ?d) }")
+    val f2 = q2.asInstanceOf[SelectQuery].where.filters.head
+    assert(f2 === EAnd(ECmp("<", EVar("a"), EVar("b")),
+      ECmp(">", EVar("c"), EVar("d"))))
+  }
+
+  test("IRIREF scan stops at grammar-excluded characters, not just " +
+      "whitespace") {
+    // '{' is excluded from IRIREF, so `?x<?y` followed by a brace is a
+    // comparison even with no whitespace
+    val q = SparqlParser.parse(
+      "SELECT ?x WHERE { ?x ?p ?y . FILTER(?x<?y){ ?x ?q ?z }}")
+    assert(q.asInstanceOf[SelectQuery].where.filters.head ===
+      ECmp("<", EVar("x"), EVar("y")))
+  }
+
+  test("VALUES parses UNDEF cells to None") {
+    val q = SparqlParser.parse(
+      """SELECT ?s WHERE {
+        |  ?s ?p ?o .
+        |  VALUES (?s ?t) { (<http://e.org/a> "x") (UNDEF "y") }
+        |}""".stripMargin)
+    val vb = q.asInstanceOf[SelectQuery].where.values.head
+    assert(vb.vars === Seq("s", "t"))
+    assert(vb.rows === Seq(
+      Seq(Some(Iri("http://e.org/a")), Some(Lit("x"))),
+      Seq(None, Some(Lit("y")))))
+    assert(vb.undefVars === Set("s"))
+  }
+
+  test("group elements preserve source order (BIND between patterns, " +
+      "OPTIONAL/MINUS interleaved)") {
+    val q = SparqlParser.parse(
+      """PREFIX ex: <http://example.org/>
+        |SELECT ?s WHERE {
+        |  ?s ex:p ?a .
+        |  BIND(?a AS ?b)
+        |  ?s ex:q ?b .
+        |  OPTIONAL { ?s ex:r ?c }
+        |  MINUS { ?s ex:bad ?b }
+        |  VALUES ?s { ex:one }
+        |}""".stripMargin)
+    val kinds = q.asInstanceOf[SelectQuery].where.elems.map(_.getClass.getSimpleName)
+    assert(kinds === Seq("GBgp", "GBind", "GBgp", "GOptional", "GMinus",
+      "GValues"))
+  }
 }
