@@ -187,7 +187,19 @@ final class JanusApi(
         case e: JanusQLParser.JanusParseException =>
           throw ApiException(s"Failed to parse JanusQL query: ${e.msg}")
       }
+    // a (re-)registration resets the status machine to Registered: a
+    // stale Stopped from a previous lifecycle must not shadow it, and
+    // retired ids must not accumulate entries forever
+    lastStatus.remove(queryId)
     registry.register(queryId, janusql, parsed, baselineMode)
+  }
+
+  /** Registry removal also drops the terminal-status memory — without
+    * this, ids deleted over the HTTP API leak lastStatus entries in a
+    * long-lived server. */
+  def unregisterQuery(queryId: String): Boolean = {
+    lastStatus.remove(queryId)
+    registry.unregister(queryId)
   }
 
   def status(queryId: String): Option[ExecutionStatus] =

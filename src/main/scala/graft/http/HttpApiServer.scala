@@ -26,7 +26,10 @@ final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
     port: Int = 0, sseIdleTimeoutMs: Long = 30000,
     storageHealth: () => Option[String] = () => None,
     replayBusFactory: Option[HttpApiServer.ReplayRequest =>
-      graft.storage.ReplayBus] = None) {
+      graft.storage.ReplayBus] = None,
+    /** replay-ring + per-subscriber queue capacity — the reference's
+      * broadcast channel capacity (`server.rs:34`) */
+    replayCapacity: Int = 1024) {
 
   import HttpApiServer._
 
@@ -39,14 +42,14 @@ final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
     * reference's mpsc → broadcast chain, `server.rs:500-548`). */
   private val subscribers =
     new ConcurrentHashMap[String, CopyOnWriteArrayList[
-      LinkedBlockingQueue[String]]]()
+      HttpApiServer.Subscription]]()
   private val forwarders = new ConcurrentHashMap[String, Thread]()
   /** bounded replay ring per query: results produced before a
     * subscriber connects are replayed on connect (the reference's
     * broadcast channel capacity, `server.rs:34`) */
   private val replayBuffers =
     new ConcurrentHashMap[String, java.util.ArrayDeque[String]]()
-  private val ReplayCapacity = 1024
+  private val ReplayCapacity = replayCapacity
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -285,7 +288,7 @@ final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
     try {
       val handle = api.startQuery(id)
       handles.put(id, handle)
-      val queues = new CopyOnWriteArrayList[LinkedBlockingQueue[String]]()
+      val queues = new CopyOnWriteArrayList[HttpApiServer.Subscription]()
       subscribers.put(id, queues)
       val buffer = new java.util.ArrayDeque[String]()
       replayBuffers.put(id, buffer)
@@ -301,10 +304,9 @@ final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
                   // bounded fan-out: a stalled subscriber loses its
                   // OLDEST results instead of growing the heap without
                   // limit (the reference's broadcast-channel lag-drop,
-                  // `server.rs:34`)
-                  queues.asScala.foreach { q =>
-                    while (!q.offer(json)) q.poll()
-                  }
+                  // `server.rs:34`); each drop is counted so the
+                  // subscriber's next read surfaces a lagged frame
+                  queues.asScala.foreach(_.fanOut(json))
                 }
               case None => ()
             }
@@ -340,30 +342,30 @@ final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
   private def handleDelete(ex: HttpExchange, id: String): Unit = {
     if (handles.containsKey(id)) {
       respond(ex, 409, """{"error":"query is running; stop it first"}""")
-    } else if (registry.unregister(id)) {
+    } else if (api.unregisterQuery(id)) {
       respond(ex, 200, s"""{"query_id":${jstr(id)},"deleted":true}""")
     } else respond(ex, 404, """{"error":"unknown query"}""")
   }
 
   /** Subscribe a fresh queue to a running query's result feed: replay
     * of already-produced results + live fan-out, atomically. Returns
-    * the queue and an unsubscribe action; None when the query is not
-    * running. Shared by the SSE route and the WebSocket listener. */
+    * the subscription and an unsubscribe action; None when the query is
+    * not running. Shared by the SSE route and the WebSocket listener. */
   private[http] def subscribe(id: String)
-      : Option[(LinkedBlockingQueue[String], () => Unit)] = {
+      : Option[(Subscription, () => Unit)] = {
     val queues = subscribers.get(id)
     if (queues == null) return None
-    val q = new LinkedBlockingQueue[String](ReplayCapacity)
+    val sub = new Subscription(id, ReplayCapacity)
     // subscribe + replay under the fan-out lock: results already
     // produced land in the queue exactly once, new ones via fan-out
     Option(replayBuffers.get(id)) match {
       case Some(buffer) => buffer.synchronized {
-        buffer.forEach(msg => q.offer(msg))
-        queues.add(q)
+        buffer.forEach(msg => sub.fanOut(msg))
+        queues.add(sub)
       }
-      case None => queues.add(q)
+      case None => queues.add(sub)
     }
-    Some((q, () => { queues.remove(q); () }))
+    Some((sub, () => { queues.remove(sub); () }))
   }
 
   /** SSE result feed: one `data:` line per QueryResult. */
@@ -381,7 +383,7 @@ final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
       val out = ex.getResponseBody
       var open = true
       while (open) {
-        val msg = q.poll(sseIdleTimeoutMs, TimeUnit.MILLISECONDS)
+        val msg = q.next(sseIdleTimeoutMs)
         if (msg != null) {
           try {
             out.write(s"data: $msg\n\n".getBytes(StandardCharsets.UTF_8))
@@ -423,6 +425,36 @@ final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
 }
 
 object HttpApiServer {
+
+  /** One subscriber of a query's result feed: a bounded queue plus a
+    * lag counter. The forwarder drops the OLDEST queued result when the
+    * queue is full (the reference's broadcast-channel behavior) and
+    * counts the drop; the subscriber's NEXT read then returns a
+    * `{"type":"lagged","dropped_messages":n}` frame before newer
+    * results — exactly tokio broadcast's `RecvError::Lagged` surfaced
+    * at read time (`server.rs:515-525`). */
+  final class Subscription(queryId: String, capacity: Int) {
+    private val queue = new LinkedBlockingQueue[String](capacity)
+    private val dropped = new java.util.concurrent.atomic.AtomicLong(0)
+
+    /** Forwarder side: enqueue, evicting (and counting) the oldest
+      * entries while the subscriber lags. */
+    private[http] def fanOut(json: String): Unit =
+      while (!queue.offer(json)) {
+        if (queue.poll() != null) dropped.incrementAndGet()
+      }
+
+    /** Subscriber side: the next frame to deliver — a lagged
+      * notification if results were dropped since the last read, else
+      * the next result (null on timeout). */
+    def next(timeoutMs: Long): String = {
+      val n = dropped.getAndSet(0)
+      if (n > 0)
+        s"""{"query_id":${jstr(queryId)},"type":"lagged",""" +
+          s""""dropped_messages":$n}"""
+      else queue.poll(timeoutMs, TimeUnit.MILLISECONDS)
+    }
+  }
 
   /** Parsed replay-start request (StartReplayRequest,
     * `server.rs:102-127`; topics/mqtt_config omitted — broker "none" is
@@ -467,10 +499,14 @@ object HttpApiServer {
           case 'n'  => b.append('\n'); i += 2
           case 't'  => b.append('\t'); i += 2
           case 'r'  => b.append('\r'); i += 2
-          case 'u' if i + 5 < s.length =>
+          case 'u' if i + 5 < s.length &&
+              s.substring(i + 2, i + 6).forall(d =>
+                Character.digit(d, 16) >= 0) =>
             b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16)
               .toChar)
             i += 6
+          // malformed \uXXXX (non-hex digits): keep the characters
+          // literally rather than throwing out of the route handler
           case esc  => b.append(esc); i += 2 // \" \\ \/ and friends
         }
       } else { b.append(c); i += 1 }

@@ -89,7 +89,7 @@ final class WebSocketResultServer(api: HttpApiServer, port: Int = 0,
       api.subscribe(queryId) match {
         case None =>
           httpError(out, 404, "query is not running")
-        case Some((queue, unsubscribe)) =>
+        case Some((sub, unsubscribe)) =>
           try {
             val accept = Base64.getEncoder.encodeToString(
               MessageDigest.getInstance("SHA-1").digest(
@@ -103,7 +103,7 @@ final class WebSocketResultServer(api: HttpApiServer, port: Int = 0,
               .getBytes(StandardCharsets.US_ASCII))
             out.flush()
             sock.setSoTimeout(250)
-            pump(sock, in, out, queue)
+            pump(sock, in, out, sub)
           } finally unsubscribe()
       }
     } catch {
@@ -114,9 +114,12 @@ final class WebSocketResultServer(api: HttpApiServer, port: Int = 0,
   }
 
   /** Push results as text frames until close/idle/disconnect,
-    * answering PING and echoing CLOSE per RFC 6455 §5.5. */
+    * answering PING and echoing CLOSE per RFC 6455 §5.5. A slow
+    * consumer that lagged past the queue capacity receives the
+    * `{"type":"lagged","dropped_messages":n}` frame before newer
+    * results (`server.rs:515-525`). */
   private def pump(sock: Socket, in: InputStream, out: OutputStream,
-      queue: java.util.concurrent.LinkedBlockingQueue[String]): Unit = {
+      sub: HttpApiServer.Subscription): Unit = {
     val idleDeadline = () => System.currentTimeMillis() + idleTimeoutMs
     var deadline = idleDeadline()
     var open = true
@@ -144,7 +147,7 @@ final class WebSocketResultServer(api: HttpApiServer, port: Int = 0,
         } finally sock.setSoTimeout(250)
       }
       if (open) {
-        val msg = queue.poll(50, TimeUnit.MILLISECONDS)
+        val msg = sub.next(50)
         if (msg != null) {
           writeFrame(out, 0x1, msg.getBytes(StandardCharsets.UTF_8))
           deadline = idleDeadline()

@@ -187,11 +187,14 @@ object Ann {
     val stride = math.max(n / nCells, 1L)
     // systematic id sample; ids need not be dense (or include a
     // stride-divisible one at all), so top up deterministically from
-    // the id-ordered head when the sample runs short
+    // the id-ordered head when the sample runs short — excluding the
+    // stride-divisible ids already sampled, or the top-up would seed
+    // duplicate (dead) centroids
     val sampled = base.filter(_._1 % stride == 0).map(_._2).take(nCells)
     val seedVecs =
       if (sampled.length >= nCells) sampled
-      else (sampled ++ base.sort("_1").map(_._2).take(nCells)).take(nCells)
+      else (sampled ++ base.filter(_._1 % stride != 0).sort("_1")
+        .map(_._2).take(nCells - sampled.length))
     var model = IvfModel(seedVecs.toArray)
     (0 until iterations).foreach { _ =>
       val m = model
@@ -331,11 +334,13 @@ object Ann {
     // systematic id sample, topped up from the id-ordered head when ids
     // are sparse/hashed and few (or none) are stride-divisible — an
     // empty sample would otherwise crash, a short one would train
-    // duplicate dead sub-centroids
+    // duplicate dead sub-centroids (hence the top-up excludes already-
+    // sampled stride-divisible ids)
     val sampled = base.filter(_._1 % stride == 0).map(_._2).take(ksub)
     val seeds =
       if (sampled.length >= ksub) sampled
-      else (sampled ++ base.sort("_1").map(_._2).take(ksub)).take(ksub)
+      else (sampled ++ base.filter(_._1 % stride != 0).sort("_1")
+        .map(_._2).take(ksub - sampled.length))
     var books: Array[Array[Array[Double]]] = Array.tabulate(m, ksub) {
       (j, c) => seeds(c % seeds.length).slice(j * dsub, (j + 1) * dsub)
     }

@@ -271,15 +271,23 @@ final class EventLog(
   def pointQuery(start: Long, end: Long,
       limit: Int = Int.MaxValue): Seq[graft.core.RdfEvent] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[graft.core.RdfEvent]
-    val files = fileIndex.iterator
+    // Files in minTs order. Micro-batch files within a bucket can
+    // overlap in ts, so a naive per-file early exit would truncate with
+    // first-file bias — instead, once `limit` rows are held, the
+    // running result is sorted+truncated and its worst (limit-th
+    // smallest) timestamp becomes the cutoff: any later file whose
+    // minTs exceeds it cannot contribute, so a wide range with a small
+    // limit stops after a handful of decodes instead of buffering the
+    // whole range (the reference's segment scan merges ts-sorted;
+    // `segmented_storage.rs:308-463`).
+    val files = fileIndex
       .filter(f => f.minTs <= end && f.maxTs >= start)
-    // gather matches from EVERY overlapping file before sorting —
-    // micro-batch files within a bucket can overlap in ts, so a
-    // per-file early exit would truncate with first-file bias and the
-    // result would not be globally ts-ordered (the reference's segment
-    // scan merges ts-sorted; `segmented_storage.rs:308-463`)
-    while (files.hasNext) {
-      val arr = decodedFile(files.next().path)
+      .sortBy(_.minTs)
+    var cutoff = Long.MaxValue
+    var i = 0
+    while (i < files.length &&
+        !(out.length >= limit && files(i).minTs > cutoff)) {
+      val arr = decodedFile(files(i).path)
       // lower bound: first index with ts >= start
       var lo = 0
       var hi = arr.length
@@ -291,9 +299,14 @@ final class EventLog(
         out += arr(lo)
         lo += 1
       }
+      if (limit != Int.MaxValue && out.length >= limit) {
+        out.sortInPlaceBy(_.timestamp)
+        out.takeInPlace(limit)
+        cutoff = out.last.timestamp
+      }
+      i += 1
     }
-    val sorted = out.sortInPlaceBy(_.timestamp)
-    if (limit < sorted.length) sorted.take(limit).toSeq else sorted.toSeq
+    out.sortInPlaceBy(_.timestamp).toSeq
   }
 
   /** Hadoop-FS existence check (works for HDFS/S3 paths, not just

@@ -255,4 +255,112 @@ class HttpApiServerSpec extends AnyFunSuite {
       assert(s.body().contains("\"is_running\":false"))
     }
   }
+
+  test("malformed \\uXXXX escapes decode literally instead of throwing " +
+      "out of the route handler") {
+    // built by concatenation — even triple-quoted Scala literals
+    // pre-process \uXXXX escapes
+    assert(HttpApiServer.jfield("{\"x\":\"a\\" + "uZZ99b\"}", "x")
+      === Some("auZZ99b"))
+    assert(HttpApiServer.jfield("{\"x\":\"tail\\" + "u00\"}", "x")
+      === Some("tailu00"))
+  }
+
+  test("Subscription surfaces a lagged frame before newer results after " +
+      "fan-out drops (server.rs:515-525 contract)") {
+    val sub = new HttpApiServer.Subscription("qx", 4)
+    (1 to 4).foreach(i => sub.fanOut(s"m$i"))
+    // queue full: two more fan-outs evict the two OLDEST
+    sub.fanOut("m5")
+    sub.fanOut("m6")
+    val first = sub.next(100)
+    assert(first ===
+      """{"query_id":"qx","type":"lagged","dropped_messages":2}""")
+    // then the surviving newer messages, oldest-dropped first
+    assert((1 to 4).map(_ => sub.next(100)) === Seq("m3", "m4", "m5", "m6"))
+    assert(sub.next(10) === null)
+    // counter resets: a lag-free stretch produces no second lagged frame
+    sub.fanOut("m7")
+    assert(sub.next(100) === "m7")
+  }
+
+  test("slow subscriber lagging past the fan-out capacity receives the " +
+      "lagged frame, with dropped + delivered accounting for every result") {
+    // 41 sliding-window result messages (one per window, the
+    // reference's batch-per-window emission) against an 8-slot
+    // subscriber queue; the subscriber does not read until the query
+    // completes, so the fan-out must drop 33 and the first read must
+    // surface the lagged frame, then only the newest 8 results
+    val registry = new QueryRegistry()
+    val api = new JanusApi(spark, registry, _ => store, () => 10000L)
+    val server = new HttpApiServer(api, registry, sseIdleTimeoutMs = 3000,
+      replayCapacity = 8)
+    server.start()
+    try {
+      val c = HttpClient.newHttpClient()
+      val base = s"http://127.0.0.1:${server.boundPort}"
+      val body =
+        """{"query_id": "qbig", "janusql": "PREFIX ex: <http://example.org/>\nSELECT ?sensor ?reading\nFROM NAMED WINDOW ex:hist ON LOG ex:store [OFFSET 4000 RANGE 100 STEP 100]\nWHERE {\n WINDOW ex:hist { ?sensor ex:reading ?reading }\n}"}"""
+      assert(post(c, s"$base/api/queries", body).statusCode() === 201)
+      // subscribe from a racing poller so the subscription registers the
+      // moment the fan-out list exists — long before the historical
+      // Spark job finishes — otherwise the forwarder drains everything
+      // with no subscriber and only the replay ring survives
+      val subRef = new java.util.concurrent.atomic.AtomicReference[
+        (HttpApiServer.Subscription, () => Unit)]()
+      val poller = new Thread(() => {
+        while (subRef.get == null)
+          server.subscribe("qbig").foreach(subRef.set)
+      })
+      poller.setDaemon(true)
+      poller.start()
+      assert(post(c, s"$base/api/queries/qbig/start").statusCode() === 200)
+      poller.join(10000)
+      val (sub, unsubscribe) = subRef.get
+      try {
+        // wait for the historical worker to finish producing
+        val deadline = System.currentTimeMillis() + 60000
+        while (api.status("qbig") !=
+            Some(graft.api.JanusApi.ExecutionStatus.Completed) &&
+            System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        assert(api.status("qbig") ===
+          Some(graft.api.JanusApi.ExecutionStatus.Completed))
+        // Completed covers the worker → unified queue leg; give the
+        // forwarder thread time to finish the unified queue → fan-out
+        // leg so every drop happens BEFORE the first read
+        Thread.sleep(2000)
+        val frames = Iterator.continually(sub.next(300))
+          .takeWhile(_ != null).toVector
+        val (lagged, results) =
+          frames.partition(_.contains("\"type\":\"lagged\""))
+        assert(lagged.size === 1, s"expected one lagged frame: $frames")
+        assert(frames.head === lagged.head,
+          "lagged frame must precede the surviving results")
+        val dropped = HttpApiServer.jnum(lagged.head, "dropped_messages")
+          .get.toLong
+        // 41 windows ([now-4000, now] every 100 ms incl. the empty
+        // final [now, now]), 8 queue slots → exactly 33 drops; every
+        // produced result is either delivered or counted dropped
+        assert(dropped === 33L)
+        assert(results.size === 8)
+        assert(lagged.head.contains("\"query_id\":\"qbig\""))
+      } finally unsubscribe()
+    } finally server.stop()
+  }
+
+  test("re-registering a stopped query id reports Registered, not the " +
+      "previous lifecycle's Stopped") {
+    withServer { (c, base) =>
+      assert(post(c, s"$base/api/queries", registerBody).statusCode() === 201)
+      assert(post(c, s"$base/api/queries/q1/start").statusCode() === 200)
+      assert(post(c, s"$base/api/queries/q1/stop").statusCode() === 200)
+      assert(get(c, s"$base/api/queries/q1").body()
+        .contains("\"status\":\"Stopped\""))
+      assert(delete(c, s"$base/api/queries/q1").statusCode() === 200)
+      assert(post(c, s"$base/api/queries", registerBody).statusCode() === 201)
+      assert(get(c, s"$base/api/queries/q1").body()
+        .contains("\"status\":\"Registered\""))
+    }
+  }
 }
