@@ -163,6 +163,46 @@ object SparkEntry {
     // events between window k's end and window k+1's start belong to NO
     // window and must not be assigned to one (the regression mode was
     // sequence(idLow, idHigh) descending when idLow > idHigh)
+    // W1/W2/W5: the LIVE window path, oracle-verified — the full
+    // JanusQL parse → CompiledLiveStream drive: events (timestamps
+    // rebased to stream time 0) feed processBatch, every RANGE/STEP
+    // window close fires a distributed evaluation over the event-log
+    // snapshot, and the RStream emissions (one aggregate row per fire,
+    // tagged with the window span) are the result. DuckDB recomputes
+    // the same close schedule from the data (the
+    // live_stream_integration_test.rs:119-161 discipline: closes as
+    // data, not callbacks).
+    "w1_live_fires" -> ((s, dir) => {
+      val StreamUri = "http://graft.dev/stream/events"
+      val ev = EventsAsQuads.events(s, dir)
+      val t0 = ev.agg(min(col("ts_ms"))).head.getLong(0)
+      val quads = EventsAsQuads.quads(s, dir)
+        .withColumn("timestamp", col("timestamp") - t0)
+        .withColumn("graph", lit(StreamUri))
+      val query =
+        """PREFIX ex: <http://graft.dev/>
+          |PREFIX v: <http://graft.dev/vocab#>
+          |PREFIX st: <http://graft.dev/stream/>
+          |REGISTER RStream <out> AS
+          |SELECT (COUNT(?e) AS ?n) (AVG(?val) AS ?avg_val)
+          |FROM NAMED WINDOW ex:w ON STREAM st:events [RANGE 172800000 STEP 86400000]
+          |WHERE {
+          |    WINDOW ex:w { ?e v:value ?val }
+          |}""".stripMargin
+      val tmp = java.nio.file.Files.createTempDirectory("w1live")
+      val log = new graft.storage.EventLog(s,
+        tmp.resolve("log").toString, bucketMs = 86400000L)
+      val fires = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      val cls = new graft.streaming.CompiledLiveStream(s, query, log,
+        (df, from, to) => fires += df
+          .withColumn("timestamp_from", lit(from))
+          .withColumn("timestamp_to", lit(to)))
+      cls.processBatch(quads)
+      fires.reduce(_ unionByName _)
+        .select(col("timestamp_from"), col("timestamp_to"), col("n"),
+          round(col("avg_val"), 6).as("avg_val"))
+    }),
+
     "w4_sliding_gap" -> ((s, dir) => {
       import graft.historical.HistoricalExecutor
       val quads = EventsAsQuads.quads(s, dir)
@@ -1030,6 +1070,24 @@ object SparkEntry {
           .cast("long").as("n_frames"))
     }),
 
+    // Multimodal REAL image decode: per-doc PNGs (dims derived from
+    // doc_id) rendered by ImageIO, then decoded back by ImageIO — the
+    // decoder under test reads actual PNG bytes; only the oracle knows
+    // the dim formula
+    "mm_image_dims" -> ((s, dir) => {
+      import s.implicits._
+      val dims = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map(id => (id, (16 + id % 17).toInt, (16 + id % 13).toInt))
+      graft.pipeline.Multimodal.decodeImageDims(
+        graft.pipeline.Multimodal.renderPng(dims))
+        .toDF()
+        .select(col("media_id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("codec"))
+    }),
+
     // Relational layer at TPC-H shape: wide aggregation (bench headline).
     // Sums go through DECIMAL so the result is exact and independent of
     // distributed summation order (a double sum can flip the last cent at
@@ -1134,6 +1192,19 @@ object SparkEntry {
         |FROM events e
         |JOIN wb ON epoch_ms(e.ts) BETWEEN wb.timestamp_from AND wb.timestamp_to
         |GROUP BY wb.window_id, wb.timestamp_from, wb.timestamp_to""".stripMargin,
+    "w1_live_fires" ->
+      """WITH p AS (SELECT MIN(epoch_ms(ts)) AS t0, MAX(epoch_ms(ts)) AS tmax
+        |          FROM events),
+        |wb AS (
+        |  SELECT (g.range + 1) * 86400000 AS close
+        |  FROM range(0, 10000) g, p
+        |  WHERE (g.range + 1) * 86400000 <= p.tmax - p.t0)
+        |SELECT wb.close - 172800000 AS timestamp_from, wb.close AS timestamp_to,
+        |  COUNT(e.value) AS n, ROUND(AVG(e.value), 6) AS avg_val
+        |FROM wb CROSS JOIN p LEFT JOIN events e
+        |  ON epoch_ms(e.ts) - p.t0 >= wb.close - 172800000
+        | AND epoch_ms(e.ts) - p.t0 < wb.close
+        |GROUP BY wb.close""".stripMargin,
     "w4_sliding_gap" ->
       """WITH p AS (SELECT MAX(epoch_ms(ts)) AS now FROM events),
         |wb AS (
@@ -1869,6 +1940,10 @@ object SparkEntry {
     "mm_binary_stats" ->
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS byte_len,
         |  CAST(4 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin,
+    "mm_image_dims" ->
+      """SELECT doc_id, CAST(16 + doc_id % 17 AS BIGINT) AS width,
+        |  CAST(16 + doc_id % 13 AS BIGINT) AS height, 'png' AS codec
         |FROM documents""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -8,10 +8,12 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, processed partition-locally.
   *
   * The Spark-side machinery — schema, partitioning, batch shape,
-  * mapPartitions signatures — is real and tested. The media DECODE steps
-  * are STUBBED with deterministic byte-level fakes (this container has
-  * no image/audio codecs); each stub is marked and isolated behind one
-  * function so a real codec drops in without touching the dataflow.
+  * mapPartitions signatures — is real and tested. PNG images decode for
+  * REAL via the JDK's built-in ImageIO PNG codec ([[renderPng]] /
+  * [[decodeImageDims]]); the audio/video feature + resize steps remain
+  * STUBBED with deterministic byte-level fakes (this container has no
+  * such codecs), each isolated behind one function so a real codec
+  * drops in without touching the dataflow.
   */
 object Multimodal {
 
@@ -90,6 +92,57 @@ object Multimodal {
       val resized = java.util.Arrays.copyOf(rec.payload, targetBytes)
       rec.copy(payload = resized,
         meta = rec.meta.copy(codec = rec.meta.codec.map(_ + ";resized")))
+    }
+  }
+
+  final case class ImageDims(media_id: Long, width: Int, height: Int,
+      codec: String)
+
+  /** Render a REAL single-color PNG per (id, width, height) row with
+    * the JDK's ImageIO encoder — the fixture side of the image path
+    * (the synthetic testdata carries no media files). One encoder per
+    * partition via mapPartitions; headless-safe (BufferedImage never
+    * touches a display). */
+  def renderPng(ds: Dataset[(Long, Int, Int)]): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { case (id, w, h) =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        // deterministic per-id fill so payload bytes differ across rows
+        val rgb = (id * 2654435761L & 0xFFFFFF).toInt
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRecord(id, "image", bos.toByteArray,
+          MediaMeta(None, None, None, Some("png")))
+      }
+    }
+  }
+
+  /** REAL image decode: parse each payload with ImageIO (PNG/JPEG/GIF —
+    * whatever the JVM's registered readers handle) and report the
+    * intrinsic pixel dimensions. Partition-local decoding — the same
+    * shape as [[extractFeatures]], but the codec is genuine; a payload
+    * no reader accepts reports (-1, -1, "undecodable") instead of
+    * failing the job (a 100 TB corpus always contains corrupt blobs). */
+  def decodeImageDims(ds: Dataset[MediaRecord]): Dataset[ImageDims] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { rec =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(rec.payload))
+          catch { case _: java.io.IOException => null }
+        if (img == null) ImageDims(rec.mediaId, -1, -1, "undecodable")
+        else ImageDims(rec.mediaId, img.getWidth, img.getHeight,
+          rec.meta.codec.getOrElse("image"))
+      }
     }
   }
 

@@ -407,4 +407,28 @@ class PipelineSpec extends AnyFunSuite {
       assert(fs.forall(_.length === 10))
     }
   }
+
+  test("multimodal: REAL PNG round-trip — ImageIO-rendered payloads " +
+      "decode back to their pixel dimensions; junk bytes degrade, " +
+      "not crash") {
+    import spark.implicits._
+    val dims = spark.createDataset(Seq(
+      (1L, 17, 9), (2L, 300, 1), (3L, 1, 1)))
+    val media = Multimodal.renderPng(dims)
+    // the payloads are genuine PNG files (magic bytes)
+    val payloads = media.collect()
+    assert(payloads.forall(_.payload.take(4).toSeq ===
+      Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+    val decoded = Multimodal.decodeImageDims(media).collect()
+      .map(d => d.media_id -> ((d.width, d.height, d.codec))).toMap
+    assert(decoded === Map(
+      1L -> ((17, 9, "png")), 2L -> ((300, 1, "png")),
+      3L -> ((1, 1, "png"))))
+    // corrupt payload: reported, not thrown
+    val junk = spark.createDataset(Seq(Multimodal.MediaRecord(
+      9L, "image", Array[Byte](1, 2, 3, 4),
+      Multimodal.MediaMeta(None, None, None, None))))
+    val bad = Multimodal.decodeImageDims(junk).collect().head
+    assert((bad.width, bad.height, bad.codec) === ((-1, -1, "undecodable")))
+  }
 }
