@@ -380,8 +380,22 @@ final class JanusApi(
     val idCol = org.apache.spark.sql.functions.col(
       HistoricalExecutor.WindowIdCol)
     // range partitions are globally ordered and toLocalIterator fetches
-    // one partition at a time → rows arrive in window-id order
-    val rows = out.repartitionByRange(idCol).sortWithinPartitions(idCol)
+    // one partition at a time → rows arrive in window-id order. The
+    // compiled plan may have ORDERED rows within each window (ORDER BY
+    // compiles to a sort over (window id, keys)) — a bare re-sort on
+    // the id alone would scramble it. Capturing a monotonic sequence id
+    // BEFORE the range shuffle (nondeterministic expression, so
+    // Catalyst cannot eliminate the upstream sort past it) and
+    // tie-breaking on it preserves the per-window order through the
+    // shuffle.
+    val seqCol = "__graft_seq"
+    val rows = out
+      .withColumn(seqCol,
+        org.apache.spark.sql.functions.monotonically_increasing_id())
+      .repartitionByRange(idCol)
+      .sortWithinPartitions(idCol,
+        org.apache.spark.sql.functions.col(seqCol))
+      .drop(seqCol)
       .toLocalIterator().asScala.buffered
     (0L until spec.windowCount).iterator.map { k =>
       val batch = Seq.newBuilder[Map[String, String]]

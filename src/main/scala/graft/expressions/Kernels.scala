@@ -220,7 +220,6 @@ object Kernels {
     // first profile wins for shared words? NO — each word can belong to
     // several languages (es "la"/fr "la", es "que"/fr "que", en/fr …).
     // Store a bitmask of languages per word instead.
-    m.clear()
     var l = 0
     while (l < profiles.length) {
       profiles(l).foreach { w =>
@@ -248,7 +247,10 @@ object Kernels {
       if (c >= '一' && c <= '鿿') return UTF8String.fromString("zh")
       ci += 1
     }
-    val s = raw.toLowerCase
+    // Locale.ROOT: the default locale would diverge from the
+    // locale-agnostic Spark lower() this kernel must replicate
+    // (tr-TR dotless-ı would break 'in'/'it'/'is' marker matches)
+    val s = raw.toLowerCase(java.util.Locale.ROOT)
     val counts = new Array[Int](MarkerLangs.length)
     var i = 0
     val len = s.length

@@ -106,6 +106,11 @@ final case class GBind(expr: Expr, alias: String) extends GroupElem
 final case class GUnion(alts: Seq[GroupPattern]) extends GroupElem
 final case class GValues(block: ValuesBlock) extends GroupElem
 final case class GSubquery(query: SelectQuery) extends GroupElem
+/** A nested group graph pattern (`{ … }` / `GRAPH x { … }`): evaluated
+  * as its own group — crucially its FILTERs scope to ITS group, not the
+  * enclosing one — then joined in (§18.2.2.6 translates GroupGraphPattern
+  * to Join(G, Translate(inner))). */
+final case class GGroup(group: GroupPattern) extends GroupElem
 
 /** Group graph pattern: ordered elements plus FILTER constraints
   * (filters scope over the whole group — §18.2.2.2 collects them group-
@@ -144,6 +149,7 @@ final case class GroupPattern(elems: Seq[GroupElem], filters: Seq[Expr]) {
       case GUnion(alts)  => alts.foreach(out ++= _.boundVars)
       case GBind(_, v)   => out += v
       case GOptional(g)  => out ++= g.boundVars
+      case GGroup(g)     => out ++= g.boundVars
       case GMinus(_)     => () // MINUS binds nothing in the outer group
       case GValues(vb)   => out ++= vb.vars
       case GSubquery(sq) =>

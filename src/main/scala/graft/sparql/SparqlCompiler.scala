@@ -209,6 +209,98 @@ object SparqlCompiler {
     renamed.foldLeft(merged)((df, v) => df.drop(pref + v))
   }
 
+  /** Variables an expression references (free variables). */
+  private def exprVars(e: Expr): Set[String] = e match {
+    case EVar(n)          => Set(n)
+    case EBound(n)        => Set(n)
+    case ECmp(_, l, r)    => exprVars(l) ++ exprVars(r)
+    case EAnd(l, r)       => exprVars(l) ++ exprVars(r)
+    case EOr(l, r)        => exprVars(l) ++ exprVars(r)
+    case ENot(x)          => exprVars(x)
+    case EArith(_, l, r)  => exprVars(l) ++ exprVars(r)
+    case ECall(_, args)   => args.flatMap(exprVars).toSet
+    case EIn(x, items, _) => exprVars(x) ++ items.flatMap(exprVars).toSet
+    case EAggRef(a)       => a.arg.map(exprVars).getOrElse(Set.empty)
+    case EExists(_, _)    => Set.empty // compiled as its own group
+    case _                => Set.empty
+  }
+
+  /** Widen `df` with NULL columns for expression variables the frame
+    * does not bind: SPARQL evaluates them as UNBOUND (usually a type
+    * error → NULL, but e.g. !BOUND(?x) or COALESCE(?x, 1) are defined),
+    * whereas a raw column reference would be an analysis crash. */
+  private def withUnbound(df: DataFrame, bound: Set[String],
+      vars: Set[String]): (DataFrame, Seq[String]) = {
+    val free = (vars -- bound -- df.columns).toSeq
+    (free.foldLeft(df)((d, v) =>
+      d.withColumn(v, lit(null).cast("string"))), free)
+  }
+
+  /** Variables a group may leave unbound (null), computed statically
+    * from the AST — the same tracking [[compileGroup]] does while
+    * compiling, used where only the AST is at hand (subquery
+    * projections). Conservative: never misses a nullable var. */
+  private def staticNullable(g: GroupPattern): Set[String] = {
+    var vars = Set.empty[String]
+    var nullable = Set.empty[String]
+    def add(vs: Set[String], vN: Set[String]): Unit = {
+      val shared = vs.intersect(vars)
+      nullable = nullable.filter(v => !shared.contains(v) || vN.contains(v)) ++
+        vN.filter(v => !vars.contains(v) || nullable.contains(v))
+      vars ++= vs
+    }
+    g.elems.foreach {
+      case e @ (_: GBgp | _: GPath) =>
+        add(GroupPattern(Seq(e), Nil).boundVars.toSet, Set.empty)
+      case GUnion(alts) =>
+        val branches = alts.map(a => (a.boundVars.toSet, staticNullable(a)))
+        val uVars = branches.flatMap(_._1).toSet
+        add(uVars, uVars.filter(v =>
+          branches.exists { case (bv, bn) => !bv(v) || bn(v) }))
+      case GValues(vb)  => add(vb.vars.toSet, vb.undefVars)
+      case GGroup(gg)   => add(gg.boundVars.toSet, staticNullable(gg))
+      case GOptional(og) =>
+        val ov = og.boundVars.toSet
+        nullable ++= (ov -- vars)
+        vars ++= ov
+      case GMinus(_)    => ()
+      case GBind(e, a)  =>
+        vars += a
+        e match {
+          case ENum(_) | EStr(_) | EIriRef(_) => ()
+          case _                              => nullable += a
+        }
+      case GSubquery(sq) =>
+        val pv = sq.projection match {
+          case Star => sq.where.boundVars.toSet
+          case Items(items) => items.map {
+            case VarItem(n)     => n
+            case ExprItem(_, a) => a
+            case AggItem(_, a)  => a
+          }.toSet
+        }
+        add(pv, subqueryNullable(sq))
+    }
+    nullable
+  }
+
+  /** Projected variables of a subquery that may be unbound in its
+    * result. */
+  private def subqueryNullable(sq: SelectQuery): Set[String] = {
+    val n = staticNullable(sq.where)
+    val bound = sq.where.boundVars.toSet
+    sq.projection match {
+      case Star => n
+      case Items(items) => items.collect {
+        case VarItem(v) if n.contains(v) || !bound.contains(v) => v
+        // any expression can error to NULL; aggregates other than
+        // COUNT can be NULL (empty-of-type groups, EBV errors)
+        case ExprItem(_, a)                      => a
+        case AggItem(Aggregate(f, _, _, _), a) if f != "COUNT" => a
+      }.toSet
+    }
+  }
+
   def compileGroup(quads: DataFrame, group: GroupPattern,
       extraKeys: Seq[String]): Grouped = {
     if (group.elems.isEmpty)
@@ -246,6 +338,36 @@ object SparqlCompiler {
       }
     }
 
+    // VALUES frames join WITHOUT extraKeys — the inline block is
+    // window-independent, and the literal DataFrame carries no key
+    // columns to equi-join on
+    def joinValuesIn(vdf: DataFrame, vs: Set[String],
+        vNullable: Set[String]): Unit = {
+      if (acc == null) { acc = vdf; accVars = vs; nullable = vNullable }
+      else {
+        val shared = vs.intersect(accVars).toSeq
+        val anyNullable = shared.exists(v =>
+          nullable.contains(v) || vNullable.contains(v))
+        acc =
+          if (shared.isEmpty) acc.crossJoin(vdf)
+          else if (anyNullable) compatJoin(acc, vdf, shared, Nil, "inner")
+          else acc.join(vdf, shared, "inner")
+        nullable = nullable.filter(v =>
+          !shared.contains(v) || vNullable.contains(v)) ++
+          vNullable.filter(v => !accVars.contains(v) || nullable.contains(v))
+        accVars = accVars ++ vs
+      }
+    }
+
+    // VALUES blocks seen before any keyed element under windowed
+    // evaluation — joined as soon as the accumulator exists
+    val pendingValues = scala.collection.mutable.ArrayBuffer
+      .empty[(DataFrame, Set[String], Set[String])]
+    def flushPendingValues(): Unit = if (acc != null) {
+      pendingValues.foreach { case (df, vs, vN) => joinValuesIn(df, vs, vN) }
+      pendingValues.clear()
+    }
+
     // §18.2.2.6 folds a group starting from the empty BGP (one empty
     // solution) — materialize that unit solution when the first element
     // is BIND/OPTIONAL/MINUS rather than a join element
@@ -262,7 +384,8 @@ object SparqlCompiler {
     // patterns scopes over exactly the preceding elements, and a later
     // OPTIONAL/MINUS/pattern sees (and joins on) the BIND-introduced
     // variable.
-    group.elems.foreach {
+    group.elems.foreach { elem =>
+      elem match {
       case GBgp(ps) =>
         // BGP: join order inside the run is free — fold patterns into
         // the accumulator greedily (most shared variables with what's
@@ -330,12 +453,22 @@ object SparqlCompiler {
           bindings.map { case (v, c) => col(c).as(v) }: _*)
         joinIn(bound, bindings.keySet.toSet, Set.empty)
 
+      // Nested group (`{…}` / GRAPH block with its own FILTERs):
+      // evaluated as an independent group — its filters see only its
+      // own bindings — then joined in (§18.2.2.6).
+      case GGroup(g) =>
+        val inner = compileGroup(quads, g, extraKeys)
+        joinIn(inner.df, inner.vars, inner.nullable)
+
       // Subquery: `{ SELECT … }` evaluated independently (its own
       // grouping/modifiers), then joined on the projected variables it
-      // shares with the enclosing group.
+      // shares with the enclosing group. Projected vars that may be
+      // unbound inside the subquery (OPTIONAL-only, partial UNION,
+      // UNDEF, BIND) keep compatibility-join semantics outside it.
       case GSubquery(sq) =>
         val sdf = compile(quads, sq, extraKeys)
-        joinIn(sdf, sdf.columns.toSet -- extraKeys, Set.empty)
+        joinIn(sdf, sdf.columns.toSet -- extraKeys,
+          subqueryNullable(sq) -- extraKeys)
 
       // UNION block: branches evaluated independently, multiset-unioned
       // (UNION ALL — SPARQL union does not deduplicate) with null fill
@@ -359,6 +492,12 @@ object SparqlCompiler {
       // is driver-literal and tiny, so Catalyst broadcasts the join.
       // UNDEF cells are null and their variables nullable — the join
       // takes the compatibility path (unbound matches anything, §10.2).
+      // The literal frame carries NO orchestration keys (it is
+      // window-independent), so the join deliberately skips extraKeys;
+      // if no join element has landed yet under windowed evaluation,
+      // the block is deferred until one does (Join is commutative, so
+      // this preserves the semantics — and joining it first would
+      // strand an accumulator without key columns).
       case GValues(vb) =>
         val spark = quads.sparkSession
         val schema = org.apache.spark.sql.types.StructType(
@@ -376,7 +515,9 @@ object SparqlCompiler {
         val vdf = spark.createDataFrame(
           new java.util.ArrayList(scala.jdk.CollectionConverters
             .SeqHasAsJava(rows).asJava), schema)
-        joinIn(vdf, vb.vars.toSet, vb.undefVars)
+        if (acc == null && extraKeys.nonEmpty)
+          pendingValues += ((vdf, vb.vars.toSet, vb.undefVars))
+        else joinValuesIn(vdf, vb.vars.toSet, vb.undefVars)
 
       // OPTIONAL group: SPARQL leftjoin — solutions keep going when the
       // optional side has no compatible row; its variables stay unbound
@@ -447,7 +588,8 @@ object SparqlCompiler {
         ensureAcc()
         if (accVars.contains(alias))
           throw new CompileException(s"BIND would rebind ?$alias")
-        acc = acc.withColumn(alias, valueC(e))
+        val (widened, free) = withUnbound(acc, accVars, exprVars(e))
+        acc = widened.withColumn(alias, valueC(e)).drop(free: _*)
         accVars += alias
         // any non-literal expression can evaluate to an error (NULL) —
         // a later join on the bound var must use compatibility
@@ -456,7 +598,14 @@ object SparqlCompiler {
           case ENum(_) | EStr(_) | EIriRef(_) => ()
           case _                              => nullable += alias
         }
+      }
+      flushPendingValues()
     }
+    // a group of only VALUES blocks (no keyed element ever landed)
+    flushPendingValues()
+    if (acc == null)
+      throw new CompileException(
+        "VALUES-only group under windowed evaluation is unsupported")
 
     // FILTERs: EXISTS via semi/anti joins, everything else via where().
     // `FILTER(!EXISTS {…})` (and any stack of NOTs) normalizes to the
@@ -470,16 +619,38 @@ object SparqlCompiler {
       unwrapNot(f, flip = false) match {
         case (EExists(inner, negated), flip) =>
           val innerG = compileGroup(quads, inner, extraKeys)
-          val shared =
-            (innerG.vars.intersect(accVars).toSeq ++ extraKeys).distinct
+          val sharedVars = innerG.vars.intersect(accVars).toSeq
+          val shared = (sharedVars ++ extraKeys).distinct
           if (shared.isEmpty)
             throw new CompileException(
               "FILTER EXISTS with no shared variables is unsupported")
           val joinType = if (negated ^ flip) "leftanti" else "leftsemi"
-          acc = acc.join(
-            innerG.df.select(shared.map(col): _*), shared, joinType)
+          val anyNullable = sharedVars.exists(v =>
+            nullable.contains(v) || innerG.nullable.contains(v))
+          if (!anyNullable)
+            acc = acc.join(
+              innerG.df.select(shared.map(col): _*), shared, joinType)
+          else {
+            // EXISTS substitutes the current solution into the inner
+            // pattern: an UNBOUND shared var stays a free variable, so
+            // the inner row matches regardless of its value — an equi
+            // key would null-mismatch and invert the result. Same
+            // compatibility condition as compatJoin, as a semi/anti
+            // join.
+            val sel = innerG.df
+              .select(shared.map(c => col(c).as(s"__e_$c")): _*)
+            val cond = (sharedVars.map(v =>
+              col(v) === col(s"__e_$v") || col(v).isNull ||
+                col(s"__e_$v").isNull) ++
+              extraKeys.map(k => col(k) === col(s"__e_$k")))
+              .reduce(_ && _)
+            acc = acc.join(sel, cond, joinType)
+          }
         case _ =>
-          acc = acc.where(boolC(f))
+          // vars the group does not bind evaluate as UNBOUND, not as
+          // unresolved columns
+          val (widened, free) = withUnbound(acc, accVars, exprVars(f))
+          acc = widened.where(boolC(f)).drop(free: _*)
       }
     }
     Grouped(acc, accVars, nullable)
@@ -833,9 +1004,17 @@ object SparqlCompiler {
       // NEITHER is (reproducing FILTER(?age > "25") over numeric-sniffed
       // literals, tests/oxigraph_adapter_test.rs:183-201). Numeric vs
       // non-numeric is a SPARQL type error: no branch matches → NULL →
-      // row filtered, matching Oxigraph.
-      when(ln.isNotNull && rn.isNotNull, cmp(op, ln, rn))
+      // row filtered, matching Oxigraph — EXCEPT numeric vs IRI under
+      // =/!=, where RDFterm-equal is definitive (a literal and an IRI
+      // are distinct terms): false for =, true for !=, not an error.
+      val base = when(ln.isNotNull && rn.isNotNull, cmp(op, ln, rn))
         .when(ln.isNull && rn.isNull, cmp(op, strC(l), strC(r)))
+      if (op == "=" || op == "!=") {
+        val mixedIri =
+          (ln.isNull && iriShaped(strC(l)) && rn.isNotNull) ||
+            (rn.isNull && iriShaped(strC(r)) && ln.isNotNull)
+        base.when(mixedIri, lit(op == "!="))
+      } else base
     case ECall("IF", Seq(c, a, b)) =>
       when(boolC(c), boolC(a)).when(!boolC(c), boolC(b))
     case ECall("COALESCE", args) => coalesce(args.map(boolC): _*)
@@ -978,6 +1157,7 @@ object SparqlCompiler {
     case ENot(x)         => collectAggRefs(x)
     case EArith(_, l, r) => collectAggRefs(l) ++ collectAggRefs(r)
     case ECall(_, args)  => args.flatMap(collectAggRefs)
+    case EIn(x, items, _) => collectAggRefs(x) ++ items.flatMap(collectAggRefs)
     case _               => Nil
   }
 
@@ -993,6 +1173,8 @@ object SparqlCompiler {
       case EArith(op, l, r) =>
         EArith(op, substAggRefs(l, m), substAggRefs(r, m))
       case ECall(i, args)   => ECall(i, args.map(substAggRefs(_, m)))
+      case EIn(x, items, n) =>
+        EIn(substAggRefs(x, m), items.map(substAggRefs(_, m)), n)
       case other            => other
     }
 
@@ -1005,6 +1187,11 @@ object SparqlCompiler {
     val hasAgg = items.exists(_.isInstanceOf[AggItem])
 
     if (!hasAgg && q.groupBy.isEmpty && q.having.isEmpty) {
+      // expression items may reference unbound vars too — they
+      // evaluate as UNBOUND (NULL), not as unresolved columns
+      val (base, _) = withUnbound(grouped.df, grouped.vars,
+        items.flatMap { case ExprItem(e, _) => exprVars(e)
+                        case _ => Set.empty[String] }.toSet)
       val cols = extraKeys.map(col) ++ items.map {
         // a projected variable bound nowhere in WHERE is valid SPARQL —
         // it projects as unbound (NULL), not as an unresolved-column
@@ -1015,7 +1202,7 @@ object SparqlCompiler {
         case ExprItem(e, as) => valueC(e).as(as)
         case AggItem(_, _)   => throw new CompileException("unreachable")
       }
-      grouped.df.select(cols: _*)
+      base.select(cols: _*)
     } else {
       val keys = (q.groupBy ++ extraKeys).distinct
       // implicit single group when aggregating with no GROUP BY
@@ -1028,8 +1215,23 @@ object SparqlCompiler {
         .map { case (a, i) => a -> s"__h$i" }.toMap
       val aggs = items.collect { case AggItem(a, as) => aggCol(a).as(as) } ++
         havingAggs.map(a => aggCol(a).as(hAlias(a)))
-      if (aggs.isEmpty)
-        throw new CompileException("GROUP BY without aggregates")
+      if (aggs.isEmpty) {
+        // GROUP BY with no aggregates anywhere: legal SPARQL — one row
+        // per key combination
+        if (keys.isEmpty)
+          throw new CompileException("GROUP BY without keys or aggregates")
+        val base = grouped.df.select(keys.map(col): _*).distinct()
+        val cols = extraKeys.map(col) ++ items.map {
+          case VarItem(n) =>
+            if (keys.contains(n)) col(n)
+            else throw new CompileException(
+              s"Projected variable ?$n is neither grouped nor aggregated")
+          case ExprItem(e, as) => valueC(e).as(as)
+          case AggItem(_, _)   => throw new CompileException("unreachable")
+        }
+        return q.having.foldLeft(base)((df, h) => df.where(boolC(h)))
+          .select(cols: _*)
+      }
       val out = keyed.agg(aggs.head, aggs.tail: _*)
       val filtered = q.having.foldLeft(out) { (df, h) =>
         df.where(boolC(substAggRefs(h, hAlias)))

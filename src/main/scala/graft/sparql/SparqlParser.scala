@@ -452,10 +452,15 @@ object SparqlParser {
       val elems = ArrayBuffer.empty[GroupElem]
       val filters = ArrayBuffer.empty[Expr]
       def absorb(inner: GroupPattern): Unit = {
-        // a bare nested group / GRAPH block flattens in place, keeping
-        // its elements' relative order at the absorption point
-        elems ++= inner.elems
-        filters ++= inner.filters
+        // a FILTER-free nested group / GRAPH block flattens in place
+        // (Join is associative/commutative, so this is equivalent and
+        // keeps the flat pattern views); a group WITH filters stays a
+        // group element — its FILTERs scope to its own group
+        // (§18.2.2.2), and hoisting them would let them see enclosing
+        // bindings (e.g. an outer OPTIONAL var) they must not
+        if (inner.filters.isEmpty) elems ++= inner.elems
+        else if (inner.elems.isEmpty) filters ++= inner.filters
+        else elems += GGroup(inner)
       }
       var done = false
       while (!done) {
@@ -762,6 +767,12 @@ object SparqlParser {
       while (more) peek match {
         case Some(TPunct("+")) => pos += 1; e = EArith("+", e, parseMultiplicative())
         case Some(TPunct("-")) => pos += 1; e = EArith("-", e, parseMultiplicative())
+        case Some(TNum(v)) if v < 0 =>
+          // `10-1` / `?x-1` lex the signed literal -1; the SPARQL
+          // grammar's AdditiveExpression accepts NumericLiteralNegative
+          // as a subtraction continuation (§19.8)
+          pos += 1
+          e = EArith("+", e, ENum(v))
         case _ => more = false
       }
       e

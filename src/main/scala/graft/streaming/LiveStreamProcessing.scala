@@ -2,9 +2,9 @@ package graft.streaming
 
 import graft.core.RdfEvent
 import graft.janusql._
-import graft.sparql.{GBgp, GBind, GMinus, GOptional, GPath, GSubquery,
-  GUnion, GValues, GroupPattern, Iri, Items, Query, QuadPattern, SelectQuery,
-  SparqlCompiler, SparqlParser, Star, Term, VarItem}
+import graft.sparql.{GBgp, GBind, GGroup, GMinus, GOptional, GPath,
+  GSubquery, GUnion, GValues, GroupPattern, Iri, Items, Query, QuadPattern,
+  SelectQuery, SparqlCompiler, SparqlParser, Star, Term, VarItem}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -252,6 +252,7 @@ object LiveStreamProcessing {
         case GMinus(mg)    => GMinus(scope(mg, graph))
         case GUnion(alts)  => GUnion(alts.map(scope(_, graph)))
         case GSubquery(sq) => GSubquery(sq.copy(where = scope(sq.where, graph)))
+        case GGroup(gg)    => GGroup(scope(gg, graph))
         case other @ (_: GBind | _: GValues) => other
       })
 

@@ -131,4 +131,29 @@ class HistoricalExecutorSpec extends AnyFunSuite {
     assert(out(0).getAs[String]("f") === "x")
     assert(out(0).getAs[Long](WindowIdCol) === 0L)
   }
+
+  test("VALUES inside a windowed query joins per window (no key-column " +
+      "crash; inline frame is window-independent)") {
+    val vq = SparqlParser.parse(
+      """PREFIX ex: <http://e.org/>
+        |SELECT ?s ?t WHERE {
+        |  ?s ex:temperature ?t .
+        |  VALUES ?s { <http://e.org/sensor0> }
+        |}""".stripMargin)
+    val spec = SlidingSpec(8000, 2000, 2000)
+    val out = executeSliding(quads, vq, 8000, spec).collect()
+    // sensor0 readings at even seconds; every row filtered to sensor0
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[String]("s") === "http://e.org/sensor0"))
+    // VALUES-first order must work identically (deferred join)
+    val vq2 = SparqlParser.parse(
+      """PREFIX ex: <http://e.org/>
+        |SELECT ?s ?t WHERE {
+        |  VALUES ?s { <http://e.org/sensor0> }
+        |  ?s ex:temperature ?t .
+        |}""".stripMargin)
+    val out2 = executeSliding(quads, vq2, 8000, spec).collect()
+    assert(out2.map(_.toString).sorted.toSeq ===
+      out.map(_.toString).sorted.toSeq)
+  }
 }

@@ -962,4 +962,87 @@ class SparqlExtendedSpec extends AnyFunSuite {
         |}""".stripMargin)
     assert(TestSpark.rows(df) === Set(Seq("http://ex.org/alice", "null")))
   }
+
+  // ---- round-7 review findings ----------------------------------------
+
+  test("a FILTER inside a nested group scopes to ITS group, not the " +
+      "enclosing one (§18.2.2.2)") {
+    // the inner filter references ?mail, which the INNER group does not
+    // bind → type error inside the group → inner group empty → join
+    // empty. Hoisting the filter to the outer group (where the OPTIONAL
+    // binds ?mail for alice) would wrongly keep alice.
+    val df = run(
+      """SELECT ?s WHERE {
+        |  ?s ex:age ?age .
+        |  OPTIONAL { ?s ex:email ?mail }
+        |  { ?s ex:knows ?o . FILTER(STRLEN(?mail) > 0) }
+        |}""".stripMargin)
+    assert(df.count() === 0)
+  }
+
+  test("FILTER EXISTS through an unbound shared var leaves it free " +
+      "(compat semi-join), NOT EXISTS conversely") {
+    // bob/charlie have ?mail unbound: EXISTS { ?m2 ... } with ?mail
+    // free must check whether ANY email triple exists → true for all
+    val ex = run(
+      """SELECT ?s WHERE {
+        |  ?s ex:age ?age .
+        |  OPTIONAL { ?s ex:email ?mail }
+        |  FILTER EXISTS { ?who ex:email ?mail }
+        |}""".stripMargin)
+    assert(TestSpark.rows(ex) === Set(Seq("http://ex.org/alice"),
+      Seq("http://ex.org/bob"), Seq("http://ex.org/charlie")))
+    val notEx = run(
+      """SELECT ?s WHERE {
+        |  ?s ex:age ?age .
+        |  OPTIONAL { ?s ex:email ?mail }
+        |  FILTER NOT EXISTS { ?who ex:email ?mail }
+        |}""".stripMargin)
+    assert(notEx.count() === 0)
+  }
+
+  test("numeric vs IRI under = / != is definitively unequal, not a " +
+      "type error") {
+    // ?age != <iri>: a literal and an IRI are distinct terms → true →
+    // rows kept ('=' conversely false → all filtered). The old NULL
+    // coercion filtered everything for both.
+    val ne = run(
+      """SELECT ?s WHERE { ?s ex:age ?age .
+        |  FILTER(?age != <http://ex.org/bob>) }""".stripMargin)
+    assert(ne.count() === 3)
+    val eq = run(
+      """SELECT ?s WHERE { ?s ex:age ?age .
+        |  FILTER(?age = <http://ex.org/bob>) }""".stripMargin)
+    assert(eq.count() === 0)
+  }
+
+  test("GROUP BY without aggregates yields one row per key") {
+    val df = run(
+      """SELECT ?s WHERE { ?s ex:knows ?o . } GROUP BY ?s""")
+    assert(TestSpark.rows(df) === Set(Seq("http://ex.org/alice")))
+  }
+
+  test("HAVING with an aggregate inside IN compiles") {
+    val df = run(
+      """SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ex:knows ?o . }
+        |GROUP BY ?s HAVING (COUNT(?o) IN (2, 3))""".stripMargin)
+    assert(TestSpark.rows(df) === Set(Seq("http://ex.org/alice", "2")))
+  }
+
+  test("subquery vars that may be unbound join with compatibility " +
+      "semantics outside the subquery") {
+    // the subquery leaves ?mail unbound for bob/charlie; the outer
+    // pattern binds ?mail from data — an equi-join would drop the
+    // unbound rows, compatibility keeps them (unbound matches anything)
+    val df = run(
+      """SELECT ?s ?mail WHERE {
+        |  { SELECT ?s ?mail WHERE {
+        |      ?s ex:age ?age . OPTIONAL { ?s ex:email ?mail } } }
+        |  ?who ex:email ?mail .
+        |}""".stripMargin)
+    assert(TestSpark.rows(df) === Set(
+      Seq("http://ex.org/alice", "alice@ex.org"),
+      Seq("http://ex.org/bob", "alice@ex.org"),
+      Seq("http://ex.org/charlie", "alice@ex.org")))
+  }
 }

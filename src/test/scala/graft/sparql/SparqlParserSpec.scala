@@ -203,6 +203,29 @@ class SparqlParserSpec extends AnyFunSuite {
       ECmp("<", EVar("x"), EVar("y")))
   }
 
+  test("negative-literal continuation: 10-1 parses as subtraction " +
+      "(NumericLiteralNegative, §19.8 AdditiveExpression)") {
+    val q = SparqlParser.parse(
+      "SELECT ?x WHERE { ?s ?p ?x . FILTER(?x > 10-1) }")
+    assert(q.asInstanceOf[SelectQuery].where.filters.head ===
+      ECmp(">", EVar("x"), EArith("+", ENum(10), ENum(-1))))
+  }
+
+  test("nested group with FILTER stays its own group element; " +
+      "filter-free groups flatten") {
+    val q = SparqlParser.parse(
+      """SELECT ?s WHERE {
+        |  ?s ?p ?o .
+        |  { ?s ?q ?r }
+        |  { ?s ?t ?u FILTER(?u > 1) }
+        |}""".stripMargin)
+    val elems = q.asInstanceOf[SelectQuery].where.elems
+    assert(elems.map(_.getClass.getSimpleName) ===
+      Seq("GBgp", "GBgp", "GGroup"))
+    val GGroup(inner) = elems.last: @unchecked
+    assert(inner.filters.length === 1)
+  }
+
   test("VALUES parses UNDEF cells to None") {
     val q = SparqlParser.parse(
       """SELECT ?s WHERE {
