@@ -487,6 +487,28 @@ object SparkEntry {
         |  VALUES (?t ?x) { ("click" "c") (UNDEF "z") }
         |}""".stripMargin)),
 
+    // R39: OPTIONAL whose FILTER references an OUTER variable — the
+    // spec's LeftJoin(A,B,F) condition: per-click, errors of the same
+    // user with a strictly larger value (equi key on ?u keeps the join
+    // hashable; the crossing comparison rides the join condition)
+    "r39_optional_outer_filter" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e ?u ?hv WHERE {
+        |  ?e v:type "click" . ?e v:user ?u . ?e v:value ?cv .
+        |  OPTIONAL { ?e2 v:type "error" . ?e2 v:user ?u .
+        |             ?e2 v:value ?hv . FILTER(?hv > ?cv) }
+        |}""".stripMargin)
+      .select(col("e"), col("u"), col("hv").try_cast("double").as("hv"))),
+
+    // R40: EXISTS whose inner FILTER references an OUTER variable —
+    // substitution semantics: the subquery correlates per solution row
+    "r40_exists_outer_filter" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e ?u ?cv WHERE {
+        |  ?e v:type "click" . ?e v:user ?u . ?e v:value ?cv .
+        |  FILTER EXISTS { ?e2 v:type "error" . ?e2 v:user ?u .
+        |                  ?e2 v:value ?hv . FILTER(?hv > ?cv) }
+        |}""".stripMargin)
+      .select(col("e"), col("u"), col("cv").try_cast("double").as("cv"))),
+
     // R31: GROUP BY expression key — desugars to a per-solution BIND
     // (the SPARQL semantics), grouped on the computed column
     "r31_groupby_expr" -> ((s, dir) => sparql(s, dir,
@@ -1316,6 +1338,21 @@ object SparkEntry {
       s"""SELECT $U AS u, MIN(event_type) AS tmin, MAX(event_type) AS tmax,
          |  MIN(value) AS vmin
          |FROM events GROUP BY user_id""".stripMargin,
+    "r39_optional_outer_filter" ->
+      s"""SELECT 'http://graft.dev/e/' || CAST(a.event_id AS VARCHAR) AS e,
+         |  'http://graft.dev/u/' || CAST(a.user_id AS VARCHAR) AS u,
+         |  b.value AS hv
+         |FROM events a LEFT JOIN
+         |  (SELECT user_id, value FROM events
+         |   WHERE event_type = 'error') b
+         |  ON a.user_id = b.user_id AND b.value > a.value
+         |WHERE a.event_type = 'click'""".stripMargin,
+    "r40_exists_outer_filter" ->
+      s"""SELECT $E AS e, $U AS u, a.value AS cv
+         |FROM events a
+         |WHERE a.event_type = 'click' AND EXISTS (
+         |  SELECT 1 FROM events b WHERE b.event_type = 'error'
+         |    AND b.user_id = a.user_id AND b.value > a.value)""".stripMargin,
     "r37_ebv_error" ->
       s"""SELECT $E AS e, event_type AS t
          |FROM events WHERE LENGTH(event_type) > 0""".stripMargin,

@@ -72,6 +72,10 @@ final case class EBound(name: String) extends Expr
 final case class EAggRef(agg: Aggregate) extends Expr
 /** `?x IN (e1, e2, …)` / `?x NOT IN (…)`. */
 final case class EIn(e: Expr, items: Seq[Expr], negated: Boolean) extends Expr
+/** Compiler-internal marker: a variable known to be UNBOUND in the
+  * evaluation frame (compiles to NULL in every view). Produced only by
+  * the compiler's variable-renaming passes, never by the parser. */
+case object EUnbound extends Expr
 
 /** Inline data block: `VALUES (?x ?y) { ("a" 1) (UNDEF "z") ... }`.
   * A `None` cell is UNDEF — the variable is unbound in that row and is

@@ -225,6 +225,35 @@ object SparqlCompiler {
     case _                => Set.empty
   }
 
+  /** Rewrite a crossing filter (a LeftJoin/EXISTS condition evaluated
+    * over the MERGED domain) for a join where the inner side's columns
+    * are renamed with `pref`: inner-bound vars → prefixed, outer-bound
+    * vars → unchanged, vars bound by neither → UNBOUND. */
+  private def renameCrossing(e: Expr, innerVars: Set[String],
+      outerVars: Set[String], pref: String): Expr = {
+    def r(e: Expr): Expr = e match {
+      case EVar(n) =>
+        if (innerVars.contains(n)) EVar(pref + n)
+        else if (outerVars.contains(n)) EVar(n)
+        else EUnbound
+      case EBound(n) =>
+        if (innerVars.contains(n)) EBound(pref + n)
+        else if (outerVars.contains(n)) EBound(n)
+        else EStr("false") // BOUND of a never-bound var
+      case ECmp(op, l, x)   => ECmp(op, r(l), r(x))
+      case EAnd(l, x)       => EAnd(r(l), r(x))
+      case EOr(l, x)        => EOr(r(l), r(x))
+      case ENot(x)          => ENot(r(x))
+      case EArith(op, l, x) => EArith(op, r(l), r(x))
+      case ECall(i, args)   => ECall(i, args.map(r))
+      case EIn(x, items, n) => EIn(r(x), items.map(r), n)
+      case EExists(_, _) => throw new CompileException(
+        "EXISTS inside an OPTIONAL/EXISTS join condition is unsupported")
+      case other => other
+    }
+    r(e)
+  }
+
   /** Widen `df` with NULL columns for expression variables the frame
     * does not bind: SPARQL evaluates them as UNBOUND (usually a type
     * error → NULL, but e.g. !BOUND(?x) or COALESCE(?x, 1) are defined),
@@ -526,12 +555,49 @@ object SparqlCompiler {
       // UNION, BIND, VALUES UNDEF), the compatibility join takes over.
       case GOptional(opt) =>
         ensureAcc()
-        val optG = compileGroup(quads, opt, extraKeys)
+        // §18.2.2.6 LeftJoin(A, B, F): a FILTER of the optional group
+        // that references a variable A binds but B does not is part of
+        // the JOIN CONDITION, evaluated over the merged domain — the
+        // spec's canonical `OPTIONAL { … FILTER(?inner > ?outer) }`.
+        // B-local filters stay inside B's own compile.
+        val optBound = opt.boundVars.toSet
+        val (crossing, local) = opt.filters.partition(f =>
+          exprVars(f).exists(v =>
+            !optBound.contains(v) && accVars.contains(v)))
+        val optG = compileGroup(quads,
+          if (crossing.isEmpty) opt else opt.copy(filters = local),
+          extraKeys)
         val shared = optG.vars.intersect(accVars).toSeq
         val anyNullable = shared.exists(v =>
           nullable.contains(v) || optG.nullable.contains(v))
         acc =
-          if (shared.isEmpty)
+          if (crossing.nonEmpty) {
+            // explicit condition join: B fully prefixed, condition =
+            // shared-var compatibility ∧ key equality ∧ the crossing
+            // filters (a NULL/false condition row simply fails to
+            // match — the left row survives with unbound B vars)
+            val pref = "__ol_"
+            val bCols = optG.df.columns
+            val bdf = optG.df.select(
+              bCols.map(c => col(c).as(pref + c)).toSeq: _*)
+            val cond = (shared.map(v =>
+              // plain equality when both sides are non-null keeps the
+              // equi-key extractable (hash join, not nested-loop)
+              if (nullable.contains(v) || optG.nullable.contains(v))
+                col(v) === col(pref + v) || col(v).isNull ||
+                  col(pref + v).isNull
+              else col(v) === col(pref + v)) ++
+              extraKeys.map(k => col(k) === col(pref + k)) ++
+              crossing.map(f => boolC(
+                renameCrossing(f, optG.vars, accVars, pref))))
+              .reduce(_ && _)
+            var m = acc.join(bdf, cond, "left_outer")
+            shared.foreach(v =>
+              m = m.withColumn(v, coalesce(col(v), col(pref + v))))
+            (optG.vars -- accVars).foreach(v =>
+              m = m.withColumn(v, col(pref + v)))
+            m.drop(bCols.map(pref + _).toSeq: _*)
+          } else if (shared.isEmpty)
             // no shared vars: every optional row extends every solution
             // — but only within the same window/orchestration key, so
             // the extraKeys still join (a bare cross join would mix
@@ -618,31 +684,41 @@ object SparqlCompiler {
     group.filters.foreach { f =>
       unwrapNot(f, flip = false) match {
         case (EExists(inner, negated), flip) =>
-          val innerG = compileGroup(quads, inner, extraKeys)
+          // EXISTS substitutes the current solution into the inner
+          // pattern (§18.6): inner FILTERs referencing OUTER variables
+          // become join conditions over the merged domain, and an
+          // UNBOUND shared var stays a free variable (compat, not
+          // null-mismatching equi key).
+          val innerBound = inner.boundVars.toSet
+          val (crossing, local) = inner.filters.partition(f =>
+            exprVars(f).exists(v =>
+              !innerBound.contains(v) && accVars.contains(v)))
+          val innerG = compileGroup(quads,
+            if (crossing.isEmpty) inner else inner.copy(filters = local),
+            extraKeys)
           val sharedVars = innerG.vars.intersect(accVars).toSeq
           val shared = (sharedVars ++ extraKeys).distinct
-          if (shared.isEmpty)
+          if (shared.isEmpty && crossing.isEmpty)
             throw new CompileException(
               "FILTER EXISTS with no shared variables is unsupported")
           val joinType = if (negated ^ flip) "leftanti" else "leftsemi"
           val anyNullable = sharedVars.exists(v =>
             nullable.contains(v) || innerG.nullable.contains(v))
-          if (!anyNullable)
+          if (crossing.isEmpty && !anyNullable)
             acc = acc.join(
               innerG.df.select(shared.map(col): _*), shared, joinType)
           else {
-            // EXISTS substitutes the current solution into the inner
-            // pattern: an UNBOUND shared var stays a free variable, so
-            // the inner row matches regardless of its value — an equi
-            // key would null-mismatch and invert the result. Same
-            // compatibility condition as compatJoin, as a semi/anti
-            // join.
-            val sel = innerG.df
-              .select(shared.map(c => col(c).as(s"__e_$c")): _*)
+            val pref = "__e_"
+            val sel = innerG.df.select(
+              innerG.df.columns.map(c => col(c).as(pref + c)).toSeq: _*)
             val cond = (sharedVars.map(v =>
-              col(v) === col(s"__e_$v") || col(v).isNull ||
-                col(s"__e_$v").isNull) ++
-              extraKeys.map(k => col(k) === col(s"__e_$k")))
+              if (nullable.contains(v) || innerG.nullable.contains(v))
+                col(v) === col(pref + v) || col(v).isNull ||
+                  col(pref + v).isNull
+              else col(v) === col(pref + v)) ++
+              extraKeys.map(k => col(k) === col(pref + k)) ++
+              crossing.map(f => boolC(
+                renameCrossing(f, innerG.vars, accVars, pref))))
               .reduce(_ && _)
             acc = acc.join(sel, cond, joinType)
           }
@@ -840,6 +916,7 @@ object SparqlCompiler {
 
   /** Numeric view of an expression (NULL when not numeric). */
   def numC(e: Expr): Column = e match {
+    case EUnbound => lit(null).cast("double")
     case EVar(n)  => col(n).try_cast("double")
     case ENum(v)  => lit(v)
     case EStr(v)  =>
@@ -895,6 +972,7 @@ object SparqlCompiler {
 
   /** String view of an expression. */
   def strC(e: Expr): Column = e match {
+    case EUnbound   => lit(null).cast("string")
     case EVar(n)    => col(n)
     case EStr(v)    => lit(v)
     case ENum(v)    => lit(Terms.formatNumeric(v))
@@ -995,6 +1073,7 @@ object SparqlCompiler {
   /** Boolean view (FILTER context). NULL (type error) filters the row,
     * matching SPARQL error semantics. */
   def boolC(e: Expr): Column = e match {
+    case EUnbound   => lit(null).cast("boolean")
     case EAnd(l, r) => boolC(l) && boolC(r)
     case EOr(l, r)  => boolC(l) || boolC(r)
     case ENot(x)    => !boolC(x)

@@ -1029,6 +1029,37 @@ class SparqlExtendedSpec extends AnyFunSuite {
     assert(TestSpark.rows(df) === Set(Seq("http://ex.org/alice", "2")))
   }
 
+  test("OPTIONAL filter referencing an OUTER variable is a LeftJoin " +
+      "condition over the merged domain (§18.2.2.6 LeftJoin(A,B,F))") {
+    val df = run(
+      """SELECT ?s ?bigger WHERE {
+        |  ?s ex:age ?age .
+        |  OPTIONAL { ?bigger ex:age ?age2 . FILTER(?age2 > ?age) }
+        |}""".stripMargin)
+    assert(TestSpark.rows(df) === Set(
+      Seq("http://ex.org/alice", "http://ex.org/charlie"),
+      Seq("http://ex.org/bob", "http://ex.org/alice"),
+      Seq("http://ex.org/bob", "http://ex.org/charlie"),
+      Seq("http://ex.org/charlie", "null")))
+  }
+
+  test("EXISTS filter referencing an OUTER variable correlates per row " +
+      "(substitution semantics, §18.6)") {
+    val ex = run(
+      """SELECT ?s WHERE {
+        |  ?s ex:age ?age .
+        |  FILTER EXISTS { ?p ex:age ?age2 . FILTER(?age2 > ?age) }
+        |}""".stripMargin)
+    assert(TestSpark.rows(ex) === Set(
+      Seq("http://ex.org/alice"), Seq("http://ex.org/bob")))
+    val notEx = run(
+      """SELECT ?s WHERE {
+        |  ?s ex:age ?age .
+        |  FILTER NOT EXISTS { ?p ex:age ?age2 . FILTER(?age2 > ?age) }
+        |}""".stripMargin)
+    assert(TestSpark.rows(notEx) === Set(Seq("http://ex.org/charlie")))
+  }
+
   test("subquery vars that may be unbound join with compatibility " +
       "semantics outside the subquery") {
     // the subquery leaves ?mail unbound for bob/charlie; the outer
