@@ -1189,11 +1189,12 @@ object SparqlCompiler {
     case Aggregate("COUNT", Some(arg), true, _) => countDistinct(strC(arg))
     case Aggregate("COUNT", Some(arg), false, _) => count(strC(arg))
     case Aggregate("SUM", Some(arg), d, _) =>
-      if (d) sum_distinct(numC(arg)) else sum(numC(arg))
+      strictNumeric(arg, if (d) sum_distinct(numC(arg)) else sum(numC(arg)))
     case Aggregate("AVG", Some(arg), true, _) =>
       // no native avg_distinct: sum/count over the distinct multiset
-      sum_distinct(numC(arg)) / countDistinct(numC(arg))
-    case Aggregate("AVG", Some(arg), false, _) => avg(numC(arg))
+      strictNumeric(arg, sum_distinct(numC(arg)) / countDistinct(numC(arg)))
+    case Aggregate("AVG", Some(arg), false, _) =>
+      strictNumeric(arg, avg(numC(arg)))
     case Aggregate("MIN", Some(arg), _, _) => typedMinMax(arg, isMin = true)
     case Aggregate("MAX", Some(arg), _, _) => typedMinMax(arg, isMin = false)
     case Aggregate("GROUP_CONCAT", Some(arg), d, sep) =>
@@ -1206,6 +1207,19 @@ object SparqlCompiler {
       // any element is conformant; min is the deterministic choice
       min(strC(arg))
     case other => throw new CompileException(s"Unsupported aggregate $other")
+  }
+
+  /** §18.5 set-function error semantics for SUM/AVG: a group whose
+    * multiset contains a BOUND non-numeric value (a type error under
+    * numeric aggregation) aggregates to an error (NULL) — Oxigraph's
+    * behavior — not to the sum of the numeric subset. Unbound values
+    * are skipped (the engines diverge there; skipping matches the
+    * common COUNT-compatible reading). One extra tiny max aggregate
+    * riding the same partial-aggregation pass. */
+  private def strictNumeric(arg: Expr, agg: Column): Column = {
+    val hasErr =
+      max(when(strC(arg).isNotNull && numC(arg).isNull, 1).otherwise(0))
+    when(hasErr === 1, lit(null).cast("double")).otherwise(agg)
   }
 
   /** SPARQL MIN/MAX return the extreme TERM, not a numeric view of it —

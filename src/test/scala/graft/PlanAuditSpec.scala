@@ -70,6 +70,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("Join"), plan)
   }
 
+  test("OPTIONAL with an outer-variable crossing filter keeps the equi " +
+      "key extractable — hash/sort-merge join, not a nested loop") {
+    val plan = executedPlan(
+      SparkEntry.queries("r39_optional_outer_filter")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"crossing filter degenerated the LeftJoin to a nested loop:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesianproduct"), plan)
+  }
+
   test("small dimension join broadcasts (q3: customer side)") {
     val plan = executedPlan(SparkEntry.queries("q3_join_broadcast")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"),

@@ -926,6 +926,26 @@ class SparqlExtendedSpec extends AnyFunSuite {
     assert(r.getAs[String]("hi") === "100")  // lexical max would be "9"
   }
 
+  test("SUM/AVG over a group containing a non-numeric value error to " +
+      "NULL (§18.5), numeric-only groups aggregate normally") {
+    val mixed = RdfEvent.toDF(spark, Seq(
+      RdfEvent(1, "http://ex.org/a", "http://ex.org/v", "1", "g1"),
+      RdfEvent(1, "http://ex.org/b", "http://ex.org/v", "2", "g1"),
+      RdfEvent(1, "http://ex.org/c", "http://ex.org/v", "oops", "g1"),
+      RdfEvent(1, "http://ex.org/d", "http://ex.org/w", "3", "g2"),
+      RdfEvent(1, "http://ex.org/e", "http://ex.org/w", "4", "g2")))
+    val df = SparqlCompiler.compile(mixed, SparqlParser.parse(
+      """PREFIX ex: <http://ex.org/>
+        |SELECT ?p (SUM(?o) AS ?s) (AVG(?o) AS ?a) WHERE {
+        |  ?x ?p ?o .
+        |} GROUP BY ?p""".stripMargin))
+    val rows = df.collect().map(r =>
+      r.getString(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    // the mixed group errors; the numeric group aggregates
+    assert(rows("http://ex.org/v") === ((None, None)))
+    assert(rows("http://ex.org/w") === ((Some(7.0), Some(3.5))))
+  }
+
   // ---- EBV error semantics --------------------------------------------
 
   test("EBV of an IRI is a type error: FILTER drops the row and ! does " +
