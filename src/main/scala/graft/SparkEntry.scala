@@ -600,6 +600,28 @@ object SparkEntry {
           round(col("slope"), 6).as("slope"), col("n"))
     }),
 
+    // §2.6: the SIX comparator triggers, distributed batch form — the
+    // hist series is the per-user one-step-lagged value stream, both
+    // series get rolling stats per key, and compareStats' conditions
+    // evaluate as boolean columns (DuckDB recomputes every flag with
+    // window functions)
+    "c6_comparator_triggers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = EventsAsQuads.events(s, dir)
+        .withColumn("x", (col("ts_ms") - 1704067200000L) / 86400000.0)
+      val series = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      val base = ev
+        .withColumn("hv", lag(col("value"), 1).over(series))
+        .where(col("hv").isNotNull)
+      graft.comparator.Comparator.triggers(base, col("user_id"),
+        col("value"), col("hv"), col("x"),
+        Seq(col("ts_ms"), col("event_id")))
+        .select(col("event_id"), col("t_abs"), col("t_rel"),
+          col("t_catchup"), col("t_trend"), col("t_vol"), col("t_outlier"))
+    }),
+
     // S8: storage time-range read path (predicate pushdown to parquet)
     "s8_time_range" -> ((s, dir) =>
       EventsAsQuads.quads(s, dir)
@@ -677,6 +699,31 @@ object SparkEntry {
         lit(s"\" <${EventsAsQuads.Base}g/"), col("event_type"),
         lit("> .")).as("line")).as[String]
       graft.parsing.NQuadsParser.parse(lines)
+    }),
+
+    // S2: the replay bus END-TO-END — an N-Quads file derived from the
+    // events table replays (unpaced, one loop) through the line parser
+    // into a bucket-partitioned EventLog; the landed log is read back
+    // distributed and must reproduce the events table exactly
+    "s2_replay_landing" -> ((s, dir) => {
+      import s.implicits._
+      val lines = EventsAsQuads.events(s, dir).select(concat(
+        col("ts_ms"), lit(s" <${EventsAsQuads.Base}e/"), col("event_id"),
+        lit(s"> <${EventsAsQuads.PType}> \""), col("event_type"),
+        lit(s"\" <${EventsAsQuads.Base}g/"), col("event_type"),
+        lit("> .")).as("line")).as[String]
+      val tmp = java.nio.file.Files.createTempDirectory("s2replay")
+      val nqDir = tmp.resolve("nq").toString
+      lines.coalesce(1).write.mode("overwrite").text(nqDir)
+      val nqFile = new java.io.File(nqDir).listFiles()
+        .filter(_.getName.startsWith("part-")).head.getAbsolutePath
+      val log = new graft.storage.EventLog(s,
+        tmp.resolve("log").toString, bucketMs = 86400000L)
+      val m = new graft.storage.ReplayBus(s, nqFile,
+        storage = Some(log)).run()
+      require(m.errors == 0, s"replay parse errors: ${m.errors}")
+      log.query(Long.MinValue, Long.MaxValue)
+        .select("timestamp", "subject", "predicate", "object", "graph")
     }),
 
     // ---- LLM-data-pipeline operators over documents/embeddings ----
@@ -1417,6 +1464,33 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "c6_comparator_triggers" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    (epoch_ms(ts) - 1704067200000) / 86400000.0 AS x,
+        |    LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS hv
+        |  FROM events
+        |  QUALIFY hv IS NOT NULL),
+        |st AS (
+        |  SELECT event_id, value,
+        |    AVG(value) OVER w AS lmean, AVG(hv) OVER w AS hmean,
+        |    STDDEV_POP(value) OVER w AS lsig, STDDEV_POP(hv) OVER w AS hsig,
+        |    COALESCE(REGR_SLOPE(value, x) OVER w, 0) AS lslope,
+        |    COALESCE(REGR_SLOPE(hv, x) OVER w, 0) AS hslope
+        |  FROM f
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT event_id,
+        |  ABS(lmean - hmean) > 1.0 AS t_abs,
+        |  ABS(hmean) > 2.220446049250313e-16
+        |    AND (lmean - hmean) / hmean > 0.1 AS t_rel,
+        |  (hmean - lmean) > 2.0 AS t_catchup,
+        |  lslope * hslope < 0 AND ABS(lslope) > 0.01
+        |    AND ABS(hslope) > 0.01 AS t_trend,
+        |  lsig > hsig + 0.5 AS t_vol,
+        |  hsig > 2.220446049250313e-16
+        |    AND ABS((value - hmean) / hsig) > 3.0 AS t_outlier
+        |FROM st""".stripMargin,
     "s8_time_range" ->
       """SELECT COUNT(*) * 3 AS n_quads,
         |  MIN(epoch_ms(ts)) AS min_ts, MAX(epoch_ms(ts)) AS max_ts
@@ -1454,6 +1528,12 @@ object SparkEntry {
          |  '"' || event_type || '"' AS t_lit
          |FROM events""".stripMargin,
     "s1_parse_roundtrip" ->
+      s"""SELECT epoch_ms(ts) AS timestamp, $E AS subject,
+         |  'http://graft.dev/vocab#type' AS predicate,
+         |  event_type AS object,
+         |  'http://graft.dev/g/' || event_type AS graph
+         |FROM events""".stripMargin,
+    "s2_replay_landing" ->
       s"""SELECT epoch_ms(ts) AS timestamp, $E AS subject,
          |  'http://graft.dev/vocab#type' AS predicate,
          |  event_type AS object,

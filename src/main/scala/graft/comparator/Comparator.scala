@@ -140,4 +140,36 @@ object Comparator {
         lit(0.0)))
       .withColumn("n", count(valueCol).over(w))
   }
+
+  /** Distributed batch form of the SIX comparator triggers
+    * ([[StatefulComparator.updateAndCompare]], `comparator.rs:140-236`):
+    * per row, rolling live/hist stats over the last `windowSize` rows
+    * of its key, then exactly compareStats' conditions as boolean
+    * columns `t_abs t_rel t_catchup t_trend t_vol t_outlier`. Same
+    * math, same machine-epsilon guards — but one shuffle on the key and
+    * bounded window frames instead of driver-side deques, so a billion
+    * keys evaluate in parallel. */
+  def triggers(df: DataFrame, keyCol: Column, liveCol: Column,
+      histCol: Column, xCol: Column, orderCols: Seq[Column],
+      config: ComparatorConfig = ComparatorConfig()): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
+      .rowsBetween(-(config.windowSize - 1), 0)
+    val Eps = 2.220446049250313e-16
+    val lMean = avg(liveCol).over(w)
+    val hMean = avg(histCol).over(w)
+    val lSig = stddev_pop(liveCol).over(w)
+    val hSig = stddev_pop(histCol).over(w)
+    val lSlope = coalesce(regr_slope(liveCol, xCol).over(w), lit(0.0))
+    val hSlope = coalesce(regr_slope(histCol, xCol).over(w), lit(0.0))
+    df.withColumn("t_abs", abs(lMean - hMean) > config.absThreshold)
+      .withColumn("t_rel", abs(hMean) > Eps &&
+        (lMean - hMean) / hMean > config.relThreshold)
+      .withColumn("t_catchup", (hMean - lMean) > config.catchupTrigger)
+      .withColumn("t_trend", lSlope * hSlope < 0.0 &&
+        abs(lSlope) > config.slopeEpsilon &&
+        abs(hSlope) > config.slopeEpsilon)
+      .withColumn("t_vol", lSig > hSig + config.volatilityBuffer)
+      .withColumn("t_outlier", hSig > Eps &&
+        abs((liveCol - hMean) / hSig) > config.outlierZThreshold)
+  }
 }
