@@ -48,6 +48,34 @@ class SparqlOrderFuzzSpec extends AnyFunSuite {
        |}""".stripMargin
   }
 
+  test("join-only element permutations are result-invariant " +
+      "(Join commutativity/associativity under the ordered fold)") {
+    val rnd = new scala.util.Random(11)
+    val joinElems = Vector(
+      "?s ex:age ?age0 .",
+      "?s ex:knows ?k .",
+      "{ ?s ex:email ?m FILTER(STRLEN(?m) > 3) }",
+      "VALUES ?s { <http://ex.org/alice> <http://ex.org/bob> UNDEF }",
+      "{ SELECT ?s WHERE { ?s ex:age ?a1 } }",
+      "?s ex:knows|ex:email ?any .")
+    (0 until 30).foreach { _ =>
+      val chosen = rnd.shuffle(joinElems).take(2 + rnd.nextInt(4))
+      def q(elems: Seq[String]) =
+        s"""PREFIX ex: <http://ex.org/>
+           |SELECT * WHERE {
+           |  ${elems.mkString("\n  ")}
+           |}""".stripMargin
+      // sorted multiset compare (Star projection sorts columns, so
+      // row stringification is permutation-stable)
+      def multiset(query: String): Seq[String] =
+        SparqlCompiler.compile(data, SparqlParser.parse(query))
+          .collect().map(_.toString).sorted.toSeq
+      val a = multiset(q(chosen))
+      val b = multiset(q(rnd.shuffle(chosen)))
+      assert(a === b, s"permutation changed results for:\n${q(chosen)}")
+    }
+  }
+
   test("120 random element interleavings compile and run " +
       "deterministically") {
     val rnd = new scala.util.Random(7)
