@@ -606,7 +606,6 @@ object SparkEntry {
     // evaluate as boolean columns (DuckDB recomputes every flag with
     // window functions)
     "c6_comparator_triggers" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val ev = EventsAsQuads.events(s, dir)
         .withColumn("x", (col("ts_ms") - 1704067200000L) / 86400000.0)
       val series = org.apache.spark.sql.expressions.Window

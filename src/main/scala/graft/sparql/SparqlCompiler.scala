@@ -254,6 +254,23 @@ object SparqlCompiler {
     r(e)
   }
 
+  /** Join condition against a prefix-renamed inner side: shared-var
+    * compatibility (plain equality when both sides are provably
+    * non-null — keeps the equi key extractable for hash/sort-merge
+    * planning), orchestration-key equality, and any crossing filters
+    * rewritten against the prefixed columns. Shared by the OPTIONAL
+    * LeftJoin-condition and EXISTS substitution paths. */
+  private def prefixedCond(sharedVars: Seq[String], extraKeys: Seq[String],
+      nullableVar: String => Boolean, pref: String, crossing: Seq[Expr],
+      innerVars: Set[String], outerVars: Set[String]): Column =
+    (sharedVars.map(v =>
+      if (nullableVar(v))
+        col(v) === col(pref + v) || col(v).isNull || col(pref + v).isNull
+      else col(v) === col(pref + v)) ++
+      extraKeys.map(k => col(k) === col(pref + k)) ++
+      crossing.map(f => boolC(renameCrossing(f, innerVars, outerVars, pref))))
+      .reduce(_ && _)
+
   /** Widen `df` with NULL columns for expression variables the frame
     * does not bind: SPARQL evaluates them as UNBOUND (usually a type
     * error → NULL, but e.g. !BOUND(?x) or COALESCE(?x, 1) are defined),
@@ -344,43 +361,25 @@ object SparqlCompiler {
     // SPARQL Join of a compiled element into the accumulator: plain
     // equi-join normally; compatibility join (unbound matches anything,
     // merged with coalesce) when a shared variable may be null on
-    // either side.
-    def joinIn(df: DataFrame, vs: Set[String],
-        vNullable: Set[String]): Unit = {
+    // either side. `keyed = false` joins WITHOUT the orchestration
+    // keys — for VALUES frames, which are window-independent literal
+    // data carrying no key columns.
+    def joinIn(df: DataFrame, vs: Set[String], vNullable: Set[String],
+        keyed: Boolean = true): Unit = {
       if (acc == null) { acc = df; accVars = vs; nullable = vNullable }
       else {
+        val keys = if (keyed) extraKeys else Nil
         val shared = vs.intersect(accVars).toSeq
         val anyNullable = shared.exists(v =>
           nullable.contains(v) || vNullable.contains(v))
         acc =
           if (shared.isEmpty) {
-            if (extraKeys.nonEmpty) acc.join(df, extraKeys, "inner")
+            if (keys.nonEmpty) acc.join(df, keys, "inner")
             else acc.crossJoin(df)
-          } else if (anyNullable) compatJoin(acc, df, shared, extraKeys, "inner")
-          else acc.join(df, (shared ++ extraKeys).distinct, "inner")
+          } else if (anyNullable) compatJoin(acc, df, shared, keys, "inner")
+          else acc.join(df, (shared ++ keys).distinct, "inner")
         // a joined shared var is null only when BOTH sides were;
         // element-local vars carry their own nullability
-        nullable = nullable.filter(v =>
-          !shared.contains(v) || vNullable.contains(v)) ++
-          vNullable.filter(v => !accVars.contains(v) || nullable.contains(v))
-        accVars = accVars ++ vs
-      }
-    }
-
-    // VALUES frames join WITHOUT extraKeys — the inline block is
-    // window-independent, and the literal DataFrame carries no key
-    // columns to equi-join on
-    def joinValuesIn(vdf: DataFrame, vs: Set[String],
-        vNullable: Set[String]): Unit = {
-      if (acc == null) { acc = vdf; accVars = vs; nullable = vNullable }
-      else {
-        val shared = vs.intersect(accVars).toSeq
-        val anyNullable = shared.exists(v =>
-          nullable.contains(v) || vNullable.contains(v))
-        acc =
-          if (shared.isEmpty) acc.crossJoin(vdf)
-          else if (anyNullable) compatJoin(acc, vdf, shared, Nil, "inner")
-          else acc.join(vdf, shared, "inner")
         nullable = nullable.filter(v =>
           !shared.contains(v) || vNullable.contains(v)) ++
           vNullable.filter(v => !accVars.contains(v) || nullable.contains(v))
@@ -393,7 +392,9 @@ object SparqlCompiler {
     val pendingValues = scala.collection.mutable.ArrayBuffer
       .empty[(DataFrame, Set[String], Set[String])]
     def flushPendingValues(): Unit = if (acc != null) {
-      pendingValues.foreach { case (df, vs, vN) => joinValuesIn(df, vs, vN) }
+      pendingValues.foreach { case (df, vs, vN) =>
+        joinIn(df, vs, vN, keyed = false)
+      }
       pendingValues.clear()
     }
 
@@ -546,7 +547,7 @@ object SparqlCompiler {
             .SeqHasAsJava(rows).asJava), schema)
         if (acc == null && extraKeys.nonEmpty)
           pendingValues += ((vdf, vb.vars.toSet, vb.undefVars))
-        else joinValuesIn(vdf, vb.vars.toSet, vb.undefVars)
+        else joinIn(vdf, vb.vars.toSet, vb.undefVars, keyed = false)
 
       // OPTIONAL group: SPARQL leftjoin — solutions keep going when the
       // optional side has no compatible row; its variables stay unbound
@@ -580,17 +581,9 @@ object SparqlCompiler {
             val bCols = optG.df.columns
             val bdf = optG.df.select(
               bCols.map(c => col(c).as(pref + c)).toSeq: _*)
-            val cond = (shared.map(v =>
-              // plain equality when both sides are non-null keeps the
-              // equi-key extractable (hash join, not nested-loop)
-              if (nullable.contains(v) || optG.nullable.contains(v))
-                col(v) === col(pref + v) || col(v).isNull ||
-                  col(pref + v).isNull
-              else col(v) === col(pref + v)) ++
-              extraKeys.map(k => col(k) === col(pref + k)) ++
-              crossing.map(f => boolC(
-                renameCrossing(f, optG.vars, accVars, pref))))
-              .reduce(_ && _)
+            val cond = prefixedCond(shared, extraKeys,
+              v => nullable.contains(v) || optG.nullable.contains(v),
+              pref, crossing, optG.vars, accVars)
             var m = acc.join(bdf, cond, "left_outer")
             shared.foreach(v =>
               m = m.withColumn(v, coalesce(col(v), col(pref + v))))
@@ -711,15 +704,9 @@ object SparqlCompiler {
             val pref = "__e_"
             val sel = innerG.df.select(
               innerG.df.columns.map(c => col(c).as(pref + c)).toSeq: _*)
-            val cond = (sharedVars.map(v =>
-              if (nullable.contains(v) || innerG.nullable.contains(v))
-                col(v) === col(pref + v) || col(v).isNull ||
-                  col(pref + v).isNull
-              else col(v) === col(pref + v)) ++
-              extraKeys.map(k => col(k) === col(pref + k)) ++
-              crossing.map(f => boolC(
-                renameCrossing(f, innerG.vars, accVars, pref))))
-              .reduce(_ && _)
+            val cond = prefixedCond(sharedVars, extraKeys,
+              v => nullable.contains(v) || innerG.nullable.contains(v),
+              pref, crossing, innerG.vars, accVars)
             acc = acc.join(sel, cond, joinType)
           }
         case _ =>
