@@ -509,6 +509,45 @@ object SparkEntry {
         |}""".stripMargin)
       .select(col("e"), col("u"), col("cv").try_cast("double").as("cv"))),
 
+    // R41: MINUS scoped inside a nested group — the MINUS applies to its
+    // sibling accumulator ONLY (§18.2.2.6). Its group binds just ?e,
+    // which the siblings do not bind, so the domains are disjoint and
+    // §8.3 removes NOTHING; flattening the nested group would let the
+    // MINUS see the enclosing ?e and wrongly empty the result
+    "r41_nested_minus" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e ?u ?e2 WHERE {
+        |  ?e v:type "click" . ?e v:user ?u . ?e v:value ?cv .
+        |  { ?e2 v:type "error" . ?e2 v:user ?u . ?e2 v:value ?hv .
+        |    MINUS { ?e v:type "click" } }
+        |  FILTER(?cv > 400.0) FILTER(?hv > 100.0)
+        |}""".stripMargin)),
+
+    // R42: OPTIONAL scoped inside a nested group — the LeftJoin binds
+    // ?u/?hv against the sibling errors only, making the nested group an
+    // independent (?e2, ?u, ?hv) relation that then equi-joins the outer
+    // clicks on ?u; flattening would instead leftjoin against the
+    // already-joined clicks and produce a click×error product
+    "r42_nested_optional" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e ?u ?hv WHERE {
+        |  ?e v:type "click" . ?e v:user ?u . ?e v:value ?cv .
+        |  FILTER(?cv > 480.0)
+        |  { ?e2 v:type "error" .
+        |    OPTIONAL { ?e2 v:user ?u . ?e2 v:value ?hv } }
+        |}""".stripMargin)
+      .select(col("e"), col("u"), col("hv").try_cast("double").as("hv"))),
+
+    // R43: BIND scoped inside a nested group — ?cv is NOT in scope
+    // inside the group (it starts from the unit solution), so the
+    // expression errors and ?d stays unbound for every row; flattening
+    // would wrongly evaluate it over the enclosing clicks
+    "r43_nested_bind" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e ?cv ?d WHERE {
+        |  ?e v:type "click" . ?e v:value ?cv . FILTER(?cv > 480.0)
+        |  { BIND(?cv * 2.0 AS ?d) }
+        |}""".stripMargin)
+      .select(col("e"), col("cv").try_cast("double").as("cv"),
+        col("d").try_cast("double").as("d"))),
+
     // R31: GROUP BY expression key — desugars to a per-solution BIND
     // (the SPARQL semantics), grouped on the computed column
     "r31_groupby_expr" -> ((s, dir) => sparql(s, dir,
@@ -1407,6 +1446,23 @@ object SparkEntry {
          |UNION ALL
          |SELECT $E AS e, event_type AS t, 'c' AS x FROM events
          |WHERE event_type = 'click'""".stripMargin,
+    "r41_nested_minus" ->
+      s"""SELECT 'http://graft.dev/e/' || CAST(a.event_id AS VARCHAR) AS e,
+         |  'http://graft.dev/u/' || CAST(a.user_id AS VARCHAR) AS u,
+         |  'http://graft.dev/e/' || CAST(b.event_id AS VARCHAR) AS e2
+         |FROM events a JOIN events b ON a.user_id = b.user_id
+         |WHERE a.event_type = 'click' AND a.value > 400.0
+         |  AND b.event_type = 'error' AND b.value > 100.0""".stripMargin,
+    "r42_nested_optional" ->
+      s"""SELECT 'http://graft.dev/e/' || CAST(a.event_id AS VARCHAR) AS e,
+         |  'http://graft.dev/u/' || CAST(a.user_id AS VARCHAR) AS u,
+         |  b.value AS hv
+         |FROM events a JOIN events b ON a.user_id = b.user_id
+         |WHERE a.event_type = 'click' AND a.value > 480.0
+         |  AND b.event_type = 'error'""".stripMargin,
+    "r43_nested_bind" ->
+      s"""SELECT $E AS e, value AS cv, CAST(NULL AS DOUBLE) AS d
+         |FROM events WHERE event_type = 'click' AND value > 480.0""".stripMargin,
     "r30_str_transforms" ->
       s"""SELECT $E AS e, CAST(event_id AS VARCHAR) AS id,
          |  CASE WHEN strpos(event_type, 'i') > 0

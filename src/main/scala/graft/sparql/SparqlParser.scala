@@ -452,13 +452,22 @@ object SparqlParser {
       val elems = ArrayBuffer.empty[GroupElem]
       val filters = ArrayBuffer.empty[Expr]
       def absorb(inner: GroupPattern): Unit = {
-        // a FILTER-free nested group / GRAPH block flattens in place
-        // (Join is associative/commutative, so this is equivalent and
-        // keeps the flat pattern views); a group WITH filters stays a
-        // group element — its FILTERs scope to its own group
-        // (§18.2.2.2), and hoisting them would let them see enclosing
-        // bindings (e.g. an outer OPTIONAL var) they must not
-        if (inner.filters.isEmpty) elems ++= inner.elems
+        // a nested group / GRAPH block flattens in place only when every
+        // element is join-equivalent (Join is associative/commutative, so
+        // inlining BGPs/paths/unions/VALUES/subqueries/groups is exact and
+        // keeps the flat pattern views). Two things force the group to
+        // stay an independent element instead: its own FILTERs — they
+        // scope to ITS group (§18.2.2.2), and hoisting them would let
+        // them see enclosing bindings they must not — and any
+        // order-sensitive element (OPTIONAL / MINUS / BIND), whose
+        // LeftJoin / Minus / Extend must apply to exactly the sibling
+        // accumulator inside the group, not to everything the enclosing
+        // group has joined so far (§18.2.2.6)
+        val orderSensitive = inner.elems.exists {
+          case _: GOptional | _: GMinus | _: GBind => true
+          case _                                   => false
+        }
+        if (inner.filters.isEmpty && !orderSensitive) elems ++= inner.elems
         else if (inner.elems.isEmpty) filters ++= inner.filters
         else elems += GGroup(inner)
       }
