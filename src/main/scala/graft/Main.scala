@@ -16,8 +16,8 @@ object Main {
     """graft package entry point
       |
       |Primary entry points:
-      |  serve <storageDir> [port]   REST + SSE API over a quad log
-      |                              (companion WebSocket feed on port+1)
+      |  serve <storageDir> [port]   REST + SSE + WebSocket API over a
+      |                              quad log, one port for all three
       |  replay <file> <storageDir>  N-Quads replay and ingestion
       |  graft.Verify <sf> <out>     correctness dump (driver contract)
       |  graft.Bench                 benchmark main (SPARK_GRAFT_SF_DIR)
@@ -75,9 +75,14 @@ object Main {
         val registry = new graft.api.QueryRegistry()
         val log = new graft.storage.EventLog(spark, storageDir)
         val api = new graft.api.JanusApi(spark, registry, _ => log.read())
-        val server = new graft.http.HttpApiServer(api, registry, port)
-        server.start()
-        out(s"serving REST/SSE on port ${server.boundPort}")
+        // REST server on an ephemeral port; the gateway fronts it on
+        // the public port so WS upgrades, SSE, and REST share one
+        // address like the reference's single server (`server.rs:273`)
+        val restServer = new graft.http.HttpApiServer(api, registry, 0)
+        restServer.start()
+        val gateway = new graft.http.HttpGateway(restServer, port)
+        gateway.start()
+        out(s"serving REST/SSE/WS on port ${gateway.boundPort}")
         Thread.currentThread().join() // serve until killed
         0
       case "curate" :: docs :: outDir :: rest if rest.length <= 2 &&

@@ -8,22 +8,27 @@ import java.security.MessageDigest
 import java.util.Base64
 import java.util.concurrent.TimeUnit
 
-/** WebSocket result feed — the reference's
-  * `GET /api/queries/:id/results` WS route (`server.rs:475-548`) with
-  * the SAME message schema (`query_id`/`timestamp`/`source`/`bindings`)
-  * over an RFC 6455 server handshake + text frames, hand-rolled on the
-  * JDK socket API (the container has no WS library; the JDK's
-  * HttpServer cannot hijack connections for upgrades, so WS listens on
-  * its own port as a companion to the REST server).
+/** Single-port HTTP front gateway matching the reference's one-server
+  * contract (`server.rs:273-285`): a WebSocket upgrade on
+  * `GET /api/queries/:id/results` (`server.rs:475-548`) is served
+  * in-place with the SAME message schema
+  * (`query_id`/`timestamp`/`source`/`bindings`) over an RFC 6455
+  * handshake + text frames; every other request — the REST routes and
+  * the non-upgrade SSE form of the same results path — is relayed
+  * byte-for-byte to the wrapped [[HttpApiServer]]. Hand-rolled on the
+  * JDK socket API because the container has no WS library and the
+  * JDK's HttpServer cannot hijack a connection for an upgrade; fronting
+  * it restores the reference's single public port.
   *
-  * Supported surface: HTTP/1.1 upgrade handshake (Sec-WebSocket-Accept
-  * per RFC 6455 §4.2.2), unfragmented server→client text frames with
-  * 7/16/64-bit lengths, masked client frames for CLOSE (echoed, then
-  * the socket closes) and PING (answered with PONG). That is the whole
-  * contract the reference's result feed exercises — it only pushes
-  * text messages and reacts to disconnects.
+  * Supported WS surface: HTTP/1.1 upgrade handshake
+  * (Sec-WebSocket-Accept per RFC 6455 §4.2.2), unfragmented
+  * server→client text frames with 7/16/64-bit lengths, masked client
+  * frames for CLOSE (echoed, then the socket closes) and PING
+  * (answered with PONG). That is the whole contract the reference's
+  * result feed exercises — it only pushes text messages and reacts to
+  * disconnects.
   */
-final class WebSocketResultServer(api: HttpApiServer, port: Int = 0,
+final class HttpGateway(api: HttpApiServer, port: Int = 0,
     idleTimeoutMs: Long = 30000) {
 
   private val server = new ServerSocket(port)
@@ -35,12 +40,12 @@ final class WebSocketResultServer(api: HttpApiServer, port: Int = 0,
     while (!closed) {
       try {
         val sock = server.accept()
-        val t = new Thread(() => handle(sock), "graft-ws-conn")
+        val t = new Thread(() => handle(sock), "graft-gateway-conn")
         t.setDaemon(true)
         t.start()
       } catch { case _: Exception => () /* closed */ }
     }
-  }, "graft-ws-acceptor")
+  }, "graft-gateway-acceptor")
 
   def start(): Unit = {
     acceptor.setDaemon(true)
@@ -64,15 +69,26 @@ final class WebSocketResultServer(api: HttpApiServer, port: Int = 0,
       sock.setSoTimeout(5000)
       val in = new BufferedInputStream(sock.getInputStream)
       val out = new BufferedOutputStream(sock.getOutputStream)
-      val (requestLine, headers) = readRequest(in)
+      val (requestLine, rawHeaders, headers, body) = readRequest(in)
       val parts = requestLine.split(" ")
-      if (parts.length < 2 || parts(0) != "GET") {
-        httpError(out, 400, "only GET upgrade requests are supported")
+      if (parts.length < 2) {
+        httpError(out, 400, "malformed request")
+        return
+      }
+      val isUpgrade = headers.get("upgrade").exists(
+        _.equalsIgnoreCase("websocket"))
+      if (!isUpgrade) { // REST/SSE route — relay to the wrapped server
+        relay(out, requestLine, rawHeaders, body)
+        return
+      }
+      if (parts(0) != "GET") {
+        httpError(out, 400, "websocket upgrade requires GET")
         return
       }
       val m = ResultsPath.matcher(parts(1))
       if (!m.matches()) {
-        httpError(out, 404, "not found")
+        httpError(out, 404,
+          "websocket upgrade is only supported on /api/queries/:id/results")
         return
       }
       // percent-decode ONLY: URLDecoder's form decoding would turn a
@@ -80,9 +96,7 @@ final class WebSocketResultServer(api: HttpApiServer, port: Int = 0,
       val queryId = java.net.URLDecoder.decode(
         m.group(1).replace("+", "%2B"), "UTF-8")
       val key = headers.get("sec-websocket-key")
-      val isUpgrade = headers.get("upgrade").exists(
-        _.equalsIgnoreCase("websocket"))
-      if (!isUpgrade || key.isEmpty) {
+      if (key.isEmpty) {
         httpError(out, 400, "websocket upgrade required")
         return
       }
@@ -161,8 +175,39 @@ final class WebSocketResultServer(api: HttpApiServer, port: Int = 0,
 
   // ---- wire helpers ----------------------------------------------------
 
+  /** Relay a non-upgrade request to the wrapped REST server and stream
+    * the response back until upstream EOF (which covers SSE: the REST
+    * server ends the stream itself on its idle timeout). `Connection:
+    * close` is forced upstream so the response is close-delimited —
+    * the same framing this per-request client socket uses. */
+  private def relay(out: OutputStream, requestLine: String,
+      rawHeaders: Seq[String], body: Array[Byte]): Unit = {
+    val upstream = new Socket("127.0.0.1", api.boundPort)
+    try {
+      val uo = new BufferedOutputStream(upstream.getOutputStream)
+      val head = (requestLine +: rawHeaders.filterNot(
+        _.toLowerCase.startsWith("connection:")))
+        .mkString("", "\r\n", "\r\nConnection: close\r\n\r\n")
+      uo.write(head.getBytes(StandardCharsets.ISO_8859_1))
+      uo.write(body)
+      uo.flush()
+      val ui = new BufferedInputStream(upstream.getInputStream)
+      val buf = new Array[Byte](8192)
+      var n = ui.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        out.flush() // SSE events must not sit in the relay buffer
+        n = ui.read(buf)
+      }
+    } finally {
+      try upstream.close() catch { case _: Exception => () }
+    }
+  }
+
+  /** (request line, raw header lines, lowercased header map, body). The
+    * body is read per Content-Length (capped) so it can be relayed. */
   private def readRequest(in: InputStream)
-      : (String, Map[String, String]) = {
+      : (String, Seq[String], Map[String, String], Array[Byte]) = {
     val sb = new StringBuilder
     // append-then-check: reading one byte past the terminator would
     // block on a socket that has sent its whole request
@@ -184,7 +229,18 @@ final class WebSocketResultServer(api: HttpApiServer, port: Int = 0,
         case _           => None
       }
     }.toMap
-    (lines.headOption.getOrElse(""), headers)
+    val len = headers.get("content-length")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(0)
+    if (len > (16 << 20)) throw new IllegalArgumentException(
+      "oversized request body")
+    val body = new Array[Byte](len)
+    var off = 0
+    while (off < len) {
+      val n = in.read(body, off, len - off)
+      if (n < 0) throw new IllegalArgumentException("truncated body")
+      off += n
+    }
+    (lines.headOption.getOrElse(""), lines.drop(1).toSeq, headers, body)
   }
 
   /** One (possibly masked) client frame: (opcode, unmasked payload).

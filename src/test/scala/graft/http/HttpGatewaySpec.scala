@@ -11,12 +11,13 @@ import java.net.http.{HttpClient, HttpRequest, HttpResponse, WebSocket}
 import java.util.concurrent.{CompletionException, CountDownLatch,
   CopyOnWriteArrayList, TimeUnit}
 
-/** WebSocket result feed against the reference's WS contract
-  * (`server.rs:475-548`): RFC 6455 handshake, result JSON messages with
-  * `query_id`/`timestamp`/`source`/`bindings`, replay on connect,
-  * clean close. The CLIENT is the JDK's own RFC 6455 implementation —
-  * a spec-compliant peer, not a hand-rolled twin of the server. */
-class WebSocketResultServerSpec extends AnyFunSuite {
+/** Single-port gateway against the reference's one-server contract
+  * (`server.rs:273-285`): REST routes, the SSE results stream, AND the
+  * RFC 6455 WS upgrade of `GET /api/queries/:id/results`
+  * (`server.rs:475-548`) are all served on ONE public port. The WS
+  * CLIENT is the JDK's own RFC 6455 implementation — a spec-compliant
+  * peer, not a hand-rolled twin of the server. */
+class HttpGatewaySpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
 
@@ -27,18 +28,18 @@ class WebSocketResultServerSpec extends AnyFunSuite {
   private val registerBody =
     """{"query_id": "q1", "janusql": "PREFIX ex: <http://example.org/>\nSELECT ?sensor ?reading\nFROM NAMED WINDOW ex:hist ON LOG ex:store [START 0 END 5000]\nWHERE {\n WINDOW ex:hist { ?sensor ex:reading ?reading }\n}"}"""
 
-  private def withServers(f: (HttpClient, String, String) => Unit): Unit = {
+  /** One public address: `base` is the gateway's port for http AND ws
+    * schemes — the REST server itself stays an internal detail. */
+  private def withServers(f: (HttpClient, String) => Unit): Unit = {
     val registry = new QueryRegistry()
     val api = new JanusApi(spark, registry, _ => store, () => 10000L)
     val rest = new HttpApiServer(api, registry, sseIdleTimeoutMs = 3000)
     rest.start()
-    val ws = new WebSocketResultServer(rest, idleTimeoutMs = 5000)
-    ws.start()
-    try f(HttpClient.newHttpClient(),
-      s"http://127.0.0.1:${rest.boundPort}",
-      s"ws://127.0.0.1:${ws.boundPort}")
+    val gw = new HttpGateway(rest, idleTimeoutMs = 5000)
+    gw.start()
+    try f(HttpClient.newHttpClient(), s"127.0.0.1:${gw.boundPort}")
     finally {
-      ws.stop()
+      gw.stop()
       rest.stop()
     }
   }
@@ -49,11 +50,34 @@ class WebSocketResultServerSpec extends AnyFunSuite {
       .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
       HttpResponse.BodyHandlers.ofString())
 
+  private def get(c: HttpClient, url: String): HttpResponse[String] =
+    c.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("REST routes relay through the gateway port (health, CRUD, " +
+      "status)") {
+    withServers { (c, base) =>
+      val health = get(c, s"http://$base/health")
+      assert(health.statusCode() === 200)
+      assert(health.body().contains("\"status\":\"ok\""))
+      // POST with body crosses the relay intact
+      assert(post(c, s"http://$base/api/queries", registerBody)
+        .statusCode() === 201)
+      val status = get(c, s"http://$base/api/queries/q1")
+      assert(status.statusCode() === 200)
+      assert(status.body().contains("q1"))
+      // unknown routes keep the REST server's 404 contract
+      assert(get(c, s"http://$base/api/nope").statusCode() === 404)
+    }
+  }
+
   test("handshake + result messages in the reference schema, then " +
-      "clean close") {
-    withServers { (c, rest, ws) =>
-      assert(post(c, s"$rest/api/queries", registerBody).statusCode() === 201)
-      assert(post(c, s"$rest/api/queries/q1/start").statusCode() === 200)
+      "clean close — on the SAME port as REST") {
+    withServers { (c, base) =>
+      assert(post(c, s"http://$base/api/queries", registerBody)
+        .statusCode() === 201)
+      assert(post(c, s"http://$base/api/queries/q1/start")
+        .statusCode() === 200)
       // give the historical worker a moment to produce into the replay
       // ring, then connect — replay-on-connect must deliver results
       Thread.sleep(1500)
@@ -81,7 +105,8 @@ class WebSocketResultServerSpec extends AnyFunSuite {
         }
       }
       val socket = c.newWebSocketBuilder()
-        .buildAsync(URI.create(s"$ws/api/queries/q1/results"), listener)
+        .buildAsync(URI.create(s"ws://$base/api/queries/q1/results"),
+          listener)
         .join()
       assert(gotMessage.await(15, TimeUnit.SECONDS),
         "no result message within 15s")
@@ -99,11 +124,31 @@ class WebSocketResultServerSpec extends AnyFunSuite {
     }
   }
 
+  test("the NON-upgrade form of the results path streams SSE through " +
+      "the gateway") {
+    withServers { (c, base) =>
+      assert(post(c, s"http://$base/api/queries", registerBody)
+        .statusCode() === 201)
+      assert(post(c, s"http://$base/api/queries/q1/start")
+        .statusCode() === 200)
+      Thread.sleep(1500)
+      // plain GET on the same path the WS upgrade uses — relayed to
+      // the REST server's SSE route, events stream back until its
+      // idle timeout ends the response
+      val resp = get(c, s"http://$base/api/queries/q1/results")
+      assert(resp.statusCode() === 200)
+      assert(resp.headers().firstValue("content-type")
+        .orElse("").startsWith("text/event-stream"))
+      assert(resp.body().contains("data:"))
+      assert(resp.body().contains("\"query_id\":\"q1\""))
+    }
+  }
+
   test("unknown / not-running query fails the handshake") {
-    withServers { (c, _, ws) =>
+    withServers { (c, base) =>
       val ex = intercept[CompletionException] {
         c.newWebSocketBuilder()
-          .buildAsync(URI.create(s"$ws/api/queries/nope/results"),
+          .buildAsync(URI.create(s"ws://$base/api/queries/nope/results"),
             new WebSocket.Listener {})
           .join()
       }
@@ -111,11 +156,11 @@ class WebSocketResultServerSpec extends AnyFunSuite {
     }
   }
 
-  test("non-results paths are rejected") {
-    withServers { (c, _, ws) =>
+  test("websocket upgrade on a non-results path is rejected") {
+    withServers { (c, base) =>
       val ex = intercept[CompletionException] {
         c.newWebSocketBuilder()
-          .buildAsync(URI.create(s"$ws/api/other"),
+          .buildAsync(URI.create(s"ws://$base/api/other"),
             new WebSocket.Listener {})
           .join()
       }
