@@ -203,6 +203,50 @@ object SparkEntry {
           round(col("avg_val"), 6).as("avg_val"))
     }),
 
+    // W2: CROSS-WINDOW MERGE at fire, oracle-verified — two live
+    // windows with different RANGEs over the same stream; at every
+    // close both windows fire (same STEP) and each evaluation joins
+    // the short window's clicks against the long window's errors by
+    // user. Both fires at a close see the SAME merged snapshot, so
+    // they agree on the join count and differ only in the fired
+    // window's own [from, to) tag — exactly the reference's
+    // merge-all-windows-at-fire semantics.
+    "w2_live_merge" -> ((s, dir) => {
+      val StreamUri = "http://graft.dev/stream/events"
+      val ev = EventsAsQuads.events(s, dir)
+      val t0 = ev.agg(min(col("ts_ms"))).head.getLong(0)
+      val quads = EventsAsQuads.quads(s, dir)
+        .withColumn("timestamp", col("timestamp") - t0)
+        .withColumn("graph", lit(StreamUri))
+      val query =
+        """PREFIX ex: <http://graft.dev/>
+          |PREFIX v: <http://graft.dev/vocab#>
+          |PREFIX st: <http://graft.dev/stream/>
+          |REGISTER RStream <out> AS
+          |SELECT (COUNT(?e) AS ?n_pairs)
+          |FROM NAMED WINDOW ex:wa ON STREAM st:events [RANGE 86400000 STEP 86400000]
+          |FROM NAMED WINDOW ex:wb ON STREAM st:events [RANGE 432000000 STEP 86400000]
+          |WHERE {
+          |    WINDOW ex:wa { ?e v:user ?u . ?e v:type "click" }
+          |    WINDOW ex:wb { ?e2 v:user ?u . ?e2 v:type "error" }
+          |}""".stripMargin
+      val tmp = java.nio.file.Files.createTempDirectory("w2live")
+      val log = new graft.storage.EventLog(s,
+        tmp.resolve("log").toString, bucketMs = 86400000L)
+      // each fire yields ONE aggregate row — evaluate it eagerly (a
+      // lazy union of ~60 join plans would materialize every broadcast
+      // stage of every fire in a single action) and rebuild the tiny
+      // per-fire emission table on the driver, like the reference's
+      // one-message-per-fire channel
+      val fires = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val cls = new graft.streaming.CompiledLiveStream(s, query, log,
+        (df, from, to) => fires +=
+          ((from, to, df.selectExpr("cast(n_pairs as long)").head.getLong(0))))
+      cls.processBatch(quads)
+      import s.implicits._
+      fires.toSeq.toDF("timestamp_from", "timestamp_to", "n_pairs")
+    }),
+
     "w4_sliding_gap" -> ((s, dir) => {
       import graft.historical.HistoricalExecutor
       val quads = EventsAsQuads.quads(s, dir)
@@ -764,6 +808,118 @@ object SparkEntry {
         .select("timestamp", "subject", "predicate", "object", "graph")
     }),
 
+    // S3: the MQTT ingest chain END-TO-END — the real 3.1.1 transport
+    // (CONNECT/SUBSCRIBE/PUBLISH over sockets) against the embedded
+    // broker: every event's type-quad line is published as an N-Quads
+    // payload, parsed by the subscriber with the reference's payload
+    // semantics (timestamp overwritten with arrival time, graph
+    // cleared — `mqtt_subscriber.rs:146-152`), and the landed triples
+    // must reproduce the events table exactly. Driver-side by nature:
+    // a broker ingest boundary is single-node in the reference too.
+    "s3_mqtt_landing" -> ((s, dir) => {
+      import s.implicits._
+      val lines = EventsAsQuads.events(s, dir).select(concat(
+        col("ts_ms"), lit(s" <${EventsAsQuads.Base}e/"), col("event_id"),
+        lit(s"> <${EventsAsQuads.PType}> \""), col("event_type"),
+        lit(s"\" <${EventsAsQuads.Base}g/"), col("event_type"),
+        lit("> .")).as("line")).as[String].collect()
+      val broker = new graft.sources.MiniMqttBroker()
+      broker.start()
+      val got =
+        new java.util.concurrent.ConcurrentLinkedQueue[graft.core.RdfEvent]()
+      val src = new graft.sources.MqttStreamSource("127.0.0.1",
+        broker.boundPort, now = () => 0L)
+      try {
+        src.subscribe(Seq("events"), ev => got.add(ev))
+        Thread.sleep(300) // let the SUBACK land before publishing
+        val pub = new graft.sources.MqttConnection("127.0.0.1",
+          broker.boundPort, "oracle_pub")
+        lines.foreach(l => pub.publish("events",
+          l.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        pub.close()
+        val deadline = System.currentTimeMillis() + 120000
+        while (src.eventsReceived < lines.length &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+        require(src.eventsReceived == lines.length,
+          s"mqtt delivered ${src.eventsReceived}/${lines.length}")
+        require(src.parseErrors == 0, s"parse errors: ${src.parseErrors}")
+      } finally {
+        src.stop()
+        broker.stop()
+      }
+      scala.jdk.CollectionConverters.CollectionHasAsScala(got).asScala
+        .toSeq.map(ev => (ev.subject, ev.predicate, ev.objectValue))
+        .toDF("subject", "predicate", "object")
+    }),
+
+    // S12: the result-sink chain END-TO-END over real HTTP — register +
+    // start a JanusQL historical query through the gateway's REST
+    // relay, stream its results back over SSE, and parse the emitted
+    // JSON messages (R11 wire-format terms, sorted binding keys) back
+    // into rows. Oracles worker → unified queue → forwarder fan-out →
+    // HTTP serialization in one pass.
+    "s12_sink_fanout" -> ((s, dir) => {
+      import s.implicits._
+      val quads = EventsAsQuads.quads(s, dir)
+      val (tmin, tmax) = {
+        val r = quads.agg(min("timestamp"), max("timestamp")).head
+        (r.getLong(0), r.getLong(1))
+      }
+      val registry = new graft.api.QueryRegistry()
+      val api = new graft.api.JanusApi(s, registry, _ => quads,
+        () => tmax + 1)
+      val rest = new graft.http.HttpApiServer(api, registry,
+        sseIdleTimeoutMs = 2500)
+      rest.start()
+      val gw = new graft.http.HttpGateway(rest)
+      gw.start()
+      try {
+        val c = java.net.http.HttpClient.newHttpClient()
+        val base = s"http://127.0.0.1:${gw.boundPort}"
+        val janusql =
+          s"""PREFIX ex: <http://graft.dev/>
+             |PREFIX v: <http://graft.dev/vocab#>
+             |SELECT ?e ?t
+             |FROM NAMED WINDOW ex:hist ON LOG ex:store [START $tmin END $tmax]
+             |WHERE {
+             |  WINDOW ex:hist { ?e v:type ?t }
+             |}""".stripMargin
+        val body = s"""{"query_id":"s12","janusql":"${janusql
+          .replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", "\\n")}"}"""
+        def post(url: String, b: String): Int =
+          c.send(java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(b)).build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
+        require(post(s"$base/api/queries", body) == 201, "register failed")
+        require(post(s"$base/api/queries/s12/start", "") == 200,
+          "start failed")
+        Thread.sleep(1000) // let the worker produce into the replay ring
+        val sse = c.send(java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"$base/api/queries/s12/results")).GET()
+            .build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(sse.statusCode() == 200, s"sse status ${sse.statusCode()}")
+        val obj = java.util.regex.Pattern.compile(
+          """\{"e":"((?:[^"\\]|\\.)*)","t":"((?:[^"\\]|\\.)*)"\}""")
+        def unescape(v: String): String =
+          v.replace("\\\"", "\"").replace("\\\\", "\\")
+        val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        sse.body().split("\n").filter(_.startsWith("data: ")).foreach { l =>
+          require(l.contains("\"query_id\":\"s12\"") &&
+            l.contains("\"source\":\"Historical\""), s"bad message: $l")
+          val m = obj.matcher(l)
+          while (m.find()) rows += ((unescape(m.group(1)),
+            unescape(m.group(2))))
+        }
+        rows.toSeq.toDF("e", "t")
+      } finally {
+        try api.stopQuery("s12") catch { case _: Exception => () }
+        gw.stop()
+        rest.stop()
+      }
+    }),
+
     // ---- LLM-data-pipeline operators over documents/embeddings ----
 
     // Exact dedup: content-hash groupBy (map-side combine)
@@ -1312,6 +1468,28 @@ object SparkEntry {
         |  ON epoch_ms(e.ts) - p.t0 >= wb.close - 172800000
         | AND epoch_ms(e.ts) - p.t0 < wb.close
         |GROUP BY wb.close""".stripMargin,
+    "w2_live_merge" ->
+      """WITH p AS (SELECT MIN(epoch_ms(ts)) AS t0, MAX(epoch_ms(ts)) AS tmax
+        |          FROM events),
+        |cl AS (
+        |  SELECT (g.range + 1) * 86400000 AS close
+        |  FROM range(0, 10000) g, p
+        |  WHERE (g.range + 1) * 86400000 <= p.tmax - p.t0),
+        |n AS (
+        |  SELECT cl.close,
+        |    (SELECT COUNT(*) FROM events a, events b, p
+        |      WHERE a.event_type = 'click' AND b.event_type = 'error'
+        |        AND a.user_id = b.user_id
+        |        AND epoch_ms(a.ts) - p.t0 >= cl.close - 86400000
+        |        AND epoch_ms(a.ts) - p.t0 < cl.close
+        |        AND epoch_ms(b.ts) - p.t0 >= cl.close - 432000000
+        |        AND epoch_ms(b.ts) - p.t0 < cl.close) AS n_pairs
+        |  FROM cl)
+        |SELECT close - 86400000 AS timestamp_from, close AS timestamp_to,
+        |  n_pairs FROM n
+        |UNION ALL
+        |SELECT close - 432000000 AS timestamp_from, close AS timestamp_to,
+        |  n_pairs FROM n""".stripMargin,
     "w4_sliding_gap" ->
       """WITH p AS (SELECT MAX(epoch_ms(ts)) AS now FROM events),
         |wb AS (
@@ -1593,6 +1771,15 @@ object SparkEntry {
          |  'http://graft.dev/vocab#type' AS predicate,
          |  event_type AS object,
          |  'http://graft.dev/g/' || event_type AS graph
+         |FROM events""".stripMargin,
+    "s3_mqtt_landing" ->
+      s"""SELECT $E AS subject,
+         |  'http://graft.dev/vocab#type' AS predicate,
+         |  event_type AS object
+         |FROM events""".stripMargin,
+    "s12_sink_fanout" ->
+      s"""SELECT '<http://graft.dev/e/' || CAST(event_id AS VARCHAR) || '>' AS e,
+         |  '"' || event_type || '"' AS t
          |FROM events""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, COUNT(*) AS n, MIN(doc_id) AS keep_id

@@ -4,7 +4,7 @@ import java.io.{BufferedInputStream, BufferedOutputStream}
 import java.net.{ServerSocket, Socket}
 import java.util.concurrent.CopyOnWriteArrayList
 
-/** Test-only in-process MQTT 3.1.1 broker: CONNECT/CONNACK,
+/** Embedded in-process MQTT 3.1.1 broker: CONNECT/CONNACK,
   * SUBSCRIBE/SUBACK, QoS-0 PUBLISH routing on exact topic match,
   * PINGREQ/PINGRESP, DISCONNECT. Exists so the real [[MqttConnection]]
   * transport can be exercised end-to-end in an egress-free
