@@ -592,6 +592,45 @@ object SparkEntry {
       .select(col("e"), col("cv").try_cast("double").as("cv"),
         col("d").try_cast("double").as("d"))),
 
+    // R44: EXISTS inside an OPTIONAL's crossing filter — the EXISTS
+    // references ?u, which the OPTIONAL does not bind, so the whole
+    // filter is part of the LeftJoin condition; it contains EXISTS, so
+    // the compiler takes the merged-domain Filter(F,Join) ∪ Diff
+    // fallback. Each click keeps error rows whose value some purchase
+    // BY THE CLICK'S USER exceeds; clicks with none survive unbound.
+    "r44_exists_in_optional" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e ?u ?hv WHERE {
+        |  ?e v:type "click" . ?e v:user ?u . ?e v:value ?cv .
+        |  FILTER(?cv > 480.0)
+        |  OPTIONAL { ?e2 v:type "error" . ?e2 v:value ?hv
+        |    FILTER(EXISTS { ?p v:type "purchase" . ?p v:user ?u .
+        |                    ?p v:value ?pv . FILTER(?pv > ?hv) }) }
+        |}""".stripMargin)
+      .select(col("e"), col("u"), col("hv").try_cast("double").as("hv"))),
+
+    // R45: EXISTS under && — top-level conjunctions split into
+    // independent filters (an error conjunct drops the row either
+    // way), which is what lets the EXISTS half run as a semijoin
+    "r45_exists_conj" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e ?u WHERE {
+        |  ?e v:type "click" . ?e v:user ?u . ?e v:value ?cv .
+        |  FILTER(?cv > 300.0 && EXISTS { ?x v:type "error" . ?x v:user ?u })
+        |}""".stripMargin)),
+
+    // R46: EXISTS nested inside a crossing EXISTS filter — the outer
+    // EXISTS's filter references ?cv/?u (outer-bound) and itself
+    // contains EXISTS, exercising the recursive merged-domain
+    // fallback: click kept iff some error is smaller than its value
+    // AND some purchase by its user exceeds that error
+    "r46_nested_exists_crossing" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?e ?u WHERE {
+        |  ?e v:type "click" . ?e v:user ?u . ?e v:value ?cv .
+        |  FILTER(?cv > 350.0)
+        |  FILTER EXISTS { ?x v:type "error" . ?x v:value ?hv
+        |    FILTER(?hv < ?cv && EXISTS { ?p v:type "purchase" .
+        |      ?p v:user ?u . ?p v:value ?pv . FILTER(?pv > ?hv) }) }
+        |}""".stripMargin)),
+
     // R31: GROUP BY expression key — desugars to a per-solution BIND
     // (the SPARQL semantics), grouped on the computed column
     "r31_groupby_expr" -> ((s, dir) => sparql(s, dir,
@@ -1641,6 +1680,33 @@ object SparkEntry {
     "r43_nested_bind" ->
       s"""SELECT $E AS e, value AS cv, CAST(NULL AS DOUBLE) AS d
          |FROM events WHERE event_type = 'click' AND value > 480.0""".stripMargin,
+    "r44_exists_in_optional" ->
+      s"""WITH clicks AS (
+         |  SELECT event_id, user_id FROM events
+         |  WHERE event_type = 'click' AND value > 480.0),
+         |pmax AS (
+         |  SELECT user_id, MAX(value) AS mx FROM events
+         |  WHERE event_type = 'purchase' GROUP BY user_id),
+         |m AS (
+         |  SELECT c.event_id AS ce, e.value AS hv
+         |  FROM clicks c JOIN pmax p ON p.user_id = c.user_id
+         |  JOIN events e ON e.event_type = 'error' AND e.value < p.mx)
+         |SELECT 'http://graft.dev/e/' || CAST(c.event_id AS VARCHAR) AS e,
+         |  'http://graft.dev/u/' || CAST(c.user_id AS VARCHAR) AS u, m.hv
+         |FROM clicks c LEFT JOIN m ON m.ce = c.event_id""".stripMargin,
+    "r45_exists_conj" ->
+      s"""SELECT $E AS e, $U AS u FROM events a
+         |WHERE a.event_type = 'click' AND a.value > 300.0
+         |  AND EXISTS(SELECT 1 FROM events b
+         |    WHERE b.event_type = 'error' AND b.user_id = a.user_id)""".stripMargin,
+    "r46_nested_exists_crossing" ->
+      s"""SELECT $E AS e, $U AS u FROM events a
+         |WHERE a.event_type = 'click' AND a.value > 350.0
+         |  AND EXISTS(SELECT 1 FROM events b
+         |    WHERE b.event_type = 'error' AND b.value < a.value
+         |      AND EXISTS(SELECT 1 FROM events p
+         |        WHERE p.event_type = 'purchase'
+         |          AND p.user_id = a.user_id AND p.value > b.value))""".stripMargin,
     "r30_str_transforms" ->
       s"""SELECT $E AS e, CAST(event_id AS VARCHAR) AS id,
          |  CASE WHEN strpos(event_type, 'i') > 0

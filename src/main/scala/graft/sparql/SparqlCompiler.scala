@@ -225,6 +225,64 @@ object SparqlCompiler {
     case _                => Set.empty
   }
 
+  /** Variables an expression references INCLUDING those mentioned
+    * inside EXISTS groups (pattern vars and filter vars, recursively).
+    * [[exprVars]] deliberately treats EXISTS as opaque (it compiles as
+    * its own group); crossing-filter detection must not — an EXISTS
+    * referencing an outer variable correlates with the outer solution
+    * (§18.6 substitution) and is part of the join condition. */
+  private def deepExprVars(e: Expr): Set[String] = e match {
+    case EExists(g, _)    => mentionedVars(g)
+    case ECmp(_, l, r)    => deepExprVars(l) ++ deepExprVars(r)
+    case EAnd(l, r)       => deepExprVars(l) ++ deepExprVars(r)
+    case EOr(l, r)        => deepExprVars(l) ++ deepExprVars(r)
+    case ENot(x)          => deepExprVars(x)
+    case EArith(_, l, r)  => deepExprVars(l) ++ deepExprVars(r)
+    case ECall(_, args)   => args.flatMap(deepExprVars).toSet
+    case EIn(x, items, _) => deepExprVars(x) ++ items.flatMap(deepExprVars)
+    case EAggRef(a)       => a.arg.map(deepExprVars).getOrElse(Set.empty)
+    case other            => exprVars(other)
+  }
+
+  /** Every variable a group mentions: pattern-bound vars plus filter
+    * vars, recursing into nested elements. */
+  private def mentionedVars(g: GroupPattern): Set[String] = {
+    val nested = g.elems.flatMap {
+      case GOptional(x) => mentionedVars(x)
+      case GGroup(x)    => mentionedVars(x)
+      case GMinus(x)    => mentionedVars(x)
+      case GUnion(alts) => alts.flatMap(mentionedVars)
+      case _            => Seq.empty
+    }
+    g.boundVars.toSet ++ g.filters.flatMap(deepExprVars) ++ nested
+  }
+
+  private def containsExists(e: Expr): Boolean = e match {
+    case EExists(_, _)    => true
+    case ECmp(_, l, r)    => containsExists(l) || containsExists(r)
+    case EAnd(l, r)       => containsExists(l) || containsExists(r)
+    case EOr(l, r)        => containsExists(l) || containsExists(r)
+    case ENot(x)          => containsExists(x)
+    case EArith(_, l, r)  => containsExists(l) || containsExists(r)
+    case ECall(_, args)   => args.exists(containsExists)
+    case EIn(x, items, _) => containsExists(x) || items.exists(containsExists)
+    case _                => false
+  }
+
+  /** Merged-domain join of a solution frame against a group frame:
+    * shared-var compatibility (equi when provably non-null),
+    * orchestration-key equality, coalesced shared columns. The inner
+    * form is the first half of the LeftJoin/EXISTS fallback used when
+    * a crossing filter itself contains EXISTS. */
+  private def joinMerged(l: DataFrame, r: DataFrame, shared: Seq[String],
+      extraKeys: Seq[String], anyNullable: Boolean,
+      joinType: String): DataFrame =
+    if (shared.isEmpty)
+      if (extraKeys.nonEmpty) l.join(r, extraKeys, joinType)
+      else l.join(r, lit(true), joinType)
+    else if (anyNullable) compatJoin(l, r, shared, extraKeys, joinType)
+    else l.join(r, (shared ++ extraKeys).distinct, joinType)
+
   /** Rewrite a crossing filter (a LeftJoin/EXISTS condition evaluated
     * over the MERGED domain) for a join where the inner side's columns
     * are renamed with `pref`: inner-bound vars → prefixed, outer-bound
@@ -563,7 +621,7 @@ object SparqlCompiler {
         // B-local filters stay inside B's own compile.
         val optBound = opt.boundVars.toSet
         val (crossing, local) = opt.filters.partition(f =>
-          exprVars(f).exists(v =>
+          deepExprVars(f).exists(v =>
             !optBound.contains(v) && accVars.contains(v)))
         val optG = compileGroup(quads,
           if (crossing.isEmpty) opt else opt.copy(filters = local),
@@ -572,7 +630,31 @@ object SparqlCompiler {
         val anyNullable = shared.exists(v =>
           nullable.contains(v) || optG.nullable.contains(v))
         acc =
-          if (crossing.nonEmpty) {
+          if (crossing.exists(containsExists)) {
+            // a crossing filter containing EXISTS is not expressible
+            // as a join-condition Column. LeftJoin(A, B, F) fallback:
+            // tag A with row ids, build the merged inner join,
+            // evaluate F on it (EXISTS via the standard semi/anti
+            // machinery), then union the surviving matches with the A
+            // rows that kept no match, their B-side vars unbound —
+            // the spec's Filter(F, Join(A,B)) ∪ Diff(A, B, F)
+            // decomposition (§18.5). The lazy localCheckpoint pins
+            // the nondeterministic row ids so both branches see the
+            // same tags, at the cost of materializing A once.
+            val idCol = "__lj_id"
+            val a = acc.withColumn(idCol, monotonically_increasing_id())
+              .localCheckpoint(false)
+            val x = applyFilters(
+              joinMerged(a, optG.df, shared, extraKeys, anyNullable,
+                "inner"),
+              accVars ++ optG.vars, nullable ++ optG.nullable,
+              crossing, quads, extraKeys)
+            val unmatched = a.join(x.select(idCol), Seq(idCol),
+              "left_anti")
+            val withNulls = (optG.vars -- accVars).foldLeft(unmatched)(
+              (d, v) => d.withColumn(v, lit(null).cast("string")))
+            x.unionByName(withNulls).drop(idCol)
+          } else if (crossing.nonEmpty) {
             // explicit condition join: B fully prefixed, condition =
             // shared-var compatibility ∧ key equality ∧ the crossing
             // filters (a NULL/false condition row simply fails to
@@ -666,15 +748,35 @@ object SparqlCompiler {
       throw new CompileException(
         "VALUES-only group under windowed evaluation is unsupported")
 
-    // FILTERs: EXISTS via semi/anti joins, everything else via where().
-    // `FILTER(!EXISTS {…})` (and any stack of NOTs) normalizes to the
-    // same semi/anti join — each NOT flips the join polarity.
+    acc = applyFilters(acc, accVars, nullable, group.filters, quads,
+      extraKeys)
+    Grouped(acc, accVars, nullable)
+  }
+
+  /** FILTER application over a solution frame: EXISTS via semi/anti
+    * joins, everything else via where(). Top-level conjunctions are
+    * split first — `FILTER(a && b)` filters exactly like
+    * `FILTER(a) FILTER(b)` (an error conjunct drops the row either
+    * way, §17.2 three-valued &&), and the split is what lets EXISTS
+    * appear under `&&`. `FILTER(!EXISTS {…})` (and any stack of NOTs)
+    * normalizes to the same semi/anti join — each NOT flips the join
+    * polarity. Shared by group compilation and the merged-domain
+    * crossing-filter fallback, which is why the frame, its variables,
+    * and their nullability are parameters rather than group state. */
+  private def applyFilters(df0: DataFrame, vars: Set[String],
+      nullableVars: Set[String], filters: Seq[Expr], quads: DataFrame,
+      extraKeys: Seq[String]): DataFrame = {
+    var acc = df0
     @annotation.tailrec
     def unwrapNot(e: Expr, flip: Boolean): (Expr, Boolean) = e match {
       case ENot(x) => unwrapNot(x, !flip)
       case other   => (other, flip)
     }
-    group.filters.foreach { f =>
+    def conjuncts(e: Expr): Seq[Expr] = e match {
+      case EAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other      => Seq(other)
+    }
+    filters.flatMap(conjuncts).foreach { f =>
       unwrapNot(f, flip = false) match {
         case (EExists(inner, negated), flip) =>
           // EXISTS substitutes the current solution into the inner
@@ -684,20 +786,35 @@ object SparqlCompiler {
           // null-mismatching equi key).
           val innerBound = inner.boundVars.toSet
           val (crossing, local) = inner.filters.partition(f =>
-            exprVars(f).exists(v =>
-              !innerBound.contains(v) && accVars.contains(v)))
+            deepExprVars(f).exists(v =>
+              !innerBound.contains(v) && vars.contains(v)))
           val innerG = compileGroup(quads,
             if (crossing.isEmpty) inner else inner.copy(filters = local),
             extraKeys)
-          val sharedVars = innerG.vars.intersect(accVars).toSeq
+          val sharedVars = innerG.vars.intersect(vars).toSeq
           val shared = (sharedVars ++ extraKeys).distinct
           if (shared.isEmpty && crossing.isEmpty)
             throw new CompileException(
               "FILTER EXISTS with no shared variables is unsupported")
           val joinType = if (negated ^ flip) "leftanti" else "leftsemi"
           val anyNullable = sharedVars.exists(v =>
-            nullable.contains(v) || innerG.nullable.contains(v))
-          if (crossing.isEmpty && !anyNullable)
+            nullableVars.contains(v) || innerG.nullable.contains(v))
+          if (crossing.exists(containsExists)) {
+            // a crossing filter that itself contains EXISTS cannot be
+            // a join-condition Column — evaluate ALL the crossing
+            // filters on the materialized merged domain instead
+            // (nested EXISTS runs through this same machinery
+            // recursively) and semi/anti join the surviving row ids
+            val idCol = "__ex_id"
+            val a = acc.withColumn(idCol, monotonically_increasing_id())
+              .localCheckpoint(false)
+            val x = applyFilters(
+              joinMerged(a, innerG.df, sharedVars, extraKeys, anyNullable,
+                "inner"),
+              vars ++ innerG.vars, nullableVars ++ innerG.nullable,
+              crossing, quads, extraKeys)
+            acc = a.join(x.select(idCol), Seq(idCol), joinType).drop(idCol)
+          } else if (crossing.isEmpty && !anyNullable)
             acc = acc.join(
               innerG.df.select(shared.map(col): _*), shared, joinType)
           else {
@@ -705,18 +822,18 @@ object SparqlCompiler {
             val sel = innerG.df.select(
               innerG.df.columns.map(c => col(c).as(pref + c)).toSeq: _*)
             val cond = prefixedCond(sharedVars, extraKeys,
-              v => nullable.contains(v) || innerG.nullable.contains(v),
-              pref, crossing, innerG.vars, accVars)
+              v => nullableVars.contains(v) || innerG.nullable.contains(v),
+              pref, crossing, innerG.vars, vars)
             acc = acc.join(sel, cond, joinType)
           }
         case _ =>
-          // vars the group does not bind evaluate as UNBOUND, not as
+          // vars the frame does not bind evaluate as UNBOUND, not as
           // unresolved columns
-          val (widened, free) = withUnbound(acc, accVars, exprVars(f))
+          val (widened, free) = withUnbound(acc, vars, exprVars(f))
           acc = widened.where(boolC(f)).drop(free: _*)
       }
     }
-    Grouped(acc, accVars, nullable)
+    acc
   }
 
   /** Whether an expression is string-shaped (its value view should be

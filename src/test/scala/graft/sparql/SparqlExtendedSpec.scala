@@ -1080,6 +1080,53 @@ class SparqlExtendedSpec extends AnyFunSuite {
     assert(TestSpark.rows(notEx) === Set(Seq("http://ex.org/charlie")))
   }
 
+  test("EXISTS inside an OPTIONAL's crossing filter takes the " +
+      "merged-domain LeftJoin fallback (Filter(F,Join) ∪ Diff)") {
+    // for each (s, age): keep (s knows o) rows where o has a SMALLER
+    // age than s — the EXISTS references ?age, which the OPTIONAL does
+    // not bind, so the whole filter is part of the LeftJoin condition
+    val df = run(
+      """SELECT ?s ?o WHERE {
+        |  ?s ex:age ?age .
+        |  OPTIONAL { ?s ex:knows ?o
+        |    FILTER(EXISTS { ?o ex:age ?age2 . FILTER(?age2 < ?age) }) }
+        |}""".stripMargin)
+    assert(TestSpark.rows(df) === Set(
+      Seq("http://ex.org/alice", "http://ex.org/bob"),
+      Seq("http://ex.org/bob", "null"),
+      Seq("http://ex.org/charlie", "null")))
+  }
+
+  test("EXISTS under && is split into an independent semijoin conjunct") {
+    val df = run(
+      """SELECT ?s WHERE {
+        |  ?s ex:age ?age .
+        |  FILTER(?age > 26 && EXISTS { ?s ex:email ?mail })
+        |}""".stripMargin)
+    assert(TestSpark.rows(df) === Set(Seq("http://ex.org/alice")))
+  }
+
+  test("EXISTS nested inside a crossing EXISTS filter recurses through " +
+      "the merged-domain fallback") {
+    // s kept iff some p is OLDER than s and that p has an email:
+    // only alice has email (age 30), so only bob (25) qualifies
+    val ex = run(
+      """SELECT ?s WHERE {
+        |  ?s ex:age ?age .
+        |  FILTER EXISTS { ?p ex:age ?age2 .
+        |    FILTER(?age2 > ?age && EXISTS { ?p ex:email ?mail }) }
+        |}""".stripMargin)
+    assert(TestSpark.rows(ex) === Set(Seq("http://ex.org/bob")))
+    val notEx = run(
+      """SELECT ?s WHERE {
+        |  ?s ex:age ?age .
+        |  FILTER NOT EXISTS { ?p ex:age ?age2 .
+        |    FILTER(?age2 > ?age && EXISTS { ?p ex:email ?mail }) }
+        |}""".stripMargin)
+    assert(TestSpark.rows(notEx) === Set(
+      Seq("http://ex.org/alice"), Seq("http://ex.org/charlie")))
+  }
+
   test("subquery vars that may be unbound join with compatibility " +
       "semantics outside the subquery") {
     // the subquery leaves ?mail unbound for bob/charlie; the outer
