@@ -78,7 +78,8 @@ object Main {
         // REST server on an ephemeral port; the gateway fronts it on
         // the public port so WS upgrades, SSE, and REST share one
         // address like the reference's single server (`server.rs:273`)
-        val restServer = new graft.http.HttpApiServer(api, registry, 0)
+        val restServer = new graft.http.HttpApiServer(api, registry, 0,
+          bindHost = Some("127.0.0.1"))
         restServer.start()
         val gateway = new graft.http.HttpGateway(restServer, port)
         gateway.start()

@@ -868,26 +868,49 @@ object SparkEntry {
         new java.util.concurrent.ConcurrentLinkedQueue[graft.core.RdfEvent]()
       val src = new graft.sources.MqttStreamSource("127.0.0.1",
         broker.boundPort, now = () => 0L)
+      val WarmupSubject = "http://graft.dev/warmup"
       try {
         src.subscribe(Seq("events"), ev => got.add(ev))
-        Thread.sleep(300) // let the SUBACK land before publishing
+        // SUBSCRIBE is fire-and-forget and QoS-0 drops pre-subscription
+        // publishes — probe with warmup lines until one arrives, which
+        // proves the broker routed the subscription; later publishes on
+        // the same connection are ordered after it
         val pub = new graft.sources.MqttConnection("127.0.0.1",
           broker.boundPort, "oracle_pub")
+        val warmupLine = s"""0 <$WarmupSubject> <$WarmupSubject> "w" <$WarmupSubject> ."""
+        val warmDeadline = System.currentTimeMillis() + 30000
+        while (src.eventsReceived == 0 &&
+            System.currentTimeMillis() < warmDeadline) {
+          pub.publish("events",
+            warmupLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          Thread.sleep(100)
+        }
+        require(src.eventsReceived > 0, "mqtt subscription never landed")
+        // settle: a warmup published just before the loop exited may
+        // still be in flight — count them only once arrivals stop
+        var settled = -1L
+        while (settled != src.eventsReceived) {
+          settled = src.eventsReceived
+          Thread.sleep(200)
+        }
+        val warmups = settled
         lines.foreach(l => pub.publish("events",
           l.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
         pub.close()
+        val expected = warmups + lines.length
         val deadline = System.currentTimeMillis() + 120000
-        while (src.eventsReceived < lines.length &&
+        while (src.eventsReceived < expected &&
           System.currentTimeMillis() < deadline) Thread.sleep(50)
-        require(src.eventsReceived == lines.length,
-          s"mqtt delivered ${src.eventsReceived}/${lines.length}")
+        require(src.eventsReceived == expected,
+          s"mqtt delivered ${src.eventsReceived}/$expected")
         require(src.parseErrors == 0, s"parse errors: ${src.parseErrors}")
       } finally {
         src.stop()
         broker.stop()
       }
       scala.jdk.CollectionConverters.CollectionHasAsScala(got).asScala
-        .toSeq.map(ev => (ev.subject, ev.predicate, ev.objectValue))
+        .toSeq.filter(_.subject != WarmupSubject)
+        .map(ev => (ev.subject, ev.predicate, ev.objectValue))
         .toDF("subject", "predicate", "object")
     }),
 

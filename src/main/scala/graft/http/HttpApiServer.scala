@@ -29,11 +29,17 @@ final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
       graft.storage.ReplayBus] = None,
     /** replay-ring + per-subscriber queue capacity — the reference's
       * broadcast channel capacity (`server.rs:34`) */
-    replayCapacity: Int = 1024) {
+    replayCapacity: Int = 1024,
+    /** bind address; pass "127.0.0.1" when fronted by [[HttpGateway]]
+      * so the internal server is not reachable from other hosts on
+      * its ephemeral port (None = wildcard, standalone use). */
+    bindHost: Option[String] = None) {
 
   import HttpApiServer._
 
-  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  private val server = HttpServer.create(
+    bindHost.map(h => new InetSocketAddress(h, port))
+      .getOrElse(new InetSocketAddress(port)), 0)
   server.setExecutor(Executors.newCachedThreadPool())
 
   private val handles =

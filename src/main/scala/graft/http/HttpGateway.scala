@@ -179,11 +179,21 @@ final class HttpGateway(api: HttpApiServer, port: Int = 0,
     * the response back until upstream EOF (which covers SSE: the REST
     * server ends the stream itself on its idle timeout). `Connection:
     * close` is forced upstream so the response is close-delimited —
-    * the same framing this per-request client socket uses. */
+    * the same framing this per-request client socket uses. A down
+    * upstream answers 502 instead of an empty reply; a wedged one is
+    * cut off by the read timeout instead of pinning the thread. */
   private def relay(out: OutputStream, requestLine: String,
       rawHeaders: Seq[String], body: Array[Byte]): Unit = {
-    val upstream = new Socket("127.0.0.1", api.boundPort)
+    val upstream = new Socket()
     try {
+      try upstream.connect(
+        new java.net.InetSocketAddress("127.0.0.1", api.boundPort), 3000)
+      catch {
+        case _: java.io.IOException =>
+          httpError(out, 502, "upstream REST server unavailable")
+          return
+      }
+      upstream.setSoTimeout(300000)
       val uo = new BufferedOutputStream(upstream.getOutputStream)
       val head = (requestLine +: rawHeaders.filterNot(
         _.toLowerCase.startsWith("connection:")))
@@ -229,18 +239,74 @@ final class HttpGateway(api: HttpApiServer, port: Int = 0,
         case _           => None
       }
     }.toMap
-    val len = headers.get("content-length")
-      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(0)
-    if (len > (16 << 20)) throw new IllegalArgumentException(
-      "oversized request body")
-    val body = new Array[Byte](len)
-    var off = 0
-    while (off < len) {
-      val n = in.read(body, off, len - off)
-      if (n < 0) throw new IllegalArgumentException("truncated body")
-      off += n
+    val chunked = headers.get("transfer-encoding")
+      .exists(_.toLowerCase.contains("chunked"))
+    val body =
+      if (chunked) readChunkedBody(in)
+      else {
+        val len = headers.get("content-length")
+          .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(0)
+        if (len > (16 << 20)) throw new IllegalArgumentException(
+          "oversized request body")
+        val b = new Array[Byte](len)
+        var off = 0
+        while (off < len) {
+          val n = in.read(b, off, len - off)
+          if (n < 0) throw new IllegalArgumentException("truncated body")
+          off += n
+        }
+        b
+      }
+    // a chunked body is forwarded re-framed as Content-Length — drop
+    // the chunked framing headers and substitute the real length
+    val headerLines =
+      if (chunked)
+        lines.drop(1).toSeq.filterNot { l =>
+          val low = l.toLowerCase
+          low.startsWith("transfer-encoding:") ||
+            low.startsWith("content-length:")
+        } :+ s"Content-Length: ${body.length}"
+      else lines.drop(1).toSeq
+    (lines.headOption.getOrElse(""), headerLines, headers, body)
+  }
+
+  /** RFC 9112 §7.1 chunked body: hex-size line, data, CRLF, repeated;
+    * a zero chunk then trailer lines up to a blank line end it. */
+  private def readChunkedBody(in: InputStream): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def readLine(): String = {
+      val sb = new StringBuilder
+      var b = in.read()
+      while (b != -1 && b != '\n') {
+        if (b != '\r') sb.append(b.toChar)
+        b = in.read()
+      }
+      sb.toString
     }
-    (lines.headOption.getOrElse(""), lines.drop(1).toSeq, headers, body)
+    var done = false
+    while (!done) {
+      val sizeLine = readLine().trim
+      val size = Integer.parseInt(
+        sizeLine.takeWhile(c => Character.digit(c, 16) >= 0), 16)
+      if (size == 0) {
+        // consume optional trailers up to the blank line
+        while (readLine().nonEmpty) ()
+        done = true
+      } else {
+        if (out.size() + size > (16 << 20))
+          throw new IllegalArgumentException("oversized request body")
+        val chunk = new Array[Byte](size)
+        var off = 0
+        while (off < size) {
+          val n = in.read(chunk, off, size - off)
+          if (n < 0) throw new IllegalArgumentException("truncated chunk")
+          off += n
+        }
+        out.write(chunk)
+        readLine() // trailing CRLF after the chunk data
+      }
+    }
+    out.toByteArray
   }
 
   /** One (possibly masked) client frame: (opcode, unmasked payload).

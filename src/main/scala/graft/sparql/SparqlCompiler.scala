@@ -245,13 +245,16 @@ object SparqlCompiler {
   }
 
   /** Every variable a group mentions: pattern-bound vars plus filter
-    * vars, recursing into nested elements. */
+    * and BIND-expression vars, recursing into nested elements.
+    * (Subqueries are deliberately opaque — they do not see outer
+    * bindings, so their vars cannot correlate.) */
   private def mentionedVars(g: GroupPattern): Set[String] = {
     val nested = g.elems.flatMap {
       case GOptional(x) => mentionedVars(x)
       case GGroup(x)    => mentionedVars(x)
       case GMinus(x)    => mentionedVars(x)
       case GUnion(alts) => alts.flatMap(mentionedVars)
+      case GBind(e, _)  => deepExprVars(e)
       case _            => Seq.empty
     }
     g.boundVars.toSet ++ g.filters.flatMap(deepExprVars) ++ nested
@@ -405,16 +408,20 @@ object SparqlCompiler {
     }
   }
 
+  /** `seed` starts the fold from an existing solution frame instead of
+    * the empty BGP — §18.6 EXISTS substitution: the inner group's
+    * patterns correlate by joining the outer frame, and its BINDs and
+    * FILTERs see the outer bindings directly. */
   def compileGroup(quads: DataFrame, group: GroupPattern,
-      extraKeys: Seq[String]): Grouped = {
-    if (group.elems.isEmpty)
+      extraKeys: Seq[String], seed: Option[Grouped] = None): Grouped = {
+    if (group.elems.isEmpty && seed.isEmpty)
       throw new CompileException("Empty group pattern")
 
-    var acc: DataFrame = null
-    var accVars = Set.empty[String]
+    var acc: DataFrame = seed.map(_.df).orNull
+    var accVars = seed.map(_.vars).getOrElse(Set.empty[String])
     // vars that may be null in acc (OPTIONAL-introduced / partial
     // UNION / VALUES UNDEF / BIND whose expression can error)
-    var nullable = Set.empty[String]
+    var nullable = seed.map(_.nullable).getOrElse(Set.empty[String])
 
     // SPARQL Join of a compiled element into the accumulator: plain
     // equi-join normally; compatibility join (unbound matches anything,
@@ -460,10 +467,14 @@ object SparqlCompiler {
     // solution) — materialize that unit solution when the first element
     // is BIND/OPTIONAL/MINUS rather than a join element
     def ensureAcc(): Unit = if (acc == null) {
-      if (extraKeys.nonEmpty)
-        throw new CompileException(
-          "Group must start with a pattern under windowed evaluation")
-      acc = quads.sparkSession.range(1).drop("id")
+      // the unit solution: one empty row — or, under windowed
+      // evaluation, one empty row PER orchestration key (every window
+      // that exists in the data has its own unit), so a group that
+      // starts with OPTIONAL/MINUS/BIND still evaluates per window
+      acc =
+        if (extraKeys.nonEmpty)
+          quads.select(extraKeys.map(col): _*).distinct()
+        else quads.sparkSession.range(1).drop("id")
     }
 
     // Elements compile LEFT-TO-RIGHT in source order (SPARQL 1.1
@@ -540,6 +551,21 @@ object SparqlCompiler {
         val bound = df.select(extraKeys.map(col) ++
           bindings.map { case (v, c) => col(c).as(v) }: _*)
         joinIn(bound, bindings.keySet.toSet, Set.empty)
+
+      // Element-free nested group: Filter(F, unit) — the filters see
+      // only their OWN group's bindings, which is the unit solution
+      // with every variable unbound. A false/error outcome empties the
+      // group, and joining an empty group empties every solution of
+      // the enclosing one (§18.2.2.2). Evaluated once driver-side
+      // (one local row), then applied as keep-all or keep-nothing.
+      case GGroup(g) if g.elems.isEmpty =>
+        ensureAcc()
+        val unit = quads.sparkSession.range(1).drop("id")
+        val fvars = g.filters.flatMap(exprVars).toSet
+        val (widened, _) = withUnbound(unit, Set.empty, fvars)
+        val pass = !widened
+          .where(g.filters.map(boolC).reduce(_ && _)).isEmpty
+        if (!pass) acc = acc.limit(0)
 
       // Nested group (`{…}` / GRAPH block with its own FILTERs):
       // evaluated as an independent group — its filters see only its
@@ -788,43 +814,51 @@ object SparqlCompiler {
           val (crossing, local) = inner.filters.partition(f =>
             deepExprVars(f).exists(v =>
               !innerBound.contains(v) && vars.contains(v)))
-          val innerG = compileGroup(quads,
-            if (crossing.isEmpty) inner else inner.copy(filters = local),
-            extraKeys)
-          val sharedVars = innerG.vars.intersect(vars).toSeq
-          val shared = (sharedVars ++ extraKeys).distinct
-          if (shared.isEmpty && crossing.isEmpty)
-            throw new CompileException(
-              "FILTER EXISTS with no shared variables is unsupported")
           val joinType = if (negated ^ flip) "leftanti" else "leftsemi"
-          val anyNullable = sharedVars.exists(v =>
-            nullableVars.contains(v) || innerG.nullable.contains(v))
-          if (crossing.exists(containsExists)) {
-            // a crossing filter that itself contains EXISTS cannot be
-            // a join-condition Column — evaluate ALL the crossing
-            // filters on the materialized merged domain instead
-            // (nested EXISTS runs through this same machinery
-            // recursively) and semi/anti join the surviving row ids
+          // outer vars correlated through EXPRESSIONS the group does
+          // not itself bind — a BIND or nested filter over an outer
+          // var, or a crossing filter containing EXISTS: none of these
+          // is expressible as a join-condition Column
+          val exprCorrelated = crossing.exists(containsExists) ||
+            (mentionedVars(inner.copy(filters = local)) -- innerBound)
+              .exists(vars.contains)
+          if (exprCorrelated) {
+            // §18.6 substitution directly: compile the EXISTS group
+            // SEEDED with the id-tagged outer frame — patterns
+            // correlate by joining it, BINDs/filters (crossing ones
+            // included, nested EXISTS recursively) see the outer
+            // bindings — then semi/anti join the surviving ids
             val idCol = "__ex_id"
             val a = acc.withColumn(idCol, monotonically_increasing_id())
               .localCheckpoint(false)
-            val x = applyFilters(
-              joinMerged(a, innerG.df, sharedVars, extraKeys, anyNullable,
-                "inner"),
-              vars ++ innerG.vars, nullableVars ++ innerG.nullable,
-              crossing, quads, extraKeys)
-            acc = a.join(x.select(idCol), Seq(idCol), joinType).drop(idCol)
-          } else if (crossing.isEmpty && !anyNullable)
-            acc = acc.join(
-              innerG.df.select(shared.map(col): _*), shared, joinType)
-          else {
-            val pref = "__e_"
-            val sel = innerG.df.select(
-              innerG.df.columns.map(c => col(c).as(pref + c)).toSeq: _*)
-            val cond = prefixedCond(sharedVars, extraKeys,
-              v => nullableVars.contains(v) || innerG.nullable.contains(v),
-              pref, crossing, innerG.vars, vars)
-            acc = acc.join(sel, cond, joinType)
+            val sub = compileGroup(quads,
+              inner.copy(filters = local ++ crossing), extraKeys,
+              Some(Grouped(a, vars, nullableVars)))
+            acc = a.join(sub.df.select(idCol), Seq(idCol), joinType)
+              .drop(idCol)
+          } else {
+            val innerG = compileGroup(quads,
+              if (crossing.isEmpty) inner else inner.copy(filters = local),
+              extraKeys)
+            val sharedVars = innerG.vars.intersect(vars).toSeq
+            val shared = (sharedVars ++ extraKeys).distinct
+            if (shared.isEmpty && crossing.isEmpty)
+              throw new CompileException(
+                "FILTER EXISTS with no shared variables is unsupported")
+            val anyNullable = sharedVars.exists(v =>
+              nullableVars.contains(v) || innerG.nullable.contains(v))
+            if (crossing.isEmpty && !anyNullable)
+              acc = acc.join(
+                innerG.df.select(shared.map(col): _*), shared, joinType)
+            else {
+              val pref = "__e_"
+              val sel = innerG.df.select(
+                innerG.df.columns.map(c => col(c).as(pref + c)).toSeq: _*)
+              val cond = prefixedCond(sharedVars, extraKeys,
+                v => nullableVars.contains(v) || innerG.nullable.contains(v),
+                pref, crossing, innerG.vars, vars)
+              acc = acc.join(sel, cond, joinType)
+            }
           }
         case _ =>
           // vars the frame does not bind evaluate as UNBOUND, not as

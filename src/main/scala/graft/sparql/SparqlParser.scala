@@ -467,8 +467,10 @@ object SparqlParser {
           case _: GOptional | _: GMinus | _: GBind => true
           case _                                   => false
         }
+        // an element-free group's FILTERs must NOT hoist: they scope
+        // to their own group (§18.2.2.2), whose only solution is the
+        // unit — their variables are all unbound there
         if (inner.filters.isEmpty && !orderSensitive) elems ++= inner.elems
-        else if (inner.elems.isEmpty) filters ++= inner.filters
         else elems += GGroup(inner)
       }
       var done = false

@@ -144,6 +144,23 @@ class HttpGatewaySpec extends AnyFunSuite {
     }
   }
 
+  test("chunked request bodies are decoded and relayed re-framed as " +
+      "Content-Length") {
+    withServers { (c, base) =>
+      // an InputStream publisher has unknown length → the JDK client
+      // sends Transfer-Encoding: chunked
+      val resp = c.send(
+        HttpRequest.newBuilder(URI.create(s"http://$base/api/queries"))
+          .POST(HttpRequest.BodyPublishers.ofInputStream(() =>
+            new java.io.ByteArrayInputStream(registerBody.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 201)
+      assert(get(c, s"http://$base/api/queries/q1").statusCode() === 200)
+    }
+  }
+
   test("unknown / not-running query fails the handshake") {
     withServers { (c, base) =>
       val ex = intercept[CompletionException] {

@@ -1127,6 +1127,50 @@ class SparqlExtendedSpec extends AnyFunSuite {
       Seq("http://ex.org/alice"), Seq("http://ex.org/charlie")))
   }
 
+  test("a BIND over an outer variable inside EXISTS correlates via " +
+      "substitution (§18.6), not against an unbound variable") {
+    val df = run(
+      """SELECT ?s ?o WHERE {
+        |  ?s ex:age ?age .
+        |  OPTIONAL { ?s ex:knows ?o
+        |    FILTER(EXISTS { BIND(?age - 1 AS ?cap)
+        |      ?o ex:age ?a2 . FILTER(?a2 <= ?cap) }) }
+        |}""".stripMargin)
+    assert(TestSpark.rows(df) === Set(
+      Seq("http://ex.org/alice", "http://ex.org/bob"),
+      Seq("http://ex.org/bob", "null"),
+      Seq("http://ex.org/charlie", "null")))
+  }
+
+  test("an element-free nested group's FILTER sees only the unit " +
+      "solution — its variables are unbound there (§18.2.2.2)") {
+    // ?age is bound OUTSIDE the group; inside, it is unbound → error →
+    // the group is empty → the whole query result is empty
+    val empty = run(
+      """SELECT ?s WHERE { ?s ex:age ?age . { FILTER(?age > 1) } }""")
+    assert(TestSpark.rows(empty) === Set.empty[Seq[String]])
+    // a variable-free true filter keeps every solution
+    val all = run(
+      """SELECT ?s WHERE { ?s ex:age ?age . { FILTER(1 < 2) } }""")
+    assert(TestSpark.rows(all) === Set(
+      Seq("http://ex.org/alice"), Seq("http://ex.org/bob"),
+      Seq("http://ex.org/charlie")))
+  }
+
+  test("a nested group starting with OPTIONAL compiles under windowed " +
+      "evaluation (per-key unit solution)") {
+    import org.apache.spark.sql.functions.lit
+    val keyed = data.withColumn("__w", lit(1L))
+    val df = SparqlCompiler.compile(keyed, SparqlParser.parse(
+      """PREFIX ex: <http://ex.org/>
+        |SELECT ?s ?mail WHERE {
+        |  { OPTIONAL { ?s ex:email ?mail } }
+        |  ?s ex:age ?age .
+        |}""".stripMargin), Seq("__w"))
+    assert(TestSpark.rows(df.select("s", "mail")) === Set(
+      Seq("http://ex.org/alice", "alice@ex.org")))
+  }
+
   test("subquery vars that may be unbound join with compatibility " +
       "semantics outside the subquery") {
     // the subquery leaves ?mail unbound for bob/charlie; the outer
