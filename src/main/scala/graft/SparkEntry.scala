@@ -708,6 +708,71 @@ object SparkEntry {
         .agg(count(lit(1)).as("anomalies"))
     }),
 
+    // B1+B2+B5+O2 END-TO-END: the reference's headline hybrid dataflow
+    // through the ORCHESTRATION layer — register a JanusQL query with a
+    // USING BASELINE clause (B1 parse+validation), start it (O2 worker
+    // threads), let the async warm-up state machine compute the
+    // AGGREGATE baseline from the historical window and materialize it
+    // into the live engine (B2 anchor + B5 WarmingBaseline→Running),
+    // then push one live reading per user and fire the live window. The
+    // surviving bindings are the anomalous users — DuckDB recomputes
+    // the same per-user mean and threshold from the events table.
+    "b5_hybrid_e2e" -> ((s, dir) => {
+      import s.implicits._
+      val quads = EventsAsQuads.quads(s, dir)
+      val (tmin, tmax) = {
+        val r = quads.agg(min("timestamp"), max("timestamp")).head
+        (r.getLong(0), r.getLong(1))
+      }
+      val users = EventsAsQuads.events(s, dir)
+        .select("user_id").distinct().as[Long].collect().sorted
+      val registry = new graft.api.QueryRegistry()
+      val api = new graft.api.JanusApi(s, registry, _ => quads,
+        () => tmax + 1)
+      api.registerQuery("b5e2e",
+        s"""PREFIX ex: <http://graft.dev/>
+           |PREFIX v: <http://graft.dev/vocab#>
+           |PREFIX baseline: <https://janus.rs/baseline#>
+           |PREFIX janus: <https://janus.rs/fn#>
+           |REGISTER RStream ex:out AS
+           |SELECT ?sensor ?live ?hist ?mean
+           |FROM NAMED WINDOW ex:hist ON LOG ex:store [START $tmin END $tmax]
+           |FROM NAMED WINDOW ex:live ON STREAM ex:feed [RANGE 1000 STEP 1000]
+           |USING BASELINE ex:hist AGGREGATE
+           |WHERE {
+           |    WINDOW ex:hist { ?e v:user ?sensor . ?e v:value ?hist }
+           |    WINDOW ex:live { ?sensor v:value ?live }
+           |    ?sensor baseline:hist ?mean .
+           |    FILTER(janus:absolute_threshold_exceeded(?live, ?mean, 55))
+           |}""".stripMargin)
+      val handle = api.startQuery("b5e2e")
+      try {
+        require(handle.awaitWarmup(180000), "baseline warmup timed out")
+        require(handle.status == graft.api.JanusApi.ExecutionStatus.Running,
+          s"unexpected status ${handle.status}")
+        val lp = handle.live.get
+        users.foreach(u => lp.addEvent("http://graft.dev/feed",
+          graft.core.RdfEvent(100L, s"${EventsAsQuads.Base}u/$u",
+            EventsAsQuads.PValue, "100", "")))
+        lp.closeStream("http://graft.dev/feed", 1000L)
+        // drain the unified queue: the historical batch plus one live
+        // result per anomaly; 3 s of silence = the fire has fully
+        // propagated through the 10 ms poller
+        val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        var quiet = false
+        while (!quiet) handle.receive(3000) match {
+          case Some(r) if r.source == graft.api.JanusApi.ResultSource.Live =>
+            r.bindings.foreach(b => rows += ((b("sensor"), b("mean"))))
+          case Some(_) => () // historical batch
+          case None    => quiet = true
+        }
+        require(rows.nonEmpty, "no live anomalies fired")
+        rows.toSeq.toDF("sensor", "mean")
+          .select(col("sensor"), lit("100").as("live"),
+            round(col("mean").try_cast("double"), 6).as("mean_num"))
+      } finally api.stopQuery("b5e2e")
+    }),
+
     // §2.6: comparator rolling statistics — mean / population σ /
     // least-squares slope over the last 10 events per user (distributed
     // window-function formulation; x re-centered to days-since-epoch-of-
@@ -2026,6 +2091,11 @@ object SparkEntry {
         |FROM events e JOIN base b ON e.user_id = b.user_id
         |WHERE ABS(e.value - b.mean) > 40.0
         |GROUP BY e.user_id""".stripMargin,
+    "b5_hybrid_e2e" ->
+      s"""SELECT $U AS sensor, '100' AS live,
+         |  ROUND(AVG(value), 6) AS mean_num
+         |FROM events GROUP BY user_id
+         |HAVING ABS(100.0 - AVG(value)) > 55.0""".stripMargin,
     "props_json" ->
       """SELECT event_type AS t, COUNT(*) AS n,
         |  ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
