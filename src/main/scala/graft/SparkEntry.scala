@@ -608,6 +608,19 @@ object SparkEntry {
         |}""".stripMargin)
       .select(col("e"), col("u"), col("hv").try_cast("double").as("hv"))),
 
+    // R47: join on a NULLABLE shared variable — exercises the
+    // compatibility join's null-bucket split: clicks of user 3 leave
+    // ?u unbound (OPTIONAL filter), so they are compatible with EVERY
+    // purchase; all other clicks equi-join purchases on ?u through the
+    // hash-join bucket, and only the ~10 null rows take the
+    // nested-loop residual path
+    "r47_compat_join" -> ((s, dir) => sparql(s, dir,
+      """SELECT ?u (COUNT(?p) AS ?n) WHERE {
+        |  ?e v:type "click" .
+        |  OPTIONAL { ?e v:user ?u . FILTER(?u != "http://graft.dev/u/3") }
+        |  ?p v:type "purchase" . ?p v:user ?u .
+        |} GROUP BY ?u""".stripMargin)),
+
     // R45: EXISTS under && — top-level conjunctions split into
     // independent filters (an error conjunct drops the row either
     // way), which is what lets the EXISTS half run as a semijoin
@@ -1782,6 +1795,14 @@ object SparkEntry {
          |SELECT 'http://graft.dev/e/' || CAST(c.event_id AS VARCHAR) AS e,
          |  'http://graft.dev/u/' || CAST(c.user_id AS VARCHAR) AS u, m.hv
          |FROM clicks c LEFT JOIN m ON m.ce = c.event_id""".stripMargin,
+    "r47_compat_join" ->
+      s"""WITH c AS (SELECT CASE WHEN user_id <> 3 THEN user_id END AS cu
+         |           FROM events WHERE event_type = 'click'),
+         |p AS (SELECT user_id FROM events WHERE event_type = 'purchase')
+         |SELECT 'http://graft.dev/u/' || CAST(p.user_id AS VARCHAR) AS u,
+         |       COUNT(*) AS n
+         |FROM c JOIN p ON c.cu IS NULL OR c.cu = p.user_id
+         |GROUP BY p.user_id""".stripMargin,
     "r45_exists_conj" ->
       s"""SELECT $E AS e, $U AS u FROM events a
          |WHERE a.event_type = 'click' AND a.value > 300.0

@@ -190,23 +190,60 @@ object SparqlCompiler {
 
   /** SPARQL-compatibility join for shared vars that may be null on
     * either side: unbound (null) is compatible with anything, and the
-    * merged binding takes whichever side is bound. This is NOT an
-    * equi-join (Spark plans a broadcast-nested-loop / filtered join),
-    * so [[compileGroup]] only reaches for it when a shared variable is
-    * actually nullable — plain patterns keep hash equi-joins. */
-  private def compatJoin(l: DataFrame, r: DataFrame, shared: Seq[String],
+    * merged binding takes whichever side is bound.
+    *
+    * Null-bucket split (the condition is not equi-extractable as one
+    * join): rows where EVERY shared var is bound — the bulk, since
+    * unbound slots are the OPTIONAL/UNION/UNDEF exception — join with
+    * plain equality (compatibility degenerates to it), which Catalyst
+    * plans as a hash/sort-merge join; only the null-carrying residual
+    * slices take the nested-loop compatibility condition, with the
+    * residual side broadcast (it is assumed small — the null rows).
+    * The three buckets partition the compatible pairs exactly:
+    * (l bound × r bound) ∪ (l bound × r null) ∪ (l null × r all).
+    * For left_outer the l frame is id-tagged (lazy localCheckpoint
+    * pins the nondeterministic ids) so the rows matched by NO bucket
+    * can be re-added null-extended. */
+  private def compatJoin(l0: DataFrame, r: DataFrame, shared: Seq[String],
       extraKeys: Seq[String], joinType: String): DataFrame = {
     val pref = "__cj_"
+    val idCol = "__cj_id"
+    val outer = joinType == "left_outer"
+    if (!outer && joinType != "inner")
+      throw new CompileException(s"compatJoin: unsupported $joinType")
+    val l =
+      if (outer) l0.withColumn(idCol, monotonically_increasing_id())
+        .localCheckpoint(eager = false)
+      else l0
     val renamed = (shared ++ extraKeys).distinct
     val rr = renamed.foldLeft(r)((df, v) => df.withColumnRenamed(v, pref + v))
-    val conds = extraKeys.map(k => col(k) === col(pref + k)) ++
-      shared.map(v =>
-        col(v).isNull || col(pref + v).isNull || col(v) === col(pref + v))
-    val joined = l.join(rr,
-      conds.reduceOption(_ && _).getOrElse(lit(true)), joinType)
-    val merged = shared.foldLeft(joined)((df, v) =>
-      df.withColumn(v, coalesce(col(v), col(pref + v))))
-    renamed.foldLeft(merged)((df, v) => df.drop(pref + v))
+    val keyEq = extraKeys.map(k => col(k) === col(pref + k))
+    val eqCond = (shared.map(v => col(v) === col(pref + v)) ++ keyEq)
+      .reduce(_ && _)
+    val compatCond = (shared.map(v =>
+      col(v).isNull || col(pref + v).isNull || col(v) === col(pref + v)) ++
+      keyEq).reduce(_ && _)
+    val allBoundL = shared.map(col(_).isNotNull).reduce(_ && _)
+    val allBoundR = shared.map(v => col(pref + v).isNotNull).reduce(_ && _)
+    def merge(j: DataFrame): DataFrame = {
+      val m = shared.foldLeft(j)((df, v) =>
+        df.withColumn(v, coalesce(col(v), col(pref + v))))
+      renamed.foldLeft(m)((df, v) => df.drop(pref + v))
+    }
+    val matched = Seq(
+      l.where(allBoundL).join(rr.where(allBoundR), eqCond, "inner"),
+      l.where(allBoundL).join(broadcast(rr.where(!allBoundR)), compatCond,
+        "inner"),
+      broadcast(l.where(!allBoundL)).join(rr, compatCond, "inner"))
+      .map(merge).reduce(_ unionByName _)
+    if (!outer) matched
+    else {
+      val unmatched = l.join(matched.select(idCol), Seq(idCol), "left_anti")
+      val rOnly = r.columns.filterNot(renamed.contains)
+      val extended = rOnly.foldLeft(unmatched)((df, c) =>
+        df.withColumn(c, lit(null).cast("string")))
+      matched.unionByName(extended).drop(idCol)
+    }
   }
 
   /** Variables an expression references (free variables). */
@@ -289,16 +326,28 @@ object SparqlCompiler {
   /** Rewrite a crossing filter (a LeftJoin/EXISTS condition evaluated
     * over the MERGED domain) for a join where the inner side's columns
     * are renamed with `pref`: inner-bound vars → prefixed, outer-bound
-    * vars → unchanged, vars bound by neither → UNBOUND. */
+    * vars → unchanged, vars bound by neither → UNBOUND. A var bound by
+    * BOTH sides where either binding may be null reads as the merged
+    * value — COALESCE over the two columns (the compat conjunct keeps
+    * both-bound pairs equal, so order only matters when one is null);
+    * the bare prefixed column would evaluate a null inner slot as
+    * UNBOUND even though the outer side is bound. */
   private def renameCrossing(e: Expr, innerVars: Set[String],
-      outerVars: Set[String], pref: String): Expr = {
+      outerVars: Set[String], pref: String,
+      nullableVar: String => Boolean): Expr = {
     def r(e: Expr): Expr = e match {
       case EVar(n) =>
-        if (innerVars.contains(n)) EVar(pref + n)
+        if (innerVars.contains(n) && outerVars.contains(n) &&
+            nullableVar(n))
+          ECall("COALESCE", Seq(EVar(n), EVar(pref + n)))
+        else if (innerVars.contains(n)) EVar(pref + n)
         else if (outerVars.contains(n)) EVar(n)
         else EUnbound
       case EBound(n) =>
-        if (innerVars.contains(n)) EBound(pref + n)
+        if (innerVars.contains(n) && outerVars.contains(n) &&
+            nullableVar(n))
+          EOr(EBound(n), EBound(pref + n))
+        else if (innerVars.contains(n)) EBound(pref + n)
         else if (outerVars.contains(n)) EBound(n)
         else EStr("false") // BOUND of a never-bound var
       case ECmp(op, l, x)   => ECmp(op, r(l), r(x))
@@ -329,8 +378,143 @@ object SparqlCompiler {
         col(v) === col(pref + v) || col(v).isNull || col(pref + v).isNull
       else col(v) === col(pref + v)) ++
       extraKeys.map(k => col(k) === col(pref + k)) ++
-      crossing.map(f => boolC(renameCrossing(f, innerVars, outerVars, pref))))
+      crossing.map(f => boolC(
+        renameCrossing(f, innerVars, outerVars, pref, nullableVar))))
       .reduce(_ && _)
+
+  private def flipCmp(op: String): String = op match {
+    case "<"   => ">"
+    case "<="  => ">="
+    case ">"   => "<"
+    case ">="  => "<="
+    case other => other
+  }
+
+  /** One decorrelated crossing EXISTS: an aggregate frame to left-join
+    * (on `keys` ++ extraKeys) onto the side that binds its correlation
+    * keys, plus the names of its extreme-value columns (numeric view /
+    * non-numeric lexical view of the inner comparison variable).
+    * `onOuter` picks the side: the outer solution frame or the
+    * optional/inner group frame. */
+  private final case class DecorrJoin(aggFrame: DataFrame,
+      keys: Seq[String], numCol: String, strCol: String, onOuter: Boolean)
+
+  /** Decorrelate crossing-filter EXISTS into aggregate comparisons.
+    *
+    * `EXISTS { P . FILTER(?iv <cmp> ?ov) }` — with P a self-contained
+    * BGP/path group whose only correlation with the merged join domain
+    * is (a) equality on the pattern vars K it shares with the domain
+    * and (b) ONE crossing inequality between an inner-only var `?iv`
+    * and a domain var `?ov` — holds iff the K-group's extreme value of
+    * `?iv` satisfies the comparison:
+    * `max(iv) > ov ⟺ ∃ iv > ov` (min for `<`). So the EXISTS becomes a
+    * hash left-join against `compile(P).groupBy(K).agg(extreme(iv))`
+    * plus a scalar comparison — the same plan a decorrelating SQL
+    * optimizer (and the DuckDB oracle) produces — instead of the
+    * Filter(F, Join(A,B)) ∪ Diff fallback whose merged join degenerates
+    * to a cartesian product evaluated twice (VERDICT r7: 234 s vs 2 s
+    * at sf0.1).
+    *
+    * The extreme is tracked separately for numeric and non-numeric
+    * inner values because SPARQL comparison is typed (numeric ranks
+    * compare numerically, plain literals lexically, mixed is a type
+    * error): `∃ iv cmp ov` ⟺ numeric-extreme cmp ov (when ov is
+    * numeric) ∨ string-extreme cmp ov (when it is not) — each branch
+    * NULLs out for the other type via the ordinary ECmp semantics.
+    * COALESCE(…, false) keeps a no-rows group (NULL aggregates) a
+    * definite `false` so a negated EXISTS still evaluates to true.
+    *
+    * Returns None unless EVERY EExists node in the filters
+    * decorrelates — a partial rewrite would still need the fallback. */
+  private def decorrelateCrossing(crossing: Seq[Expr],
+      outerVars: Set[String], innerSideVars: Set[String],
+      nullableVar: String => Boolean, quads: DataFrame,
+      extraKeys: Seq[String]): Option[(Seq[Expr], Seq[DecorrJoin])] = {
+    val domain = outerVars ++ innerSideVars
+    val joins = scala.collection.mutable.ArrayBuffer.empty[DecorrJoin]
+
+    def one(inner: GroupPattern, negated: Boolean): Option[Expr] = {
+      // only plain pattern elements: any nested OPTIONAL/UNION/BIND
+      // could correlate in ways boundVars does not surface
+      if (!inner.elems.forall(e =>
+          e.isInstanceOf[GBgp] || e.isInstanceOf[GPath])) return None
+      val innerBound = inner.boundVars.toSet
+      val (cf, lf) = inner.filters.partition(f =>
+        deepExprVars(f).exists(v =>
+          !innerBound.contains(v) && domain.contains(v)))
+      cf match {
+        case Seq(ECmp(op, EVar(x), EVar(y)))
+            if Seq("<", "<=", ">", ">=").contains(op) =>
+          val picked =
+            if (innerBound.contains(x) && !domain.contains(x) &&
+                !innerBound.contains(y) && domain.contains(y))
+              Some((x, y, op))
+            else if (innerBound.contains(y) && !domain.contains(y) &&
+                !innerBound.contains(x) && domain.contains(x))
+              Some((y, x, flipCmp(op)))
+            else None
+          picked.flatMap { case (iv, ov, effOp) =>
+            val k = innerBound.intersect(domain).toSeq.sorted
+            // the agg frame joins onto ONE side, so all correlation
+            // keys must live on it (outer preferred)
+            val onOuter = k.forall(outerVars.contains)
+            val onInner = k.forall(innerSideVars.contains)
+            // a nullable correlation key would need compat (unbound
+            // matches anything) semantics the equi-join cannot give
+            if ((!onOuter && !onInner) || k.exists(nullableVar)) None
+            else {
+              val g = compileGroup(quads, inner.copy(filters = lf),
+                extraKeys)
+              val isMax = effOp == ">" || effOp == ">="
+              val ivNum = col(iv).try_cast("double")
+              val strOnly = when(ivNum.isNull && col(iv).isNotNull,
+                col(iv))
+              val nCol = s"__dc${joins.size}n"
+              val sCol = s"__dc${joins.size}s"
+              val aggs = Seq(
+                (if (isMax) max(ivNum) else min(ivNum)).as(nCol),
+                (if (isMax) max(strOnly) else min(strOnly)).as(sCol))
+              val gk = (k ++ extraKeys).distinct
+              val aggF =
+                if (gk.isEmpty) g.df.agg(aggs.head, aggs.tail: _*)
+                else g.df.groupBy(gk.map(col): _*)
+                  .agg(aggs.head, aggs.tail: _*)
+              joins += DecorrJoin(aggF, gk, nCol, sCol, onOuter)
+              val core = EOr(ECmp(effOp, EVar(nCol), EVar(ov)),
+                ECmp(effOp, EVar(sCol), EVar(ov)))
+              val guarded = ECall("COALESCE", Seq(core, EStr("false")))
+              Some(if (negated) ENot(guarded) else guarded)
+            }
+          }
+        case _ => None
+      }
+    }
+
+    def rewrite(e: Expr): Option[Expr] = e match {
+      case EExists(g, neg)  => one(g, neg)
+      case ECmp(op, l, r)   =>
+        for (a <- rewrite(l); b <- rewrite(r)) yield ECmp(op, a, b)
+      case EAnd(l, r)       =>
+        for (a <- rewrite(l); b <- rewrite(r)) yield EAnd(a, b)
+      case EOr(l, r)        =>
+        for (a <- rewrite(l); b <- rewrite(r)) yield EOr(a, b)
+      case ENot(x)          => rewrite(x).map(ENot)
+      case EArith(op, l, r) =>
+        for (a <- rewrite(l); b <- rewrite(r)) yield EArith(op, a, b)
+      case ECall(i, args)   =>
+        val rs = args.map(rewrite)
+        if (rs.exists(_.isEmpty)) None else Some(ECall(i, rs.flatten))
+      case EIn(x, items, n) =>
+        val rx = rewrite(x); val rs = items.map(rewrite)
+        if (rx.isEmpty || rs.exists(_.isEmpty)) None
+        else Some(EIn(rx.get, rs.flatten, n))
+      case other            => Some(other)
+    }
+
+    val rewritten = crossing.map(rewrite)
+    if (rewritten.exists(_.isEmpty)) None
+    else Some((rewritten.flatten, joins.toSeq))
+  }
 
   /** Widen `df` with NULL columns for expression variables the frame
     * does not bind: SPARQL evaluates them as UNBOUND (usually a type
@@ -475,6 +659,12 @@ object SparqlCompiler {
         if (extraKeys.nonEmpty)
           quads.select(extraKeys.map(col): _*).distinct()
         else quads.sparkSession.range(1).drop("id")
+      // deferred leading VALUES must land BEFORE the order-sensitive
+      // element that forced the unit solution — a BIND/OPTIONAL/MINUS
+      // referencing a VALUES variable sees its bindings, not UNBOUND
+      // (deferral past join elements is safe because Join commutes;
+      // past these it is not)
+      flushPendingValues()
     }
 
     // Elements compile LEFT-TO-RIGHT in source order (SPARQL 1.1
@@ -558,6 +748,9 @@ object SparqlCompiler {
       // group, and joining an empty group empties every solution of
       // the enclosing one (§18.2.2.2). Evaluated once driver-side
       // (one local row), then applied as keep-all or keep-nothing.
+      // Known limit: EXISTS inside such a filter is unsupported (boolC
+      // raises CompileException) — the unit solution has no bindings
+      // for it to correlate with, and no caller has needed it.
       case GGroup(g) if g.elems.isEmpty =>
         ensureAcc()
         val unit = quads.sparkSession.range(1).drop("id")
@@ -655,49 +848,83 @@ object SparqlCompiler {
         val shared = optG.vars.intersect(accVars).toSeq
         val anyNullable = shared.exists(v =>
           nullable.contains(v) || optG.nullable.contains(v))
+        // explicit condition join: B fully prefixed, condition =
+        // shared-var compatibility ∧ key equality ∧ the crossing
+        // filters (a NULL/false condition row simply fails to
+        // match — the left row survives with unbound B vars).
+        // `aSide`/`bSide` may carry extra decorrelation-aggregate
+        // columns beyond acc/optG.df; `dropAfter` removes them.
+        def condLeftJoin(aSide: DataFrame, bSide: DataFrame,
+            crossingFs: Seq[Expr], extraInner: Set[String],
+            extraOuter: Set[String], dropAfter: Seq[String]): DataFrame = {
+          val pref = "__ol_"
+          val bCols = bSide.columns
+          val bdf = bSide.select(
+            bCols.map(c => col(c).as(pref + c)).toSeq: _*)
+          val cond = prefixedCond(shared, extraKeys,
+            v => nullable.contains(v) || optG.nullable.contains(v),
+            pref, crossingFs, optG.vars ++ extraInner,
+            accVars ++ extraOuter)
+          var m = aSide.join(bdf, cond, "left_outer")
+          shared.foreach(v =>
+            m = m.withColumn(v, coalesce(col(v), col(pref + v))))
+          (optG.vars -- accVars).foreach(v =>
+            m = m.withColumn(v, col(pref + v)))
+          m.drop(bCols.map(pref + _).toSeq: _*).drop(dropAfter: _*)
+        }
         acc =
           if (crossing.exists(containsExists)) {
-            // a crossing filter containing EXISTS is not expressible
-            // as a join-condition Column. LeftJoin(A, B, F) fallback:
-            // tag A with row ids, build the merged inner join,
-            // evaluate F on it (EXISTS via the standard semi/anti
-            // machinery), then union the surviving matches with the A
-            // rows that kept no match, their B-side vars unbound —
-            // the spec's Filter(F, Join(A,B)) ∪ Diff(A, B, F)
-            // decomposition (§18.5). The lazy localCheckpoint pins
-            // the nondeterministic row ids so both branches see the
-            // same tags, at the cost of materializing A once.
-            val idCol = "__lj_id"
-            val a = acc.withColumn(idCol, monotonically_increasing_id())
-              .localCheckpoint(false)
-            val x = applyFilters(
-              joinMerged(a, optG.df, shared, extraKeys, anyNullable,
-                "inner"),
-              accVars ++ optG.vars, nullable ++ optG.nullable,
-              crossing, quads, extraKeys)
-            val unmatched = a.join(x.select(idCol), Seq(idCol),
-              "left_anti")
-            val withNulls = (optG.vars -- accVars).foldLeft(unmatched)(
-              (d, v) => d.withColumn(v, lit(null).cast("string")))
-            x.unionByName(withNulls).drop(idCol)
-          } else if (crossing.nonEmpty) {
-            // explicit condition join: B fully prefixed, condition =
-            // shared-var compatibility ∧ key equality ∧ the crossing
-            // filters (a NULL/false condition row simply fails to
-            // match — the left row survives with unbound B vars)
-            val pref = "__ol_"
-            val bCols = optG.df.columns
-            val bdf = optG.df.select(
-              bCols.map(c => col(c).as(pref + c)).toSeq: _*)
-            val cond = prefixedCond(shared, extraKeys,
+            // first choice: decorrelate each EXISTS into an aggregate
+            // comparison (see decorrelateCrossing) — the condition
+            // becomes a plain Column and the join needs no fallback
+            decorrelateCrossing(crossing, accVars, optG.vars,
               v => nullable.contains(v) || optG.nullable.contains(v),
-              pref, crossing, optG.vars, accVars)
-            var m = acc.join(bdf, cond, "left_outer")
-            shared.foreach(v =>
-              m = m.withColumn(v, coalesce(col(v), col(pref + v))))
-            (optG.vars -- accVars).foreach(v =>
-              m = m.withColumn(v, col(pref + v)))
-            m.drop(bCols.map(pref + _).toSeq: _*)
+              quads, extraKeys) match {
+              case Some((newCrossing, dJoins)) =>
+                var aSide = acc
+                var bSide = optG.df
+                dJoins.foreach { d =>
+                  val target = if (d.onOuter) aSide else bSide
+                  val joined =
+                    if (d.keys.isEmpty)
+                      target.crossJoin(broadcast(d.aggFrame))
+                    else target.join(d.aggFrame, d.keys, "left_outer")
+                  if (d.onOuter) aSide = joined else bSide = joined
+                }
+                val aggA = dJoins.filter(_.onOuter)
+                  .flatMap(d => Seq(d.numCol, d.strCol))
+                val aggB = dJoins.filterNot(_.onOuter)
+                  .flatMap(d => Seq(d.numCol, d.strCol))
+                condLeftJoin(aSide, bSide, newCrossing, aggB.toSet,
+                  aggA.toSet, aggA)
+              case None =>
+                // LeftJoin(A, B, F) fallback: tag A with row ids,
+                // build the merged inner join, evaluate F on it
+                // (EXISTS via the standard semi/anti machinery), then
+                // union the surviving matches with the A rows that
+                // kept no match, their B-side vars unbound — the
+                // spec's Filter(F, Join(A,B)) ∪ Diff(A, B, F)
+                // decomposition (§18.5). Lazy localCheckpoints pin
+                // the nondeterministic row ids AND the filtered
+                // merged join, so the union and anti branches reuse
+                // one evaluation instead of recomputing the join.
+                val idCol = "__lj_id"
+                val a = acc.withColumn(idCol,
+                  monotonically_increasing_id()).localCheckpoint(false)
+                val x = applyFilters(
+                  joinMerged(a, optG.df, shared, extraKeys, anyNullable,
+                    "inner"),
+                  accVars ++ optG.vars, nullable ++ optG.nullable,
+                  crossing, quads, extraKeys).localCheckpoint(false)
+                val unmatched = a.join(x.select(idCol), Seq(idCol),
+                  "left_anti")
+                val withNulls = (optG.vars -- accVars).foldLeft(unmatched)(
+                  (d, v) => d.withColumn(v, lit(null).cast("string")))
+                x.unionByName(withNulls).drop(idCol)
+            }
+          } else if (crossing.nonEmpty) {
+            condLeftJoin(acc, optG.df, crossing, Set.empty, Set.empty,
+              Nil)
           } else if (shared.isEmpty)
             // no shared vars: every optional row extends every solution
             // — but only within the same window/orchestration key, so

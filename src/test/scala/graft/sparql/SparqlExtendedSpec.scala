@@ -1080,11 +1080,13 @@ class SparqlExtendedSpec extends AnyFunSuite {
     assert(TestSpark.rows(notEx) === Set(Seq("http://ex.org/charlie")))
   }
 
-  test("EXISTS inside an OPTIONAL's crossing filter takes the " +
-      "merged-domain LeftJoin fallback (Filter(F,Join) ∪ Diff)") {
+  test("EXISTS inside an OPTIONAL's crossing filter decorrelates into " +
+      "an aggregate comparison (no cartesian fallback)") {
     // for each (s, age): keep (s knows o) rows where o has a SMALLER
     // age than s — the EXISTS references ?age, which the OPTIONAL does
-    // not bind, so the whole filter is part of the LeftJoin condition
+    // not bind, so the whole filter is part of the LeftJoin condition.
+    // The single crossing inequality (?age2 < ?age) decorrelates to
+    // min(age2) per ?o, hash-joined onto the optional side.
     val df = run(
       """SELECT ?s ?o WHERE {
         |  ?s ex:age ?age .
@@ -1095,6 +1097,111 @@ class SparqlExtendedSpec extends AnyFunSuite {
       Seq("http://ex.org/alice", "http://ex.org/bob"),
       Seq("http://ex.org/bob", "null"),
       Seq("http://ex.org/charlie", "null")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("min(")) // the decorrelated extreme aggregate
+  }
+
+  test("a non-decorrelatable crossing EXISTS (inequality is !=) still " +
+      "takes the Filter(F,Join) ∪ Diff fallback correctly") {
+    // != cannot be answered by a min/max aggregate, so the fallback
+    // (id-tagged merged join, both branches off one checkpoint) runs
+    val df = run(
+      """SELECT ?s ?o WHERE {
+        |  ?s ex:age ?age .
+        |  OPTIONAL { ?s ex:knows ?o
+        |    FILTER(EXISTS { ?o ex:age ?age2 . FILTER(?age2 != ?age) }) }
+        |}""".stripMargin)
+    assert(TestSpark.rows(df) === Set(
+      Seq("http://ex.org/alice", "http://ex.org/bob"),
+      Seq("http://ex.org/alice", "http://ex.org/charlie"),
+      Seq("http://ex.org/bob", "null"),
+      Seq("http://ex.org/charlie", "null")))
+  }
+
+  test("a crossing filter over a var bound by BOTH sides but nullable " +
+      "on the inner side reads the merged (outer) value") {
+    // dave has no age: the optional group's nested OPTIONAL leaves
+    // ?age unbound for him, and the crossing FILTER(?age <= ?cap)
+    // must then see the OUTER ?age (30), not UNBOUND
+    val d = RdfEvent.toDF(spark, Seq(
+      RdfEvent(1000, "http://ex.org/alice", "http://ex.org/knows",
+        "http://ex.org/bob", ""),
+      RdfEvent(1000, "http://ex.org/alice", "http://ex.org/knows",
+        "http://ex.org/dave", ""),
+      RdfEvent(1000, "http://ex.org/alice", "http://ex.org/age", "30", ""),
+      RdfEvent(1000, "http://ex.org/bob", "http://ex.org/age", "25", ""),
+      RdfEvent(1000, "http://ex.org/alice", "http://ex.org/cap", "99", ""),
+      RdfEvent(1000, "http://ex.org/bob", "http://ex.org/cap", "1", "")))
+    val df = SparqlCompiler.compile(d, SparqlParser.parse(
+      """PREFIX ex: <http://ex.org/>
+        |SELECT ?s ?o ?age WHERE {
+        |  ?s ex:age ?age . ?s ex:cap ?cap .
+        |  OPTIONAL { ?s ex:knows ?o .
+        |    OPTIONAL { ?o ex:age ?age }
+        |    FILTER(?age <= ?cap) }
+        |}""".stripMargin))
+    // alice: bob-pair incompatible (25 ≠ 30); dave-pair compatible
+    // (inner ?age unbound), merged ?age = 30 ≤ 99 → match.
+    // bob (cap 1): no knows rows at all → survives unbound.
+    assert(TestSpark.rows(df) === Set(
+      Seq("http://ex.org/alice", "http://ex.org/dave", "30"),
+      Seq("http://ex.org/bob", "null", "25")))
+  }
+
+  test("a leading VALUES deferred under windowed evaluation still " +
+      "lands before a BIND that references it") {
+    import org.apache.spark.sql.functions.lit
+    val keyed = data.withColumn("__w", lit(1L))
+    val df = SparqlCompiler.compile(keyed, SparqlParser.parse(
+      """PREFIX ex: <http://ex.org/>
+        |SELECT ?s ?y WHERE {
+        |  VALUES ?x { "5" }
+        |  BIND(?x AS ?y)
+        |  ?s ex:age ?age .
+        |}""".stripMargin), Seq("__w"))
+    assert(TestSpark.rows(df.select("s", "y")) === Set(
+      Seq("http://ex.org/alice", "5"),
+      Seq("http://ex.org/bob", "5"),
+      Seq("http://ex.org/charlie", "5")))
+  }
+
+  test("compat join with nulls on BOTH sides: null-bucket split keeps " +
+      "every compatible pair") {
+    // g1 leaves ?v unbound on the email branch; g2 on the knows
+    // branch — pairs are compatible when either side is unbound or
+    // the values are equal: 3 equal + 3×2 left-bound×right-null +
+    // 1×5 left-null×all = 14 pairs
+    val df = run(
+      """SELECT ?s ?t ?v WHERE {
+        |  { { ?s ex:age ?v } UNION { ?s ex:email ?m } }
+        |  { { ?t ex:age ?v } UNION { ?t ex:knows ?o } }
+        |}""".stripMargin)
+    assert(df.count() === 14)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    // the bound×bound bucket keeps a hash-extractable equality key
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
+    // left-null rows take the RIGHT side's value after the merge
+    assert(TestSpark.rows(df.where("s = 'http://ex.org/alice'")
+      .select("v")).contains(Seq("25")))
+  }
+
+  test("OPTIONAL over a nullable shared var (compat left join) keeps " +
+      "unmatched rows and merges matched values") {
+    val df = run(
+      """SELECT ?s ?v ?m ?t WHERE {
+        |  { { ?s ex:age ?v } UNION { ?s ex:email ?m } }
+        |  OPTIONAL { ?t ex:age ?v . FILTER(?v > 26) }
+        |}""".stripMargin)
+    assert(TestSpark.rows(df) === Set(
+      Seq("http://ex.org/alice", "30", "null", "http://ex.org/alice"),
+      Seq("http://ex.org/bob", "25", "null", "null"),
+      Seq("http://ex.org/charlie", "35", "null", "http://ex.org/charlie"),
+      Seq("http://ex.org/alice", "30", "alice@ex.org",
+        "http://ex.org/alice"),
+      Seq("http://ex.org/alice", "35", "alice@ex.org",
+        "http://ex.org/charlie")))
   }
 
   test("EXISTS under && is split into an independent semijoin conjunct") {
