@@ -1491,6 +1491,23 @@ object SparkEntry {
           col("codec"))
     }),
 
+    // Same chain through the JPEG encoder/decoder — closes the claim
+    // that ImageIO handles JPEG, not just PNG (lossy pixels, exact
+    // dimensions)
+    "mm_jpeg_dims" -> ((s, dir) => {
+      import s.implicits._
+      val dims = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map(id => (id, (16 + id % 11).toInt, (16 + id % 7).toInt))
+      graft.pipeline.Multimodal.decodeImageDims(
+        graft.pipeline.Multimodal.renderImage(dims, "jpg"))
+        .toDF()
+        .select(col("media_id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("codec"))
+    }),
+
     // Relational layer at TPC-H shape: wide aggregation (bench headline).
     // Sums go through DECIMAL so the result is exact and independent of
     // distributed summation order (a double sum can flip the last cent at
@@ -2483,6 +2500,10 @@ object SparkEntry {
     "mm_image_dims" ->
       """SELECT doc_id, CAST(16 + doc_id % 17 AS BIGINT) AS width,
         |  CAST(16 + doc_id % 13 AS BIGINT) AS height, 'png' AS codec
+        |FROM documents""".stripMargin,
+    "mm_jpeg_dims" ->
+      """SELECT doc_id, CAST(16 + doc_id % 11 AS BIGINT) AS width,
+        |  CAST(16 + doc_id % 7 AS BIGINT) AS height, 'jpeg' AS codec
         |FROM documents""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -98,12 +98,19 @@ object Multimodal {
   final case class ImageDims(media_id: Long, width: Int, height: Int,
       codec: String)
 
-  /** Render a REAL single-color PNG per (id, width, height) row with
+  /** Render a REAL single-color image per (id, width, height) row with
     * the JDK's ImageIO encoder — the fixture side of the image path
-    * (the synthetic testdata carries no media files). One encoder per
+    * (the synthetic testdata carries no media files). `format` is any
+    * registered ImageIO writer name ("png", "jpg", "gif"); the stored
+    * codec tag is the format's canonical name. One encoder per
     * partition via mapPartitions; headless-safe (BufferedImage never
     * touches a display). */
-  def renderPng(ds: Dataset[(Long, Int, Int)]): Dataset[MediaRecord] = {
+  def renderImage(ds: Dataset[(Long, Int, Int)],
+      format: String): Dataset[MediaRecord] = {
+    val codec = format match {
+      case "jpg" => "jpeg"
+      case f     => f
+    }
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.map { case (id, w, h) =>
@@ -118,12 +125,15 @@ object Multimodal {
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
+        javax.imageio.ImageIO.write(img, format, bos)
         MediaRecord(id, "image", bos.toByteArray,
-          MediaMeta(None, None, None, Some("png")))
+          MediaMeta(None, None, None, Some(codec)))
       }
     }
   }
+
+  def renderPng(ds: Dataset[(Long, Int, Int)]): Dataset[MediaRecord] =
+    renderImage(ds, "png")
 
   /** REAL image decode: parse each payload with ImageIO (PNG/JPEG/GIF —
     * whatever the JVM's registered readers handle) and report the

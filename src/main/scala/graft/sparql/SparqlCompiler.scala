@@ -1106,7 +1106,8 @@ object SparqlCompiler {
     case ECall("STR" | "CONCAT" | "UCASE" | "LCASE" | "SUBSTR" |
         "STRBEFORE" | "STRAFTER" | "REPLACE" | "MD5" | "SHA1" |
         "SHA256" | "DATATYPE" | "LANG" | "IRI" | "URI" | "STRDT" |
-        "STRLANG" | "ENCODE_FOR_URI", _) => true
+        "STRLANG" | "ENCODE_FOR_URI" | "NOW" | "TZ" | "TIMEZONE" |
+        "BNODE" | "UUID" | "STRUUID", _) => true
     case ECall("IF", Seq(_, a, b))      => stringish(a) || stringish(b)
     case ECall("COALESCE", args)        => args.exists(stringish)
     case _                              => false
@@ -1319,8 +1320,23 @@ object SparqlCompiler {
     case c @ ECall("CONCAT" | "UCASE" | "LCASE" | "SUBSTR" | "STRBEFORE" |
         "STRAFTER" | "REPLACE" | "MD5" | "SHA1" | "SHA256" | "DATATYPE" |
         "LANG" | "IRI" | "URI" | "STRDT" | "STRLANG" |
-        "ENCODE_FOR_URI", _) =>
+        "ENCODE_FOR_URI" | "NOW" | "TZ" | "TIMEZONE" | "BNODE" |
+        "UUID" | "STRUUID", _) =>
       strC(c).try_cast("double")
+    // SPARQL §17.4.5 datetime accessors over the engine's lexical term
+    // model: the argument parses as an ISO 8601 timestamp or the call
+    // is a type error (NULL). The reference's data model has no
+    // datetime type (src/core/mod.rs:16-23) but its Oxigraph adapter
+    // accepts these builtins — lexical parsing is the faithful bridge.
+    case ECall("YEAR", Seq(a))    => year(tsOf(a)).cast("double")
+    case ECall("MONTH", Seq(a))   => month(tsOf(a)).cast("double")
+    case ECall("DAY", Seq(a))     => dayofmonth(tsOf(a)).cast("double")
+    case ECall("HOURS", Seq(a))   => hour(tsOf(a)).cast("double")
+    case ECall("MINUTES", Seq(a)) => minute(tsOf(a)).cast("double")
+    // SECONDS is xs:decimal INCLUDING the fraction (§17.4.5.6)
+    case ECall("SECONDS", Seq(a)) =>
+      date_part(lit("SECOND"), tsOf(a)).cast("double")
+    case ECall("RAND", Seq()) => rand()
     case ECall(iri, args) =>
       Extensions.call(iri, args.map(numC))
         .getOrElse(lit(null).cast("double"))
@@ -1334,6 +1350,16 @@ object SparqlCompiler {
     * (Terms.isIri as a Column predicate). */
   private def iriShaped(s: Column): Column =
     s.startsWith("http://") || s.startsWith("https://")
+
+  /** Timestamp view of a term for the §17.4.5 datetime accessors: the
+    * lexical form cast (ANSI-safely) to a timestamp — ISO 8601 forms
+    * parse, anything else is a type error (NULL). The zone tag is
+    * stripped BEFORE the cast: the accessors return the dateTime's own
+    * fields (HOURS("…T10:30:45+05:30") = 10), whereas casting the
+    * zoned form would convert the instant into the session zone. */
+  private def tsOf(e: Expr): Column =
+    regexp_replace(strC(e), "(Z|[+-]\\d{2}:\\d{2})$", "")
+      .try_cast("timestamp")
 
   /** String view of an expression. */
   def strC(e: Expr): Column = e match {
@@ -1404,6 +1430,44 @@ object SparqlCompiler {
     case ECall("ENCODE_FOR_URI", Seq(a)) =>
       regexp_replace(regexp_replace(regexp_replace(
         url_encode(strC(a)), "\\+", "%20"), "%7E", "~"), "\\*", "%2A")
+    // NOW(): the query-evaluation instant — Spark's current_timestamp
+    // is fixed per query, matching §17.4.5.1's "same value for the
+    // whole query". Emitted as an ISO 8601 lexical with offset, the
+    // engine's string term model's dateTime shape.
+    case ECall("NOW", Seq()) =>
+      date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSxxx")
+    // TZ/TIMEZONE read the timezone FROM THE LEXICAL FORM (§17.4.5.8/7):
+    // TZ gives the literal tag ("Z", "+05:30", "" when absent);
+    // TIMEZONE gives the xs:dayTimeDuration, erroring (NULL) when the
+    // tag is absent. Both are type errors on a non-datetime lexical.
+    case ECall("TZ", Seq(a)) =>
+      val s = strC(a)
+      when(tsOf(a).isNull, lit(null).cast("string"))
+        .otherwise(regexp_extract(s, "(Z|[+-]\\d{2}:\\d{2})$", 1))
+    case ECall("TIMEZONE", Seq(a)) =>
+      val s = strC(a)
+      val sign = regexp_extract(s, "([+-])(\\d{2}):(\\d{2})$", 1)
+      val hh = regexp_extract(s, "([+-])(\\d{2}):(\\d{2})$", 2)
+        .try_cast("int")
+      val mm = regexp_extract(s, "([+-])(\\d{2}):(\\d{2})$", 3)
+        .try_cast("int")
+      when(tsOf(a).isNotNull && s.endsWith("Z"), lit("PT0S"))
+        .when(tsOf(a).isNotNull && hh.isNotNull,
+          concat(
+            when(sign === "-", lit("-")).otherwise(lit("")),
+            lit("PT"),
+            when(hh > 0, concat(hh.cast("string"), lit("H")))
+              .otherwise(lit("")),
+            when(mm > 0, concat(mm.cast("string"), lit("M")))
+              .otherwise(lit("")),
+            when(hh === 0 && mm === 0, lit("0S")).otherwise(lit(""))))
+    // BNODE: the engine's model has no blank nodes (SURVEY §1.2), so
+    // these mint "_:"-prefixed opaque labels — fresh per call (uuid)
+    // for the 0-arg form, stable per label (md5) for the 1-arg form.
+    case ECall("BNODE", Seq()) => concat(lit("_:"), expr("uuid()"))
+    case ECall("BNODE", Seq(a)) => concat(lit("_:b"), md5(strC(a)))
+    case ECall("UUID", Seq()) => concat(lit("urn:uuid:"), expr("uuid()"))
+    case ECall("STRUUID", Seq()) => expr("uuid()")
     case ECall("REPLACE", args) =>
       // REPLACE(str, pattern, replacement[, flags]) — regex semantics
       val pat = args match {
@@ -1477,6 +1541,9 @@ object SparqlCompiler {
       !(strC(a).startsWith("http://") || strC(a).startsWith("https://"))
     case ECall("ISNUMERIC", Seq(a)) => numC(a).isNotNull
     case ECall("ISBLANK", Seq(_))   => lit(false)
+    // §17.4.1.8 sameTerm: in a model where every term IS its lexical
+    // string, term identity is string equality (NULL args propagate)
+    case ECall("SAMETERM", Seq(a, b)) => strC(a) === strC(b)
     // RFC 4647 basic filtering: "*" matches any non-empty tag; else
     // case-insensitive exact tag or extended-subtag prefix match. NULL
     // tag/range (type error upstream) propagates → row filtered

@@ -836,7 +836,9 @@ object SparqlParser {
             "isliteral", "isnumeric", "isblank", "strbefore", "strafter",
             "replace", "md5", "sha1", "sha256", "datatype", "lang",
             "langmatches", "iri", "uri", "strdt", "strlang",
-            "encode_for_uri")
+            "encode_for_uri", "now", "year", "month", "day", "hours",
+            "minutes", "seconds", "tz", "timezone", "sameterm", "bnode",
+            "rand", "uuid", "struuid")
             .contains(w.v.toLowerCase) && atPunct("(") =>
         // SPARQL builtin functions, carried as upper-case ECall names
         // (extension functions are full IRIs — no collision)
@@ -863,6 +865,16 @@ object SparqlParser {
             throw ParseException("REPLACE expects 3 or 4 arguments")
           case ECall("CONCAT", args) if args.isEmpty =>
             throw ParseException("CONCAT expects at least 1 argument")
+          case ECall("NOW" | "RAND" | "UUID" | "STRUUID", args)
+              if args.nonEmpty =>
+            throw ParseException(s"${w.v.toUpperCase} expects 0 arguments")
+          case ECall("YEAR" | "MONTH" | "DAY" | "HOURS" | "MINUTES" |
+              "SECONDS" | "TZ" | "TIMEZONE", args) if args.length != 1 =>
+            throw ParseException(s"${w.v.toUpperCase} expects 1 argument")
+          case ECall("SAMETERM", args) if args.length != 2 =>
+            throw ParseException("SAMETERM expects 2 arguments")
+          case ECall("BNODE", args) if args.length > 1 =>
+            throw ParseException("BNODE expects 0 or 1 arguments")
           case e => e
         }
       case w: TWord
