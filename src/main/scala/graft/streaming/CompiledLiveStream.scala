@@ -126,22 +126,34 @@ final class CompiledLiveStream(
     * evaluates lazily (async write, downstream stream). */
   private var pendingPruneCutoff: Option[Long] = None
 
-  /** Fire every due window in close-time order (same loop as
-    * [[LiveStreamProcessing]]), then schedule the log prune. */
+  /** Fire every due window in close-time order (same order as
+    * [[LiveStreamProcessing]]'s one-at-a-time loop — the due set is
+    * fixed for the whole advance, so enumerating it up front is
+    * equivalent), then schedule the log prune.
+    *
+    * A steady-state micro-batch makes at most one window due and takes
+    * the direct [[fire]] path. A batch that advances event time across
+    * MANY closes (catch-up, backfill, coarse batches) would pay one
+    * full Spark job per fire — ~0.3 s of scheduling floor each on an
+    * idle local cluster, the dominant cost at high fire rates — so all
+    * due fires evaluate as ONE distributed job instead ([[fireBatch]]),
+    * keyed per fire through the compiler's `extraKeys` channel (the
+    * same machinery that makes N historical windows one plan). */
   private def advance(): Unit = {
     pendingPruneCutoff.foreach(log.pruneBefore)
     pendingPruneCutoff = None
-    var fired = true
-    while (fired) {
-      fired = false
-      val due = parsed.liveWindows
-        .map(w => (w, nextClose(w.windowName)))
-        .filter { case (w, c) => streamMaxTs.get(w.streamName).exists(c <= _) }
-        .sortBy(_._2)
-      due.headOption.foreach { case (w, c) =>
-        fire(w, c)
-        nextClose(w.windowName) = c + w.slide
-        fired = true
+    // every due (window, close) pair, closes enumerated per window
+    val due = parsed.liveWindows.flatMap { w =>
+      streamMaxTs.get(w.streamName).toSeq.flatMap { maxTs =>
+        Iterator.iterate(nextClose(w.windowName))(_ + w.slide)
+          .takeWhile(_ <= maxTs).map(c => (w, c)).toSeq
+      }
+    }.sortBy(_._2)
+    if (due.nonEmpty) {
+      if (due.sizeIs == 1) fire(due.head._1, due.head._2)
+      else fireBatch(due)
+      due.groupBy(_._1.windowName).foreach { case (name, fs) =>
+        nextClose(name) = fs.map(_._2).max + fs.head._1.slide
       }
     }
     // nothing below (earliest pending close - max range) can enter any
@@ -151,10 +163,75 @@ final class CompiledLiveStream(
       pendingPruneCutoff = Some(nextClose.values.min - maxRange)
   }
 
+  /** All due fires as ONE distributed evaluation: each live window
+    * contributes a single time-pruned log scan over the union of its
+    * snapshots, rows are assigned to the fires whose `[c-range, c)`
+    * span covers them (broadcast join against the tiny close list),
+    * and the compiled plan runs once with the fire id as an
+    * orchestration key. The result is pinned with an eager
+    * localCheckpoint — the one Spark job — and sliced per fire for the
+    * sink, in close-time order.
+    *
+    * A fire whose every window is EMPTY has no rows under its fire id
+    * (a keyed aggregation cannot conjure its group), but the per-fire
+    * semantics emit e.g. `COUNT = 0` — those fires re-run through the
+    * single-fire path, whose empty-snapshot evaluation preserves the
+    * implicit-single-group shape and costs almost nothing (every scan
+    * prunes to zero files). */
+  private def fireBatch(due: Seq[(WindowDefinition, Long)]): Unit = {
+    val fireCol = "__fire_id"
+    val closes = due.map(_._2).distinct.sorted
+    val minFrom = closes.min - maxRange
+    val maxTo = closes.max - 1
+    import spark.implicits._
+    val closesDF = broadcast(closes.toDF(fireCol))
+    val windowParts = parsed.liveWindows.map { lw =>
+      log.query(minFrom, maxTo)
+        .where(col("graph") === lw.streamName &&
+          col("subject") =!= SentinelSubject)
+        .join(closesDF,
+          col("timestamp") >= col(fireCol) - lw.width &&
+            col("timestamp") < col(fireCol))
+        .withColumn("graph", lit(lw.windowName))
+    }
+    val staticPart = staticDF.map(
+      _.withColumn("graph", lit(DefaultGraph)).crossJoin(closesDF))
+    val snapshot = (windowParts ++ staticPart).reduce(_ unionByName _)
+    // which fires have ANY snapshot row: parity emits nothing at all
+    // for an entirely empty snapshot (LiveStreamProcessing.fire's
+    // windowQuads.isEmpty && staticQuads.isEmpty shortcut), so those
+    // closes are skipped, not evaluated to an implicit-group row
+    val snapPresent = snapshot.select(fireCol).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val combined = SparqlCompiler
+      .compile(snapshot, compiledQuery, Seq(fireCol))
+      .localCheckpoint(eager = true)
+    val present = combined.select(fireCol).distinct()
+      .collect().map(_.getLong(0)).toSet
+    due.foreach { case (w, c) =>
+      if (present.contains(c))
+        resultSink(combined.where(col(fireCol) === c).drop(fireCol),
+          c - w.width, c)
+      else if (snapPresent.contains(c))
+        // snapshot rows exist but the keyed aggregation produced no
+        // group (zero pattern matches): parity DOES evaluate here and
+        // emits e.g. COUNT = 0 — re-run through the single-fire path,
+        // whose implicit single group preserves that shape
+        fire(w, c, knownNonEmpty = true)
+      // else: empty snapshot — parity emits nothing
+    }
+  }
+
   /** One distributed evaluation at close `c`: window graphs from the
     * log (time-pruned scans), static data in the default graph, the
-    * full compiled plan, results handed to the sink lazily. */
-  private def fire(w: WindowDefinition, c: Long): Unit = {
+    * full compiled plan, results handed to the sink lazily. An
+    * entirely empty snapshot emits NOTHING — the parity path's
+    * shortcut — rather than an implicit-group aggregate row; the probe
+    * is a limit-1 job over bucket-pruned scans, skipped when static
+    * data guarantees the snapshot is non-empty (or the caller already
+    * knows it is). */
+  private def fire(w: WindowDefinition, c: Long,
+      knownNonEmpty: Boolean = false): Unit = {
     val windowParts = parsed.liveWindows.map { lw =>
       log.query(c - lw.width, c - 1) // inclusive [from, c-1] = [from, c)
         .where(col("graph") === lw.streamName &&
@@ -164,6 +241,7 @@ final class CompiledLiveStream(
     val staticPart = staticDF.map(
       _.withColumn("graph", lit(DefaultGraph)))
     val snapshot = (windowParts ++ staticPart).reduce(_ unionByName _)
+    if (!knownNonEmpty && staticPart.isEmpty && snapshot.isEmpty) return
     val out = SparqlCompiler.compile(snapshot, compiledQuery)
     resultSink(out, c - w.width, c)
   }

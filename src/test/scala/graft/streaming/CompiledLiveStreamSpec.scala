@@ -194,6 +194,65 @@ class CompiledLiveStreamSpec extends AnyFunSuite {
     assert(buf.rows.nonEmpty)
   }
 
+  test("batched fires: many closes in one micro-batch match the " +
+      "one-at-a-time parity path; EMPTY-snapshot closes emit nothing") {
+    // aggregate over a tumbling window; one big batch advances event
+    // time across 5 closes, with NO events in [300,600) or [900,1200)
+    // — parity skips an entirely empty snapshot (no COUNT = 0 row),
+    // and the batched path must agree
+    val query =
+      """PREFIX ex: <http://example.org/>
+        |REGISTER RStream <output> AS
+        |SELECT (COUNT(?s) AS ?n)
+        |FROM NAMED WINDOW ex:w1 ON STREAM ex:stream1 [RANGE 300 STEP 300]
+        |WHERE {
+        |    WINDOW ex:w1 { ?s ?p ?o }
+        |}""".stripMargin
+    val events = Seq(100L, 250L, 700L, 1300L, 1499L).map { ts =>
+      Stream1 -> RdfEvent(ts, s"http://example.org/s$ts",
+        "http://example.org/p", s"o$ts", "")
+    } :+ (Stream1 -> RdfEvent(1500L, LiveStreamProcessing.SentinelSubject,
+      LiveStreamProcessing.SentinelPredicate,
+      LiveStreamProcessing.SentinelObject, ""))
+    val (parity, compiled) = runBoth(query, Seq(events))
+    assert(compiled === parity)
+    val byClose = compiled.toSeq.sortBy(_._3)
+      .map { case (b, _, to) => to -> b("n") }
+    assert(byClose.map(_._1) === Seq(300L, 900L, 1500L))
+    assert(byClose.map(_._2.toDouble) === Seq(2.0, 1.0, 2.0))
+  }
+
+  test("batched fires: a non-empty snapshot whose pattern matches " +
+      "nothing still emits the aggregate row (parity with evaluation)") {
+    // window [300,600) holds only an event whose predicate does not
+    // match the query pattern: the keyed batch evaluation has no group
+    // for it, but parity evaluates the non-empty snapshot and emits
+    // COUNT = 0 — the fallback single fire must reproduce that
+    val query =
+      """PREFIX ex: <http://example.org/>
+        |REGISTER RStream <output> AS
+        |SELECT (COUNT(?s) AS ?n)
+        |FROM NAMED WINDOW ex:w1 ON STREAM ex:stream1 [RANGE 300 STEP 300]
+        |WHERE {
+        |    WINDOW ex:w1 { ?s <http://example.org/p> ?o }
+        |}""".stripMargin
+    val events = Seq(
+      Stream1 -> RdfEvent(100L, "http://example.org/a",
+        "http://example.org/p", "o1", ""),
+      Stream1 -> RdfEvent(400L, "http://example.org/b",
+        "http://example.org/OTHER", "o2", ""),
+      Stream1 -> RdfEvent(700L, "http://example.org/c",
+        "http://example.org/p", "o3", ""),
+      Stream1 -> RdfEvent(900L, LiveStreamProcessing.SentinelSubject,
+        LiveStreamProcessing.SentinelPredicate,
+        LiveStreamProcessing.SentinelObject, ""))
+    val (parity, compiled) = runBoth(query, Seq(events))
+    assert(compiled === parity)
+    val byClose = compiled.toSeq.sortBy(_._3)
+      .map { case (b, _, to) => to -> b("n").toDouble }
+    assert(byClose === Seq(300L -> 1.0, 600L -> 0.0, 900L -> 1.0))
+  }
+
   test("attach: end-to-end through Structured Streaming foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
