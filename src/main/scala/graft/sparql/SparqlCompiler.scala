@@ -1044,12 +1044,26 @@ object SparqlCompiler {
           val joinType = if (negated ^ flip) "leftanti" else "leftsemi"
           // outer vars correlated through EXPRESSIONS the group does
           // not itself bind — a BIND or nested filter over an outer
-          // var, or a crossing filter containing EXISTS: none of these
-          // is expressible as a join-condition Column
-          val exprCorrelated = crossing.exists(containsExists) ||
+          // var: not expressible as a join-condition Column
+          val otherCorrelated =
             (mentionedVars(inner.copy(filters = local)) -- innerBound)
               .exists(vars.contains)
-          if (exprCorrelated) {
+          // a crossing filter containing a NESTED EXISTS first tries
+          // decorrelation (same rewrite as the LeftJoin fallback): the
+          // nested EXISTS becomes an aggregate comparison and the top
+          // EXISTS stays an ordinary condition semi-join — the
+          // substitution path's seeded cross join MATERIALIZES the
+          // outer×inner frame (sf1 measured r46 at 995 s), whereas the
+          // semi-join short-circuits per outer row
+          val decorred =
+            if (!otherCorrelated && crossing.exists(containsExists))
+              decorrelateCrossing(crossing, vars, innerBound,
+                v => nullableVars.contains(v) ||
+                  staticNullable(inner.copy(filters = local)).contains(v),
+                quads, extraKeys)
+            else None
+          if (decorred.isEmpty &&
+              (otherCorrelated || crossing.exists(containsExists))) {
             // §18.6 substitution directly: compile the EXISTS group
             // SEEDED with the id-tagged outer frame — patterns
             // correlate by joining it, BINDs/filters (crossing ones
@@ -1064,27 +1078,43 @@ object SparqlCompiler {
             acc = a.join(sub.df.select(idCol), Seq(idCol), joinType)
               .drop(idCol)
           } else {
+            val (effCrossing, dJoins) =
+              decorred.getOrElse((crossing, Seq.empty[DecorrJoin]))
             val innerG = compileGroup(quads,
-              if (crossing.isEmpty) inner else inner.copy(filters = local),
-              extraKeys)
+              if (inner.filters == local) inner
+              else inner.copy(filters = local), extraKeys)
             val sharedVars = innerG.vars.intersect(vars).toSeq
             val shared = (sharedVars ++ extraKeys).distinct
-            if (shared.isEmpty && crossing.isEmpty)
+            if (shared.isEmpty && effCrossing.isEmpty)
               throw new CompileException(
                 "FILTER EXISTS with no shared variables is unsupported")
             val anyNullable = sharedVars.exists(v =>
               nullableVars.contains(v) || innerG.nullable.contains(v))
-            if (crossing.isEmpty && !anyNullable)
+            if (effCrossing.isEmpty && !anyNullable && dJoins.isEmpty)
               acc = acc.join(
                 innerG.df.select(shared.map(col): _*), shared, joinType)
             else {
+              var aSide = acc
+              var bSide = innerG.df
+              dJoins.foreach { d =>
+                val target = if (d.onOuter) aSide else bSide
+                val joined =
+                  if (d.keys.isEmpty)
+                    target.crossJoin(broadcast(d.aggFrame))
+                  else target.join(d.aggFrame, d.keys, "left_outer")
+                if (d.onOuter) aSide = joined else bSide = joined
+              }
+              val aggA = dJoins.filter(_.onOuter)
+                .flatMap(d => Seq(d.numCol, d.strCol))
+              val aggB = dJoins.filterNot(_.onOuter)
+                .flatMap(d => Seq(d.numCol, d.strCol))
               val pref = "__e_"
-              val sel = innerG.df.select(
-                innerG.df.columns.map(c => col(c).as(pref + c)).toSeq: _*)
+              val sel = bSide.select(
+                bSide.columns.map(c => col(c).as(pref + c)).toSeq: _*)
               val cond = prefixedCond(sharedVars, extraKeys,
                 v => nullableVars.contains(v) || innerG.nullable.contains(v),
-                pref, crossing, innerG.vars, vars)
-              acc = acc.join(sel, cond, joinType)
+                pref, effCrossing, innerG.vars ++ aggB, vars ++ aggA)
+              acc = aSide.join(sel, cond, joinType).drop(aggA: _*)
             }
           }
         case _ =>

@@ -61,7 +61,11 @@ class StorageCoverageSpec extends AnyFunSuite {
   test("memory tracker samples RSS with peak/avg") {
     val t = new MemoryTracker(intervalMs = 10)
     t.start()
-    Thread.sleep(80)
+    // poll rather than a fixed sleep: under a loaded box the sampler
+    // thread can be starved for tens of milliseconds
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (t.stats.samples < 2 && System.nanoTime() < deadline)
+      Thread.sleep(10)
     val stats = t.stop()
     assert(stats.samples >= 2)
     assert(stats.peakBytes > 0)
