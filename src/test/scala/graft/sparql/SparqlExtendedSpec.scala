@@ -1204,6 +1204,30 @@ class SparqlExtendedSpec extends AnyFunSuite {
         "http://ex.org/charlie")))
   }
 
+  test("a nested EXISTS inside a top-level EXISTS's crossing filter " +
+      "decorrelates: semi-join + aggregate, no materialized substitution") {
+    // keep (s, age) when s knows some o whose age2 < age — the nested
+    // EXISTS crosses to outer ?age, so the substitution path would
+    // materialize outer×inner; decorrelation turns it into
+    // min(age2)-per-?o hash-joined onto the knows side, and the top
+    // EXISTS stays an ordinary (short-circuiting) semi join
+    val q =
+      """SELECT ?s WHERE {
+        |  ?s ex:age ?age .
+        |  FILTER(%sEXISTS { ?s ex:knows ?o .
+        |    FILTER(EXISTS { ?o ex:age ?age2 . FILTER(?age2 < ?age) }) })
+        |}""".stripMargin
+    val df = run(q.format(""))
+    assert(TestSpark.rows(df) === Set(Seq("http://ex.org/alice")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("min(")) // the decorrelated extreme aggregate
+    assert(plan.toLowerCase.contains("semi"))
+    // the anti polarity flips the same decorrelated plan
+    assert(TestSpark.rows(run(q.format("NOT "))) === Set(
+      Seq("http://ex.org/bob"), Seq("http://ex.org/charlie")))
+  }
+
   test("EXISTS under && is split into an independent semijoin conjunct") {
     val df = run(
       """SELECT ?s WHERE {
