@@ -115,6 +115,32 @@ class EventLogSpec extends AnyFunSuite {
     assert(files === 1)
   }
 
+  test("appendBulk auto mode: small input skips estimation, bounded " +
+      "salt (<= 2 files per bucket); explicit splits honored") {
+    val log = freshLog(bucketMs = 1000L)
+    // 4 buckets x 500 rows, well under the AutoEstimateBytes threshold
+    val rows = (0 until 2000).map(i => ev(i.toLong * 2, i))
+    log.appendBulk(RdfEvent.toDF(spark, rows), parallelism = 8)
+    assert(log.query(0, Long.MaxValue / 2).count() === 2000)
+    val root = new java.io.File(
+      log.query(0, 1).inputFiles.head.stripPrefix("file:"))
+      .getParentFile.getParentFile
+    val perBucket = root.listFiles().filter(_.getName.startsWith("ts_bucket="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    // fast path salts with 2: a bucket's rows land in at most 2 tasks
+    assert(perBucket.nonEmpty && perBucket.forall(_ <= 2))
+    // explicit splits bypasses both estimation and the fast path
+    val log3 = freshLog(bucketMs = 1000L)
+    log3.appendBulk(RdfEvent.toDF(spark, rows), parallelism = 8,
+      splitsPerBucket = 3)
+    val root3 = new java.io.File(
+      log3.query(0, 1).inputFiles.head.stripPrefix("file:"))
+      .getParentFile.getParentFile
+    val perBucket3 = root3.listFiles().filter(_.getName.startsWith("ts_bucket="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(perBucket3.nonEmpty && perBucket3.forall(_ <= 3))
+  }
+
   test("fresh log reads as empty, not as a missing-path error") {
     val log = freshLog()
     assert(log.read().count() === 0)
