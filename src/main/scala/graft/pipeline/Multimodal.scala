@@ -125,7 +125,10 @@ object Multimodal {
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, format, bos)
+        // write() returns false (no exception) for an unregistered
+        // format name — fail here, not later as null dims downstream
+        require(javax.imageio.ImageIO.write(img, format, bos),
+          s"no registered ImageIO writer for format '$format'")
         MediaRecord(id, "image", bos.toByteArray,
           MediaMeta(None, None, None, Some(codec)))
       }

@@ -230,11 +230,20 @@ object SparqlCompiler {
         df.withColumn(v, coalesce(col(v), col(pref + v))))
       renamed.foldLeft(m)((df, v) => df.drop(pref + v))
     }
+    // the null-residual slices are usually OPTIONAL/UNDEF trickle —
+    // tiny — but a UNION branch binding the shared var on one side
+    // only makes the whole other branch the residual, so the hint is
+    // size-gated: a big residual is left to Catalyst/AQE (which still
+    // broadcasts the smaller side of the nested-loop join if it fits)
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+          BigInt(64L << 20)) broadcast(df)
+      else df
     val matched = Seq(
       l.where(allBoundL).join(rr.where(allBoundR), eqCond, "inner"),
-      l.where(allBoundL).join(broadcast(rr.where(!allBoundR)), compatCond,
-        "inner"),
-      broadcast(l.where(!allBoundL)).join(rr, compatCond, "inner"))
+      l.where(allBoundL).join(maybeBroadcast(rr.where(!allBoundR)),
+        compatCond, "inner"),
+      maybeBroadcast(l.where(!allBoundL)).join(rr, compatCond, "inner"))
       .map(merge).reduce(_ unionByName _)
     if (!outer) matched
     else {

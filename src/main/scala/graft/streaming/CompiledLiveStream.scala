@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.janusql.{JanusQLParser, ParsedJanusQuery, WindowDefinition}
-import graft.sparql.{Query, SparqlCompiler}
+import graft.sparql.{AggItem, Items, Query, SelectQuery, SparqlCompiler}
 import graft.storage.EventLog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -74,8 +74,28 @@ final class CompiledLiveStream(
     * A DataFrame — at cluster scale this is the materialized baseline
     * table, not driver memory. */
   @volatile private var staticDF: Option[DataFrame] = None
+  // row-level presence, probed ONCE at registration: the fire-time
+  // empty-snapshot shortcut must see a zero-row static frame as
+  // "no static data" (parity checks staticQuads.isEmpty row-wise),
+  // and a non-empty one lets fires skip their emptiness probe
+  @volatile private var staticHasRows: Boolean = false
 
-  def setStaticData(quads: DataFrame): Unit = { staticDF = Some(quads) }
+  def setStaticData(quads: DataFrame): Unit = {
+    staticDF = Some(quads)
+    staticHasRows = !quads.isEmpty
+  }
+
+  /** Does an EMPTY solution sequence still emit a row? True exactly
+    * for aggregate SELECTs with no GROUP BY — the implicit single
+    * group yields e.g. `COUNT = 0`. Everything else emits nothing on
+    * empty input, so empty-snapshot fires can be skipped outright. */
+  private val emitsOnEmptyGroup: Boolean = compiledQuery match {
+    case sq: SelectQuery => sq.groupBy.isEmpty && (sq.projection match {
+      case Items(is) => is.exists(_.isInstanceOf[AggItem])
+      case _         => false
+    })
+    case _ => false
+  }
 
   // ---- driver-side bookkeeping: boundaries only, never events --------
   private val nextClose = mutable.LinkedHashMap.empty[String, Long]
@@ -200,9 +220,15 @@ final class CompiledLiveStream(
     // which fires have ANY snapshot row: parity emits nothing at all
     // for an entirely empty snapshot (LiveStreamProcessing.fire's
     // windowQuads.isEmpty && staticQuads.isEmpty shortcut), so those
-    // closes are skipped, not evaluated to an implicit-group row
-    val snapPresent = snapshot.select(fireCol).distinct()
-      .collect().map(_.getLong(0)).toSet
+    // closes are skipped, not evaluated to an implicit-group row.
+    // The probe scan is only paid when it can matter: a query that
+    // emits nothing on empty input needs no rows-present/no-groups
+    // distinction, and static rows make every close present
+    val snapPresent =
+      if (!emitsOnEmptyGroup) Set.empty[Long]
+      else if (staticHasRows) closes.toSet
+      else snapshot.select(fireCol).distinct()
+        .collect().map(_.getLong(0)).toSet
     val combined = SparqlCompiler
       .compile(snapshot, compiledQuery, Seq(fireCol))
       .localCheckpoint(eager = true)
@@ -241,7 +267,9 @@ final class CompiledLiveStream(
     val staticPart = staticDF.map(
       _.withColumn("graph", lit(DefaultGraph)))
     val snapshot = (windowParts ++ staticPart).reduce(_ unionByName _)
-    if (!knownNonEmpty && staticPart.isEmpty && snapshot.isEmpty) return
+    // staticHasRows (row-level, probed at registration) — an empty
+    // static frame must NOT defeat the parity shortcut
+    if (!knownNonEmpty && !staticHasRows && snapshot.isEmpty) return
     val out = SparqlCompiler.compile(snapshot, compiledQuery)
     resultSink(out, c - w.width, c)
   }

@@ -53,8 +53,9 @@ repl("documents",
      "SELECT doc_id + {k}*%d AS doc_id, "
      "CASE WHEN {k} = 0 THEN text ELSE text || ' r{k}' END AS text, "
      "lang, source, "
-     "CASE WHEN {k} = 0 THEN n_chars ELSE n_chars + %d END AS n_chars"
-     % (D, len(" rX")))
+     # n_chars tracks the actual suffix length (' r10' is 4 chars)
+     "CASE WHEN {k} = 0 THEN n_chars "
+     "ELSE n_chars + length(' r{k}') END AS n_chars" % D)
 repl("embeddings",
      f"SELECT vec_id + {{k}}*{V} AS vec_id, "
      f"CAST(list_prepend(embedding[1] + {{k}}*1e-4, embedding[2:]) "
