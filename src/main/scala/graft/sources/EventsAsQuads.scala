@@ -26,15 +26,23 @@ object EventsAsQuads {
   val PValue: String = Vocab + "value"
 
   /** Reads the events table with `ts` normalized to an epoch-millis LONG
-    * column `ts_ms`. The driver's parquet uses TIMESTAMP(NANOS), which
-    * Spark only reads as a raw Long via the nanosAsLong legacy conf (set
-    * dynamically so it also holds under a driver-created session). */
+    * column `ts_ms`, tolerating every physical type the driver has shipped:
+    * TIMESTAMP(NANOS) (readable only as a raw Long via the nanosAsLong
+    * legacy conf, set dynamically so it also holds under a driver-created
+    * session), TIMESTAMP_NTZ (timestamp[us] with isAdjustedToUTC=false —
+    * naive wall-clock, interpreted as UTC to match the DuckDB oracle's
+    * epoch_ms), and plain TIMESTAMP. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val tsMs = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
-      case _                                   => unix_millis(col("ts"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ→LTZ cast reads the naive value in the session time zone;
+        // pin it to UTC so the epoch is tz-independent (oracle parity)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        unix_millis(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => unix_millis(col("ts"))
     }
     raw.withColumn("ts_ms", tsMs)
   }
