@@ -30,6 +30,13 @@ object Bench {
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Everything the bench produced; `ok` is false iff any section or
+    * registered query failed to produce a timing — main turns that into
+    * a NONZERO exit so a broken run can never be mistaken for a green
+    * one (BenchFailLoudSpec pins this). */
+  final case class Report(json: String, ok: Boolean,
+      results: Map[String, Double], failed: Seq[String])
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -54,10 +61,38 @@ object Bench {
         else System.getProperty("java.io.tmpdir"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val report = run(spark, sfDir, SparkEntry.queries, cpus.toInt)
+    println(report.json)
+    spark.stop()
+    if (!report.ok) sys.exit(1)
+  }
+
+  /** The full bench body, separated from `main` so the fail-loud
+    * contract is testable in-process (no sys.exit in here). */
+  def run(spark: SparkSession, sfDir: String,
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      nCpus: Int, scaleQuads: Long = 1200000L): Report = {
+    val cpus = nCpus.toString
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val medians = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val extras = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    // contention self-diagnosis: a fixed-cost no-op probe (codegen'd sum
+    // over a range — no I/O, no shuffle) sampled ONCE at section
+    // boundaries and every few queries. On an idle machine the series is
+    // flat; a co-tenant contention window shows as a localized spike,
+    // making a contended official run machine-identifiable from the
+    // artifact alone (round 9's r16–r26 window needed a judge re-run).
+    val probes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var probeIdx = 0
+    def probeAt(label: String): Unit = {
+      val t = timeSec(materialize(
+        spark.range(8000000L).selectExpr("sum(id * 3 + 1) as s")))
+      probes += f"p$probeIdx%02d_$label" -> t
+      probeIdx += 1
+    }
 
     def tmpDir(prefix: String): String = java.nio.file.Files
       .createTempDirectory(prefix).resolve("log").toString
@@ -67,7 +102,6 @@ object Bench {
       * is the least-contended estimate of the operation's cost). */
     def minN(n: Int)(f: => Double): Double =
       Seq.fill(n)(f).min
-    def min2(f: => Double): Double = minN(2)(f)
 
     // warmup: spin codegen + BOTH parquet write paths (flat + dynamic
     // partitionBy) with enough volume to initialize committer, codec
@@ -86,11 +120,12 @@ object Bench {
       wlog.query(0, Long.MaxValue / 2).limit(1).collect()
       warm.unpersist()
     } catch { case _: Throwable => () }
+    probeAt("start")
 
     // ---- storage write throughput (BASELINE: 2.6M quads/s @ 1M) ------
     try {
       val quads = EventsAsQuads.quads(spark, sfDir)
-      val reps = math.max(1, (1200000L / math.max(quads.count(), 1L)).toInt)
+      val reps = math.max(1, (scaleQuads / math.max(quads.count(), 1L)).toInt)
       val big = quads.crossJoin(
           spark.range(reps).toDF("rep").hint("broadcast"))
         .withColumn("subject", concat(col("subject"), lit("#"), col("rep")))
@@ -165,6 +200,7 @@ object Bench {
     } catch {
       case e: Throwable => failed += s"storage:${e.getClass.getSimpleName}"
     }
+    probeAt("after_storage")
 
     // ---- live injection latency-to-first-result --------------------
     try {
@@ -187,26 +223,36 @@ object Bench {
     } catch {
       case e: Throwable => failed += s"live:${e.getClass.getSimpleName}"
     }
+    probeAt("after_live")
 
     // ---- every registered query at the bench scale factor ----------
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        // two runs, keep the faster (steady-state; first run may pay
-        // one-time planning/codegen costs). The bench machine sees
-        // heavy intermittent contention (round-over-round swings of
-        // 10-30x on identical code) — when the two samples disagree
-        // badly, that IS contention, so buy a third sample.
-        val t1 = timeSec(materialize(fn(spark, sfDir)))
-        val t2 = timeSec(materialize(fn(spark, sfDir)))
-        var best = math.min(t1, t2)
-        if (math.max(t1, t2) > 2.0 * best && best > 0.2)
-          best = math.min(best, timeSec(materialize(fn(spark, sfDir))))
-        results += name -> best
-      } catch {
-        case e: Throwable =>
-          failed += s"$name:${e.getClass.getSimpleName}"
-      }
+    queries.toSeq.sortBy(_._1).zipWithIndex.foreach {
+      case ((name, fn), qi) =>
+        try {
+          // two runs, keep the faster (steady-state; first run may pay
+          // one-time planning/codegen costs). The bench machine sees
+          // heavy intermittent contention (round-over-round swings of
+          // 10-30x on identical code) — when the two samples disagree
+          // badly, that IS contention, so buy a third sample. The
+          // median (upper-middle of the sorted samples) is recorded
+          // alongside the min: a large median/min gap per query is the
+          // per-query contention signal.
+          val t1 = timeSec(materialize(fn(spark, sfDir)))
+          val t2 = timeSec(materialize(fn(spark, sfDir)))
+          var samples = List(t1, t2)
+          val best0 = math.min(t1, t2)
+          if (math.max(t1, t2) > 2.0 * best0 && best0 > 0.2)
+            samples = timeSec(materialize(fn(spark, sfDir))) :: samples
+          val sorted = samples.sorted
+          results += name -> sorted.head
+          medians += name -> sorted(sorted.size / 2)
+        } catch {
+          case e: Throwable =>
+            failed += s"$name:${e.getClass.getSimpleName}"
+        }
+        if (qi % 5 == 4) probeAt(s"q$qi")
     }
+    probeAt("end")
 
     val total = results.values.sum
     def jm(m: collection.Map[String, Double]): String =
@@ -214,7 +260,12 @@ object Bench {
         .mkString("{", ",", "}")
     val failedJson =
       failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":${jm(results)},"sf":"$sfDir","extras":${jm(extras)},"failed":$failedJson}""")
-    spark.stop()
+    // ok=false + nonzero exit when ANY registered query (or the storage
+    // section) failed to produce a timing — a bench where queries throw
+    // must never look like a successful run (round 8 recorded rc=0 with
+    // ~76 per-query ExtendedAnalysisExceptions and voided the round).
+    val ok = failed.isEmpty
+    val json = s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","ok":$ok,"queries":${jm(results)},"queries_median":${jm(medians)},"probes":${jm(probes)},"sf":"$sfDir","extras":${jm(extras)},"failed":$failedJson}"""
+    Report(json, ok, results.toMap, failed.toSeq)
   }
 }

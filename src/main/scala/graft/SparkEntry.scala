@@ -844,6 +844,27 @@ object SparkEntry {
           min("timestamp").as("min_ts"), max("timestamp").as("max_ts"))
     }),
 
+    // S5 under AUTO-COMPACTION: the same quads arrive as three disjoint
+    // salted bulk appends with a low file-count threshold, so the
+    // size-triggered compact hook fires and rewrites buckets MID-SEQUENCE
+    // — the final time-range aggregate straddles compacted and fresh
+    // files and must equal the single-append answer (log-structured
+    // rewrite loses/duplicates nothing)
+    "s5_autocompact_roundtrip" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("s5ac-log")
+        .resolve("log").toString
+      val log = new graft.storage.EventLog(s, path,
+        bucketMs = 7L * 86400000L, autoCompactFiles = 2, autoCompactEvery = 2)
+      val quads = EventsAsQuads.quads(s, dir)
+      (0 until 3).foreach(i => log.appendBulk(
+        quads.filter(pmod(xxhash64(col("subject")), lit(3)) === i),
+        parallelism = 6, splitsPerBucket = 3))
+      log.query(1704844800000L, 1705708799999L)
+        .agg(count(lit(1)).as("n_quads"),
+          countDistinct(col("subject")).as("n_subjects"),
+          min("timestamp").as("min_ts"), max("timestamp").as("max_ts"))
+    }),
+
     // S8 point-lookup path: same write as s5, read through the JOBLESS
     // driver-side path (sparse file index + decoded-row binary search) —
     // proves the fast path returns exactly the stored rows
@@ -1922,6 +1943,13 @@ object SparkEntry {
         |FROM events
         |WHERE epoch_ms(ts) >= 1704844800000 AND epoch_ms(ts) < 1705708800000""".stripMargin,
     "s5_storage_roundtrip" ->
+      """SELECT COUNT(*) * 3 AS n_quads,
+        |  COUNT(DISTINCT event_id) AS n_subjects,
+        |  MIN(epoch_ms(ts)) AS min_ts, MAX(epoch_ms(ts)) AS max_ts
+        |FROM events
+        |WHERE epoch_ms(ts) >= 1704844800000
+        |  AND epoch_ms(ts) <= 1705708799999""".stripMargin,
+    "s5_autocompact_roundtrip" ->
       """SELECT COUNT(*) * 3 AS n_quads,
         |  COUNT(DISTINCT event_id) AS n_subjects,
         |  MIN(epoch_ms(ts)) AS min_ts, MAX(epoch_ms(ts)) AS max_ts

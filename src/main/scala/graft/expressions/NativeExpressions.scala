@@ -53,6 +53,12 @@ object native {
   /** Rolling polynomial token hash — TextAnalysis.rollingHash. */
   def rollingHash(text: Column): Column = c(RollingHashExpr(e(text)))
 
+  /** Epoch milliseconds of a TIMESTAMP_NTZ column with the naive value
+    * read as UTC — session-time-zone-free (an NTZ→LTZ cast bakes the
+    * session zone in at analysis time; this reinterprets the stored
+    * micros directly, so the result is identical in every session). */
+  def ntzEpochMillis(ts: Column): Column = c(NtzEpochMillisExpr(e(ts)))
+
   /** Max within-document token frequency — turns the repetition
     * profile's mode count from explode + two shuffles into a map
     * stage. */
@@ -232,6 +238,22 @@ final case class RollingHashExpr(child: Expression)
     defineCodeGen(ctx, ev, cv => s"graft.expressions.Kernels.rollingHash($cv)")
   override protected def withNewChildInternal(newChild: Expression)
       : RollingHashExpr = copy(child = newChild)
+}
+
+/** TIMESTAMP_NTZ stores wall-clock micros since 1970-01-01T00:00 with no
+  * zone; reinterpreting that long as UTC epoch micros (then floor-div to
+  * millis, matching `unix_millis`' floor semantics) involves no
+  * dependence on `spark.sql.session.timeZone`. */
+final case class NtzEpochMillisExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_ntz_epoch_millis"
+  override protected def nullSafeEval(input: Any): Any =
+    Math.floorDiv(input.asInstanceOf[Long], 1000L)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, cv => s"java.lang.Math.floorDiv($cv, 1000L)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : NtzEpochMillisExpr = copy(child = newChild)
 }
 
 final case class NormalizeNfcExpr(child: Expression)

@@ -38,10 +38,11 @@ object EventsAsQuads {
     val tsMs = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
       case org.apache.spark.sql.types.TimestampNTZType =>
-        // NTZ→LTZ cast reads the naive value in the session time zone;
-        // pin it to UTC so the epoch is tz-independent (oracle parity)
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        unix_millis(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        // naive wall-clock read as UTC, session-zone-free: NTZ's stored
+        // micros ARE the UTC-epoch micros of that reading, so a direct
+        // reinterpretation beats an NTZ→LTZ cast (which would bake the
+        // session zone in at analysis time)
+        graft.expressions.native.ntzEpochMillis(col("ts"))
       case _ => unix_millis(col("ts"))
     }
     raw.withColumn("ts_ms", tsMs)

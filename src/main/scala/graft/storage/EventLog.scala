@@ -30,12 +30,26 @@ import org.apache.spark.sql.functions._
   * @param bucketMs partition granularity (default 1 h, mirroring a
   *   "segment per time slice"; coarse enough to avoid small-file
   *   explosion at high event rates, fine enough to prune hard)
+  * @param autoCompactFiles automatic-compaction trigger: after an
+  *   append, any bucket holding more than this many data files is
+  *   rewritten by [[compact]] (0 disables). Closes the log-structured
+  *   loop for long-running ingest — micro-batch appends and
+  *   appendBulk's salting both accumulate small files per bucket, and
+  *   without a trigger a 100× ingest run degrades listings and
+  *   row-group stats until someone calls compact by hand.
+  * @param autoCompactEvery how many appends between trigger checks.
+  *   The check lists every bucket directory (O(buckets) namespace
+  *   RPCs), so it is amortized across appends rather than paid per
+  *   micro-batch; file counts stay bounded by
+  *   `autoCompactFiles + autoCompactEvery × files-per-append`.
   */
 final class EventLog(
     spark: SparkSession,
     path: String,
     bucketMs: Long = 3600L * 1000L,
-    compression: String = "lz4") extends Serializable {
+    compression: String = "lz4",
+    autoCompactFiles: Int = 32,
+    autoCompactEvery: Int = 16) extends Serializable {
 
   import EventLog._
 
@@ -63,6 +77,26 @@ final class EventLog(
   private def invalidate(): Unit = synchronized {
     cachedTable = None
     cachedIndex = None
+  }
+
+  @transient private var appendsSinceCompactCheck = 0
+
+  /** Amortized auto-compaction hook — runs on the appending thread at
+    * the end of `append`/`appendBulk`, every [[autoCompactEvery]]
+    * appends. Same single-writer assumption as append itself; readers
+    * see either the pre- or post-compaction file set (identical rows)
+    * thanks to compact's rename-swap. */
+  private def maybeAutoCompact(): Unit = {
+    if (autoCompactFiles > 0) {
+      val due = synchronized {
+        appendsSinceCompactCheck += 1
+        if (appendsSinceCompactCheck >= autoCompactEvery) {
+          appendsSinceCompactCheck = 0
+          true
+        } else false
+      }
+      if (due) compact(maxFilesPerBucket = autoCompactFiles)
+    }
   }
 
   /** Append a canonical quads DataFrame (timestamp, subject, predicate,
@@ -99,6 +133,7 @@ final class EventLog(
       .partitionBy(BucketCol)
       .parquet(path)
     invalidate()
+    maybeAutoCompact()
   }
 
   /** Backfill append for inputs spanning many buckets: hash-repartition
@@ -167,6 +202,7 @@ final class EventLog(
       .partitionBy(BucketCol)
       .parquet(path)
     invalidate()
+    maybeAutoCompact()
   }
 
   /** Full log scan (no pruning) — canonical 5-column shape. */

@@ -115,6 +115,42 @@ class EventLogSpec extends AnyFunSuite {
     assert(files === 1)
   }
 
+  test("auto-compaction: repeated salted appends keep per-bucket file " +
+      "counts bounded, queries identical across the compaction") {
+    val log = new EventLog(spark,
+      Files.createTempDirectory("eventlog-auto").resolve("log").toString,
+      bucketMs = 100000L, // one bucket for all events
+      autoCompactFiles = 4, autoCompactEvery = 4)
+    var expected = Vector.empty[(Long, String)]
+    (1 to 20).foreach { i =>
+      // salted bulk append: 3 files land in the single bucket per call
+      log.appendBulk(RdfEvent.toDF(spark,
+        (0 until 6).map(j => ev(i * 1000L + j, i * 10 + j))),
+        parallelism = 3, splitsPerBucket = 3)
+      expected ++= (0 until 6).map(j =>
+        (i * 1000L + j, s"http://e.org/s${i * 10 + j}"))
+      // a query straddling whichever compactions have fired so far
+      // sees exactly the appended rows
+      if (i % 5 == 0) {
+        val got = log.query(0, Long.MaxValue / 2).collect()
+          .map(r => (r.getLong(0), r.getString(1))).sorted.toVector
+        assert(got === expected.sorted)
+      }
+    }
+    // without the hook: 20 appends × 3 salted files = 60 files; the
+    // every-4-appends trigger at threshold 4 bounds it by
+    // autoCompactFiles + autoCompactEvery × 3 = 16
+    val dir = new java.io.File(
+      log.query(0, 1).inputFiles.head.stripPrefix("file:")).getParentFile
+    val files = dir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files <= 16, s"auto-compaction failed to bound files: $files")
+    assert(files < 60)
+    // and the data survived every rewrite
+    val all = log.query(0, Long.MaxValue / 2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toVector
+    assert(all === expected.sorted)
+  }
+
   test("appendBulk auto mode: small input skips estimation, bounded " +
       "salt (<= 2 files per bucket); explicit splits honored") {
     val log = freshLog(bucketMs = 1000L)
