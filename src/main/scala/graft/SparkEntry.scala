@@ -1055,7 +1055,9 @@ object SparkEntry {
         require(post(s"$base/api/queries", body) == 201, "register failed")
         require(post(s"$base/api/queries/s12/start", "") == 200,
           "start failed")
-        Thread.sleep(1000) // let the worker produce into the replay ring
+        // no sleep needed: the SSE handler waits for the FIRST result
+        // while the query is active (firstResultTimeoutMs), so the
+        // subscriber rides the live feed at any scale factor
         val sse = c.send(java.net.http.HttpRequest.newBuilder(
             java.net.URI.create(s"$base/api/queries/s12/results")).GET()
             .build(),

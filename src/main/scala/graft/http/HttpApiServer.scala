@@ -24,6 +24,14 @@ import scala.jdk.CollectionConverters._
   */
 final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
     port: Int = 0, sseIdleTimeoutMs: Long = 30000,
+    /** how long a subscriber waits for the FIRST result while the query
+      * is still active. The idle timeout alone is wrong for the cold
+      * start: a subscriber that connects right after `start` must not
+      * be cut off merely because the distributed query is still
+      * computing (at large sf the first frame can lag the connect by
+      * minutes). Once a frame has been sent — or the query reaches a
+      * terminal state — the idle timeout governs as before. */
+    firstResultTimeoutMs: Long = 600000,
     storageHealth: () => Option[String] = () => None,
     replayBusFactory: Option[HttpApiServer.ReplayRequest =>
       graft.storage.ReplayBus] = None,
@@ -56,6 +64,13 @@ final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
   private val replayBuffers =
     new ConcurrentHashMap[String, java.util.ArrayDeque[String]]()
   private val ReplayCapacity = replayCapacity
+  /** queries whose forwarder saw a terminal status with an empty result
+    * queue — the authoritative end-of-stream marker. Status alone is
+    * NOT it: the worker flips Completed before the forwarder has
+    * serialized/fanned out the final (possibly huge) frame, so an
+    * SSE subscriber consulting only the status would close early. */
+  private val drainedForwarders =
+    ConcurrentHashMap.newKeySet[String]()
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -294,13 +309,15 @@ final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
     try {
       val handle = api.startQuery(id)
       handles.put(id, handle)
+      drainedForwarders.remove(id)
       val queues = new CopyOnWriteArrayList[HttpApiServer.Subscription]()
       subscribers.put(id, queues)
       val buffer = new java.util.ArrayDeque[String]()
       replayBuffers.put(id, buffer)
       val forwarder = new Thread(() => {
         try {
-          while (!Thread.currentThread().isInterrupted) {
+          var active = true
+          while (active && !Thread.currentThread().isInterrupted) {
             handle.receive(250) match {
               case Some(r) =>
                 val json = resultJson(r)
@@ -314,7 +331,17 @@ final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
                   // subscriber's next read surfaces a lagged frame
                   queues.asScala.foreach(_.fanOut(json))
                 }
-              case None => ()
+              case None => handle.status match {
+                // terminal + drained: no further result can ever
+                // arrive (workers enqueue BEFORE the status flips) —
+                // publish end-of-stream and exit
+                case JanusApi.ExecutionStatus.Completed |
+                     JanusApi.ExecutionStatus.Stopped |
+                     JanusApi.ExecutionStatus.Failed(_) =>
+                  drainedForwarders.add(id)
+                  active = false
+                case _ => ()
+              }
             }
           }
         } catch { case _: InterruptedException => () }
@@ -388,14 +415,25 @@ final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
       ex.sendResponseHeaders(200, 0)
       val out = ex.getResponseBody
       var open = true
+      var sentAny = false
+      val firstDeadline = System.nanoTime() + firstResultTimeoutMs * 1000000L
       while (open) {
         val msg = q.next(sseIdleTimeoutMs)
         if (msg != null) {
+          sentAny = true
           try {
             out.write(s"data: $msg\n\n".getBytes(StandardCharsets.UTF_8))
             out.flush()
           } catch { case _: java.io.IOException => open = false }
-        } else open = false // idle timeout closes the stream
+        } else {
+          // idle: close — UNLESS no frame has been sent yet and the
+          // forwarder has not published end-of-stream (cold start at
+          // scale: the query may still be computing, or the forwarder
+          // may still be serializing a huge final frame), in which
+          // case keep waiting up to firstResultTimeoutMs
+          open = !sentAny && !drainedForwarders.contains(id) &&
+            System.nanoTime() < firstDeadline
+        }
       }
       out.close()
     } finally unsubscribe()

@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-growth probe for the two LSH/IVF scale paths (not part of the
+  * library surface; `sbt "runMain graft.tools.ScaleProbe <sfDir>..."`).
+  *
+  * For each sf dir it times (a) `Dedup.nearDuplicates` (banded
+  * MinHash-LSH with the hot-band cap — the scale replacement for the
+  * all-pairs baseline) over `documents` and (b) `Ann.ivfTopKIndexed`
+  * (standing IVF index probe — the scale replacement for brute-force)
+  * over `embeddings`, printing secs, rows, and sec-per-million-rows so
+  * sub-linear-per-row growth is visible directly. */
+object ScaleProbe {
+  private def timeSec(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.1", "/tmp/sf1", "/tmp/sf5")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").canWrite)
+          java.nio.file.Files.createTempDirectory(
+            java.nio.file.Paths.get("/dev/shm"), "probe-shuffle").toString
+        else System.getProperty("java.io.tmpdir"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    dirs.foreach { dir =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val nDocs = docs.count()
+      val tDedup = timeSec {
+        val out = graft.pipeline.Dedup.nearDuplicates(
+          docs, col("doc_id"), col("text"), threshold = 0.8,
+          k = 128, bands = 32, rows = 4, maxBandWidth = 64)
+        println(s"  dedup pairs=${out.count()}")
+        out.unpersist()
+      }
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val nVec = emb.count()
+      // cells scale with corpus (sqrt-ish rule); standing index built
+      // once then probed — the repeated-search shape
+      val nCells = math.max(8, math.sqrt(nVec.toDouble).toInt / 4)
+      var tBuild = 0.0
+      var tSearch = 0.0
+      tBuild = timeSec {
+        val model = graft.pipeline.Ann.trainIvf(emb, nCells = nCells)
+        val index = graft.pipeline.Ann.buildIvfIndex(emb, model)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        index.count()
+        val queries = emb.where(col("vec_id") < 100)
+        tSearch = timeSec {
+          val res = graft.pipeline.Ann.ivfTopKIndexed(
+            index, queries, k = 10, model, nprobe = 6)
+          println(s"  ann rows=${res.count()}")
+        }
+        index.unpersist()
+      }
+      println(f"SCALE $dir docs=$nDocs vecs=$nVec cells=$nCells " +
+        f"dedup=$tDedup%.1fs (${tDedup * 1e6 / nDocs}%.2f s/Mdoc) " +
+        f"ivf_build=${tBuild - tSearch}%.1fs ivf_search=$tSearch%.1fs " +
+        f"(${tSearch * 1e6 / nVec}%.2f s/Mvec)")
+    }
+    spark.stop()
+  }
+}
