@@ -1152,6 +1152,58 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         col("text"), windowTokens = 12)),
 
+    // Edit-distance near-dup pairs: complete length-bucket blocking
+    // (width = maxDist, doc → {bucket, bucket+1}) + thresholded
+    // levenshtein verification — catches the planted 4-edit mutations
+    "dedup_editdist" -> ((s, dir) =>
+      graft.pipeline.Dedup.editDistanceDuplicates(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), maxDist = 8)
+        .select(col("id_a"), col("id_b"), col("dist"))),
+
+    // BM25 top-k keyword retrieval: the data-selection / decontam-
+    // retrieval probe — postings filtered to the query terms BEFORE the
+    // shuffle, doc length carried through the explode, TakeOrdered top-k
+    "retrieval_bm25" -> ((s, dir) =>
+      graft.pipeline.Retrieval.bm25TopK(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"),
+        Seq("spark", "vector", "hash", "window"), k = 25)
+        .withColumnRenamed("id", "doc_id")),
+
+    // Sequence packing, pretraining shape: concat docs in doc_id order
+    // and cut every 256 tokens; docs may straddle cuts. The global
+    // token offset is a two-phase broadcast-prefix sum (no one-task
+    // window); the straddle expansion is explode(sequence(...))
+    "pack_concat" -> ((s, dir) =>
+      graft.pipeline.Packing.packConcat(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), budget = 256L)
+        .withColumnRenamed("id", "doc_id")),
+
+    // Sequence packing, whole-doc shape: first-fit-decreasing bins of
+    // 512 tokens, partition-local FFD over a descending range
+    // partitioning. No SQL oracle (FFD is inherently sequential);
+    // PackingSpec pins the invariants: no bin over budget, every doc
+    // placed exactly once, utilization >= 0.5 (FFD guarantees it)
+    "pack_ffd" -> ((s, dir) =>
+      graft.pipeline.Packing.packFirstFit(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), budget = 512L)
+        .withColumnRenamed("id", "doc_id")),
+
+    // Global consecutive row index + exclusive token-offset — the
+    // shard/sample-id assignment primitive, exact without a global
+    // window (two-phase broadcast-prefix, same machinery as packing)
+    "corpus_index" -> ((s, dir) =>
+      graft.pipeline.Packing.withGlobalPrefix(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            graft.pipeline.TextAnalysis.tokenCount(col("text"))
+              .cast("long").as("n_tokens")),
+        col("doc_id"), col("n_tokens"),
+        offsetName = "token_offset", idxName = "global_idx")),
+
     // Duplicate clusters: transitive completion of the verified pair
     // table via distributed connected components (min-label propagation
     // + pointer jumping) — A≈B≈C clusters {A,B,C} even when A≉C
@@ -2076,6 +2128,73 @@ object SparkEntry {
     // node of the near-dup graph, the set of reachable labels; MIN is
     // the component representative — exactly the fixpoint the Spark
     // label propagation converges to
+    // edit-distance near-dup: the oracle needs no blocking — it prunes
+    // with the same |Δlen| <= d guarantee the blocking relies on
+    "dedup_editdist" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS l FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  levenshtein(a.text, b.text) AS dist
+        |FROM d a JOIN d b
+        |  ON a.doc_id < b.doc_id AND abs(a.l - b.l) <= 8
+        |WHERE levenshtein(a.text, b.text) <= 8""".stripMargin,
+    "retrieval_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+')
+        |    AS toks
+        |  FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |  AVG(CAST(len(toks) AS DOUBLE)) AS avgdl FROM d),
+        |f AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+        |  unnest(toks) AS token FROM d),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf,
+        |    ANY_VALUE(dl) AS dl
+        |  FROM f WHERE token IN ('spark', 'vector', 'hash', 'window')
+        |  GROUP BY doc_id, token),
+        |df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df
+        |  FROM tf GROUP BY token)
+        |SELECT doc_id,
+        |  ROUND(SUM(ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |    * tf.tf * 2.2
+        |    / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))), 6)
+        |    AS bm25,
+        |  COUNT(*) AS n_terms_hit
+        |FROM tf JOIN df USING (token), st
+        |GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 25""".stripMargin,
+    "pack_concat" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+'))
+        |    AS BIGINT) AS n
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n,
+        |    CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS off
+        |  FROM d WHERE n > 0),
+        |e AS (
+        |  SELECT doc_id, n, off,
+        |    unnest(generate_series(off // 256, (off + n - 1) // 256))
+        |      AS seq_id
+        |  FROM o)
+        |SELECT seq_id, doc_id,
+        |  greatest(0, seq_id * 256 - off) AS tok_start,
+        |  least(n, (seq_id + 1) * 256 - off) AS tok_end,
+        |  greatest(0, off - seq_id * 256) AS seq_off
+        |FROM e""".stripMargin,
+    "corpus_index" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+'))
+        |    AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS token_offset,
+        |  row_number() OVER (ORDER BY doc_id) - 1 AS global_idx
+        |FROM d""".stripMargin,
     "dedup_spans" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks

@@ -521,4 +521,55 @@ object Dedup {
     sims.unpersist()
     out
   }
+
+  // ---- Edit distance ---------------------------------------------------
+
+  /** Edit-distance near-dup pairs: (id_a, id_b, dist) with
+    * levenshtein(text_a, text_b) ≤ maxDist.
+    *
+    * Blocking is on length buckets of width `maxDist` with each doc
+    * assigned to its own bucket AND the next — provably COMPLETE:
+    * lev(a,b) ≤ d implies |len(a)−len(b)| ≤ d, and two lengths within d
+    * of each other land in the same or adjacent width-d buckets, so
+    * every true pair shares ≥ 1 bucket key. The equi-join on the bucket
+    * is the only shuffle; `distinct()` folds pairs found in both shared
+    * buckets; verification uses Spark's THRESHOLDED levenshtein
+    * (early-exits once the running distance exceeds d, O(d·len) not
+    * O(len²)).
+    *
+    * Scale valve: a corpus whose lengths concentrate in one band makes
+    * length blocking quadratic. `maxBucketDocs` caps the per-bucket
+    * candidate population (docs beyond the cap in a hot bucket are
+    * skipped, mirroring the MinHash hot-band cap) — exact by default
+    * (cap = unbounded), bounded under adversarial skew when set. */
+  def editDistanceDuplicates(df: DataFrame, idCol: Column, textCol: Column,
+      maxDist: Int = 8, maxBucketDocs: Long = Long.MaxValue): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val w = lit(maxDist.toLong)
+    val base0 = df.select(idCol.as("id"), textCol.as("text"),
+      (length(textCol).cast("long") / w).cast("long").as("lb"))
+    val base =
+      if (maxBucketDocs == Long.MaxValue) base0
+      else {
+        import org.apache.spark.sql.expressions.Window
+        base0.withColumn("__rn", row_number().over(
+            Window.partitionBy(col("lb")).orderBy(col("id"))))
+          .where(col("__rn") <= maxBucketDocs).drop("__rn")
+      }
+    // one side keeps its primary bucket, the other is exploded to
+    // {lb, lb+1}: every |Δlen| ≤ d pair meets exactly once or twice
+    // (same-bucket pairs twice, in both orientations), never more
+    val a = base.select(col("id").as("id_l"), col("text").as("text_l"),
+      col("lb").as("bucket"))
+    val b = base.select(col("id").as("id_r"), col("text").as("text_r"),
+      explode(array(col("lb"), col("lb") + 1)).as("bucket"))
+    a.join(b, "bucket")
+      .where(col("id_l") =!= col("id_r"))
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        levenshtein(col("text_l"), col("text_r"), maxDist).as("dist"))
+      // filter BEFORE the dedup shuffle: only near pairs reach distinct()
+      .where(col("dist") >= 0) // thresholded form returns -1 past maxDist
+      .distinct()
+  }
 }

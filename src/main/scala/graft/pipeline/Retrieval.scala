@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over a document corpus: BM25 scoring and top-k —
+  * the data-selection / decontamination-retrieval primitive of a
+  * training-data pipeline ("find the k documents most relevant to this
+  * probe").
+  *
+  * Scale shape: the query-term filter lands BEFORE the shuffle — after
+  * the token explode only rows whose token is one of the |q| query
+  * terms survive, so the (doc, term) aggregation shuffles a set
+  * proportional to term postings, not corpus tokens. Per-doc length is
+  * carried THROUGH the explode (computed once pre-explode), so no join
+  * back to a doc-length table is needed. Document frequencies are |q|
+  * rows — broadcast. Corpus N/avgdl is one row — broadcast nested loop.
+  * Top-k is `orderBy(...).limit(k)` = TakeOrderedAndProject: a per-
+  * partition heap plus a driver merge of P×k rows, never a global sort.
+  */
+object Retrieval {
+
+  /** Okapi BM25 idf with the +1 floor (Lucene form, always positive):
+    * ln(1 + (N - df + 0.5) / (df + 0.5)). */
+  private def idf(n: Column, df: Column): Column =
+    log(lit(1.0) + (n - df + lit(0.5)) / (df + lit(0.5)))
+
+  /** Per-document BM25 scores against `queryTerms`, one row per doc
+    * that matches at least one term: (id, bm25, n_terms_hit).
+    *
+    * Tokenization is the engine-wide rule (`TextAnalysis.tokens`:
+    * lowercase, trim, split on whitespace) so retrieval and the rest of
+    * the text stack can never disagree on term boundaries.
+    */
+  def bm25Scores(df: DataFrame, idCol: Column, textCol: Column,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    val terms = queryTerms.map(_.toLowerCase.trim).distinct
+    val toks = df.select(idCol.as("id"),
+        TextAnalysis.tokens(textCol).as("__toks"))
+      .select(col("id"), size(col("__toks")).cast("double").as("dl"),
+        explode(col("__toks")).as("token"))
+    // corpus stats: one row (count + mean doc length over ALL docs)
+    val stats = df.select(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(TextAnalysis.tokenCount(textCol)).as("avgdl"))
+    // postings for query terms only — the filter precedes the shuffle
+    val tf = toks.where(col("token").isin(terms: _*))
+      .groupBy(col("id"), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"),
+        first(col("dl")).as("dl"))
+    // document frequency per query term: ≤ |q| rows, broadcast back
+    val dfreq = tf.groupBy(col("token"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("__contrib",
+        idf(col("n_docs"), col("df")) * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("id"))
+      .agg(round(sum(col("__contrib")), 6).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+  }
+
+  /** Top-k BM25 retrieval: highest-scoring k docs, score-desc then
+    * id-asc for a deterministic total order. */
+  def bm25TopK(df: DataFrame, idCol: Column, textCol: Column,
+      queryTerms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame =
+    bm25Scores(df, idCol, textCol, queryTerms, k1, b)
+      .orderBy(col("bm25").desc, col("id"))
+      .limit(k)
+}
