@@ -339,4 +339,47 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("cartesianproduct"), plan)
     assert(cc.count() === 41)
   }
+
+  test("BM25: term filter precedes the postings shuffle, df stats " +
+      "broadcast, top-k is TakeOrdered") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val top = graft.pipeline.Retrieval.bm25TopK(docs, col("doc_id"),
+      col("text"), Seq("spark", "vector"), k = 10)
+    val plan = executedPlan(top)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k is not a per-partition heap:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"df-stats join is not broadcast:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesianproduct"), plan)
+    // the isin(queryTerms) filter must survive into the physical plan
+    // (it is what keeps the postings shuffle proportional to |q| terms)
+    assert(plan.contains("spark"), s"no term filter in plan:\n$plan")
+  }
+
+  test("packConcat has no single-partition window and explodes " +
+      "sequence() per row") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val packed = graft.pipeline.Packing.packConcat(docs, col("doc_id"),
+      col("text"), budget = 256L)
+    val plan = executedPlan(packed)
+    assert(!plan.contains("Window"),
+      s"packConcat fell back to a window (one-task global sort):\n$plan")
+    assert(plan.contains("Generate explode"),
+      s"straddle expansion is not a generator:\n$plan")
+  }
+
+  test("edit-distance dedup joins on the length bucket — hash/sort " +
+      "equi-join, never cartesian") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = graft.pipeline.Dedup.editDistanceDuplicates(docs,
+      col("doc_id"), col("text"), maxDist = 8)
+    val plan = executedPlan(pairs)
+    assert(!plan.toLowerCase.contains("cartesianproduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"bucket join degraded to nested loop:\n$plan")
+  }
 }
