@@ -1171,6 +1171,18 @@ object SparkEntry {
         Seq("spark", "vector", "hash", "window"), k = 25)
         .withColumnRenamed("id", "doc_id")),
 
+    // Same retrieval served from the standing inverted index: tokenize
+    // once, probe many — results bit-identical to the ad-hoc path, so
+    // it shares the ad-hoc oracle
+    "retrieval_bm25_indexed" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val idx = graft.pipeline.Retrieval.buildBm25Index(
+        docs, col("doc_id"), col("text"))
+      graft.pipeline.Retrieval.bm25TopKIndexed(idx,
+        Seq("spark", "vector", "hash", "window"), k = 25)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Sequence packing, pretraining shape: concat docs in doc_id order
     // and cut every 256 tokens; docs may straddle cuts. The global
     // token offset is a two-phase broadcast-prefix sum (no one-task
@@ -1626,7 +1638,11 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    // the standing-index path is bit-identical to ad-hoc BM25 — one oracle
+    ("retrieval_bm25_indexed" -> oracleSqlBase("retrieval_bm25"))
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "r1_bgp_join" ->
       s"""SELECT $E AS e, $U AS u, value AS val
          |FROM events WHERE event_type = 'click'""".stripMargin,

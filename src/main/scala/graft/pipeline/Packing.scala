@@ -47,13 +47,16 @@ object Packing {
     val subtotals = sorted
       .groupBy(spark_partition_id().as("__p"))
       .agg(sum(col("__v")).as("__sum"), count(lit(1)).as("__n"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
-      .toMap
-    val prefix: Map[Int, (Long, Long)] = subtotals.map { case (p, _) =>
-      p -> subtotals.collect { case (p2, (v, n)) if p2 < p => (v, n) }
-        .foldLeft((0L, 0L)) { case ((a, b), (v, n)) => (a + v, b + n) }
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // single driver scan: O(P log P), stays cheap at 100k partitions
+    val prefix = Map.newBuilder[Int, (Long, Long)]
+    var (accV, accN) = (0L, 0L)
+    subtotals.foreach { case (p, v, n) =>
+      prefix += p -> (accV, accN); accV += v; accN += n
     }
-    val bPrefix = spark.sparkContext.broadcast(prefix)
+    val prefixMap = prefix.result()
+    val bPrefix = spark.sparkContext.broadcast(prefixMap)
     val schema = sorted.schema
       .add(offsetName, LongType, nullable = false)
       .add(idxName, LongType, nullable = false)

@@ -71,4 +71,57 @@ object Retrieval {
     bm25Scores(df, idCol, textCol, queryTerms, k1, b)
       .orderBy(col("bm25").desc, col("id"))
       .limit(k)
+
+  // ---- standing inverted index (build once, query many) ----------------
+
+  /** A materialized BM25 index: tokenize the 100 TB corpus ONCE, then
+    * serve any number of probes from the postings without touching the
+    * text again. `postings` is (token, id, tf, dl) — write it
+    * partitioned/bucketed BY TOKEN so a probe prunes to its terms'
+    * buckets; `stats` is the one-row (n_docs, avgdl). */
+  case class Bm25Index(postings: DataFrame, stats: DataFrame)
+
+  /** Build the standing index: one explode + one map-side-combined
+    * aggregation over the corpus (same cost as a single ad-hoc query,
+    * amortized over every probe after). */
+  def buildBm25Index(df: DataFrame, idCol: Column, textCol: Column)
+      : Bm25Index = {
+    val toks = df.select(idCol.as("id"),
+        TextAnalysis.tokens(textCol).as("__toks"))
+      .select(col("id"), size(col("__toks")).cast("double").as("dl"),
+        explode(col("__toks")).as("token"))
+    val postings = toks.groupBy(col("token"), col("id"))
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+    val stats = df.select(count(lit(1)).cast("double").as("n_docs"),
+      avg(TextAnalysis.tokenCount(textCol)).as("avgdl"))
+    Bm25Index(postings, stats)
+  }
+
+  /** BM25 scores served from a standing [[buildBm25Index]]: an
+    * `isin(terms)` filter on the postings (partition/bucket-prunable on
+    * the token column) + the same broadcast df/stats joins — the corpus
+    * text is never re-read. Identical results to [[bm25Scores]]. */
+  def bm25ScoresIndexed(index: Bm25Index, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queryTerms.map(_.toLowerCase.trim).distinct
+    val tf = index.postings.where(col("token").isin(terms: _*))
+    val dfreq = tf.groupBy(col("token"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(index.stats))
+      .withColumn("__contrib",
+        idf(col("n_docs"), col("df")) * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("id"))
+      .agg(round(sum(col("__contrib")), 6).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+  }
+
+  /** Top-k over the standing index. */
+  def bm25TopKIndexed(index: Bm25Index, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25ScoresIndexed(index, queryTerms, k1, b)
+      .orderBy(col("bm25").desc, col("id"))
+      .limit(k)
 }

@@ -125,10 +125,16 @@ object Sampling {
       .groupBy("__p", "__s").agg(sum("__t").as("__sum"))
       .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
       .toMap
-    val offsets: Map[(Int, String), Long] = subtotals.map { case ((p, s), _) =>
-      (p, s) -> subtotals.collect {
-        case ((p2, s2), v) if s2 == s && p2 < p => v
-      }.sum
+    // per-stratum running sum in partition order: one driver scan over
+    // the sorted subtotals (O(P·S log) — not the quadratic pairwise
+    // sum, which would bite at cluster-scale partition counts)
+    val offsets: Map[(Int, String), Long] = {
+      val acc = collection.mutable.Map.empty[String, Long]
+      subtotals.toSeq.sortBy(_._1._1).map { case ((p, s), v) =>
+        val before = acc.getOrElse(s, 0L)
+        acc(s) = before + v
+        (p, s) -> before
+      }.toMap
     }
     val bOffsets = spark.sparkContext.broadcast(offsets)
     val bBudgets = spark.sparkContext.broadcast(budgets)

@@ -157,6 +157,18 @@ class PackingRetrievalSpec extends AnyFunSuite {
       case _ => true })
   }
 
+  test("standing BM25 index serves identical scores to the ad-hoc path") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val terms = Seq("spark", "hash", "vector")
+    val adhoc = Retrieval.bm25Scores(docs, col("doc_id"), col("text"),
+      terms)
+    val idx = Retrieval.buildBm25Index(docs, col("doc_id"), col("text"))
+    val served = Retrieval.bm25ScoresIndexed(idx, terms)
+    assert(TestSpark.rows(served) === TestSpark.rows(adhoc))
+    assert(served.count() > 0)
+  }
+
   // ---- edit-distance dedup --------------------------------------------
 
   test("editDistanceDuplicates equals brute force on a mutated corpus") {
