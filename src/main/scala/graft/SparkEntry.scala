@@ -1595,6 +1595,24 @@ object SparkEntry {
           col("codec"))
     }),
 
+    // REAL audio roundtrip: render RIFF/WAVE PCM16 square waves with
+    // javax.sound, decode with the same stack — rate/frames/channels
+    // from the parsed header, RMS from the decoded samples (an
+    // alternating ±A wave has RMS exactly A, so the oracle states it
+    // as integer arithmetic)
+    "mm_audio_stats" -> ((s, dir) => {
+      import s.implicits._
+      val specs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map(id => (id, (8000 + id % 3 * 4000).toInt,
+          (800 + id % 50).toInt))
+      graft.pipeline.Multimodal.decodeAudioStats(
+        graft.pipeline.Multimodal.renderWav(specs))
+        .toDF()
+        .select(col("media_id").as("doc_id"), col("sample_rate"),
+          col("channels"), col("n_frames"), col("rms"), col("codec"))
+    }),
+
     // Relational layer at TPC-H shape: wide aggregation (bench headline).
     // Sums go through DECIMAL so the result is exact and independent of
     // distributed summation order (a double sum can flip the last cent at
@@ -2669,6 +2687,14 @@ object SparkEntry {
     "mm_jpeg_dims" ->
       """SELECT doc_id, CAST(16 + doc_id % 11 AS BIGINT) AS width,
         |  CAST(16 + doc_id % 7 AS BIGINT) AS height, 'jpeg' AS codec
+        |FROM documents""".stripMargin,
+    "mm_audio_stats" ->
+      """SELECT doc_id,
+        |  CAST(8000 + doc_id % 3 * 4000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(800 + doc_id % 50 AS BIGINT) AS n_frames,
+        |  CAST(1000 + doc_id % 100 AS DOUBLE) AS rms,
+        |  'pcm_s16le' AS codec
         |FROM documents""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

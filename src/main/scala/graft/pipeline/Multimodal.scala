@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, processed partition-locally.
   *
   * The Spark-side machinery — schema, partitioning, batch shape,
-  * mapPartitions signatures — is real and tested. PNG images decode for
-  * REAL via the JDK's built-in ImageIO PNG codec ([[renderPng]] /
-  * [[decodeImageDims]]); the audio/video feature + resize steps remain
+  * mapPartitions signatures — is real and tested. PNG/JPEG images
+  * decode for REAL via the JDK's built-in ImageIO codecs
+  * ([[renderImage]] / [[decodeImageDims]]), and WAV audio decodes for
+  * REAL via javax.sound ([[renderWav]] / [[decodeAudioStats]]: format,
+  * frame count, sample RMS). The video feature + resize steps remain
   * STUBBED with deterministic byte-level fakes (this container has no
-  * such codecs), each isolated behind one function so a real codec
+  * video codec), each isolated behind one function so a real codec
   * drops in without touching the dataflow.
   */
 object Multimodal {
@@ -155,6 +157,79 @@ object Multimodal {
         if (img == null) ImageDims(rec.mediaId, -1, -1, "undecodable")
         else ImageDims(rec.mediaId, img.getWidth, img.getHeight,
           rec.meta.codec.getOrElse("image"))
+      }
+    }
+  }
+
+  final case class AudioStats(media_id: Long, sample_rate: Long,
+      channels: Long, n_frames: Long, rms: Double, codec: String)
+
+  /** Render a REAL RIFF/WAVE payload per (id, sampleRate, nFrames) row:
+    * PCM signed 16-bit little-endian mono, written by the JDK's
+    * javax.sound WAV writer. The signal is an alternating ±A square
+    * wave with A = 1000 + id % 100, so the decoded RMS is EXACTLY A —
+    * an integer ground truth a SQL oracle can state without modeling
+    * float accumulation. One encoder per partition (mapPartitions). */
+  def renderWav(ds: Dataset[(Long, Int, Int)]): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { case (id, rate, frames) =>
+        val amp = (1000 + id % 100).toInt
+        val pcm = new Array[Byte](frames * 2)
+        var i = 0
+        while (i < frames) {
+          val v = if ((i & 1) == 0) amp else -amp
+          pcm(2 * i) = (v & 0xFF).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          rate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        MediaRecord(id, "audio", bos.toByteArray,
+          MediaMeta(None, None, Some(frames.toLong * 1000 / rate),
+            Some("pcm_s16le")))
+      }
+    }
+  }
+
+  /** REAL audio decode: parse each payload with javax.sound's WAV
+    * reader and report format (rate, channels), frame count, and the
+    * RMS amplitude of the decoded PCM16 samples. Partition-local; an
+    * unreadable payload reports a (-1, …, "undecodable") sentinel row
+    * instead of failing the job. */
+  def decodeAudioStats(ds: Dataset[MediaRecord]): Dataset[AudioStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { rec =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(rec.payload))
+          val fmt = ais.getFormat
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          var sumSq = 0.0
+          var i = 0
+          while (i < n) {
+            // PCM16 little-endian, mono or interleaved — RMS over all
+            val v = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF))
+              .toDouble
+            sumSq += v * v
+            i += 1
+          }
+          val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+          AudioStats(rec.mediaId, fmt.getSampleRate.toLong,
+            fmt.getChannels.toLong, ais.getFrameLength,
+            math.rint(rms * 1e6) / 1e6, "pcm_s16le")
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException |
+              _: java.io.IOException =>
+            AudioStats(rec.mediaId, -1L, -1L, -1L, -1.0, "undecodable")
+        }
       }
     }
   }

@@ -431,4 +431,32 @@ class PipelineSpec extends AnyFunSuite {
     val bad = Multimodal.decodeImageDims(junk).collect().head
     assert((bad.width, bad.height, bad.codec) === ((-1, -1, "undecodable")))
   }
+
+  test("multimodal: REAL WAV round-trip — javax.sound-rendered payloads " +
+      "decode to their format, frame count, and exact square-wave RMS") {
+    import spark.implicits._
+    val specs = spark.createDataset(Seq(
+      (1L, 8000, 800), (2L, 16000, 1234), (57L, 12000, 801)))
+    val media = Multimodal.renderWav(specs)
+    // payloads are genuine RIFF/WAVE files (magic bytes)
+    val payloads = media.collect()
+    assert(payloads.forall(_.payload.take(4).toSeq ===
+      "RIFF".getBytes.toSeq))
+    assert(payloads.forall(_.payload.slice(8, 12).toSeq ===
+      "WAVE".getBytes.toSeq))
+    val dec = Multimodal.decodeAudioStats(media).collect()
+      .map(a => a.media_id ->
+        ((a.sample_rate, a.channels, a.n_frames, a.rms))).toMap
+    // RMS of an alternating ±A wave is exactly A = 1000 + id % 100
+    assert(dec === Map(
+      1L -> ((8000L, 1L, 800L, 1001.0)),
+      2L -> ((16000L, 1L, 1234L, 1002.0)),
+      57L -> ((12000L, 1L, 801L, 1057.0))))
+    // corrupt payload: reported, not thrown
+    val junk = spark.createDataset(Seq(Multimodal.MediaRecord(
+      9L, "audio", Array[Byte](82, 73, 70, 70, 1, 2),
+      Multimodal.MediaMeta(None, None, None, None))))
+    val bad = Multimodal.decodeAudioStats(junk).collect().head
+    assert((bad.sample_rate, bad.codec) === ((-1L, "undecodable")))
+  }
 }
