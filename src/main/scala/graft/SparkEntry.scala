@@ -1531,6 +1531,24 @@ object SparkEntry {
           round(element_at(emb.normalize(v), 1), 6).as("first_unit"))
     }),
 
+    // int8 embedding quantization: symmetric per-vector codes — the 4x
+    // compression map stage; codes are integer-exact cross-engine, so
+    // the oracle checks code-space summaries verbatim
+    "emb_int8_quant" -> ((s, dir) =>
+      graft.pipeline.Ann.int8QuantStats(
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        col("vec_id"), col("embedding"))),
+
+    // Group-wise top-k: the k longest docs per source (skew-proof
+    // salted two-phase top-n, deterministic n_chars/doc_id ordering)
+    "corpus_topk" -> ((s, dir) =>
+      graft.pipeline.Sampling.topKPerGroup(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        col("source"), col("n_chars"), col("doc_id"), k = 5)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("rank").cast("long").as("rank"))),
+
     // ANN: exact brute-force top-10 cosine for 3 query vectors
     "ann_bruteforce_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -2293,6 +2311,32 @@ object SparkEntry {
     "ann_pq_topk" ->
       """SELECT vec_id AS query_id, true AS recall_ge_070
         |FROM embeddings WHERE vec_id < 3""".stripMargin,
+    "emb_int8_quant" ->
+      """WITH a AS (
+        |  SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |    CAST(embedding AS DOUBLE[]) AS v,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS amax
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, dim, amax,
+        |    CASE WHEN amax = 0
+        |      THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(v,
+        |        x -> CAST(round(x * 127 / amax) AS BIGINT)) END AS codes
+        |  FROM a)
+        |SELECT vec_id, dim, ROUND(amax / 127, 6) AS scale,
+        |  list_max(list_transform(codes, c -> abs(c))) AS max_code,
+        |  CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT)
+        |    AS sum_abs_code
+        |FROM c""".stripMargin,
+    "corpus_topk" ->
+      """SELECT doc_id, source, n_chars, rank FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents)
+        |WHERE rank <= 5""".stripMargin,
     "emb_norms" ->
       """WITH n AS (
         |  SELECT vec_id, len(embedding) AS dim,

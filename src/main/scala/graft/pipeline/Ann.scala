@@ -501,4 +501,67 @@ object Ann {
       .where(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
+
+  // ---- semantic dedup (SemDeDup shape) ---------------------------------
+
+  /** SemDeDup-style semantic deduplication: assign each embedding to its
+    * nearest k-means cell, generate candidates ONLY within a cell (the
+    * equi-join on the cell id is the single shuffle — candidate volume
+    * is Σ|cell|²/2, tunable via nCells, never corpus²), verify exact
+    * cosine ≥ threshold, and drop every vector that has a smaller-id
+    * near-duplicate in its cell (min-id keeper, the same keeper rule as
+    * text dedup). Returns (drop_id, keep_id, sim) — `keep_id` the
+    * smallest near-dup partner, `sim` the highest partner similarity
+    * (transitive-group flattening, when wanted, composes with
+    * [[graft.pipeline.Dedup.connectedComponents]] exactly as the text
+    * path does).
+    *
+    * Approximation contract: near-dups straddling a cell boundary are
+    * MISSED (SemDeDup's own trade-off). On well-separated clusters the
+    * result equals brute force — `PipelineSpec` pins both properties. */
+  def semanticDedup(df: DataFrame, idCol: Column, vecCol: Column,
+      model: IvfModel, threshold: Double): DataFrame = {
+    val indexed = buildIvfIndex(df.select(idCol, vecCol), model)
+    val a = indexed.toDF("id_a", "cell", "vec_a")
+    val b = indexed.toDF("id_b", "cell", "vec_b")
+    a.join(b, "cell")
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .where(col("sim") >= threshold)
+      .groupBy(col("id_b").as("drop_id"))
+      .agg(min(col("id_a")).as("keep_id"),
+        round(max(col("sim")), 6).as("sim"))
+  }
+
+  // ---- int8 embedding quantization -------------------------------------
+
+  /** Symmetric per-vector int8 codes: scale = max|x|/127,
+    * code_i = round(x_i·127 / max|x|) ∈ [-127, 127] (all-zero vector →
+    * all-zero codes). Pure codegen'd column arithmetic — the 4×
+    * embedding-compression map stage of a serving/training pipeline.
+    * The arithmetic (float→double cast, (x·127)/amax, half-away-from-
+    * zero round) is engine-portable, so codes are integer-exact on any
+    * IEEE implementation — the oracle checks them verbatim. */
+  def int8Codes(vec: Column): Column = {
+    val v = toDouble(vec)
+    val amax = array_max(transform(v, x => abs(x)))
+    when(amax === 0d, transform(v, _ => lit(0L)))
+      .otherwise(transform(v, x =>
+        round(x * lit(127d) / amax).cast("long")))
+  }
+
+  /** Quantization report per vector: dimension, the dequantization
+    * scale, and code-space summaries (max |code|, Σ|code|) — integer
+    * ground truth for the quantizer. */
+  def int8QuantStats(df: DataFrame, idCol: Column, vecCol: Column)
+      : DataFrame = {
+    val v = toDouble(vecCol)
+    val amax = array_max(transform(v, x => abs(x)))
+    val codes = int8Codes(vecCol)
+    df.select(idCol.as("vec_id"),
+      size(vecCol).cast("long").as("dim"),
+      round(amax / lit(127d), 6).as("scale"),
+      array_max(transform(codes, c => abs(c))).as("max_code"),
+      aggregate(codes, lit(0L), (a, c) => a + abs(c)).as("sum_abs_code"))
+  }
 }

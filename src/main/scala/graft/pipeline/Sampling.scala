@@ -180,4 +180,31 @@ object Sampling {
       .where(col("__rn") <= n)
       .drop("__rn", "__u", "__p")
   }
+
+  /** Group-wise top-k by an arbitrary ordering ("the k best documents
+    * per domain by quality score"): the k rows per group with the
+    * HIGHEST `order` values, ties broken by the tiebreak column
+    * ascending for a deterministic result on any engine.
+    *
+    * Same skew-proof two-phase shape as [[quotaSample]]: phase 1 ranks
+    * per (group, input-partition) — salted by partition id, so one
+    * giant group spreads over the cluster — and phase 2 re-ranks the
+    * surviving ≤ k × P candidates per group. Any global top-k row is a
+    * top-k row of its own partition, so phase 1 never drops a winner. */
+  def topKPerGroup(df: DataFrame, group: Column, order: Column,
+      tiebreak: Column, k: Int): DataFrame = {
+    val phase1 = df
+      .withColumn("__o", order)
+      .withColumn("__p", spark_partition_id())
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(group, col("__p"))
+          .orderBy(col("__o").desc, tiebreak)))
+      .where(col("__rn") <= k)
+    phase1
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(group).orderBy(col("__o").desc, tiebreak)))
+      .where(col("__rn") <= k)
+      .withColumnRenamed("__rn", "rank")
+      .drop("__o", "__p")
+  }
 }

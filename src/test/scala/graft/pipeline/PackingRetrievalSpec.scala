@@ -169,6 +169,27 @@ class PackingRetrievalSpec extends AnyFunSuite {
     assert(served.count() > 0)
   }
 
+  // ---- group-wise top-k ------------------------------------------------
+
+  test("topKPerGroup equals a single global window and is partitioning-" +
+      "independent (salted two-phase)") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (0L until 300L)
+      .map(i => (i, s"g${i % 3}", (i * 37 % 101).toInt))
+      .toDF("id", "grp", "score")
+    val got = Sampling.topKPerGroup(df.repartition(13), col("grp"),
+      col("score"), col("id"), k = 7)
+    val want = df.withColumn("rank", row_number().over(
+        Window.partitionBy(col("grp"))
+          .orderBy(col("score").desc, col("id"))))
+      .where(col("rank") <= 7)
+    assert(TestSpark.rows(got) === TestSpark.rows(want))
+    // one giant group (all rows) still returns exactly k
+    val one = Sampling.topKPerGroup(df.withColumn("grp", lit("g")),
+      col("grp"), col("score"), col("id"), k = 4)
+    assert(one.count() === 4)
+  }
+
   // ---- edit-distance dedup --------------------------------------------
 
   test("editDistanceDuplicates equals brute force on a mutated corpus") {

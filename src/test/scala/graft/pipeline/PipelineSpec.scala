@@ -459,4 +459,67 @@ class PipelineSpec extends AnyFunSuite {
     val bad = Multimodal.decodeAudioStats(junk).collect().head
     assert((bad.sample_rate, bad.codec) === ((-1L, "undecodable")))
   }
+
+  test("semantic dedup: equals brute force on separated clusters; " +
+      "subset of brute force always; min-id keeper") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Double], eps: Double) =
+      base.map(_ + rnd.nextGaussian() * eps)
+    // two well-separated cluster centers + planted near-dups
+    val c1 = Array(10.0, 0.0, 0.0, 0.0)
+    val c2 = Array(0.0, 10.0, 0.0, 0.0)
+    val vecs: Seq[(Long, Array[Double])] =
+      (0L until 10L).map(i => i -> jitter(c1, 2.0)) ++
+      (10L until 20L).map(i => i -> jitter(c2, 2.0)) ++
+      Seq(100L -> jitter(c1, 0.01), 101L -> jitter(c2, 0.01),
+        102L -> jitter(c1, 0.01))
+    val df = vecs.toDF("vec_id", "embedding")
+    val model = Ann.trainIvf(df, nCells = 2)
+    val got = Ann.semanticDedup(df, col("vec_id"), col("embedding"),
+        model, threshold = 0.999)
+      .collect().map(r => (r.getAs[Long]("drop_id"),
+        r.getAs[Long]("keep_id"))).toSet
+    // brute force ground truth at the same threshold
+    val brute = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+      dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      sim = dot / (math.sqrt(va.map(x => x * x).sum) *
+        math.sqrt(vb.map(x => x * x).sum))
+      if sim >= 0.999
+    } yield (ia, ib)).toSet
+    val bruteDrops = brute.groupBy(_._2)
+      .map { case (b, ps) => (b, ps.map(_._1).min) }.toSet
+    // near-dups here never straddle the 2 well-separated cells → exact
+    assert(got === bruteDrops)
+    assert(brute.nonEmpty) // the planted dups are real
+    // and every reported drop is a true near-dup pair
+    got.foreach { case (d, k) => assert(brute.contains((k, d))) }
+  }
+
+  test("int8 quantization: codes in range, zero vector safe, scale " +
+      "reconstructs max") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(2.0f, 2.0f, -2.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Ann.int8QuantStats(df, col("vec_id"), col("embedding"))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("dim"), r.getAs[Double]("scale"),
+          r.getAs[Long]("max_code"), r.getAs[Long]("sum_abs_code"))))
+      .toMap
+    // vec 1: amax=1.0 → codes (64, -127, 32, 0) [round(0.5*127)=64]
+    assert(out(1L) === ((4L, math.rint(1.0 / 127 * 1e6) / 1e6, 127L,
+      64L + 127L + 32L)))
+    // zero vector: all-zero codes, scale 0
+    assert(out(2L) === ((4L, 0.0, 0L, 0L)))
+    // vec 3: amax=2 → codes (127,127,-127,64)
+    assert(out(3L) === ((4L, math.rint(2.0 / 127 * 1e6) / 1e6, 127L,
+      127L * 3 + 64L)))
+    // codes column itself stays in [-127, 127]
+    val codes = df.select(Ann.int8Codes(col("embedding")).as("c"))
+      .selectExpr("explode(c) as v").collect().map(_.getLong(0))
+    assert(codes.forall(c => c >= -127 && c <= 127))
+  }
 }
