@@ -33,9 +33,12 @@ object Bench {
   /** Everything the bench produced; `ok` is false iff any section or
     * registered query failed to produce a timing — main turns that into
     * a NONZERO exit so a broken run can never be mistaken for a green
-    * one (BenchFailLoudSpec pins this). */
+    * one (BenchFailLoudSpec pins this). `json` is the full artifact
+    * (every query, median, probe); `compactJson` is a <1 KB summary
+    * guaranteed to fit whole inside a 2000-char stdout tail capture. */
   final case class Report(json: String, ok: Boolean,
-      results: Map[String, Double], failed: Seq[String])
+      results: Map[String, Double], failed: Seq[String],
+      compactJson: String = "")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -62,7 +65,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val report = run(spark, sfDir, SparkEntry.queries, cpus.toInt)
+    // The round driver keeps only the LAST 2000 chars of stdout; the
+    // full per-query JSON outgrew that window rounds ago (its head —
+    // including the {"metric" marker — gets truncated away, so the
+    // driver's parse step has recorded `parsed:null` every round).
+    // Persist the full artifact to a file in the working directory
+    // (committed with the round) and END stdout with a compact summary
+    // line that always fits whole inside the tail window.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"),
+        (report.json + "\n").getBytes("UTF-8"))
+    } catch { case _: java.io.IOException => () }
     println(report.json)
+    println(report.compactJson)
     spark.stop()
     if (!report.ok) sys.exit(1)
   }
@@ -275,6 +291,19 @@ object Bench {
     // ~76 per-query ExtendedAnalysisExceptions and voided the round).
     val ok = failed.isEmpty
     val json = s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","ok":$ok,"queries":${jm(results)},"queries_median":${jm(medians)},"probes":${jm(probes)},"sf":"$sfDir","extras":${jm(extras)},"failed":$failedJson}"""
-    Report(json, ok, results.toMap, failed.toSeq)
+    // Compact tail-window summary: headline metrics + the slowest
+    // queries only. Stays well under the driver's 2000-char stdout
+    // capture even with hundreds of registered queries; the full
+    // per-query map lives in `json` → BENCH_FULL.json.
+    val headline = Seq("storage_write", "storage_write_flat",
+      "range_query_100pct", "point_query", "live_injection_50ev")
+      .flatMap(k => results.get(k).map(k -> _))
+    val slowest = results.toSeq
+      .filterNot { case (k, _) => headline.exists(_._1 == k) }
+      .sortBy(-_._2).take(8)
+    val failedCompact = failed.take(8).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val compact = s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","ok":$ok,"n_queries":${results.size},"sf":"$sfDir","headline":${jm(collection.mutable.LinkedHashMap(headline: _*))},"slowest":${jm(collection.mutable.LinkedHashMap(slowest: _*))},"extras":${jm(extras)},"failed_n":${failed.size},"failed":$failedCompact,"full":"BENCH_FULL.json"}"""
+    Report(json, ok, results.toMap, failed.toSeq, compact)
   }
 }

@@ -1631,6 +1631,25 @@ object SparkEntry {
           col("channels"), col("n_frames"), col("rms"), col("codec"))
     }),
 
+    // REAL video roundtrip: render multi-frame animated GIFs with the
+    // JDK's ImageIO sequence writer, decode with the same stack —
+    // frame COUNT walks every frame but only every 2nd frame is
+    // decoded (the keyframe-sampling shape). Solid-gray fixture frames
+    // over a full 256-gray palette encode losslessly, so the sampled
+    // mean-intensity sum is exact integer arithmetic the oracle states
+    "mm_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val specs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map(id => (id, (8 + id % 5).toInt, (3 + id % 4).toInt))
+      graft.pipeline.Multimodal.decodeVideoStats(
+        graft.pipeline.Multimodal.renderGif(specs), stride = 2)
+        .toDF()
+        .select(col("media_id").as("doc_id"), col("n_frames"),
+          col("width"), col("height"), col("sampled_frames"),
+          col("intensity_sum"), col("codec"))
+    }),
+
     // Relational layer at TPC-H shape: wide aggregation (bench headline).
     // Sums go through DECIMAL so the result is exact and independent of
     // distributed summation order (a double sum can flip the last cent at
@@ -2739,6 +2758,21 @@ object SparkEntry {
         |  CAST(800 + doc_id % 50 AS BIGINT) AS n_frames,
         |  CAST(1000 + doc_id % 100 AS DOUBLE) AS rms,
         |  'pcm_s16le' AS codec
+        |FROM documents""".stripMargin,
+    // frames f=0,2[,4] of 3+id%4 total; frame f is solid gray
+    // (id*31+f*17)%256, exact through the indexed-GIF roundtrip
+    "mm_video_frames" ->
+      """SELECT doc_id,
+        |  CAST(3 + doc_id % 4 AS BIGINT) AS n_frames,
+        |  CAST(8 + doc_id % 5 AS BIGINT) AS width,
+        |  CAST(8 + doc_id % 5 AS BIGINT) AS height,
+        |  CAST(CASE WHEN 3 + doc_id % 4 > 4 THEN 3 ELSE 2 END AS BIGINT)
+        |    AS sampled_frames,
+        |  CAST((doc_id * 31) % 256 + (doc_id * 31 + 34) % 256 +
+        |    CASE WHEN 3 + doc_id % 4 > 4
+        |      THEN (doc_id * 31 + 68) % 256 ELSE 0 END AS BIGINT)
+        |    AS intensity_sum,
+        |  'gif' AS codec
         |FROM documents""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

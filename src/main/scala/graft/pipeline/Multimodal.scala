@@ -234,6 +234,118 @@ object Multimodal {
     }
   }
 
+  final case class VideoStats(media_id: Long, n_frames: Long, width: Long,
+      height: Long, sampled_frames: Long, intensity_sum: Long, codec: String)
+
+  /** Render a REAL multi-frame animated GIF per (id, side, nFrames) row
+    * with the JDK's ImageIO GIF sequence writer — the fixture side of
+    * the video path. Frame `f` is a solid gray at level
+    * `(id*31 + f*17) mod 256`; frames are TYPE_BYTE_INDEXED over a full
+    * 256-gray palette so the encoder stores the level losslessly (no
+    * quantization — the decode oracle can state the intensity as
+    * integer arithmetic). One writer per payload, one codec instance
+    * per partition (mapPartitions). */
+  def renderGif(ds: Dataset[(Long, Int, Int)]): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val grays = Array.tabulate(256)(_.toByte)
+      val palette = new java.awt.image.IndexColorModel(
+        8, 256, grays, grays, grays)
+      it.map { case (id, side, nFrames) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        require(writer.canWriteSequence,
+          "JDK GIF writer lost sequence support")
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          val g = ((id * 31 + f * 17) % 256).toInt
+          val img = new java.awt.image.BufferedImage(side, side,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+          val raster = img.getRaster
+          var y = 0
+          while (y < side) {
+            var x = 0
+            while (x < side) { raster.setSample(x, y, 0, g); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        writer.dispose()
+        ios.close()
+        MediaRecord(id, "video", bos.toByteArray,
+          MediaMeta(Some(side), Some(side), Some(nFrames * 40L),
+            Some("gif")))
+      }
+    }
+  }
+
+  /** REAL video decode + frame-sample: parse each payload with the
+    * ImageIO GIF reader, count ALL frames (`getNumImages(true)` walks
+    * the stream), then decode only every `stride`-th frame — the
+    * canonical training-pipeline shape where a 10-minute clip yields a
+    * handful of keyframes and the decoder must NOT materialize the
+    * rest. Emits the exact per-frame mean intensity summed over the
+    * sampled frames (solid-gray fixture frames make the mean an
+    * integer). Unreadable payloads yield a (-1, …, "undecodable")
+    * sentinel instead of failing the job. */
+  def decodeVideoStats(ds: Dataset[MediaRecord], stride: Int = 2)
+      : Dataset[VideoStats] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { rec =>
+        var iis: javax.imageio.stream.ImageInputStream = null
+        try {
+          iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(rec.payload))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext)
+            VideoStats(rec.mediaId, -1L, -1L, -1L, -1L, -1L, "undecodable")
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, false, true)
+              val n = reader.getNumImages(true)
+              val w = reader.getWidth(0)
+              val h = reader.getHeight(0)
+              var sampled = 0L
+              var sum = 0L
+              var f = 0
+              while (f < n) {
+                val img = reader.read(f)
+                var acc = 0L
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    acc += (img.getRGB(x, y) & 0xFF) // gray: B==G==R
+                    x += 1
+                  }
+                  y += 1
+                }
+                sum += acc / (img.getWidth.toLong * img.getHeight)
+                sampled += 1
+                f += stride
+              }
+              VideoStats(rec.mediaId, n.toLong, w.toLong, h.toLong,
+                sampled, sum, rec.meta.codec.getOrElse("gif"))
+            } finally reader.dispose()
+          }
+        } catch {
+          case _: java.io.IOException =>
+            VideoStats(rec.mediaId, -1L, -1L, -1L, -1L, -1L, "undecodable")
+        } finally if (iis != null) iis.close()
+      }
+    }
+  }
+
   /** Build a demo media table from any text source (payload = UTF-8
     * bytes) — lets the binary plumbing run against the driver's
     * documents table without real media files. */

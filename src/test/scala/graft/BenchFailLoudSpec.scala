@@ -51,4 +51,21 @@ class BenchFailLoudSpec extends AnyFunSuite {
       "point_query", "live_injection_50ev").foreach(k =>
       assert(report.results.contains(k), k))
   }
+
+  test("compact summary line fits whole inside the driver's 2000-char " +
+      "stdout tail, even when hundreds of queries fail") {
+    val boom: (SparkSession, String) => DataFrame =
+      (_, _) => throw new IllegalStateException("forced")
+    val manyFailing = (1 to 300)
+      .map(i => f"q$i%03d_a_rather_long_query_name" -> boom).toMap
+    val report = Bench.run(spark, sf, manyFailing,
+      nCpus = 4, scaleQuads = 5000L)
+    assert(!report.ok)
+    assert(report.compactJson.startsWith("{\"metric\":\"total\""))
+    assert(report.compactJson.contains("\"failed_n\":300"))
+    // compact line + sbt's "[success] Total time..." trailer must both
+    // fit in the 2000-char window with margin
+    assert(report.compactJson.length < 1800,
+      s"compact line too long: ${report.compactJson.length}")
+  }
 }

@@ -460,6 +460,38 @@ class PipelineSpec extends AnyFunSuite {
     assert((bad.sample_rate, bad.codec) === ((-1L, "undecodable")))
   }
 
+  test("multimodal: REAL animated-GIF round-trip — sequence-written " +
+      "payloads decode to frame count and exact sampled intensities") {
+    import spark.implicits._
+    val specs = spark.createDataset(Seq(
+      (7L, 10, 5), (2L, 8, 3), (41L, 12, 6)))
+    val media = Multimodal.renderGif(specs)
+    // payloads are genuine GIF89a streams
+    val payloads = media.collect()
+    assert(payloads.forall(_.payload.take(6).toSeq ===
+      "GIF89a".getBytes.toSeq))
+    val dec = Multimodal.decodeVideoStats(media, stride = 2).collect()
+      .map(v => v.media_id ->
+        ((v.n_frames, v.width, v.height, v.sampled_frames,
+          v.intensity_sum))).toMap
+    def sum(id: Long, nf: Int) =
+      (0 until nf by 2).map(f => (id * 31 + f * 17) % 256).sum
+    assert(dec === Map(
+      7L -> ((5L, 10L, 10L, 3L, sum(7, 5))),
+      2L -> ((3L, 8L, 8L, 2L, sum(2, 3))),
+      41L -> ((6L, 12L, 12L, 3L, sum(41, 6)))))
+    // stride 1 decodes every frame; counts agree with getNumImages
+    val all = Multimodal.decodeVideoStats(media, stride = 1).collect()
+      .map(v => v.media_id -> v.sampled_frames).toMap
+    assert(all === Map(7L -> 5L, 2L -> 3L, 41L -> 6L))
+    // corrupt payload: reported, not thrown
+    val junk = spark.createDataset(Seq(Multimodal.MediaRecord(
+      9L, "video", Array[Byte](71, 73, 70, 56),
+      Multimodal.MediaMeta(None, None, None, None))))
+    val bad = Multimodal.decodeVideoStats(junk).collect().head
+    assert((bad.n_frames, bad.codec) === ((-1L, "undecodable")))
+  }
+
   test("semantic dedup: equals brute force on separated clusters; " +
       "subset of brute force always; min-id keeper") {
     import spark.implicits._
