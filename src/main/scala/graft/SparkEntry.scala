@@ -2137,12 +2137,15 @@ object SparkEntry {
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
         |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
         |  FROM t WHERE len(toks) >= 3),
+        |e AS (
+        |  SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s),
         |p AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
-        |    CAST(len(a.sh) + len(b.sh) AS DOUBLE)
-        |      - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS uni
-        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |    CAST(COUNT(*) AS DOUBLE) AS inter,
+        |    CAST(MIN(a.n) + MIN(b.n) AS DOUBLE)
+        |      - CAST(COUNT(*) AS DOUBLE) AS uni
+        |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
         |SELECT id_a, id_b, ROUND(inter / uni, 6) AS jaccard
         |FROM p WHERE uni > 0 AND inter / uni >= 0.8""".stripMargin,
     "dedup_minhash" ->
@@ -2153,12 +2156,15 @@ object SparkEntry {
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
         |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
         |  FROM t WHERE len(toks) >= 3),
+        |e AS (
+        |  SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s),
         |p AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
-        |    CAST(len(a.sh) + len(b.sh) AS DOUBLE)
-        |      - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS uni
-        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |    CAST(COUNT(*) AS DOUBLE) AS inter,
+        |    CAST(MIN(a.n) + MIN(b.n) AS DOUBLE)
+        |      - CAST(COUNT(*) AS DOUBLE) AS uni
+        |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
         |SELECT id_a, id_b, ROUND(inter / uni, 6) AS jaccard
         |FROM p WHERE uni > 0 AND inter / uni >= 0.8""".stripMargin,
     "dedup_corpus" ->
@@ -2169,12 +2175,15 @@ object SparkEntry {
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
         |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
         |  FROM t WHERE len(toks) >= 3),
+        |e AS (
+        |  SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s),
         |p AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
-        |    CAST(len(a.sh) + len(b.sh) AS DOUBLE)
-        |      - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS uni
-        |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+        |    CAST(COUNT(*) AS DOUBLE) AS inter,
+        |    CAST(MIN(a.n) + MIN(b.n) AS DOUBLE)
+        |      - CAST(COUNT(*) AS DOUBLE) AS uni
+        |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
         |drops AS (
         |  SELECT DISTINCT id_b FROM p WHERE uni > 0 AND inter / uni >= 0.8)
         |SELECT doc_id FROM documents
@@ -2187,12 +2196,16 @@ object SparkEntry {
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
         |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
         |  FROM t WHERE len(toks) >= 3),
+        |e AS (
+        |  SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s),
         |p AS (
         |  SELECT b.doc_id AS new_id, a.doc_id AS corpus_id,
-        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
-        |    CAST(len(a.sh) + len(b.sh) AS DOUBLE)
-        |      - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS uni
-        |  FROM s a JOIN s b ON a.doc_id < 400 AND b.doc_id >= 400)
+        |    CAST(COUNT(*) AS DOUBLE) AS inter,
+        |    CAST(MIN(a.n) + MIN(b.n) AS DOUBLE)
+        |      - CAST(COUNT(*) AS DOUBLE) AS uni
+        |  FROM e a JOIN e b ON a.shingle = b.shingle
+        |    AND a.doc_id < 400 AND b.doc_id >= 400
+        |  GROUP BY a.doc_id, b.doc_id)
         |SELECT new_id, corpus_id, ROUND(inter / uni, 6) AS jaccard
         |FROM p WHERE uni > 0 AND inter / uni >= 0.8""".stripMargin,
     // transitive duplicate clusters: DuckDB recursive CTE computes, per
@@ -2286,12 +2299,15 @@ object SparkEntry {
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
         |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
         |  FROM t WHERE len(toks) >= 3),
+        |sx AS (
+        |  SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s),
         |p AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
-        |    CAST(len(a.sh) + len(b.sh) AS DOUBLE)
-        |      - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS uni
-        |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+        |    CAST(COUNT(*) AS DOUBLE) AS inter,
+        |    CAST(MIN(a.n) + MIN(b.n) AS DOUBLE)
+        |      - CAST(COUNT(*) AS DOUBLE) AS uni
+        |  FROM sx a JOIN sx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
         |e AS (
         |  SELECT id_a AS src, id_b AS dst FROM p
         |  WHERE uni > 0 AND inter / uni >= 0.8
