@@ -1384,6 +1384,33 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Supervised curation filter (fasttext shape): multinomial NB over
+    // tokens, trained on docs < 400 with the real `lang` labels, capped
+    // 512-token vocabulary. The MODEL is exact integer counts — the
+    // oracle restates training verbatim
+    "classify_nb_counts" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val m = graft.pipeline.Classifier.trainNaiveBayes(
+        docs.where(col("doc_id") < 400), col("text"), col("lang"),
+        vocabSize = 512)
+      m.tokenCounts.select(col("token"), col("label").as("lang"),
+        col("cnt"))
+    }),
+
+    // ... and PREDICTIONS on the held-out docs >= 400: broadcast-join
+    // scoring, argmax with (score desc, label asc) tie-break, logp
+    // rounded to 6 (the surprisal float discipline)
+    "classify_nb" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val m = graft.pipeline.Classifier.trainNaiveBayes(
+        docs.where(col("doc_id") < 400), col("text"), col("lang"),
+        vocabSize = 512)
+      graft.pipeline.Classifier.scoreNaiveBayes(
+        docs.where(col("doc_id") >= 400), col("doc_id"), col("text"), m)
+        .select(col("id").as("doc_id"), col("label").as("pred_lang"),
+          col("logp"))
+    }),
+
     // Benchmark-contamination screen: docs >= 450 act as the "eval set";
     // each train doc's distinct-3-gram overlap against the broadcast
     // eval n-gram set (semi-join + one doc-keyed agg — no corpus×corpus)
@@ -2530,6 +2557,51 @@ object SparkEntry {
         |  COUNT(*) AS n_tokens
         |FROM f LEFT JOIN v USING (token), tot
         |GROUP BY f.doc_id""".stripMargin,
+    "classify_nb_counts" ->
+      """WITH tr AS (
+        |  SELECT lang, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 400),
+        |trf AS (SELECT lang, unnest(toks) AS token FROM tr),
+        |cnt AS (SELECT lang, token, COUNT(*) AS cnt FROM trf GROUP BY 1, 2),
+        |vocab AS (SELECT token FROM (
+        |    SELECT token, SUM(cnt) AS tf FROM cnt GROUP BY token)
+        |  ORDER BY tf DESC, token ASC LIMIT 512)
+        |SELECT c.token, c.lang, c.cnt FROM cnt c JOIN vocab USING (token)""".stripMargin,
+    "classify_nb" ->
+      """WITH tr AS (
+        |  SELECT lang, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 400),
+        |trf AS (SELECT lang, unnest(toks) AS token FROM tr),
+        |cnt AS (SELECT lang, token, COUNT(*) AS cnt FROM trf GROUP BY 1, 2),
+        |vocab AS (SELECT token FROM (
+        |    SELECT token, SUM(cnt) AS tf FROM cnt GROUP BY token)
+        |  ORDER BY tf DESC, token ASC LIMIT 512),
+        |vcnt AS (SELECT c.lang, c.token, c.cnt FROM cnt c
+        |         JOIN vocab USING (token)),
+        |v AS (SELECT COUNT(DISTINCT token) AS v FROM vcnt),
+        |n AS (SELECT COUNT(*) AS n FROM tr),
+        |cls AS (SELECT t.lang, t.n_docs, COALESCE(m.tot, 0) AS tot FROM
+        |    (SELECT lang, COUNT(*) AS n_docs FROM tr GROUP BY lang) t
+        |  LEFT JOIN (SELECT lang, SUM(cnt) AS tot FROM vcnt
+        |             GROUP BY lang) m USING (lang)),
+        |te AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents WHERE doc_id >= 400),
+        |sc AS (
+        |  SELECT te.doc_id, cls.lang,
+        |    ln(cls.n_docs * 1.0 / n.n) +
+        |    SUM(ln((COALESCE(vc.cnt, 0) + 1.0)
+        |            / (cls.tot + v.v + 1.0))) AS score
+        |  FROM te
+        |  CROSS JOIN cls
+        |  CROSS JOIN n
+        |  CROSS JOIN v
+        |  LEFT JOIN vcnt vc ON vc.token = te.token AND vc.lang = cls.lang
+        |  GROUP BY te.doc_id, cls.lang, cls.n_docs, cls.tot, n.n, v.v)
+        |SELECT doc_id, lang AS pred_lang, ROUND(score, 6) AS logp
+        |FROM sc
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+        |  ORDER BY score DESC, lang ASC) = 1""".stripMargin,
     "contam_overlap" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
