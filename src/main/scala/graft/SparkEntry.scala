@@ -1384,6 +1384,15 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // KenLM-filter shape: interpolated bigram LM surprisal —
+    // p(w2|w1) = 0.7 c(w1w2)/c(w1) + 0.3 laplace-unigram(w2); one
+    // (w1,w2) count shuffle, doc stream equi-joins the count tables
+    "text_bigram_lm" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.bigramSurprisal(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")),
+
     // Supervised curation filter (fasttext shape): multinomial NB over
     // tokens, trained on docs < 400 with the real `lang` labels, capped
     // 512-token vocabulary. The MODEL is exact integer counts — the
@@ -2557,6 +2566,28 @@ object SparkEntry {
         |  COUNT(*) AS n_tokens
         |FROM f LEFT JOIN v USING (token), tot
         |GROUP BY f.doc_id""".stripMargin,
+    "text_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |u AS (SELECT unnest(toks) AS w FROM t),
+        |c1 AS (SELECT w, COUNT(*) AS c FROM u GROUP BY w),
+        |tot AS (SELECT SUM(c) AS t, COUNT(*) AS v FROM c1),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+        |    unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+        |  FROM t WHERE len(toks) >= 2),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+        |SELECT bg.doc_id,
+        |  ROUND(AVG(-log2(0.7 * c2.c / ca.c
+        |    + 0.3 * (cb.c + 1.0) / (tot.t + tot.v))), 6) AS bits_per_bigram,
+        |  COUNT(*) AS n_bigrams
+        |FROM bg
+        |JOIN c2 USING (w1, w2)
+        |JOIN c1 ca ON ca.w = bg.w1
+        |JOIN c1 cb ON cb.w = bg.w2
+        |CROSS JOIN tot
+        |GROUP BY bg.doc_id""".stripMargin,
     "classify_nb_counts" ->
       """WITH tr AS (
         |  SELECT lang, string_split_regex(lower(trim(text)), '\s+') AS toks

@@ -387,6 +387,47 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Interpolated bigram language-model surprisal (the KenLM-filter
+    * shape): bits/bigram under
+    * p(w2|w1) = λ·c(w1,w2)/c(w1) + (1−λ)·p_uni(w2), with the same
+    * Laplace unigram as [[unigramSurprisal]]. All counts are exact
+    * integers, so the score is engine-portable modulo the round-6
+    * float discipline. Docs with fewer than two tokens drop out.
+    *
+    * Scale shape: ONE bigram-count aggregation with map-side combine
+    * (the only new shuffle — keyed on (w1,w2), never on documents),
+    * then the per-doc bigram stream equi-joins the count tables; the
+    * unigram side broadcasts when it fits and the T/V totals ride as
+    * a broadcast single-row aggregate. No windows, no driver state. */
+  def bigramSurprisal(df: DataFrame, idCol: Column, textCol: Column,
+      lambda: Double = 0.7): DataFrame = {
+    val toks = df.select(idCol.as("id"), tokens(textCol).as("__toks"))
+      .where(size(col("__toks")) >= 2)
+    val bg = toks.select(col("id"),
+        explode(transform(sequence(lit(1), size(col("__toks")) - 1),
+          i => struct(element_at(col("__toks"), i).as("w1"),
+            element_at(col("__toks"), i + 1).as("w2")))).as("__p"))
+      .select(col("id"), col("__p.w1"), col("__p.w2"))
+    val uni = df.select(explode(tokens(textCol)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val totals = uni.agg(sum(col("c1")).as("__t"),
+      count(lit(1)).as("__v"))
+    val big = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    bg
+      .join(big, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+      .join(uni.withColumnRenamed("w", "w2")
+        .withColumnRenamed("c1", "c1b"), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("__logp", log2(
+        lit(lambda) * col("c2").cast("double") / col("c1") +
+        lit(1.0 - lambda) * (col("c1b") + 1.0) /
+          (col("__t") + col("__v"))))
+      .groupBy(col("id"))
+      .agg(round(avg(-col("__logp")), 6).as("bits_per_bigram"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** Order-sensitive rolling (polynomial) hash over tokens:
     * `acc = acc * 31 + tokenHash (mod P)`. Distinguishes documents
     * that are permutations of each other (where set-based fingerprints

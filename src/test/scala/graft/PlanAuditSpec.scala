@@ -382,4 +382,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"bucket join degraded to nested loop:\n$plan")
   }
+
+  test("NB scoring joins the model as a BROADCAST hash join — no " +
+      "shuffle keyed on tokens, no cartesian beyond the C-class " +
+      "broadcast expansion") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val m = graft.pipeline.Classifier.trainNaiveBayes(
+      docs.where(col("doc_id") < 40), col("text"), col("lang"))
+    val scored = graft.pipeline.Classifier.scoreNaiveBayes(
+      docs.where(col("doc_id") >= 40), col("doc_id"), col("text"), m)
+    val plan = executedPlan(scored)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model join did not broadcast:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesianproduct"), plan)
+    // the doc-keyed aggregation pre-combines map-side
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
+      s"score aggregation shape unexpected:\n$plan")
+  }
 }

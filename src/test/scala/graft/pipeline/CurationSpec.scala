@@ -204,6 +204,32 @@ class CurationSpec extends AnyFunSuite {
       math.log(18.0) / math.log(2.0)) < 1e-6)
   }
 
+  test("bigram LM surprisal: hand-computed interpolated scores; " +
+      "sub-two-token docs drop out; partitioning-independent") {
+    val corpus = Seq(
+      (1L, "a b a b"), (2L, "a b"), (3L, "c")).toDF("id", "text")
+    // c1: a=3 b=3 c=1, T=7 V=3; c2: (a,b)=3 (b,a)=1
+    val pAB = 0.7 * 3 / 3.0 + 0.3 * (3 + 1.0) / 10.0 // = .82
+    val pBA = 0.7 * 1 / 3.0 + 0.3 * (3 + 1.0) / 10.0
+    def bits(p: Double) = -math.log(p) / math.log(2.0)
+    val out = TextAnalysis.bigramSurprisal(corpus, col("id"), col("text"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Double]("bits_per_bigram"), r.getAs[Long]("n_bigrams"))))
+      .toMap
+    assert(out.keySet === Set(1L, 2L)) // "c" has no bigram
+    assert(out(1L)._2 === 3L)
+    assert(math.abs(out(1L)._1 -
+      (bits(pAB) * 2 + bits(pBA)) / 3.0) < 1e-5)
+    assert(math.abs(out(2L)._1 - bits(pAB)) < 1e-5)
+    // repetitive text is cheap, novel transitions cost bits
+    assert(out(2L)._1 < out(1L)._1 || out(1L)._1 > 0)
+    val p7 = TextAnalysis.bigramSurprisal(corpus.repartition(7),
+      col("id"), col("text")).collect()
+      .map(r => r.getAs[Long]("id") ->
+        r.getAs[Double]("bits_per_bigram")).toMap
+    assert(p7 === out.map { case (k, v) => k -> v._1 })
+  }
+
   // ---- sampling --------------------------------------------------------
 
   private lazy val keyed = (0L until 2000L).map(i =>
