@@ -1083,6 +1083,64 @@ object SparkEntry {
       }
     }),
 
+    // ---- Temporal joins + sessionization over events ----
+
+    // Backward as-of join: each purchase ← latest click by the same
+    // user at or before the purchase instant (union + one ignore-nulls
+    // window — a single key shuffle, no per-key nested loop)
+    "asof_join" -> ((s, dir) => {
+      val ev = EventsAsQuads.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_ms"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("cts"), col("value").as("click_value"))
+      graft.pipeline.Temporal.asOfJoin(purchases, clicks,
+          key = "user_id", leftTs = "ts", rightTs = "cts",
+          rightPayload = Seq("click_id", "click_value"),
+          rightTieBreak = "click_id")
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          col("click_id"), round(col("click_value"), 6).as("click_value"),
+          col("asof_gap_ms"))
+    }),
+
+    // Banded event-time range join: every click within the 12 hours
+    // BEFORE each purchase (time-bucketed band join: right rows hash to
+    // one (key, bucket), left explodes to ≤2 buckets — a pure equi-join,
+    // not an equi-join-with-range-residual that nests on hot keys)
+    "range_join" -> ((s, dir) => {
+      val ev = EventsAsQuads.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("cts"))
+      graft.pipeline.Temporal.rangeJoin(purchases, clicks,
+          key = "user_id", leftTs = "ts", rightTs = "cts",
+          rightPayload = Seq("click_id"),
+          beforeMs = 12L * 3600 * 1000, afterMs = 0L)
+        .select(col("event_id"), col("user_id"), col("click_id"))
+    }),
+
+    // Gap-based sessionization: 4h inactivity splits a user's event
+    // stream into sessions (lag + running sum in ONE window pass)
+    "sessionize" -> ((s, dir) =>
+      graft.pipeline.Temporal.sessionize(
+        EventsAsQuads.events(s, dir),
+        key = "user_id", ts = "ts", gapMs = 4L * 3600 * 1000,
+        tieBreak = "event_id")
+        .select(col("event_id"), col("user_id"), col("session_id"))),
+
+    // Per-session summaries over the sessionized stream
+    "session_stats" -> ((s, dir) => {
+      val sess = graft.pipeline.Temporal.sessionize(
+        EventsAsQuads.events(s, dir),
+        key = "user_id", ts = "ts", gapMs = 4L * 3600 * 1000,
+        tieBreak = "event_id")
+      graft.pipeline.Temporal.sessionStats(sess,
+        key = "user_id", ts = "ts", distinctOf = "event_type")
+    }),
+
     // ---- LLM-data-pipeline operators over documents/embeddings ----
 
     // Exact dedup: content-hash groupBy (map-side combine)
@@ -2162,6 +2220,75 @@ object SparkEntry {
       s"""SELECT '<http://graft.dev/e/' || CAST(event_id AS VARCHAR) || '>' AS e,
          |  '"' || event_type || '"' AS t
          |FROM events""".stripMargin,
+    "asof_join" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS ts_us,
+        |    value AS click_value FROM events WHERE event_type = 'click'),
+        |u AS (
+        |  SELECT user_id, ts_us, 1 AS side, event_id,
+        |    NULL::BIGINT AS click_id FROM l
+        |  UNION ALL
+        |  SELECT user_id, ts_us, 0, NULL, click_id FROM r),
+        |w AS (
+        |  SELECT user_id, ts_us, side, event_id,
+        |    last_value(click_id IGNORE NULLS) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY ts_us, side, click_id NULLS FIRST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_id
+        |  FROM u)
+        |SELECT w.event_id, w.user_id, w.ts_us // 1000 AS ts_ms,
+        |  w.m_id AS click_id, round(r.click_value, 6) AS click_value,
+        |  (w.ts_us // 1000) - (r.ts_us // 1000) AS asof_gap_ms
+        |FROM w LEFT JOIN r ON w.m_id = r.click_id
+        |WHERE w.side = 1""".stripMargin,
+    "range_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, c.click_id
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.ts_us >= p.ts_us - 43200000000
+        |  AND c.ts_us <= p.ts_us""".stripMargin,
+    "sessionize" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 14400000000
+        |      THEN 1 ELSE 0 END AS nb
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT event_id, user_id,
+        |  CAST(SUM(nb) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+        |    AS BIGINT) AS session_id
+        |FROM b""".stripMargin,
+    "session_stats" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 14400000000
+        |      THEN 1 ELSE 0 END AS nb
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (
+        |  SELECT user_id, event_type, ts_us,
+        |    CAST(SUM(nb) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+        |      AS BIGINT) AS session_id
+        |  FROM b)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts_us // 1000) AS start_ms, MAX(ts_us // 1000) AS end_ms,
+        |  MAX(ts_us // 1000) - MIN(ts_us // 1000) AS duration_ms,
+        |  COUNT(DISTINCT event_type) AS n_event_type
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, COUNT(*) AS n, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1""".stripMargin,

@@ -59,6 +59,11 @@ object native {
     * micros directly, so the result is identical in every session). */
   def ntzEpochMillis(ts: Column): Column = c(NtzEpochMillisExpr(e(ts)))
 
+  /** Epoch microseconds of a TIMESTAMP_NTZ column, naive-as-UTC — the
+    * full-precision sibling of [[ntzEpochMillis]] (NTZ stores epoch
+    * micros internally; this is a pure reinterpretation). */
+  def ntzEpochMicros(ts: Column): Column = c(NtzEpochMicrosExpr(e(ts)))
+
   /** Max within-document token frequency — turns the repetition
     * profile's mode count from explode + two shuffles into a map
     * stage. */
@@ -254,6 +259,18 @@ final case class NtzEpochMillisExpr(child: Expression)
     defineCodeGen(ctx, ev, cv => s"java.lang.Math.floorDiv($cv, 1000L)")
   override protected def withNewChildInternal(newChild: Expression)
       : NtzEpochMillisExpr = copy(child = newChild)
+}
+
+final case class NtzEpochMicrosExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_ntz_epoch_micros"
+  override protected def nullSafeEval(input: Any): Any =
+    input.asInstanceOf[Long]
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, cv => cv)
+  override protected def withNewChildInternal(newChild: Expression)
+      : NtzEpochMicrosExpr = copy(child = newChild)
 }
 
 final case class NormalizeNfcExpr(child: Expression)

@@ -1,0 +1,199 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, TimestampNTZType,
+  TimestampType}
+
+/** Temporal join + sessionization operators.
+  *
+  * The curation counterpart of the engine's window operators: aligning a
+  * fact stream against the most recent state of another stream (as-of
+  * join — "what was the last click before this purchase?"), banded
+  * event-time joins (range join — "all clicks within ±1h of a
+  * purchase"), and gap-based sessionization (the standard unit of web
+  * behaviour data). All three are shaped for the 100 TB case: one
+  * key-hash shuffle each, no per-key nested loop, no driver state.
+  *
+  * Timestamps are compared in epoch microseconds (`unix_micros`), so
+  * the semantics are timezone-free and identical on any engine.
+  */
+object Temporal {
+
+  /** Event-time column → epoch MICROSECONDS, tolerant of every shape the
+    * driver's tables have shipped: TIMESTAMP, TIMESTAMP_NTZ (naive value
+    * reinterpreted as UTC, session-zone-free — see
+    * [[graft.expressions.native.ntzEpochMicros]]), or an already-numeric
+    * epoch-milliseconds column (the repo's `ts_ms` convention). */
+  private def tsUs(df: DataFrame, name: String): Column =
+    df.schema(name).dataType match {
+      case TimestampType    => unix_micros(col(name))
+      case TimestampNTZType => graft.expressions.native.ntzEpochMicros(col(name))
+      case _: NumericType   => col(name).cast("long") * 1000L
+      case other => throw new IllegalArgumentException(
+        s"$name: expected timestamp or epoch-ms numeric, got $other")
+    }
+
+  /** Backward as-of join: for every left row, the single most recent
+    * right row with the same key and `rightTs <= leftTs` (optionally
+    * within `toleranceMs`). Left rows with no admissible right row keep
+    * nulls (left-outer semantics).
+    *
+    * Plan shape — the classic scalable formulation, NOT a per-key
+    * nested loop: tag both sides, union, then ONE window over
+    * (key, ts, side, tieBreak) and `last(payload, ignoreNulls)`. Cost
+    * is a single hash-partition shuffle on the key plus an in-partition
+    * sort: O(n log n) rows touched once, no join explosion, no driver
+    * involvement. At 100 TB the key (user/entity) cardinality vastly
+    * exceeds core count, so per-key serialization is immaterial; a
+    * single degenerate hot key is the caller's signal to pre-aggregate
+    * that key, not a property of this plan.
+    *
+    * Ties: right rows at `rightTs == leftTs` ARE admissible (inclusive
+    * bound) and sort before the left row; among right rows with equal
+    * ts the one with the greatest `rightTieBreak` wins. Deterministic
+    * under any partitioning.
+    *
+    * @param rightPayload right-side columns to carry (joined output is
+    *        `left.* ++ rightPayload` with an `asof_gap_ms` column)
+    * @param rightTieBreak a right column with no (key, ts)-duplicates
+    *        (an id); greatest value wins equal-ts ties
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightPayload: Seq[String],
+      rightTieBreak: String, toleranceMs: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rUs = tsUs(right, rightTs)
+    val payloadStruct = struct(
+      floor(rUs / 1000L).cast("long").as("__rts_ms") +:
+        rightPayload.map(c => col(c).as(c)): _*)
+    val r2 = right.select(
+      col(key).as("__k"),
+      rUs.as("__ts_us"),
+      lit(0).as("__side"),
+      col(rightTieBreak).cast("long").as("__tb"),
+      payloadStruct.as("__r"))
+    val rStructType = r2.schema("__r").dataType
+    val l2 = left.select(
+      col(key).as("__k"),
+      tsUs(left, leftTs).as("__ts_us"),
+      lit(1).as("__side"),
+      lit(null).cast("long").as("__tb"),
+      lit(null).cast(rStructType).as("__r"),
+      struct(leftCols.map(col): _*).as("__l"))
+    val unioned = r2
+      .withColumn("__l", lit(null).cast(l2.schema("__l").dataType))
+      .unionByName(l2)
+
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__ts_us").asc, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matchedRaw = last(col("__r"), ignoreNulls = true).over(w)
+
+    val withMatch = unioned
+      .withColumn("__m", matchedRaw)
+      .where(col("__side") === 1)
+    val gapMs = floor(col("__ts_us") / 1000L).cast("long") -
+      col("__m.__rts_ms")
+    val admissible = toleranceMs match {
+      case Some(tol) => col("__m").isNotNull && gapMs <= lit(tol)
+      case None      => col("__m").isNotNull
+    }
+    val m = when(admissible, col("__m"))
+    withMatch.select(
+      leftCols.map(c => col(s"__l.$c").as(c)) ++
+        rightPayload.map(c => m.getField(c).as(c)) :+
+        when(admissible, gapMs).as("asof_gap_ms"): _*)
+  }
+
+  /** Banded event-time range join: all (left, right) pairs with equal
+    * key and `rightTs` within `[leftTs - beforeMs, leftTs + afterMs]`
+    * (both bounds inclusive). Emits `left.* ++ rightPayload`, one row
+    * per admissible pair.
+    *
+    * Plan shape — time-bucketed band join, not equi-join-then-filter:
+    * with bucket width W = beforeMs + afterMs, each RIGHT row lands in
+    * exactly one `(key, floor(ts/W))` bucket while each left row's
+    * admissible band spans at most two consecutive buckets, so the left
+    * side explodes to ≤ 2 rows and the join is a pure equi-join on
+    * `(key, bucket)` with the exact band check as a post-filter. No
+    * pair is produced twice (a right row exists in one bucket only), so
+    * no dedup pass. Shuffle cost: 2·|left| + |right| rows hashed on
+    * (key, bucket) — survives 100× scale-up wherever the output does,
+    * and AQE splits any skewed bucket. A same-key equi-join with a
+    * range residual would instead sort-merge ALL same-key pairs:
+    * O(|key group|²) on hot keys.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightPayload: Seq[String],
+      beforeMs: Long, afterMs: Long): DataFrame = {
+    require(beforeMs >= 0 && afterMs >= 0 && beforeMs + afterMs > 0,
+      "band must be non-empty and non-negative")
+    val wUs = (beforeMs + afterMs) * 1000L
+    val leftCols = left.columns.toSeq
+
+    val l2 = left
+      .withColumn("__lts_us", tsUs(left, leftTs))
+      .withColumn("__b0", floor((col("__lts_us") - lit(beforeMs * 1000L)) /
+        lit(wUs)))
+      .withColumn("__b1", floor((col("__lts_us") + lit(afterMs * 1000L)) /
+        lit(wUs)))
+      .withColumn("__bucket",
+        explode(array_distinct(array(col("__b0"), col("__b1")))))
+    val r2 = right.select(
+      Seq(col(key).as("__rk"),
+        tsUs(right, rightTs).as("__rts_us"),
+        floor(tsUs(right, rightTs) / lit(wUs)).as("__rbucket")) ++
+        rightPayload.map(c => col(c).as(s"__p_$c")): _*)
+
+    l2.join(r2,
+        col(key) === col("__rk") && col("__bucket") === col("__rbucket") &&
+          col("__rts_us") >= col("__lts_us") - lit(beforeMs * 1000L) &&
+          col("__rts_us") <= col("__lts_us") + lit(afterMs * 1000L))
+      .select(leftCols.map(col) ++
+        rightPayload.map(c => col(s"__p_$c").as(c)): _*)
+  }
+
+  /** Gap-based sessionization: per key, ordered by (ts, tieBreak), a
+    * new session starts whenever the gap to the previous row strictly
+    * exceeds `gapMs` (split at `gap > gapMs` — the same convention as
+    * Structured Streaming's native `session_window`, which merges
+    * touching windows, so the batch and streaming variants agree
+    * event-for-event; SessionStreamSpec pins the boundary case). Adds
+    * `session_id` (0-based per key) — the standard unit of behavioural
+    * training data (one session = one interaction trajectory).
+    *
+    * One window = one key-hash shuffle + in-partition sort; the
+    * boundary flag and its running sum share the same window frame, so
+    * Catalyst evaluates both in a single Window operator pass. */
+  def sessionize(df: DataFrame, key: String, ts: String,
+      gapMs: Long, tieBreak: String): DataFrame = {
+    require(gapMs > 0, "gap must be positive")
+    val t = tsUs(df, ts)
+    val order = Window.partitionBy(col(key))
+      .orderBy(t.asc, col(tieBreak).asc)
+    val prev = lag(t, 1).over(order)
+    val boundary = when(prev.isNull ||
+      t - prev > gapMs * 1000L, 1L).otherwise(0L)
+    df.withColumn("session_id",
+      sum(boundary).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1L)
+  }
+
+  /** Per-session summary over [[sessionize]] output: event count,
+    * start/end/duration (epoch ms), and distinct-value count of
+    * `distinctOf`. Partial aggregation is map-side; the shuffle moves
+    * only per-(key, session) partials. */
+  def sessionStats(sessions: DataFrame, key: String, ts: String,
+      distinctOf: String): DataFrame = {
+    val tsMs = floor(tsUs(sessions, ts) / 1000L).cast("long")
+    sessions.groupBy(col(key), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(tsMs).as("start_ms"),
+        max(tsMs).as("end_ms"),
+        (max(tsMs) - min(tsMs)).as("duration_ms"),
+        count_distinct(col(distinctOf)).as(s"n_$distinctOf"))
+  }
+}

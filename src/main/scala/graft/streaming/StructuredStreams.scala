@@ -63,6 +63,31 @@ object StructuredStreams {
       .agg(count(lit(1)).as("n"),
         avg(col("object").try_cast("double")).as("mean_value"))
 
+  /** Streaming gap-based sessionization: Structured Streaming's native
+    * `session_window` (dynamic-gap session merge inside the stateful
+    * aggregation operator) over an epoch-ms event stream. Sessions
+    * close — and emit exactly one final row — once the watermark passes
+    * their end; state is bounded by the open-session count, not stream
+    * length. The batch twin is [[graft.pipeline.Temporal.sessionize]]
+    * — identical gap semantics (session_window merges TOUCHING windows,
+    * so a split needs `gap > gapMs` strictly, same as the batch
+    * boundary flag), so replaying a stream through either path yields
+    * the same sessions (SessionStreamSpec asserts it event-for-event,
+    * boundary case included). */
+  def streamingSessions(events: DataFrame, keyCol: String, tsMsCol: String,
+      gapMs: Long, watermarkDelayMs: Long = 10000): DataFrame =
+    events
+      .withColumn("__event_time", timestamp_millis(col(tsMsCol)))
+      .withWatermark("__event_time", s"$watermarkDelayMs milliseconds")
+      .groupBy(
+        session_window(col("__event_time"), s"$gapMs milliseconds"),
+        col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsMsCol)).as("start_ms"),
+        max(col(tsMsCol)).as("end_ms"))
+      .select(col(keyCol), col("n_events"), col("start_ms"), col("end_ms"),
+        (col("end_ms") - col("start_ms")).as("duration_ms"))
+
   // ---- streaming curation ---------------------------------------------
 
   /** Streaming exact dedup: keep the first document per (normalized)

@@ -400,4 +400,42 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
       s"score aggregation shape unexpected:\n$plan")
   }
+
+  test("asOfJoin is ONE key-hash window shuffle — no join operator, " +
+      "no per-key nested loop") {
+    val df = SparkEntry.queries("asof_join")(spark, sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("Window"), s"no window operator:\n$plan")
+    val lower = plan.toLowerCase
+    assert(!lower.contains("cartesianproduct") &&
+      !lower.contains("broadcastnestedloop"), plan)
+    assert(!lower.contains("sortmergejoin") && !lower.contains("hashjoin"),
+      s"as-of must not plan a join:\n$plan")
+    // exactly one exchange: the __k hash partitioning for the window
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 shuffle, saw $exchanges:\n$plan")
+  }
+
+  test("rangeJoin plans a hash/sort-merge EQUI-join on (key, bucket) — " +
+      "never a nested loop with a range residual") {
+    val df = SparkEntry.queries("range_join")(spark, sf)
+    val plan = executedPlan(df)
+    val lower = plan.toLowerCase
+    assert(lower.contains("sortmergejoin") || lower.contains("hashjoin"),
+      s"no equi-join operator:\n$plan")
+    assert(!lower.contains("cartesianproduct") &&
+      !lower.contains("broadcastnestedloop"),
+      s"range residual fell back to a nested loop:\n$plan")
+  }
+
+  test("sessionize + sessionStats reuse the key partitioning: the " +
+      "window and the aggregate are two exchanges at most") {
+    val df = SparkEntry.queries("session_stats")(spark, sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("Window"), s"no window operator:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected ≤2 shuffles, saw $exchanges:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesianproduct"), plan)
+  }
 }

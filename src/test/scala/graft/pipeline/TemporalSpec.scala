@@ -1,0 +1,179 @@
+package graft.pipeline
+
+import graft.TestSpark
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Temporal operators: as-of join, banded range join, sessionization —
+  * fixture cases with hand-computed truth plus brute-force equivalence
+  * on a randomized-shape corpus. */
+class TemporalSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tsDf(rows: Seq[(Long, Long, Long, Double)],
+      names: (String, String, String, String)): DataFrame =
+    rows.toDF("id", "k", "ms", "v")
+      .select(col("id").as(names._1), col("k").as(names._2),
+        timestamp_millis(col("ms")).as(names._3), col("v").as(names._4))
+
+  // left: purchases (id, user, ms, amount)
+  private lazy val purchases = tsDf(Seq(
+    (100L, 1L, 10_000L, 9.0),
+    (101L, 1L, 20_000L, 8.0),
+    (102L, 1L, 20_500L, 7.0),
+    (103L, 2L, 5_000L, 6.0),   // user 2 has no prior click
+    (104L, 3L, 40_000L, 5.0)
+  ), ("pid", "user", "pts", "amount"))
+
+  // right: clicks (id, user, ms, weight); user 1 has an equal-ts tie at
+  // 20_000 (ids 202 < 203 — greater id must win)
+  private lazy val clicks = tsDf(Seq(
+    (200L, 1L, 4_000L, 1.0),
+    (201L, 1L, 9_999L, 2.0),
+    (202L, 1L, 20_000L, 3.0),
+    (203L, 1L, 20_000L, 4.0),
+    (204L, 2L, 6_000L, 5.0), // after user 2's only purchase
+    (205L, 3L, 1_000L, 6.0)
+  ), ("cid", "user", "cts", "weight"))
+
+  test("asOfJoin picks latest admissible right row, inclusive ties") {
+    val out = Temporal.asOfJoin(purchases, clicks, key = "user",
+      leftTs = "pts", rightTs = "cts",
+      rightPayload = Seq("cid", "weight"), rightTieBreak = "cid")
+      .select("pid", "cid", "weight", "asof_gap_ms")
+      .collect().map(r => r.getLong(0) -> ((
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+
+    assert(out(100L) === ((Some(201L), Some(2.0), Some(1L))))
+    // equal-ts right row admissible; max cid wins the 20_000 tie
+    assert(out(101L) === ((Some(203L), Some(4.0), Some(0L))))
+    assert(out(102L) === ((Some(203L), Some(4.0), Some(500L))))
+    assert(out(103L) === ((None, None, None))) // no prior click
+    assert(out(104L) === ((Some(205L), Some(6.0), Some(39_000L))))
+  }
+
+  test("asOfJoin tolerance nulls out stale matches") {
+    val out = Temporal.asOfJoin(purchases, clicks, key = "user",
+      leftTs = "pts", rightTs = "cts",
+      rightPayload = Seq("cid"), rightTieBreak = "cid",
+      toleranceMs = Some(2_000L))
+      .select("pid", "cid").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(out(100L) === Some(201L)) // gap 1 ms
+    assert(out(104L) === None)       // gap 39 s > 2 s
+  }
+
+  test("asOfJoin keeps every left column and row") {
+    val out = Temporal.asOfJoin(purchases, clicks, "user", "pts", "cts",
+      Seq("cid"), "cid")
+    assert(out.count() === purchases.count())
+    assert(Seq("pid", "user", "pts", "amount", "cid", "asof_gap_ms")
+      .forall(out.columns.contains))
+  }
+
+  test("rangeJoin equals brute-force join-filter on a dense fixture") {
+    // randomized-shape corpus: 3 users x many events, band 1500 ms
+    val left = tsDf((0L until 60L).map(i =>
+      (i, i % 3, (i * 131) % 7000, 0.0)), ("lid", "k", "lts", "lv"))
+    val right = tsDf((0L until 80L).map(i =>
+      (1000L + i, i % 3, (i * 197) % 7000, i.toDouble)),
+      ("rid", "k", "rts", "rv"))
+
+    val banded = Temporal.rangeJoin(left, right, key = "k",
+      leftTs = "lts", rightTs = "rts", rightPayload = Seq("rid"),
+      beforeMs = 1_000L, afterMs = 500L)
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = left.join(right.withColumnRenamed("k", "k2"),
+        col("k") === col("k2") &&
+          unix_millis(col("rts")) >= unix_millis(col("lts")) - 1_000L &&
+          unix_millis(col("rts")) <= unix_millis(col("lts")) + 500L)
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+
+    assert(banded.length === banded.distinct.length) // no pair emitted twice
+    assert(banded.toSet === brute.toSet)
+    assert(brute.nonEmpty)
+  }
+
+  test("rangeJoin bounds are inclusive on both sides") {
+    val l = tsDf(Seq((1L, 1L, 10_000L, 0.0)), ("lid", "k", "lts", "lv"))
+    val r = tsDf(Seq((10L, 1L, 9_000L, 0.0), (11L, 1L, 10_500L, 0.0),
+      (12L, 1L, 8_999L, 0.0), (13L, 1L, 10_501L, 0.0)),
+      ("rid", "k", "rts", "rv"))
+    val got = Temporal.rangeJoin(l, r, "k", "lts", "rts", Seq("rid"),
+      beforeMs = 1_000L, afterMs = 500L)
+      .select("rid").collect().map(_.getLong(0)).toSet
+    assert(got === Set(10L, 11L))
+  }
+
+  test("sessionize splits on gap and numbers sessions per key") {
+    val ev = tsDf(Seq(
+      (1L, 1L, 0L, 0.0), (2L, 1L, 1_000L, 0.0), (3L, 1L, 2_000L, 0.0),
+      (4L, 1L, 60_000L, 0.0), (5L, 1L, 61_000L, 0.0),
+      (6L, 2L, 0L, 0.0), (7L, 2L, 100_000L, 0.0)
+    ), ("eid", "user", "ts", "v"))
+    val out = Temporal.sessionize(ev, "user", "ts", gapMs = 30_000L,
+      tieBreak = "eid")
+      .select("eid", "session_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L,
+      6L -> 0L, 7L -> 1L))
+  }
+
+  test("sessionize boundary: gap == gapMs stays in-session, " +
+      "gap == gapMs + 1 splits (session_window merges touching windows)") {
+    val ev = tsDf(Seq((1L, 1L, 0L, 0.0), (2L, 1L, 30_000L, 0.0),
+      (3L, 1L, 60_001L, 0.0)), ("eid", "user", "ts", "v"))
+    val out = Temporal.sessionize(ev, "user", "ts", 30_000L, "eid")
+      .select("eid", "session_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("sessionStats summarizes each session") {
+    val ev = tsDf(Seq(
+      (1L, 1L, 0L, 0.0), (2L, 1L, 1_000L, 1.0),
+      (3L, 1L, 60_000L, 2.0)
+    ), ("eid", "user", "ts", "v"))
+    val sess = Temporal.sessionize(ev, "user", "ts", 30_000L, "eid")
+    val stats = Temporal.sessionStats(sess, "user", "ts", distinctOf = "v")
+      .orderBy("session_id").collect()
+    assert(stats.length === 2)
+    assert(stats(0).getAs[Long]("n_events") === 2)
+    assert(stats(0).getAs[Long]("duration_ms") === 1_000L)
+    assert(stats(0).getAs[Long]("n_v") === 2)
+    assert(stats(1).getAs[Long]("n_events") === 1)
+    assert(stats(1).getAs[Long]("duration_ms") === 0L)
+  }
+
+  test("asOfJoin equals brute-force argmax on a randomized-shape corpus") {
+    val left = tsDf((0L until 50L).map(i =>
+      (i, i % 4, (i * 173) % 5000, 0.0)), ("lid", "k", "lts", "lv"))
+    val right = tsDf((0L until 70L).map(i =>
+      (1000L + i, i % 4, (i * 211) % 5000, i.toDouble)),
+      ("rid", "k", "rts", "rv"))
+    val got = Temporal.asOfJoin(left, right, "k", "lts", "rts",
+      Seq("rid"), "rid")
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+      .toMap
+    // brute force: max rid among max admissible ts
+    val ls = left.select("lid", "k", "lts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime))
+    val rs = right.select("rid", "k", "rts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime))
+    ls.foreach { case (lid, k, lts) =>
+      val adm = rs.filter(r => r._2 == k && r._3 <= lts)
+      val want = if (adm.isEmpty) None
+        else Some(adm.maxBy(r => (r._3, r._1))._1)
+      assert(got(lid) === want, s"lid=$lid")
+    }
+  }
+}
