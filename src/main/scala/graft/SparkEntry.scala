@@ -1603,6 +1603,48 @@ object SparkEntry {
         Map("click" -> 0.5, "error" -> 0.25), defaultRate = 0.1)
         .select(col("event_id"), col("event_type"))),
 
+    // Deterministic weighted sampling without replacement (A-ES
+    // exponential jitter): rank by round(-ln(u)/w, 9), u strictly in
+    // (0,1) from the key hash, w = document length — skew-proof
+    // two-phase top-n, bit-reproducible on any engine/partitioning
+    "sample_weighted" -> ((s, dir) =>
+      graft.pipeline.Sampling.weightedSample(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        col("doc_id"), col("n_chars"), n = 200)
+        .select(col("doc_id"), col("source"))),
+
+    // BPE tokenizer training, round 1: exact weighted adjacent-pair
+    // counts over the word-frequency table (the corpus is shuffled once
+    // into vocabulary-sized word counts; every merge round runs on that
+    // small table) — top 30 pairs, ties broken lexicographically
+    "bpe_pairs" -> ((s, dir) => {
+      val wc = graft.pipeline.Tokenizer.wordCounts(
+        s.read.parquet(s"$dir/documents.parquet"), col("text"))
+        .select(split(col("word"), "").as("syms"), col("f"))
+      graft.pipeline.Tokenizer.pairCounts(wc)
+        .orderBy(desc("pf"), col("l"), col("r")).limit(30)
+    }),
+
+    // BPE end-to-end, SELF-VERIFYING (the 30-round greedy merge loop is
+    // not expressible in one SQL query): train 30 merges, encode every
+    // document, keep only docs whose token join is byte-identical to
+    // the squeezed text AND strictly shorter than character count — a
+    // broken trainer/encoder drops rows and fails the oracle
+    "bpe_encode" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val merges = graft.pipeline.Tokenizer.trainBpe(
+        docs, col("text"), numMerges = 30)
+      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", "")
+      docs.select(col("doc_id"),
+          graft.pipeline.Tokenizer.encodeBpe(col("text"), merges)
+            .as("toks"),
+          norm.as("norm"))
+        .where(concat_ws("", col("toks")) === col("norm") &&
+          size(col("toks")) < length(col("norm")))
+        .select(col("doc_id"), lit(true).as("bpe_lossless_compressive"))
+    }),
+
     // Exact per-stratum quota sample: n smallest key hashes per stratum
     // via skew-proof two-phase top-n
     "sample_quota" -> ((s, dir) =>
@@ -2884,6 +2926,35 @@ object SparkEntry {
         |    AS BIGINT) / 4294967296.0
         |  < CASE event_type WHEN 'click' THEN 0.5 WHEN 'error' THEN 0.25
         |    ELSE 0.1 END""".stripMargin,
+    "sample_weighted" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    (CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) + 0.5) / 4294967296.0 AS u,
+        |    CAST(n_chars AS DOUBLE) AS w
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (ORDER BY round(-ln(u) / w, 9), doc_id) AS rn
+        |  FROM d)
+        |SELECT doc_id, source FROM r WHERE rn <= 200""".stripMargin,
+    "bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |    AS word FROM documents),
+        |wc AS (
+        |  SELECT word, COUNT(*) AS f FROM w
+        |  WHERE len(word) >= 2 GROUP BY word),
+        |i AS (SELECT word, f, unnest(range(1, len(word))) AS i FROM wc),
+        |p AS (
+        |  SELECT word[CAST(i AS INT)] AS l, word[CAST(i + 1 AS INT)] AS r,
+        |    f FROM i),
+        |g AS (SELECT l, r, CAST(SUM(f) AS BIGINT) AS pf
+        |  FROM p GROUP BY l, r)
+        |SELECT l, r, pf FROM g ORDER BY pf DESC, l, r LIMIT 30""".stripMargin,
+    "bpe_encode" ->
+      """SELECT doc_id, true AS bpe_lossless_compressive
+        |FROM documents""".stripMargin,
     "sample_quota" ->
       """SELECT event_id, event_type FROM (
         |  SELECT event_id, event_type,

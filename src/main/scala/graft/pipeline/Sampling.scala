@@ -181,6 +181,42 @@ object Sampling {
       .drop("__rn", "__u", "__p")
   }
 
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES): each row draws a reproducible uniform u from its
+    * key and is ranked by `-ln(u) / weight` ascending — the classical
+    * exponential-jitter formulation of "select n with probability
+    * proportional to weight, no replacement". Rows with `weight <= 0`
+    * or null are excluded. The rank score is rounded to 9 decimals
+    * (with the key as tiebreak) so the float `ln` agrees across engines
+    * — the same cross-engine rounding discipline as the aggregate
+    * oracles.
+    *
+    * u is derived as (md5-prefix + 0.5) / 2^32, strictly inside (0,1),
+    * so `ln` never sees 0 (Spark yields null there, other engines -inf
+    * — an engine-visible divergence this parameterization removes).
+    *
+    * Same skew-proof two-phase top-n as [[quotaSample]]: the global
+    * top-n is a subset of the per-input-partition top-n, so no single
+    * reducer ever sees more than n × P candidate rows. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, n: Int)
+      : DataFrame = {
+    val u = (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val score = round(-log(u) / weight.cast("double"), 9)
+    val phase1 = df
+      .where(weight.isNotNull && weight > 0)
+      .withColumn("__s", score)
+      .withColumn("__p", spark_partition_id())
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__p")).orderBy(col("__s"), key)))
+      .where(col("__rn") <= n)
+    phase1
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(lit(0)).orderBy(col("__s"), key)))
+      .where(col("__rn") <= n)
+      .drop("__rn", "__s", "__p")
+  }
+
   /** Group-wise top-k by an arbitrary ordering ("the k best documents
     * per domain by quality score"): the k rows per group with the
     * HIGHEST `order` values, ties broken by the tiebreak column

@@ -283,4 +283,40 @@ class CurationSpec extends AnyFunSuite {
     val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "grp")
     assert(Sampling.quotaSample(tiny, col("grp"), col("id"), 10).count() === 3)
   }
+
+  test("weightedSample: deterministic, partitioning-proof, equals the " +
+      "single-pass A-ES definition") {
+    val w = (0L until 400L).map(i => (i, if (i % 4 == 0) 50.0 else 1.0))
+      .toDF("id", "wt")
+    val out = Sampling.weightedSample(w, col("id"), col("wt"), n = 60)
+    assert(out.count() === 60)
+    val ids = out.select("id").collect().map(_.getLong(0)).toSet
+    // brute force: single global sort by the same rounded score
+    val u = (conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val brute = w.withColumn("s", round(-log(u) / col("wt"), 9))
+      .orderBy(col("s"), col("id")).limit(60)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids === brute)
+    val repart = Sampling.weightedSample(w.repartition(7), col("id"),
+      col("wt"), n = 60).select("id").collect().map(_.getLong(0)).toSet
+    assert(repart === ids)
+  }
+
+  test("weightedSample: selection probability tracks weight; " +
+      "non-positive weights are excluded") {
+    // 100 heavy (w=100) vs 300 light (w=1): heavy rows should dominate
+    // a 60-row sample (E[heavy] ≈ 58 under A-ES; assert a loose bound)
+    val w = (0L until 400L).map(i =>
+      (i, if (i < 100) 100.0 else 1.0)).toDF("id", "wt")
+    val picked = Sampling.weightedSample(w, col("id"), col("wt"), n = 60)
+      .select("id").collect().map(_.getLong(0))
+    assert(picked.count(_ < 100) > 40,
+      s"heavy rows underselected: ${picked.count(_ < 100)}/60")
+    // zero/negative/null weights never selected
+    val bad = Seq((1L, 0.0), (2L, -3.0), (3L, 5.0)).toDF("id", "wt")
+    val only = Sampling.weightedSample(bad, col("id"), col("wt"), 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(only === Set(3L))
+  }
 }
