@@ -1614,6 +1614,71 @@ object SparkEntry {
         col("doc_id"), col("n_chars"), n = 200)
         .select(col("doc_id"), col("source"))),
 
+    // Exact curriculum binning: ntile(10) over the global
+    // (n_chars, doc_id) order WITHOUT a one-task window — range-sort +
+    // two-phase broadcast prefix, then the closed-form ntile assignment
+    "curriculum_bins" -> ((s, dir) =>
+      graft.pipeline.Sampling.curriculumBins(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("n_chars")),
+        struct(col("n_chars"), col("doc_id")), nBins = 10)
+        .select(col("doc_id"), col("bin"))),
+
+    // Mergeable HLL distinct sketches, SELF-VERIFYING: per-(type, day)
+    // daily sketches union into per-type sketches whose estimate must
+    // EQUAL the one-shot full-scan sketch estimate (register-max union
+    // is exact: sketch(A)∪sketch(B) ≡ sketch(A⊎B)) and sit within 5%
+    // of the exact distinct count; any violation drops the row
+    "sketch_distinct" -> ((s, dir) => {
+      import graft.pipeline.Sketches
+      val ev = EventsAsQuads.events(s, dir)
+        .withColumn("day", floor(col("ts_ms") / 86400000L).cast("long"))
+      val daily = Sketches.distinctSketch(ev,
+        Seq(col("event_type"), col("day")), col("user_id"))
+      val merged = Sketches.distinctEstimate(
+        Sketches.unionDistinctSketches(daily, Seq(col("event_type"))),
+        Seq(col("event_type")))
+        .withColumnRenamed("distinct_est", "merged_est")
+      val oneShot = Sketches.distinctEstimate(
+        Sketches.distinctSketch(ev, Seq(col("event_type")),
+          col("user_id")),
+        Seq(col("event_type")))
+        .withColumnRenamed("distinct_est", "full_est")
+      val exact = ev.groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("exact"))
+      merged.join(oneShot, "event_type").join(exact, "event_type")
+        .where(col("merged_est") === col("full_est") &&
+          abs(col("full_est") - col("exact")) <= col("exact") * 0.05)
+        .select(col("event_type"), lit(true).as("sketch_ok"))
+    }),
+
+    // Mergeable KLL quantile sketches, SELF-VERIFYING via the ε-rank
+    // guarantee: the estimated p50/p90 per event type must have an
+    // EMPIRICAL rank within p ± 0.05 (k=200 → ε ≈ 1.3%); the daily →
+    // merged path must satisfy the same bound
+    "sketch_quantiles" -> ((s, dir) => {
+      import graft.pipeline.Sketches
+      val ev = EventsAsQuads.events(s, dir)
+        .withColumn("day", floor(col("ts_ms") / 86400000L).cast("long"))
+      val est = Sketches.quantileEstimate(
+        Sketches.mergeQuantileSketches(
+          Sketches.quantileSketch(ev,
+            Seq(col("event_type"), col("day")), col("value")),
+          Seq(col("event_type"))),
+        Seq(col("event_type")), Seq(0.5, 0.9))
+      val ranked = ev.join(est, "event_type")
+        .groupBy("event_type")
+        .agg(
+          (sum(when(col("value") <= col("q_50"), 1L).otherwise(0L)) /
+            count(lit(1))).as("r50"),
+          (sum(when(col("value") <= col("q_90"), 1L).otherwise(0L)) /
+            count(lit(1))).as("r90"))
+      ranked
+        .where(col("r50").between(0.45, 0.55) &&
+          col("r90").between(0.85, 0.95))
+        .select(col("event_type"), lit(true).as("kll_rank_ok"))
+    }),
+
     // BPE tokenizer training, round 1: exact weighted adjacent-pair
     // counts over the word-frequency table (the corpus is shuffled once
     // into vocabulary-sized word counts; every merge round runs on that
@@ -2938,6 +3003,16 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY round(-ln(u) / w, 9), doc_id) AS rn
         |  FROM d)
         |SELECT doc_id, source FROM r WHERE rn <= 200""".stripMargin,
+    "curriculum_bins" ->
+      """SELECT doc_id,
+        |  CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS bin
+        |FROM documents""".stripMargin,
+    "sketch_distinct" ->
+      """SELECT DISTINCT event_type, true AS sketch_ok
+        |FROM events""".stripMargin,
+    "sketch_quantiles" ->
+      """SELECT DISTINCT event_type, true AS kll_rank_ok
+        |FROM events""".stripMargin,
     "bpe_pairs" ->
       """WITH w AS (
         |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))

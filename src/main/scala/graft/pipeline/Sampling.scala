@@ -217,6 +217,34 @@ object Sampling {
       .drop("__rn", "__s", "__p")
   }
 
+  /** Exact curriculum binning: assign every row to one of `nBins`
+    * contiguous buckets of a global (order)-sort — `ntile(nBins)`
+    * semantics exactly (the first `total % nBins` buckets get one extra
+    * row), but WITHOUT ntile's single-task global window: the global
+    * row index comes from [[Packing.withGlobalPrefix]]'s range-sort +
+    * two-phase broadcast prefix, then the bin is a closed-form
+    * expression. `bin` is 1-based like ntile. The standard shape for
+    * curriculum learning (train easy→hard by quality/length deciles).
+    *
+    * `order` must be a total order for a deterministic result — pass
+    * `struct(score, id)` to break score ties. */
+  def curriculumBins(df: DataFrame, order: Column, nBins: Int)
+      : DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    val total = df.count()
+    val q = total / nBins
+    val r = total % nBins
+    val qSafe = math.max(q, 1L) // r == total when q == 0: branch unused
+    val idxed = Packing.withGlobalPrefix(df, order, lit(0L),
+      offsetName = "__off", idxName = "__idx")
+    val idx = col("__idx")
+    val bin = when(idx < lit((q + 1) * r),
+        floor(idx / lit(q + 1)).cast("long"))
+      .otherwise(lit(r) +
+        floor((idx - lit((q + 1) * r)) / lit(qSafe)).cast("long"))
+    idxed.withColumn("bin", bin + 1L).drop("__off", "__idx")
+  }
+
   /** Group-wise top-k by an arbitrary ordering ("the k best documents
     * per domain by quality score"): the k rows per group with the
     * HIGHEST `order` values, ties broken by the tiebreak column

@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable sketch operators — the incremental-statistics layer a
+  * standing 100 TB corpus needs: per-group HyperLogLog sketches for
+  * distinct counts and KLL sketches for rank/quantile queries, stored
+  * as binary columns that MERGE associatively. New data updates a
+  * sketch table by unioning batch sketches — no rescan of history, and
+  * a year of daily sketches folds into a yearly answer in one
+  * aggregation. (Built on Spark's Apache DataSketches builtins —
+  * hll_sketch_agg / hll_union_agg / kll_* — so the sketch layout is the
+  * open cross-engine DataSketches format, portable to any reader.)
+  *
+  * Both sketches are DETERMINISTIC for a given input multiset (hashing
+  * is seed-fixed, and HLL union takes register maxima, so
+  * sketch(A) ∪ sketch(B) ≡ sketch(A ⊎ B) exactly). KLL compaction is
+  * input-ORDER-sensitive, so KLL estimates are only partition-stable
+  * given a stable input order; its ε-rank bound holds regardless —
+  * the oracle checks the bound, not the bits.
+  */
+object Sketches {
+
+  /** Per-group HLL sketch of `value` — the standing distinct-count
+    * sketch table. One shuffle with map-side partial sketches (the
+    * aggregation buffer IS a sketch, so the shuffle moves one
+    * ~2^lgK-register blob per (partition, group), never raw values). */
+  def distinctSketch(df: DataFrame, group: Seq[Column], value: Column,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(group: _*)
+      .agg(hll_sketch_agg(value, lit(lgK)).as("hll_sketch"))
+
+  /** Fold sketch tables (e.g. daily batches) into one sketch per
+    * group: associative register-max union — no raw data touched. */
+  def unionDistinctSketches(sketches: DataFrame, group: Seq[Column],
+      sketch: Column = col("hll_sketch")): DataFrame =
+    sketches.groupBy(group: _*)
+      .agg(hll_union_agg(sketch).as("hll_sketch"))
+
+  /** Distinct-count estimates from a sketch table. */
+  def distinctEstimate(sketches: DataFrame, group: Seq[Column],
+      sketch: Column = col("hll_sketch")): DataFrame =
+    sketches.select(group :+
+      hll_sketch_estimate(sketch).as("distinct_est"): _*)
+
+  /** Per-group KLL quantile sketch of a double `value` — the standing
+    * length/quality-distribution table (the per-source token-length
+    * profile every mixing decision reads). Same partial-merge shape as
+    * [[distinctSketch]]. */
+  def quantileSketch(df: DataFrame, group: Seq[Column], value: Column,
+      k: Int = 200): DataFrame =
+    df.groupBy(group: _*)
+      .agg(kll_sketch_agg_double(value, lit(k)).as("kll_sketch"))
+
+  /** Merge KLL sketch tables per group (incremental batches → one
+    * standing distribution). */
+  def mergeQuantileSketches(sketches: DataFrame, group: Seq[Column],
+      sketch: Column = col("kll_sketch")): DataFrame =
+    sketches.groupBy(group: _*)
+      .agg(kll_merge_agg_double(sketch).as("kll_sketch"))
+
+  /** Quantile estimates at the given probabilities from a KLL sketch
+    * table: one output column per requested p (`q_50`, `q_90`, ...). */
+  def quantileEstimate(sketches: DataFrame, group: Seq[Column],
+      ps: Seq[Double], sketch: Column = col("kll_sketch")): DataFrame =
+    sketches.select(
+      group ++ ps.map(p =>
+        kll_sketch_get_quantile_double(sketch, lit(p))
+          .as(s"q_${(p * 100).round}")): _*)
+}
