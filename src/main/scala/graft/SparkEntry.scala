@@ -1614,6 +1614,19 @@ object SparkEntry {
         col("doc_id"), col("n_chars"), n = 200)
         .select(col("doc_id"), col("source"))),
 
+    // Weighted PageRank over a planted link graph (3 power iterations,
+    // damping 0.85, dangling mass redistributed; ranks rounded to 9
+    // decimals per iteration on BOTH engines so fixed-iteration
+    // PageRank is bit-reproducible) — the synthetic docs carry no URLs,
+    // so edges derive deterministically from doc_id, same on both sides
+    "graph_pagerank" -> ((s, dir) => {
+      val edges = s.read.parquet(s"$dir/documents.parquet")
+        .select((col("doc_id") % 17).as("src"),
+          ((col("doc_id") * 7 + 3) % 20).as("dst"), lit(1.0).as("w"))
+      graft.pipeline.Graphs.pageRank(edges, col("src"), col("dst"),
+        col("w"), iterations = 3)
+    }),
+
     // Exact curriculum binning: ntile(10) over the global
     // (n_chars, doc_id) order WITHOUT a one-task window — range-sort +
     // two-phase broadcast prefix, then the closed-form ntile assignment
@@ -3003,6 +3016,36 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY round(-ln(u) / w, 9), doc_id) AS rn
         |  FROM d)
         |SELECT doc_id, source FROM r WHERE rn <= 200""".stripMargin,
+    "graph_pagerank" -> {
+      def it(k: Int) =
+        s"""it$k AS (
+           |  SELECT nodes.node,
+           |    round((1 - 0.85) / nn.n +
+           |      0.85 * (COALESCE(inc.s, 0) + dang.dm / nn.n), 9) AS r
+           |  FROM nodes
+           |  LEFT JOIN (
+           |    SELECT e.dst AS node, SUM(e.w / o.ow * p.r) AS s
+           |    FROM e JOIN o ON e.src = o.src
+           |    JOIN it${k - 1} p ON p.node = e.src
+           |    GROUP BY e.dst) inc ON inc.node = nodes.node
+           |  CROSS JOIN (SELECT COALESCE(SUM(r), 0) AS dm FROM it${k - 1}
+           |              WHERE node NOT IN (SELECT src FROM o)) dang
+           |  CROSS JOIN nn)""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT doc_id % 17 AS src, (doc_id * 7 + 3) % 20 AS dst,
+         |    1.0 AS w
+         |  FROM documents),
+         |e AS (SELECT src, dst, SUM(w) AS w FROM e0 GROUP BY src, dst),
+         |o AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+         |it0 AS (SELECT node, round(1.0 / nn.n, 9) AS r FROM nodes, nn),
+         |${it(1)},
+         |${it(2)},
+         |${it(3)}
+         |SELECT node, r AS rank FROM it3""".stripMargin
+    },
     "curriculum_bins" ->
       """SELECT doc_id,
         |  CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS bin

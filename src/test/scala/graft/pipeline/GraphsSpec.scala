@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import graft.TestSpark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PageRank: hand-checked fixtures, a local reference implementation
+  * on a randomized-shape graph, dangling handling, determinism. */
+class GraphsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Local single-threaded reference with the identical per-iteration
+    * rounding discipline. */
+  private def localPageRank(edges: Seq[(Long, Long, Double)], iters: Int,
+      d: Double = 0.85, roundTo: Int = 9): Map[Long, Double] = {
+    def rnd(x: Double): Double =
+      BigDecimal(x).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val agg = edges.groupBy(e => (e._1, e._2))
+      .map { case ((s, t), es) => (s, t, es.map(_._3).sum) }.toSeq
+    val nodes = (agg.map(_._1) ++ agg.map(_._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val ow = agg.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var r = nodes.map(_ -> rnd(1.0 / n)).toMap
+    (1 to iters).foreach { _ =>
+      val dm = nodes.filterNot(ow.contains).map(r).sum
+      val inc = agg.groupBy(_._2).map { case (t, es) =>
+        t -> es.map(e => e._3 / ow(e._1) * r(e._1)).sum
+      }
+      r = nodes.map(v =>
+        v -> rnd((1 - d) / n + d * (inc.getOrElse(v, 0.0) + dm / n))).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long, Double)], iters: Int)
+      : Map[Long, Double] =
+    Graphs.pageRank(edges.toDF("s", "t", "w"), col("s"), col("t"),
+      col("w"), iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("two-node cycle stays uniform at 0.5 each") {
+    val got = run(Seq((1L, 2L, 1.0), (2L, 1L, 1.0)), iters = 5)
+    assert(got === Map(1L -> 0.5, 2L -> 0.5))
+  }
+
+  test("sink node collects rank; dangling mass redistributes (sum = 1)") {
+    // a->c, b->c; c dangling
+    val got = run(Seq((1L, 3L, 1.0), (2L, 3L, 1.0)), iters = 3)
+    assert(got === localPageRank(Seq((1L, 3L, 1.0), (2L, 3L, 1.0)), 3))
+    assert(math.abs(got.values.sum - 1.0) < 1e-6)
+    assert(got(3L) > got(1L) && got(1L) === got(2L))
+  }
+
+  test("matches the local reference on a randomized-shape weighted " +
+      "multigraph, independent of partitioning") {
+    val edges = (0 until 200).map(i =>
+      ((i * 13 % 23).toLong, (i * 7 + 5).toLong % 29,
+        1.0 + (i % 4))) // multi-edges + weights + dangling nodes
+    val want = localPageRank(edges, iters = 4)
+    assert(run(edges, iters = 4) === want)
+    val repart = Graphs.pageRank(
+      edges.toDF("s", "t", "w").repartition(7),
+      col("s"), col("t"), col("w"), iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(repart === want)
+  }
+
+  test("edge weight shifts rank toward the heavier target") {
+    // a splits 3:1 between b and c
+    val got = run(Seq((1L, 2L, 3.0), (1L, 3L, 1.0)), iters = 3)
+    assert(got(2L) > got(3L))
+    assert(got === localPageRank(Seq((1L, 2L, 3.0), (1L, 3L, 1.0)), 3))
+  }
+}
