@@ -1692,6 +1692,36 @@ object SparkEntry {
         .select(col("event_type"), lit(true).as("kll_rank_ok"))
     }),
 
+    // Mergeable count-min frequency sketches, SELF-VERIFYING: daily CMS
+    // sketches fold through the custom merge aggregator; every user's
+    // merged point estimate must equal the one-shot sketch's estimate
+    // (counter addition is exact) and respect the CMS guarantee
+    // exact <= est <= exact + eps*N; violations drop rows
+    "sketch_freq" -> ((s, dir) => {
+      import graft.pipeline.Sketches
+      val ev = EventsAsQuads.events(s, dir)
+        .withColumn("day", floor(col("ts_ms") / 86400000L).cast("long"))
+      val merged = Sketches.mergeFreqSketches(
+        Sketches.freqSketch(ev, Seq(col("day")), col("user_id"))
+          .select(lit(1).as("one"), col("cms")),
+        Seq(col("one"))).select(col("cms").as("m_cms"))
+      val oneShot = Sketches.freqSketch(ev.withColumn("one", lit(1)),
+        Seq(col("one")), col("user_id")).select(col("cms").as("o_cms"))
+      val n = ev.agg(count(lit(1)).as("n"))
+      ev.groupBy("user_id").agg(count(lit(1)).as("exact"))
+        .crossJoin(broadcast(merged))
+        .crossJoin(broadcast(oneShot))
+        .crossJoin(broadcast(n))
+        .select(col("user_id"),
+          Sketches.freqEstimate(col("m_cms"), col("user_id")).as("m_est"),
+          Sketches.freqEstimate(col("o_cms"), col("user_id")).as("o_est"),
+          col("exact"), col("n"))
+        .where(col("m_est") === col("o_est") &&
+          col("m_est") >= col("exact") &&
+          col("m_est") <= col("exact") + ceil(col("n") * 0.001))
+        .select(col("user_id"), lit(true).as("cms_ok"))
+    }),
+
     // BPE tokenizer training, round 1: exact weighted adjacent-pair
     // counts over the word-frequency table (the corpus is shuffled once
     // into vocabulary-sized word counts; every merge round runs on that
@@ -3055,6 +3085,9 @@ object SparkEntry {
         |FROM events""".stripMargin,
     "sketch_quantiles" ->
       """SELECT DISTINCT event_type, true AS kll_rank_ok
+        |FROM events""".stripMargin,
+    "sketch_freq" ->
+      """SELECT DISTINCT user_id, true AS cms_ok
         |FROM events""".stripMargin,
     "bpe_pairs" ->
       """WITH w AS (

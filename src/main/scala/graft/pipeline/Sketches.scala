@@ -68,4 +68,65 @@ object Sketches {
       group ++ ps.map(p =>
         kll_sketch_get_quantile_double(sketch, lit(p))
           .as(s"q_${(p * 100).round}")): _*)
+
+  // ---- count-min frequency sketches -----------------------------------
+
+  /** Per-group count-min sketch of `value` (long) — the standing
+    * frequency table for point "how often did key X appear" queries
+    * with an `est ∈ [true, true + ε·N]` guarantee. Same partial-merge
+    * aggregation shape as the HLL path. The seed is FIXED so sketches
+    * built anywhere merge counter-for-counter. */
+  def freqSketch(df: DataFrame, group: Seq[Column], value: Column,
+      eps: Double = 1e-3, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame =
+    df.groupBy(group: _*)
+      .agg(count_min_sketch(value, lit(eps), lit(confidence), lit(seed))
+        .as("cms"))
+
+  /** Counter-wise merge of count-min sketches (exact: CMS addition is
+    * associative), as a typed Aggregator over the serialized form —
+    * Spark ships the CMS aggregate but no merge aggregate, so this
+    * supplies the incremental-batch fold. */
+  private class CmsMerge
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Array[Byte], Array[Byte], Array[Byte]] {
+    import org.apache.spark.util.sketch.CountMinSketch
+    import java.io.ByteArrayInputStream
+    private def toCms(b: Array[Byte]) =
+      CountMinSketch.readFrom(new ByteArrayInputStream(b))
+    private def toBytes(c: CountMinSketch): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      c.writeTo(bos); bos.toByteArray
+    }
+    override def zero: Array[Byte] = Array.emptyByteArray
+    override def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] =
+      merge(b, a)
+    override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] =
+      if (x.isEmpty) y else if (y.isEmpty) x
+      else toBytes(toCms(x).mergeInPlace(toCms(y)))
+    override def finish(r: Array[Byte]): Array[Byte] = r
+    override def bufferEncoder = org.apache.spark.sql.Encoders.BINARY
+    override def outputEncoder = org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** Fold CMS sketch tables per group (daily batches → standing
+    * frequency sketch); merged counters are bit-identical to a one-shot
+    * sketch over the union (spec'd). */
+  def mergeFreqSketches(sketches: DataFrame, group: Seq[Column],
+      sketch: Column = col("cms")): DataFrame =
+    sketches.groupBy(group: _*)
+      .agg(udaf(new CmsMerge, org.apache.spark.sql.Encoders.BINARY)
+        .apply(sketch).as("cms"))
+
+  /** Point-frequency estimate of a long item from a CMS column.
+    * Deserializes per row — right for estimate tables (sketches ×
+    * probe items); for bulk per-row probing deserialize once per
+    * partition instead. */
+  def freqEstimate(sketch: Column, item: Column): Column = {
+    val f = udf((b: Array[Byte], v: Long) =>
+      if (b == null || b.isEmpty) 0L
+      else org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(b)).estimateCount(v))
+    f(sketch, item)
+  }
 }

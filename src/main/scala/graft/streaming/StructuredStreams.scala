@@ -88,6 +88,32 @@ object StructuredStreams {
       .select(col(keyCol), col("n_events"), col("start_ms"), col("end_ms"),
         (col("end_ms") - col("start_ms")).as("duration_ms"))
 
+  /** Streaming event-time interval join — the streaming twin of
+    * [[graft.pipeline.Temporal.rangeJoin]]: all (left, right) pairs
+    * with equal key and right time within `[leftTs - beforeMs,
+    * leftTs + afterMs]`, both bounds inclusive, over two live streams.
+    * Watermarks on BOTH sides let Spark's stream-stream join evict
+    * state once a row can no longer match (state is bounded by the band
+    * width + watermark delay, not stream length). Left columns other
+    * than the key must not collide with right columns. */
+  def streamingRangeJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTsMs: String, rightTsMs: String, beforeMs: Long, afterMs: Long,
+      watermarkDelayMs: Long = 10000): DataFrame = {
+    val l = left
+      .withColumn("__lt", timestamp_millis(col(leftTsMs)))
+      .withWatermark("__lt", s"$watermarkDelayMs milliseconds")
+    val r = right
+      .withColumnRenamed(key, "__rk")
+      .withColumn("__rt", timestamp_millis(col(rightTsMs)))
+      .withWatermark("__rt", s"$watermarkDelayMs milliseconds")
+    l.join(r, col(key) === col("__rk") &&
+        col("__rt") >= col("__lt") -
+          expr(s"INTERVAL $beforeMs MILLISECONDS") &&
+        col("__rt") <= col("__lt") +
+          expr(s"INTERVAL $afterMs MILLISECONDS"))
+      .drop("__rk", "__lt", "__rt")
+  }
+
   // ---- streaming curation ---------------------------------------------
 
   /** Streaming exact dedup: keep the first document per (normalized)

@@ -71,6 +71,29 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("CMS merge equals the one-shot sketch estimate-for-estimate and " +
+      "respects the overestimate-only guarantee") {
+    val df = (0L until 5000L).map(i => (i % 4, i % 37)).toDF("b", "item")
+    val daily = Sketches.freqSketch(df, Seq(col("b")), col("item"))
+      .select(lit(1).as("one"), col("cms"))
+    val merged = Sketches.mergeFreqSketches(daily, Seq(col("one")))
+      .select(col("cms").as("m"))
+    val oneShot = Sketches.freqSketch(df.withColumn("one", lit(1)),
+      Seq(col("one")), col("item")).select(col("cms").as("o"))
+    val exact = df.groupBy("item").count()
+    val checked = exact.crossJoin(merged).crossJoin(oneShot)
+      .select(col("item"), col("count"),
+        Sketches.freqEstimate(col("m"), col("item")).as("me"),
+        Sketches.freqEstimate(col("o"), col("item")).as("oe"))
+      .collect()
+    assert(checked.length === 37)
+    checked.foreach { r =>
+      assert(r.getAs[Long]("me") === r.getAs[Long]("oe"), r)
+      assert(r.getAs[Long]("me") >= r.getAs[Long]("count"), r)
+      assert(r.getAs[Long]("me") <= r.getAs[Long]("count") + 5L, r)
+    }
+  }
+
   test("curriculumBins matches ntile exactly and balances bucket sizes") {
     val df = (0L until 103L).map(i => (i, (i * 37) % 1000)).toDF("id", "s")
     val got = Sampling.curriculumBins(df, struct(col("s"), col("id")), 10)

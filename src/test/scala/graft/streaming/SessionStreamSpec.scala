@@ -61,6 +61,39 @@ class SessionStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming interval join equals the batch rangeJoin on the same " +
+      "two streams, bounds inclusive") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val lIn = MemoryStream[(Long, Long, Long)] // (lid, user, ms)
+    val rIn = MemoryStream[(Long, Long, Long)] // (rid, user, ms)
+    val joined = StructuredStreams.streamingRangeJoin(
+      lIn.toDS().toDF("lid", "user_id", "lms"),
+      rIn.toDS().toDF("rid", "user_id", "rms"),
+      key = "user_id", leftTsMs = "lms", rightTsMs = "rms",
+      beforeMs = 1_000L, afterMs = 500L)
+    val q = joined.writeStream.format("memory").queryName("sjoin")
+      .outputMode("append").start()
+    try {
+      val ls = Seq((1L, 1L, 10_000L), (2L, 1L, 20_000L), (3L, 2L, 5_000L))
+      val rs = Seq((10L, 1L, 9_000L), (11L, 1L, 10_500L),
+        (12L, 1L, 8_999L), (13L, 1L, 19_100L), (14L, 2L, 5_400L),
+        (15L, 3L, 5_000L))
+      lIn.addData(ls: _*); rIn.addData(rs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sjoin").select("lid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.pipeline.Temporal.rangeJoin(
+        ls.toDF("lid", "user_id", "lms"), rs.toDF("rid", "user_id", "rms"),
+        key = "user_id", leftTs = "lms", rightTs = "rms",
+        rightPayload = Seq("rid"), beforeMs = 1_000L, afterMs = 500L)
+        .select("lid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === batch)
+      assert(streamed === Set((1L, 10L), (1L, 11L), (2L, 13L), (3L, 14L)))
+    } finally q.stop()
+  }
+
   test("late events beyond the watermark do not reopen closed sessions " +
       "(bounded state, append mode)") {
     implicit val sqlCtx = spark.sqlContext
