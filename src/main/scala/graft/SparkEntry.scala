@@ -1692,6 +1692,36 @@ object SparkEntry {
         .select(col("event_type"), lit(true).as("kll_rank_ok"))
     }),
 
+    // Distributed PCA over the embedding matrix, SELF-VERIFYING: the
+    // model must be orthonormal with descending explained variance
+    // (require throws → verify fails), and every vector's k=16
+    // projection energy must be bounded by its centered norm
+    "emb_pca" -> ((s, dir) => {
+      import graft.pipeline.Embeddings
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val m = Embeddings.fitPca(emb, col("embedding"), k = 16)
+      for (i <- m.components.indices; j <- i until m.k) {
+        val dot = m.components(i).zip(m.components(j))
+          .map(p => p._1 * p._2).sum
+        val want = if (i == j) 1.0 else 0.0
+        require(math.abs(dot - want) < 1e-8,
+          s"components not orthonormal at ($i,$j): $dot")
+      }
+      require(m.explained.sliding(2).forall(p => p(0) >= p(1) - 1e-12),
+        "explained variance not descending")
+      require(m.explainedRatio > 0 && m.explainedRatio <= 1 + 1e-12,
+        s"bad explained ratio ${m.explainedRatio}")
+      val mean = m.mean
+      val centeredNorm = udf((x: Seq[Double]) =>
+        x.zip(mean).map(p => (p._1 - p._2) * (p._1 - p._2)).sum)
+      Embeddings.project(emb, col("embedding"), m)
+        .select(col("vec_id"),
+          aggregate(col("pc"), lit(0.0), (a, v) => a + v * v).as("pn"),
+          centeredNorm(col("embedding").cast("array<double>")).as("cn"))
+        .where(col("pn") <= col("cn") + 1e-6)
+        .select(col("vec_id"), lit(true).as("pca_ok"))
+    }),
+
     // Mergeable count-min frequency sketches, SELF-VERIFYING: daily CMS
     // sketches fold through the custom merge aggregator; every user's
     // merged point estimate must equal the one-shot sketch's estimate
@@ -3089,6 +3119,9 @@ object SparkEntry {
     "sketch_freq" ->
       """SELECT DISTINCT user_id, true AS cms_ok
         |FROM events""".stripMargin,
+    "emb_pca" ->
+      """SELECT vec_id, true AS pca_ok
+        |FROM embeddings""".stripMargin,
     "bpe_pairs" ->
       """WITH w AS (
         |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))

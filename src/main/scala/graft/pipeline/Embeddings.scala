@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-matrix decomposition: distributed PCA / whitening for
+  * dimension reduction of an embedding column — the standard
+  * preprocessing before large-scale ANN (fewer dims → smaller index,
+  * faster distance kernels) and for decorrelating features before
+  * quantization (`Ann.int8Codes` compresses better on whitened axes).
+  *
+  * Scale shape: ONE pass over the data aggregates (n, Σx, Σxxᵀ) —
+  * d×d partial Gram matrices combine associatively, so the tree
+  * aggregation ships O(d²) doubles per partition, never rows. The d×d
+  * eigendecomposition runs on the driver (d = embedding dim, 64 here —
+  * microseconds; the driver never sees data, only moments). Projection
+  * is a pure map stage with the component matrix in the closure. This
+  * is the canonical RowMatrix.computeCovariance shape — the one place
+  * an RDD treeAggregate is the right tool (a per-partition imperative
+  * accumulator over primitive arrays).
+  */
+object Embeddings {
+
+  /** PCA model: column means, k orthonormal components (k×d,
+    * row-major), and per-component explained variance (descending).
+    * Component signs are canonicalized (largest-|coefficient| entry
+    * positive) so the model is reproducible up to float-sum jitter. */
+  final case class PcaModel(mean: Array[Double],
+      components: Array[Array[Double]], explained: Array[Double],
+      totalVariance: Double) {
+    def d: Int = mean.length
+    def k: Int = components.length
+    def explainedRatio: Double =
+      if (totalVariance == 0) 0.0 else explained.sum / totalVariance
+  }
+
+  /** Fit PCA with `k` components on an `Array[Float]` embedding column.
+    * One treeAggregate pass (moments only), driver-side eigSym of the
+    * d×d covariance. */
+  def fitPca(df: DataFrame, vec: Column, k: Int): PcaModel = {
+    val rows = df.select(vec.cast("array<double>")).na.drop()
+      .rdd.map(_.getSeq[Double](0).toArray)
+    val d = rows.first().length
+    require(k >= 1 && k <= d, s"k must be in [1, $d]")
+    // (n, sum, gram upper-triangular packed)
+    val zero = (0L, new Array[Double](d), new Array[Double](d * (d + 1) / 2))
+    val (n, s, g) = rows.treeAggregate(zero)(
+      seqOp = { case ((n0, s0, g0), x) =>
+        var i = 0
+        var off = 0
+        while (i < d) {
+          s0(i) += x(i)
+          var j = i
+          while (j < d) { g0(off + j - i) += x(i) * x(j); j += 1 }
+          off += d - i
+          i += 1
+        }
+        (n0 + 1, s0, g0)
+      },
+      combOp = { case ((n1, s1, g1), (n2, s2, g2)) =>
+        var i = 0
+        while (i < d) { s1(i) += s2(i); i += 1 }
+        i = 0
+        while (i < g1.length) { g1(i) += g2(i); i += 1 }
+        (n1 + n2, s1, g1)
+      })
+    require(n > 1, "need at least 2 vectors")
+    val mean = s.map(_ / n)
+    // covariance = E[xxT] - mean meanT (population)
+    val cov = breeze.linalg.DenseMatrix.zeros[Double](d, d)
+    var off = 0
+    for (i <- 0 until d) {
+      for (j <- i until d) {
+        val c = g(off + j - i) / n - mean(i) * mean(j)
+        cov(i, j) = c
+        cov(j, i) = c
+      }
+      off += d - i
+    }
+    val es = breeze.linalg.eigSym(cov)
+    // eigSym returns ascending eigenvalues; take top-k descending
+    val order = es.eigenvalues.toArray.zipWithIndex.sortBy(-_._1).take(k)
+    val comps = order.map { case (_, idx) =>
+      val v = (0 until d).map(r => es.eigenvectors(r, idx)).toArray
+      // canonical sign: the largest-|coefficient| entry is positive
+      val m = v.indices.maxBy(i => math.abs(v(i)))
+      if (v(m) < 0) v.map(-_) else v
+    }
+    PcaModel(mean, comps, order.map(_._1), es.eigenvalues.toArray.sum)
+  }
+
+  /** Project embeddings onto the model's components — pure map stage;
+    * appends `pc` (Array[Double], length k). Pass `whiten = true` to
+    * scale each axis by 1/√λ (unit variance per component — the
+    * standard preconditioning before product quantization). */
+  def project(df: DataFrame, vec: Column, model: PcaModel,
+      whiten: Boolean = false): DataFrame = {
+    val mean = model.mean
+    val comps = model.components
+    val scale = if (whiten)
+      model.explained.map(l => if (l > 1e-12) 1.0 / math.sqrt(l) else 0.0)
+    else Array.fill(model.k)(1.0)
+    val proj = udf((x: Seq[Double]) => {
+      val out = new Array[Double](comps.length)
+      var c = 0
+      while (c < comps.length) {
+        var acc = 0.0
+        var i = 0
+        val comp = comps(c)
+        while (i < comp.length) { acc += (x(i) - mean(i)) * comp(i); i += 1 }
+        out(c) = acc * scale(c)
+        c += 1
+      }
+      out
+    })
+    df.withColumn("pc", proj(vec.cast("array<double>")))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import graft.TestSpark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Distributed PCA: recovers planted structure, components orthonormal,
+  * projections norm-bounded, whitening unit-variance, partitioning
+  * stability. */
+class EmbeddingsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // planted dominant axis u = (3,4)/5 in 2D plus a weak orthogonal
+  // component: variance along u is 25x the orthogonal variance
+  private lazy val planted = (0 until 400).map { i =>
+    val t = (i % 21) - 10.0           // spread along u
+    val o = ((i % 5) - 2.0) / 5.0     // weak orthogonal spread
+    (i.toLong, Array((0.6 * t - 0.8 * o).toFloat, (0.8 * t + 0.6 * o).toFloat))
+  }.toDF("id", "v")
+
+  test("recovers the planted dominant axis and variance ordering") {
+    val m = Embeddings.fitPca(planted, col("v"), k = 2)
+    assert(m.explained(0) > 20 * m.explained(1))
+    // first component parallel to (0.6, 0.8), canonical sign positive
+    // (t and o are only approximately uncorrelated over 400 samples —
+    // i%21 vs i%5 — so the axis tilts by O(1e-3))
+    val c0 = m.components(0)
+    assert(math.abs(c0(0) - 0.6) < 5e-3 && math.abs(c0(1) - 0.8) < 5e-3,
+      c0.mkString(","))
+    assert(math.abs(m.explainedRatio - 1.0) < 1e-9) // k = d explains all
+  }
+
+  test("components are orthonormal") {
+    val m = Embeddings.fitPca(planted, col("v"), k = 2)
+    val dot00 = m.components(0).zip(m.components(0)).map(p => p._1 * p._2).sum
+    val dot01 = m.components(0).zip(m.components(1)).map(p => p._1 * p._2).sum
+    assert(math.abs(dot00 - 1.0) < 1e-9 && math.abs(dot01) < 1e-9)
+  }
+
+  test("full-rank projection preserves centered norms; truncation only " +
+      "shrinks them") {
+    val m2 = Embeddings.fitPca(planted, col("v"), k = 2)
+    val m1 = m2.copy(components = m2.components.take(1),
+      explained = m2.explained.take(1))
+    val mean = m2.mean
+    val rows = Embeddings.project(
+        Embeddings.project(planted, col("v"), m2).withColumnRenamed("pc", "pc2"),
+        col("v"), m1)
+      .select(col("v").cast("array<double>"), col("pc2"), col("pc"))
+      .collect()
+    rows.foreach { r =>
+      val x = r.getSeq[Double](0)
+      val c2 = math.pow(x(0) - mean(0), 2) + math.pow(x(1) - mean(1), 2)
+      val p2 = r.getSeq[Double](1).map(v => v * v).sum
+      val p1 = r.getSeq[Double](2).map(v => v * v).sum
+      assert(math.abs(p2 - c2) < 1e-9)
+      assert(p1 <= p2 + 1e-12)
+    }
+  }
+
+  test("whitened projections have unit variance per component") {
+    val m = Embeddings.fitPca(planted, col("v"), k = 2)
+    val stats = Embeddings.project(planted, col("v"), m, whiten = true)
+      .select(
+        var_pop(element_at(col("pc"), 1)).as("v1"),
+        var_pop(element_at(col("pc"), 2)).as("v2"))
+      .collect()(0)
+    assert(math.abs(stats.getDouble(0) - 1.0) < 1e-6)
+    assert(math.abs(stats.getDouble(1) - 1.0) < 1e-6)
+  }
+
+  test("model is stable under repartitioning (canonical signs)") {
+    val m1 = Embeddings.fitPca(planted, col("v"), 2)
+    val m2 = Embeddings.fitPca(planted.repartition(7), col("v"), 2)
+    m1.components.zip(m2.components).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-8) }
+    }
+    m1.explained.zip(m2.explained).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-8)
+    }
+  }
+
+  test("works on the real 64-dim embeddings table") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m = Embeddings.fitPca(emb, col("embedding"), k = 16)
+    assert(m.d === 64 && m.k === 16)
+    assert(m.explained.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    assert(m.explainedRatio > 0.15 && m.explainedRatio < 0.75,
+      s"ratio ${m.explainedRatio}") // near-isotropic synthetic vectors
+  }
+}
