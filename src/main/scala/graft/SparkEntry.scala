@@ -1603,6 +1603,44 @@ object SparkEntry {
         Map("click" -> 0.5, "error" -> 0.25), defaultRate = 0.1)
         .select(col("event_id"), col("event_type"))),
 
+    // End-to-end curation composition, fully SQL-mirrored: clean (NFC +
+    // control-strip + squeeze) → quality gate (>= 20 tokens, punct
+    // ratio < 0.1) → exact dedup keep-first → token counts. One
+    // declarative plan: map stages + one dedup shuffle; the oracle
+    // restates the whole chain, so any stage drifting breaks the hash
+    "curation_e2e" -> ((s, dir) => {
+      val T = graft.pipeline.TextAnalysis
+      val gated = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), T.cleanText(col("text")).as("clean"))
+        .withColumn("tokens", T.tokenCount(col("clean")).cast("long"))
+        .withColumn("pr", T.punctRatio(col("clean")))
+        .where(col("tokens") >= 20 && col("pr") < 0.1)
+      val keep = gated.groupBy(md5(col("clean")).as("h"))
+        .agg(min("doc_id").as("keep"))
+      gated.join(keep,
+          md5(col("clean")) === col("h") && col("doc_id") === col("keep"))
+        .select(col("doc_id"), col("tokens"))
+    }),
+
+    // Temperature sampling over languages (alpha = 0.5 boosts
+    // low-resource langs): per-stratum rates ∝ N^alpha, rounded to 9
+    // decimals on both engines, applied as a broadcast-join + hash
+    // filter
+    "sample_temperature" -> ((s, dir) =>
+      graft.pipeline.Sampling.temperatureSample(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("lang")),
+        col("lang"), col("doc_id"), alpha = 0.5, targetN = 200L)
+        .select(col("doc_id"), col("lang"))),
+
+    // Multi-dimensional corpus report: CUBE(source, lang) counts + mean
+    // length — rollup rows carry nulls identically on both engines
+    "corpus_cube" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .cube(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("n_chars")), 6).as("avg_chars"))),
+
     // Deterministic weighted sampling without replacement (A-ES
     // exponential jitter): rank by round(-ln(u)/w, 9), u strictly in
     // (0,1) from the key hash, w = document length — skew-proof
@@ -3064,6 +3102,39 @@ object SparkEntry {
         |    AS BIGINT) / 4294967296.0
         |  < CASE event_type WHEN 'click' THEN 0.5 WHEN 'error' THEN 0.25
         |    ELSE 0.1 END""".stripMargin,
+    "curation_e2e" ->
+      """WITH c AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |    nfc_normalize(text), '[[:cntrl:]]', ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS clean
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, clean,
+        |    len(string_split_regex(trim(clean), '\s+')) AS toks,
+        |    CAST(len(regexp_extract_all(clean, '[[:punct:]]')) AS DOUBLE)
+        |      / CAST(greatest(len(clean), 1) AS DOUBLE) AS pr
+        |  FROM c),
+        |f AS (SELECT * FROM q WHERE toks >= 20 AND pr < 0.1),
+        |k AS (SELECT md5(clean) AS h, MIN(doc_id) AS keep
+        |      FROM f GROUP BY md5(clean))
+        |SELECT f.doc_id, CAST(f.toks AS BIGINT) AS tokens
+        |FROM f JOIN k ON md5(f.clean) = k.h AND f.doc_id = k.keep"""
+        .stripMargin,
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |t AS (SELECT SUM(pow(n, 0.5)) AS tot FROM c),
+        |r AS (
+        |  SELECT lang,
+        |    round(LEAST(1.0, 200 * (pow(n, 0.5) / t.tot) / n), 9) AS rate
+        |  FROM c, t)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) / 4294967296.0 < r.rate""".stripMargin,
+    "corpus_cube" ->
+      """SELECT source, lang, COUNT(*) AS n,
+        |  round(AVG(n_chars), 6) AS avg_chars
+        |FROM documents GROUP BY CUBE(source, lang)""".stripMargin,
     "sample_weighted" ->
       """WITH d AS (
         |  SELECT doc_id, source,

@@ -181,6 +181,38 @@ object Sampling {
       .drop("__rn", "__u", "__p")
   }
 
+  /** Temperature-based stratum rebalancing (the multilingual-corpus
+    * mixing rule: sample stratum s with probability ∝ N_s^alpha, so
+    * alpha = 1 keeps natural proportions and alpha → 0 flattens toward
+    * uniform — low-resource strata get boosted). Selects ≈ `targetN`
+    * rows via per-stratum Bernoulli rates `min(1, targetN·w_s/N_s)`
+    * with `w_s = N_s^alpha / Σ N_t^alpha`, keyed on the deterministic
+    * row hash — reproducible on any engine and partitioning.
+    *
+    * The stratum-count table is collected to the driver (bounded
+    * metadata: one row per language/source, same discipline as the
+    * NB class priors); the selection itself is a broadcast join + pure
+    * filter, scan-bound at 100 TB. Rates are rounded to 9 decimals so
+    * the engine computing `pow` cannot flip a hash-threshold compare. */
+  def temperatureSample(df: DataFrame, stratum: Column, key: Column,
+      alpha: Double, targetN: Long): DataFrame = {
+    require(alpha >= 0 && targetN > 0, "need alpha >= 0 and targetN > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(stratum.as("__stratum")).count()
+      .collect().map(r => (r.get(0), r.getLong(1)))
+    val powSum = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
+    val rates = counts.map { case (s, n) =>
+      val w = math.pow(n.toDouble, alpha) / powSum
+      val rate = math.min(1.0, targetN.toDouble * w / n)
+      (s.toString, BigDecimal(rate)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.toDF("__stratum", "__rate")
+    df.join(broadcast(rates), stratum.cast("string") === col("__stratum"))
+      .where(hashUnit(key) < col("__rate"))
+      .drop("__stratum", "__rate")
+  }
+
   /** Deterministic weighted sample WITHOUT replacement (Efraimidis–
     * Spirakis A-ES): each row draws a reproducible uniform u from its
     * key and is ranked by `-ln(u) / weight` ascending — the classical

@@ -284,6 +284,33 @@ class CurationSpec extends AnyFunSuite {
     assert(Sampling.quotaSample(tiny, col("grp"), col("id"), 10).count() === 3)
   }
 
+  test("temperatureSample: alpha<1 boosts low-resource strata; alpha=0 " +
+      "flattens; deterministic under repartitioning") {
+    // 900 'big' vs 100 'small'
+    val df = (0L until 1000L).map(i =>
+      (i, if (i < 900) "big" else "small")).toDF("id", "grp")
+    def counts(out: org.apache.spark.sql.DataFrame) =
+      out.groupBy("grp").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val flat = counts(Sampling.temperatureSample(df, col("grp"), col("id"),
+      alpha = 0.0, targetN = 200L))
+    // alpha=0: equal PER-STRATUM expected mass (~100 each)
+    assert(math.abs(flat("big") - flat("small")) < 40,
+      flat.toString)
+
+    val natural = counts(Sampling.temperatureSample(df, col("grp"),
+      col("id"), alpha = 1.0, targetN = 200L))
+    // alpha=1: natural proportions (~180 vs ~20)
+    assert(natural("big") > 6 * natural("small"), natural.toString)
+
+    val a = Sampling.temperatureSample(df, col("grp"), col("id"), 0.5, 200L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureSample(df.repartition(7), col("grp"),
+      col("id"), 0.5, 200L).select("id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
   test("weightedSample: deterministic, partitioning-proof, equals the " +
       "single-pass A-ES definition") {
     val w = (0L until 400L).map(i => (i, if (i % 4 == 0) 50.0 else 1.0))
