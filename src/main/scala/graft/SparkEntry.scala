@@ -1603,6 +1603,28 @@ object SparkEntry {
         Map("click" -> 0.5, "error" -> 0.25), defaultRate = 0.1)
         .select(col("event_id"), col("event_type"))),
 
+    // Bucketed-table co-located join: both fact tables written with the
+    // same bucket spec on the join key, then joined + aggregated — the
+    // write pays the clustering shuffle once, the recurring join runs
+    // exchange-free (BucketedJoinSpec pins the no-Exchange plan)
+    "bucketed_join" -> ((s, dir) => {
+      import graft.storage.BucketedTables
+      BucketedTables.writeBucketed(
+        s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey")),
+        "vb_orders", "o_orderkey", nBuckets = 8)
+      BucketedTables.writeBucketed(
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey").as("o_orderkey"),
+            col("l_extendedprice")),
+        "vb_lineitem", "o_orderkey", nBuckets = 8)
+      BucketedTables.read(s, "vb_orders")
+        .join(BucketedTables.read(s, "vb_lineitem"), "o_orderkey")
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 6).as("revenue"))
+    }),
+
     // End-to-end curation composition, fully SQL-mirrored: clean (NFC +
     // control-strip + squeeze) → quality gate (>= 20 tokens, punct
     // ratio < 0.1) → exact dedup keep-first → token counts. One
@@ -3102,6 +3124,11 @@ object SparkEntry {
         |    AS BIGINT) / 4294967296.0
         |  < CASE event_type WHEN 'click' THEN 0.5 WHEN 'error' THEN 0.25
         |    ELSE 0.1 END""".stripMargin,
+    "bucketed_join" ->
+      """SELECT o.o_orderkey, COUNT(*) AS n_items,
+        |  round(SUM(l.l_extendedprice), 6) AS revenue
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderkey""".stripMargin,
     "curation_e2e" ->
       """WITH c AS (
         |  SELECT doc_id, trim(regexp_replace(regexp_replace(
