@@ -401,6 +401,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"score aggregation shape unexpected:\n$plan")
   }
 
+  test("curriculumBins never funnels through a single partition " +
+      "(no SinglePartition exchange, unlike a global ntile window)") {
+    val df = SparkEntry.queries("curriculum_bins")(spark, sf)
+    val plan = executedPlan(df)
+    assert(!plan.contains("SinglePartition"),
+      s"global funnel in curriculum binning:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesianproduct"), plan)
+  }
+
+  test("temperatureSample joins the rate table as a BROADCAST and " +
+      "stays scan-shaped (no row shuffle)") {
+    val df = SparkEntry.queries("sample_temperature")(spark, sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rate join did not broadcast:\n$plan")
+    // the documents themselves must not be hash-repartitioned: the only
+    // allowed exchange feeds the tiny rate/count aggregation
+    assert(!"Exchange hashpartitioning\\((doc_id|lang)#"
+      .r.findFirstIn(plan).isDefined,
+      s"document rows shuffled:\n$plan")
+  }
+
   test("asOfJoin is ONE key-hash window shuffle — no join operator, " +
       "no per-key nested loop") {
     val df = SparkEntry.queries("asof_join")(spark, sf)
