@@ -1090,13 +1090,16 @@ object SparkEntry {
     // window — a single key shuffle, no per-key nested loop)
     "asof_join" -> ((s, dir) => {
       val ev = EventsAsQuads.events(s, dir)
+      // ts_ms is EventsAsQuads' physical-type-normalized event time —
+      // the raw ts column has shipped as NTZ, LTZ, AND int64-nanos
+      // across driver rounds (nanos overflow a naive micros cast)
       val purchases = ev.where(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts_ms"), col("ts"))
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
       val clicks = ev.where(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
-          col("ts").as("cts"), col("value").as("click_value"))
+          col("ts_ms").as("cts_ms"), col("value").as("click_value"))
       graft.pipeline.Temporal.asOfJoin(purchases, clicks,
-          key = "user_id", leftTs = "ts", rightTs = "cts",
+          key = "user_id", leftTs = "ts_ms", rightTs = "cts_ms",
           rightPayload = Seq("click_id", "click_value"),
           rightTieBreak = "click_id")
         .select(col("event_id"), col("user_id"), col("ts_ms"),
@@ -1111,12 +1114,12 @@ object SparkEntry {
     "range_join" -> ((s, dir) => {
       val ev = EventsAsQuads.events(s, dir)
       val purchases = ev.where(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
       val clicks = ev.where(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
-          col("ts").as("cts"))
+          col("ts_ms").as("cts_ms"))
       graft.pipeline.Temporal.rangeJoin(purchases, clicks,
-          key = "user_id", leftTs = "ts", rightTs = "cts",
+          key = "user_id", leftTs = "ts_ms", rightTs = "cts_ms",
           rightPayload = Seq("click_id"),
           beforeMs = 12L * 3600 * 1000, afterMs = 0L)
         .select(col("event_id"), col("user_id"), col("click_id"))
@@ -1127,7 +1130,7 @@ object SparkEntry {
     "sessionize" -> ((s, dir) =>
       graft.pipeline.Temporal.sessionize(
         EventsAsQuads.events(s, dir),
-        key = "user_id", ts = "ts", gapMs = 4L * 3600 * 1000,
+        key = "user_id", ts = "ts_ms", gapMs = 4L * 3600 * 1000,
         tieBreak = "event_id")
         .select(col("event_id"), col("user_id"), col("session_id"))),
 
@@ -1135,10 +1138,10 @@ object SparkEntry {
     "session_stats" -> ((s, dir) => {
       val sess = graft.pipeline.Temporal.sessionize(
         EventsAsQuads.events(s, dir),
-        key = "user_id", ts = "ts", gapMs = 4L * 3600 * 1000,
+        key = "user_id", ts = "ts_ms", gapMs = 4L * 3600 * 1000,
         tieBreak = "event_id")
       graft.pipeline.Temporal.sessionStats(sess,
-        key = "user_id", ts = "ts", distinctOf = "event_type")
+        key = "user_id", ts = "ts_ms", distinctOf = "event_type")
     }),
 
     // ---- LLM-data-pipeline operators over documents/embeddings ----
@@ -1697,11 +1700,14 @@ object SparkEntry {
         struct(col("n_chars"), col("doc_id")), nBins = 10)
         .select(col("doc_id"), col("bin"))),
 
-    // Mergeable HLL distinct sketches, SELF-VERIFYING: per-(type, day)
-    // daily sketches union into per-type sketches whose estimate must
-    // EQUAL the one-shot full-scan sketch estimate (register-max union
-    // is exact: sketch(A)∪sketch(B) ≡ sketch(A⊎B)) and sit within 5%
-    // of the exact distinct count; any violation drops the row
+    // Mergeable HLL distinct sketches, SELF-VERIFYING: the union of the
+    // per-(type, day) daily sketches AND the one-shot full-scan sketch
+    // must each sit within 5% of the exact distinct count. (The two
+    // ESTIMATES are not required to be equal: register union is exact,
+    // but DataSketches picks a different estimator for a streamed
+    // sketch (HIP) than for a merged one (composite), so estimates
+    // diverge ~1% past coupon mode — sf0.1 showed 1488 vs 1499 on 1500
+    // true; both sit well inside the 5% guarantee band)
     "sketch_distinct" -> ((s, dir) => {
       import graft.pipeline.Sketches
       val ev = EventsAsQuads.events(s, dir)
@@ -1720,8 +1726,8 @@ object SparkEntry {
       val exact = ev.groupBy("event_type")
         .agg(count_distinct(col("user_id")).as("exact"))
       merged.join(oneShot, "event_type").join(exact, "event_type")
-        .where(col("merged_est") === col("full_est") &&
-          abs(col("full_est") - col("exact")) <= col("exact") * 0.05)
+        .where(abs(col("merged_est") - col("exact")) <= col("exact") * 0.05
+          && abs(col("full_est") - col("exact")) <= col("exact") * 0.05)
         .select(col("event_type"), lit(true).as("sketch_ok"))
     }),
 
@@ -1827,19 +1833,26 @@ object SparkEntry {
     // BPE end-to-end, SELF-VERIFYING (the 30-round greedy merge loop is
     // not expressible in one SQL query): train 30 merges, encode every
     // document, keep only docs whose token join is byte-identical to
-    // the squeezed text AND strictly shorter than character count — a
-    // broken trainer/encoder drops rows and fails the oracle
+    // the squeezed text (losslessness is per-doc — a legitimately
+    // incompressible doc must NOT drop its row); compression is a
+    // CORPUS property, asserted as sum(tokens) < 0.9 * sum(chars) via
+    // require (a broken trainer throws and fails the verify)
     "bpe_encode" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val merges = graft.pipeline.Tokenizer.trainBpe(
         docs, col("text"), numMerges = 30)
       val norm = regexp_replace(lower(trim(col("text"))), "\\s+", "")
-      docs.select(col("doc_id"),
-          graft.pipeline.Tokenizer.encodeBpe(col("text"), merges)
-            .as("toks"),
-          norm.as("norm"))
-        .where(concat_ws("", col("toks")) === col("norm") &&
-          size(col("toks")) < length(col("norm")))
+      val enc = docs.select(col("doc_id"),
+        graft.pipeline.Tokenizer.encodeBpe(col("text"), merges)
+          .as("toks"),
+        norm.as("norm"))
+      val totals = enc.agg(
+        sum(size(col("toks")).cast("long")).as("t"),
+        sum(length(col("norm")).cast("long")).as("c")).collect()(0)
+      require(totals.getLong(0) < (totals.getLong(1) * 9) / 10,
+        s"30 merges failed to compress: ${totals.getLong(0)} tokens " +
+          s"vs ${totals.getLong(1)} chars")
+      enc.where(concat_ws("", col("toks")) === col("norm"))
         .select(col("doc_id"), lit(true).as("bpe_lossless_compressive"))
     }),
 

@@ -23,12 +23,11 @@ object Export {
   def shardedExport(df: DataFrame, order: Column, nShards: Int,
       path: String, format: String = "json"): DataFrame = {
     require(nShards > 0, "nShards must be positive")
-    val total = df.count()
+    val (idxed, _, total) = Packing.withGlobalPrefixTotals(df, order,
+      lit(0L), offsetName = "__off", idxName = "pos")
     val q = total / nShards
     val r = total % nShards
     val qSafe = math.max(q, 1L)
-    val idxed = Packing.withGlobalPrefix(df, order, lit(0L),
-      offsetName = "__off", idxName = "pos")
     val idx = col("pos")
     val shard = when(idx < lit((q + 1) * r),
         floor(idx / lit(q + 1)).cast("long"))

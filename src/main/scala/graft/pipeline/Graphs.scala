@@ -54,7 +54,7 @@ object Graphs {
       val dangling = ranks.join(outW.select(col("src").as("node")),
           Seq("node"), "left_anti")
         .agg(coalesce(sum("r"), lit(0.0)).as("dm"))
-      ranks = nodes
+      val next = nodes
         .join(incoming, Seq("node"), "left_outer")
         .crossJoin(broadcast(dangling))
         .crossJoin(broadcast(nDf))
@@ -64,6 +64,8 @@ object Graphs {
               col("dm") / col("n")),
           roundTo).as("r"))
         .localCheckpoint(true)
+      ranks.unpersist() // drop the superseded iteration's blocks
+      ranks = next
     }
     ranks.select(col("node"), col("r").as("rank"))
   }

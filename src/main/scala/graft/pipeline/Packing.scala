@@ -37,7 +37,15 @@ object Packing {
     * pass and the rescan see identical partitioning. */
   def withGlobalPrefix(df: DataFrame, orderCol: Column, valueCol: Column,
       offsetName: String = "offset", idxName: String = "idx")
-      : DataFrame = {
+      : DataFrame =
+    withGlobalPrefixTotals(df, orderCol, valueCol, offsetName, idxName)._1
+
+  /** As [[withGlobalPrefix]], also returning (totalValue, totalRows) —
+    * the prefix pass computes both already, so callers that need the
+    * total (ntile binning, sharding) skip a second full scan. */
+  def withGlobalPrefixTotals(df: DataFrame, orderCol: Column,
+      valueCol: Column, offsetName: String = "offset",
+      idxName: String = "idx"): (DataFrame, Long, Long) = {
     val spark = df.sparkSession
     val sorted = df
       .withColumn("__v", valueCol.cast("long"))
@@ -68,7 +76,7 @@ object Packing {
         out
       }
     }
-    spark.createDataFrame(rows, schema).drop("__v")
+    (spark.createDataFrame(rows, schema).drop("__v"), accV, accN)
   }
 
   /** Concat-and-chunk packing: documents are laid out in `idCol` order

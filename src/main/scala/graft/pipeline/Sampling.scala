@@ -154,6 +154,28 @@ object Sampling {
       .drop("__s", "__u", "__k", "__t")
   }
 
+  /** Skew-proof two-phase top-n (shared skeleton of [[quotaSample]],
+    * [[weightedSample]], [[topKPerGroup]]): phase 1 ranks per
+    * (part ++ input-partition id) — the shuffle key is salted by
+    * partition id, so one giant group spreads across the cluster —
+    * and phase 2 re-ranks the surviving ≤ n × P rows per `part`. Any
+    * global top-n row is a top-n row of whichever partition it lands
+    * in, so phase 1 never drops a winner and the result is independent
+    * of the input partitioning. Keeps a 1-based `__rn` rank. */
+  private def twoPhaseTopN(df: DataFrame, part: Seq[Column],
+      order: Seq[Column], n: Int): DataFrame = {
+    val phase1 = df
+      .withColumn("__p", spark_partition_id())
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(part :+ col("__p"): _*).orderBy(order: _*)))
+      .where(col("__rn") <= n)
+      .drop("__p")
+    phase1
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(part: _*).orderBy(order: _*)))
+      .where(col("__rn") <= n)
+  }
+
   /** Exact per-stratum quota: the `n` rows with the smallest key hashes
     * in each stratum (ties broken by key) — a deterministic "random"
     * sample of fixed size.
@@ -166,20 +188,10 @@ object Sampling {
     * it lands in, so phase 1 never drops a winner and the result is
     * independent of the input partitioning. */
   def quotaSample(df: DataFrame, stratum: Column, key: Column, n: Int)
-      : DataFrame = {
-    val u = hashUnit(key)
-    val phase1 = df
-      .withColumn("__u", u)
-      .withColumn("__p", spark_partition_id())
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(stratum, col("__p")).orderBy(col("__u"), key)))
-      .where(col("__rn") <= n)
-    phase1
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(stratum).orderBy(col("__u"), key)))
-      .where(col("__rn") <= n)
-      .drop("__rn", "__u", "__p")
-  }
+      : DataFrame =
+    twoPhaseTopN(df.withColumn("__u", hashUnit(key)),
+      Seq(stratum), Seq(col("__u").asc, key.asc), n)
+      .drop("__rn", "__u")
 
   /** Temperature-based stratum rebalancing (the multilingual-corpus
     * mixing rule: sample stratum s with probability ∝ N_s^alpha, so
@@ -199,7 +211,10 @@ object Sampling {
     require(alpha >= 0 && targetN > 0, "need alpha >= 0 and targetN > 0")
     val spark = df.sparkSession
     import spark.implicits._
-    val counts = df.groupBy(stratum.as("__stratum")).count()
+    // null strata carry no stratum identity to rebalance on — they are
+    // excluded (filter nulls upstream, or assign a sentinel stratum)
+    val nonNull = df.where(stratum.isNotNull)
+    val counts = nonNull.groupBy(stratum.as("__stratum")).count()
       .collect().map(r => (r.get(0), r.getLong(1)))
     val powSum = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
     val rates = counts.map { case (s, n) =>
@@ -208,7 +223,8 @@ object Sampling {
       (s.toString, BigDecimal(rate)
         .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }.toSeq.toDF("__stratum", "__rate")
-    df.join(broadcast(rates), stratum.cast("string") === col("__stratum"))
+    nonNull
+      .join(broadcast(rates), stratum.cast("string") === col("__stratum"))
       .where(hashUnit(key) < col("__rate"))
       .drop("__stratum", "__rate")
   }
@@ -235,18 +251,10 @@ object Sampling {
     val u = (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
       .cast("double") + lit(0.5)) / lit(4294967296.0)
     val score = round(-log(u) / weight.cast("double"), 9)
-    val phase1 = df
-      .where(weight.isNotNull && weight > 0)
-      .withColumn("__s", score)
-      .withColumn("__p", spark_partition_id())
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__p")).orderBy(col("__s"), key)))
-      .where(col("__rn") <= n)
-    phase1
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(lit(0)).orderBy(col("__s"), key)))
-      .where(col("__rn") <= n)
-      .drop("__rn", "__s", "__p")
+    twoPhaseTopN(
+      df.where(weight.isNotNull && weight > 0).withColumn("__s", score),
+      Seq.empty, Seq(col("__s").asc, key.asc), n)
+      .drop("__rn", "__s")
   }
 
   /** Exact curriculum binning: assign every row to one of `nBins`
@@ -263,12 +271,11 @@ object Sampling {
   def curriculumBins(df: DataFrame, order: Column, nBins: Int)
       : DataFrame = {
     require(nBins > 0, "nBins must be positive")
-    val total = df.count()
+    val (idxed, _, total) = Packing.withGlobalPrefixTotals(df, order,
+      lit(0L), offsetName = "__off", idxName = "__idx")
     val q = total / nBins
     val r = total % nBins
     val qSafe = math.max(q, 1L) // r == total when q == 0: branch unused
-    val idxed = Packing.withGlobalPrefix(df, order, lit(0L),
-      offsetName = "__off", idxName = "__idx")
     val idx = col("__idx")
     val bin = when(idx < lit((q + 1) * r),
         floor(idx / lit(q + 1)).cast("long"))
@@ -288,19 +295,9 @@ object Sampling {
     * surviving ≤ k × P candidates per group. Any global top-k row is a
     * top-k row of its own partition, so phase 1 never drops a winner. */
   def topKPerGroup(df: DataFrame, group: Column, order: Column,
-      tiebreak: Column, k: Int): DataFrame = {
-    val phase1 = df
-      .withColumn("__o", order)
-      .withColumn("__p", spark_partition_id())
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(group, col("__p"))
-          .orderBy(col("__o").desc, tiebreak)))
-      .where(col("__rn") <= k)
-    phase1
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(group).orderBy(col("__o").desc, tiebreak)))
-      .where(col("__rn") <= k)
+      tiebreak: Column, k: Int): DataFrame =
+    twoPhaseTopN(df.withColumn("__o", order),
+      Seq(group), Seq(col("__o").desc, tiebreak.asc), k)
       .withColumnRenamed("__rn", "rank")
-      .drop("__o", "__p")
-  }
+      .drop("__o")
 }

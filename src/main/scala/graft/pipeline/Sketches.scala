@@ -13,12 +13,18 @@ import org.apache.spark.sql.functions._
   * hll_sketch_agg / hll_union_agg / kll_* — so the sketch layout is the
   * open cross-engine DataSketches format, portable to any reader.)
   *
-  * Both sketches are DETERMINISTIC for a given input multiset (hashing
-  * is seed-fixed, and HLL union takes register maxima, so
-  * sketch(A) ∪ sketch(B) ≡ sketch(A ⊎ B) exactly). KLL compaction is
-  * input-ORDER-sensitive, so KLL estimates are only partition-stable
-  * given a stable input order; its ε-rank bound holds regardless —
-  * the oracle checks the bound, not the bits.
+  * HLL REGISTERS are deterministic for a given input multiset (hashing
+  * is seed-fixed, union takes register maxima, so the register state of
+  * sketch(A) ∪ sketch(B) ≡ sketch(A ⊎ B) exactly) — but the ESTIMATE
+  * read from those registers is not partition-stable past coupon/exact
+  * mode: DataSketches uses the HIP estimator for a sketch that was
+  * only streamed into and the composite estimator once any merge has
+  * occurred, so a streamed one-shot sketch and the union of partials
+  * can report ~1%-different numbers over identical data (measured:
+  * 1499 vs 1488 on 1500 true distinct). Consumers — and the oracles —
+  * must therefore assert the ERROR BOUND (±5 % at lgK=12), never
+  * estimate equality. KLL compaction is likewise input-ORDER-sensitive;
+  * its ε-rank bound holds regardless — check the bound, not the bits.
   */
 object Sketches {
 

@@ -81,11 +81,14 @@ object Tokenizer {
       else {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
-        words = words
+        val next = words
           .withColumn("syms", mergeOnce(col("syms"), lit(a), lit(b)))
           .localCheckpoint(true)
+        words.unpersist() // drop the superseded round's blocks
+        words = next
       }
     }
+    words.unpersist()
     merges.toSeq
   }
 

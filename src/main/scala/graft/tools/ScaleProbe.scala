@@ -67,6 +67,38 @@ object ScaleProbe {
         f"dedup=$tDedup%.1fs (${tDedup * 1e6 / nDocs}%.2f s/Mdoc) " +
         f"ivf_build=${tBuild - tSearch}%.1fs ivf_search=$tSearch%.1fs " +
         f"(${tSearch * 1e6 / nVec}%.2f s/Mvec)")
+
+      // round-10 additions: temporal joins, BPE training, PCA fit
+      val ev = graft.sources.EventsAsQuads.events(spark, dir)
+      val nEv = ev.count()
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts_ms").as("cts_ms"))
+      val tAsof = timeSec {
+        println("  asof rows=" + graft.pipeline.Temporal.asOfJoin(
+          purchases, clicks, "user_id", "ts_ms", "cts_ms",
+          Seq("click_id"), "click_id").count())
+      }
+      val tSess = timeSec {
+        println("  sessions=" + graft.pipeline.Temporal.sessionStats(
+          graft.pipeline.Temporal.sessionize(ev, "user_id", "ts_ms",
+            4L * 3600 * 1000, "event_id"),
+          "user_id", "ts_ms", "event_type").count())
+      }
+      val tBpe = timeSec {
+        val m = graft.pipeline.Tokenizer.trainBpe(docs, col("text"), 30)
+        println(s"  bpe merges=${m.length}")
+      }
+      val tPca = timeSec {
+        val m = graft.pipeline.Embeddings.fitPca(emb, col("embedding"), 16)
+        println(f"  pca ratio=${m.explainedRatio}%.3f")
+      }
+      println(f"SCALE2 $dir events=$nEv asof=$tAsof%.1fs " +
+        f"(${tAsof * 1e6 / nEv}%.2f s/Mevent) sessions=$tSess%.1fs " +
+        f"bpe30=$tBpe%.1fs pca_fit=$tPca%.1fs " +
+        f"(${tPca * 1e6 / nVec}%.2f s/Mvec)")
     }
     spark.stop()
   }

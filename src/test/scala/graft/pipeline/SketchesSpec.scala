@@ -24,8 +24,26 @@ class SketchesSpec extends AnyFunSuite {
     assert(est === Map(0L -> 97L, 1L -> 97L, 2L -> 97L))
   }
 
-  test("sketch merge law: union of batch sketches equals the one-shot " +
-      "sketch, estimate-for-estimate") {
+  test("past exact mode, union and one-shot estimates may DIVERGE " +
+      "(HIP vs composite estimator) but both respect the ±5% bound") {
+    val big = (0L until 60000L).map(i => (i % 2, i % 20011)).toDF("g", "u")
+    val exact = 20011.0 // both groups see every residue at 60k rows
+    val union = Sketches.distinctEstimate(
+      Sketches.unionDistinctSketches(
+        Sketches.distinctSketch(big.withColumn("b", col("u") % 5),
+          Seq(col("g"), col("b")), col("u")),
+        Seq(col("g"))),
+      Seq(col("g"))).collect().map(_.getLong(1))
+    val oneShot = Sketches.distinctEstimate(
+      Sketches.distinctSketch(big, Seq(col("g")), col("u")),
+      Seq(col("g"))).collect().map(_.getLong(1))
+    (union ++ oneShot).foreach { est =>
+      assert(math.abs(est - exact) <= exact * 0.05, s"est $est vs $exact")
+    }
+  }
+
+  test("sketch merge law at low cardinality (exact mode): union of " +
+      "batch sketches equals the one-shot sketch estimate-for-estimate") {
     val batches = (0 until 5).map(b =>
       Sketches.distinctSketch(rows.where(col("v") % 5 === b),
         Seq(col("g")), col("u")))
