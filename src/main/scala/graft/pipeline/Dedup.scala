@@ -556,20 +556,74 @@ object Dedup {
             Window.partitionBy(col("lb")).orderBy(col("id"))))
           .where(col("__rn") <= maxBucketDocs).drop("__rn")
       }
-    // one side keeps its primary bucket, the other is exploded to
-    // {lb, lb+1}: every |Δlen| ≤ d pair meets exactly once or twice
-    // (same-bucket pairs twice, in both orientations), never more
-    val a = base.select(col("id").as("id_l"), col("text").as("text_l"),
+    // The candidate join moves FINGERPRINTS ONLY — (id, length, 16-bin
+    // char histogram), ~90 bytes/row — never the documents: same-bucket
+    // candidate volume is quadratic-in-bucket (≈80 M pairs at sf1), and
+    // carrying two ~300-char texts per candidate is tens of GB of
+    // shuffle, which is what dominates, not the edit-distance kernel.
+    // Both fingerprints give NECESSARY conditions for dist ≤ d (no
+    // false negatives): every indel shifts length by 1 ⇒ |Δlen| > d is
+    // out; a substitution moves 2 units of histogram L1 mass, an indel
+    // 1 ⇒ L1 > 2d is out. Random prose pairs have L1 ≫ 2d, so almost
+    // nothing survives to the text-fetch joins, and the O(len·d)
+    // banded levenshtein runs only on genuine near-dup candidates.
+    val texts = base.select(col("id"), col("text"))
+    val fps = base
+      .withColumn("__len", length(col("text")).cast("long"))
+      .withColumn("__hp", CharHistPacked(col("text")))
+      .drop("text")
+    val a = fps.select(col("id").as("id_l"), col("__len").as("len_l"),
+      col("__hp._1").as("p0_l"), col("__hp._2").as("p1_l"),
       col("lb").as("bucket"))
-    val b = base.select(col("id").as("id_r"), col("text").as("text_r"),
+    val b = fps.select(col("id").as("id_r"), col("__len").as("len_r"),
+      col("__hp._1").as("p0_r"), col("__hp._2").as("p1_r"),
       explode(array(col("lb"), col("lb") + 1)).as("bucket"))
-    a.join(b, "bucket")
-      .where(col("id_l") =!= col("id_r"))
+    // histogram L1 as straight-line codegen'd long arithmetic: the two
+    // packed longs hold 8 saturating byte counters each, so the L1 is
+    // 16 shift/mask/abs terms on primitives — no per-pair array
+    // allocation, no interpreted lambda (either costs ~µs per
+    // candidate; at ~10^8 candidates that IS the job). Saturation only
+    // UNDERestimates the true L1, so the bound stays necessary.
+    def byteAt(c: Column, i: Int): Column =
+      shiftright(c, 8 * i).bitwiseAND(lit(255L))
+    val l1 = (0 to 7).map(i =>
+        abs(byteAt(col("p0_l"), i) - byteAt(col("p0_r"), i)) +
+          abs(byteAt(col("p1_l"), i) - byteAt(col("p1_r"), i)))
+      .reduce(_ + _)
+    val survivors = a.join(b, "bucket")
+      .where(col("id_l") =!= col("id_r") &&
+        abs(col("len_l") - col("len_r")) <= maxDist &&
+        l1 <= 2 * maxDist)
       .select(least(col("id_l"), col("id_r")).as("id_a"),
-        greatest(col("id_l"), col("id_r")).as("id_b"),
-        levenshtein(col("text_l"), col("text_r"), maxDist).as("dist"))
-      // filter BEFORE the dedup shuffle: only near pairs reach distinct()
+        greatest(col("id_l"), col("id_r")).as("id_b"))
+      .distinct() // same-bucket pairs met twice; dedup BEFORE text fetch
+    survivors
+      .join(texts.select(col("id").as("id_a"), col("text").as("text_a")),
+        "id_a")
+      .join(texts.select(col("id").as("id_b"), col("text").as("text_b")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("text_a"), col("text_b"), maxDist).as("dist"))
       .where(col("dist") >= 0) // thresholded form returns -1 past maxDist
-      .distinct()
   }
+
+  /** 16-bin character histogram (char & 15) packed into two longs of
+    * 8 saturating byte counters — the per-doc fingerprint behind
+    * [[editDistanceDuplicates]]'s L1 pre-filter, shaped so the
+    * per-candidate L1 is primitive long arithmetic. */
+  private val CharHistPacked = udf((t: String) => {
+    val h = new Array[Int](16)
+    var i = 0
+    while (i < t.length) { h(t.charAt(i) & 15) += 1; i += 1 }
+    def pack(off: Int): Long = {
+      var v = 0L
+      var j = 0
+      while (j < 8) {
+        v |= math.min(h(off + j), 255).toLong << (8 * j)
+        j += 1
+      }
+      v
+    }
+    (pack(0), pack(8))
+  })
 }
