@@ -296,8 +296,10 @@ object Sampling {
     * top-k row of its own partition, so phase 1 never drops a winner. */
   def topKPerGroup(df: DataFrame, group: Column, order: Column,
       tiebreak: Column, k: Int): DataFrame =
+    // tiebreak passes through VERBATIM — callers may hand a SortOrder
+    // (e.g. col("label").asc); wrapping it again breaks evaluation
     twoPhaseTopN(df.withColumn("__o", order),
-      Seq(group), Seq(col("__o").desc, tiebreak.asc), k)
+      Seq(group), Seq(col("__o").desc, tiebreak), k)
       .withColumnRenamed("__rn", "rank")
       .drop("__o")
 }
