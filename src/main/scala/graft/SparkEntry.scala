@@ -1842,14 +1842,19 @@ object SparkEntry {
       val merges = graft.pipeline.Tokenizer.trainBpe(
         docs, col("text"), numMerges = 30)
       val norm = regexp_replace(lower(trim(col("text"))), "\\s+", "")
+      // checkpoint so the expensive encode runs ONCE (the eager totals
+      // aggregate below and the harness's later write share the blocks)
       val enc = docs.select(col("doc_id"),
         graft.pipeline.Tokenizer.encodeBpe(col("text"), merges)
           .as("toks"),
         norm.as("norm"))
+        .localCheckpoint(true)
       val totals = enc.agg(
-        sum(size(col("toks")).cast("long")).as("t"),
-        sum(length(col("norm")).cast("long")).as("c")).collect()(0)
-      require(totals.getLong(0) < (totals.getLong(1) * 9) / 10,
+        coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("t"),
+        coalesce(sum(length(col("norm")).cast("long")), lit(0L)).as("c"))
+        .collect()(0)
+      require(totals.getLong(1) == 0L ||
+        totals.getLong(0) < (totals.getLong(1) * 9) / 10,
         s"30 merges failed to compress: ${totals.getLong(0)} tokens " +
           s"vs ${totals.getLong(1)} chars")
       enc.where(concat_ws("", col("toks")) === col("norm"))
@@ -2474,72 +2479,84 @@ object SparkEntry {
          |  '"' || event_type || '"' AS t
          |FROM events""".stripMargin,
     "asof_join" ->
+      // MILLISECOND granularity throughout — the Spark side runs on the
+      // normalized ts_ms column, so the oracle must order/compare on
+      // epoch_us // 1000 too (raw-us ordering would disagree whenever a
+      // click and a purchase share a millisecond)
       """WITH l AS (
-        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
-        |  WHERE event_type = 'purchase'),
+        |  SELECT event_id, user_id, epoch_us(ts) // 1000 AS ts_ms
+        |  FROM events WHERE event_type = 'purchase'),
         |r AS (
-        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS ts_us,
+        |  SELECT event_id AS click_id, user_id,
+        |    epoch_us(ts) // 1000 AS ts_ms,
         |    value AS click_value FROM events WHERE event_type = 'click'),
         |u AS (
-        |  SELECT user_id, ts_us, 1 AS side, event_id,
+        |  SELECT user_id, ts_ms, 1 AS side, event_id,
         |    NULL::BIGINT AS click_id FROM l
         |  UNION ALL
-        |  SELECT user_id, ts_us, 0, NULL, click_id FROM r),
+        |  SELECT user_id, ts_ms, 0, NULL, click_id FROM r),
         |w AS (
-        |  SELECT user_id, ts_us, side, event_id,
+        |  SELECT user_id, ts_ms, side, event_id,
         |    last_value(click_id IGNORE NULLS) OVER (
         |      PARTITION BY user_id
-        |      ORDER BY ts_us, side, click_id NULLS FIRST
+        |      ORDER BY ts_ms, side, click_id NULLS FIRST
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_id
         |  FROM u)
-        |SELECT w.event_id, w.user_id, w.ts_us // 1000 AS ts_ms,
+        |SELECT w.event_id, w.user_id, w.ts_ms,
         |  w.m_id AS click_id, round(r.click_value, 6) AS click_value,
-        |  (w.ts_us // 1000) - (r.ts_us // 1000) AS asof_gap_ms
+        |  w.ts_ms - r.ts_ms AS asof_gap_ms
         |FROM w LEFT JOIN r ON w.m_id = r.click_id
         |WHERE w.side = 1""".stripMargin,
     "range_join" ->
       """WITH p AS (
-        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
-        |  WHERE event_type = 'purchase'),
+        |  SELECT event_id, user_id, epoch_us(ts) // 1000 AS ts_ms
+        |  FROM events WHERE event_type = 'purchase'),
         |c AS (
-        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS ts_us
+        |  SELECT event_id AS click_id, user_id,
+        |    epoch_us(ts) // 1000 AS ts_ms
         |  FROM events WHERE event_type = 'click')
         |SELECT p.event_id, p.user_id, c.click_id
         |FROM p JOIN c ON p.user_id = c.user_id
-        |  AND c.ts_us >= p.ts_us - 43200000000
-        |  AND c.ts_us <= p.ts_us""".stripMargin,
+        |  AND c.ts_ms >= p.ts_ms - 43200000
+        |  AND c.ts_ms <= p.ts_ms""".stripMargin,
     "sessionize" ->
-      """WITH b AS (
-        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 14400000000
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) // 1000 AS ts_ms
+        |  FROM events),
+        |b AS (
+        |  SELECT event_id, user_id, ts_ms,
+        |    CASE WHEN lag(ts_ms) OVER w IS NULL
+        |      OR ts_ms - lag(ts_ms) OVER w > 14400000
         |      THEN 1 ELSE 0 END AS nb
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
         |SELECT event_id, user_id,
         |  CAST(SUM(nb) OVER (PARTITION BY user_id
-        |    ORDER BY ts_us, event_id
+        |    ORDER BY ts_ms, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
         |    AS BIGINT) AS session_id
         |FROM b""".stripMargin,
     "session_stats" ->
-      """WITH b AS (
-        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
-        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 14400000000
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) // 1000 AS ts_ms FROM events),
+        |b AS (
+        |  SELECT event_id, user_id, event_type, ts_ms,
+        |    CASE WHEN lag(ts_ms) OVER w IS NULL
+        |      OR ts_ms - lag(ts_ms) OVER w > 14400000
         |      THEN 1 ELSE 0 END AS nb
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
         |s AS (
-        |  SELECT user_id, event_type, ts_us,
+        |  SELECT user_id, event_type, ts_ms,
         |    CAST(SUM(nb) OVER (PARTITION BY user_id
-        |      ORDER BY ts_us, event_id
+        |      ORDER BY ts_ms, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
         |      AS BIGINT) AS session_id
         |  FROM b)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
-        |  MIN(ts_us // 1000) AS start_ms, MAX(ts_us // 1000) AS end_ms,
-        |  MAX(ts_us // 1000) - MIN(ts_us // 1000) AS duration_ms,
+        |  MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms,
+        |  MAX(ts_ms) - MIN(ts_ms) AS duration_ms,
         |  COUNT(DISTINCT event_type) AS n_event_type
         |FROM s GROUP BY user_id, session_id""".stripMargin,
     "dedup_exact" ->

@@ -331,8 +331,6 @@ object Kernels {
 
   // ---- vector kernels --------------------------------------------------
 
-
-
   /** Cosine similarity of two double-array columns with zero-norm guard
     * (Ann.cosine): sequential accumulation in element order — the exact
     * summation order of the Column fold it replaces, so results are

@@ -546,8 +546,12 @@ object Dedup {
       maxDist: Int = 8, maxBucketDocs: Long = Long.MaxValue): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     val w = lit(maxDist.toLong)
-    val base0 = df.select(idCol.as("id"), textCol.as("text"),
-      (length(textCol).cast("long") / w).cast("long").as("lb"))
+    // null texts are excluded explicitly (the pre-redesign plan dropped
+    // them implicitly via null join keys; the fingerprint UDF must not
+    // see them)
+    val base0 = df.where(textCol.isNotNull)
+      .select(idCol.as("id"), textCol.as("text"),
+        (length(textCol).cast("long") / w).cast("long").as("lb"))
     val base =
       if (maxBucketDocs == Long.MaxValue) base0
       else {
@@ -567,8 +571,13 @@ object Dedup {
     // 1 ⇒ L1 > 2d is out. Random prose pairs have L1 ≫ 2d, so almost
     // nothing survives to the text-fetch joins, and the O(len·d)
     // banded levenshtein runs only on genuine near-dup candidates.
-    val texts = base.select(col("id"), col("text"))
-    val fps = base
+    // base feeds four branches (fingerprint self-join sides + two text
+    // fetches): cache it so the scan — and the capping window when
+    // maxBucketDocs is set — evaluates once (same discipline as
+    // simhashDuplicates' sims.persist)
+    val baseP = base.persist()
+    val texts = baseP.select(col("id"), col("text"))
+    val fps = baseP
       .withColumn("__len", length(col("text")).cast("long"))
       .withColumn("__hp", CharHistPacked(col("text")))
       .drop("text")
@@ -614,7 +623,16 @@ object Dedup {
   private val CharHistPacked = udf((t: String) => {
     val h = new Array[Int](16)
     var i = 0
-    while (i < t.length) { h(t.charAt(i) & 15) += 1; i += 1 }
+    // iterate CODE POINTS, not UTF-16 units: levenshtein (Spark and
+    // DuckDB) edits code points, and the "substitution moves ≤2 units
+    // of L1 mass" bound only holds when the histogram counts the same
+    // alphabet — astral chars counted as 2 units would overshoot the
+    // bound and silently drop true pairs
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      h(cp & 15) += 1
+      i += Character.charCount(cp)
+    }
     def pack(off: Int): Long = {
       var v = 0L
       var j = 0

@@ -218,6 +218,24 @@ class PackingRetrievalSpec extends AnyFunSuite {
     assert(want.nonEmpty) // the planted pairs are actually in range
   }
 
+  test("editDistanceDuplicates: null texts are excluded, not a crash; " +
+      "astral-plane substitutions keep the no-false-negative bound") {
+    // doc 2 is doc 1 with five astral-char (2 UTF-16 units each)
+    // substitutions: code-point edit distance 5 <= 8 — a UTF-16-unit
+    // histogram would overshoot the 2d L1 bound and drop the pair
+    val a = "aa😀bb😀cc😀dd😀ee" +
+      "😀ff gg hh ii jj kk ll mm nn oo pp"
+    val b = a.replace("😀", "😁") // 5 substitutions
+    val docs = Seq((1L, a), (2L, b), (3L, null.asInstanceOf[String]),
+      (4L, "completely different content here entirely unrelated words"))
+      .toDF("id", "text")
+    val got = Dedup.editDistanceDuplicates(docs, col("id"), col("text"),
+        maxDist = 8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("dist"))).toSet
+    assert(got === Set((1L, 2L, 5)))
+  }
+
   test("editDistanceDuplicates hot-bucket cap bounds candidates " +
       "(skew valve)") {
     // all docs identical length → one hot length bucket
