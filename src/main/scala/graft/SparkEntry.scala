@@ -1256,14 +1256,40 @@ object SparkEntry {
 
     // Sequence packing, whole-doc shape: first-fit-decreasing bins of
     // 512 tokens, partition-local FFD over a descending range
-    // partitioning. No SQL oracle (FFD is inherently sequential);
-    // PackingSpec pins the invariants: no bin over budget, every doc
-    // placed exactly once, utilization >= 0.5 (FFD guarantees it)
-    "pack_ffd" -> ((s, dir) =>
-      graft.pipeline.Packing.packFirstFit(
+    // partitioning. SELF-VERIFYING (FFD is order-dependent, not one SQL
+    // query — the bpe_encode pattern): the packing invariants are
+    // asserted in-query — no bin over budget, bin_fill consistent with
+    // its token sum, utilization >= 0.5 (FFD guarantees all bins but
+    // one per partition are > half full) — via require (a broken packer
+    // throws and fails the verify); per-doc placement is then emitted
+    // as rows a trivial DuckDB oracle matches: exactly the eligible
+    // docs (0 < tokens <= budget), each placed exactly once
+    "pack_ffd" -> ((s, dir) => {
+      val packed = graft.pipeline.Packing.packFirstFit(
         s.read.parquet(s"$dir/documents.parquet"),
         col("doc_id"), col("text"), budget = 512L)
-        .withColumnRenamed("id", "doc_id")),
+        .localCheckpoint(true) // FFD runs once; stats + emit share blocks
+      val st = packed.groupBy(col("bin_id"))
+        .agg(max(col("bin_fill")).as("fill"),
+          sum(col("n_tokens")).as("tok"))
+        .agg(count(lit(1)).as("bins"),
+          coalesce(max(col("fill")), lit(0L)).as("max_fill"),
+          coalesce(sum(col("tok")), lit(0L)).as("toks"),
+          coalesce(sum(when(col("fill") =!= col("tok"), 1L)
+            .otherwise(0L)), lit(0L)).as("bad"))
+        .collect()(0)
+      val (bins, maxFill, toks, bad) =
+        (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+      require(bad == 0L, s"$bad bins where bin_fill != sum(n_tokens)")
+      require(maxFill <= 512L, s"bin over budget: $maxFill > 512")
+      require(bins == 0L || toks.toDouble / (bins * 512.0) >= 0.5,
+        s"FFD utilization ${toks.toDouble / (bins * 512.0)} < 0.5")
+      packed.groupBy(col("id"))
+        .agg(count(lit(1)).as("__n"))
+        .where(col("__n") === 1L) // a doc placed twice drops its row
+        .select(col("id").as("doc_id"),
+          lit(true).as("ffd_placed_once"))
+    }),
 
     // Global consecutive row index + exclusive token-offset — the
     // shard/sample-id assignment primitive, exact without a global
@@ -2645,16 +2671,62 @@ object SparkEntry {
     // node of the near-dup graph, the set of reachable labels; MIN is
     // the component representative — exactly the fixpoint the Spark
     // label propagation converges to
-    // edit-distance near-dup: the oracle needs no blocking — it prunes
-    // with the same |Δlen| <= d guarantee the blocking relies on
+    // edit-distance near-dup: the oracle prunes with the SAME
+    // engine-portable fingerprint necessary conditions the Spark side
+    // uses (every indel shifts length by 1 ⇒ |Δlen| > d is out; a
+    // substitution moves 2 units of 16-bin code-point-histogram L1
+    // mass, an indel 1 ⇒ L1 > 2d is out; per-bin saturation at 255
+    // only UNDERestimates L1, keeping the bound necessary) so the
+    // O(len·len) levenshtein kernel runs only on genuine candidates —
+    // plain |Δlen| blocking leaves ~80 M levenshtein calls at sf1 and
+    // blows the 900 s oracle budget (measured 12.1 s → 0.08 s at
+    // sf0.01, identical rows). Bins pack into two HUGEINTs (BIGINT
+    // would overflow on a saturated high lane); L1 is 16 shift/mask
+    // terms — vectorized arithmetic, no per-row lambdas
     "dedup_editdist" ->
       """WITH d AS (
-        |  SELECT doc_id, text, length(text) AS l FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  levenshtein(a.text, b.text) AS dist
-        |FROM d a JOIN d b
-        |  ON a.doc_id < b.doc_id AND abs(a.l - b.l) <= 8
-        |WHERE levenshtein(a.text, b.text) <= 8""".stripMargin,
+        |  SELECT doc_id, text, length(text) AS l FROM documents),
+        |cp AS (
+        |  SELECT doc_id, ord(ch) % 16 AS b
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |        FROM d)),
+        |bins AS (
+        |  SELECT doc_id, b, CAST(least(COUNT(*), 255) AS HUGEINT) AS c
+        |  FROM cp GROUP BY doc_id, b),
+        |hp AS (
+        |  SELECT d.doc_id, d.text, d.l,
+        |    COALESCE(SUM(CASE WHEN bins.b < 8
+        |      THEN bins.c * (1::HUGEINT << (8 * bins.b)) END),
+        |      0)::HUGEINT AS p0,
+        |    COALESCE(SUM(CASE WHEN bins.b >= 8
+        |      THEN bins.c * (1::HUGEINT << (8 * (bins.b - 8))) END),
+        |      0)::HUGEINT AS p1
+        |  FROM d LEFT JOIN bins ON d.doc_id = bins.doc_id
+        |  GROUP BY d.doc_id, d.text, d.l),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.text AS ta, b.text AS tb
+        |  FROM hp a JOIN hp b
+        |    ON a.doc_id < b.doc_id AND abs(a.l - b.l) <= 8
+        |  WHERE (
+        |    abs(((a.p0 >> 0) & 255) - ((b.p0 >> 0) & 255)) +
+        |    abs(((a.p0 >> 8) & 255) - ((b.p0 >> 8) & 255)) +
+        |    abs(((a.p0 >> 16) & 255) - ((b.p0 >> 16) & 255)) +
+        |    abs(((a.p0 >> 24) & 255) - ((b.p0 >> 24) & 255)) +
+        |    abs(((a.p0 >> 32) & 255) - ((b.p0 >> 32) & 255)) +
+        |    abs(((a.p0 >> 40) & 255) - ((b.p0 >> 40) & 255)) +
+        |    abs(((a.p0 >> 48) & 255) - ((b.p0 >> 48) & 255)) +
+        |    abs(((a.p0 >> 56) & 255) - ((b.p0 >> 56) & 255)) +
+        |    abs(((a.p1 >> 0) & 255) - ((b.p1 >> 0) & 255)) +
+        |    abs(((a.p1 >> 8) & 255) - ((b.p1 >> 8) & 255)) +
+        |    abs(((a.p1 >> 16) & 255) - ((b.p1 >> 16) & 255)) +
+        |    abs(((a.p1 >> 24) & 255) - ((b.p1 >> 24) & 255)) +
+        |    abs(((a.p1 >> 32) & 255) - ((b.p1 >> 32) & 255)) +
+        |    abs(((a.p1 >> 40) & 255) - ((b.p1 >> 40) & 255)) +
+        |    abs(((a.p1 >> 48) & 255) - ((b.p1 >> 48) & 255)) +
+        |    abs(((a.p1 >> 56) & 255) - ((b.p1 >> 56) & 255))) <= 16)
+        |SELECT id_a, id_b, levenshtein(ta, tb) AS dist
+        |FROM cand WHERE levenshtein(ta, tb) <= 8""".stripMargin,
     "retrieval_bm25" ->
       """WITH d AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+')
@@ -2701,6 +2773,16 @@ object SparkEntry {
         |  least(n, (seq_id + 1) * 256 - off) AS tok_end,
         |  greatest(0, off - seq_id * 256) AS seq_off
         |FROM e""".stripMargin,
+    // pack_ffd is self-verifying (in-query FFD invariant requires); the
+    // oracle states the placement contract: exactly the eligible docs
+    // (0 < whitespace tokens <= budget), each placed exactly once
+    "pack_ffd" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+'))
+        |    AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT doc_id, true AS ffd_placed_once
+        |FROM d WHERE n > 0 AND n <= 512""".stripMargin,
     "corpus_index" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+'))
@@ -3177,8 +3259,12 @@ object SparkEntry {
         |SELECT f.doc_id, CAST(f.toks AS BIGINT) AS tokens
         |FROM f JOIN k ON md5(f.clean) = k.h AND f.doc_id = k.keep"""
         .stripMargin,
+    // null strata carry no stratum identity: the Spark side excludes
+    // them before computing powSum, so the count CTE must too — a
+    // NULL-lang group in tot would skew every stratum's rate
     "sample_temperature" ->
-      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY lang),
         |t AS (SELECT SUM(pow(n, 0.5)) AS tot FROM c),
         |r AS (
         |  SELECT lang,

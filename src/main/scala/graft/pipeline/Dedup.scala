@@ -606,7 +606,7 @@ object Dedup {
       .select(least(col("id_l"), col("id_r")).as("id_a"),
         greatest(col("id_l"), col("id_r")).as("id_b"))
       .distinct() // same-bucket pairs met twice; dedup BEFORE text fetch
-    survivors
+    val out = survivors
       .join(texts.select(col("id").as("id_a"), col("text").as("text_a")),
         "id_a")
       .join(texts.select(col("id").as("id_b"), col("text").as("text_b")),
@@ -614,6 +614,13 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         levenshtein(col("text_a"), col("text_b"), maxDist).as("dist"))
       .where(col("dist") >= 0) // thresholded form returns -1 past maxDist
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (near-pair-sized) output, then release the big
+    // corpus cache — repeated calls in a standing session must not
+    // accumulate blocks (same discipline as simhashDuplicates)
+    out.count()
+    baseP.unpersist()
+    out
   }
 
   /** 16-bin character histogram (char & 15) packed into two longs of

@@ -100,19 +100,25 @@ object Embeddings {
     val scale = if (whiten)
       model.explained.map(l => if (l > 1e-12) 1.0 / math.sqrt(l) else 0.0)
     else Array.fill(model.k)(1.0)
-    val proj = udf((x: Seq[Double]) => {
-      val out = new Array[Double](comps.length)
-      var c = 0
-      while (c < comps.length) {
-        var acc = 0.0
-        var i = 0
-        val comp = comps(c)
-        while (i < comp.length) { acc += (x(i) - mean(i)) * comp(i); i += 1 }
-        out(c) = acc * scale(c)
-        c += 1
-      }
-      out
-    })
+    // null guard mirrors fitPca's na.drop: one null embedding row must
+    // project to null, not NPE the whole job
+    val proj = udf((x: Seq[Double]) =>
+      if (x == null) null.asInstanceOf[Array[Double]]
+      else {
+        val out = new Array[Double](comps.length)
+        var c = 0
+        while (c < comps.length) {
+          var acc = 0.0
+          var i = 0
+          val comp = comps(c)
+          while (i < comp.length) {
+            acc += (x(i) - mean(i)) * comp(i); i += 1
+          }
+          out(c) = acc * scale(c)
+          c += 1
+        }
+        out
+      })
     df.withColumn("pc", proj(vec.cast("array<double>")))
   }
 }

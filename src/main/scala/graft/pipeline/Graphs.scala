@@ -67,6 +67,11 @@ object Graphs {
       ranks.unpersist() // drop the superseded iteration's blocks
       ranks = next
     }
+    // the returned ranks frame is a localCheckpoint — self-contained,
+    // so the edge/node working sets can be released (a standing session
+    // calling pageRank repeatedly must not accumulate checkpoint blocks)
+    e.unpersist()
+    nodes.unpersist()
     ranks.select(col("node"), col("r").as("rank"))
   }
 }

@@ -63,6 +63,15 @@ object Temporal {
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, rightPayload: Seq[String],
       rightTieBreak: String, toleranceMs: Option[Long] = None): DataFrame = {
+    // the tiebreak is cast to long for the window ordering — a
+    // non-numeric column would silently become null and make equal-ts
+    // tie resolution nondeterministic; fail loudly instead
+    right.schema(rightTieBreak).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case other => throw new IllegalArgumentException(
+        s"asOfJoin rightTieBreak '$rightTieBreak' must be numeric " +
+          s"(deterministic long ordering), got $other")
+    }
     val leftCols = left.columns.toSeq
     val rUs = tsUs(right, rightTs)
     val payloadStruct = struct(

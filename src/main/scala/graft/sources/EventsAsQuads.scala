@@ -28,13 +28,29 @@ object EventsAsQuads {
   /** Reads the events table with `ts` normalized to an epoch-millis LONG
     * column `ts_ms`, tolerating every physical type the driver has shipped:
     * TIMESTAMP(NANOS) (readable only as a raw Long via the nanosAsLong
-    * legacy conf, set dynamically so it also holds under a driver-created
-    * session), TIMESTAMP_NTZ (timestamp[us] with isAdjustedToUTC=false —
-    * naive wall-clock, interpreted as UTC to match the DuckDB oracle's
-    * epoch_ms), and plain TIMESTAMP. */
+    * legacy conf — set ONLY when the footer actually carries nanos, so a
+    * session reading ordinary micros/NTZ events never has its parquet
+    * semantics changed for other tables), TIMESTAMP_NTZ (timestamp[us]
+    * with isAdjustedToUTC=false — naive wall-clock, interpreted as UTC to
+    * match the DuckDB oracle's epoch_ms), and plain TIMESTAMP. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val path = s"$sfDir/events.parquet"
+    // Gate the session-global legacy conf on the actual physical type:
+    // schema inference on a TIMESTAMP(NANOS) footer fails eagerly
+    // without it (and only then is flipping it justified — the conf
+    // must stay true for the lifetime of the returned plan, because
+    // executors re-convert the footer schema at scan time, so a
+    // save/restore around the read would break the later action)
+    val raw =
+      try spark.read.parquet(path)
+      catch {
+        case e: Throwable if e.getMessage != null &&
+            e.getMessage.contains("NANOS") &&
+            spark.conf.get(
+              "spark.sql.legacy.parquet.nanosAsLong", "false") != "true" =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(path)
+      }
     val tsMs = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
       case org.apache.spark.sql.types.TimestampNTZType =>

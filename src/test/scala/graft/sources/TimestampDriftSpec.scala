@@ -103,14 +103,30 @@ class TimestampDriftSpec extends AnyFunSuite {
       "nanos" -> fixtureDir("nanos"))
     writeNtz(dirs("ntz")); writeLtz(dirs("ltz")); writeNanos(dirs("nanos"))
     val prevZone = spark.conf.get("spark.sql.session.timeZone")
+    val nanosConf = "spark.sql.legacy.parquet.nanosAsLong"
     try {
       spark.conf.set("spark.sql.session.timeZone", "America/New_York")
-      dirs.foreach { case (kind, dir) =>
-        assert(tsMsOf(dir) == expectedMs, s"physical type $kind")
+      spark.conf.set(nanosConf, "false")
+      // micros/NTZ reads must NOT flip the session-global nanos legacy
+      // conf (it changes how every OTHER nanos parquet in the session
+      // reads); only an actual TIMESTAMP(NANOS) footer may set it
+      Seq("ntz", "ltz").foreach { kind =>
+        assert(tsMsOf(dirs(kind)) == expectedMs, s"physical type $kind")
+        assert(spark.conf.get(nanosConf) == "false",
+          s"$kind read mutated $nanosConf")
         assert(spark.conf.get("spark.sql.session.timeZone") ==
           "America/New_York", s"$kind read mutated the session time zone")
       }
-    } finally spark.conf.set("spark.sql.session.timeZone", prevZone)
+      assert(tsMsOf(dirs("nanos")) == expectedMs, "physical type nanos")
+      assert(spark.conf.get(nanosConf) == "true",
+        "a genuine NANOS footer must gate the legacy conf on " +
+          "(executors re-convert the footer schema at scan time)")
+      assert(spark.conf.get("spark.sql.session.timeZone") ==
+        "America/New_York", "nanos read mutated the session time zone")
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", prevZone)
+      spark.conf.unset(nanosConf)
+    }
   }
 
   test("quads derive from the normalized ts_ms (NTZ fixture)") {

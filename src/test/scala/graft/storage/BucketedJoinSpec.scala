@@ -46,6 +46,39 @@ class BucketedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("writeBucketed refuses a mismatched bucket spec and rejects " +
+      "non-simple identifiers (typo safety)") {
+    val df = (0L until 100L).map(i => (i, i.toDouble)).toDF("k", "v")
+    try {
+      BucketedTables.writeBucketed(df, "b_guard", "k", nBuckets = 4)
+      // different bucket count → refuse
+      val e1 = intercept[IllegalArgumentException] {
+        BucketedTables.writeBucketed(df, "b_guard", "k", nBuckets = 8)
+      }
+      assert(e1.getMessage.contains("bucket spec"))
+      // different bucket column → refuse
+      val e2 = intercept[IllegalArgumentException] {
+        BucketedTables.writeBucketed(df, "b_guard", "v", nBuckets = 4)
+      }
+      assert(e2.getMessage.contains("bucket spec"))
+      // original table untouched by the refused writes
+      assert(BucketedTables.read(spark, "b_guard").count() === 100L)
+      assert(BucketedTables.bucketSpecOf(spark, "b_guard")
+        === Some((Seq("k"), 4)))
+      // same spec → legitimate overwrite still works
+      BucketedTables.writeBucketed(df.limit(10), "b_guard", "k",
+        nBuckets = 4)
+      assert(BucketedTables.read(spark, "b_guard").count() === 10L)
+      // qualified / injectable names never reach raw SQL or the fs
+      intercept[IllegalArgumentException] {
+        BucketedTables.writeBucketed(df, "db.tbl", "k", nBuckets = 4)
+      }
+      intercept[IllegalArgumentException] {
+        BucketedTables.writeBucketed(df, "t; DROP TABLE x", "k", 4)
+      }
+    } finally BucketedTables.drop(spark, "b_guard")
+  }
+
   test("groupBy on the bucket key is exchange-free too") {
     val df = (0L until 3000L).map(i => (i % 500, i.toDouble)).toDF("k", "v")
     try {
