@@ -1359,6 +1359,44 @@ object SparkEntry {
         .select(col("query_id"), lit(true).as("recall_ge_070"))
     }),
 
+    // Incremental IVF maintenance: build on a third of the corpus, then
+    // append the other two batches — the first append crosses the 0.4
+    // drift threshold (appended fraction 0.5) and RECLUSTERS, the second
+    // (fraction 1/3) appends statelessly. SELF-VERIFYING: the standing
+    // index after the append sequence must equal a one-shot rebuild of
+    // the full corpus with the final model EXACTLY (assignment is a
+    // stateless map given the model), asserted as set-identical top-k
+    // tables; a drifted or double-counted index drops rows / throws
+    "ann_ivf_incremental" -> ((s, dir) => {
+      val ann = graft.pipeline.Ann
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      var idx = ann.buildIvf(emb.where(col("vec_id") % 3 === 0),
+        nCells = 8)
+      idx = ann.appendToIvfIndex(idx,
+        emb.where(col("vec_id") % 3 === 1), reclusterAt = 0.4)
+      require(idx.reclusters == 1,
+        s"append past 0.5 drift must recluster, got ${idx.reclusters}")
+      idx = ann.appendToIvfIndex(idx,
+        emb.where(col("vec_id") % 3 === 2), reclusterAt = 0.4)
+      require(idx.reclusters == 1,
+        s"append at 1/3 drift must NOT recluster, got ${idx.reclusters}")
+      val queries = emb.where(col("vec_id") < 3)
+      val inc = ann.ivfTopKIndexed(idx.index, queries, k = 10,
+        idx.model, nprobe = 6).localCheckpoint(true)
+      val oneShot = ann.ivfTopKIndexed(
+        ann.buildIvfIndex(emb, idx.model), queries, k = 10,
+        idx.model, nprobe = 6)
+      val (nInc, nBoth) = (inc.count(),
+        inc.intersect(oneShot).count())
+      require(nInc == nBoth && nInc == oneShot.count(),
+        s"incremental top-k != one-shot rebuild top-k ($nInc vs $nBoth)")
+      idx.unpersist()
+      inc.select(col("query_id")).distinct()
+        .select(col("query_id"),
+          lit(true).as("incremental_equals_rebuild"))
+    }),
+
     // Semi-structured props: JSON field extraction + aggregation
     "props_json" -> ((s, dir) =>
       EventsAsQuads.events(s, dir)
@@ -2026,6 +2064,41 @@ object SparkEntry {
         .select(col("media_id").as("doc_id"), col("n_frames"),
           col("width"), col("height"), col("sampled_frames"),
           col("intensity_sum"), col("codec"))
+    }),
+
+    // REAL image feature extraction: render a gradient PNG per doc
+    // (pixel gray = an exact integer formula of (seed, x, y); ids >= 400
+    // below 800 reuse seeds 0..399 — the planted duplicate images),
+    // decode with ImageIO, block-mean to an 8x8 grid, emit aHash/dHash.
+    // All-integer end-to-end, so the oracle recomputes the hashes
+    // bit-for-bit from the generative formula
+    "mm_phash" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map(id => (id, if (id < 800) id % 400 else id, 32))
+      graft.pipeline.Multimodal.imagePHash(
+        graft.pipeline.Multimodal.renderGradientPng(imgs))
+        .toDF()
+        .select(col("media_id").as("doc_id"),
+          col("ahash_bits"), col("dhash_bits"))
+    }),
+
+    // Image-level near-dup: perceptual hash composed with the EXACT
+    // Hamming-banded blocking (8 bands of 8 bits; pigeonhole makes
+    // blocking complete for hamming <= 7) — the SimHash shape applied
+    // to decoded pixels. The oracle recomputes hashes from the pixel
+    // formula and blocks the same way (complete, so results agree)
+    "dedup_images" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map(id => (id, if (id < 800) id % 400 else id, 32))
+      val hashes = graft.pipeline.Multimodal.imagePHash(
+        graft.pipeline.Multimodal.renderGradientPng(imgs)).toDF()
+      graft.pipeline.Dedup.hammingDuplicates64(hashes,
+        col("media_id"), col("ahash"), maxHamming = 7)
+        .select(col("id_a"), col("id_b"), col("hamming"))
     }),
 
     // Relational layer at TPC-H shape: wide aggregation (bench headline).
@@ -2861,6 +2934,9 @@ object SparkEntry {
     "ann_pq_topk" ->
       """SELECT vec_id AS query_id, true AS recall_ge_070
         |FROM embeddings WHERE vec_id < 3""".stripMargin,
+    "ann_ivf_incremental" ->
+      """SELECT vec_id AS query_id, true AS incremental_equals_rebuild
+        |FROM embeddings WHERE vec_id < 3""".stripMargin,
     "emb_int8_quant" ->
       """WITH a AS (
         |  SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
@@ -3489,6 +3565,70 @@ object SparkEntry {
         |    AS intensity_sum,
         |  'gif' AS codec
         |FROM documents""".stripMargin,
+    // mm_phash / dedup_images: the PNG roundtrip is lossless and the
+    // hash arithmetic is all-integer, so the oracle recomputes the
+    // hashes bit-for-bit from the generative pixel formula. The dedup
+    // oracle blocks the same complete way (8-bit bands; pigeonhole
+    // covers hamming <= 7), so both engines enumerate identical pairs
+    "mm_phash" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id < 800 THEN doc_id % 400 ELSE doc_id END
+        |      AS seed
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, (y.y // 4) * 8 + (x.x // 4) AS blk,
+        |    (seed * 1103515245 + x.x * (12345 + seed % 89)
+        |      + y.y * (2654435761 + seed % 97)) % 256 AS g
+        |  FROM d, range(0, 32) x(x), range(0, 32) y(y)),
+        |bs AS (SELECT doc_id, blk, SUM(g) AS m FROM px
+        |  GROUP BY doc_id, blk),
+        |tot AS (SELECT doc_id, SUM(m) AS t FROM bs GROUP BY doc_id),
+        |ab AS (
+        |  SELECT bs.doc_id,
+        |    string_agg(CASE WHEN bs.m * 64 > tot.t THEN '1' ELSE '0' END,
+        |      '' ORDER BY bs.blk) AS ahash_bits
+        |  FROM bs JOIN tot USING (doc_id) GROUP BY bs.doc_id),
+        |db AS (
+        |  SELECT l.doc_id,
+        |    string_agg(CASE WHEN r.m > l.m THEN '1' ELSE '0' END,
+        |      '' ORDER BY l.blk) AS dhash_bits
+        |  FROM bs l JOIN bs r ON l.doc_id = r.doc_id
+        |    AND r.blk = l.blk + 1 AND l.blk % 8 < 7
+        |  GROUP BY l.doc_id)
+        |SELECT doc_id, ahash_bits, dhash_bits
+        |FROM ab JOIN db USING (doc_id)""".stripMargin,
+    "dedup_images" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id < 800 THEN doc_id % 400 ELSE doc_id END
+        |      AS seed
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, (y.y // 4) * 8 + (x.x // 4) AS blk,
+        |    (seed * 1103515245 + x.x * (12345 + seed % 89)
+        |      + y.y * (2654435761 + seed % 97)) % 256 AS g
+        |  FROM d, range(0, 32) x(x), range(0, 32) y(y)),
+        |bs AS (SELECT doc_id, blk, SUM(g) AS m FROM px
+        |  GROUP BY doc_id, blk),
+        |tot AS (SELECT doc_id, SUM(m) AS t FROM bs GROUP BY doc_id),
+        |ab AS (
+        |  SELECT bs.doc_id,
+        |    string_agg(CASE WHEN bs.m * 64 > tot.t THEN '1' ELSE '0' END,
+        |      '' ORDER BY bs.blk) AS ahash_bits
+        |  FROM bs JOIN tot USING (doc_id) GROUP BY bs.doc_id),
+        |bands AS (
+        |  SELECT doc_id, b.b AS band_id,
+        |    substr(ahash_bits, b.b * 8 + 1, 8) AS band, ahash_bits
+        |  FROM ab, range(0, 8) b(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b,
+        |    a.ahash_bits AS ha, bb.ahash_bits AS hb
+        |  FROM bands a JOIN bands bb
+        |    ON a.band_id = bb.band_id AND a.band = bb.band
+        |    AND a.doc_id < bb.doc_id)
+        |SELECT id_a, id_b, CAST(hamming(ha, hb) AS BIGINT) AS hamming
+        |FROM cand WHERE hamming(ha, hb) <= 7""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

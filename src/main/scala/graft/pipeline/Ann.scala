@@ -272,6 +272,65 @@ object Ann {
       model: IvfModel, nprobe: Int = 3): DataFrame =
     ivfTopKIndexed(buildIvfIndex(corpus, model), queries, k, model, nprobe)
 
+  // ---- incremental IVF maintenance --------------------------------------
+
+  /** Standing IVF index with incremental-maintenance state: the trained
+    * model, the materialized (id, cell, vec) assignment table
+    * (lineage-truncated — an always-on ingest must not grow the plan),
+    * and the drift bookkeeping that decides when to recluster.
+    * Mirrors [[graft.pipeline.Dedup.CorpusIndex]]: batch-∝ append cost,
+    * full rebuild only past a drift threshold. */
+  final case class IvfIndex(model: IvfModel, index: DataFrame,
+      rowsAtTrain: Long, appendedRows: Long, reclusters: Int) {
+    def totalRows: Long = rowsAtTrain + appendedRows
+    /** Fraction of the standing corpus assigned with a model that was
+      * not trained on it — the staleness measure appends accumulate. */
+    def drift: Double =
+      if (totalRows == 0) 0.0 else appendedRows.toDouble / totalRows
+    def unpersist(): Unit = { index.unpersist(); () }
+  }
+
+  /** Train + build a standing incremental IVF index over the corpus. */
+  def buildIvf(corpus: DataFrame, nCells: Int, iterations: Int = 2)
+      : IvfIndex = {
+    val model = trainIvf(corpus, nCells, iterations)
+    val idx = buildIvfIndex(corpus, model).localCheckpoint(true)
+    IvfIndex(model, idx, idx.count(), 0L, 0)
+  }
+
+  /** Append a vector batch to a standing [[IvfIndex]]: one stateless
+    * assignment map with the standing centroids (a broadcast of the
+    * k×dim model inside the closure — NO shuffle, NO re-clustering) +
+    * union. Cost ∝ batch, not corpus — the always-on ingest shape.
+    *
+    * Drift bookkeeping: once the appended fraction of the standing
+    * corpus exceeds `reclusterAt`, the model is retrained over the full
+    * corpus and every row re-assigned — after which the index is BY
+    * CONSTRUCTION identical to a one-shot [[buildIvfIndex]] with the
+    * new model (assignment is a stateless per-row map given the model),
+    * so incremental-after-N-appends search ≡ rebuild search exactly
+    * (the `ann_ivf_incremental` oracle pins this in both regimes). */
+  def appendToIvfIndex(idx: IvfIndex, batch: DataFrame,
+      reclusterAt: Double = 0.5, iterations: Int = 2): IvfIndex = {
+    require(reclusterAt > 0 && reclusterAt <= 1,
+      s"reclusterAt must be in (0, 1], got $reclusterAt")
+    val merged = idx.index
+      .unionByName(buildIvfIndex(batch, idx.model))
+      .localCheckpoint(true) // eager: safe to drop the superseded blocks
+    idx.index.unpersist()
+    val newTotal = merged.count()
+    val appended = idx.appendedRows + (newTotal - idx.totalRows)
+    if (appended.toDouble / math.max(newTotal, 1L) <= reclusterAt)
+      idx.copy(index = merged, appendedRows = appended)
+    else {
+      val corpus = merged.select(col("id"), col("vec"))
+      val model = trainIvf(corpus, idx.model.nCells, iterations)
+      val rebuilt = buildIvfIndex(corpus, model).localCheckpoint(true)
+      merged.unpersist()
+      IvfIndex(model, rebuilt, newTotal, 0L, idx.reclusters + 1)
+    }
+  }
+
   // ---- PQ (product quantization) ---------------------------------------
 
   /** Trained product quantizer: `m` codebooks of `ksub` sub-centroids

@@ -522,6 +522,38 @@ object Dedup {
     out
   }
 
+  /** Near-dup pairs under Hamming distance over ANY 64-bit hash column
+    * (simhash, image aHash/dHash, …): (id_a, id_b, hamming) with
+    * popcount(xor) ≤ maxHamming. EXACT — banded blocking splits the 64
+    * bits into `maxHamming + 1` equal bands, and by pigeonhole any pair
+    * within `maxHamming` differing bits agrees on at least one whole
+    * band, so the band equi-join misses nothing and the popcount filter
+    * keeps exactly the true pairs. One shuffle on (band_id, band
+    * value); the near-pair filter runs BEFORE the distinct shuffle so
+    * only near pairs pay the dedup. 64 must divide into equal bands:
+    * maxHamming ∈ {1, 3, 7, 15, 31}. */
+  def hammingDuplicates64(hashes: DataFrame, idCol: Column,
+      hashCol: Column, maxHamming: Int): DataFrame = {
+    val bands = maxHamming + 1
+    require(maxHamming >= 1 && 64 % bands == 0,
+      s"maxHamming + 1 must divide 64, got $maxHamming")
+    val width = 64 / bands
+    val mask = (1L << width) - 1L
+    val base = hashes.select(idCol.as("id"), hashCol.cast("long").as("h"))
+    val chunks = base.select(col("id"), col("h"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("h"), width * b).bitwiseAND(lit(mask))): _*)))
+      .toDF("id", "h", "band_id", "band")
+    val a = chunks.toDF("id_a", "h_a", "band_id", "band")
+    val b = chunks.toDF("id_b", "h_b", "band_id", "band")
+    a.join(b, Seq("band_id", "band"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("h_a"), col("h_b")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct() // pairs agreeing on several bands met several times
+  }
+
   // ---- Edit distance ---------------------------------------------------
 
   /** Edit-distance near-dup pairs: (id_a, id_b, dist) with

@@ -346,6 +346,130 @@ object Multimodal {
     }
   }
 
+  // ---- perceptual hashing ----------------------------------------------
+
+  /** Perceptual hashes of one image: aHash (block mean vs global mean)
+    * and dHash (horizontal gradient sign), each as a packed long (bit
+    * b = grid row-major position) AND as a '0'/'1' bitstring (the
+    * engine-portable oracle form — packing bit 63 into a signed long is
+    * representation-dependent; a bitstring is not). Undecodable
+    * payloads carry empty bitstrings and -1 hashes. */
+  final case class ImagePHash(media_id: Long, ahash: Long, dhash: Long,
+      ahash_bits: String, dhash_bits: String)
+
+  /** Render a REAL PNG per (id, seed, side) row whose pixel (x, y) is
+    * the gray level `(seed*1103515245 + x*(12345 + seed mod 89) +
+    * y*(2654435761 + seed mod 97)) mod 256` — a deterministic integer
+    * formula a SQL oracle can restate exactly (PNG is lossless and luma
+    * of (g,g,g) is g, so the decoded grid IS the formula). The
+    * seed-dependent slopes matter: constant slopes would collapse every
+    * seed to one of 256 images (only `seed*c mod 256` survives the
+    * pixel mod), flooding a dedup fixture with accidental exact
+    * duplicates; with slopes keyed to seed mod 89/97 (coprime to 256)
+    * distinct seeds give distinct images. Rows SHARING a seed render
+    * identical images — the planted duplicates for image-level dedup. */
+  def renderGradientPng(ds: Dataset[(Long, Long, Int)])
+      : Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { case (id, seed, side) =>
+        val img = new java.awt.image.BufferedImage(
+          side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < side) {
+          var x = 0
+          while (x < side) {
+            val g = ((seed * 1103515245L + x * (12345L + seed % 89) +
+              y * (2654435761L + seed % 97)) % 256L).toInt
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(img, "png", bos),
+          "no registered ImageIO writer for format 'png'")
+        MediaRecord(id, "image", bos.toByteArray,
+          MediaMeta(Some(side), Some(side), None, Some("png")))
+      }
+    }
+  }
+
+  /** REAL image feature extraction: decode each payload with ImageIO,
+    * reduce the grayscale plane to a `grid`×`grid` matrix of exact
+    * integer block sums, and emit aHash/dHash — the standard
+    * perceptual-hash pair (near-duplicate images differ in a few bits;
+    * compose with [[Dedup.hammingDuplicates64]] for image-level
+    * near-dup at corpus scale). All-integer arithmetic end-to-end:
+    * aHash bit i is `grid² · blockSum_i > Σ blockSums` (block mean vs
+    * global mean, cleared denominators), dHash bit is
+    * `blockSum[y][x+1] > blockSum[y][x]` — no float rounding anywhere,
+    * so a SQL oracle reproduces the hashes bit-for-bit. Image sides
+    * must be multiples of `grid` (exact blocks); others — and
+    * undecodable payloads — yield the (-1, "", "") sentinel row.
+    * Partition-local decode, one codec instance per partition. */
+  def imagePHash(ds: Dataset[MediaRecord], grid: Int = 8)
+      : Dataset[ImagePHash] = {
+    require(grid >= 2 && grid * grid <= 64,
+      s"grid^2 must fit a 64-bit hash, got $grid")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { rec =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(rec.payload))
+          catch { case _: java.io.IOException => null }
+        if (img == null || img.getWidth % grid != 0 ||
+            img.getHeight % grid != 0)
+          ImagePHash(rec.mediaId, -1L, -1L, "", "")
+        else {
+          val (bw, bh) = (img.getWidth / grid, img.getHeight / grid)
+          val m = new Array[Long](grid * grid)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              // integer luma of an RGB pixel; gray fixtures (r=g=b=v)
+              // reduce to exactly v since (299+587+114)v/1000 = v
+              val rgb = img.getRGB(x, y)
+              val lum = (299 * ((rgb >> 16) & 0xFF) +
+                587 * ((rgb >> 8) & 0xFF) + 114 * (rgb & 0xFF)) / 1000
+              m((y / bh) * grid + x / bw) += lum
+              x += 1
+            }
+            y += 1
+          }
+          var total = 0L
+          var i = 0
+          while (i < m.length) { total += m(i); i += 1 }
+          val (aBits, dBits) = (new StringBuilder, new StringBuilder)
+          var (aHash, dHash) = (0L, 0L)
+          var b = 0
+          while (b < grid * grid) {
+            if (m(b) * (grid * grid) > total) {
+              aHash |= 1L << b; aBits.append('1')
+            } else aBits.append('0')
+            b += 1
+          }
+          var yy = 0
+          var d = 0
+          while (yy < grid) {
+            var xx = 0
+            while (xx < grid - 1) {
+              if (m(yy * grid + xx + 1) > m(yy * grid + xx)) {
+                dHash |= 1L << d; dBits.append('1')
+              } else dBits.append('0')
+              xx += 1; d += 1
+            }
+            yy += 1
+          }
+          ImagePHash(rec.mediaId, aHash, dHash,
+            aBits.toString, dBits.toString)
+        }
+      }
+    }
+  }
+
   /** Build a demo media table from any text source (payload = UTF-8
     * bytes) — lets the binary plumbing run against the driver's
     * documents table without real media files. */

@@ -124,6 +124,37 @@ object Sketches {
       .agg(udaf(new CmsMerge, org.apache.spark.sql.Encoders.BINARY)
         .apply(sketch).as("cms"))
 
+  // ---- combined sketch tables (the standing-statistics row) ------------
+
+  /** Per-group combined sketch row — HLL distinct + KLL quantile + CMS
+    * frequency of a numeric `value` in ONE aggregation pass (one
+    * shuffle moving three sketch blobs per (partition, group)). The
+    * standing statistics table a streaming fold maintains. */
+  def sketchTable(df: DataFrame, group: Seq[Column], value: Column,
+      lgK: Int = 12, kllK: Int = 200, eps: Double = 1e-3,
+      confidence: Double = 0.99, seed: Int = 42): DataFrame =
+    df.groupBy(group: _*)
+      .agg(
+        hll_sketch_agg(value, lit(lgK)).as("hll_sketch"),
+        kll_sketch_agg_double(value.cast("double"), lit(kllK))
+          .as("kll_sketch"),
+        count_min_sketch(value.cast("long"), lit(eps), lit(confidence),
+          lit(seed)).as("cms"))
+
+  /** Fold combined sketch tables per group (micro-batches / daily
+    * partitions → one standing row): HLL register-max union, KLL
+    * compaction merge, CMS counter addition — all associative, so the
+    * fold order never changes the registers (estimates obey each
+    * sketch's documented mode/bound semantics, see the class doc). */
+  def mergeSketchTables(sketches: DataFrame, group: Seq[Column])
+      : DataFrame =
+    sketches.groupBy(group: _*)
+      .agg(
+        hll_union_agg(col("hll_sketch")).as("hll_sketch"),
+        kll_merge_agg_double(col("kll_sketch")).as("kll_sketch"),
+        udaf(new CmsMerge, org.apache.spark.sql.Encoders.BINARY)
+          .apply(col("cms")).as("cms"))
+
   /** Point-frequency estimate of a long item from a CMS column.
     * Deserializes per row — right for estimate tables (sketches ×
     * probe items); for bulk per-row probing deserialize once per

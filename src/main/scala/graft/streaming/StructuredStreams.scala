@@ -157,6 +157,60 @@ object StructuredStreams {
       .trigger(Trigger.ProcessingTime(0))
       .start()
 
+  // ---- streaming sketch maintenance ------------------------------------
+
+  /** Standing mergeable-sketch state (per-group HLL distinct + KLL
+    * quantile + CMS frequency, [[graft.pipeline.Sketches]]) maintained
+    * by folding streaming micro-batches: each batch aggregates to a
+    * group-sized sketch table, then merges into the standing table —
+    * per-batch cost ∝ batch + group count, NEVER a rescan of history,
+    * and the merge laws are associative so the folded registers equal a
+    * one-shot batch build over the concatenated stream
+    * (StreamingSketchSpec asserts it). The standing table is
+    * lineage-truncated per fold (an always-on stream must not grow the
+    * plan) and superseded blocks are released. */
+  final class StreamingSketches(groupCols: Seq[String], valueCol: String,
+      lgK: Int = 12, kllK: Int = 200) {
+    @volatile private var state: Option[DataFrame] = None
+
+    /** Fold one (micro-)batch into the standing table. */
+    def fold(batch: DataFrame): Unit = synchronized {
+      val b = graft.pipeline.Sketches.sketchTable(batch,
+        groupCols.map(col), col(valueCol), lgK = lgK, kllK = kllK)
+      val next = state match {
+        case None => b.localCheckpoint(true)
+        case Some(s0) =>
+          val merged = graft.pipeline.Sketches.mergeSketchTables(
+            s0.unionByName(b), groupCols.map(col)).localCheckpoint(true)
+          s0.unpersist()
+          merged
+      }
+      state = Some(next)
+    }
+
+    /** Current standing sketch table (empty-schema None before any
+      * batch). */
+    def current: Option[DataFrame] = state
+
+    def unpersist(): Unit = synchronized {
+      state.foreach(_.unpersist()); state = None
+    }
+  }
+
+  /** Attach sketch maintenance to a streaming DataFrame: one
+    * `foreachBatch` folding each micro-batch into `sketches`. The
+    * stream carries the raw rows; the fold is the only aggregation. */
+  def maintainSketches(stream: DataFrame, sketches: StreamingSketches,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sketches.fold(batch.toDF())
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
   // ---- stateful comparator as flatMapGroupsWithState -----------------
 
   /** One keyed observation: (key, ts, live value, historical value). */
