@@ -64,14 +64,110 @@ final class EventLog(
       // a log that has never been appended to reads as EMPTY (the
       // reference's fresh storage dir), not as a PATH_NOT_FOUND error;
       // the cache is invalidated on append, so the first write upgrades
-      // the reader to the real directory
+      // the reader to the real directory.
+      //
+      // The reader binds to an EXPLICIT marker-resolved file snapshot
+      // (not the directory): visibility of compacted generations flips
+      // atomically with the marker rename, and superseded files outlive
+      // in-flight plans by the compaction grace — so a reader planned
+      // at ANY instant sees exactly the pre- or post-compaction row
+      // set, never a partial one, and never a dead path
+      // (ConcurrentCompactionSpec stress-proves it).
+      val files = visibleDataFiles().map(_.getPath.toString)
       val df =
-        if (exists) spark.read.schema(LogSchema).parquet(path)
-        else spark.createDataFrame(
+        if (files.isEmpty) spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], LogSchema)
+        else spark.read.schema(LogSchema).option("basePath", path)
+          .parquet(files: _*)
       cachedTable = Some(df)
       df
     }
+  }
+
+  // ---- compaction-aware file visibility ---------------------------------
+  //
+  // Compaction never renames or deletes a LIVE file in place. A bucket
+  // rewrite stages its output, moves it to stable HIDDEN names
+  // (`cdata-<gen>-N.parquet`, admitted only via a committed marker),
+  // then commits by atomically renaming ONE tombstone marker
+  // (`_compact-<millis>-<gen>.json`) into the bucket. The marker both
+  // reveals its `add` files and tombstones its `drop` files, so a
+  // single atomic namespace operation flips the whole generation;
+  // dropped files stay on disk until a later compact() vacuums them
+  // past the grace period, keeping every path captured by an in-flight
+  // reader alive. (The same idea as a transaction-log table format,
+  // reduced to one self-contained marker per bucket generation —
+  // single-writer, so no concurrent-commit arbitration is needed.)
+
+  private def parseMarkerList(json: String, key: String): Seq[String] = {
+    val m = java.util.regex.Pattern
+      .compile("\"" + key + "\"\\s*:\\s*\\[(.*?)\\]",
+        java.util.regex.Pattern.DOTALL)
+      .matcher(json)
+    if (!m.find()) Nil
+    else m.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"")
+      .stripSuffix("\"")).filter(_.nonEmpty)
+  }
+
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): (Seq[String], Seq[String]) = {
+    val in = fs.open(p)
+    val json =
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    (parseMarkerList(json, "add"), parseMarkerList(json, "drop"))
+  }
+
+  /** Marker-resolved visible data files of ONE directory: plain visible
+    * parquet files, plus marker-gated `cdata-*` files revealed by a marker,
+    * minus every marker-dropped name. One `listStatus` — the marker
+    * rename is atomic, so any single listing is a consistent snapshot
+    * of the directory's generation. */
+  private def visibleFilesIn(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val entries = fs.listStatus(dir)
+    val adds = scala.collection.mutable.HashSet.empty[String]
+    val drops = scala.collection.mutable.HashSet.empty[String]
+    entries.foreach { e =>
+      val n = e.getPath.getName
+      if (e.isFile && n.startsWith(EventLog.CompactMarkerPrefix) &&
+          n.endsWith(".json")) {
+        val (a, d) = readMarker(fs, e.getPath)
+        adds ++= a; drops ++= d
+      }
+    }
+    entries.toSeq.filter { e =>
+      val n = e.getPath.getName
+      e.isFile && n.endsWith(".parquet") && !drops.contains(n) && {
+        // compaction data files carry a NON-hidden `cdata-` prefix
+        // (Spark's parquet source refuses '.'/'_'-prefixed files even
+        // as explicit inputs) and are admitted ONLY via a committed
+        // marker — an interrupted compaction's uncommitted output
+        // stays invisible; everything else follows the plain rule
+        if (n.startsWith(EventLog.CompactDataPrefix)) adds.contains(n)
+        else !(n.startsWith(".") || n.startsWith("_"))
+      }
+    }
+  }
+
+  /** Marker-resolved snapshot of ALL live data files of the log. */
+  private def visibleDataFiles()
+      : Vector[org.apache.hadoop.fs.FileStatus] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Vector.empty
+    val out = Vector.newBuilder[org.apache.hadoop.fs.FileStatus]
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && !(n.startsWith(".") || n.startsWith("_")))
+        out ++= visibleFilesIn(fs, st.getPath)
+      else if (st.isFile && n.endsWith(".parquet") &&
+          !(n.startsWith(".") || n.startsWith("_")))
+        out += st // flat files at the root (non-partitioned writes)
+    }
+    out.result()
   }
 
   private def invalidate(): Unit = synchronized {
@@ -243,26 +339,12 @@ final class EventLog(
 
   private def buildFileIndex(): Vector[EventLog.FileSpan] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(conf)
-    if (!fs.exists(root)) return Vector.empty
-    // qualified root: listed file paths are absolute, so a RELATIVE log
-    // path would make stripPrefix a no-op and ancestor segments (e.g. a
-    // "_work" directory) would mark every file invisible
-    val rootPath = fs.makeQualified(root).toUri.getPath
-    // hidden ('.'/'_'-prefixed) path segments are invisible to the Spark
-    // read path (temp/staging dirs, _SUCCESS markers, interrupted
-    // compaction leftovers) — the index must skip them too or
-    // pointQuery diverges from query()
-    def visible(p: org.apache.hadoop.fs.Path): Boolean =
-      p.toUri.getPath.stripPrefix(rootPath).split('/')
-        .forall(seg => !(seg.startsWith(".") || seg.startsWith("_")))
+    // the SAME marker-resolved snapshot the table reader binds to —
+    // pointQuery must never diverge from query() on which files are
+    // live (hidden staging dirs, tombstoned generations)
     val out = Vector.newBuilder[EventLog.FileSpan]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
-          visible(st.getPath)) {
+    visibleDataFiles().foreach { st =>
+      {
         val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile
             .fromStatus(st, conf))
@@ -397,30 +479,35 @@ final class EventLog(
   }
 
   /** Compact bucket directories that have accumulated more than
-    * `maxFilesPerBucket` data files into `filesPerBucket` ts-sorted
-    * files. Streaming appends write one file per micro-batch per
-    * bucket (the reference's per-flush segments,
+    * `maxFilesPerBucket` live data files into `filesPerBucket`
+    * ts-sorted files. Streaming appends write one file per micro-batch
+    * per bucket (the reference's per-flush segments,
     * `segmented_storage.rs:478-657`); left alone, a long-running
     * stream leaves thousands of small files per bucket — slow
     * listings, weak row-group stats, tiny scan tasks. Compaction is
     * the log-structured answer: rewrite cold buckets into few large
     * ts-ordered files (tight stats → hard pruning).
     *
-    * Per-bucket swap is rename-based: the rewritten data lands in a
-    * sibling temp dir, the old dir moves aside, the temp moves in,
-    * the old data is deleted. Single-writer assumption (same as
-    * append); concurrent readers re-list on their next query.
-    * Returns the number of buckets compacted. */
-  def compact(maxFilesPerBucket: Int = 8, filesPerBucket: Int = 1): Int = {
+    * SNAPSHOT-ISOLATED for concurrent readers: the rewrite stages its
+    * output, moves it to stable marker-gated `cdata-*` names, and commits
+    * with ONE atomic marker rename that simultaneously reveals the new
+    * generation and tombstones the old (see the visibility-layer doc
+    * above). No live file is ever renamed or deleted in place —
+    * superseded files are vacuumed only by a LATER compact() call once
+    * their marker is older than `graceMs`, so a reader planned at any
+    * instant (or still executing within the grace) sees exactly the
+    * pre- or post-compaction row set. Single-writer assumption (same
+    * as append). Returns the number of buckets compacted. */
+  def compact(maxFilesPerBucket: Int = 8, filesPerBucket: Int = 1,
+      graceMs: Long = EventLog.DefaultCompactionGraceMs): Int = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
     val prefix = s"$BucketCol="
     var compacted = 0
-    // recover from interrupted compactions BEFORE cleaning: a crash
-    // between the two rename steps leaves the bucket's only surviving
-    // copy in `.compact-old-<bucket>` — restore it; only leftovers
-    // whose bucket directory still exists are safe to delete
+    // recover pre-marker-protocol leftovers (a crash between the old
+    // rename-swap's two steps left the only copy in .compact-old-*),
+    // and clear any interrupted staging — hidden, so never visible
     fs.listStatus(root).foreach { st =>
       val name = st.getPath.getName
       if (name.startsWith(".compact-old-")) {
@@ -428,26 +515,26 @@ final class EventLog(
           root, name.stripPrefix(".compact-old-"))
         if (!fs.exists(bucketDir)) fs.rename(st.getPath, bucketDir)
         else fs.delete(st.getPath, true)
-      } else if (name.startsWith(".compact-tmp-")) {
+      } else if (name.startsWith(".compact-tmp-") ||
+          name.startsWith(".compact-stage-")) {
         fs.delete(st.getPath, true)
       }
     }
+    val now = System.currentTimeMillis()
     fs.listStatus(root).foreach { st =>
       if (st.isDirectory && st.getPath.getName.startsWith(prefix)) {
-        val dataFiles = fs.listStatus(st.getPath)
-          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        if (dataFiles > maxFilesPerBucket) {
-          val bucketDir = st.getPath
-          val tmp = new org.apache.hadoop.fs.Path(
-            root, s".compact-tmp-${bucketDir.getName}")
-          val old = new org.apache.hadoop.fs.Path(
-            root, s".compact-old-${bucketDir.getName}")
-          fs.delete(tmp, true)
-          fs.delete(old, true)
+        val bucketDir = st.getPath
+        vacuumBucket(fs, bucketDir, now - graceMs)
+        val live = visibleFilesIn(fs, bucketDir)
+        if (live.size > maxFilesPerBucket) {
+          val gen = java.util.UUID.randomUUID().toString.take(12)
+          val stage = new org.apache.hadoop.fs.Path(
+            root, s".compact-stage-${bucketDir.getName}")
+          fs.delete(stage, true)
           spark.read
             .schema(org.apache.spark.sql.types.StructType(
               LogSchema.fields.filterNot(_.name == BucketCol)))
-            .parquet(bucketDir.toString)
+            .parquet(live.map(_.getPath.toString): _*)
             .repartition(filesPerBucket)
             .sortWithinPartitions("timestamp")
             .write
@@ -457,20 +544,35 @@ final class EventLog(
       // encode-CPU waste (~14% of write wall); low-card columns still
       // compress via lz4 on the plain-encoded pages
       .option("parquet.enable.dictionary", "false")
-            .parquet(tmp.toString)
-          // drop the _SUCCESS marker so the dir holds data files only
-          fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
-          // rename-swap, aborting cleanly on failure (a rename into an
-          // existing dir would NEST instead of replacing)
-          if (!fs.rename(bucketDir, old)) {
-            fs.delete(tmp, true)
-          } else if (!fs.rename(tmp, bucketDir)) {
-            fs.rename(old, bucketDir) // restore the original bucket
-            fs.delete(tmp, true)
-          } else {
-            fs.delete(old, true)
-            compacted += 1
-          }
+            .parquet(stage.toString)
+          // move staged output to stable marker-gated names inside
+          // the bucket — invisible until the marker admits them
+          val staged = fs.listStatus(stage)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .sortBy(_.getPath.getName)
+          val adds = staged.zipWithIndex.map { case (f, i) =>
+            val n = s"${EventLog.CompactDataPrefix}$gen-$i.parquet"
+            require(fs.rename(f.getPath,
+              new org.apache.hadoop.fs.Path(bucketDir, n)),
+              s"failed to place compacted file $n in $bucketDir")
+            n
+          }.toSeq
+          fs.delete(stage, true)
+          // ATOMIC COMMIT: one marker rename flips old → new
+          val marker =
+            s"""{"add":[${adds.map("\"" + _ + "\"").mkString(",")}],""" +
+              s""""drop":[${live.map(f => "\"" + f.getPath.getName + "\"")
+                .mkString(",")}]}"""
+          val tmpM = new org.apache.hadoop.fs.Path(
+            bucketDir, s".marker-tmp-$gen")
+          val os = fs.create(tmpM, true)
+          try os.write(marker.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          finally os.close()
+          require(fs.rename(tmpM, new org.apache.hadoop.fs.Path(
+            bucketDir, s"${EventLog.CompactMarkerPrefix}$now-$gen.json")),
+            s"failed to commit compaction marker for $bucketDir")
+          compacted += 1
         }
       }
     }
@@ -479,6 +581,35 @@ final class EventLog(
       synchronized(rowCache.clear())
     }
     compacted
+  }
+
+  /** Vacuum one bucket: for every tombstone marker older than
+    * `olderThanMs`, delete its dropped files (any in-flight reader
+    * bound to them is past the grace); once a marker's OWN add files
+    * have themselves been dropped and deleted by a newer generation,
+    * delete the marker too. Deletion order (files, then marker) keeps
+    * a crash harmless: a marker whose drops are already gone subtracts
+    * nothing. The steady state is one marker + one generation of live
+    * cdata files per compacted bucket. */
+  private def vacuumBucket(fs: org.apache.hadoop.fs.FileSystem,
+      bucketDir: org.apache.hadoop.fs.Path, olderThanMs: Long): Unit = {
+    val markers = fs.listStatus(bucketDir).filter { e =>
+      val n = e.getPath.getName
+      e.isFile && n.startsWith(EventLog.CompactMarkerPrefix) &&
+        n.endsWith(".json")
+    }
+    markers.foreach { m =>
+      if (m.getModificationTime <= olderThanMs) {
+        val (adds, drops) = readMarker(fs, m.getPath)
+        drops.foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(bucketDir, d)
+          if (fs.exists(p)) fs.delete(p, false)
+        }
+        val addsGone = adds.forall(a =>
+          !fs.exists(new org.apache.hadoop.fs.Path(bucketDir, a)))
+        if (addsGone) fs.delete(m.getPath, false)
+      }
+    }
   }
 
   /** Drop whole bucket directories that end at or before `ts` —
@@ -514,6 +645,24 @@ final class EventLog(
 
 object EventLog {
   val BucketCol = "ts_bucket"
+
+  /** Tombstone-marker filename prefix — `_`-prefixed so the marker is
+    * invisible to plain directory reads; only the visibility layer
+    * interprets it. */
+  val CompactMarkerPrefix = "_compact-"
+
+  /** Compaction data-file prefix. Deliberately NOT `.`/`_`-hidden —
+    * Spark's parquet source refuses hidden files even as explicit
+    * inputs — the visibility layer admits `cdata-` files only when a
+    * committed marker lists them. */
+  val CompactDataPrefix = "cdata-"
+
+  /** How long superseded (tombstoned) files outlive their compaction
+    * by default — the window an in-flight reader's captured file
+    * snapshot stays fully readable. Vacuumed by the NEXT compact()
+    * call after expiry, so disk amplification is bounded by one
+    * superseded generation per bucket per grace window. */
+  val DefaultCompactionGraceMs: Long = 15L * 60L * 1000L
 
   /** Inputs whose plan-stats size is at or under this skip the
     * bucket-count estimation job in [[EventLog.appendBulk]] auto mode

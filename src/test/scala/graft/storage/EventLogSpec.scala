@@ -100,15 +100,19 @@ class EventLogSpec extends AnyFunSuite {
     val before = log.query(0, Long.MaxValue / 2).collect()
       .map(r => (r.getLong(0), r.getString(1))).sorted
     assert(log.compact(maxFilesPerBucket = 8) === 1)
-    // second call is a no-op: the bucket is already compact
-    assert(log.compact(maxFilesPerBucket = 8) === 0)
+    // second call is a no-op (the bucket is already compact) — and with
+    // grace 0 it VACUUMS the tombstoned generation: superseded files
+    // are deleted, the marker stays (it reveals the live .cdata file)
+    assert(log.compact(maxFilesPerBucket = 8, graceMs = 0) === 0)
     val after = log.query(0, Long.MaxValue / 2).collect()
       .map(r => (r.getLong(0), r.getString(1))).sorted
     assert(after === before)
     // the point path agrees post-compaction (index + cache invalidated)
     assert(log.pointQuery(500L, 500L).map(_.subject) ===
       Seq("http://e.org/s5"))
-    // file count actually dropped
+    // the reader's snapshot is one file, and after the vacuum the DISK
+    // holds exactly that file too (tombstoned generation reclaimed)
+    assert(log.query(0, Long.MaxValue / 2).inputFiles.length === 1)
     val dir = new java.io.File(
       log.query(0, 1).inputFiles.head.stripPrefix("file:")).getParentFile
     val files = dir.listFiles().count(_.getName.endsWith(".parquet"))
@@ -137,18 +141,29 @@ class EventLogSpec extends AnyFunSuite {
         assert(got === expected.sorted)
       }
     }
-    // without the hook: 20 appends × 3 salted files = 60 files; the
-    // every-4-appends trigger at threshold 4 bounds it by
-    // autoCompactFiles + autoCompactEvery × 3 = 16
-    val dir = new java.io.File(
-      log.query(0, 1).inputFiles.head.stripPrefix("file:")).getParentFile
-    val files = dir.listFiles().count(_.getName.endsWith(".parquet"))
+    // without the hook: 20 appends × 3 salted files = 60 files in the
+    // reader's snapshot; the every-4-appends trigger at threshold 4
+    // bounds the LIVE set by autoCompactFiles + autoCompactEvery×3 = 16
+    // (superseded generations linger on disk only until the grace-based
+    // vacuum — asserted below)
+    val files = log.query(0, Long.MaxValue / 2).inputFiles.length
     assert(files <= 16, s"auto-compaction failed to bound files: $files")
     assert(files < 60)
     // and the data survived every rewrite
     val all = log.query(0, Long.MaxValue / 2).collect()
       .map(r => (r.getLong(0), r.getString(1))).sorted.toVector
     assert(all === expected.sorted)
+    // an explicit zero-grace compact vacuums every tombstoned
+    // generation: disk converges to the live snapshot
+    log.compact(maxFilesPerBucket = 1, graceMs = 0)
+    log.compact(maxFilesPerBucket = 1, graceMs = 0)
+    val dir = new java.io.File(
+      log.query(0, 1).inputFiles.head.stripPrefix("file:")).getParentFile
+    val onDisk = dir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(onDisk === 1, s"vacuum left $onDisk files on disk")
+    assert(log.query(0, Long.MaxValue / 2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toVector
+      === expected.sorted)
   }
 
   test("appendBulk auto mode: small input skips estimation, bounded " +
