@@ -2084,6 +2084,25 @@ object SparkEntry {
           col("ahash_bits"), col("dhash_bits"))
     }),
 
+    // REAL resize: 32x32 gradient -> nearest-neighbor 8x8 -> perceptual
+    // hash of the RESIZED pixels (grid=8 on an 8x8 image makes every
+    // block one pixel, so the hash pins each resized pixel's value).
+    // Nearest-neighbor source index is exact integer arithmetic
+    // (sx = 4x, sy = 4y), so the oracle recomputes the resized image
+    // from the generative formula bit-for-bit
+    "mm_resize" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map(id => (id, if (id < 800) id % 400 else id, 32))
+      graft.pipeline.Multimodal.imagePHash(
+        graft.pipeline.Multimodal.resizeImage(
+          graft.pipeline.Multimodal.renderGradientPng(imgs), 8, 8))
+        .toDF()
+        .select(col("media_id").as("doc_id"),
+          col("ahash_bits"), col("dhash_bits"))
+    }),
+
     // Image-level near-dup: perceptual hash composed with the EXACT
     // Hamming-banded blocking (8 bands of 8 bits; pigeonhole makes
     // blocking complete for hamming <= 7) — the SimHash shape applied
@@ -3594,6 +3613,35 @@ object SparkEntry {
         |    string_agg(CASE WHEN r.m > l.m THEN '1' ELSE '0' END,
         |      '' ORDER BY l.blk) AS dhash_bits
         |  FROM bs l JOIN bs r ON l.doc_id = r.doc_id
+        |    AND r.blk = l.blk + 1 AND l.blk % 8 < 7
+        |  GROUP BY l.doc_id)
+        |SELECT doc_id, ahash_bits, dhash_bits
+        |FROM ab JOIN db USING (doc_id)""".stripMargin,
+    // mm_resize: nearest-neighbor 32->8 keeps source pixels (4x, 4y);
+    // grid=8 on the 8x8 result makes every hash block ONE pixel, so
+    // the oracle recomputes the resized image bit-for-bit
+    "mm_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id < 800 THEN doc_id % 400 ELSE doc_id END
+        |      AS seed
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, y.y * 8 + x.x AS blk,
+        |    (seed * 1103515245 + (4 * x.x) * (12345 + seed % 89)
+        |      + (4 * y.y) * (2654435761 + seed % 97)) % 256 AS m
+        |  FROM d, range(0, 8) x(x), range(0, 8) y(y)),
+        |tot AS (SELECT doc_id, SUM(m) AS t FROM px GROUP BY doc_id),
+        |ab AS (
+        |  SELECT px.doc_id,
+        |    string_agg(CASE WHEN px.m * 64 > tot.t THEN '1' ELSE '0' END,
+        |      '' ORDER BY px.blk) AS ahash_bits
+        |  FROM px JOIN tot USING (doc_id) GROUP BY px.doc_id),
+        |db AS (
+        |  SELECT l.doc_id,
+        |    string_agg(CASE WHEN r.m > l.m THEN '1' ELSE '0' END,
+        |      '' ORDER BY l.blk) AS dhash_bits
+        |  FROM px l JOIN px r ON l.doc_id = r.doc_id
         |    AND r.blk = l.blk + 1 AND l.blk % 8 < 7
         |  GROUP BY l.doc_id)
         |SELECT doc_id, ahash_bits, dhash_bits

@@ -10,12 +10,16 @@ import org.apache.spark.sql.types._
   * The Spark-side machinery — schema, partitioning, batch shape,
   * mapPartitions signatures — is real and tested. PNG/JPEG images
   * decode for REAL via the JDK's built-in ImageIO codecs
-  * ([[renderImage]] / [[decodeImageDims]]), and WAV audio decodes for
-  * REAL via javax.sound ([[renderWav]] / [[decodeAudioStats]]: format,
-  * frame count, sample RMS). The video feature + resize steps remain
-  * STUBBED with deterministic byte-level fakes (this container has no
-  * video codec), each isolated behind one function so a real codec
-  * drops in without touching the dataflow.
+  * ([[renderImage]] / [[decodeImageDims]]), WAV audio decodes for REAL
+  * via javax.sound ([[renderWav]] / [[decodeAudioStats]]: format, frame
+  * count, sample RMS), GIF video decodes for REAL frame-by-frame
+  * ([[renderGif]] / [[decodeVideoStats]]), image feature extraction is
+  * REAL ([[imagePHash]]: decode → integer block grid → aHash/dHash),
+  * and resize is REAL ([[resizeImage]]: nearest-neighbor rescale +
+  * lossless re-encode). Only the GENERIC byte-window feature fake
+  * ([[extractFeatures]]) remains as the documented seam where a codec
+  * this container lacks (e.g. video embedding models) would drop in
+  * without touching the dataflow.
   */
 object Multimodal {
 
@@ -83,17 +87,50 @@ object Multimodal {
     }
   }
 
-  /** "Resize" STUB: real implementation decodes + scales; the fake
-    * truncates/pads the payload to the target byte budget while keeping
-    * metadata consistent — the dataflow (binary in, binary out, meta
-    * update) is the real contract. */
-  def resizeStub(ds: Dataset[MediaRecord], targetBytes: Int)
+  /** REAL image resize: decode with ImageIO, nearest-neighbor rescale
+    * of the pixel grid — source index is the exact integer
+    * `sx = x·W div outW` (no interpolation, no float), so the output
+    * pixels are a pure arithmetic function of the input and a SQL
+    * oracle can restate a resized fixture bit-for-bit — and re-encode
+    * as lossless PNG. The canonical thumbnail/normalize step before
+    * feature extraction; one codec instance per partition; undecodable
+    * payloads pass through unchanged with codec "undecodable" (a
+    * 100 TB corpus always contains corrupt blobs, and a resize stage
+    * must not drop or kill them). */
+  def resizeImage(ds: Dataset[MediaRecord], outW: Int, outH: Int)
       : Dataset[MediaRecord] = {
+    require(outW > 0 && outH > 0, s"bad target size ${outW}x$outH")
     import ds.sparkSession.implicits._
-    ds.map { rec =>
-      val resized = java.util.Arrays.copyOf(rec.payload, targetBytes)
-      rec.copy(payload = resized,
-        meta = rec.meta.copy(codec = rec.meta.codec.map(_ + ";resized")))
+    ds.mapPartitions { it =>
+      it.map { rec =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(rec.payload))
+          catch { case _: java.io.IOException => null }
+        if (img == null)
+          rec.copy(meta = rec.meta.copy(codec = Some("undecodable")))
+        else {
+          val out = new java.awt.image.BufferedImage(
+            outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < outH) {
+            val sy = (y.toLong * img.getHeight / outH).toInt
+            var x = 0
+            while (x < outW) {
+              val sx = (x.toLong * img.getWidth / outW).toInt
+              out.setRGB(x, y, img.getRGB(sx, sy) & 0xFFFFFF)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(out, "png", bos),
+            "no registered ImageIO writer for format 'png'")
+          rec.copy(payload = bos.toByteArray,
+            meta = rec.meta.copy(width = Some(outW), height = Some(outH),
+              codec = Some("png")))
+        }
+      }
     }
   }
 

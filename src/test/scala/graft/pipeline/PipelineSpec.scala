@@ -396,6 +396,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(byId(0L) !== byId(3L))
   }
 
+  test("multimodal: REAL nearest-neighbor resize — exact source pixels, " +
+      "metadata updated, corrupt payloads pass through") {
+    import spark.implicits._
+    val imgs = Multimodal.renderGradientPng(
+      Seq((1L, 7L, 32), (2L, 9L, 32)).toDS())
+    val resized = Multimodal.resizeImage(imgs, 8, 8).collect()
+    assert(resized.forall(r => r.meta.width.contains(8) &&
+      r.meta.height.contains(8) && r.meta.codec.contains("png")))
+    // decoded resized pixels ARE the generative formula at (4x, 4y)
+    resized.foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      assert(img.getWidth === 8 && img.getHeight === 8)
+      val seed = if (r.mediaId == 1L) 7L else 9L
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val want = ((seed * 1103515245L + (4L * x) * (12345L + seed % 89) +
+          (4L * y) * (2654435761L + seed % 97)) % 256L).toInt
+        assert((img.getRGB(x, y) & 0xFF) === want, s"id=${r.mediaId} ($x,$y)")
+      }
+    }
+    // corrupt blob: passes through, flagged, job survives
+    val junk = Multimodal.resizeImage(
+      Seq(Multimodal.MediaRecord(9L, "image", Array[Byte](1, 2, 3),
+        Multimodal.MediaMeta(None, None, None, Some("png")))).toDS(),
+      8, 8).collect()
+    assert(junk.head.meta.codec.contains("undecodable"))
+    assert(junk.head.payload.toSeq === Seq[Byte](1, 2, 3))
+  }
+
   test("multimodal: frame sampling slices payload deterministically") {
     val media = Multimodal.fromText(docs, col("doc_id"), col("text"))
     val frames = media.select(col("media_id"),
