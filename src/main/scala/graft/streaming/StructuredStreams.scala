@@ -114,6 +114,80 @@ object StructuredStreams {
       .drop("__rk", "__lt", "__rt")
   }
 
+  /** One tagged event of a streaming as-of join: `side` 0 = right
+    * (reference feed), 1 = left (probe feed) — the same union-tag shape
+    * the batch [[graft.pipeline.Temporal.asOfJoin]] uses internally. */
+  final case class AsOfEvent(key: String, tsMs: Long, side: Int,
+      tieBreak: Long, value: Double)
+
+  /** One emitted left row: the latest right value at-or-before its ts
+    * (within tolerance), or nulls when none is admissible. */
+  final case class AsOfMatch(key: String, tsMs: Long,
+      matchedTsMs: Option[Long], matchedValue: Option[Double],
+      gapMs: Option[Long])
+
+  /** Per-key as-of state: recent right rows, (ts, tieBreak)-sorted. */
+  final case class AsOfState(rights: Seq[(Long, Long, Double)])
+
+  /** Streaming backward as-of join — the streaming twin of
+    * [[graft.pipeline.Temporal.asOfJoin]], completing the temporal trio
+    * with [[streamingSessions]] and [[streamingRangeJoin]]: each left
+    * event joins the LATEST right event with `ts <= left.ts` on its key
+    * (greatest tieBreak wins equal timestamps), emitted on arrival.
+    *
+    * State is a per-key buffer of right rows within `horizonMs` of the
+    * key's max seen ts (the newest right at-or-below the horizon is
+    * always retained — a quiet feed must still match), sharded across
+    * executors by Spark state storage — bounded by rate × horizon, not
+    * stream length. Within a micro-batch events apply in (ts, side,
+    * tieBreak) order, so replaying any per-key ts-ordered stream
+    * through this operator equals the batch asOfJoin row-for-row
+    * (AsOfStreamSpec asserts it across micro-batch boundaries); with
+    * cross-batch disorder it degrades to emit-on-arrival semantics
+    * (no retraction), the standard streaming as-of contract. */
+  def streamingAsOfJoin(events: Dataset[AsOfEvent],
+      toleranceMs: Option[Long] = None,
+      horizonMs: Long = 3600000L): Dataset[AsOfMatch] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfState, AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[AsOfState]) =>
+          var rights = state.getOption.map(_.rights.toVector)
+            .getOrElse(Vector.empty)
+          val out = Vector.newBuilder[AsOfMatch]
+          // right (side 0) before left at equal ts — inclusive bound,
+          // identical to the batch window's (ts, side, tiebreak) order
+          rows.toSeq.sortBy(e => (e.tsMs, e.side, e.tieBreak)).foreach {
+            e =>
+              if (e.side == 0) {
+                val at = rights.lastIndexWhere(r =>
+                  r._1 < e.tsMs || (r._1 == e.tsMs && r._2 <= e.tieBreak))
+                rights = (rights.take(at + 1) :+
+                  ((e.tsMs, e.tieBreak, e.value))) ++ rights.drop(at + 1)
+              } else {
+                val m = rights.reverseIterator.find(_._1 <= e.tsMs)
+                val admissible = m.filter { r =>
+                  toleranceMs.forall(t => e.tsMs - r._1 <= t)
+                }
+                out += AsOfMatch(key, e.tsMs,
+                  admissible.map(_._1), admissible.map(_._3),
+                  admissible.map(r => e.tsMs - r._1))
+              }
+          }
+          // evict rights past the horizon, ALWAYS retaining the newest
+          // one at-or-below it (future lefts still need a match)
+          if (rights.nonEmpty) {
+            val cutoff = rights.last._1 - horizonMs
+            val keepFrom =
+              math.max(0, rights.lastIndexWhere(_._1 <= cutoff))
+            rights = rights.drop(keepFrom)
+          }
+          state.update(AsOfState(rights))
+          out.result().iterator
+      }
+  }
+
   // ---- streaming curation ---------------------------------------------
 
   /** Streaming exact dedup: keep the first document per (normalized)
