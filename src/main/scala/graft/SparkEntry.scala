@@ -2084,6 +2084,38 @@ object SparkEntry {
           col("ahash_bits"), col("dhash_bits"))
     }),
 
+    // REAL audio feature extraction: render modulated square-wave WAVs
+    // (per-block amplitude = exact integer formula of (seed, block)),
+    // decode with javax.sound, hash the energy contour (bit b =
+    // E[b+1] > E[b], exact long sums). Square-wave blocks make each
+    // block's energy span*A^2 exactly, so the oracle restates the
+    // whole 64-bit contour from the amplitude formula
+    "mm_audio_hash" -> ((s, dir) => {
+      import s.implicits._
+      val specs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map(id => (id, if (id < 800) id % 400 else id))
+      graft.pipeline.Multimodal.audioEnergyHash(
+        graft.pipeline.Multimodal.renderModulatedWav(specs))
+        .toDF()
+        .select(col("media_id").as("doc_id"), col("ehash_bits"))
+    }),
+
+    // Audio-level near-dup: energy-contour hash composed with the same
+    // EXACT Hamming-banded blocking as image/simhash dedup — the third
+    // modality of the near-dup triad (text, image, audio)
+    "dedup_audio" -> ((s, dir) => {
+      import s.implicits._
+      val specs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map(id => (id, if (id < 800) id % 400 else id))
+      val hashes = graft.pipeline.Multimodal.audioEnergyHash(
+        graft.pipeline.Multimodal.renderModulatedWav(specs)).toDF()
+      graft.pipeline.Dedup.hammingDuplicates64(hashes,
+        col("media_id"), col("ehash"), maxHamming = 7)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+    }),
+
     // REAL resize: 32x32 gradient -> nearest-neighbor 8x8 -> perceptual
     // hash of the RESIZED pixels (grid=8 on an 8x8 image makes every
     // block one pixel, so the hash pins each resized pixel's value).
@@ -3617,6 +3649,57 @@ object SparkEntry {
         |  GROUP BY l.doc_id)
         |SELECT doc_id, ahash_bits, dhash_bits
         |FROM ab JOIN db USING (doc_id)""".stripMargin,
+    // mm_audio_hash / dedup_audio: per-block square-wave energy is
+    // span*A(seed,b)^2 exactly, so E[b+1] > E[b] <=> A[b+1] > A[b] and
+    // the oracle works on amplitudes directly; the dedup oracle blocks
+    // the same complete 8-band way as the image oracle
+    "mm_audio_hash" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id < 800 THEN doc_id % 400 ELSE doc_id END
+        |      AS seed
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id, b.b AS b,
+        |    500 + (seed * 2654435761 + b.b * (1103515245 + seed % 97)
+        |      + b.b * b.b * (1 + seed % 11)) % 500 AS amp
+        |  FROM d, range(0, 65) b(b)),
+        |h AS (
+        |  SELECT l.doc_id,
+        |    string_agg(CASE WHEN r.amp > l.amp THEN '1' ELSE '0' END,
+        |      '' ORDER BY l.b) AS ehash_bits
+        |  FROM a l JOIN a r ON l.doc_id = r.doc_id AND r.b = l.b + 1
+        |  GROUP BY l.doc_id)
+        |SELECT doc_id, ehash_bits FROM h""".stripMargin,
+    "dedup_audio" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id < 800 THEN doc_id % 400 ELSE doc_id END
+        |      AS seed
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id, b.b AS b,
+        |    500 + (seed * 2654435761 + b.b * (1103515245 + seed % 97)
+        |      + b.b * b.b * (1 + seed % 11)) % 500 AS amp
+        |  FROM d, range(0, 65) b(b)),
+        |h AS (
+        |  SELECT l.doc_id,
+        |    string_agg(CASE WHEN r.amp > l.amp THEN '1' ELSE '0' END,
+        |      '' ORDER BY l.b) AS ehash_bits
+        |  FROM a l JOIN a r ON l.doc_id = r.doc_id AND r.b = l.b + 1
+        |  GROUP BY l.doc_id),
+        |bands AS (
+        |  SELECT doc_id, bb.bb AS band_id,
+        |    substr(ehash_bits, bb.bb * 8 + 1, 8) AS band, ehash_bits
+        |  FROM h, range(0, 8) bb(bb)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+        |    x.ehash_bits AS ha, y.ehash_bits AS hb
+        |  FROM bands x JOIN bands y
+        |    ON x.band_id = y.band_id AND x.band = y.band
+        |    AND x.doc_id < y.doc_id)
+        |SELECT id_a, id_b, CAST(hamming(ha, hb) AS BIGINT) AS hamming
+        |FROM cand WHERE hamming(ha, hb) <= 7""".stripMargin,
     // mm_resize: nearest-neighbor 32->8 keeps source pixels (4x, 4y);
     // grid=8 on the 8x8 result makes every hash block ONE pixel, so
     // the oracle recomputes the resized image bit-for-bit

@@ -507,6 +507,118 @@ object Multimodal {
     }
   }
 
+  /** Energy-contour fingerprint of one audio payload: the PCM16 stream
+    * splits into `blocks` equal spans, bit b of the hash is
+    * `energy[b+1] > energy[b]` (energy = Σ sample², exact long
+    * arithmetic) — the audio analogue of dHash, robust to volume-
+    * preserving shifts and oracle-able bit-for-bit on integer-exact
+    * fixtures. Emitted as packed long AND bitstring (same convention
+    * as [[ImagePHash]]). Undecodable or non-block-aligned payloads
+    * yield the (-1, "") sentinel. */
+  final case class AudioFingerprint(media_id: Long, ehash: Long,
+      ehash_bits: String)
+
+  /** Render a REAL RIFF/WAVE payload per (id, seed) row: PCM signed
+    * 16-bit mono square wave whose amplitude is CONSTANT within each of
+    * `blocks` equal spans and follows the exact integer formula
+    * `A(seed, b) = 500 + (seed·2654435761 + b·(1103515245 + seed mod
+    * 97) + b²·(1 + seed mod 11)) mod 500` — per-block RMS is exactly
+    * A, so a SQL oracle restates the whole energy contour. The
+    * seed-dependent stride/curvature and the LARGE base stride both
+    * matter: a constant stride would collapse every seed to `seed·c
+    * mod 500` (only 500 distinct contours — accidental exact
+    * duplicates flood a dedup fixture), and a small stride makes
+    * low-seed contours near-monotone (hash bits biased to 1, band
+    * buckets skewed); measured balance with this formula is ~29/64
+    * one-bits. Rows sharing a seed render identical audio — the
+    * planted duplicates. */
+  def renderModulatedWav(ds: Dataset[(Long, Long)], rate: Int = 8000,
+      framesPerBlock: Int = 16, blocks: Int = 65)
+      : Dataset[MediaRecord] = {
+    require(framesPerBlock % 2 == 0,
+      "framesPerBlock must be even (whole ± square-wave periods keep " +
+        "per-block RMS exactly A)")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { case (id, seed) =>
+        val frames = framesPerBlock * blocks
+        val pcm = new Array[Byte](frames * 2)
+        var i = 0
+        while (i < frames) {
+          val b = i / framesPerBlock
+          val amp = (500L + (seed * 2654435761L +
+            b * (1103515245L + seed % 97) +
+            b.toLong * b * (1L + seed % 11)) % 500L).toInt
+          val v = if ((i & 1) == 0) amp else -amp
+          pcm(2 * i) = (v & 0xFF).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          rate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        MediaRecord(id, "audio", bos.toByteArray,
+          MediaMeta(None, None, Some(frames.toLong * 1000 / rate),
+            Some("pcm_s16le")))
+      }
+    }
+  }
+
+  /** REAL audio feature extraction: decode each payload with
+    * javax.sound, split the PCM16 samples into `blocks` equal spans,
+    * and hash the energy contour (bit b = `E[b+1] > E[b]`, exact long
+    * sums — 64 bits at the default 65 blocks). Compose with
+    * [[graft.pipeline.Dedup.hammingDuplicates64]] for audio-level
+    * near-dup, the same shape as image pHash dedup. Partition-local
+    * decode; corrupt or non-block-aligned payloads yield sentinels
+    * instead of failing the job. */
+  def audioEnergyHash(ds: Dataset[MediaRecord], blocks: Int = 65)
+      : Dataset[AudioFingerprint] = {
+    require(blocks >= 2 && blocks - 1 <= 64,
+      s"blocks - 1 comparisons must fit 64 bits, got $blocks")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { rec =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(rec.payload))
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          if (n < blocks || n % blocks != 0)
+            AudioFingerprint(rec.mediaId, -1L, "")
+          else {
+            val span = n / blocks
+            val e = new Array[Long](blocks)
+            var i = 0
+            while (i < n) {
+              val v = ((bytes(2 * i + 1) << 8) |
+                (bytes(2 * i) & 0xFF)).toLong
+              e(i / span) += v * v
+              i += 1
+            }
+            var hash = 0L
+            val bits = new StringBuilder
+            var b = 0
+            while (b < blocks - 1) {
+              if (e(b + 1) > e(b)) { hash |= 1L << b; bits.append('1') }
+              else bits.append('0')
+              b += 1
+            }
+            AudioFingerprint(rec.mediaId, hash, bits.toString)
+          }
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException |
+              _: java.io.IOException =>
+            AudioFingerprint(rec.mediaId, -1L, "")
+        }
+      }
+    }
+  }
+
   /** Build a demo media table from any text source (payload = UTF-8
     * bytes) — lets the binary plumbing run against the driver's
     * documents table without real media files. */

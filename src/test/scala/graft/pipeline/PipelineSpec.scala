@@ -425,6 +425,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(junk.head.payload.toSeq === Seq[Byte](1, 2, 3))
   }
 
+  test("multimodal: REAL audio energy hash — planted duplicates agree, " +
+      "corrupt and misaligned payloads yield sentinels") {
+    import spark.implicits._
+    val wavs = Multimodal.renderModulatedWav(
+      Seq((1L, 7L), (2L, 7L), (3L, 8L)).toDS())
+    val fps = Multimodal.audioEnergyHash(wavs).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(fps(1L).ehash === fps(2L).ehash) // same seed → same audio
+    assert(fps(1L).ehash_bits === fps(2L).ehash_bits)
+    assert(fps(1L).ehash !== fps(3L).ehash)
+    assert(fps(1L).ehash_bits.length === 64)
+    // corrupt payload → sentinel, job survives
+    val junk = Multimodal.audioEnergyHash(
+      Seq(Multimodal.MediaRecord(9L, "audio", Array[Byte](1, 2, 3),
+        Multimodal.MediaMeta(None, None, None, None))).toDS()).collect()
+    assert(junk.head.ehash === -1L && junk.head.ehash_bits === "")
+    // non-block-aligned frame count → sentinel, not a wrong hash
+    val odd = Multimodal.audioEnergyHash(
+      Multimodal.renderWav(Seq((4L, 8000, 803)).toDS()), blocks = 65)
+      .collect()
+    assert(odd.head.ehash === -1L)
+  }
+
   test("multimodal: frame sampling slices payload deterministically") {
     val media = Multimodal.fromText(docs, col("doc_id"), col("text"))
     val frames = media.select(col("media_id"),
