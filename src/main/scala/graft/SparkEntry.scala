@@ -1397,6 +1397,41 @@ object SparkEntry {
           lit(true).as("incremental_equals_rebuild"))
     }),
 
+    // Incremental PQ maintenance — the PQ mirror of ann_ivf_incremental
+    // (encode-only appends, retrain past the drift threshold), same
+    // SELF-VERIFYING contract: incremental-after-appends ADC top-k must
+    // equal a one-shot re-encode with the final codebooks exactly
+    // (encoding is a stateless map; the shortlist's local/global tie
+    // rules are both (score desc, id asc), so partitioning cannot
+    // change the candidate set)
+    "ann_pq_incremental" -> ((s, dir) => {
+      val ann = graft.pipeline.Ann
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      var idx = ann.buildPq(emb.where(col("vec_id") % 3 === 0),
+        m = 16, ksub = 64)
+      idx = ann.appendToPqIndex(idx,
+        emb.where(col("vec_id") % 3 === 1), reclusterAt = 0.4)
+      require(idx.reclusters == 1,
+        s"append past 0.5 drift must recluster, got ${idx.reclusters}")
+      idx = ann.appendToPqIndex(idx,
+        emb.where(col("vec_id") % 3 === 2), reclusterAt = 0.4)
+      require(idx.reclusters == 1,
+        s"append at 1/3 drift must NOT recluster, got ${idx.reclusters}")
+      val queries = emb.where(col("vec_id") < 3)
+      val inc = ann.pqTopKIndexed(idx.codes, idx.corpus, queries,
+        k = 10, idx.model, rerank = 16).localCheckpoint(true)
+      val oneShot = ann.pqTopKIndexed(ann.pqEncode(emb, idx.model),
+        emb, queries, k = 10, idx.model, rerank = 16)
+      val (nInc, nBoth) = (inc.count(), inc.intersect(oneShot).count())
+      require(nInc == nBoth && nInc == oneShot.count(),
+        s"incremental PQ top-k != one-shot re-encode ($nInc vs $nBoth)")
+      idx.unpersist()
+      inc.select(col("query_id")).distinct()
+        .select(col("query_id"),
+          lit(true).as("incremental_equals_rebuild"))
+    }),
+
     // Semi-structured props: JSON field extraction + aggregation
     "props_json" -> ((s, dir) =>
       EventsAsQuads.events(s, dir)
@@ -2986,6 +3021,9 @@ object SparkEntry {
       """SELECT vec_id AS query_id, true AS recall_ge_070
         |FROM embeddings WHERE vec_id < 3""".stripMargin,
     "ann_ivf_incremental" ->
+      """SELECT vec_id AS query_id, true AS incremental_equals_rebuild
+        |FROM embeddings WHERE vec_id < 3""".stripMargin,
+    "ann_pq_incremental" ->
       """SELECT vec_id AS query_id, true AS incremental_equals_rebuild
         |FROM embeddings WHERE vec_id < 3""".stripMargin,
     "emb_int8_quant" ->

@@ -453,6 +453,60 @@ object Ann {
   def buildPqIndex(corpus: DataFrame, model: PqModel): DataFrame =
     pqEncode(corpus, model)
 
+  // ---- incremental PQ maintenance ---------------------------------------
+
+  /** Standing PQ index with incremental maintenance — the PQ mirror of
+    * [[IvfIndex]]. Holds the trained quantizer, the standing (id, vec)
+    * corpus (the re-rank side of ADC search needs it anyway), and the
+    * (id, code) table; both frames are lineage-truncated. Appends
+    * re-encode only the batch (PQ encoding is a stateless per-row map
+    * given the codebooks); drift past `reclusterAt` retrains the
+    * quantizer on the full standing corpus and re-encodes — after which
+    * the code table is BY CONSTRUCTION identical to a one-shot
+    * [[pqEncode]] with the new model (`ann_pq_incremental` pins it). */
+  final case class PqIndex(model: PqModel, corpus: DataFrame,
+      codes: DataFrame, rowsAtTrain: Long, appendedRows: Long,
+      reclusters: Int) {
+    def totalRows: Long = rowsAtTrain + appendedRows
+    def drift: Double =
+      if (totalRows == 0) 0.0 else appendedRows.toDouble / totalRows
+    def unpersist(): Unit = { corpus.unpersist(); codes.unpersist(); () }
+  }
+
+  /** Train + encode a standing incremental PQ index over the corpus. */
+  def buildPq(corpus: DataFrame, m: Int, ksub: Int = 16,
+      iterations: Int = 2): PqIndex = {
+    val model = trainPq(corpus, m, ksub, iterations)
+    val c = corpus.toDF("id", "vec").localCheckpoint(true)
+    val codes = pqEncode(c, model).localCheckpoint(true)
+    PqIndex(model, c, codes, c.count(), 0L, 0)
+  }
+
+  /** Append a vector batch: encode with the STANDING codebooks (pure
+    * map, cost ∝ batch) + union both frames; retrain + re-encode once
+    * the appended fraction exceeds `reclusterAt`. */
+  def appendToPqIndex(idx: PqIndex, batch: DataFrame,
+      reclusterAt: Double = 0.5, iterations: Int = 2): PqIndex = {
+    require(reclusterAt > 0 && reclusterAt <= 1,
+      s"reclusterAt must be in (0, 1], got $reclusterAt")
+    val b = batch.toDF("id", "vec")
+    val corpus = idx.corpus.unionByName(b).localCheckpoint(true)
+    idx.corpus.unpersist()
+    val newTotal = corpus.count()
+    val appended = idx.appendedRows + (newTotal - idx.totalRows)
+    if (appended.toDouble / math.max(newTotal, 1L) <= reclusterAt) {
+      val codes = idx.codes.unionByName(pqEncode(b, idx.model))
+        .localCheckpoint(true)
+      idx.codes.unpersist()
+      idx.copy(corpus = corpus, codes = codes, appendedRows = appended)
+    } else {
+      val model = trainPq(corpus, idx.model.m, idx.model.ksub, iterations)
+      val codes = pqEncode(corpus, model).localCheckpoint(true)
+      idx.codes.unpersist()
+      PqIndex(model, corpus, codes, newTotal, 0L, idx.reclusters + 1)
+    }
+  }
+
   /** PQ top-k with exact re-rank: asymmetric-distance (ADC) scan over
     * the m-byte codes shortlists `k × rerank` candidates per query —
     * each query ships only its m×ksub inner-product lookup table, and
