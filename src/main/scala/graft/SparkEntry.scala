@@ -35,6 +35,16 @@ object SparkEntry {
   private val E = "'http://graft.dev/e/' || CAST(event_id AS VARCHAR)"
   private val U = "'http://graft.dev/u/' || CAST(user_id AS VARCHAR)"
 
+  /** DuckDB SQL for [[graft.pipeline.Multimodal.mix32]] — kept in
+    * lockstep with the JVM mix (every intermediate < 2^63, so DuckDB's
+    * overflow-checked BIGINT agrees with JVM long wrap-free). */
+  private def mixSql(k: String): String = {
+    val z0 = s"((($k) * 2654435761) & 4294967295)"
+    val z1 = s"xor($z0, $z0 >> 16)"
+    val z2 = s"((($z1) * 40503) & 4294967295)"
+    s"xor($z2, ($z2) >> 13)"
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R1: multi-pattern BGP with shared-variable equi-joins
@@ -2144,8 +2154,10 @@ object SparkEntry {
       val specs = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id").cast("long")).as[Long]
         .map(id => (id, if (id < 800) id % 400 else id))
+      // checkpoint: render+decode once, not once per join branch
       val hashes = graft.pipeline.Multimodal.audioEnergyHash(
         graft.pipeline.Multimodal.renderModulatedWav(specs)).toDF()
+        .localCheckpoint(true)
       graft.pipeline.Dedup.hammingDuplicates64(hashes,
         col("media_id"), col("ehash"), maxHamming = 7)
         .select(col("id_a"), col("id_b"), col("hamming"))
@@ -2180,8 +2192,11 @@ object SparkEntry {
       val imgs = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id").cast("long")).as[Long]
         .map(id => (id, if (id < 800) id % 400 else id, 32))
+      // checkpoint: the banded self-join reads the hash table twice —
+      // without it the 50k-image render+decode runs once per branch
       val hashes = graft.pipeline.Multimodal.imagePHash(
         graft.pipeline.Multimodal.renderGradientPng(imgs)).toDF()
+        .localCheckpoint(true)
       graft.pipeline.Dedup.hammingDuplicates64(hashes,
         col("media_id"), col("ahash"), maxHamming = 7)
         .select(col("id_a"), col("id_b"), col("hamming"))
@@ -3660,15 +3675,14 @@ object SparkEntry {
     // oracle blocks the same complete way (8-bit bands; pigeonhole
     // covers hamming <= 7), so both engines enumerate identical pairs
     "mm_phash" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id < 800 THEN doc_id % 400 ELSE doc_id END
         |      AS seed
         |  FROM documents),
         |px AS (
         |  SELECT doc_id, (y.y // 4) * 8 + (x.x // 4) AS blk,
-        |    (seed * 1103515245 + x.x * (12345 + seed % 89)
-        |      + y.y * (2654435761 + seed % 97)) % 256 AS g
+        |    (${mixSql("seed * 1024 + y.y * 32 + x.x")}) % 256 AS g
         |  FROM d, range(0, 32) x(x), range(0, 32) y(y)),
         |bs AS (SELECT doc_id, blk, SUM(g) AS m FROM px
         |  GROUP BY doc_id, blk),
@@ -3692,15 +3706,14 @@ object SparkEntry {
     // the oracle works on amplitudes directly; the dedup oracle blocks
     // the same complete 8-band way as the image oracle
     "mm_audio_hash" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id < 800 THEN doc_id % 400 ELSE doc_id END
         |      AS seed
         |  FROM documents),
         |a AS (
         |  SELECT doc_id, b.b AS b,
-        |    500 + (seed * 2654435761 + b.b * (1103515245 + seed % 97)
-        |      + b.b * b.b * (1 + seed % 11)) % 500 AS amp
+        |    500 + (${mixSql("seed * 128 + b.b")}) % 500 AS amp
         |  FROM d, range(0, 65) b(b)),
         |h AS (
         |  SELECT l.doc_id,
@@ -3710,15 +3723,14 @@ object SparkEntry {
         |  GROUP BY l.doc_id)
         |SELECT doc_id, ehash_bits FROM h""".stripMargin,
     "dedup_audio" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id < 800 THEN doc_id % 400 ELSE doc_id END
         |      AS seed
         |  FROM documents),
         |a AS (
         |  SELECT doc_id, b.b AS b,
-        |    500 + (seed * 2654435761 + b.b * (1103515245 + seed % 97)
-        |      + b.b * b.b * (1 + seed % 11)) % 500 AS amp
+        |    500 + (${mixSql("seed * 128 + b.b")}) % 500 AS amp
         |  FROM d, range(0, 65) b(b)),
         |h AS (
         |  SELECT l.doc_id,
@@ -3742,15 +3754,15 @@ object SparkEntry {
     // grid=8 on the 8x8 result makes every hash block ONE pixel, so
     // the oracle recomputes the resized image bit-for-bit
     "mm_resize" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id < 800 THEN doc_id % 400 ELSE doc_id END
         |      AS seed
         |  FROM documents),
         |px AS (
         |  SELECT doc_id, y.y * 8 + x.x AS blk,
-        |    (seed * 1103515245 + (4 * x.x) * (12345 + seed % 89)
-        |      + (4 * y.y) * (2654435761 + seed % 97)) % 256 AS m
+        |    (${mixSql("seed * 1024 + (4 * y.y) * 32 + 4 * x.x")}) % 256
+        |      AS m
         |  FROM d, range(0, 8) x(x), range(0, 8) y(y)),
         |tot AS (SELECT doc_id, SUM(m) AS t FROM px GROUP BY doc_id),
         |ab AS (
@@ -3768,15 +3780,14 @@ object SparkEntry {
         |SELECT doc_id, ahash_bits, dhash_bits
         |FROM ab JOIN db USING (doc_id)""".stripMargin,
     "dedup_images" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id < 800 THEN doc_id % 400 ELSE doc_id END
         |      AS seed
         |  FROM documents),
         |px AS (
         |  SELECT doc_id, (y.y // 4) * 8 + (x.x // 4) AS blk,
-        |    (seed * 1103515245 + x.x * (12345 + seed % 89)
-        |      + y.y * (2654435761 + seed % 97)) % 256 AS g
+        |    (${mixSql("seed * 1024 + y.y * 32 + x.x")}) % 256 AS g
         |  FROM d, range(0, 32) x(x), range(0, 32) y(y)),
         |bs AS (SELECT doc_id, blk, SUM(g) AS m FROM px
         |  GROUP BY doc_id, blk),

@@ -394,17 +394,32 @@ object Multimodal {
   final case class ImagePHash(media_id: Long, ahash: Long, dhash: Long,
       ahash_bits: String, dhash_bits: String)
 
+  /** Portable 32-bit integer mix (multiply / xor-shift rounds) — the
+    * nonlinearity every generative media fixture here runs through.
+    * AFFINE formulas (gradients, LCGs) collapse under the final small
+    * modulus: differences become near-constant, hash bits skew, and a
+    * dedup fixture floods with accidental near-duplicates (measured: an
+    * affine audio contour produced 6856 hamming-pairs at sf0.1 where
+    * the planted truth is 400; this mix produces exactly 400, with
+    * ~32/64 hash-bit balance and birthday-level band buckets).
+    * Expressible verbatim in SQL (`*`, `&`, `>>`, `xor`), and every
+    * intermediate stays under 2^63 for k ≤ ~3.4e9, so DuckDB's
+    * overflow-checked BIGINT arithmetic agrees with JVM longs. */
+  private[pipeline] def mix32(k: Long): Long = {
+    var z = (k * 2654435761L) & 0xFFFFFFFFL
+    z ^= z >>> 16
+    z = (z * 40503L) & 0xFFFFFFFFL
+    z ^= z >>> 13
+    z
+  }
+
   /** Render a REAL PNG per (id, seed, side) row whose pixel (x, y) is
-    * the gray level `(seed*1103515245 + x*(12345 + seed mod 89) +
-    * y*(2654435761 + seed mod 97)) mod 256` — a deterministic integer
-    * formula a SQL oracle can restate exactly (PNG is lossless and luma
-    * of (g,g,g) is g, so the decoded grid IS the formula). The
-    * seed-dependent slopes matter: constant slopes would collapse every
-    * seed to one of 256 images (only `seed*c mod 256` survives the
-    * pixel mod), flooding a dedup fixture with accidental exact
-    * duplicates; with slopes keyed to seed mod 89/97 (coprime to 256)
-    * distinct seeds give distinct images. Rows SHARING a seed render
-    * identical images — the planted duplicates for image-level dedup. */
+    * the gray level `mix32(seed·side² + y·side + x) mod 256` — a
+    * deterministic integer formula a SQL oracle can restate exactly
+    * (PNG is lossless and luma of (g,g,g) is g, so the decoded grid IS
+    * the formula); see [[mix32]] for why the mixing must be nonlinear.
+    * Rows SHARING a seed render identical images — the planted
+    * duplicates for image-level dedup. */
   def renderGradientPng(ds: Dataset[(Long, Long, Int)])
       : Dataset[MediaRecord] = {
     import ds.sparkSession.implicits._
@@ -416,8 +431,8 @@ object Multimodal {
         while (y < side) {
           var x = 0
           while (x < side) {
-            val g = ((seed * 1103515245L + x * (12345L + seed % 89) +
-              y * (2654435761L + seed % 97)) % 256L).toInt
+            val g =
+              (mix32(seed * side * side + y.toLong * side + x) % 256L).toInt
             img.setRGB(x, y, (g << 16) | (g << 8) | g)
             x += 1
           }
@@ -521,16 +536,12 @@ object Multimodal {
   /** Render a REAL RIFF/WAVE payload per (id, seed) row: PCM signed
     * 16-bit mono square wave whose amplitude is CONSTANT within each of
     * `blocks` equal spans and follows the exact integer formula
-    * `A(seed, b) = 500 + (seed·2654435761 + b·(1103515245 + seed mod
-    * 97) + b²·(1 + seed mod 11)) mod 500` — per-block RMS is exactly
-    * A, so a SQL oracle restates the whole energy contour. The
-    * seed-dependent stride/curvature and the LARGE base stride both
-    * matter: a constant stride would collapse every seed to `seed·c
-    * mod 500` (only 500 distinct contours — accidental exact
-    * duplicates flood a dedup fixture), and a small stride makes
-    * low-seed contours near-monotone (hash bits biased to 1, band
-    * buckets skewed); measured balance with this formula is ~29/64
-    * one-bits. Rows sharing a seed render identical audio — the
+    * `A(seed, b) = 500 + mix32(seed·128 + b) mod 500` — per-block RMS
+    * is exactly A, so a SQL oracle restates the whole energy contour;
+    * see [[mix32]] for why affine contours are unusable as dedup
+    * fixtures (measured hash-bit balance here: ~32/64 one-bits, banded
+    * candidates at birthday level, hamming-pairs exactly the planted
+    * 400 at sf0.1). Rows sharing a seed render identical audio — the
     * planted duplicates. */
   def renderModulatedWav(ds: Dataset[(Long, Long)], rate: Int = 8000,
       framesPerBlock: Int = 16, blocks: Int = 65)
@@ -546,9 +557,7 @@ object Multimodal {
         var i = 0
         while (i < frames) {
           val b = i / framesPerBlock
-          val amp = (500L + (seed * 2654435761L +
-            b * (1103515245L + seed % 97) +
-            b.toLong * b * (1L + seed % 11)) % 500L).toInt
+          val amp = (500L + mix32(seed * 128L + b) % 500L).toInt
           val v = if ((i & 1) == 0) amp else -amp
           pcm(2 * i) = (v & 0xFF).toByte
           pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte

@@ -410,9 +410,16 @@ class PipelineSpec extends AnyFunSuite {
         new java.io.ByteArrayInputStream(r.payload))
       assert(img.getWidth === 8 && img.getHeight === 8)
       val seed = if (r.mediaId == 1L) 7L else 9L
+      def mix32(k: Long): Long = {
+        var z = (k * 2654435761L) & 0xFFFFFFFFL
+        z ^= z >>> 16
+        z = (z * 40503L) & 0xFFFFFFFFL
+        z ^= z >>> 13
+        z
+      }
       for (y <- 0 until 8; x <- 0 until 8) {
-        val want = ((seed * 1103515245L + (4L * x) * (12345L + seed % 89) +
-          (4L * y) * (2654435761L + seed % 97)) % 256L).toInt
+        val want =
+          (mix32(seed * 1024L + (4L * y) * 32L + 4L * x) % 256L).toInt
         assert((img.getRGB(x, y) & 0xFF) === want, s"id=${r.mediaId} ($x,$y)")
       }
     }
