@@ -45,6 +45,85 @@ object SparkEntry {
     s"xor($z2, ($z2) >> 13)"
   }
 
+  /** DuckDB scalar restatement of the CDC fixed-window polynomial hash
+    * ([[graft.expressions.Kernels.cdcChunks]]): H at 1-based position
+    * `i.i` = Σ_{j=0..7} unicode(cp at i-j) · 31^j — one expression per
+    * position, no join, so the sf1 oracle stays linear. */
+  private val cdcHashSql: String =
+    (0 until 8).map { j =>
+      val pw = (0 until j).foldLeft(1L)((a, _) => a * 31L)
+      s"CAST(unicode(substring(text, i.i - $j, 1)) AS BIGINT) * $pw"
+    }.mkString(" + ")
+
+  /** Shared CTE chain for the NB one-vs-rest 'en' evaluation oracles:
+    * the classify_nb scoring pipeline (same float discipline), filtered
+    * to the 'en' posterior, binned at round(round(score,6),2) — the
+    * exact rounding sequence of the Spark side (scoreNaiveBayesAll
+    * round-6, then Evaluation's round-2 bin). */
+  private val nbEnBinsSql: String =
+    """WITH tr AS (
+      |  SELECT lang, string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM documents WHERE doc_id < 400),
+      |trf AS (SELECT lang, unnest(toks) AS token FROM tr),
+      |cnt AS (SELECT lang, token, COUNT(*) AS cnt FROM trf GROUP BY 1, 2),
+      |vocab AS (SELECT token FROM (
+      |    SELECT token, SUM(cnt) AS tf FROM cnt GROUP BY token)
+      |  ORDER BY tf DESC, token ASC LIMIT 512),
+      |vcnt AS (SELECT c.lang, c.token, c.cnt FROM cnt c
+      |         JOIN vocab USING (token)),
+      |v AS (SELECT COUNT(DISTINCT token) AS v FROM vcnt),
+      |n AS (SELECT COUNT(*) AS n FROM tr),
+      |cls AS (SELECT t.lang, t.n_docs, COALESCE(m.tot, 0) AS tot FROM
+      |    (SELECT lang, COUNT(*) AS n_docs FROM tr GROUP BY lang) t
+      |  LEFT JOIN (SELECT lang, SUM(cnt) AS tot FROM vcnt
+      |             GROUP BY lang) m USING (lang)),
+      |te AS (SELECT doc_id,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      |  FROM documents WHERE doc_id >= 400),
+      |sc AS (
+      |  SELECT te.doc_id, cls.lang,
+      |    ln(cls.n_docs * 1.0 / n.n) +
+      |    SUM(ln((COALESCE(vc.cnt, 0) + 1.0)
+      |            / (cls.tot + v.v + 1.0))) AS score
+      |  FROM te
+      |  CROSS JOIN cls
+      |  CROSS JOIN n
+      |  CROSS JOIN v
+      |  LEFT JOIN vcnt vc ON vc.token = te.token AND vc.lang = cls.lang
+      |  GROUP BY te.doc_id, cls.lang, cls.n_docs, cls.tot, n.n, v.v),
+      |t AS (SELECT s.doc_id, ROUND(ROUND(s.score, 6), 2) AS score_bin,
+      |        (d.lang = 'en') AS tr2
+      |      FROM sc s JOIN documents d USING (doc_id)
+      |      WHERE s.lang = 'en'),
+      |bins AS (SELECT score_bin,
+      |    SUM(CASE WHEN tr2 THEN 1 ELSE 0 END) AS pos,
+      |    SUM(CASE WHEN tr2 THEN 0 ELSE 1 END) AS neg
+      |  FROM t GROUP BY 1)""".stripMargin
+
+  /** Shared CTE chain for the CDC chunking oracles: boundary positions
+    * from the scalar hash restatement, the document end appended
+    * (UNION dedups a coinciding final boundary), chunks as the spans
+    * between consecutive boundaries. */
+  private val cdcChunksSql: String =
+    s"""WITH b0 AS (
+       |  SELECT doc_id, i.i AS i
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(8, length(text))) AS i
+       |        FROM documents) i
+       |  WHERE ($cdcHashSql) % 16 = 0),
+       |b AS (SELECT doc_id, i FROM b0
+       |      UNION SELECT doc_id, length(text) AS i FROM documents
+       |      WHERE length(text) > 0),
+       |c AS (SELECT doc_id, i,
+       |        coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0)
+       |          AS prev
+       |      FROM b),
+       |ch AS (SELECT c.doc_id,
+       |  CAST(row_number() OVER (PARTITION BY c.doc_id ORDER BY c.i) - 1
+       |    AS BIGINT) AS chunk_id,
+       |  substring(d.text, c.prev + 1, c.i - c.prev) AS chunk_text
+       |FROM c JOIN documents d USING (doc_id))""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R1: multi-pattern BGP with shared-variable equi-joins
@@ -2241,6 +2320,66 @@ object SparkEntry {
         .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
             (lit(1.0) - col("l_discount")).cast("decimal(18,4)"))
           .cast("double").as("revenue"))
+    }),
+
+    // CCNet-style boilerplate removal: 2-token "lines", per-source
+    // document frequency, lines in >= 3 docs of a source are dropped
+    "text_boilerplate" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.removeBoilerplate(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), col("source"),
+        lineTokens = 2, minDocFreq = 3L)),
+
+    // Content-defined chunking (native kernel): per-doc chunk table
+    "text_cdc_chunks" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.cdcChunkTable(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"))),
+
+    // Chunk-level duplication over the CDC chunking: chunk contents
+    // carried verbatim by >= 2 distinct documents
+    "dedup_cdc" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.cdcDuplicateChunks(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), minDocs = 2L)),
+
+    // Per-stratum nucleus (top-p) selection by integer token count,
+    // weight-atomic cut — histogram windows, no per-stratum row sort
+    "sample_topp" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.pipeline.Sampling.topPPerGroup(docs, col("lang"),
+        col("doc_id"), graft.pipeline.TextAnalysis.tokenCount(col("text")),
+        p = 0.5)
+    }),
+
+    // ROC sweep of the NB one-vs-rest 'en' score on held-out docs,
+    // thresholds binned at round-2 — the filter-threshold chooser
+    "classify_roc" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val m = graft.pipeline.Classifier.trainNaiveBayes(
+        docs.where(col("doc_id") < 400), col("text"), col("lang"),
+        vocabSize = 512)
+      val en = graft.pipeline.Classifier.scoreNaiveBayesAll(
+        docs.where(col("doc_id") >= 400), col("doc_id"), col("text"), m)
+        .where(col("label") === "en")
+        .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+      graft.pipeline.Evaluation.rocCurve(en, col("logp"),
+        col("lang") === "en", binDecimals = 2)
+    }),
+
+    // AUC of the same sweep via the Mann-Whitney U over score bins —
+    // integer/half-integer arithmetic until one final division
+    "classify_auc" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val m = graft.pipeline.Classifier.trainNaiveBayes(
+        docs.where(col("doc_id") < 400), col("text"), col("lang"),
+        vocabSize = 512)
+      val en = graft.pipeline.Classifier.scoreNaiveBayesAll(
+        docs.where(col("doc_id") >= 400), col("doc_id"), col("text"), m)
+        .where(col("label") === "en")
+        .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+      graft.pipeline.Evaluation.aucBinned(en, col("logp"),
+        col("lang") === "en", binDecimals = 2)
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3292,6 +3431,95 @@ object SparkEntry {
         |FROM sc
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
         |  ORDER BY score DESC, lang ASC) = 1""".stripMargin,
+
+    // ROC of the NB 'en' one-vs-rest score over round-2 bins: integer
+    // cumulative counts, one IEEE division per rate
+    "classify_roc" -> (nbEnBinsSql +
+      """
+        |SELECT score_bin,
+        |  CAST(SUM(pos) OVER w AS BIGINT) AS tp,
+        |  CAST(SUM(neg) OVER w AS BIGINT) AS fp,
+        |  ROUND(CAST(SUM(pos) OVER w AS DOUBLE)
+        |    / (SUM(pos) OVER ()), 6) AS tpr,
+        |  ROUND(CAST(SUM(neg) OVER w AS DOUBLE)
+        |    / (SUM(neg) OVER ()), 6) AS fpr
+        |FROM bins
+        |WINDOW w AS (ORDER BY score_bin DESC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
+
+    // Mann-Whitney U AUC over the same bins: 2U stays integral (ties
+    // contribute half), one final division
+    "classify_auc" -> (nbEnBinsSql +
+      """,
+        |nb AS (SELECT score_bin, pos, neg,
+        |  COALESCE(SUM(neg) OVER (ORDER BY score_bin ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS neg_below
+        |  FROM bins)
+        |SELECT ROUND(CAST(SUM(pos * (neg_below * 2 + neg)) AS DOUBLE)
+        |    / (SUM(pos) * SUM(neg) * 2), 6) AS auc,
+        |  CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |  CAST(SUM(neg) AS BIGINT) AS n_neg
+        |FROM nb""".stripMargin),
+
+    // CCNet-style boilerplate removal: 2-token lines, df >= 3 within
+    // the source group, kept lines re-joined in order
+    "text_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, ord, l[ord] AS tok FROM (
+        |    SELECT doc_id, source, l,
+        |           unnest(generate_series(1, len(l))) AS ord
+        |    FROM (SELECT doc_id, source, string_split(trim(text), ' ')
+        |            AS l
+        |          FROM documents))),
+        |lines AS (
+        |  SELECT doc_id, source, (ord - 1) // 2 AS line_id,
+        |         string_agg(tok, ' ' ORDER BY ord) AS line_text
+        |  FROM toks GROUP BY doc_id, source, (ord - 1) // 2),
+        |bp AS (SELECT source, line_text FROM lines
+        |       GROUP BY source, line_text
+        |       HAVING count(DISTINCT doc_id) >= 3),
+        |f AS (SELECT l.doc_id, l.line_id, l.line_text,
+        |        (b.line_text IS NOT NULL) AS is_bp
+        |      FROM lines l LEFT JOIN bp b
+        |        ON l.source = b.source AND l.line_text = b.line_text)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  coalesce(string_agg(CASE WHEN NOT is_bp THEN line_text END,
+        |    ' ' ORDER BY line_id), '') AS clean_text
+        |FROM f GROUP BY doc_id""".stripMargin,
+
+    "text_cdc_chunks" -> (cdcChunksSql +
+      """
+        |SELECT doc_id, chunk_id, chunk_text FROM ch""".stripMargin),
+
+    "dedup_cdc" -> (cdcChunksSql +
+      """
+        |SELECT md5(chunk_text) AS chunk_md5,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occ
+        |FROM ch GROUP BY 1
+        |HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin),
+
+    // Weight-atomic per-stratum nucleus: histogram cumulative masses,
+    // threshold weight per stratum, then a pure filter
+    "sample_topp" ->
+      """WITH w AS (SELECT lang AS stratum, doc_id AS id,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS weight
+        |  FROM documents),
+        |hist AS (SELECT stratum, weight, count(*) AS c
+        |         FROM w GROUP BY 1, 2),
+        |cum AS (SELECT stratum, weight,
+        |  coalesce(SUM(weight * c) OVER (PARTITION BY stratum
+        |    ORDER BY weight DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS cum_before,
+        |  SUM(weight * c) OVER (PARTITION BY stratum) AS tot FROM hist),
+        |thr AS (SELECT stratum, min(weight) AS wmin FROM cum
+        |        WHERE cum_before < 0.5 * tot GROUP BY 1)
+        |SELECT w.stratum, w.id, w.weight FROM w JOIN thr USING (stratum)
+        |WHERE w.weight >= thr.wmin""".stripMargin,
     "contam_overlap" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks

@@ -169,6 +169,54 @@ object Kernels {
     acc
   }
 
+  /** Content-defined chunking over CODE POINTS: a boundary falls after
+    * 1-based position i ≥ w whenever the fixed-window polynomial hash
+    * `H(i) = Σ_{j=0..w-1} cp(i−j) · base^j` is divisible by `modulus`
+    * (expected chunk length ≈ modulus code points). Returns the chunk
+    * texts in order; the final partial chunk is kept; empty text → no
+    * chunks. The fixed window (no min-length reset) keeps every
+    * boundary a LOCAL predicate of the text — the property that makes
+    * CDC dedup shift-robust (an insertion far from a boundary moves no
+    * other boundary) AND restatable as one scalar SQL expression per
+    * position, so an external engine can recompute the chunking
+    * exactly. With base 31, w ≤ 8 and code points < 0x110000 every
+    * H stays far below 2^63 — no overflow on any engine. */
+  def cdcChunks(text: UTF8String, w: Int, base: Long, modulus: Int)
+      : ArrayData = {
+    val s = text.toString
+    if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val n = s.codePointCount(0, s.length)
+    val cps = new Array[Int](n)
+    val charOff = new Array[Int](n + 1)
+    var ci = 0
+    var k = 0
+    while (ci < s.length) {
+      charOff(k) = ci
+      val cp = s.codePointAt(ci)
+      cps(k) = cp
+      ci += Character.charCount(cp)
+      k += 1
+    }
+    charOff(n) = s.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var prev = 0 // code-point index where the current chunk starts
+    var i = w - 1 // 0-based window end = 1-based position i+1
+    while (i < n) {
+      var h = 0L
+      var p = 1L
+      var j = 0
+      while (j < w) { h += cps(i - j) * p; p *= base; j += 1 }
+      if (h % modulus == 0) {
+        out += UTF8String.fromString(s.substring(charOff(prev), charOff(i + 1)))
+        prev = i + 1
+      }
+      i += 1
+    }
+    if (prev < n)
+      out += UTF8String.fromString(s.substring(charOff(prev), charOff(n)))
+    new GenericArrayData(out.toArray)
+  }
+
   /** Mean token length in CODEPOINTS (Spark's `length()` counts
     * characters, not UTF-16 units) — TextAnalysis.meanWordLength; zero
     * tokens → 0.0 (unreachable after split, which yields [""] for empty

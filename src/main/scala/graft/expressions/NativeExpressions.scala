@@ -53,6 +53,10 @@ object native {
   /** Rolling polynomial token hash — TextAnalysis.rollingHash. */
   def rollingHash(text: Column): Column = c(RollingHashExpr(e(text)))
 
+  /** Content-defined chunk texts — TextAnalysis.cdcChunks. */
+  def cdcChunks(text: Column, w: Int, base: Long, modulus: Int): Column =
+    c(CdcChunksExpr(e(text), w, base, modulus))
+
   /** Epoch milliseconds of a TIMESTAMP_NTZ column with the naive value
     * read as UTC — session-time-zone-free (an NTZ→LTZ cast bakes the
     * session zone in at analysis time; this reinterprets the stored
@@ -243,6 +247,21 @@ final case class RollingHashExpr(child: Expression)
     defineCodeGen(ctx, ev, cv => s"graft.expressions.Kernels.rollingHash($cv)")
   override protected def withNewChildInternal(newChild: Expression)
       : RollingHashExpr = copy(child = newChild)
+}
+
+final case class CdcChunksExpr(child: Expression, w: Int, base: Long,
+    modulus: Int) extends UnaryExpression {
+  require(w >= 1 && base >= 2 && modulus >= 2, "bad CDC parameters")
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_cdc_chunks"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.cdcChunks(input.asInstanceOf[UTF8String], w, base, modulus)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      cv => s"graft.expressions.Kernels.cdcChunks($cv, $w, ${base}L, $modulus)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : CdcChunksExpr = copy(child = newChild)
 }
 
 /** TIMESTAMP_NTZ stores wall-clock micros since 1970-01-01T00:00 with no

@@ -70,6 +70,25 @@ object Classifier {
     * discipline as the surprisal oracle. */
   def scoreNaiveBayes(docs: DataFrame, idCol: Column, textCol: Column,
       model: NBModel): DataFrame = {
+    val scored = allClassScores(docs, idCol, textCol, model)
+    Sampling.topKPerGroup(scored, col("id"), col("score"),
+        col("label").asc, k = 1)
+      .select(col("id"), col("label"),
+        round(col("score"), 6).as("logp"))
+  }
+
+  /** Full per-class posterior table (id, label, logp) — one row per
+    * (doc, class), round-6 like [[scoreNaiveBayes]]. The input to
+    * one-vs-rest evaluation ([[Evaluation.rocCurve]]): pick a class,
+    * its `logp` is the ranking score. Same broadcast-join plan as the
+    * top-1 scorer, minus the top-k. */
+  def scoreNaiveBayesAll(docs: DataFrame, idCol: Column, textCol: Column,
+      model: NBModel): DataFrame =
+    allClassScores(docs, idCol, textCol, model)
+      .select(col("id"), col("label"), round(col("score"), 6).as("logp"))
+
+  private def allClassScores(docs: DataFrame, idCol: Column,
+      textCol: Column, model: NBModel): DataFrame = {
     val cls = model.classes
       .withColumn("log_prior",
         log(col("n_docs").cast("double") / model.nTrainDocs.toDouble))
@@ -78,7 +97,7 @@ object Classifier {
       .select("label", "log_prior", "denom")
     val toks = docs.select(idCol.as("id"),
       explode(TextAnalysis.tokens(textCol)).as("token"))
-    val scored = toks
+    toks
       .crossJoin(broadcast(cls))
       .join(broadcast(model.tokenCounts), Seq("token", "label"), "left")
       .groupBy("id", "label")
@@ -87,9 +106,5 @@ object Classifier {
           col("denom"))).as("ll"),
         first(col("log_prior")).as("log_prior"))
       .withColumn("score", col("ll") + col("log_prior"))
-    Sampling.topKPerGroup(scored, col("id"), col("score"),
-        col("label").asc, k = 1)
-      .select(col("id"), col("label"),
-        round(col("score"), 6).as("logp"))
   }
 }

@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier-evaluation operators for curation pipelines: before a
+  * quality/language filter is unleashed on 100 TB of corpus, its
+  * threshold is chosen from a ROC sweep on held-out labels. Both
+  * operators work on BINNED scores (a fixed rounding of the ranking
+  * score), which is what makes them scale- and engine-portable:
+  *
+  *  - the cumulative scan runs over the per-bin aggregate (bounded by
+  *    the score range × bin resolution, never by corpus size), so the
+  *    one ordered window here touches thousands of rows, not billions;
+  *  - counts per bin are exact integers, so cross-engine equality
+  *    never rests on float summation order — the only floats are one
+  *    final division per output row, identical IEEE ops on any engine.
+  */
+object Evaluation {
+
+  /** ROC curve of a binary ranking score: one row per distinct score
+    * bin (descending = decision thresholds), with cumulative true/false
+    * positive counts for the rule "predict positive when score ≥ bin"
+    * and the derived rates. `score` is binned by `round(score,
+    * binDecimals)` — the resolution of the threshold sweep.
+    *
+    * Output: (score_bin, tp, fp, tpr, fpr), tpr/fpr round-6.
+    *
+    * Scale shape: one map-side-combined aggregation to the bin
+    * histogram; the ordered cumulative window runs over bins only (its
+    * single-partition frame is bounded by bin cardinality — at round-2
+    * binning a log-probability score spans a few thousand bins no
+    * matter the corpus). */
+  def rocCurve(scored: DataFrame, score: Column, truth: Column,
+      binDecimals: Int = 2): DataFrame = {
+    val bins = scored
+      .select(round(score, binDecimals).as("score_bin"),
+        truth.cast("boolean").as("__t"))
+      .groupBy(col("score_bin"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__pos"),
+        sum(when(col("__t"), 0L).otherwise(1L)).as("__neg"))
+    val byScoreDesc = Window.orderBy(col("score_bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    bins
+      .withColumn("tp", sum(col("__pos")).over(byScoreDesc))
+      .withColumn("fp", sum(col("__neg")).over(byScoreDesc))
+      .withColumn("__p", sum(col("__pos")).over(all))
+      .withColumn("__n", sum(col("__neg")).over(all))
+      .select(col("score_bin"), col("tp"), col("fp"),
+        round(col("tp").cast("double") / col("__p"), 6).as("tpr"),
+        round(col("fp").cast("double") / col("__n"), 6).as("fpr"))
+  }
+
+  /** AUC by the Mann–Whitney U statistic over the same score bins:
+    * U = Σ_bins pos(b) · (negBelow(b) + neg(b)/2), AUC = U / (P·N) —
+    * ties at a bin contribute a half. Every term is an integer or an
+    * exact binary half, so the statistic is deterministic down to the
+    * final division (round-6). Returns one row: (auc, n_pos, n_neg).
+    *
+    * Same scale shape as [[rocCurve]]: the window and final fold run
+    * over the bin histogram, not the corpus. */
+  def aucBinned(scored: DataFrame, score: Column, truth: Column,
+      binDecimals: Int = 2): DataFrame = {
+    val bins = scored
+      .select(round(score, binDecimals).as("score_bin"),
+        truth.cast("boolean").as("__t"))
+      .groupBy(col("score_bin"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__pos"),
+        sum(when(col("__t"), 0L).otherwise(1L)).as("__neg"))
+    val below = Window.orderBy(col("score_bin").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bins
+      .withColumn("__negBelow",
+        coalesce(sum(col("__neg")).over(below), lit(0L)))
+      // 2U stays integral (the tie term doubles to an integer); the
+      // halving folds into the final division
+      .agg(
+        sum(col("__pos") * (col("__negBelow") * 2L + col("__neg")))
+          .as("__u2"),
+        sum(col("__pos")).as("n_pos"),
+        sum(col("__neg")).as("n_neg"))
+      .select(
+        round(col("__u2").cast("double") /
+          (col("n_pos") * col("n_neg") * 2L), 6).as("auc"),
+        col("n_pos"), col("n_neg"))
+  }
+}

@@ -302,4 +302,42 @@ object Sampling {
       Seq(group), Seq(col("__o").desc, tiebreak), k)
       .withColumnRenamed("__rn", "rank")
       .drop("__o")
+
+  /** Per-stratum nucleus (top-p) selection: keep the highest-weight
+    * rows of each stratum until at least fraction `p` of the stratum's
+    * total integer weight is covered. The cut is WEIGHT-ATOMIC — every
+    * row tied at the boundary weight is kept — which is both the
+    * deterministic choice (no arbitrary tie order) and the scalable
+    * one: the cumulative scan runs over the per-(stratum, weight)
+    * HISTOGRAM, never over rows.
+    *
+    * Scale shape: one map-side-combined histogram aggregation (output
+    * ∝ distinct weight values, not corpus size), a window over that
+    * small histogram to find each stratum's threshold weight, then a
+    * broadcast threshold join + filter — a pure map stage over the
+    * corpus. No per-stratum row sort anywhere, so a skewed stratum
+    * costs nothing extra. Integer weights keep the cumulative masses
+    * exact (`p * total` is one double product — engine-portable). */
+  def topPPerGroup(df: DataFrame, stratum: Column, key: Column,
+      weight: Column, p: Double): DataFrame = {
+    require(p > 0.0 && p <= 1.0, "need 0 < p <= 1")
+    val w = weight.cast("long")
+    val hist = df.select(stratum.as("__s"), w.as("__w"))
+      .groupBy(col("__s"), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__m", col("__w") * col("__c"))
+    val byWDesc = Window.partitionBy(col("__s")).orderBy(col("__w").desc)
+    val thresholds = hist
+      .withColumn("__cumBefore", coalesce(sum(col("__m")).over(
+        byWDesc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__tot",
+        sum(col("__m")).over(Window.partitionBy(col("__s"))))
+      .where(col("__cumBefore") < lit(p) * col("__tot"))
+      .groupBy(col("__s"))
+      .agg(min(col("__w")).as("__wmin"))
+    df.select(stratum.as("stratum"), key.as("id"), w.as("weight"))
+      .join(broadcast(thresholds), col("stratum") === col("__s"))
+      .where(col("weight") >= col("__wmin"))
+      .select(col("stratum"), col("id"), col("weight"))
+  }
 }

@@ -443,4 +443,94 @@ object TextAnalysis {
     aggregate(toks, lit(0L),
       (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), lit(P)), lit(P)))
   }
+
+  /** Content-defined chunking (native codegen'd kernel): chunk texts
+    * in document order, boundaries where the fixed-window polynomial
+    * code-point hash is divisible by `modulus` (≈ expected chunk
+    * length). Unlike fixed-offset chunking, an edit moves only the one
+    * or two chunks it touches — the property CDC-level dedup rests on.
+    * Pure map stage; see [[graft.expressions.Kernels.cdcChunks]] for
+    * the exact boundary rule an external engine can restate. */
+  def cdcChunks(text: Column, window: Int = 8, base: Long = 31L,
+      modulus: Int = 16): Column =
+    graft.expressions.native.cdcChunks(text, window, base, modulus)
+
+  /** CDC chunk table: one row per (doc_id, chunk_id, chunk_text) in
+    * document order — explode of [[cdcChunks]], no shuffle. */
+  def cdcChunkTable(df: DataFrame, idCol: Column, textCol: Column,
+      window: Int = 8, base: Long = 31L, modulus: Int = 16): DataFrame =
+    df.select(idCol.as("doc_id"),
+        posexplode(cdcChunks(textCol, window, base, modulus))
+          .as(Seq("chunk_id", "chunk_text")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_text"))
+
+  /** Chunk-level duplication report over the CDC chunking: every chunk
+    * content (as md5) carried verbatim by at least `minDocs` distinct
+    * documents, with its document and occurrence counts — the unit of
+    * storage-level dedup and of fine-grained cross-document overlap
+    * mining. One explode (map) + one hash-keyed aggregation with
+    * map-side combine; the shuffle carries (md5, partial counts), never
+    * chunk text bodies. */
+  def cdcDuplicateChunks(df: DataFrame, idCol: Column, textCol: Column,
+      minDocs: Long = 2L, window: Int = 8, base: Long = 31L,
+      modulus: Int = 16): DataFrame =
+    cdcChunkTable(df, idCol, textCol, window, base, modulus)
+      .groupBy(md5(col("chunk_text")).as("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .where(col("n_docs") >= minDocs)
+
+  /** CCNet-style boilerplate removal: split each document into fixed
+    * `lineTokens`-token "lines" (the line/paragraph unit of a real
+    * pipeline — this corpus has no newlines, so the unit is a token
+    * window), count each line's document frequency WITHIN its group
+    * (site/domain/source — boilerplate is per-site: headers, footers,
+    * cookie banners), and drop lines shared verbatim by at least
+    * `minDocFreq` distinct documents of the group. Returns one row per
+    * document: (doc_id, n_lines, n_removed, clean_text) with kept
+    * lines re-joined in original order.
+    *
+    * Scale shape: line construction is a map stage (one posexplode per
+    * document — no token-level shuffle); the frequency pass is ONE
+    * (group, line)-keyed aggregation with map-side combine; the
+    * boilerplate dictionary is small BY CONSTRUCTION (lines with
+    * df ≥ k number at most totalLines / k), so flagging is a broadcast
+    * join; reassembly is one doc-keyed aggregation whose per-group
+    * state is bounded by document length. Nothing shuffles more than
+    * once, and no driver-side iteration.
+    */
+  def removeBoilerplate(df: DataFrame, idCol: Column, textCol: Column,
+      groupCol: Column, lineTokens: Int = 2, minDocFreq: Long = 3L)
+      : DataFrame = {
+    require(lineTokens > 0 && minDocFreq > 1,
+      "need lineTokens > 0 and minDocFreq > 1")
+    val nLines = ceil(size(col("__toks")).cast("double") / lineTokens)
+      .cast("int")
+    val lines = df
+      .select(idCol.as("doc_id"), groupCol.as("__grp"),
+        split(trim(textCol), "\\s+").as("__toks"))
+      .select(col("doc_id"), col("__grp"),
+        posexplode(transform(sequence(lit(0), nLines - 1),
+          i => concat_ws(" ", slice(col("__toks"), i * lineTokens + 1,
+            lit(lineTokens))))).as(Seq("line_id", "line_text")))
+    val boiler = lines
+      .groupBy(col("__grp"), col("line_text"))
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .where(col("__df") >= minDocFreq)
+      .select(col("__grp"), col("line_text"), lit(true).as("__bp"))
+    lines
+      .join(broadcast(boiler), Seq("__grp", "line_text"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__bp"), 1L).otherwise(0L)).as("n_removed"),
+        // kept lines, re-ordered: collect_list drops the nulls the
+        // `when` leaves for boilerplate lines; array_sort on the
+        // (line_id, text) struct restores document order
+        array_sort(collect_list(when(col("__bp").isNull,
+          struct(col("line_id"), col("line_text"))))).as("__kept"))
+      .select(col("doc_id"), col("n_lines"), col("n_removed"),
+        concat_ws(" ",
+          transform(col("__kept"), x => x("line_text"))).as("clean_text"))
+  }
 }

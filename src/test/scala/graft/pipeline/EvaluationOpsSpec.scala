@@ -1,0 +1,155 @@
+package graft.pipeline
+
+import graft.TestSpark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the round-11 curation additions: boilerplate removal,
+  * CDC chunking, nucleus (top-p) selection, ROC/AUC evaluation. */
+class EvaluationOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- boilerplate removal ----------------------------------------------
+
+  test("boilerplate lines shared by >= minDocFreq docs of a group are " +
+      "removed; kept lines stay in order") {
+    // "cookie banner" = the 2-token line planted in docs 0/1/2 of site a
+    val docs = Seq(
+      (0L, "a", "cookie banner alpha beta"),
+      (1L, "a", "cookie banner gamma delta"),
+      (2L, "a", "epsilon zeta cookie banner"),
+      (3L, "a", "eta theta iota kappa"),
+      (4L, "b", "cookie banner lambda mu") // other group: df=1, kept
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.removeBoilerplate(docs, col("doc_id"),
+        col("text"), col("source"), lineTokens = 2, minDocFreq = 3L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text"))).toMap
+    assert(out(0L) === ((2L, 1L, "alpha beta")))
+    assert(out(1L) === ((2L, 1L, "gamma delta")))
+    assert(out(2L) === ((2L, 1L, "epsilon zeta")))
+    assert(out(3L) === ((2L, 0L, "eta theta iota kappa")))
+    assert(out(4L) === ((2L, 0L, "cookie banner lambda mu")))
+  }
+
+  test("boilerplate: a fully-boilerplate document becomes empty text") {
+    val docs = Seq(
+      (0L, "a", "x y"), (1L, "a", "x y"), (2L, "a", "x y a b")
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.removeBoilerplate(docs, col("doc_id"),
+        col("text"), col("source"), lineTokens = 2, minDocFreq = 3L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("clean_text")).toMap
+    assert(out(0L) === "")
+    assert(out(2L) === "a b")
+  }
+
+  // ---- CDC chunking -------------------------------------------------------
+
+  test("CDC chunks concatenate losslessly and respect the boundary rule") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "short", "", "exactly8", "a bit longer sample text here")
+    val rows = TextAnalysis.cdcChunkTable(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getAs[Long]("chunk_id"))
+          .map(_.getAs[String]("chunk_text"))
+      }
+    // lossless: chunks concatenate back to the document
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val chunks = rows.getOrElse(i.toLong, Array.empty[String])
+      assert(chunks.mkString === t, s"doc $i")
+      if (t.isEmpty) assert(chunks.isEmpty)
+    }
+    // boundary rule: every interior chunk ends where the window hash
+    // divides the modulus
+    def h(cps: Array[Int], end: Int): Long =
+      (0 until 8).map(j => cps(end - j) * math.pow(31, j).toLong).sum
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val cps = t.codePoints().toArray
+      val chunks = rows.getOrElse(i.toLong, Array.empty[String])
+      var pos = 0
+      chunks.dropRight(1).foreach { c =>
+        pos += c.codePointCount(0, c.length)
+        assert(pos >= 8 && h(cps, pos - 1) % 16 === 0,
+          s"doc $i boundary at $pos")
+      }
+    }
+  }
+
+  test("CDC is shift-robust: an edit changes only the chunk it touches") {
+    val t = "the quick brown fox jumps over the lazy dog while the cat " +
+      "sleeps in the warm afternoon sun near the old wooden fence post"
+    val edited = "XY " + t
+    val df = Seq((0L, t), (1L, edited)).toDF("doc_id", "text")
+    val byDoc = TextAnalysis.cdcChunkTable(df, col("doc_id"), col("text"))
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) => id -> rs.sortBy(_.getAs[Long]("chunk_id"))
+        .map(_.getAs[String]("chunk_text")).toSeq }
+    val orig = byDoc(0L)
+    val moved = byDoc(1L)
+    // after the first resynchronized boundary, the chunk streams agree;
+    // fixed-offset chunking would shift EVERY chunk
+    val shared = orig.toSet.intersect(moved.toSet)
+    assert(shared.nonEmpty, "no chunk survived a 3-char prefix edit")
+    assert(orig.takeRight(1).toSet.subsetOf(moved.toSet),
+      "the final chunk (far from the edit) must be identical")
+  }
+
+  // ---- top-p --------------------------------------------------------------
+
+  test("topPPerGroup keeps the minimal weight-atomic prefix covering p") {
+    // stratum a: weights 5,3,3,1 (total 12); p=0.5 -> 5 alone is 5/12
+    // (< 0.5), adding the 3s reaches 11/12: threshold weight 3, BOTH
+    // ties kept, the 1 dropped. stratum b: single row always kept.
+    val df = Seq(("a", 1L, 5L), ("a", 2L, 3L), ("a", 3L, 3L),
+      ("a", 4L, 1L), ("b", 9L, 2L)).toDF("s", "id", "w")
+    val kept = Sampling.topPPerGroup(df, col("s"), col("id"), col("w"),
+        p = 0.5).collect().map(r =>
+        (r.getAs[String]("stratum"), r.getAs[Long]("id"))).toSet
+    assert(kept === Set(("a", 1L), ("a", 2L), ("a", 3L), ("b", 9L)))
+  }
+
+  test("topPPerGroup with p=1 keeps every row") {
+    val df = Seq(("a", 1L, 5L), ("a", 2L, 1L), ("b", 3L, 2L))
+      .toDF("s", "id", "w")
+    assert(Sampling.topPPerGroup(df, col("s"), col("id"), col("w"),
+      p = 1.0).count() === 3L)
+  }
+
+  // ---- ROC / AUC ----------------------------------------------------------
+
+  private lazy val scored = Seq(
+    // (score, truth): a perfect split at 0.5
+    (0.9, true), (0.8, true), (0.7, true),
+    (0.3, false), (0.2, false), (0.1, false)
+  ).toDF("score", "truth")
+
+  test("rocCurve on a perfect ranker walks tp first, then fp") {
+    val pts = Evaluation.rocCurve(scored, col("score"), col("truth"),
+        binDecimals = 2)
+      .orderBy(col("score_bin").desc).collect()
+    assert(pts.map(r => (r.getAs[Long]("tp"), r.getAs[Long]("fp"))).toSeq
+      === Seq((1L, 0L), (2L, 0L), (3L, 0L), (3L, 1L), (3L, 2L), (3L, 3L)))
+    assert(pts.last.getAs[Double]("tpr") === 1.0)
+    assert(pts.last.getAs[Double]("fpr") === 1.0)
+  }
+
+  test("aucBinned: perfect ranker = 1, anti-ranker = 0, ties = 0.5") {
+    def auc(rows: Seq[(Double, Boolean)]): Double =
+      Evaluation.aucBinned(rows.toDF("score", "truth"), col("score"),
+        col("truth")).head().getAs[Double]("auc")
+    assert(auc(Seq((0.9, true), (0.8, true), (0.1, false))) === 1.0)
+    assert(auc(Seq((0.9, false), (0.8, false), (0.1, true))) === 0.0)
+    // every score identical: AUC is the tie half = 0.5
+    assert(auc(Seq((0.5, true), (0.5, false), (0.5, true))) === 0.5)
+  }
+}
