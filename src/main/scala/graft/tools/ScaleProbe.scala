@@ -99,6 +99,41 @@ object ScaleProbe {
         f"(${tAsof * 1e6 / nEv}%.2f s/Mevent) sessions=$tSess%.1fs " +
         f"bpe30=$tBpe%.1fs pca_fit=$tPca%.1fs " +
         f"(${tPca * 1e6 / nVec}%.2f s/Mvec)")
+
+      // round-11 additions: boilerplate removal, CDC chunk dedup,
+      // nucleus sampling, ROC sweep — all expected ~linear-per-doc
+      val tBoiler = timeSec {
+        println("  boiler docs=" + graft.pipeline.TextAnalysis
+          .removeBoilerplate(docs, col("doc_id"), col("text"),
+            col("source"), lineTokens = 2, minDocFreq = 3L).count())
+      }
+      val tCdc = timeSec {
+        println("  cdc dup chunks=" + graft.pipeline.TextAnalysis
+          .cdcDuplicateChunks(docs, col("doc_id"), col("text")).count())
+      }
+      val tTopP = timeSec {
+        println("  topp kept=" + graft.pipeline.Sampling.topPPerGroup(
+          docs, col("lang"), col("doc_id"),
+          graft.pipeline.TextAnalysis.tokenCount(col("text")), p = 0.5)
+          .count())
+      }
+      val tRoc = timeSec {
+        val m = graft.pipeline.Classifier.trainNaiveBayes(
+          docs.where(col("doc_id") % 5 =!= 0), col("text"), col("lang"),
+          vocabSize = 512)
+        val en = graft.pipeline.Classifier.scoreNaiveBayesAll(
+          docs.where(col("doc_id") % 5 === 0), col("doc_id"),
+          col("text"), m)
+          .where(col("label") === "en")
+          .join(docs.select(col("doc_id").as("id"), col("lang")),
+            Seq("id"))
+        println("  roc bins=" + graft.pipeline.Evaluation.rocCurve(
+          en, col("logp"), col("lang") === "en").count())
+      }
+      println(f"SCALE3 $dir boiler=$tBoiler%.1fs " +
+        f"(${tBoiler * 1e6 / nDocs}%.2f s/Mdoc) cdc=$tCdc%.1fs " +
+        f"(${tCdc * 1e6 / nDocs}%.2f s/Mdoc) topp=$tTopP%.1fs " +
+        f"roc=$tRoc%.1fs")
     }
     spark.stop()
   }
