@@ -460,4 +460,46 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected ≤2 shuffles, saw $exchanges:\n$plan")
     assert(!plan.toLowerCase.contains("cartesianproduct"), plan)
   }
+
+  test("CDC chunk table is a shuffle-free codegen'd explode; chunk " +
+      "dedup adds only the md5-keyed aggregation exchange") {
+    val chunks = SparkEntry.queries("text_cdc_chunks")(spark, sf)
+    val plan = executedPlan(chunks)
+    assert(!plan.contains("Exchange"),
+      s"CDC chunking must not shuffle:\n$plan")
+    val dedupPlan = executedPlan(SparkEntry.queries("dedup_cdc")(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(dedupPlan).length
+    assert(exchanges <= 2, // partial/final of the distinct-doc agg
+      s"chunk dedup should be one keyed agg, saw $exchanges:\n$dedupPlan")
+  }
+
+  test("boilerplate removal flags via a BROADCAST join (the dictionary " +
+      "is bounded by totalLines/minDocFreq) — no shuffle of the corpus " +
+      "for flagging") {
+    val plan = executedPlan(
+      SparkEntry.queries("text_boilerplate")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"boilerplate dictionary must broadcast:\n$plan")
+    assert(!plan.toLowerCase.contains("sortmergejoin"),
+      s"corpus-side flagging should never sort-merge:\n$plan")
+  }
+
+  test("top-p nucleus: the threshold joins back by BROADCAST and the " +
+      "corpus pass is a pure filter (one histogram exchange only)") {
+    val plan = executedPlan(SparkEntry.queries("sample_topp")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"threshold table must broadcast:\n$plan")
+  }
+
+  test("ROC/AUC windows run over the bin histogram AFTER aggregation — " +
+      "the corpus never passes through the single-partition window") {
+    val plan = executedPlan(SparkEntry.queries("classify_roc")(spark, sf))
+    // the single-partition exchange must consume an aggregate, not a scan
+    val idx = plan.indexOf("Exchange SinglePartition")
+    assert(idx >= 0, s"expected the bin-histogram window exchange:\n$plan")
+    val upstream = plan.substring(idx)
+    assert(upstream.contains("HashAggregate"),
+      s"single-partition window must sit on the binned aggregate:\n$plan")
+  }
 }
