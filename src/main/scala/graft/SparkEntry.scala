@@ -2330,6 +2330,28 @@ object SparkEntry {
         col("doc_id"), col("text"), col("source"),
         lineTokens = 2, minDocFreq = 3L)),
 
+    // Standing boilerplate dictionary: counts of two doc-disjoint
+    // batches folded, then applied — must equal the one-shot removal
+    // (the oracle IS the one-shot SQL)
+    "boiler_incremental" -> ((s, dir) => {
+      val ta = graft.pipeline.TextAnalysis
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val folded = ta.foldBoilerplateCounts(
+        ta.boilerplateCounts(docs.where(col("doc_id") < 250),
+          col("doc_id"), col("text"), col("source")),
+        ta.boilerplateCounts(docs.where(col("doc_id") >= 250),
+          col("doc_id"), col("text"), col("source")))
+      ta.removeBoilerplateWithCounts(docs, col("doc_id"), col("text"),
+        col("source"), folded, lineTokens = 2, minDocFreq = 3L)
+    }),
+
+    // Feature-hashed sparse TF vectors (COO rows) over the portable
+    // md5-bucket hash
+    "text_hashing_tf" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.hashingTf(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), dim = 1024)),
+
     // Content-defined chunking (native kernel): per-doc chunk table
     "text_cdc_chunks" -> ((s, dir) =>
       graft.pipeline.TextAnalysis.cdcChunkTable(
@@ -2386,7 +2408,9 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = oracleSqlBase +
     // the standing-index path is bit-identical to ad-hoc BM25 — one oracle
-    ("retrieval_bm25_indexed" -> oracleSqlBase("retrieval_bm25"))
+    ("retrieval_bm25_indexed" -> oracleSqlBase("retrieval_bm25")) +
+    // folded-dictionary removal must equal the one-shot semantics
+    ("boiler_incremental" -> oracleSqlBase("text_boilerplate"))
 
   private def oracleSqlBase: Map[String, String] = Map(
     "r1_bgp_join" ->
@@ -3501,6 +3525,18 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_occ
         |FROM ch GROUP BY 1
         |HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin),
+
+    // Feature-hashed TF: md5-bucket recipe restated with the hex cast
+    "text_hashing_tf" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CONCAT('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 1024
+        |    AS dim,
+        |  CAST(count(*) AS BIGINT) AS tf
+        |FROM t GROUP BY 1, 2""".stripMargin,
 
     // Weight-atomic per-stratum nucleus: histogram cumulative masses,
     // threshold weight per stratum, then a pure filter

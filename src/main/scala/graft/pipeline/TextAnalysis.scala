@@ -505,22 +505,68 @@ object TextAnalysis {
       : DataFrame = {
     require(lineTokens > 0 && minDocFreq > 1,
       "need lineTokens > 0 and minDocFreq > 1")
+    val lines = lineTable(df, idCol, textCol, groupCol, lineTokens)
+    applyBoilerplate(lines, lineCounts(lines), minDocFreq)
+  }
+
+  /** The fixed-window "line" view of a corpus:
+    * (doc_id, grp, line_id, line_text) — one posexplode map stage. */
+  private def lineTable(df: DataFrame, idCol: Column, textCol: Column,
+      groupCol: Column, lineTokens: Int): DataFrame = {
     val nLines = ceil(size(col("__toks")).cast("double") / lineTokens)
       .cast("int")
-    val lines = df
-      .select(idCol.as("doc_id"), groupCol.as("__grp"),
+    df.select(idCol.as("doc_id"), groupCol.as("grp"),
         split(trim(textCol), "\\s+").as("__toks"))
-      .select(col("doc_id"), col("__grp"),
+      .select(col("doc_id"), col("grp"),
         posexplode(transform(sequence(lit(0), nLines - 1),
           i => concat_ws(" ", slice(col("__toks"), i * lineTokens + 1,
             lit(lineTokens))))).as(Seq("line_id", "line_text")))
-    val boiler = lines
-      .groupBy(col("__grp"), col("line_text"))
-      .agg(countDistinct(col("doc_id")).as("__df"))
-      .where(col("__df") >= minDocFreq)
-      .select(col("__grp"), col("line_text"), lit(true).as("__bp"))
+  }
+
+  private def lineCounts(lines: DataFrame): DataFrame =
+    lines.groupBy(col("grp"), col("line_text"))
+      .agg(countDistinct(col("doc_id")).as("line_df"))
+
+  /** STANDING boilerplate state: the full per-(group, line) document-
+    * frequency table (grp, line_text, line_df) — unthresholded, so it
+    * can be folded incrementally as batches arrive (the same standing-
+    * state shape as `Dedup.CorpusIndex` and the sketch tables). Size is
+    * bounded by the corpus's distinct-line vocabulary, not its row
+    * count. One map-side-combined aggregation. */
+  def boilerplateCounts(df: DataFrame, idCol: Column, textCol: Column,
+      groupCol: Column, lineTokens: Int = 2): DataFrame =
+    lineCounts(lineTable(df, idCol, textCol, groupCol, lineTokens))
+
+  /** Fold a new batch's counts into the standing table. Exact when the
+    * batches cover disjoint documents (the append contract every
+    * standing index here shares): per-(group, line) distinct-doc counts
+    * are then additive. One keyed aggregation over the two count
+    * tables — never touches corpus rows. */
+  def foldBoilerplateCounts(existing: DataFrame, batch: DataFrame)
+      : DataFrame =
+    existing.unionByName(batch)
+      .groupBy(col("grp"), col("line_text"))
+      .agg(sum(col("line_df")).as("line_df"))
+
+  /** Remove boilerplate using a standing count table (built by
+    * [[boilerplateCounts]], possibly folded across batches): threshold
+    * the dictionary at `minDocFreq` (small by construction → broadcast
+    * flag join), then the same ordered reassembly as
+    * [[removeBoilerplate]]. Incremental-fold + apply ≡ one-shot
+    * removeBoilerplate on the union of the batches. */
+  def removeBoilerplateWithCounts(df: DataFrame, idCol: Column,
+      textCol: Column, groupCol: Column, counts: DataFrame,
+      lineTokens: Int = 2, minDocFreq: Long = 3L): DataFrame =
+    applyBoilerplate(lineTable(df, idCol, textCol, groupCol, lineTokens),
+      counts, minDocFreq)
+
+  private def applyBoilerplate(lines: DataFrame, counts: DataFrame,
+      minDocFreq: Long): DataFrame = {
+    val boiler = counts
+      .where(col("line_df") >= minDocFreq)
+      .select(col("grp"), col("line_text"), lit(true).as("__bp"))
     lines
-      .join(broadcast(boiler), Seq("__grp", "line_text"), "left")
+      .join(broadcast(boiler), Seq("grp", "line_text"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("__bp"), 1L).otherwise(0L)).as("n_removed"),
@@ -532,5 +578,26 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_lines"), col("n_removed"),
         concat_ws(" ",
           transform(col("__kept"), x => x("line_text"))).as("clean_text"))
+  }
+
+  // ---- feature hashing --------------------------------------------------
+
+  /** Feature-hashed term-frequency rows (the HashingTF shape, in sparse
+    * COO form): (doc_id, dim, tf) with `dim` the md5-bucket of the
+    * token in a fixed `dim`-dimensional space. The md5-prefix hash is
+    * the repo's one portable hash (Spark `conv` ≡ DuckDB hex cast), so
+    * the buckets — unlike xxhash-based alternatives — are identical on
+    * any engine. One explode + ONE map-side-combined aggregation; the
+    * shuffle carries (doc, dim, partial count), bounded per doc by
+    * min(doc tokens, dim). The text-side sparse embedding that feeds
+    * the cosine/ANN machinery without a trained model. */
+  def hashingTf(df: DataFrame, idCol: Column, textCol: Column,
+      dim: Int = 1024): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    df.select(idCol.as("doc_id"), explode(tokens(textCol)).as("token"))
+      .groupBy(col("doc_id"),
+        pmod(conv(substring(md5(col("token")), 1, 8), 16, 10)
+          .cast("long"), lit(dim.toLong)).as("dim"))
+      .agg(count(lit(1)).as("tf"))
   }
 }

@@ -48,6 +48,49 @@ class EvaluationOpsSpec extends AnyFunSuite {
     assert(out(2L) === "a b")
   }
 
+  test("boilerplate: folded counts over disjoint batches equal one-shot; " +
+      "applying the folded dictionary equals one-shot removal") {
+    val docs = Seq(
+      (0L, "a", "cookie banner alpha beta"),
+      (1L, "a", "cookie banner gamma delta"),
+      (2L, "a", "epsilon zeta cookie banner"),
+      (3L, "a", "eta theta iota kappa"),
+      (4L, "b", "cookie banner lambda mu")
+    ).toDF("doc_id", "source", "text")
+    // the boilerplate line reaches df=3 only ACROSS the two batches
+    val a = docs.where(col("doc_id") < 2)
+    val b = docs.where(col("doc_id") >= 2)
+    val folded = TextAnalysis.foldBoilerplateCounts(
+      TextAnalysis.boilerplateCounts(a, col("doc_id"), col("text"),
+        col("source")),
+      TextAnalysis.boilerplateCounts(b, col("doc_id"), col("text"),
+        col("source")))
+    val oneShot = TextAnalysis.boilerplateCounts(docs, col("doc_id"),
+      col("text"), col("source"))
+    assert(folded.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(folded).isEmpty)
+    val inc = TextAnalysis.removeBoilerplateWithCounts(docs,
+      col("doc_id"), col("text"), col("source"), folded,
+      lineTokens = 2, minDocFreq = 3L)
+    val ref = TextAnalysis.removeBoilerplate(docs, col("doc_id"),
+      col("text"), col("source"), lineTokens = 2, minDocFreq = 3L)
+    assert(inc.exceptAll(ref).isEmpty && ref.exceptAll(inc).isEmpty)
+  }
+
+  test("hashingTf: per-doc tf mass equals the token count and buckets " +
+      "are stable per token") {
+    val docs = Seq((0L, "a b a c"), (1L, "a a")).toDF("doc_id", "text")
+    val tf = TextAnalysis.hashingTf(docs, col("doc_id"), col("text"),
+      dim = 8).collect()
+    assert(tf.forall(r => r.getAs[Long]("dim") >= 0 &&
+      r.getAs[Long]("dim") < 8))
+    val mass = tf.groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) => id -> rs.map(_.getAs[Long]("tf")).sum }
+    assert(mass === Map(0L -> 4L, 1L -> 2L))
+    // 'a' hashes to one bucket: doc 1 is a single row of tf=2
+    assert(tf.count(_.getAs[Long]("doc_id") == 1L) === 1)
+  }
+
   // ---- CDC chunking -------------------------------------------------------
 
   test("CDC chunks concatenate losslessly and respect the boundary rule") {
