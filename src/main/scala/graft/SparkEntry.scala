@@ -2352,6 +2352,21 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         col("doc_id"), col("text"), dim = 1024)),
 
+    // Snapshot diff between two deterministic corpus views: docs < 20
+    // removed, >= 450 added, every 10th in between changed
+    "corpus_diff" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val prev = docs.where(col("doc_id") < 450)
+        .select(col("doc_id"), col("text"))
+      val next = docs.where(col("doc_id") >= 20)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit(" UPDATED")))
+            .otherwise(col("text")).as("text"))
+      graft.pipeline.Snapshots.diff(prev, next, col("doc_id"),
+        col("text"))
+    }),
+
     // Content-defined chunking (native kernel): per-doc chunk table
     "text_cdc_chunks" -> ((s, dir) =>
       graft.pipeline.TextAnalysis.cdcChunkTable(
@@ -3525,6 +3540,29 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_occ
         |FROM ch GROUP BY 1
         |HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin),
+
+    // Snapshot diff: same deterministic views, full-outer hash compare
+    "corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS old_md5
+        |           FROM documents WHERE doc_id < 450),
+        |n AS (SELECT doc_id,
+        |        md5(CASE WHEN doc_id % 10 = 0 THEN text || ' UPDATED'
+        |            ELSE text END) AS new_md5
+        |      FROM documents WHERE doc_id >= 20),
+        |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |        old_md5, new_md5
+        |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN old_md5 IS NULL THEN 'added'
+        |       WHEN new_md5 IS NULL THEN 'removed'
+        |       WHEN old_md5 != new_md5 THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  old_md5, new_md5
+        |FROM j
+        |WHERE CASE WHEN old_md5 IS NULL THEN 'added'
+        |       WHEN new_md5 IS NULL THEN 'removed'
+        |       WHEN old_md5 != new_md5 THEN 'changed'
+        |       ELSE 'unchanged' END != 'unchanged'""".stripMargin,
 
     // Feature-hashed TF: md5-bucket recipe restated with the hex cast
     "text_hashing_tf" ->

@@ -285,6 +285,51 @@ object StructuredStreams {
       .trigger(Trigger.ProcessingTime(0))
       .start()
 
+  /** Standing boilerplate dictionary over a document stream: each
+    * micro-batch's (group, line, df) counts fold into the standing
+    * table via [[graft.pipeline.TextAnalysis.foldBoilerplateCounts]].
+    * Same contract and shape as [[StreamingSketches]]: exact when
+    * batches carry disjoint documents (distinct-doc counts are then
+    * additive), per-batch cost ∝ batch + dictionary, lineage truncated
+    * per fold. `StreamingBoilerplateSpec` asserts streaming-folded ≡
+    * one-shot batch counts on the concatenated stream. */
+  final class StreamingBoilerplate(idCol: String, textCol: String,
+      groupCol: String, lineTokens: Int = 2) {
+    @volatile private var state: Option[DataFrame] = None
+
+    def fold(batch: DataFrame): Unit = synchronized {
+      val b = graft.pipeline.TextAnalysis.boilerplateCounts(batch,
+        col(idCol), col(textCol), col(groupCol), lineTokens)
+      val next = state match {
+        case None => b.localCheckpoint(true)
+        case Some(s0) =>
+          val merged = graft.pipeline.TextAnalysis
+            .foldBoilerplateCounts(s0, b).localCheckpoint(true)
+          s0.unpersist()
+          merged
+      }
+      state = Some(next)
+    }
+
+    def current: Option[DataFrame] = state
+
+    def unpersist(): Unit = synchronized {
+      state.foreach(_.unpersist()); state = None
+    }
+  }
+
+  /** Attach boilerplate-dictionary maintenance to a document stream. */
+  def maintainBoilerplate(stream: DataFrame,
+      dict: StreamingBoilerplate, checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        dict.fold(batch.toDF())
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
   // ---- stateful comparator as flatMapGroupsWithState -----------------
 
   /** One keyed observation: (key, ts, live value, historical value). */

@@ -168,6 +168,20 @@ class EvaluationOpsSpec extends AnyFunSuite {
       p = 1.0).count() === 3L)
   }
 
+  // ---- snapshot diff ------------------------------------------------------
+
+  test("snapshot diff classifies added/removed/changed and drops " +
+      "unchanged") {
+    val prev = Seq((0L, "same"), (1L, "was this"), (2L, "gone"))
+      .toDF("doc_id", "text")
+    val next = Seq((0L, "same"), (1L, "now this"), (3L, "brand new"))
+      .toDF("doc_id", "text")
+    val d = Snapshots.diff(prev, next, col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("status")).toMap
+    assert(d === Map(1L -> "changed", 2L -> "removed", 3L -> "added"))
+  }
+
   // ---- ROC / AUC ----------------------------------------------------------
 
   private lazy val scored = Seq(
