@@ -2380,6 +2380,13 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         col("doc_id"), col("text"), minDocs = 2L)),
 
+    // CDC dedup MATERIALIZED: every document rebuilt with only its
+    // first-occurrence chunks (total-order keeper rule)
+    "dedup_cdc_apply" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.cdcDeduplicate(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"))),
+
     // Per-stratum nucleus (top-p) selection by integer token count,
     // weight-atomic cut — histogram windows, no per-stratum row sort
     "sample_topp" -> ((s, dir) => {
@@ -3540,6 +3547,21 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_occ
         |FROM ch GROUP BY 1
         |HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin),
+
+    "dedup_cdc_apply" -> (cdcChunksSql +
+      """,
+        |f AS (SELECT chunk_text,
+        |        min(doc_id * 1048576 + chunk_id) AS minpk
+        |      FROM ch GROUP BY 1),
+        |k AS (SELECT ch.doc_id, ch.chunk_id, ch.chunk_text,
+        |        (ch.doc_id * 1048576 + ch.chunk_id) AS pk, f.minpk
+        |      FROM ch JOIN f ON f.chunk_text = ch.chunk_text)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN pk != minpk THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  coalesce(string_agg(CASE WHEN pk = minpk THEN chunk_text END,
+        |    '' ORDER BY chunk_id), '') AS clean_text
+        |FROM k GROUP BY doc_id""".stripMargin),
 
     // Snapshot diff: same deterministic views, full-outer hash compare
     "corpus_diff" ->

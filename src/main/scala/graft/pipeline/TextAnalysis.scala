@@ -481,6 +481,44 @@ object TextAnalysis {
         count(lit(1)).as("n_occ"))
       .where(col("n_docs") >= minDocs)
 
+  /** CDC chunk-level deduplication MATERIALIZED: rebuild every document
+    * keeping only the chunks whose content occurs here FIRST — the
+    * first occurrence being the globally smallest (doc_id, chunk_id)
+    * among equal contents, so the keeper rule is a total order and the
+    * result is partitioning-independent. The storage-dedup semantics of
+    * content-defined chunking carried through to the corpus text.
+    *
+    * Output: (doc_id, n_chunks, n_dropped, clean_text) — clean_text is
+    * the surviving chunks concatenated WITHOUT separators (chunks are
+    * exact spans, so a fully-unique document round-trips verbatim).
+    *
+    * Scale shape: the chunk table is a map stage; the first-occurrence
+    * table is ONE md5-keyed aggregation carrying a packed
+    * (doc_id, chunk_id) long — never chunk bodies; the keep decision
+    * is an equi-join back on the md5 (sort-merge/hash at corpus scale),
+    * and reassembly is one doc-keyed aggregation. chunk_id fits 20 bits
+    * (bounded by document length), so the pack is collision-free. */
+  def cdcDeduplicate(df: DataFrame, idCol: Column, textCol: Column,
+      window: Int = 8, base: Long = 31L, modulus: Int = 16): DataFrame = {
+    val chunks = cdcChunkTable(df, idCol, textCol, window, base, modulus)
+      .withColumn("__md5", md5(col("chunk_text")))
+      .withColumn("__pk",
+        col("doc_id") * 1048576L + col("chunk_id"))
+    val firsts = chunks.groupBy(col("__md5"))
+      .agg(min(col("__pk")).as("__minpk"))
+    chunks
+      .join(firsts, Seq("__md5"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__pk") =!= col("__minpk"), 1L).otherwise(0L))
+          .as("n_dropped"),
+        array_sort(collect_list(when(col("__pk") === col("__minpk"),
+          struct(col("chunk_id"), col("chunk_text"))))).as("__kept"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dropped"),
+        concat_ws("",
+          transform(col("__kept"), x => x("chunk_text"))).as("clean_text"))
+  }
+
   /** CCNet-style boilerplate removal: split each document into fixed
     * `lineTokens`-token "lines" (the line/paragraph unit of a real
     * pipeline — this corpus has no newlines, so the unit is a token

@@ -147,6 +147,23 @@ class EvaluationOpsSpec extends AnyFunSuite {
       "the final chunk (far from the edit) must be identical")
   }
 
+  test("cdcDeduplicate keeps first occurrences: an exact-dup doc " +
+      "empties, a unique doc round-trips verbatim") {
+    val t = "the quick brown fox jumps over the lazy dog while the cat " +
+      "sleeps in the warm afternoon sun near the old wooden fence"
+    val u = "completely different content about distributed query " +
+      "engines and columnar storage formats for analytics"
+    val out = TextAnalysis.cdcDeduplicate(
+      Seq((0L, t), (1L, t), (2L, u)).toDF("doc_id", "text"),
+      col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_dropped"))).toMap
+    assert(out(0L) === ((t, 0L))) // first occurrence keeps everything
+    assert(out(1L)._1 === "")     // exact dup loses every chunk
+    assert(out(1L)._2 > 0L)
+    assert(out(2L) === ((u, 0L))) // unique doc round-trips
+  }
+
   // ---- top-p --------------------------------------------------------------
 
   test("topPPerGroup keeps the minimal weight-atomic prefix covering p") {
