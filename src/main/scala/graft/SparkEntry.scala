@@ -2352,6 +2352,22 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         col("doc_id"), col("text"), dim = 1024)),
 
+    // Round-11 curation chain: boilerplate removal -> quality gate on
+    // the CLEANED text -> per-language nucleus selection, one
+    // declarative plan; the oracle restates every stage, so any stage
+    // drifting breaks the hash
+    "curation_chain2" -> ((s, dir) => {
+      val T = graft.pipeline.TextAnalysis
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val cleaned = T.removeBoilerplate(docs, col("doc_id"), col("text"),
+          col("source"), lineTokens = 2, minDocFreq = 3L)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val gated = cleaned
+        .where(T.qualityScore(col("clean_text")) >= 0.8)
+      graft.pipeline.Sampling.topPPerGroup(gated, col("lang"),
+        col("doc_id"), T.tokenCount(col("clean_text")), p = 0.6)
+    }),
+
     // Snapshot diff between two deterministic corpus views: docs < 20
     // removed, >= 450 added, every 10th in between changed
     "corpus_diff" -> ((s, dir) => {
@@ -3562,6 +3578,73 @@ object SparkEntry {
         |  coalesce(string_agg(CASE WHEN pk = minpk THEN chunk_text END,
         |    '' ORDER BY chunk_id), '') AS clean_text
         |FROM k GROUP BY doc_id""".stripMargin),
+
+    // Round-11 chain: boilerplate clean -> round-6 quality gate on the
+    // cleaned text -> weight-atomic per-language nucleus
+    "curation_chain2" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, ord, l[ord] AS tok FROM (
+        |    SELECT doc_id, source, l,
+        |           unnest(generate_series(1, len(l))) AS ord
+        |    FROM (SELECT doc_id, source, string_split(trim(text), ' ')
+        |            AS l
+        |          FROM documents))),
+        |lines AS (
+        |  SELECT doc_id, source, (ord - 1) // 2 AS line_id,
+        |         string_agg(tok, ' ' ORDER BY ord) AS line_text
+        |  FROM toks GROUP BY doc_id, source, (ord - 1) // 2),
+        |bp AS (SELECT source, line_text FROM lines
+        |       GROUP BY source, line_text
+        |       HAVING count(DISTINCT doc_id) >= 3),
+        |f AS (SELECT l.doc_id, l.line_id, l.line_text,
+        |        (b.line_text IS NOT NULL) AS is_bp
+        |      FROM lines l LEFT JOIN bp b
+        |        ON l.source = b.source AND l.line_text = b.line_text),
+        |cleaned AS (
+        |  SELECT doc_id,
+        |    coalesce(string_agg(CASE WHEN NOT is_bp THEN line_text END,
+        |      ' ' ORDER BY line_id), '') AS clean_text
+        |  FROM f GROUP BY doc_id),
+        |cl AS (SELECT c.doc_id, c.clean_text, d.lang
+        |       FROM cleaned c JOIN documents d USING (doc_id)),
+        |m AS (SELECT doc_id, lang, clean_text,
+        |    CAST(len(regexp_extract_all(clean_text, '[[:punct:]]'))
+        |      AS DOUBLE)
+        |      / CAST(greatest(len(clean_text), 1) AS DOUBLE) AS pr,
+        |    CAST(len(regexp_extract_all(clean_text, '[0-9]')) AS DOUBLE)
+        |      / CAST(greatest(len(clean_text), 1) AS DOUBLE) AS dr,
+        |    CASE WHEN len(string_split_regex(lower(trim(clean_text)),
+        |        '\s+')) > 0 THEN
+        |      CAST(list_sum(list_transform(
+        |        string_split_regex(lower(trim(clean_text)), '\s+'),
+        |        t -> len(t))) AS DOUBLE)
+        |      / CAST(len(string_split_regex(lower(trim(clean_text)),
+        |          '\s+')) AS DOUBLE)
+        |    ELSE 0.0 END AS mwl
+        |  FROM cl),
+        |g AS (SELECT doc_id, lang, clean_text FROM m
+        |  WHERE ROUND(least(CAST(len(clean_text) AS DOUBLE) / 200.0, 1.0)
+        |      * 0.4
+        |    + greatest(0.0, 1.0 - pr * 4.0) * 0.2
+        |    + greatest(0.0, 1.0 - dr * 4.0) * 0.2
+        |    + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0
+        |       ELSE 0.5 END) * 0.2, 6) >= 0.8),
+        |w AS (SELECT lang AS stratum, doc_id AS id,
+        |    CAST(len(string_split_regex(lower(trim(clean_text)), '\s+'))
+        |      AS BIGINT) AS weight
+        |  FROM g),
+        |hist AS (SELECT stratum, weight, count(*) AS c
+        |         FROM w GROUP BY 1, 2),
+        |cum AS (SELECT stratum, weight,
+        |  coalesce(SUM(weight * c) OVER (PARTITION BY stratum
+        |    ORDER BY weight DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS cum_before,
+        |  SUM(weight * c) OVER (PARTITION BY stratum) AS tot FROM hist),
+        |thr AS (SELECT stratum, min(weight) AS wmin FROM cum
+        |        WHERE cum_before < 0.6 * tot GROUP BY 1)
+        |SELECT w.stratum, w.id, w.weight FROM w JOIN thr USING (stratum)
+        |WHERE w.weight >= thr.wmin""".stripMargin,
 
     // Snapshot diff: same deterministic views, full-outer hash compare
     "corpus_diff" ->
