@@ -2359,8 +2359,9 @@ object SparkEntry {
     "curation_chain2" -> ((s, dir) => {
       val T = graft.pipeline.TextAnalysis
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val cleaned = T.removeBoilerplate(docs, col("doc_id"), col("text"),
-          col("source"), lineTokens = 2, minDocFreq = 3L)
+      val cleaned = T.removeBoilerplateByRate(docs, col("doc_id"),
+          col("text"), col("source"), lineTokens = 2,
+          minDocFrac = 0.125, minDocFreq = 2L)
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       val gated = cleaned
         .where(T.qualityScore(col("clean_text")) >= 0.8)
@@ -3593,9 +3594,15 @@ object SparkEntry {
         |  SELECT doc_id, source, (ord - 1) // 2 AS line_id,
         |         string_agg(tok, ' ' ORDER BY ord) AS line_text
         |  FROM toks GROUP BY doc_id, source, (ord - 1) // 2),
-        |bp AS (SELECT source, line_text FROM lines
-        |       GROUP BY source, line_text
-        |       HAVING count(DISTINCT doc_id) >= 3),
+        |gsz AS (SELECT source, count(*) AS grp_docs FROM documents
+        |        GROUP BY 1),
+        |ldf AS (SELECT source, line_text,
+        |          count(DISTINCT doc_id) AS line_df
+        |        FROM lines GROUP BY 1, 2),
+        |bp AS (SELECT ldf.source, ldf.line_text
+        |       FROM ldf JOIN gsz USING (source)
+        |       WHERE line_df >= greatest(2,
+        |         CAST(ceil(grp_docs * 0.125) AS BIGINT))),
         |f AS (SELECT l.doc_id, l.line_id, l.line_text,
         |        (b.line_text IS NOT NULL) AS is_bp
         |      FROM lines l LEFT JOIN bp b

@@ -586,6 +586,29 @@ object TextAnalysis {
       .groupBy(col("grp"), col("line_text"))
       .agg(sum(col("line_df")).as("line_df"))
 
+  /** [[removeBoilerplate]] with a RATE threshold — the scale-correct
+    * CCNet semantics: a line is boilerplate when it appears in at least
+    * `minDocFrac` of its group's documents (floored at `minDocFreq`
+    * absolute), so the cut tracks corpus growth instead of drifting
+    * toward "everything is boilerplate" as groups grow. Use an
+    * exact-binary fraction (1/8, 3/64, …): `ceil(frac · groupDocs)` is
+    * then bit-identical on every engine. Adds only a tiny per-group
+    * size table (broadcast) to the one-shot plan. */
+  def removeBoilerplateByRate(df: DataFrame, idCol: Column,
+      textCol: Column, groupCol: Column, lineTokens: Int = 2,
+      minDocFrac: Double = 0.125, minDocFreq: Long = 2L): DataFrame = {
+    require(minDocFrac > 0.0 && minDocFrac <= 1.0, "bad minDocFrac")
+    val lines = lineTable(df, idCol, textCol, groupCol, lineTokens)
+    val groupSizes = df.groupBy(groupCol.as("grp"))
+      .agg(count(lit(1)).as("__gdocs"))
+    val thresholded = lineCounts(lines)
+      .join(broadcast(groupSizes), Seq("grp"))
+      .where(col("line_df") >= greatest(lit(minDocFreq),
+        ceil(col("__gdocs") * minDocFrac).cast("long")))
+      .select(col("grp"), col("line_text"), col("line_df"))
+    applyBoilerplate(lines, thresholded, minDocFreq = 1L)
+  }
+
   /** Remove boilerplate using a standing count table (built by
     * [[boilerplateCounts]], possibly folded across batches): threshold
     * the dictionary at `minDocFreq` (small by construction → broadcast

@@ -36,6 +36,26 @@ class EvaluationOpsSpec extends AnyFunSuite {
     assert(out(4L) === ((2L, 0L, "cookie banner lambda mu")))
   }
 
+  test("rate-thresholded boilerplate tracks group size: the same line " +
+      "frequency is boilerplate in a small group, prose in a large one") {
+    // 'x y' appears in 3 docs of both groups; group a has 4 docs
+    // (3/4 >= 1/8 AND >= 2 -> removed), group b has 24 docs with the
+    // rate threshold ceil(24/8)=3 ... also removed; raise to frac=1/4:
+    // a: ceil(4/4)=1 -> floor 2 applies -> removed; b: ceil(24/4)=6 > 3
+    // -> kept
+    val mk = (g: String, n: Int, off: Long) => (0 until n).map(i =>
+      (off + i, g, if (i < 3) s"x y filler$g$i pad" else s"u$g$i v$g$i"))
+    val docs = (mk("a", 4, 0L) ++ mk("b", 24, 100L))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.removeBoilerplateByRate(docs, col("doc_id"),
+        col("text"), col("source"), lineTokens = 2, minDocFrac = 0.25,
+        minDocFreq = 2L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_removed")).toMap
+    assert(out(0L) === 1L, "small group: 3/4 >= 1/4 removed")
+    assert(out(100L) === 0L, "large group: 3/24 < 1/4 kept")
+  }
+
   test("boilerplate: a fully-boilerplate document becomes empty text") {
     val docs = Seq(
       (0L, "a", "x y"), (1L, "a", "x y"), (2L, "a", "x y a b")
