@@ -2404,6 +2404,24 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         col("doc_id"), col("text"))),
 
+    // Incremental chunk-index dedup: two ascending batches processed
+    // against the folded standing index must union to the one-shot
+    // rebuild (the oracle IS the one-shot SQL)
+    "dedup_cdc_incremental" -> ((s, dir) => {
+      val T = graft.pipeline.TextAnalysis
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val a = docs.where(col("doc_id") < 250)
+      val b = docs.where(col("doc_id") >= 250)
+      val i1 = T.buildChunkIndex(a, col("doc_id"), col("text"))
+      val out1 = T.cdcDeduplicateWithIndex(a, col("doc_id"), col("text"),
+        i1)
+      val i12 = T.foldChunkIndex(i1,
+        T.buildChunkIndex(b, col("doc_id"), col("text")))
+      val out2 = T.cdcDeduplicateWithIndex(b, col("doc_id"), col("text"),
+        i12)
+      out1.unionByName(out2)
+    }),
+
     // Per-stratum nucleus (top-p) selection by integer token count,
     // weight-atomic cut — histogram windows, no per-stratum row sort
     "sample_topp" -> ((s, dir) => {
@@ -2449,7 +2467,9 @@ object SparkEntry {
     // the standing-index path is bit-identical to ad-hoc BM25 — one oracle
     ("retrieval_bm25_indexed" -> oracleSqlBase("retrieval_bm25")) +
     // folded-dictionary removal must equal the one-shot semantics
-    ("boiler_incremental" -> oracleSqlBase("text_boilerplate"))
+    ("boiler_incremental" -> oracleSqlBase("text_boilerplate")) +
+    // folded-chunk-index dedup must equal the one-shot rebuild
+    ("dedup_cdc_incremental" -> oracleSqlBase("dedup_cdc_apply"))
 
   private def oracleSqlBase: Map[String, String] = Map(
     "r1_bgp_join" ->

@@ -519,6 +519,56 @@ object TextAnalysis {
           transform(col("__kept"), x => x("chunk_text"))).as("clean_text"))
   }
 
+  /** Standing CDC chunk index: per distinct chunk content (md5), the
+    * packed (doc_id, chunk_id) of its globally-first occurrence. The
+    * standing state of incremental chunk-level dedup — bounded by
+    * distinct chunk contents, never corpus rows. */
+  final case class ChunkIndex(firsts: DataFrame)
+
+  /** Build the chunk index of one batch — one md5-keyed aggregation
+    * carrying packed ids only. */
+  def buildChunkIndex(df: DataFrame, idCol: Column, textCol: Column,
+      window: Int = 8, base: Long = 31L, modulus: Int = 16): ChunkIndex =
+    ChunkIndex(
+      cdcChunkTable(df, idCol, textCol, window, base, modulus)
+        .groupBy(md5(col("chunk_text")).as("__md5"))
+        .agg(min(col("doc_id") * 1048576L + col("chunk_id"))
+          .as("__minpk")))
+
+  /** Fold a batch's index into the standing one: min is associative,
+    * so folded firsts equal the one-shot build over the union — for
+    * ANY batch split, no disjointness needed. */
+  def foldChunkIndex(existing: ChunkIndex, batch: ChunkIndex): ChunkIndex =
+    ChunkIndex(existing.firsts.unionByName(batch.firsts)
+      .groupBy(col("__md5"))
+      .agg(min(col("__minpk")).as("__minpk")))
+
+  /** Rebuild `df`'s documents keeping only chunks that are the first
+    * occurrence ACCORDING TO THE INDEX — when batches arrive in
+    * ascending doc_id order and the index has been folded over every
+    * batch seen so far (including this one), the union of per-batch
+    * outputs equals the one-shot [[cdcDeduplicate]] over the whole
+    * corpus (the oracle for `dedup_cdc_incremental` asserts exactly
+    * that, against the one-shot SQL). */
+  def cdcDeduplicateWithIndex(df: DataFrame, idCol: Column,
+      textCol: Column, index: ChunkIndex, window: Int = 8,
+      base: Long = 31L, modulus: Int = 16): DataFrame = {
+    val chunks = cdcChunkTable(df, idCol, textCol, window, base, modulus)
+      .withColumn("__md5", md5(col("chunk_text")))
+      .withColumn("__pk", col("doc_id") * 1048576L + col("chunk_id"))
+    chunks
+      .join(index.firsts, Seq("__md5"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__pk") =!= col("__minpk"), 1L).otherwise(0L))
+          .as("n_dropped"),
+        array_sort(collect_list(when(col("__pk") === col("__minpk"),
+          struct(col("chunk_id"), col("chunk_text"))))).as("__kept"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dropped"),
+        concat_ws("",
+          transform(col("__kept"), x => x("chunk_text"))).as("clean_text"))
+  }
+
   /** CCNet-style boilerplate removal: split each document into fixed
     * `lineTokens`-token "lines" (the line/paragraph unit of a real
     * pipeline — this corpus has no newlines, so the unit is a token

@@ -184,6 +184,32 @@ class EvaluationOpsSpec extends AnyFunSuite {
     assert(out(2L) === ((u, 0L))) // unique doc round-trips
   }
 
+  test("incremental chunk-index dedup equals one-shot across batches: " +
+      "a batch-2 duplicate of a batch-1 document empties") {
+    val t = "the quick brown fox jumps over the lazy dog while the cat " +
+      "sleeps in the warm afternoon sun near the old wooden fence"
+    val u = "completely different content about distributed query " +
+      "engines and columnar storage formats for analytics"
+    val docs = Seq((0L, t), (1L, u), (2L, t), (3L, "fresh unseen text " +
+      "with its own words entirely")).toDF("doc_id", "text")
+    val a = docs.where(col("doc_id") < 2)
+    val b = docs.where(col("doc_id") >= 2)
+    val i1 = TextAnalysis.buildChunkIndex(a, col("doc_id"), col("text"))
+    val out1 = TextAnalysis.cdcDeduplicateWithIndex(a, col("doc_id"),
+      col("text"), i1)
+    val i12 = TextAnalysis.foldChunkIndex(i1,
+      TextAnalysis.buildChunkIndex(b, col("doc_id"), col("text")))
+    val out2 = TextAnalysis.cdcDeduplicateWithIndex(b, col("doc_id"),
+      col("text"), i12)
+    val inc = out1.unionByName(out2)
+    val ref = TextAnalysis.cdcDeduplicate(docs, col("doc_id"), col("text"))
+    assert(inc.exceptAll(ref).isEmpty && ref.exceptAll(inc).isEmpty)
+    val byId = inc.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[String]("clean_text")).toMap
+    assert(byId(2L) === "") // cross-batch duplicate: fully deduped
+    assert(byId(3L).nonEmpty)
+  }
+
   // ---- top-p --------------------------------------------------------------
 
   test("topPPerGroup keeps the minimal weight-atomic prefix covering p") {
