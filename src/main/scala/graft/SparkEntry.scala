@@ -2330,6 +2330,14 @@ object SparkEntry {
         col("doc_id"), col("text"), col("source"),
         lineTokens = 2, minDocFreq = 3L)),
 
+    // Rate-thresholded boilerplate: the scale-stable CCNet cut
+    // (ceil(groupDocs / 8), floored at 2 absolute)
+    "text_boilerplate_rate" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.removeBoilerplateByRate(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), col("source"),
+        lineTokens = 2, minDocFrac = 0.125, minDocFreq = 2L)),
+
     // Standing boilerplate dictionary: counts of two doc-disjoint
     // batches folded, then applied — must equal the one-shot removal
     // (the oracle IS the one-shot SQL)
@@ -3562,6 +3570,38 @@ object SparkEntry {
         |bp AS (SELECT source, line_text FROM lines
         |       GROUP BY source, line_text
         |       HAVING count(DISTINCT doc_id) >= 3),
+        |f AS (SELECT l.doc_id, l.line_id, l.line_text,
+        |        (b.line_text IS NOT NULL) AS is_bp
+        |      FROM lines l LEFT JOIN bp b
+        |        ON l.source = b.source AND l.line_text = b.line_text)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  coalesce(string_agg(CASE WHEN NOT is_bp THEN line_text END,
+        |    ' ' ORDER BY line_id), '') AS clean_text
+        |FROM f GROUP BY doc_id""".stripMargin,
+
+    "text_boilerplate_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, ord, l[ord] AS tok FROM (
+        |    SELECT doc_id, source, l,
+        |           unnest(generate_series(1, len(l))) AS ord
+        |    FROM (SELECT doc_id, source, string_split(trim(text), ' ')
+        |            AS l
+        |          FROM documents))),
+        |lines AS (
+        |  SELECT doc_id, source, (ord - 1) // 2 AS line_id,
+        |         string_agg(tok, ' ' ORDER BY ord) AS line_text
+        |  FROM toks GROUP BY doc_id, source, (ord - 1) // 2),
+        |gsz AS (SELECT source, count(*) AS grp_docs FROM documents
+        |        GROUP BY 1),
+        |ldf AS (SELECT source, line_text,
+        |          count(DISTINCT doc_id) AS line_df
+        |        FROM lines GROUP BY 1, 2),
+        |bp AS (SELECT ldf.source, ldf.line_text
+        |       FROM ldf JOIN gsz USING (source)
+        |       WHERE line_df >= greatest(2,
+        |         CAST(ceil(grp_docs * 0.125) AS BIGINT))),
         |f AS (SELECT l.doc_id, l.line_id, l.line_text,
         |        (b.line_text IS NOT NULL) AS is_bp
         |      FROM lines l LEFT JOIN bp b
