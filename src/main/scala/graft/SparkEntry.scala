@@ -3560,7 +3560,7 @@ object SparkEntry {
         |  SELECT doc_id, source, ord, l[ord] AS tok FROM (
         |    SELECT doc_id, source, l,
         |           unnest(generate_series(1, len(l))) AS ord
-        |    FROM (SELECT doc_id, source, string_split(trim(text), ' ')
+        |    FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+')
         |            AS l
         |          FROM documents))),
         |lines AS (
@@ -3586,7 +3586,7 @@ object SparkEntry {
         |  SELECT doc_id, source, ord, l[ord] AS tok FROM (
         |    SELECT doc_id, source, l,
         |           unnest(generate_series(1, len(l))) AS ord
-        |    FROM (SELECT doc_id, source, string_split(trim(text), ' ')
+        |    FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+')
         |            AS l
         |          FROM documents))),
         |lines AS (
@@ -3647,7 +3647,7 @@ object SparkEntry {
         |  SELECT doc_id, source, ord, l[ord] AS tok FROM (
         |    SELECT doc_id, source, l,
         |           unnest(generate_series(1, len(l))) AS ord
-        |    FROM (SELECT doc_id, source, string_split(trim(text), ' ')
+        |    FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+')
         |            AS l
         |          FROM documents))),
         |lines AS (
@@ -3752,7 +3752,7 @@ object SparkEntry {
     // threshold weight per stratum, then a pure filter
     "sample_topp" ->
       """WITH w AS (SELECT lang AS stratum, doc_id AS id,
-        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS weight
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS weight
         |  FROM documents),
         |hist AS (SELECT stratum, weight, count(*) AS c
         |         FROM w GROUP BY 1, 2),

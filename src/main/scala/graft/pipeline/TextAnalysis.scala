@@ -502,8 +502,7 @@ object TextAnalysis {
       window: Int = 8, base: Long = 31L, modulus: Int = 16): DataFrame = {
     val chunks = cdcChunkTable(df, idCol, textCol, window, base, modulus)
       .withColumn("__md5", md5(col("chunk_text")))
-      .withColumn("__pk",
-        col("doc_id") * 1048576L + col("chunk_id"))
+      .withColumn("__pk", packedChunkKey)
     val firsts = chunks.groupBy(col("__md5"))
       .agg(min(col("__pk")).as("__minpk"))
     chunks
@@ -519,6 +518,17 @@ object TextAnalysis {
           transform(col("__kept"), x => x("chunk_text"))).as("clean_text"))
   }
 
+  /** Packed (doc_id, chunk_id) total-order key for the chunk-dedup
+    * keeper rule. chunk_id is bounded by document length, so 20 bits
+    * hold any document under ~1M chunks; a document beyond that FAILS
+    * LOUDLY instead of silently corrupting the keeper order. */
+  private def packedChunkKey: Column =
+    when(col("chunk_id") < 1048576L,
+      col("doc_id") * 1048576L + col("chunk_id"))
+      .otherwise(raise_error(concat(
+        lit("cdc chunk_id overflows the 20-bit pack: "),
+        col("chunk_id").cast("string"))))
+
   /** Standing CDC chunk index: per distinct chunk content (md5), the
     * packed (doc_id, chunk_id) of its globally-first occurrence. The
     * standing state of incremental chunk-level dedup — bounded by
@@ -532,8 +542,7 @@ object TextAnalysis {
     ChunkIndex(
       cdcChunkTable(df, idCol, textCol, window, base, modulus)
         .groupBy(md5(col("chunk_text")).as("__md5"))
-        .agg(min(col("doc_id") * 1048576L + col("chunk_id"))
-          .as("__minpk")))
+        .agg(min(packedChunkKey).as("__minpk")))
 
   /** Fold a batch's index into the standing one: min is associative,
     * so folded firsts equal the one-shot build over the union — for
@@ -555,7 +564,7 @@ object TextAnalysis {
       base: Long = 31L, modulus: Int = 16): DataFrame = {
     val chunks = cdcChunkTable(df, idCol, textCol, window, base, modulus)
       .withColumn("__md5", md5(col("chunk_text")))
-      .withColumn("__pk", col("doc_id") * 1048576L + col("chunk_id"))
+      .withColumn("__pk", packedChunkKey)
     chunks
       .join(index.firsts, Seq("__md5"))
       .groupBy(col("doc_id"))
