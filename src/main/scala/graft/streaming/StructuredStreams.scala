@@ -330,6 +330,57 @@ object StructuredStreams {
       .trigger(Trigger.ProcessingTime(0))
       .start()
 
+  /** Standing CDC chunk index over a document stream: each micro-batch
+    * deduplicates against the index folded over EVERYTHING SEEN SO FAR
+    * (including itself — a batch's internal duplicates dedup too), and
+    * the per-batch outputs accumulate. With ascending doc ids across
+    * batches, the accumulated output equals the one-shot
+    * `cdcDeduplicate` over the concatenated stream
+    * (`StreamingChunkDedupSpec`). min-fold is associative, so the
+    * index needs no disjointness assumption at all. */
+  final class StreamingChunkDedup(idCol: String, textCol: String) {
+    @volatile private var index
+        : Option[graft.pipeline.TextAnalysis.ChunkIndex] = None
+    @volatile private var outputs: Option[DataFrame] = None
+
+    def fold(batch: DataFrame): Unit = synchronized {
+      val T = graft.pipeline.TextAnalysis
+      val b = T.buildChunkIndex(batch, col(idCol), col(textCol))
+      val folded = index match {
+        case None     => b
+        case Some(i0) => T.foldChunkIndex(i0, b)
+      }
+      val pinned = T.ChunkIndex(folded.firsts.localCheckpoint(true))
+      index.foreach(_.firsts.unpersist())
+      index = Some(pinned)
+      val out = T.cdcDeduplicateWithIndex(batch, col(idCol),
+        col(textCol), pinned).localCheckpoint(true)
+      val acc = outputs match {
+        case None     => out
+        case Some(o0) => o0.unionByName(out)
+      }
+      outputs = Some(acc)
+    }
+
+    def current: Option[DataFrame] = outputs
+
+    def unpersist(): Unit = synchronized {
+      index.foreach(_.firsts.unpersist()); index = None; outputs = None
+    }
+  }
+
+  /** Attach chunk-level dedup to a document stream. */
+  def maintainChunkDedup(stream: DataFrame, dedup: StreamingChunkDedup,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        dedup.fold(batch.toDF())
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
   // ---- stateful comparator as flatMapGroupsWithState -----------------
 
   /** One keyed observation: (key, ts, live value, historical value). */
