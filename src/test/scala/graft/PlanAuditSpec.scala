@@ -502,4 +502,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(upstream.contains("HashAggregate"),
       s"single-partition window must sit on the binned aggregate:\n$plan")
   }
+
+  test("snapshot diff is ONE id-keyed full-outer join over (id, md5) " +
+      "projections — no cartesian, bodies never shuffle") {
+    val plan = executedPlan(SparkEntry.queries("corpus_diff")(spark, sf))
+    assert(plan.toLowerCase.contains("fullouter"),
+      s"expected a full-outer join:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesianproduct"), plan)
+    // the text column must be consumed by md5 at the scan side: the
+    // exchange carries only doc_id + hash
+    assert(!"Exchange hashpartitioning\\([^)]*text"
+      .r.findFirstIn(plan).isDefined,
+      s"document text must not be a shuffle key/payload:\n$plan")
+  }
+
+  test("materialized CDC dedup: the first-occurrence aggregation and " +
+      "keep-join stay equi (no cartesian), reassembly is one doc agg") {
+    val plan = executedPlan(
+      SparkEntry.queries("dedup_cdc_apply")(spark, sf))
+    assert(!plan.toLowerCase.contains("cartesianproduct") &&
+      !plan.toLowerCase.contains("broadcastnestedloop"),
+      s"keeper join fell back to a nested loop:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 4,
+      s"expected ≤4 hash exchanges (firsts agg, join sides, doc agg), " +
+        s"saw $exchanges:\n$plan")
+  }
 }
