@@ -231,6 +231,47 @@ class EvaluationOpsSpec extends AnyFunSuite {
       p = 1.0).count() === 3L)
   }
 
+  // ---- robustness ---------------------------------------------------------
+
+  test("null text is dropped consistently (never NPEs) across the new " +
+      "operators — matching the SQL oracles' null propagation") {
+    val docs = Seq((0L, "a", "alpha beta gamma delta"),
+      (1L, "a", null.asInstanceOf[String]),
+      (2L, "b", "epsilon zeta eta theta")).toDF("doc_id", "source", "text")
+    val boiler = TextAnalysis.removeBoilerplate(docs, col("doc_id"),
+      col("text"), col("source"), 2, 3L)
+    assert(boiler.count() === 2 &&
+      !boiler.collect().map(_.getAs[Long]("doc_id")).contains(1L))
+    val chunks = TextAnalysis.cdcChunkTable(docs, col("doc_id"),
+      col("text"))
+    assert(!chunks.collect().map(_.getAs[Long]("doc_id")).contains(1L))
+    assert(TextAnalysis.cdcDeduplicate(docs, col("doc_id"), col("text"))
+      .count() === 2)
+    assert(TextAnalysis.hashingTf(docs, col("doc_id"), col("text"))
+      .where(col("doc_id") === 1L).count() === 0)
+    // null weight rows never pass the >= threshold filter (null compare)
+    val topp = Sampling.topPPerGroup(
+      docs.select(col("source"), col("doc_id"),
+        when(col("text").isNotNull,
+          TextAnalysis.tokenCount(col("text"))).as("w")),
+      col("source"), col("doc_id"), col("w"), p = 0.9)
+    assert(!topp.collect().map(_.getAs[Long]("id")).contains(1L))
+  }
+
+  test("boilerplate removal survives one degenerate group holding the " +
+      "whole corpus (dictionary stays bounded, result correct)") {
+    val docs = (0L until 200L).map(i =>
+      (i, "only", s"cookie banner unique$i word$i tail$i pad"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.removeBoilerplate(docs, col("doc_id"),
+      col("text"), col("source"), lineTokens = 2, minDocFreq = 100L)
+    val rows = out.collect()
+    assert(rows.length === 200)
+    assert(rows.forall(_.getAs[Long]("n_removed") === 1L),
+      "the shared banner line must be removed in every doc")
+    assert(rows.forall(!_.getAs[String]("clean_text").contains("cookie")))
+  }
+
   // ---- snapshot diff ------------------------------------------------------
 
   test("snapshot diff classifies added/removed/changed and drops " +
