@@ -354,11 +354,15 @@ object StructuredStreams {
       index.foreach(_.firsts.unpersist())
       index = Some(pinned)
       val out = T.cdcDeduplicateWithIndex(batch, col(idCol),
-        col(textCol), pinned).localCheckpoint(true)
-      val acc = outputs match {
+        col(textCol), pinned)
+      // re-pin the ACCUMULATED frame each fold (not just the batch):
+      // a union of N checkpointed frames still carries N plan leaves,
+      // so an always-on stream would grow planning cost linearly
+      val acc = (outputs match {
         case None     => out
         case Some(o0) => o0.unionByName(out)
-      }
+      }).localCheckpoint(true)
+      outputs.foreach(_.unpersist())
       outputs = Some(acc)
     }
 
