@@ -2377,6 +2377,30 @@ object SparkEntry {
         col("doc_id"), T.tokenCount(col("clean_text")), p = 0.6)
     }),
 
+    // Substring-level contamination screen: training chunks probed
+    // against the broadcast eval chunk set (docs >= 450 = "eval")
+    "contam_cdc" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.pipeline.TextAnalysis.cdcContamination(
+        docs.where(col("doc_id") < 450), col("doc_id"), col("text"),
+        docs.where(col("doc_id") >= 450), col("text"))
+    }),
+
+    // Exact (truth, prediction) confusion matrix of the NB classifier
+    // on the held-out docs — integer counts only
+    "classify_confusion" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val m = graft.pipeline.Classifier.trainNaiveBayes(
+        docs.where(col("doc_id") < 400), col("text"), col("lang"),
+        vocabSize = 512)
+      val preds = graft.pipeline.Classifier.scoreNaiveBayes(
+        docs.where(col("doc_id") >= 400), col("doc_id"), col("text"), m)
+      graft.pipeline.Evaluation.confusionMatrix(
+        preds.join(docs.select(col("doc_id").as("id"), col("lang")),
+          Seq("id")),
+        col("lang"), col("label"))
+    }),
+
     // Snapshot diff between two deterministic corpus views: docs < 20
     // removed, >= 450 added, every 10th in between changed
     "corpus_diff" -> ((s, dir) => {
@@ -2477,7 +2501,15 @@ object SparkEntry {
     // folded-dictionary removal must equal the one-shot semantics
     ("boiler_incremental" -> oracleSqlBase("text_boilerplate")) +
     // folded-chunk-index dedup must equal the one-shot rebuild
-    ("dedup_cdc_incremental" -> oracleSqlBase("dedup_cdc_apply"))
+    ("dedup_cdc_incremental" -> oracleSqlBase("dedup_cdc_apply")) +
+    // confusion matrix wraps the classify_nb prediction SQL
+    ("classify_confusion" ->
+      s"""WITH preds AS (
+         |${oracleSqlBase("classify_nb")})
+         |SELECT d.lang AS truth, p.pred_lang AS pred,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM preds p JOIN documents d USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin)
 
   private def oracleSqlBase: Map[String, String] = Map(
     "r1_bgp_join" ->
@@ -3624,6 +3656,21 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_occ
         |FROM ch GROUP BY 1
         |HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin),
+
+    "contam_cdc" -> (cdcChunksSql +
+      """,
+        |ev AS (SELECT DISTINCT md5(chunk_text) AS h FROM ch
+        |       WHERE doc_id >= 450),
+        |tr AS (SELECT doc_id, md5(chunk_text) AS h FROM ch
+        |       WHERE doc_id < 450),
+        |j AS (SELECT tr.doc_id, (ev.h IS NOT NULL) AS hit
+        |      FROM tr LEFT JOIN ev ON tr.h = ev.h)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_contaminated,
+        |  ROUND(CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS frac
+        |FROM j GROUP BY doc_id""".stripMargin),
 
     "dedup_cdc_apply" -> (cdcChunksSql +
       """,

@@ -54,6 +54,15 @@ object Evaluation {
         round(col("fp").cast("double") / col("__n"), 6).as("fpr"))
   }
 
+  /** Multi-class confusion matrix: exact (truth, prediction) pair
+    * counts — one map-side-combined aggregation, integer-only, the
+    * per-class evaluation table behind accuracy/precision/recall.
+    * Output: (truth, pred, n). */
+  def confusionMatrix(scored: DataFrame, truth: Column, pred: Column)
+      : DataFrame =
+    scored.groupBy(truth.as("truth"), pred.as("pred"))
+      .agg(count(lit(1)).as("n"))
+
   /** AUC by the Mann–Whitney U statistic over the same score bins:
     * U = Σ_bins pos(b) · (negBelow(b) + neg(b)/2), AUC = U / (P·N) —
     * ties at a bin contribute a half. Every term is an integer or an

@@ -578,6 +578,32 @@ object TextAnalysis {
           transform(col("__kept"), x => x("chunk_text"))).as("clean_text"))
   }
 
+  /** Substring-level contamination screen via CDC chunks: for each
+    * training document, how many of its chunks appear VERBATIM in the
+    * eval corpus. Finer-grained than whole-doc hashing and cheaper than
+    * n-gram overlap (one chunk per ~modulus code points instead of one
+    * shingle per token). The eval chunk set is a distinct-md5 table —
+    * small relative to the training corpus (eval sets are) — so the
+    * probe is a broadcast semi-join; output is one train-doc-keyed
+    * aggregation: (doc_id, n_chunks, n_contaminated, frac round-6). */
+  def cdcContamination(train: DataFrame, trainId: Column,
+      trainText: Column, eval_ : DataFrame, evalText: Column,
+      window: Int = 8, base: Long = 31L, modulus: Int = 16): DataFrame = {
+    val evalChunks = eval_
+      .select(posexplode(cdcChunks(evalText, window, base, modulus))
+        .as(Seq("__i", "__c")))
+      .select(md5(col("__c")).as("__md5")).distinct()
+    cdcChunkTable(train, trainId, trainText, window, base, modulus)
+      .withColumn("__md5", md5(col("chunk_text")))
+      .join(broadcast(evalChunks.withColumn("__hit", lit(true))),
+        Seq("__md5"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_contaminated"))
+      .withColumn("frac",
+        round(col("n_contaminated").cast("double") / col("n_chunks"), 6))
+  }
+
   /** CCNet-style boilerplate removal: split each document into fixed
     * `lineTokens`-token "lines" (the line/paragraph unit of a real
     * pipeline — this corpus has no newlines, so the unit is a token
