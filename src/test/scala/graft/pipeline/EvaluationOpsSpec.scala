@@ -231,6 +231,35 @@ class EvaluationOpsSpec extends AnyFunSuite {
       p = 1.0).count() === 3L)
   }
 
+  test("cdcContamination: a verbatim eval copy scores frac 1, unrelated " +
+      "text 0, a doc sharing a span scores in between") {
+    val evalDoc = "the quick brown fox jumps over the lazy dog while " +
+      "the cat sleeps in the warm afternoon sun near the fence"
+    val train = Seq(
+      (0L, evalDoc),                                // full copy
+      (1L, "totally unrelated words about columnar storage engines " +
+        "and query optimizers everywhere today"),   // clean
+      (2L, "prefix words then " + evalDoc)          // partial overlap
+    ).toDF("doc_id", "text")
+    val ev = Seq(Tuple1(evalDoc)).toDF("text")
+    val out = TextAnalysis.cdcContamination(train, col("doc_id"),
+        col("text"), ev, col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("frac")).toMap
+    assert(out(0L) === 1.0)
+    assert(out(1L) === 0.0)
+    assert(out(2L) > 0.0 && out(2L) < 1.0)
+  }
+
+  test("confusionMatrix counts exact (truth, pred) pairs") {
+    val scored = Seq(("en", "en"), ("en", "de"), ("de", "de"),
+      ("en", "en")).toDF("lang", "label")
+    val m = Evaluation.confusionMatrix(scored, col("lang"), col("label"))
+      .collect().map(r => (r.getAs[String]("truth"),
+        r.getAs[String]("pred")) -> r.getAs[Long]("n")).toMap
+    assert(m === Map(("en", "en") -> 2L, ("en", "de") -> 1L,
+      ("de", "de") -> 1L))
+  }
+
   // ---- robustness ---------------------------------------------------------
 
   test("null text is dropped consistently (never NPEs) across the new " +
