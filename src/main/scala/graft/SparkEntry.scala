@@ -2377,6 +2377,54 @@ object SparkEntry {
         col("doc_id"), T.tokenCount(col("clean_text")), p = 0.6)
     }),
 
+    // Precision-recall sweep over the same NB 'en' score bins
+    "classify_pr" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val m = graft.pipeline.Classifier.trainNaiveBayes(
+        docs.where(col("doc_id") < 400), col("text"), col("lang"),
+        vocabSize = 512)
+      val en = graft.pipeline.Classifier.scoreNaiveBayesAll(
+        docs.where(col("doc_id") >= 400), col("doc_id"), col("text"), m)
+        .where(col("label") === "en")
+        .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+      graft.pipeline.Evaluation.prCurve(en, col("logp"),
+        col("lang") === "en", binDecimals = 2)
+    }),
+
+    // Per-class precision/recall/F1 from the exact confusion matrix
+    "classify_f1" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val m = graft.pipeline.Classifier.trainNaiveBayes(
+        docs.where(col("doc_id") < 400), col("text"), col("lang"),
+        vocabSize = 512)
+      val preds = graft.pipeline.Classifier.scoreNaiveBayes(
+        docs.where(col("doc_id") >= 400), col("doc_id"), col("text"), m)
+      graft.pipeline.Evaluation.perClassF1(
+        graft.pipeline.Evaluation.confusionMatrix(
+          preds.join(docs.select(col("doc_id").as("id"), col("lang")),
+            Seq("id")),
+          col("lang"), col("label")))
+    }),
+
+    // Semantic contamination: a deterministic eval set planted from
+    // the corpus (every 50th vector copied verbatim -> sim 1.0 must be
+    // flagged; every (50k+5)th reversed -> decoys far below 0.9), LSH
+    // candidates + exact cosine verify. Exact copies collide in EVERY
+    // hyperplane table, so the LSH path is recall-complete here and
+    // the all-pairs oracle stays hash-exact
+    "contam_semantic" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val evalSet = emb.where(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        .unionByName(emb.where(col("vec_id") % 50 === 5)
+          .select((col("vec_id") + 2000000L).as("vec_id"),
+            reverse(col("embedding")).as("embedding")))
+      graft.pipeline.Ann.cosineMatches(
+        emb, col("vec_id"), col("embedding"),
+        evalSet, col("vec_id"), col("embedding"),
+        threshold = 0.9, dim = 64, planes = 10, tables = 20)
+    }),
+
     // Substring-level contamination screen: training chunks probed
     // against the broadcast eval chunk set (docs >= 450 = "eval")
     "contam_cdc" -> ((s, dir) => {
@@ -2509,7 +2557,37 @@ object SparkEntry {
          |SELECT d.lang AS truth, p.pred_lang AS pred,
          |  CAST(count(*) AS BIGINT) AS n
          |FROM preds p JOIN documents d USING (doc_id)
-         |GROUP BY 1, 2""".stripMargin)
+         |GROUP BY 1, 2""".stripMargin) +
+    // per-class F1 from the same matrix: unrounded integer-division
+    // rates, rounded once on output, zero denominators score 0
+    ("classify_f1" ->
+      s"""WITH preds AS (
+         |${oracleSqlBase("classify_nb")}),
+         |cm AS (SELECT d.lang AS truth, p.pred_lang AS pred,
+         |         count(*) AS n
+         |       FROM preds p JOIN documents d USING (doc_id)
+         |       GROUP BY 1, 2),
+         |tt AS (SELECT truth AS cls, SUM(n) AS t_tot FROM cm GROUP BY 1),
+         |pt AS (SELECT pred AS cls, SUM(n) AS p_tot FROM cm GROUP BY 1),
+         |tp AS (SELECT truth AS cls, n AS tp FROM cm WHERE truth = pred),
+         |j AS (SELECT coalesce(tt.cls, pt.cls) AS cls,
+         |        coalesce(tp.tp, 0) AS tp,
+         |        coalesce(tt.t_tot, 0) AS t_tot,
+         |        coalesce(pt.p_tot, 0) AS p_tot
+         |      FROM tt FULL OUTER JOIN pt ON tt.cls = pt.cls
+         |      LEFT JOIN tp ON coalesce(tt.cls, pt.cls) = tp.cls),
+         |rates AS (SELECT cls, tp, t_tot, p_tot,
+         |    CASE WHEN p_tot > 0 THEN CAST(tp AS DOUBLE) / p_tot
+         |         ELSE 0.0 END AS p,
+         |    CASE WHEN t_tot > 0 THEN CAST(tp AS DOUBLE) / t_tot
+         |         ELSE 0.0 END AS r
+         |  FROM j)
+         |SELECT cls, CAST(tp AS BIGINT) AS tp,
+         |  CAST(t_tot AS BIGINT) AS t_tot, CAST(p_tot AS BIGINT) AS p_tot,
+         |  ROUND(p, 6) AS precision, ROUND(r, 6) AS recall,
+         |  ROUND(CASE WHEN p + r > 0.0 THEN 2.0 * p * r / (p + r)
+         |        ELSE 0.0 END, 6) AS f1
+         |FROM rates""".stripMargin)
 
   private def oracleSqlBase: Map[String, String] = Map(
     "r1_bgp_join" ->
@@ -3569,6 +3647,37 @@ object SparkEntry {
         |FROM bins
         |WINDOW w AS (ORDER BY score_bin DESC
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
+
+    // Precision-recall over the same bins: one IEEE division per rate
+    "classify_pr" -> (nbEnBinsSql +
+      """
+        |SELECT score_bin,
+        |  CAST(SUM(pos) OVER w AS BIGINT) AS tp,
+        |  CAST(SUM(neg) OVER w AS BIGINT) AS fp,
+        |  ROUND(CAST(SUM(pos) OVER w AS DOUBLE)
+        |    / (SUM(pos) OVER w + SUM(neg) OVER w), 6) AS precision,
+        |  ROUND(CAST(SUM(pos) OVER w AS DOUBLE)
+        |    / (SUM(pos) OVER ()), 6) AS recall
+        |FROM bins
+        |WINDOW w AS (ORDER BY score_bin DESC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
+
+    // Semantic contamination: exact all-pairs cross cosine against the
+    // same planted eval views
+    "contam_semantic" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |ev AS (
+        |  SELECT vec_id + 1000000 AS vec_id, v FROM e
+        |  WHERE vec_id % 50 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 2000000 AS vec_id, list_reverse(v) FROM e
+        |  WHERE vec_id % 50 = 5)
+        |SELECT t.vec_id AS id_a, ev.vec_id AS id_b,
+        |  ROUND(list_cosine_similarity(t.v, ev.v), 6) AS sim
+        |FROM e t JOIN ev
+        |  ON list_cosine_similarity(t.v, ev.v) >= 0.9""".stripMargin,
 
     // Mann-Whitney U AUC over the same bins: 2U stays integral (ties
     // contribute half), one final division

@@ -596,6 +596,33 @@ object Ann {
 
   /** Embedding-cosine near-duplicate pairs at `threshold`, LSH-bucketed
     * with exact verification. */
+  /** Cross-corpus cosine matching — the semantic-contamination /
+    * retrieval-overlap shape: every (left, right) pair above
+    * `threshold`, candidates from the SAME deterministic hyperplane
+    * tables on both sides (so a qualifying pair collides in some
+    * table with the familiar LSH probability), verified with the exact
+    * cosine. Same scale shape as [[cosineNearDuplicates]]: the
+    * signature join shuffles (table, signature) keys, vectors are
+    * fetched only for surviving candidates. */
+  def cosineMatches(left: DataFrame, leftId: Column, leftVec: Column,
+      right: DataFrame, rightId: Column, rightVec: Column,
+      threshold: Double, dim: Int, planes: Int = 8, tables: Int = 24)
+      : DataFrame = {
+    val l = left.select(leftId.as("id_a"), leftVec.as("vec_a"))
+    val r = right.select(rightId.as("id_b"), rightVec.as("vec_b"))
+    val sa = lshSignatures(l, col("id_a"), col("vec_a"), dim, planes,
+      tables).toDF("id_a", "table", "signature")
+    val sb = lshSignatures(r, col("id_b"), col("vec_b"), dim, planes,
+      tables).toDF("id_b", "table", "signature")
+    val pairs = sa.join(sb, Seq("table", "signature"))
+      .select("id_a", "id_b").distinct()
+    pairs.join(l, "id_a").join(r, "id_b")
+      .withColumn("sim",
+        cosine(toDouble(col("vec_a")), toDouble(col("vec_b"))))
+      .where(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
   def cosineNearDuplicates(df: DataFrame, idCol: Column, vecCol: Column,
       threshold: Double, dim: Int, planes: Int = 8, tables: Int = 24)
       : DataFrame = {

@@ -54,6 +54,60 @@ object Evaluation {
         round(col("fp").cast("double") / col("__n"), 6).as("fpr"))
   }
 
+  /** Precision–recall curve over the same score bins as [[rocCurve]]:
+    * (score_bin, tp, fp, precision, recall) — precision = tp/(tp+fp)
+    * of the "predict positive when score ≥ bin" rule. Identical scale
+    * and determinism story: the window runs on the bin histogram, the
+    * only floats are final IEEE divisions. */
+  def prCurve(scored: DataFrame, score: Column, truth: Column,
+      binDecimals: Int = 2): DataFrame = {
+    val bins = scored
+      .select(round(score, binDecimals).as("score_bin"),
+        truth.cast("boolean").as("__t"))
+      .groupBy(col("score_bin"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__pos"),
+        sum(when(col("__t"), 0L).otherwise(1L)).as("__neg"))
+    val byScoreDesc = Window.orderBy(col("score_bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    bins
+      .withColumn("tp", sum(col("__pos")).over(byScoreDesc))
+      .withColumn("fp", sum(col("__neg")).over(byScoreDesc))
+      .withColumn("__p", sum(col("__pos")).over(all))
+      .select(col("score_bin"), col("tp"), col("fp"),
+        round(col("tp").cast("double") / (col("tp") + col("fp")), 6)
+          .as("precision"),
+        round(col("tp").cast("double") / col("__p"), 6).as("recall"))
+  }
+
+  /** Per-class precision/recall/F1 from a [[confusionMatrix]]: exact
+    * integer marginals, rates computed UNROUNDED (integer divisions
+    * are identical IEEE ops on any engine) and rounded once on output;
+    * empty denominators score 0. Output: (cls, tp, t_tot, p_tot,
+    * precision, recall, f1). The matrix is class² rows — driver-free,
+    * broadcast-sized at any corpus scale. */
+  def perClassF1(cm: DataFrame): DataFrame = {
+    val tp = cm.where(col("truth") === col("pred"))
+      .select(col("truth").as("cls"), col("n").as("tp"))
+    val truthTot = cm.groupBy(col("truth").as("cls"))
+      .agg(sum(col("n")).as("t_tot"))
+    val predTot = cm.groupBy(col("pred").as("cls"))
+      .agg(sum(col("n")).as("p_tot"))
+    val joined = truthTot
+      .join(predTot, Seq("cls"), "full_outer")
+      .join(tp, Seq("cls"), "left")
+      .na.fill(0L, Seq("tp", "t_tot", "p_tot"))
+    val p = when(col("p_tot") > 0L,
+      col("tp").cast("double") / col("p_tot")).otherwise(lit(0.0))
+    val r = when(col("t_tot") > 0L,
+      col("tp").cast("double") / col("t_tot")).otherwise(lit(0.0))
+    joined.select(col("cls"), col("tp"), col("t_tot"), col("p_tot"),
+      round(p, 6).as("precision"), round(r, 6).as("recall"),
+      round(when(p + r > 0.0, lit(2.0) * p * r / (p + r))
+        .otherwise(lit(0.0)), 6).as("f1"))
+  }
+
   /** Multi-class confusion matrix: exact (truth, prediction) pair
     * counts — one map-side-combined aggregation, integer-only, the
     * per-class evaluation table behind accuracy/precision/recall.

@@ -260,6 +260,50 @@ class EvaluationOpsSpec extends AnyFunSuite {
       ("de", "de") -> 1L))
   }
 
+  test("prCurve: precision walks down as fp arrive, recall up") {
+    val pts = Evaluation.prCurve(scored, col("score"), col("truth"),
+        binDecimals = 2)
+      .orderBy(col("score_bin").desc).collect()
+    assert(pts.head.getAs[Double]("precision") === 1.0)
+    assert(pts.last.getAs[Double]("precision") === 0.5)
+    assert(pts.last.getAs[Double]("recall") === 1.0)
+  }
+
+  test("perClassF1: perfect classifier scores 1 everywhere; a class " +
+      "never predicted gets precision 0 without dividing by zero") {
+    val perfect = Seq(("en", "en"), ("de", "de")).toDF("t", "p")
+    val f1 = Evaluation.perClassF1(
+      Evaluation.confusionMatrix(perfect, col("t"), col("p")))
+      .collect().map(r => r.getAs[String]("cls") -> r.getAs[Double]("f1"))
+      .toMap
+    assert(f1 === Map("en" -> 1.0, "de" -> 1.0))
+    val skewed = Seq(("en", "en"), ("de", "en")).toDF("t", "p")
+    val m = Evaluation.perClassF1(
+      Evaluation.confusionMatrix(skewed, col("t"), col("p")))
+      .collect().map(r => r.getAs[String]("cls") ->
+        (r.getAs[Double]("precision"), r.getAs[Double]("recall"),
+          r.getAs[Double]("f1"))).toMap
+    assert(m("de") === ((0.0, 0.0, 0.0))) // never predicted, no NaN
+    assert(m("en") === ((0.5, 1.0, 0.666667)))
+  }
+
+  test("cosineMatches finds planted cross-corpus copies and nothing " +
+      "else at a high threshold") {
+    val mk = (seed: Int) => {
+      val rng = new scala.util.Random(seed)
+      Array.fill(64)((rng.nextDouble() - 0.5).toFloat)
+    }
+    val train = (0 until 40).map(i => (i.toLong, mk(i)))
+      .toDF("id", "vec")
+    val eval_ = Seq((1000L, mk(7)), (1001L, mk(23)),
+      (1002L, Array.fill(64)(0.5f))).toDF("id", "vec")
+    val out = Ann.cosineMatches(train, col("id"), col("vec"),
+      eval_, col("id"), col("vec"), threshold = 0.9, dim = 64,
+      planes = 10, tables = 20)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(out.toSet === Set((7L, 1000L), (23L, 1001L)))
+  }
+
   // ---- robustness ---------------------------------------------------------
 
   test("null text is dropped consistently (never NPEs) across the new " +
