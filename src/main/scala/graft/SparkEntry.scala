@@ -124,6 +124,30 @@ object SparkEntry {
        |  substring(d.text, c.prev + 1, c.i - c.prev) AS chunk_text
        |FROM c JOIN documents d USING (doc_id))""".stripMargin
 
+  /** Shared CTE chain for the winnowing oracles: k-gram hashes (same
+    * family as CDC, mod 2^40), the (hash asc, pos desc) selection
+    * packed into one key so rightmost-min IS a windowed MIN, full
+    * 16-windows only. */
+  private val winnowSql: String =
+    s"""WITH pos AS (
+       |  SELECT doc_id, i.i AS i,
+       |    ($cdcHashSql) % 1099511627776 AS hv
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(8, length(text))) AS i
+       |        FROM documents) i),
+       |pk AS (SELECT doc_id, i, hv * 1048576 + (1048575 - i) AS key
+       |       FROM pos),
+       |wm AS (SELECT doc_id,
+       |         MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+       |           ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS mk,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i)
+       |           AS rn
+       |       FROM pk),
+       |sel AS (SELECT DISTINCT doc_id,
+       |    CAST(1048575 - (mk % 1048576) AS BIGINT) AS pos,
+       |    CAST(mk // 1048576 AS BIGINT) AS hash
+       |  FROM wm WHERE rn >= 16)""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R1: multi-pattern BGP with shared-variable equi-joins
@@ -2470,6 +2494,24 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         col("doc_id"), col("text"))),
 
+    // Winnowing fingerprints (native kernel; the oracle restates the
+    // rightmost-min selection as one sliding-window MIN)
+    "text_winnow" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.winnowTable(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"))),
+
+    // Cross-document shared winnowing fingerprints (>= 2 docs): the
+    // bounded-size substring-overlap index with a detection floor
+    "dedup_winnow" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.winnowTable(
+          s.read.parquet(s"$dir/documents.parquet"),
+          col("doc_id"), col("text"))
+        .groupBy(col("hash"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"))
+        .where(col("n_docs") >= 2)),
+
     // Chunk-level duplication over the CDC chunking: chunk contents
     // carried verbatim by >= 2 distinct documents
     "dedup_cdc" -> ((s, dir) =>
@@ -3757,6 +3799,17 @@ object SparkEntry {
     "text_cdc_chunks" -> (cdcChunksSql +
       """
         |SELECT doc_id, chunk_id, chunk_text FROM ch""".stripMargin),
+
+    "text_winnow" -> (winnowSql +
+      """
+        |SELECT doc_id, pos, hash FROM sel""".stripMargin),
+
+    "dedup_winnow" -> (winnowSql +
+      """
+        |SELECT hash, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occ
+        |FROM sel GROUP BY 1
+        |HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin),
 
     "dedup_cdc" -> (cdcChunksSql +
       """

@@ -217,6 +217,70 @@ object Kernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Winnowing fingerprints (the MOSS selection scheme): over the
+    * k-gram hash sequence `H(i) = (Σ_{j<k} cp(i−j)·31^j) mod 2^40`
+    * (1-based end positions i = k..n — the SAME hash family as
+    * [[cdcChunks]]), each window of `w` consecutive hashes selects its
+    * RIGHTMOST minimum; the distinct selections are the fingerprints.
+    * Selection is encoded as one packed key
+    * `H·2^20 + (2^20−1−i)` — minimizing the key IS (hash asc, pos
+    * desc), so the whole scheme is one sliding-window min, which is
+    * exactly how the SQL oracle restates it. Selected positions are
+    * non-decreasing as the window slides, so dedup is a last-pos
+    * check. Returns packed `H·2^20 + i` longs in position order;
+    * documents with fewer than w hash positions yield none. Guarantees
+    * (the winnowing theorem): any shared substring of length ≥ k+w−1
+    * yields a shared fingerprint. */
+  def winnowFingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    val n = if (s.isEmpty) 0 else s.codePointCount(0, s.length)
+    if (n < k || n - k + 1 < w)
+      return new GenericArrayData(Array.empty[Any])
+    require(n < 1048576, "winnowing position overflows the 20-bit pack")
+    val cps = new Array[Int](n)
+    var ci = 0
+    var t = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci); cps(t) = cp
+      ci += Character.charCount(cp); t += 1
+    }
+    val m = n - k + 1 // hash positions: 1-based end position i = k..n
+    val keys = new Array[Long](m)
+    val M40 = 1L << 40
+    var x = 0
+    while (x < m) {
+      val i = x + k // 1-based end position
+      var h = 0L
+      var p = 1L
+      var j = 0
+      while (j < k) { h += cps(i - 1 - j) * p; p *= 31L; j += 1 }
+      keys(x) = (h % M40) * 1048576L + (1048575L - i)
+      x += 1
+    }
+    // monotone deque sliding-window min over w keys
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val dq = new Array[Int](m)
+    var head = 0
+    var tail = 0 // deque of indices, keys increasing
+    var lastPos = -1L
+    var e = 0
+    while (e < m) {
+      while (tail > head && keys(dq(tail - 1)) >= keys(e)) tail -= 1
+      dq(tail) = e; tail += 1
+      if (dq(head) <= e - w) head += 1
+      if (e >= w - 1) {
+        val mk = keys(dq(head))
+        val pos = 1048575L - (mk % 1048576L)
+        if (pos != lastPos) {
+          out += java.lang.Long.valueOf((mk / 1048576L) * 1048576L + pos)
+          lastPos = pos
+        }
+      }
+      e += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Mean token length in CODEPOINTS (Spark's `length()` counts
     * characters, not UTF-16 units) — TextAnalysis.meanWordLength; zero
     * tokens → 0.0 (unreachable after split, which yields [""] for empty

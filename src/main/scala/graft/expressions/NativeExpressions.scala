@@ -57,6 +57,11 @@ object native {
   def cdcChunks(text: Column, w: Int, base: Long, modulus: Int): Column =
     c(CdcChunksExpr(e(text), w, base, modulus))
 
+  /** Winnowing fingerprints (packed pos+hash longs) —
+    * TextAnalysis.winnow. */
+  def winnow(text: Column, k: Int, w: Int): Column =
+    c(WinnowExpr(e(text), k, w))
+
   /** Epoch milliseconds of a TIMESTAMP_NTZ column with the naive value
     * read as UTC — session-time-zone-free (an NTZ→LTZ cast bakes the
     * session zone in at analysis time; this reinterprets the stored
@@ -247,6 +252,20 @@ final case class RollingHashExpr(child: Expression)
     defineCodeGen(ctx, ev, cv => s"graft.expressions.Kernels.rollingHash($cv)")
   override protected def withNewChildInternal(newChild: Expression)
       : RollingHashExpr = copy(child = newChild)
+}
+
+final case class WinnowExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 2 && w >= 1, "bad winnowing parameters")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.winnowFingerprints(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      cv => s"graft.expressions.Kernels.winnowFingerprints($cv, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : WinnowExpr = copy(child = newChild)
 }
 
 final case class CdcChunksExpr(child: Expression, w: Int, base: Long,

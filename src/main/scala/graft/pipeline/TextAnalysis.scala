@@ -578,6 +578,25 @@ object TextAnalysis {
           transform(col("__kept"), x => x("chunk_text"))).as("clean_text"))
   }
 
+  /** Winnowing fingerprint table (the MOSS plagiarism/overlap scheme):
+    * one row per selected (doc_id, pos, hash) — rightmost-min of every
+    * `w`-window over the k-gram hash stream (native single-pass kernel;
+    * the selection rule is ONE sliding-window min, which is how the
+    * SQL oracle restates it). The winnowing guarantee: any substring
+    * shared verbatim across documents of length ≥ k+w−1 produces a
+    * shared (hash) fingerprint, with ~2/(w+1) selection density —
+    * bounded index size with a hard detection floor, the property
+    * suffix-array dedup approximations rest on. Pure map + explode,
+    * no shuffle. */
+  def winnowTable(df: DataFrame, idCol: Column, textCol: Column,
+      k: Int = 8, w: Int = 16): DataFrame =
+    df.select(idCol.as("doc_id"),
+        explode(graft.expressions.native.winnow(textCol, k, w))
+          .as("__packed"))
+      .select(col("doc_id"),
+        pmod(col("__packed"), lit(1048576L)).as("pos"),
+        shiftright(col("__packed"), 20).as("hash"))
+
   /** Substring-level contamination screen via CDC chunks: for each
     * training document, how many of its chunks appear VERBATIM in the
     * eval corpus. Finer-grained than whole-doc hashing and cheaper than

@@ -210,6 +210,40 @@ class EvaluationOpsSpec extends AnyFunSuite {
     assert(byId(3L).nonEmpty)
   }
 
+  test("winnowing equals a brute-force rightmost-min-per-window " +
+      "reference and carries the shared-substring guarantee") {
+    val k = 8; val w = 16
+    def bruteForce(t: String): Set[(Long, Long)] = {
+      val cps = t.codePoints().toArray
+      val n = cps.length
+      if (n < k || n - k + 1 < w) return Set.empty
+      val keys = (k to n).map { i =>
+        val h = (0 until k).map(j => cps(i - 1 - j) *
+          math.pow(31, j).toLong).sum % (1L << 40)
+        (i, h)
+      }
+      keys.sliding(w).map { win =>
+        win.minBy { case (i, h) => (h, -i) } // rightmost min
+      }.map { case (i, h) => (i.toLong, h) }.toSet
+    }
+    val t1 = "the quick brown fox jumps over the lazy dog while the " +
+      "cat sleeps in the warm afternoon sun near the old wooden fence"
+    val t2 = "other opening words but then " + t1.drop(30)
+    val rows = TextAnalysis.winnowTable(
+      Seq((0L, t1), (1L, t2), (2L, "short")).toDF("doc_id", "text"),
+      col("doc_id"), col("text")).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) => id -> rs.map(r =>
+        (r.getAs[Long]("pos"), r.getAs[Long]("hash"))).toSet }
+    assert(rows(0L) === bruteForce(t1))
+    assert(rows(1L) === bruteForce(t2))
+    assert(!rows.contains(2L), "sub-window doc yields no fingerprints")
+    // winnowing theorem: a shared substring of length >= k+w-1 must
+    // produce at least one shared HASH between the two documents
+    val sharedHashes = rows(0L).map(_._2).intersect(rows(1L).map(_._2))
+    assert(sharedHashes.nonEmpty)
+  }
+
   // ---- top-p --------------------------------------------------------------
 
   test("topPPerGroup keeps the minimal weight-atomic prefix covering p") {
