@@ -2000,6 +2000,35 @@ object SparkEntry {
         .select(col("vec_id"), lit(true).as("pca_ok"))
     }),
 
+    // Fixed-point k-means over the embedding corpus: 2 Lloyd's rounds
+    // on integer-quantized vectors (round(x·1e6)) — distances and
+    // centroid sums are EXACT integer arithmetic, the one division per
+    // update divides two exact integers, so assignments are
+    // bit-reproducible on any engine/partitioning and the oracle
+    // restates the whole loop as nested CTEs (the PageRank pattern,
+    // with integers instead of rounded doubles)
+    "emb_kmeans" -> ((s, dir) =>
+      graft.pipeline.Clustering.kMeansAssign(
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding")),
+        k = 8, iterations = 2)
+        .select(col("id").as("vec_id"),
+          col("cluster").cast("long").as("cluster"), col("d2"))),
+
+    // Cluster-balanced subset: k-means assignment composed with the
+    // deterministic per-stratum quota sampler (≤ 25 vectors/cluster by
+    // row hash) — the counter to majority-domain dominance when mixing
+    // a clustered corpus
+    "sample_cluster" -> ((s, dir) =>
+      graft.pipeline.Clustering.clusterBalancedSample(
+        graft.pipeline.Clustering.kMeansAssign(
+          s.read.parquet(s"$dir/embeddings.parquet")
+            .select(col("vec_id"), col("embedding")),
+          k = 8, iterations = 2),
+        quota = 25)
+        .select(col("id").as("vec_id"),
+          col("cluster").cast("long").as("cluster"))),
+
     // Mergeable count-min frequency sketches, SELF-VERIFYING: daily CMS
     // sketches fold through the custom merge aggregator; every user's
     // merged point estimate must equal the one-shot sketch's estimate
@@ -2630,6 +2659,60 @@ object SparkEntry {
          |  ROUND(CASE WHEN p + r > 0.0 THEN 2.0 * p * r / (p + r)
          |        ELSE 0.0 END, 6) AS f1
          |FROM rates""".stripMargin)
+
+  /** The ENTIRE quantized k-means loop (k=8, 2 Lloyd iterations, scale
+    * 1e6) restated as DuckDB CTEs — the `graph_pagerank` pattern, but
+    * integer-exact: quantization, distances, and centroid sums are all
+    * exact integer arithmetic, the one division per update divides two
+    * exact integers, so every intermediate matches
+    * [[graft.pipeline.Clustering]] bit-for-bit with no rounding
+    * tolerance. Ends with `af(id, j, d2)`: the final assignment; the
+    * per-entry SQL appends its own SELECT. */
+  private val kMeansOracleSql: String = {
+    // one Lloyd round: assign under centroid table cPrev, update -> cNext
+    def round(cPrev: String, aCur: String, cNext: String) =
+      s"""$aCur AS (
+         |  SELECT id, j FROM (
+         |    SELECT q.id, c.j,
+         |      row_number() OVER (PARTITION BY q.id ORDER BY
+         |        SUM((q.qv - c.cv) * (q.qv - c.cv)), c.j) AS rn
+         |    FROM q JOIN $cPrev c ON c.i = q.i
+         |    GROUP BY q.id, c.j) WHERE rn = 1),
+         |$cNext AS (
+         |  SELECT c.j, c.i, COALESCE(u.cv, c.cv) AS cv
+         |  FROM $cPrev c LEFT JOIN (
+         |    SELECT a.j, q.i,
+         |      CAST(round(CAST(SUM(q.qv) AS DOUBLE) / COUNT(*)) AS BIGINT)
+         |        AS cv
+         |    FROM $aCur a JOIN q ON q.id = a.id
+         |    GROUP BY a.j, q.i) u ON u.j = c.j AND u.i = c.i)""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id AS id, i,
+       |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+       |      AS qv
+       |  FROM (SELECT vec_id, embedding,
+       |          unnest(generate_series(1, len(embedding))) AS i
+       |        FROM embeddings)),
+       |st AS (SELECT greatest(COUNT(*) // 8, 1) AS s FROM embeddings),
+       |seeds AS (
+       |  SELECT id, row_number() OVER (ORDER BY id) - 1 AS j
+       |  FROM (SELECT DISTINCT id FROM q), st
+       |  WHERE id % st.s = 0
+       |  ORDER BY id LIMIT 8),
+       |c0 AS (
+       |  SELECT s.j, q.i, q.qv AS cv FROM seeds s JOIN q ON q.id = s.id),
+       |${round("c0", "a1", "c1")},
+       |${round("c1", "a2", "c2")},
+       |af AS (
+       |  SELECT id, j, CAST(d2 AS BIGINT) AS d2 FROM (
+       |    SELECT q.id, c.j,
+       |      SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d2,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY
+       |        SUM((q.qv - c.cv) * (q.qv - c.cv)), c.j) AS rn
+       |    FROM q JOIN c2 c ON c.i = q.i
+       |    GROUP BY q.id, c.j) WHERE rn = 1)
+       |""".stripMargin
+  }
 
   private def oracleSqlBase: Map[String, String] = Map(
     "r1_bgp_join" ->
@@ -4199,6 +4282,19 @@ object SparkEntry {
     "emb_pca" ->
       """SELECT vec_id, true AS pca_ok
         |FROM embeddings""".stripMargin,
+    // emb_kmeans / sample_cluster: the ENTIRE quantized k-means loop
+    // restated — fixed-point vectors make every step integer-exact, so
+    // the match is hash-exact with no rounding tolerance
+    "emb_kmeans" -> (kMeansOracleSql +
+      """SELECT id AS vec_id, j AS cluster, d2 FROM af""".stripMargin),
+    "sample_cluster" -> (kMeansOracleSql +
+      """SELECT vec_id, cluster FROM (
+        |  SELECT id AS vec_id, j AS cluster,
+        |    row_number() OVER (PARTITION BY j ORDER BY
+        |      CAST(CONCAT('0x', substr(md5(CAST(id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) / 4294967296.0, id) AS rn
+        |  FROM af)
+        |WHERE rn <= 25""".stripMargin),
     "bpe_pairs" ->
       """WITH w AS (
         |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))

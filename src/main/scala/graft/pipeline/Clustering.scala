@@ -1,0 +1,179 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Corpus clustering over the embedding column: fixed-point (integer-
+  * quantized) Lloyd's k-means — the grouping primitive behind
+  * cluster-balanced sampling, domain discovery, and SemDeDup-style
+  * per-cluster near-dup pruning in large-scale training-data curation.
+  *
+  * Why FIXED-POINT: a float k-means is not reproducible under
+  * distribution — centroid means are float sums whose value depends on
+  * partition count and reduce order, so a retried stage or a different
+  * cluster size can flip an argmin and relabel points. Here every
+  * vector is quantized once to integers (`round(x·scale)`, half away
+  * from zero), distances and centroid sums are EXACT integer
+  * arithmetic (order-free), and the only division per update is one
+  * IEEE double division of two exact integers — bit-identical on any
+  * engine, partitioning, or retry. The quantization error is bounded
+  * by d·(1/scale)² per squared distance, far below cluster geometry at
+  * scale = 1e6. The same discipline as [[Ann.int8Codes]], applied to
+  * the clustering loop itself.
+  *
+  * Scale shape: per iteration ONE mapPartitions (assignment against a
+  * broadcast k×d integer matrix — straight-line long arithmetic) and
+  * ONE reduceByKey over k keys (map-side combine makes the shuffle k
+  * rows per partition). The driver only ever holds the k×d centroid
+  * matrix. No lineage growth: each iteration's model is a collected
+  * array, not a chained plan.
+  */
+object Clustering {
+
+  /** Quantized k-means model: k centroids in fixed-point integer
+    * coordinates (row-major k×d), plus the scale that maps them back
+    * to floats (`centroid / scale`). */
+  final case class QKMeansModel(centroids: Array[Array[Long]],
+      scale: Double) {
+    def k: Int = centroids.length
+    def d: Int = if (centroids.isEmpty) 0 else centroids(0).length
+  }
+
+  /** Half-away-from-zero fixed-point quantization — matches both
+    * Spark's `round` (BigDecimal HALF_UP) and DuckDB's `round`, so an
+    * oracle can restate it portably. Implemented via the EXACT
+    * fractional part (`v - floor(v)` is exact for |v| < 2^52) rather
+    * than `floor(v + 0.5)`, whose IEEE addition can cross an integer
+    * when v sits within one ulp of a half boundary — the one way two
+    * correct half-away `round`s could still disagree. */
+  private def quant(x: Double, scale: Double): Long = {
+    val v = x * scale
+    val f = math.floor(v)
+    val frac = v - f
+    val r =
+      if (frac > 0.5) f + 1
+      else if (frac < 0.5) f
+      else if (v >= 0) f + 1
+      else f
+    r.toLong
+  }
+
+  private def quantized(corpus: DataFrame, scale: Double)
+      : Dataset[(Long, Array[Long])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.toDF("id", "vec")
+      .select(col("id").cast("long"), col("vec").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) => (id, v.map(quant(_, scale))) }
+  }
+
+  /** Exact squared L2 distance in fixed-point coordinates. Magnitudes:
+    * |q| ≤ max|x|·scale, so d·(2·max|x|·scale)² must stay under 2^63 —
+    * unit-norm-ish embeddings at scale 1e6 and d ≤ 1000 leave four
+    * orders of margin. */
+  private def dist2(v: Array[Long], c: Array[Long]): Long = {
+    var s = 0L
+    var i = 0
+    val d = math.min(v.length, c.length)
+    while (i < d) { val t = v(i) - c(i); s += t * t; i += 1 }
+    s
+  }
+
+  /** Index of the nearest centroid; ties go to the LOWEST index
+    * (strict `<` while scanning ascending) — the deterministic tie rule
+    * an oracle can restate as `ORDER BY d2, j`. */
+  private def nearest(cents: Array[Array[Long]], v: Array[Long]): Int = {
+    var best = 0
+    var bestD = dist2(v, cents(0))
+    var j = 1
+    while (j < cents.length) {
+      val dj = dist2(v, cents(j))
+      if (dj < bestD) { best = j; bestD = dj }
+      j += 1
+    }
+    best
+  }
+
+  /** Train `iterations` rounds of quantized Lloyd's k-means.
+    *
+    * Deterministic end-to-end: seeds are the first k vectors (in id
+    * order) whose `id % max(n/k, 1) == 0` — an id-ordered systematic
+    * sample, the same rule as [[Ann.trainIvf]]; assignment ties break
+    * on the lowest centroid index; the centroid update
+    * `round(Σq / count)` divides two EXACT integers (centroid sums are
+    * integer adds, immune to reduce order), so the updated model is
+    * bit-identical however the data is partitioned. Empty cells keep
+    * their previous centroid. */
+  def fitQuantizedKMeans(corpus: DataFrame, k: Int, iterations: Int,
+      scale: Double = 1e6): QKMeansModel = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = quantized(corpus, scale)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = base.count()
+      require(n >= k, s"need at least k=$k vectors, got $n")
+      val stride = math.max(n / k, 1L)
+      val seeds = base.filter(_._1 % stride == 0).sort("_1")
+        .map(_._2).take(k)
+      require(seeds.length == k,
+        s"systematic seed sample found ${seeds.length} of $k seeds " +
+          "(ids too sparse for stride-based seeding)")
+      var cents = seeds
+      (0 until iterations).foreach { _ =>
+        val cur = cents
+        // exact integer partial sums per cell; k keys → the shuffle is
+        // k rows per partition after map-side combine
+        val sums = base.rdd.mapPartitions { it =>
+          it.map { case (_, v) => (nearest(cur, v), (v, 1L)) }
+        }.reduceByKey { (a, b) =>
+          val m = a._1.clone()
+          var i = 0
+          while (i < m.length && i < b._1.length) { m(i) += b._1(i); i += 1 }
+          (m, a._2 + b._2)
+        }.collect()
+        val next = cur.map(_.clone())
+        sums.foreach { case (cell, (s, cnt)) =>
+          // one double division of two exact integers (|Σq| < 2^53 for
+          // any corpus this fits on a driver-collected k×d update),
+          // rounded half away from zero — engine-portable
+          next(cell) = s.map(x => quant(x.toDouble / cnt, 1.0))
+        }
+        cents = next
+      }
+      QKMeansModel(cents, scale)
+    } finally base.unpersist()
+  }
+
+  /** Assign every vector to its nearest centroid under `model`:
+    * `(id, cluster, d2)` with the EXACT integer squared distance —
+    * a pure map against the broadcast k×d matrix, scan-bound. */
+  def assign(corpus: DataFrame, model: QKMeansModel): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = model.centroids
+    quantized(corpus, model.scale)
+      .map { case (id, v) =>
+        val j = nearest(cents, v)
+        (id, j, dist2(v, cents(j)))
+      }
+      .toDF("id", "cluster", "d2")
+  }
+
+  /** Fit-and-assign convenience: `iterations` update rounds, then one
+    * final assignment under the trained model. */
+  def kMeansAssign(corpus: DataFrame, k: Int, iterations: Int,
+      scale: Double = 1e6): DataFrame =
+    assign(corpus, fitQuantizedKMeans(corpus, k, iterations, scale))
+
+  /** Cluster-balanced subset: at most `quota` rows per cluster, chosen
+    * by the deterministic row hash (so the subset is reproducible and
+    * unbiased within each cluster) — the standard counter to majority-
+    * domain dominance after clustering a mixed corpus. Two-phase
+    * broadcast-prefix selection, no one-task global window. */
+  def clusterBalancedSample(assigned: DataFrame, quota: Int): DataFrame =
+    Sampling.quotaSample(assigned, col("cluster"), col("id"), quota)
+}
