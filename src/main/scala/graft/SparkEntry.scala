@@ -2029,6 +2029,32 @@ object SparkEntry {
         .select(col("id").as("vec_id"),
           col("cluster").cast("long").as("cluster"))),
 
+    // Per-cluster inertia/balance diagnostics (the elbow readout):
+    // counts and Σd2 are exact integers, so the whole chain stays
+    // hash-exact
+    "cluster_stats" -> ((s, dir) =>
+      graft.pipeline.Clustering.clusterStats(
+        graft.pipeline.Clustering.kMeansAssign(
+          s.read.parquet(s"$dir/embeddings.parquet")
+            .select(col("vec_id"), col("embedding")),
+          k = 8, iterations = 2))
+        .select(col("cluster").cast("long").as("cluster"), col("n"),
+          col("inertia"))),
+
+    // CCNet-style corpus-fit quality score: add-one-smoothed bigram LM
+    // trained on the corpus itself (vocab 256 + OOV fold), documents
+    // scored by per-token cross-entropy — exact integer counts feed
+    // identical doubles to ln on both engines; round-6 after the sum
+    // (the classify_nb float discipline)
+    "lm_score" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val m = graft.pipeline.LanguageModel.trainBigramLm(
+        docs, col("doc_id"), col("text"), vocabSize = 256)
+      graft.pipeline.LanguageModel.scoreBigramLm(
+        docs, col("doc_id"), col("text"), m)
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("xent"))
+    }),
+
     // Mergeable count-min frequency sketches, SELF-VERIFYING: daily CMS
     // sketches fold through the custom merge aggregator; every user's
     // merged point estimate must equal the one-shot sketch's estimate
@@ -4287,6 +4313,43 @@ object SparkEntry {
     // the match is hash-exact with no rounding tolerance
     "emb_kmeans" -> (kMeansOracleSql +
       """SELECT id AS vec_id, j AS cluster, d2 FROM af""".stripMargin),
+    "cluster_stats" -> (kMeansOracleSql +
+      """SELECT j AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(d2) AS BIGINT) AS inertia
+        |FROM af GROUP BY j""".stripMargin),
+    // lm_score: the whole bigram-LM chain restated — exact counts,
+    // identical ln inputs, round-6 only after the per-doc sum
+    "lm_score" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |tf AS (SELECT unnest(toks) AS token FROM d),
+        |vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token, COUNT(*) AS cnt FROM tf GROUP BY token
+        |    ORDER BY cnt DESC, token ASC LIMIT 256)),
+        |vv AS (SELECT COUNT(*) + 1 AS vp FROM vocab),
+        |p0 AS (
+        |  SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks) - 1)) AS i
+        |        FROM d)),
+        |p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN va.token IS NULL THEN '<unk>' ELSE p0.a END AS w1,
+        |    CASE WHEN vb.token IS NULL THEN '<unk>' ELSE p0.b END AS w2
+        |  FROM p0
+        |  LEFT JOIN vocab va ON va.token = p0.a
+        |  LEFT JOIN vocab vb ON vb.token = p0.b),
+        |bc AS (SELECT w1, w2, COUNT(*) AS c FROM p GROUP BY w1, w2),
+        |fc AS (SELECT w1, SUM(c) AS c1 FROM bc GROUP BY w1),
+        |s AS (
+        |  SELECT p.doc_id,
+        |    ln((bc.c + 1.0) / (fc.c1 + vv.vp)) AS lp
+        |  FROM p JOIN bc USING (w1, w2) JOIN fc USING (w1) CROSS JOIN vv)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  round(-SUM(lp) / COUNT(*), 6) AS xent
+        |FROM s GROUP BY doc_id""".stripMargin,
     "sample_cluster" -> (kMeansOracleSql +
       """SELECT vec_id, cluster FROM (
         |  SELECT id AS vec_id, j AS cluster,

@@ -169,6 +169,14 @@ object Clustering {
       scale: Double = 1e6): DataFrame =
     assign(corpus, fitQuantizedKMeans(corpus, k, iterations, scale))
 
+  /** Per-cluster diagnostics from an [[assign]] output: member count
+    * and inertia (Σ d2 — EXACT, the distances are integers). The elbow
+    * / balance readout for choosing k; one k-key aggregation with
+    * map-side combine. */
+  def clusterStats(assigned: DataFrame): DataFrame =
+    assigned.groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sum("d2").as("inertia"))
+
   /** Cluster-balanced subset: at most `quota` rows per cluster, chosen
     * by the deterministic row hash (so the subset is reproducible and
     * unbiased within each cluster) — the standard counter to majority-
