@@ -126,6 +126,30 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** ALL word n-grams in order WITH multiplicity (space-joined) — the
+    * non-distinct sibling of [[wordShingles]], for count-based
+    * consumers (the bigram LM needs every occurrence, not the set).
+    * Fewer than n tokens → empty. */
+  def wordNgrams(text: UTF8String, n: Int): ArrayData = {
+    val toks = tokensOfTrimmed(loweredTrimmed(text))
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Smallest md5 over the document's word n-gram shingles; documents
     * with fewer than n tokens fall back to md5 of the whole
     * lowered-trimmed text (TextAnalysis.minShingleFingerprint). Min over

@@ -32,6 +32,11 @@ object native {
   def wordShingles(text: Column, n: Int): Column =
     c(WordShinglesExpr(e(text), n))
 
+  /** ALL word n-grams with multiplicity (non-distinct
+    * [[wordShingles]]) — the bigram LM's pair stream, one pass. */
+  def wordNgrams(text: Column, n: Int): Column =
+    c(WordNgramsExpr(e(text), n))
+
   /** Min-md5-shingle document fingerprint — zero-shuffle form of
     * TextAnalysis.fingerprintTable. */
   def minShingleFingerprint(text: Column, n: Int): Column =
@@ -152,6 +157,19 @@ final case class WordShinglesExpr(child: Expression, n: Int)
     defineCodeGen(ctx, ev, cv => s"graft.expressions.Kernels.wordShingles($cv, $n)")
   override protected def withNewChildInternal(newChild: Expression)
       : WordShinglesExpr = copy(child = newChild)
+}
+
+final case class WordNgramsExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "n-gram size must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_ngrams"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.wordNgrams(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, cv => s"graft.expressions.Kernels.wordNgrams($cv, $n)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : WordNgramsExpr = copy(child = newChild)
 }
 
 final case class MinShingleFingerprintExpr(child: Expression, n: Int)

@@ -45,23 +45,23 @@ object LanguageModel {
   final case class BigramLm(bigramCounts: DataFrame, firstCounts: DataFrame,
       vocab: DataFrame, vSmooth: Long)
 
-  /** Adjacent token pairs of each document: (id, a, b) — a pure map
-    * stage (array transform + explode), no shuffle. Documents with
-    * fewer than two tokens vanish (no pairs), identically on any
-    * engine. The `when` guard matters: Spark's `sequence(1, 0)` counts
-    * DOWN, so an unguarded transform would fabricate pairs for
-    * one-token documents. */
+  /** Adjacent token pairs of each document: (id, a, b) — one codegen'd
+    * map stage, no shuffle. The pair stream comes from the native
+    * [[graft.expressions.WordNgramsExpr]] kernel (all word bigrams
+    * WITH multiplicity, space-joined); whitespace tokens cannot
+    * contain the joining space, so `substring_index` recovers the two
+    * sides exactly. Documents with fewer than two tokens vanish (no
+    * pairs), identically on any engine. The interpreted
+    * `transform(sequence(...), i -> struct(...))` formulation is
+    * value-identical but ~10 µs/row — it made the LM entry 3× slower
+    * at sf0.1 (LmProbe). */
   private def pairs(df: DataFrame, idCol: Column, textCol: Column)
       : DataFrame =
-    df.select(idCol.as("id"), TextAnalysis.tokens(textCol).as("toks"))
-      .withColumn("ps",
-        when(size(col("toks")) >= 2,
-          expr("transform(sequence(1, size(toks) - 1), " +
-            "i -> struct(toks[i-1] AS a, toks[i] AS b))"))
-          .otherwise(expr("array()")
-            .cast("array<struct<a:string,b:string>>")))
-      .select(col("id"), explode(col("ps")).as("p"))
-      .select(col("id"), col("p.a").as("a"), col("p.b").as("b"))
+    df.select(idCol.as("id"),
+        explode(graft.expressions.native.wordNgrams(textCol, 2)).as("bg"))
+      .select(col("id"),
+        substring_index(col("bg"), " ", 1).as("a"),
+        substring_index(col("bg"), " ", -1).as("b"))
 
   /** Pairs with both sides folded through the vocabulary: out-of-vocab
     * tokens become [[Unk]]. Two broadcast joins — scan-bound. */
@@ -94,6 +94,9 @@ object LanguageModel {
     val bc = mappedPairs(docs, idCol, textCol, vocab)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
       .persist()
+    bc.count() // materialize ONCE — scoring broadcasts bc and the fc
+    // marginal concurrently, and an unmaterialized cache would let the
+    // racing broadcast builds each recompute the counting pass
     val fc = bc.groupBy("w1").agg(sum("c").as("c1"))
     BigramLm(bc, fc, vocab, vocab.count() + 1L)
   }

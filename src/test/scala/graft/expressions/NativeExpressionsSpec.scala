@@ -40,6 +40,20 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(mismatch === 0)
   }
 
+  test("wordNgrams matches the transform formulation with multiplicity") {
+    // the interpreted shape the LM pair stream replaced: all adjacent
+    // bigrams in order, every occurrence kept
+    val hof = expr("CASE WHEN size(toks) >= 2 THEN " +
+      "transform(sequence(1, size(toks) - 1), " +
+      "i -> concat(toks[i-1], ' ', toks[i])) " +
+      "ELSE array() END")
+    val mismatch = all
+      .select(col("text"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(native.wordNgrams(col("text"), 2).as("native"), hof.as("ref"))
+      .where(not(col("native") === col("ref"))).count()
+    assert(mismatch === 0)
+  }
+
   test("minShingleFingerprint matches the HOF formulation") {
     val mismatch = all.select(
       TextAnalysis.minShingleFingerprint(col("text")).as("native"),
@@ -120,7 +134,8 @@ class NativeExpressionsSpec extends AnyFunSuite {
   test("native expressions stay inside whole-stage codegen") {
     val df = docs.select(
       TextAnalysis.minShingleFingerprint(col("text")).as("fp"),
-      TextAnalysis.langId(col("text")).as("lang"))
+      TextAnalysis.langId(col("text")).as("lang"),
+      native.wordNgrams(col("text"), 2).as("bigrams"))
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     // codegen'd project shows as *(n) — no fallback marker
