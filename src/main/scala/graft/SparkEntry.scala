@@ -2490,7 +2490,13 @@ object SparkEntry {
     // flagged; every (50k+5)th reversed -> decoys far below 0.9), LSH
     // candidates + exact cosine verify. Exact copies collide in EVERY
     // hyperplane table, so the LSH path is recall-complete here and
-    // the all-pairs oracle stays hash-exact
+    // the all-pairs oracle stays hash-exact. FIXTURE ASSUMPTION (the
+    // oracle depends on it): the embeddings fixture has NO organic
+    // pair >= 0.9 cosine at any SF, so every match is a planted exact
+    // copy (sim = 1.0). cosineMatches is probabilistic-recall LSH — an
+    // organic 0.9 <= sim < 1 pair found only by the exact all-pairs
+    // oracle would mismatch SPURIOUSLY; the guard below turns that
+    // silent hash-mismatch into a named, diagnosable error instead
     "contam_semantic" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val evalSet = emb.where(col("vec_id") % 50 === 0)
@@ -2502,6 +2508,12 @@ object SparkEntry {
         emb, col("vec_id"), col("embedding"),
         evalSet, col("vec_id"), col("embedding"),
         threshold = 0.9, dim = 64, planes = 10, tables = 20)
+        .withColumn("sim", when(col("sim") < 0.9999,
+          raise_error(concat(lit("contam_semantic: organic near-pair "),
+            col("id_a").cast("string"), lit("~"),
+            col("id_b").cast("string"),
+            lit(" — fixture assumption broken, re-derive the oracle")))
+            .cast("double")).otherwise(col("sim")))
     }),
 
     // Substring-level contamination screen: training chunks probed

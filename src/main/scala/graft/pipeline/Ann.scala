@@ -287,7 +287,7 @@ object Ann {
       * not trained on it — the staleness measure appends accumulate. */
     def drift: Double =
       if (totalRows == 0) 0.0 else appendedRows.toDouble / totalRows
-    def unpersist(): Unit = { index.unpersist(); () }
+    def unpersist(): Unit = graft.util.Lineage.release(index)
   }
 
   /** Train + build a standing incremental IVF index over the corpus. */
@@ -317,7 +317,7 @@ object Ann {
     val merged = idx.index
       .unionByName(buildIvfIndex(batch, idx.model))
       .localCheckpoint(true) // eager: safe to drop the superseded blocks
-    idx.index.unpersist()
+    graft.util.Lineage.release(idx.index)
     val newTotal = merged.count()
     val appended = idx.appendedRows + (newTotal - idx.totalRows)
     if (appended.toDouble / math.max(newTotal, 1L) <= reclusterAt)
@@ -326,7 +326,7 @@ object Ann {
       val corpus = merged.select(col("id"), col("vec"))
       val model = trainIvf(corpus, idx.model.nCells, iterations)
       val rebuilt = buildIvfIndex(corpus, model).localCheckpoint(true)
-      merged.unpersist()
+      graft.util.Lineage.release(merged)
       IvfIndex(model, rebuilt, newTotal, 0L, idx.reclusters + 1)
     }
   }
@@ -470,7 +470,10 @@ object Ann {
     def totalRows: Long = rowsAtTrain + appendedRows
     def drift: Double =
       if (totalRows == 0) 0.0 else appendedRows.toDouble / totalRows
-    def unpersist(): Unit = { corpus.unpersist(); codes.unpersist(); () }
+    def unpersist(): Unit = {
+      graft.util.Lineage.release(corpus)
+      graft.util.Lineage.release(codes)
+    }
   }
 
   /** Train + encode a standing incremental PQ index over the corpus. */
@@ -491,18 +494,18 @@ object Ann {
       s"reclusterAt must be in (0, 1], got $reclusterAt")
     val b = batch.toDF("id", "vec")
     val corpus = idx.corpus.unionByName(b).localCheckpoint(true)
-    idx.corpus.unpersist()
+    graft.util.Lineage.release(idx.corpus)
     val newTotal = corpus.count()
     val appended = idx.appendedRows + (newTotal - idx.totalRows)
     if (appended.toDouble / math.max(newTotal, 1L) <= reclusterAt) {
       val codes = idx.codes.unionByName(pqEncode(b, idx.model))
         .localCheckpoint(true)
-      idx.codes.unpersist()
+      graft.util.Lineage.release(idx.codes)
       idx.copy(corpus = corpus, codes = codes, appendedRows = appended)
     } else {
       val model = trainPq(corpus, idx.model.m, idx.model.ksub, iterations)
       val codes = pqEncode(corpus, model).localCheckpoint(true)
-      idx.codes.unpersist()
+      graft.util.Lineage.release(idx.codes)
       PqIndex(model, corpus, codes, newTotal, 0L, idx.reclusters + 1)
     }
   }

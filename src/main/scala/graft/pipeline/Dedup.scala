@@ -400,7 +400,7 @@ object Dedup {
         .localCheckpoint(false)
       val changed = next.join(labels.toDF("id", "prev"), "id")
         .where(col("lbl") =!= col("prev")).limit(1).count()
-      labels.unpersist()
+      graft.util.Lineage.release(labels)
       labels = next
       converged = changed == 0
       iter += 1

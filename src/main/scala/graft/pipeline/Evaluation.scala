@@ -50,8 +50,14 @@ object Evaluation {
       .withColumn("__p", sum(col("__pos")).over(all))
       .withColumn("__n", sum(col("__neg")).over(all))
       .select(col("score_bin"), col("tp"), col("fp"),
-        round(col("tp").cast("double") / col("__p"), 6).as("tpr"),
-        round(col("fp").cast("double") / col("__n"), 6).as("fpr"))
+        // degenerate truth (all one class): rate over the absent class
+        // is 0, not NaN/Inf — same empty-denominator rule as perClassF1
+        round(when(col("__p") > 0L,
+          col("tp").cast("double") / col("__p")).otherwise(0d), 6)
+          .as("tpr"),
+        round(when(col("__n") > 0L,
+          col("fp").cast("double") / col("__n")).otherwise(0d), 6)
+          .as("fpr"))
   }
 
   /** Precision–recall curve over the same score bins as [[rocCurve]]:
@@ -76,9 +82,13 @@ object Evaluation {
       .withColumn("fp", sum(col("__neg")).over(byScoreDesc))
       .withColumn("__p", sum(col("__pos")).over(all))
       .select(col("score_bin"), col("tp"), col("fp"),
+        // tp+fp ≥ 1 on every cumulative bin row (each bin aggregates
+        // ≥ 1 observation), so precision's denominator is never 0
         round(col("tp").cast("double") / (col("tp") + col("fp")), 6)
           .as("precision"),
-        round(col("tp").cast("double") / col("__p"), 6).as("recall"))
+        round(when(col("__p") > 0L,
+          col("tp").cast("double") / col("__p")).otherwise(0d), 6)
+          .as("recall"))
   }
 
   /** Per-class precision/recall/F1 from a [[confusionMatrix]]: exact
@@ -146,8 +156,12 @@ object Evaluation {
         sum(col("__pos")).as("n_pos"),
         sum(col("__neg")).as("n_neg"))
       .select(
-        round(col("__u2").cast("double") /
-          (col("n_pos") * col("n_neg") * 2L), 6).as("auc"),
+        // degenerate truth: P·N = 0 means AUC is undefined — score 0
+        // (the perClassF1 empty-denominator rule) instead of NaN
+        round(when(col("n_pos") * col("n_neg") > 0L,
+          col("__u2").cast("double") /
+            (col("n_pos") * col("n_neg") * 2L)).otherwise(0d), 6)
+          .as("auc"),
         col("n_pos"), col("n_neg"))
   }
 }

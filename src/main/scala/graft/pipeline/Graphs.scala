@@ -64,14 +64,16 @@ object Graphs {
               col("dm") / col("n")),
           roundTo).as("r"))
         .localCheckpoint(true)
-      ranks.unpersist() // drop the superseded iteration's blocks
+      // release through the checkpoint RDD — Dataset.unpersist is a
+      // no-op for checkpoint blocks (graft.util.Lineage)
+      graft.util.Lineage.release(ranks)
       ranks = next
     }
     // the returned ranks frame is a localCheckpoint — self-contained,
     // so the edge/node working sets can be released (a standing session
     // calling pageRank repeatedly must not accumulate checkpoint blocks)
-    e.unpersist()
-    nodes.unpersist()
+    graft.util.Lineage.release(e)
+    graft.util.Lineage.release(nodes)
     ranks.select(col("node"), col("r").as("rank"))
   }
 }

@@ -317,11 +317,20 @@ object Sampling {
     * broadcast threshold join + filter — a pure map stage over the
     * corpus. No per-stratum row sort anywhere, so a skewed stratum
     * costs nothing extra. Integer weights keep the cumulative masses
-    * exact (`p * total` is one double product — engine-portable). */
+    * exact (`p * total` is one double product — engine-portable).
+    *
+    * Edge semantics (fail-loud / explicit, not silent): a NEGATIVE
+    * weight corrupts the cumulative-mass scan, so it raises at
+    * execution time; an ALL-ZERO stratum carries no mass, and the
+    * weight-atomic rule keeps every row tied at its only weight — the
+    * whole stratum survives rather than silently vanishing. */
   def topPPerGroup(df: DataFrame, stratum: Column, key: Column,
       weight: Column, p: Double): DataFrame = {
     require(p > 0.0 && p <= 1.0, "need 0 < p <= 1")
-    val w = weight.cast("long")
+    val w0 = weight.cast("long")
+    val w = when(w0 < 0L, raise_error(concat(
+      lit("topPPerGroup: negative weight "), w0.cast("string")))
+      .cast("long")).otherwise(w0)
     val hist = df.select(stratum.as("__s"), w.as("__w"))
       .groupBy(col("__s"), col("__w"))
       .agg(count(lit(1)).as("__c"))
@@ -332,7 +341,11 @@ object Sampling {
         byWDesc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("__tot",
         sum(col("__m")).over(Window.partitionBy(col("__s"))))
-      .where(col("__cumBefore") < lit(p) * col("__tot"))
+      // all-zero stratum: tot = 0 makes `cumBefore < p*tot` vacuously
+      // false — keep its (single, zero-weight) histogram row explicitly
+      // so the stratum survives instead of silently vanishing
+      .where(col("__cumBefore") < lit(p) * col("__tot") ||
+        col("__tot") === 0L)
       .groupBy(col("__s"))
       .agg(min(col("__w")).as("__wmin"))
     df.select(stratum.as("stratum"), key.as("id"), w.as("weight"))

@@ -84,11 +84,13 @@ object Tokenizer {
         val next = words
           .withColumn("syms", mergeOnce(col("syms"), lit(a), lit(b)))
           .localCheckpoint(true)
-        words.unpersist() // drop the superseded round's blocks
+        // checkpoint blocks release through the RDD (Lineage), not
+        // Dataset.unpersist (a no-op for checkpoints)
+        graft.util.Lineage.release(words)
         words = next
       }
     }
-    words.unpersist()
+    graft.util.Lineage.release(words)
     merges.toSeq
   }
 

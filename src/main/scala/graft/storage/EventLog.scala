@@ -127,6 +127,28 @@ final class EventLog(
   private def visibleFilesIn(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path)
       : Seq[org.apache.hadoop.fs.FileStatus] = {
+    // a marker can be vacuumed by a concurrent compact between our
+    // listStatus and open (FileNotFoundException) — a fresh listing is
+    // a consistent snapshot of the NEW generation, so retry; bounded,
+    // because each retry means another full compaction cycle landed
+    // mid-listing (never sustained in practice)
+    var attempt = 0
+    while (true) {
+      try return visibleFilesInOnce(fs, dir)
+      catch {
+        case _: java.io.FileNotFoundException if attempt < 8 =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** One listing + marker resolution; throws FileNotFoundException if
+    * a concurrent compact() vacuums a grace-expired marker between our
+    * listStatus and open — [[visibleFilesIn]] re-lists on that. */
+  private def visibleFilesInOnce(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
     val entries = fs.listStatus(dir)
     val adds = scala.collection.mutable.HashSet.empty[String]
     val drops = scala.collection.mutable.HashSet.empty[String]

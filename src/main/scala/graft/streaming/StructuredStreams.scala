@@ -29,6 +29,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   */
 object StructuredStreams {
 
+  /** See [[graft.util.Lineage.release]] — a standing stream that
+    * re-pins per fold must release the superseded generation through
+    * the underlying checkpoint RDD (`Dataset.unpersist` is a no-op for
+    * checkpoint blocks). */
+  private[streaming] def releaseCheckpoint(df: DataFrame): Unit =
+    graft.util.Lineage.release(df)
+
   /** Streaming N-Quads ingest: any streaming Dataset of raw lines
     * (file source, socket, Kafka value, MemoryStream in tests) →
     * canonical quads → event-log append per micro-batch. */
@@ -256,7 +263,7 @@ object StructuredStreams {
         case Some(s0) =>
           val merged = graft.pipeline.Sketches.mergeSketchTables(
             s0.unionByName(b), groupCols.map(col)).localCheckpoint(true)
-          s0.unpersist()
+          releaseCheckpoint(s0)
           merged
       }
       state = Some(next)
@@ -267,7 +274,7 @@ object StructuredStreams {
     def current: Option[DataFrame] = state
 
     def unpersist(): Unit = synchronized {
-      state.foreach(_.unpersist()); state = None
+      state.foreach(releaseCheckpoint); state = None
     }
   }
 
@@ -305,7 +312,7 @@ object StructuredStreams {
         case Some(s0) =>
           val merged = graft.pipeline.TextAnalysis
             .foldBoilerplateCounts(s0, b).localCheckpoint(true)
-          s0.unpersist()
+          releaseCheckpoint(s0)
           merged
       }
       state = Some(next)
@@ -314,7 +321,7 @@ object StructuredStreams {
     def current: Option[DataFrame] = state
 
     def unpersist(): Unit = synchronized {
-      state.foreach(_.unpersist()); state = None
+      state.foreach(releaseCheckpoint); state = None
     }
   }
 
@@ -351,7 +358,7 @@ object StructuredStreams {
         case Some(i0) => T.foldChunkIndex(i0, b)
       }
       val pinned = T.ChunkIndex(folded.firsts.localCheckpoint(true))
-      index.foreach(_.firsts.unpersist())
+      index.foreach(i => releaseCheckpoint(i.firsts))
       index = Some(pinned)
       val out = T.cdcDeduplicateWithIndex(batch, col(idCol),
         col(textCol), pinned)
@@ -362,14 +369,17 @@ object StructuredStreams {
         case None     => out
         case Some(o0) => o0.unionByName(out)
       }).localCheckpoint(true)
-      outputs.foreach(_.unpersist())
+      outputs.foreach(releaseCheckpoint)
       outputs = Some(acc)
     }
 
     def current: Option[DataFrame] = outputs
 
     def unpersist(): Unit = synchronized {
-      index.foreach(_.firsts.unpersist()); index = None; outputs = None
+      index.foreach(i => releaseCheckpoint(i.firsts)); index = None
+      // the accumulated outputs frame is localCheckpoint'd per fold —
+      // release its blocks too, or a standing session leaks them
+      outputs.foreach(releaseCheckpoint); outputs = None
     }
   }
 

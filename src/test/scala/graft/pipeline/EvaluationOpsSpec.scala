@@ -265,6 +265,49 @@ class EvaluationOpsSpec extends AnyFunSuite {
       p = 1.0).count() === 3L)
   }
 
+  test("topPPerGroup keeps an all-zero-weight stratum whole instead of " +
+      "silently dropping it") {
+    val df = Seq(("z", 1L, 0L), ("z", 2L, 0L), ("a", 3L, 4L),
+      ("a", 4L, 1L)).toDF("s", "id", "w")
+    val kept = Sampling.topPPerGroup(df, col("s"), col("id"), col("w"),
+        p = 0.5).collect().map(r =>
+        (r.getAs[String]("stratum"), r.getAs[Long]("id"))).toSet
+    assert(kept === Set(("z", 1L), ("z", 2L), ("a", 3L)))
+  }
+
+  test("topPPerGroup fails loud on a negative weight") {
+    val df = Seq(("a", 1L, 5L), ("a", 2L, -1L)).toDF("s", "id", "w")
+    val e = intercept[Exception] {
+      Sampling.topPPerGroup(df, col("s"), col("id"), col("w"), p = 0.5)
+        .collect()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("negative weight") ||
+        Option(e.getCause).exists(
+          _.getMessage.contains("negative weight"))))
+  }
+
+  // ---- degenerate evaluation inputs --------------------------------------
+
+  test("rocCurve/prCurve/aucBinned stay finite on a single-class truth " +
+      "column (no NaN/Inf from the absent class's denominator)") {
+    val allPos = Seq((0.9, true), (0.4, true), (0.1, true))
+      .toDF("score", "t")
+    val roc = Evaluation.rocCurve(allPos, col("score"), col("t"))
+      .collect()
+    assert(roc.forall { r =>
+      val f = r.getAs[Double]("fpr"); !f.isNaN && !f.isInfinite })
+    assert(roc.map(_.getAs[Double]("fpr")).toSet === Set(0d))
+    val pr = Evaluation.prCurve(allPos, col("score"), col("t")).collect()
+    assert(pr.forall { r =>
+      val p = r.getAs[Double]("precision"); val c = r.getAs[Double]("recall")
+      !p.isNaN && !c.isNaN && !p.isInfinite && !c.isInfinite })
+    val auc = Evaluation.aucBinned(allPos, col("score"), col("t"))
+      .collect().head
+    assert(auc.getAs[Double]("auc") === 0d)
+    assert(auc.getAs[Long]("n_neg") === 0L)
+  }
+
   test("cdcContamination: a verbatim eval copy scores frac 1, unrelated " +
       "text 0, a doc sharing a span scores in between") {
     val evalDoc = "the quick brown fox jumps over the lazy dog while " +

@@ -140,4 +140,59 @@ class ConcurrentCompactionSpec extends AnyFunSuite {
     val log2 = new EventLog(spark, dir.toString, bucketMs = 10000L)
     assert(log2.query(0, Long.MaxValue / 2).count() === 4L)
   }
+
+  test("a marker vacuumed between a reader's listStatus and open " +
+      "(FileNotFoundException) is survived by re-listing, not a " +
+      "failed query") {
+    // deterministic fault injection: a FileSystem whose FIRST open of
+    // each compaction marker throws FileNotFoundException — exactly
+    // what a concurrent compact()'s grace-expired vacuum produces
+    // between a reader's listing and its marker read
+    spark.sparkContext.hadoopConfiguration.set("fs.flaky.impl",
+      classOf[FlakyMarkerFileSystem].getName)
+    val dir = Files.createTempDirectory("cc-flaky").resolve("log")
+    val log = new EventLog(spark, s"flaky://$dir", bucketMs = 10000L,
+      autoCompactFiles = 0)
+    (1 to 6).foreach { i =>
+      log.append(RdfEvent.toDF(spark, Seq(ev(i * 100L, i))))
+    }
+    assert(log.compact(maxFilesPerBucket = 2, graceMs = HourMs) === 1)
+    FlakyMarkerFileSystem.arm()
+    try {
+      // snapshot resolution opens the marker; the injected first-open
+      // FNF must be absorbed by a fresh listing
+      assert(log.query(0, Long.MaxValue / 2).count() === 6L)
+      assert(FlakyMarkerFileSystem.injected.get() >= 1,
+        "fault never fired — the test exercised nothing")
+    } finally FlakyMarkerFileSystem.disarm()
+  }
+}
+
+/** Local filesystem whose first `open` of each `_compact-*` marker
+  * (while armed) throws FileNotFoundException — simulating a
+  * concurrent vacuum between listStatus and open. */
+class FlakyMarkerFileSystem
+    extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("flaky:///")
+
+  override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    if (FlakyMarkerFileSystem.armed.get() &&
+        f.getName.startsWith(EventLog.CompactMarkerPrefix) &&
+        FlakyMarkerFileSystem.seen.add(f.toString)) {
+      FlakyMarkerFileSystem.injected.incrementAndGet()
+      throw new java.io.FileNotFoundException(
+        s"injected vacuum race: $f")
+    }
+    super.open(f, bufferSize)
+  }
+}
+
+object FlakyMarkerFileSystem {
+  val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  val injected = new java.util.concurrent.atomic.AtomicInteger(0)
+  val seen: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def arm(): Unit = { seen.clear(); injected.set(0); armed.set(true) }
+  def disarm(): Unit = armed.set(false)
 }

@@ -52,6 +52,16 @@ class StreamingChunkDedupSpec extends AnyFunSuite {
     assert(byId(2L) === "", "cross-batch duplicate must fully dedup")
     assert(byId(4L).nonEmpty && byId(4L).length < byId(1L).length + 60,
       "overlapping doc keeps only its novel tail region")
+
+    // unpersist must release BOTH checkpointed frames — the index and
+    // the accumulated outputs (a standing session would otherwise leak
+    // the outputs' localCheckpoint blocks on every session teardown)
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
     dedup.unpersist()
+    assert(dedup.current.isEmpty, "outputs cleared")
+    val persistedAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(persistedAfter <= persistedBefore - 2,
+      s"expected the index AND outputs checkpoint RDDs released " +
+        s"(before=$persistedBefore after=$persistedAfter)")
   }
 }
