@@ -1902,6 +1902,23 @@ object SparkEntry {
         col("w"), iterations = 3)
     }),
 
+    // Per-vertex triangle counts + local clustering coefficient over a
+    // planted link graph (three correlated mod-997 edge families per
+    // doc close triangles by construction; the vertex set stays
+    // bounded at any SF). Degree-ordered orientation caps wedge
+    // fan-out at O(sqrt m) — the skew-proof counting formulation
+    "graph_triangles" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"))
+      val edges = d.select((col("doc_id") % 997).as("src"),
+          ((col("doc_id") * 7 + 3) % 997).as("dst"))
+        .unionAll(d.select((col("doc_id") % 997).as("src"),
+          ((col("doc_id") * 13 + 5) % 997).as("dst")))
+        .unionAll(d.select(((col("doc_id") * 7 + 3) % 997).as("src"),
+          ((col("doc_id") * 13 + 5) % 997).as("dst")))
+      graft.pipeline.Graphs.triangleCounts(edges, col("src"), col("dst"))
+    }),
+
     // Exact curriculum binning: ntile(10) over the global
     // (n_chars, doc_id) order WITHOUT a one-task window — range-sort +
     // two-phase broadcast prefix, then the closed-form ntile assignment
@@ -4274,6 +4291,42 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY round(-ln(u) / w, 9), doc_id) AS rn
         |  FROM d)
         |SELECT doc_id, source FROM r WHERE rn <= 200""".stripMargin,
+    // triangle counting: classic ordered three-way self-join (u<v<w
+    // counts each triangle once); integer counts feed one IEEE
+    // division, round-6 on both engines
+    "graph_triangles" ->
+      """WITH raw AS (
+        |  SELECT doc_id % 997 AS src, (doc_id * 7 + 3) % 997 AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 997, (doc_id * 13 + 5) % 997 FROM documents
+        |  UNION ALL
+        |  SELECT (doc_id * 7 + 3) % 997, (doc_id * 13 + 5) % 997
+        |  FROM documents),
+        |ed AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM raw WHERE src <> dst),
+        |deg AS (
+        |  SELECT node, COUNT(*) AS deg FROM (
+        |    SELECT u AS node FROM ed UNION ALL SELECT v AS node FROM ed)
+        |  GROUP BY node),
+        |tri AS (
+        |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |  FROM ed e1
+        |  JOIN ed e2 ON e2.u = e1.v
+        |  JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |pv AS (
+        |  SELECT node, COUNT(*) AS t FROM (
+        |    SELECT x AS node FROM tri
+        |    UNION ALL SELECT y AS node FROM tri
+        |    UNION ALL SELECT z AS node FROM tri)
+        |  GROUP BY node)
+        |SELECT d.node AS node, CAST(d.deg AS BIGINT) AS degree,
+        |  CAST(COALESCE(pv.t, 0) AS BIGINT) AS triangles,
+        |  ROUND(CASE WHEN d.deg >= 2
+        |    THEN 2.0 * COALESCE(pv.t, 0) / (d.deg * (d.deg - 1.0))
+        |    ELSE 0 END, 6) AS coeff
+        |FROM deg d LEFT JOIN pv USING (node)""".stripMargin,
     "graph_pagerank" -> {
       def it(k: Int) =
         s"""it$k AS (

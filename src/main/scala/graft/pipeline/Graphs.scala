@@ -76,4 +76,66 @@ object Graphs {
     graft.util.Lineage.release(nodes)
     ranks.select(col("node"), col("r").as("rank"))
   }
+
+  /** Per-vertex triangle counts + local clustering coefficient over an
+    * undirected simple graph (self-loops dropped, multi-edges and
+    * direction collapsed). Output: (node, degree, triangles, coeff)
+    * with coeff = 2·t / (deg·(deg−1)) rounded to 6 (0 when deg < 2) —
+    * every input to the one division is an exact integer, so the
+    * result is engine-portable.
+    *
+    * Scale shape — the degree-ordered orientation trick: each edge is
+    * directed from its (degree, id)-smaller endpoint to the larger, so
+    * every out-neighborhood has size O(√m) regardless of how skewed
+    * the degree distribution is (a celebrity vertex with 10⁸ neighbors
+    * contributes NO wedges from its own fan-out — its edges all point
+    * INTO it from smaller vertices). Wedge generation is one self-join
+    * on the oriented source (bounded fan-out), closing is one hash
+    * join against the oriented edge set, and each triangle appears
+    * exactly once. Everything is key-hash shuffles over (edge, wedge)
+    * tables; no vertex neighborhood is ever collected to one task. */
+  def triangleCounts(edges: DataFrame, src: Column, dst: Column)
+      : DataFrame = {
+    val und = edges
+      .select(least(src, dst).as("u"), greatest(src, dst).as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull &&
+        col("v").isNotNull)
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    // total order for orientation: (degree, node) lexicographic —
+    // struct comparison gives it directly
+    val withDeg = und
+      .join(deg.select(col("node").as("u"), col("degree").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("degree").as("dv")), "v")
+    val oriented = withDeg.select(
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+        struct(col("u").as("a"), col("v").as("b"),
+          struct(col("dv").as("d"), col("v").as("n")).as("kb")))
+        .otherwise(struct(col("v").as("a"), col("u").as("b"),
+          struct(col("du").as("d"), col("u").as("n")).as("kb")))
+        .as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"), col("e.kb").as("kb"))
+    // wedges (a; b ≺ c) from a's out-neighborhood, closed by the
+    // oriented edge (b → c) — b ≺ c in the SAME total order, so the
+    // closing edge's orientation is determined
+    val wedges = oriented.select(col("a"), col("b"), col("kb").as("kb1"))
+      .join(oriented.select(col("a").as("a2"), col("b").as("c"),
+        col("kb").as("kb2")),
+        col("a") === col("a2") && col("kb1") < col("kb2"))
+      .select(col("a"), col("b"), col("c"))
+    val tris = wedges.join(
+      oriented.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"))
+    val perVertex = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("t"))
+    deg.join(perVertex, Seq("node"), "left_outer")
+      .select(col("node"), col("degree"),
+        coalesce(col("t"), lit(0L)).as("triangles"),
+        round(when(col("degree") >= 2L,
+          lit(2.0) * coalesce(col("t"), lit(0L)) /
+            (col("degree") * (col("degree") - 1L))).otherwise(0d), 6)
+          .as("coeff"))
+  }
 }

@@ -75,4 +75,62 @@ class GraphsSpec extends AnyFunSuite {
     assert(got(2L) > got(3L))
     assert(got === localPageRank(Seq((1L, 2L, 3.0), (1L, 3L, 1.0)), 3))
   }
+
+  // ---- triangle counting ------------------------------------------------
+
+  private def tri(edges: Seq[(Long, Long)])
+      : Map[Long, (Long, Long, Double)] =
+    Graphs.triangleCounts(edges.toDF("src", "dst"), col("src"),
+        col("dst")).collect()
+      .map(r => r.getAs[Long]("node") -> ((r.getAs[Long]("degree"),
+        r.getAs[Long]("triangles"), r.getAs[Double]("coeff")))).toMap
+
+  test("K4: every vertex has degree 3, 3 triangles, coefficient 1") {
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val got = tri(k4)
+    assert(got.keySet === Set(0L, 1L, 2L, 3L))
+    assert(got.values.toSet === Set((3L, 3L, 1.0)))
+  }
+
+  test("a path has no triangles; coefficient 0 everywhere") {
+    val got = tri(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(got.values.forall { case (_, t, c) => t == 0L && c == 0.0 })
+    assert(got(2L)._1 === 2L)
+  }
+
+  test("direction, multi-edges and self-loops collapse: the triangle " +
+      "is counted once") {
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L),
+      (1L, 1L), (3L, 3L))
+    val got = tri(messy)
+    assert(got === Map(
+      1L -> ((2L, 1L, 1.0)), 2L -> ((2L, 1L, 1.0)), 3L -> ((2L, 1L, 1.0))))
+  }
+
+  test("triangle counts match a brute-force reference on a " +
+      "deterministic pseudo-random graph") {
+    // the same mixing shape as the gate entry: three correlated edge
+    // families plant triangles; mod keeps the vertex set bounded
+    val edges = (0L until 300L).flatMap { d =>
+      val a = d % 29; val b = (d * 7 + 3) % 29; val c = (d * 13 + 5) % 29
+      Seq((a, b), (a, c), (b, c))
+    }
+    val und = edges.map { case (x, y) => (math.min(x, y), math.max(x, y)) }
+      .filter { case (x, y) => x != y }.distinct
+    val adj = und.flatMap { case (x, y) => Seq(x -> y, y -> x) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    val expected = nodes.map { v =>
+      val nb = adj(v).toSeq
+      val t = (for {
+        i <- nb.indices; j <- (i + 1) until nb.length
+        if adj(nb(i)).contains(nb(j))
+      } yield 1).size.toLong
+      v -> ((adj(v).size.toLong, t))
+    }.toMap
+    val got = tri(edges)
+    assert(got.view.mapValues(x => (x._1, x._2)).toMap === expected)
+    // sanity: the fixture actually has triangles
+    assert(got.values.map(_._2).sum > 0L)
+  }
 }
