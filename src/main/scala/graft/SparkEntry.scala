@@ -49,6 +49,44 @@ object SparkEntry {
     * ([[graft.expressions.Kernels.cdcChunks]]): H at 1-based position
     * `i.i` = Σ_{j=0..7} unicode(cp at i-j) · 31^j — one expression per
     * position, no join, so the sf1 oracle stays linear. */
+  /** The bigram-LM scoring chain (train on the corpus, add-one
+    * smoothing, per-doc cross-entropy) as DuckDB CTEs ending in
+    * `xent(doc_id, n_bigrams, xent)` — shared by the `lm_score` and
+    * `quality_ppl_buckets` oracles. */
+  private val lmXentSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |tf AS (SELECT unnest(toks) AS token FROM d),
+      |vocab AS (
+      |  SELECT token FROM (
+      |    SELECT token, COUNT(*) AS cnt FROM tf GROUP BY token
+      |    ORDER BY cnt DESC, token ASC LIMIT 256)),
+      |vv AS (SELECT COUNT(*) + 1 AS vp FROM vocab),
+      |p0 AS (
+      |  SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(generate_series(1, len(toks) - 1)) AS i
+      |        FROM d)),
+      |p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN va.token IS NULL THEN '<unk>' ELSE p0.a END AS w1,
+      |    CASE WHEN vb.token IS NULL THEN '<unk>' ELSE p0.b END AS w2
+      |  FROM p0
+      |  LEFT JOIN vocab va ON va.token = p0.a
+      |  LEFT JOIN vocab vb ON vb.token = p0.b),
+      |bc AS (SELECT w1, w2, COUNT(*) AS c FROM p GROUP BY w1, w2),
+      |fc AS (SELECT w1, SUM(c) AS c1 FROM bc GROUP BY w1),
+      |s AS (
+      |  SELECT p.doc_id,
+      |    ln((bc.c + 1.0) / (fc.c1 + vv.vp)) AS lp
+      |  FROM p JOIN bc USING (w1, w2) JOIN fc USING (w1) CROSS JOIN vv),
+      |xent AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    round(-SUM(lp) / COUNT(*), 6) AS xent
+      |  FROM s GROUP BY doc_id)
+      |""".stripMargin
+
   private val cdcHashSql: String =
     (0 until 8).map { j =>
       val pw = (0 until j).foldLeft(1L)((a, _) => a * 31L)
@@ -2070,6 +2108,24 @@ object SparkEntry {
       graft.pipeline.LanguageModel.scoreBigramLm(
         docs, col("doc_id"), col("text"), m)
         .select(col("id").as("doc_id"), col("n_bigrams"), col("xent"))
+    }),
+
+    // CCNet-style perplexity partitioning: per-language head/middle/
+    // tail buckets of the bigram-LM cross-entropy at 1/4 and 1/2
+    // cumulative boundaries (binary-exact fractions), bin-atomic at
+    // round-2 bins — the histogram-window shape, so the global sort a
+    // naive ntile would need never happens
+    "quality_ppl_buckets" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val m = graft.pipeline.LanguageModel.trainBigramLm(
+        docs, col("doc_id"), col("text"), vocabSize = 256)
+      val scored = graft.pipeline.LanguageModel.scoreBigramLm(
+        docs, col("doc_id"), col("text"), m)
+        .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+      graft.pipeline.Sampling.bucketByScoreBins(scored, col("lang"),
+        col("id"), col("xent"), fractions = Seq(0.25, 0.5))
+        .select(col("group").as("lang"), col("id").as("doc_id"),
+          col("score_bin"), col("bucket"))
     }),
 
     // Mergeable count-min frequency sketches, SELF-VERIFYING: daily CMS
@@ -4384,37 +4440,34 @@ object SparkEntry {
         |FROM af GROUP BY j""".stripMargin),
     // lm_score: the whole bigram-LM chain restated — exact counts,
     // identical ln inputs, round-6 only after the per-doc sum
-    "lm_score" ->
-      """WITH d AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-        |  FROM documents),
-        |tf AS (SELECT unnest(toks) AS token FROM d),
-        |vocab AS (
-        |  SELECT token FROM (
-        |    SELECT token, COUNT(*) AS cnt FROM tf GROUP BY token
-        |    ORDER BY cnt DESC, token ASC LIMIT 256)),
-        |vv AS (SELECT COUNT(*) + 1 AS vp FROM vocab),
-        |p0 AS (
-        |  SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
-        |  FROM (SELECT doc_id, toks,
-        |          unnest(generate_series(1, len(toks) - 1)) AS i
-        |        FROM d)),
-        |p AS (
-        |  SELECT doc_id,
-        |    CASE WHEN va.token IS NULL THEN '<unk>' ELSE p0.a END AS w1,
-        |    CASE WHEN vb.token IS NULL THEN '<unk>' ELSE p0.b END AS w2
-        |  FROM p0
-        |  LEFT JOIN vocab va ON va.token = p0.a
-        |  LEFT JOIN vocab vb ON vb.token = p0.b),
-        |bc AS (SELECT w1, w2, COUNT(*) AS c FROM p GROUP BY w1, w2),
-        |fc AS (SELECT w1, SUM(c) AS c1 FROM bc GROUP BY w1),
-        |s AS (
-        |  SELECT p.doc_id,
-        |    ln((bc.c + 1.0) / (fc.c1 + vv.vp)) AS lp
-        |  FROM p JOIN bc USING (w1, w2) JOIN fc USING (w1) CROSS JOIN vv)
-        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-        |  round(-SUM(lp) / COUNT(*), 6) AS xent
-        |FROM s GROUP BY doc_id""".stripMargin,
+    // (lmXentSql is shared with quality_ppl_buckets)
+    "lm_score" -> (lmXentSql +
+      """SELECT doc_id, n_bigrams, xent FROM xent""".stripMargin),
+    // CCNet-style perplexity partitioning: per-language head/middle/
+    // tail at 1/4 and 1/2 cumulative-count boundaries, bin-atomic at
+    // round-2 xent bins — the histogram window mirrors the Spark side
+    "quality_ppl_buckets" -> (lmXentSql +
+      """, sc AS (
+        |  SELECT documents.lang AS lang, x.doc_id,
+        |    round(x.xent, 2) AS score_bin
+        |  FROM xent x JOIN documents USING (doc_id)),
+        |hist AS (
+        |  SELECT lang, score_bin, COUNT(*) AS c FROM sc GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, score_bin,
+        |    COALESCE(SUM(c) OVER (PARTITION BY lang ORDER BY score_bin
+        |      ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cb,
+        |    SUM(c) OVER (PARTITION BY lang) AS n
+        |  FROM hist),
+        |lab AS (
+        |  SELECT lang, score_bin,
+        |    CAST((CASE WHEN cb >= CEIL(0.25 * n) THEN 1 ELSE 0 END) +
+        |         (CASE WHEN cb >= CEIL(0.5 * n) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS bucket
+        |  FROM cum)
+        |SELECT sc.lang, sc.doc_id, sc.score_bin, lab.bucket
+        |FROM sc JOIN lab USING (lang, score_bin)""".stripMargin),
     "sample_cluster" -> (kMeansOracleSql +
       """SELECT vec_id, cluster FROM (
         |  SELECT id AS vec_id, j AS cluster,

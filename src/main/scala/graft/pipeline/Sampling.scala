@@ -353,4 +353,51 @@ object Sampling {
       .where(col("weight") >= col("__wmin"))
       .select(col("stratum"), col("id"), col("weight"))
   }
+
+  /** Per-group quantile buckets of a score — the CCNet head/middle/
+    * tail shape for perplexity-based corpus partitioning, generalized
+    * to any ascending `fractions` (k fractions → k+1 buckets; bucket 0
+    * holds the LOWEST scores). The cut is BIN-ATOMIC at
+    * `round(score, binDecimals)` resolution: every row in a score bin
+    * lands in the same bucket — the deterministic choice (no arbitrary
+    * tie order inside a bin) and the scalable one.
+    *
+    * Scale shape (the [[topPPerGroup]] histogram pattern): one
+    * map-side-combined count aggregation to the (group, bin) histogram,
+    * one cumulative window over that histogram (rows ∝ groups × bins,
+    * never corpus size), then a broadcast label join back — a pure map
+    * stage over the corpus. A skewed group costs nothing extra.
+    * Boundaries are `ceil(f · n)` row counts: with binary-exact
+    * fractions (1/4, 1/2, …) the product is exact on any engine.
+    *
+    * Output: (group, id, score_bin, bucket). */
+  def bucketByScoreBins(df: DataFrame, group: Column, key: Column,
+      score: Column, fractions: Seq[Double], binDecimals: Int = 2)
+      : DataFrame = {
+    require(fractions.nonEmpty &&
+      fractions.forall(f => f > 0.0 && f < 1.0) &&
+      fractions == fractions.sorted,
+      "fractions must be ascending within (0, 1)")
+    val b = df.select(group.as("group"), key.as("id"),
+      round(score, binDecimals).as("score_bin"))
+    val hist = b.groupBy(col("group"), col("score_bin"))
+      .agg(count(lit(1)).as("__c"))
+    val byBin = Window.partitionBy(col("group"))
+      .orderBy(col("score_bin").asc)
+    val cum = hist
+      .withColumn("__cumBefore", coalesce(sum(col("__c")).over(
+        byBin.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n",
+        sum(col("__c")).over(Window.partitionBy(col("group"))))
+    // a bin's bucket = how many boundaries its cumulative-before count
+    // has crossed; the bin CONTAINING a boundary stays below it
+    val bucket = fractions.map(f =>
+        when(col("__cumBefore") >= ceil(lit(f) * col("__n")), 1L)
+          .otherwise(0L))
+      .reduce(_ + _)
+    val labels = cum.select(col("group"), col("score_bin"),
+      bucket.cast("long").as("bucket"))
+    b.join(broadcast(labels), Seq("group", "score_bin"))
+      .select(col("group"), col("id"), col("score_bin"), col("bucket"))
+  }
 }

@@ -287,6 +287,46 @@ class EvaluationOpsSpec extends AnyFunSuite {
           _.getMessage.contains("negative weight"))))
   }
 
+  // ---- quantile buckets ---------------------------------------------------
+
+  test("bucketByScoreBins: head/middle/tail at 1/4 and 1/2, bin-atomic " +
+      "at the boundary") {
+    // group g: 8 rows, scores 1..8 → boundaries ceil(2)=2, ceil(4)=4:
+    // bucket 0 = scores 1,2; bucket 1 = 3,4; bucket 2 = 5..8
+    val df = (1 to 8).map(i => ("g", i.toLong, i.toDouble))
+      .toDF("lang", "id", "score")
+    val got = Sampling.bucketByScoreBins(df, col("lang"), col("id"),
+        col("score"), Seq(0.25, 0.5)).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("bucket")).toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L,
+      5L -> 2L, 6L -> 2L, 7L -> 2L, 8L -> 2L))
+  }
+
+  test("bucketByScoreBins: rows tied in one score bin share a bucket " +
+      "even when the boundary falls inside the bin") {
+    // 4 rows all score 1.0 + 4 rows score 2.0; boundary ceil(0.25*8)=2
+    // falls INSIDE the first bin → whole bin stays bucket 0
+    val df = ((1 to 4).map(i => (i.toLong, 1.0)) ++
+      (5 to 8).map(i => (i.toLong, 2.0))).map { case (i, s) =>
+      ("g", i, s) }.toDF("lang", "id", "score")
+    val got = Sampling.bucketByScoreBins(df, col("lang"), col("id"),
+        col("score"), Seq(0.25)).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("bucket")).toMap
+    assert((1 to 4).forall(i => got(i.toLong) == 0L))
+    assert((5 to 8).forall(i => got(i.toLong) == 1L))
+  }
+
+  test("bucketByScoreBins buckets independently per group") {
+    val df = (Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0),
+      ("a", 4L, 40.0)) ++ Seq(("b", 5L, 1.0), ("b", 6L, 2.0)))
+      .toDF("lang", "id", "score")
+    val got = Sampling.bucketByScoreBins(df, col("lang"), col("id"),
+        col("score"), Seq(0.5)).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("bucket")).toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L,
+      5L -> 0L, 6L -> 1L))
+  }
+
   // ---- degenerate evaluation inputs --------------------------------------
 
   test("rocCurve/prCurve/aucBinned stay finite on a single-class truth " +
