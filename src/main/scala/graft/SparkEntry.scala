@@ -1799,6 +1799,18 @@ object SparkEntry {
     // Token-budget corpus mixing: per-source token targets met in
     // key-hash order (first overshooting doc included) via the
     // two-phase distributed running sum — no per-stratum window task
+    // Water-filling token-budget allocation across sources: the solver
+    // that derives the per-domain budget map corpus_mix consumes —
+    // small sources keep all their tokens, large ones clip at the
+    // unique integer cap fitting the total budget. Integer-exact
+    // histogram math after one corpus aggregation
+    "corpus_waterfill" -> ((s, dir) =>
+      graft.pipeline.Sampling.waterfillBudget(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("source"),
+        graft.pipeline.TextAnalysis.tokenCount(col("text")),
+        budget = 5000L)),
+
     "corpus_mix" -> ((s, dir) =>
       graft.pipeline.Sampling.tokenBudgetSample(
         s.read.parquet(s"$dir/documents.parquet"),
@@ -4233,6 +4245,34 @@ object SparkEntry {
         |    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
         |      AS BIGINT) / 4294967296.0 AS u
         |  FROM documents)""".stripMargin,
+    // waterfill: funded-prefix selection over the ascending-avail
+    // domain histogram; all integer arithmetic, '//' = floor division
+    "corpus_waterfill" ->
+      """WITH a AS (
+        |  SELECT source AS domain,
+        |    CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+        |      AS BIGINT) AS avail
+        |  FROM documents GROUP BY source),
+        |r AS (
+        |  SELECT domain, avail,
+        |    CAST(row_number() OVER (ORDER BY avail, domain) AS BIGINT)
+        |      AS i,
+        |    COALESCE(SUM(avail) OVER (ORDER BY avail, domain
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS sb,
+        |    COUNT(*) OVER () AS n
+        |  FROM a),
+        |f AS (
+        |  SELECT *, avail * (n - i + 1) <= 5000 - sb AS funded FROM r),
+        |k AS (
+        |  SELECT COALESCE(MAX(CASE WHEN funded THEN i END), 0) AS k,
+        |    COALESCE(MAX(CASE WHEN funded THEN sb + avail END), 0) AS sk,
+        |    MAX(n) AS n FROM f)
+        |SELECT f.domain, f.avail,
+        |  CAST(CASE WHEN k.k = k.n THEN f.avail
+        |    ELSE LEAST(f.avail, (5000 - k.sk) // (k.n - k.k)) END
+        |    AS BIGINT) AS quota
+        |FROM f, k""".stripMargin,
     "corpus_mix" ->
       """WITH d AS (
         |  SELECT doc_id, source,

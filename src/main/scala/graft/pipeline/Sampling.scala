@@ -400,4 +400,57 @@ object Sampling {
     b.join(broadcast(labels), Seq("group", "score_bin"))
       .select(col("group"), col("id"), col("score_bin"), col("bucket"))
   }
+
+  /** Water-filling token-budget allocation across domains: given each
+    * domain's available token count and one total `budget`, find the
+    * unique integer cap `c` such that every domain receives
+    * `quota = min(avail, c)` and the total allocated is the largest
+    * value ≤ budget of that form — the standard fair-mixture solver
+    * (small domains keep everything, large domains are clipped at a
+    * common ceiling). The derived quotas feed [[tokenBudgetSample]]
+    * as its per-domain budget map. Tokens the cap leaves unallocated
+    * (< number of clipped domains) stay unallocated — deterministic,
+    * rather than distributed by an arbitrary tie rule.
+    *
+    * Scale shape: ONE map-side-combined aggregation over the corpus to
+    * the per-domain token totals; everything after runs on that domain
+    * histogram (rows = domain count, never corpus size) — an ordered
+    * window and a 1-row broadcast of the solved cap. All arithmetic is
+    * integer-exact, so the result is engine-portable bit-for-bit.
+    *
+    * Output: (domain, avail, quota). */
+  def waterfillBudget(df: DataFrame, domain: Column, tokens: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 0L, "budget must be non-negative")
+    val a = df.groupBy(domain.as("domain"))
+      .agg(sum(tokens.cast("long")).as("avail"))
+    // the ascending-availability prefix that can be FULLY funded:
+    // domain i (1-based, asc by (avail, domain)) is funded iff giving
+    // its avail to it and every remaining domain still fits the
+    // remaining budget: avail_i · (n − i + 1) ≤ budget − S_{i−1};
+    // fundedness is monotone along the order, so `k = max funded i`
+    // defines the cap segment and c = ⌊(budget − S_k) / (n − k)⌋
+    val byAvail = Window.orderBy(col("avail").asc, col("domain").asc)
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val ranked = a
+      .withColumn("__i", row_number().over(byAvail))
+      .withColumn("__sb", coalesce(sum(col("avail")).over(
+        byAvail.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__funded",
+        col("avail") * (col("__n") - col("__i") + 1L) <=
+          lit(budget) - col("__sb"))
+    val cap = ranked.agg(
+      coalesce(max(when(col("__funded"), col("__i"))), lit(0L)).as("__k"),
+      coalesce(max(when(col("__funded"), col("__sb") + col("avail"))),
+        lit(0L)).as("__sk"),
+      max(col("__n")).as("__nn"))
+    ranked.crossJoin(broadcast(cap))
+      .select(col("domain"), col("avail"),
+        when(col("__k") === col("__nn"), col("avail"))
+          .otherwise(least(col("avail"),
+            expr("(" + budget + "L - __sk) div (__nn - __k)")))
+          .as("quota"))
+  }
 }

@@ -327,6 +327,64 @@ class EvaluationOpsSpec extends AnyFunSuite {
       5L -> 0L, 6L -> 1L))
   }
 
+  // ---- water-filling budget allocation -----------------------------------
+
+  private def wf(avail: Seq[(String, Long)], budget: Long)
+      : Map[String, Long] =
+    Sampling.waterfillBudget(
+      avail.flatMap { case (d, a) => Seq.fill(1)((d, a)) }
+        .toDF("domain", "tok"),
+      col("domain"), col("tok"), budget).collect()
+      .map(r => r.getAs[String]("domain") -> r.getAs[Long]("quota")).toMap
+
+  test("waterfill: budget covers everything -> every domain fully " +
+      "funded") {
+    assert(wf(Seq("a" -> 3L, "b" -> 7L), budget = 10L) ===
+      Map("a" -> 3L, "b" -> 7L))
+    assert(wf(Seq("a" -> 3L, "b" -> 7L), budget = 100L) ===
+      Map("a" -> 3L, "b" -> 7L))
+  }
+
+  test("waterfill: small domains keep everything, large ones clip at " +
+      "the common cap") {
+    // sorted (1,5,10), B=12: 1 and 5 funded, cap = (12-6)/1 = 6
+    assert(wf(Seq("s" -> 1L, "m" -> 5L, "l" -> 10L), budget = 12L) ===
+      Map("s" -> 1L, "m" -> 5L, "l" -> 6L))
+    // (4,10,10), B=12: only 4 funded, cap = (12-4)/2 = 4
+    assert(wf(Seq("a" -> 4L, "b" -> 10L, "c" -> 10L), budget = 12L) ===
+      Map("a" -> 4L, "b" -> 4L, "c" -> 4L))
+  }
+
+  test("waterfill: no domain fully fundable -> uniform floor cap; " +
+      "zero budget -> zero quotas") {
+    assert(wf(Seq("a" -> 5L, "b" -> 6L), budget = 3L) ===
+      Map("a" -> 1L, "b" -> 1L))
+    assert(wf(Seq("a" -> 5L, "b" -> 6L), budget = 0L) ===
+      Map("a" -> 0L, "b" -> 0L))
+  }
+
+  test("waterfill: allocation totals never exceed the budget and are " +
+      "maximal for a min-cap allocation") {
+    val avail = Seq("a" -> 13L, "b" -> 2L, "c" -> 29L, "d" -> 7L,
+      "e" -> 101L)
+    for (b <- Seq(0L, 1L, 5L, 20L, 60L, 151L, 152L, 1000L)) {
+      val q = wf(avail, b)
+      val total = q.values.sum
+      assert(total <= b || total == avail.map(_._2).sum.min(b),
+        s"budget $b overspent: $q")
+      assert(total <= b.min(avail.map(_._2).sum))
+      // maximality: cap+1 would overspend (unless everything funded)
+      if (total < avail.map(_._2).sum) {
+        val cap = q.collect {
+          case (d, v) if v < avail.toMap.apply(d) => v }.maxOption
+        cap.foreach { c =>
+          val overT = avail.map { case (_, a) => math.min(a, c + 1) }.sum
+          assert(overT > b, s"budget $b cap $c not maximal")
+        }
+      }
+    }
+  }
+
   // ---- degenerate evaluation inputs --------------------------------------
 
   test("rocCurve/prCurve/aucBinned stay finite on a single-class truth " +
