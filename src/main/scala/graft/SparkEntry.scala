@@ -2213,6 +2213,37 @@ object SparkEntry {
         .select(col("doc_id"), lit(true).as("bpe_lossless_compressive"))
     }),
 
+    // Unigram-LM (SentencePiece-shape) tokenizer, SELF-VERIFYING like
+    // bpe_encode: Viterbi encode under the EM-trained vocab must be
+    // lossless per doc (concat == normalized text) and compress the
+    // corpus below 90% of its characters; either failing drops rows /
+    // raises, so the trivial oracle only matches when both hold
+    "unigram_encode" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val vocab = graft.pipeline.Tokenizer.trainUnigram(
+        docs, col("text"), vocabTarget = 400, maxPieceLen = 6,
+        rounds = 2)
+      require(vocab.size <= 400 + 64 && vocab.exists(_._1.length > 1),
+        s"degenerate unigram vocab: ${vocab.size} pieces")
+      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", "")
+      val enc = docs.select(col("doc_id"),
+        graft.pipeline.Tokenizer.encodeUnigram(col("text"), vocab,
+          maxPieceLen = 6).as("toks"),
+        norm.as("norm"))
+        .localCheckpoint(true)
+      val totals = enc.agg(
+        coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("t"),
+        coalesce(sum(length(col("norm")).cast("long")), lit(0L)).as("c"))
+        .collect()(0)
+      require(totals.getLong(1) == 0L ||
+        totals.getLong(0) < (totals.getLong(1) * 9) / 10,
+        s"unigram vocab failed to compress: ${totals.getLong(0)} " +
+          s"pieces vs ${totals.getLong(1)} chars")
+      enc.where(concat_ws("", col("toks")) === col("norm"))
+        .select(col("doc_id"),
+          lit(true).as("unigram_lossless_compressive"))
+    }),
+
     // Exact per-stratum quota sample: n smallest key hashes per stratum
     // via skew-proof two-phase top-n
     "sample_quota" -> ((s, dir) =>
@@ -4532,6 +4563,9 @@ object SparkEntry {
         |SELECT l, r, pf FROM g ORDER BY pf DESC, l, r LIMIT 30""".stripMargin,
     "bpe_encode" ->
       """SELECT doc_id, true AS bpe_lossless_compressive
+        |FROM documents""".stripMargin,
+    "unigram_encode" ->
+      """SELECT doc_id, true AS unigram_lossless_compressive
         |FROM documents""".stripMargin,
     "sample_quota" ->
       """SELECT event_id, event_type FROM (

@@ -94,6 +94,158 @@ object Tokenizer {
     merges.toSeq
   }
 
+  // ---- unigram-LM (SentencePiece-style) tokenizer ----------------------
+
+  /** All substring occurrences of a word with length 1..maxLen — the
+    * unigram seed-candidate generator (occurrence-weighted, so a
+    * substring repeating inside one word counts each occurrence). */
+  private val substringsUdf = udf((w: String, maxLen: Int) => {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      var l = 1
+      while (l <= maxLen && i + l <= w.length) {
+        out += w.substring(i, i + l); l += 1
+      }
+      i += 1
+    }
+    out.toSeq
+  })
+
+  /** Fallback log-score of an out-of-vocabulary single character —
+    * well below any real piece score at feasible corpus sizes
+    * (ln(1/total) ≈ −28 even at 10¹² tokens) but finite, so encoding
+    * is total on ANY input. */
+  private val UnkCharScore = -100.0
+
+  /** Viterbi segmentation of one word under broadcast piece scores:
+    * maximize the summed log-probability; ties break to FEWER pieces,
+    * then to the longer final piece — total and deterministic, so the
+    * hard-EM counts below are independent of partitioning. */
+  private[pipeline] def viterbiSegment(w: String,
+      score: Map[String, Double], maxLen: Int): Seq[String] = {
+    val n = w.length
+    if (n == 0) return Nil
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val nPieces = new Array[Int](n + 1)
+    val lastLen = new Array[Int](n + 1)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      val maxL = math.min(maxLen, i)
+      var l = 1
+      while (l <= maxL) {
+        val piece = w.substring(i - l, i)
+        val s = score.get(piece) match {
+          case Some(x)            => x
+          case None if l == 1     => UnkCharScore
+          case None               => Double.NegativeInfinity
+        }
+        if (s != Double.NegativeInfinity &&
+            best(i - l) != Double.NegativeInfinity) {
+          val cand = best(i - l) + s
+          val candN = nPieces(i - l) + 1
+          val better = cand > best(i) ||
+            (cand == best(i) && (candN < nPieces(i) ||
+              (candN == nPieces(i) && l > lastLen(i))))
+          if (better) {
+            best(i) = cand; nPieces(i) = candN; lastLen(i) = l
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    val out = new Array[String](nPieces(n))
+    var pos = n
+    var k = nPieces(n) - 1
+    while (pos > 0) {
+      val l = lastLen(pos)
+      out(k) = w.substring(pos - l, pos)
+      k -= 1; pos -= l
+    }
+    out.toSeq
+  }
+
+  /** Add-one-smoothed log-probabilities of a (piece, count) vocab. */
+  private def unigramScores(vocab: Seq[(String, Long)])
+      : Map[String, Double] = {
+    val total = vocab.map(_._2 + 1L).sum.toDouble
+    vocab.map { case (p, c) => p -> math.log((c + 1L) / total) }.toMap
+  }
+
+  /** Learn a unigram-LM subword vocabulary (the SentencePiece trainer
+    * shape, hard-EM variant): seed with the most frequent substrings,
+    * then alternate Viterbi segmentation of the word table (E-step)
+    * with count-based re-estimation + pruning to `vocabTarget`
+    * (M-step). Every single character seen in the corpus is always
+    * kept, so encoding stays total; multi-char slots go to the
+    * highest-count pieces, ties broken lexicographically.
+    *
+    * Scale shape — the [[trainBpe]] story: the corpus is touched once
+    * (word-frequency shuffle); every EM round is one UDF map + one
+    * map-side-combined groupBy over the vocabulary-sized WORD table,
+    * and only the bounded vocab (≤ seedMultiplier × vocabTarget +
+    * alphabet rows) ever reaches the driver. The word table is
+    * lineage-truncated once up front; rounds are stateless given the
+    * broadcast scores, so nothing accumulates across rounds.
+    *
+    * Returns (piece, count) sorted by (count desc, piece) — counts are
+    * the final round's exact Viterbi counts (integers). */
+  def trainUnigram(docs: DataFrame, text: Column, vocabTarget: Int,
+      maxPieceLen: Int = 6, seedMultiplier: Int = 4, rounds: Int = 2)
+      : Seq[(String, Long)] = {
+    require(vocabTarget > 0 && maxPieceLen > 0 && rounds > 0)
+    val words = wordCounts(docs, text).localCheckpoint(true)
+    val seeds = words
+      .select(col("f"),
+        explode(substringsUdf(col("word"), lit(maxPieceLen))).as("piece"))
+      .groupBy("piece").agg(sum(col("f")).as("cnt"))
+    val charRows = seeds.where(length(col("piece")) === 1).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val multiRows = seeds.where(length(col("piece")) > 1)
+      .orderBy(desc("cnt"), col("piece"))
+      .limit(seedMultiplier * vocabTarget).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val charSet = charRows.map(_._1).toSet
+    var vocab: Seq[(String, Long)] = (charRows ++ multiRows).toSeq
+    for (_ <- 1 to rounds) {
+      val scores = unigramScores(vocab)
+      val ml = maxPieceLen
+      val seg = udf((w: String) => viterbiSegment(w, scores, ml))
+      val counts = words
+        .select(col("f"), explode(seg(col("word"))).as("piece"))
+        .groupBy("piece").agg(sum(col("f")).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val singles = charSet.toSeq.sorted
+        .map(c => (c, counts.getOrElse(c, 0L)))
+      val multiSlots = math.max(vocabTarget - singles.size, 0)
+      val multis = counts.toSeq
+        .filter { case (p, c) => p.length > 1 && c > 0L }
+        .sortBy { case (p, c) => (-c, p) }
+        .take(multiSlots)
+      vocab = singles ++ multis
+    }
+    graft.util.Lineage.release(words)
+    vocab.sortBy { case (p, c) => (-c, p) }
+  }
+
+  /** Tokenize text with a learned unigram vocab: per word, the same
+    * Viterbi segmentation the trainer used — pure map stage, vocab
+    * scores ride the UDF closure. Lossless on any input (OOV
+    * characters fall back to single-char pieces). */
+  def encodeUnigram(text: Column, vocab: Seq[(String, Long)],
+      maxPieceLen: Int = 6): Column = {
+    val scores = unigramScores(vocab)
+    val ml = maxPieceLen
+    val enc = udf((t: String) => {
+      if (t == null) null
+      else t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        .flatMap(w => viterbiSegment(w, scores, ml))
+    })
+    enc(text)
+  }
+
   /** Tokenize text with a learned merge list: per word, repeatedly
     * merge the adjacent pair with the best (lowest-index) rank until no
     * learned pair remains — the standard rank-greedy BPE encoder.

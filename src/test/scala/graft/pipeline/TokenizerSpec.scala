@@ -82,6 +82,66 @@ class TokenizerSpec extends AnyFunSuite {
     assert(m1 === m2)
   }
 
+  // ---- unigram-LM tokenizer ----------------------------------------------
+
+  test("trainUnigram keeps every corpus character and promotes the " +
+      "dominant substring to a piece") {
+    val docs = Seq((0L, "abab abab abab"), (1L, "abab cd"))
+      .toDF("doc_id", "text")
+    val vocab = Tokenizer.trainUnigram(docs, col("text"),
+      vocabTarget = 8, maxPieceLen = 4, rounds = 2)
+    val pieces = vocab.map(_._1).toSet
+    assert(Set("a", "b", "c", "d").subsetOf(pieces), s"chars kept: $vocab")
+    assert(pieces.contains("abab") || pieces.contains("ab"),
+      s"frequent substring promoted: $vocab")
+    assert(vocab.size <= 8)
+  }
+
+  test("encodeUnigram is lossless, total on OOV characters, and uses " +
+      "multi-char pieces") {
+    val docs = Seq((0L, "hello hello world world hello"),
+      (1L, "hello world")).toDF("doc_id", "text")
+    val vocab = Tokenizer.trainUnigram(docs, col("text"),
+      vocabTarget = 20, maxPieceLen = 5, rounds = 2)
+    val enc = Seq((0L, "hello world"), (1L, "XyZ!? hello"), (2L, ""),
+      (3L, "unseen"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        Tokenizer.encodeUnigram(col("text"), vocab, maxPieceLen = 5)
+          .as("toks"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", "").as("norm"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getSeq[String](1), r.getAs[String]("norm")))).toMap
+    enc.foreach { case (id, (toks, norm)) =>
+      assert(toks.mkString("") === norm, s"doc $id not lossless")
+    }
+    assert(enc(0L)._1.exists(_.length > 1),
+      s"no multi-char piece used: ${enc(0L)._1}")
+  }
+
+  test("trainUnigram is independent of input partitioning") {
+    val docs = (0L until 40L)
+      .map(i => (i, s"the quick brown fox number$i the the quick"))
+    val a = Tokenizer.trainUnigram(docs.toDF("doc_id", "text"),
+      col("text"), vocabTarget = 30, maxPieceLen = 4)
+    val b = Tokenizer.trainUnigram(
+      docs.toDF("doc_id", "text").repartition(13), col("text"),
+      vocabTarget = 30, maxPieceLen = 4)
+    assert(a === b)
+  }
+
+  test("viterbiSegment prefers fewer pieces on score ties and maximizes " +
+      "log-probability") {
+    // "ab" vs "a"+"b": with p(ab) = p(a)·p(b) exactly, fewer wins
+    val s = Map("a" -> math.log(0.25), "b" -> math.log(0.25),
+      "ab" -> math.log(0.0625))
+    assert(Tokenizer.viterbiSegment("ab", s, 2) === Seq("ab"))
+    // higher-probability piece beats the tie rule
+    val s2 = Map("a" -> math.log(0.4), "b" -> math.log(0.4),
+      "ab" -> math.log(0.1))
+    assert(Tokenizer.viterbiSegment("ab", s2, 2) === Seq("a", "b"))
+  }
+
   test("trainBpe stops early when every word is one symbol") {
     val docs = Seq((0L, "ab ab")).toDF("doc_id", "text")
     assert(Tokenizer.trainBpe(docs, col("text"), 10) === Seq(("a", "b")))
