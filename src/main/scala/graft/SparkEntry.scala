@@ -2082,6 +2082,23 @@ object SparkEntry {
         .select(col("id").as("vec_id"),
           col("cluster").cast("long").as("cluster"), col("d2"))),
 
+    // SemDeDup: k-means blocks (fixed-point, oracle-replayable) +
+    // exact within-cluster cosine + connected components, keep = min
+    // id. Corpus = a quarter subset + planted exact copies of every
+    // 40th vector; the embeddings fixture has NO organic pair >= 0.9
+    // at any SF, so the expected components are exactly the planted
+    // (v, v+1e6) pairs — verified end-to-end by the DuckDB replay
+    "dedup_semdedup" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val corpus = emb.where(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(emb.where(col("vec_id") % 40 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            col("embedding")))
+      graft.pipeline.Embeddings.semDeDup(corpus, col("vec_id"),
+        col("embedding"), k = 8, iterations = 2, threshold = 0.9)
+    }),
+
     // Cluster-balanced subset: k-means assignment composed with the
     // deterministic per-stratum quota sampler (≤ 25 vectors/cluster by
     // row hash) — the counter to majority-domain dominance when mixing
@@ -2822,7 +2839,14 @@ object SparkEntry {
     * [[graft.pipeline.Clustering]] bit-for-bit with no rounding
     * tolerance. Ends with `af(id, j, d2)`: the final assignment; the
     * per-entry SQL appends its own SELECT. */
-  private val kMeansOracleSql: String = {
+  /** The fixed-point quantized-k-means chain (seed, 2 Lloyd rounds,
+    * final assignment `af(id, j, d2)`) as DuckDB CTEs over an
+    * arbitrary `corp(vec_id, embedding)` corpus CTE body — shared by
+    * the emb_kmeans family and dedup_semdedup. `withKw` lets a caller
+    * that appends a recursive CTE start the chain with
+    * `WITH RECURSIVE`. */
+  private def kMeansSqlOver(corpusSql: String,
+      withKw: String = "WITH"): String = {
     // one Lloyd round: assign under centroid table cPrev, update -> cNext
     def round(cPrev: String, aCur: String, cNext: String) =
       s"""$aCur AS (
@@ -2840,14 +2864,15 @@ object SparkEntry {
          |        AS cv
          |    FROM $aCur a JOIN q ON q.id = a.id
          |    GROUP BY a.j, q.i) u ON u.j = c.j AND u.i = c.i)""".stripMargin
-    s"""WITH q AS (
+    s"""$withKw corp AS ($corpusSql),
+       |q AS (
        |  SELECT vec_id AS id, i,
        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
        |      AS qv
        |  FROM (SELECT vec_id, embedding,
        |          unnest(generate_series(1, len(embedding))) AS i
-       |        FROM embeddings)),
-       |st AS (SELECT greatest(COUNT(*) // 8, 1) AS s FROM embeddings),
+       |        FROM corp)),
+       |st AS (SELECT greatest(COUNT(*) // 8, 1) AS s FROM corp),
        |seeds AS (
        |  SELECT id, row_number() OVER (ORDER BY id) - 1 AS j
        |  FROM (SELECT DISTINCT id FROM q), st
@@ -2867,6 +2892,9 @@ object SparkEntry {
        |    GROUP BY q.id, c.j) WHERE rn = 1)
        |""".stripMargin
   }
+
+  private val kMeansOracleSql: String =
+    kMeansSqlOver("SELECT vec_id, embedding FROM embeddings")
 
   private def oracleSqlBase: Map[String, String] = Map(
     "r1_bgp_join" ->
@@ -4505,6 +4533,33 @@ object SparkEntry {
     // the match is hash-exact with no rounding tolerance
     "emb_kmeans" -> (kMeansOracleSql +
       """SELECT id AS vec_id, j AS cluster, d2 FROM af""".stripMargin),
+    // semdedup: the same k-means chain over the planted-copy corpus,
+    // then within-cluster cosine pairs + recursive min-label walk
+    "dedup_semdedup" -> (kMeansSqlOver(
+      """SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings
+        |  WHERE vec_id % 40 = 0""".stripMargin,
+      withKw = "WITH RECURSIVE") +
+      """, mem AS (
+        |  SELECT a.id, a.j, corp.embedding
+        |  FROM af a JOIN corp ON corp.vec_id = a.id),
+        |p AS (
+        |  SELECT x.id AS id_a, y.id AS id_b
+        |  FROM mem x JOIN mem y ON x.j = y.j AND x.id < y.id
+        |  WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |    CAST(y.embedding AS DOUBLE[])) >= 0.9),
+        |e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |walk(id, lbl) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.src, w.lbl FROM e JOIN walk w ON e.dst = w.id),
+        |rp AS (SELECT id, MIN(lbl) AS rep FROM walk GROUP BY id)
+        |SELECT corp.vec_id, COALESCE(rp.rep, corp.vec_id) AS rep,
+        |  COALESCE(rp.rep, corp.vec_id) = corp.vec_id AS keep
+        |FROM corp LEFT JOIN rp ON rp.id = corp.vec_id""".stripMargin),
     "cluster_stats" -> (kMeansOracleSql +
       """SELECT j AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(d2) AS BIGINT) AS inertia

@@ -121,4 +121,44 @@ object Embeddings {
       })
     df.withColumn("pc", proj(vec.cast("array<double>")))
   }
+
+  /** SemDeDup-style semantic deduplication: k-means clusters as
+    * similarity blocks, exact cosine within each block, connected
+    * components over the ≥-threshold pairs, keep = the smallest id of
+    * each component. Output: (vec_id, rep, keep) for EVERY input row —
+    * `rep` is the component representative (itself when unmatched).
+    *
+    * Scale shape: clustering replaces the all-pairs O(n²) comparison
+    * with O(Σ cᵢ²) — choose k ∝ n so per-cluster membership stays
+    * bounded and the pairwise stage costs O(n²/k) spread over
+    * cluster-keyed shuffle partitions. The fixed-point integer k-means
+    * ([[Clustering.fitQuantizedKMeans]]) keeps assignment
+    * engine-exact, so an oracle can replay the whole chain. Caveat the
+    * caller owns: a degenerate embedding distribution can collapse
+    * into one giant cluster and re-create the quadratic blowup —
+    * watch [[Clustering.clusterStats]] and raise k (or recurse into
+    * oversized clusters) when the largest cluster exceeds budget. */
+  def semDeDup(df: DataFrame, idCol: Column, vecCol: Column, k: Int,
+      iterations: Int, threshold: Double, scale: Double = 1e6)
+      : DataFrame = {
+    val base = df.select(idCol.as("id"), vecCol.as("vec"))
+    val assigned = Clustering.kMeansAssign(base, k, iterations, scale)
+      .select(col("id"), col("cluster"))
+    val m = assigned.join(base, "id")
+      .select(col("id"), col("cluster"), col("vec"))
+    val pairs = m.toDF("id_a", "cluster", "vec_a")
+      .join(m.toDF("id_b", "cluster", "vec_b"), Seq("cluster"))
+      .where(col("id_a") < col("id_b"))
+      .where(Ann.cosine(col("vec_a").cast("array<double>"),
+        col("vec_b").cast("array<double>")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val comps = Dedup.connectedComponents(pairs)
+    base.select(col("id").as("vec_id"))
+      .join(comps.select(col("id").as("vec_id"), col("lbl")),
+        Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("lbl"), col("vec_id")).as("rep"),
+        (coalesce(col("lbl"), col("vec_id")) === col("vec_id"))
+          .as("keep"))
+  }
 }

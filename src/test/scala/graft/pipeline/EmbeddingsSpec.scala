@@ -92,4 +92,34 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(m.explainedRatio > 0.15 && m.explainedRatio < 0.75,
       s"ratio ${m.explainedRatio}") // near-isotropic synthetic vectors
   }
+
+  // ---- SemDeDup ----------------------------------------------------------
+
+  test("semDeDup: planted exact copies collapse to their component " +
+      "minimum; distinct vectors all keep") {
+    // two well-separated groups of vectors, ids 0..5; 10/11 are exact
+    // copies of 0 and 4 respectively; 12 is a copy of 10 (chain)
+    val vecs: Seq[(Long, Seq[Double])] = Seq(
+      0L -> Seq(1.0, 0.0, 0.0, 0.0),
+      1L -> Seq(0.9, 0.1, 0.0, 0.0),
+      2L -> Seq(0.0, 0.0, 1.0, 0.0),
+      3L -> Seq(0.0, 0.1, 0.9, 0.0),
+      4L -> Seq(0.0, 0.0, 0.0, 1.0),
+      10L -> Seq(1.0, 0.0, 0.0, 0.0),
+      11L -> Seq(0.0, 0.0, 0.0, 1.0),
+      12L -> Seq(1.0, 0.0, 0.0, 0.0))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Embeddings.semDeDup(df, col("vec_id"), col("embedding"),
+        k = 3, iterations = 2, threshold = 0.999).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("rep"), r.getAs[Boolean]("keep")))).toMap
+    assert(got(0L) === ((0L, true)))
+    assert(got(10L) === ((0L, false)))
+    assert(got(12L) === ((0L, false)), "transitive copy joins component")
+    assert(got(4L) === ((4L, true)))
+    assert(got(11L) === ((4L, false)))
+    // near-but-below-threshold vectors keep themselves
+    Seq(1L, 2L, 3L).foreach(i => assert(got(i) === ((i, true)), s"id $i"))
+    assert(got.size === vecs.size, "one output row per input row")
+  }
 }
