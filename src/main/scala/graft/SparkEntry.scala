@@ -2389,6 +2389,23 @@ object SparkEntry {
     // decoded (the keyframe-sampling shape). Solid-gray fixture frames
     // over a full 256-gray palette encode losslessly, so the sampled
     // mean-intensity sum is exact integer arithmetic the oracle states
+    // REAL video scene-cut detection: decode every GIF frame, emit a
+    // row where the mean-intensity delta jumps >= 100 — with the
+    // generative gray formula (id*31 + f*17 mod 256) cuts land exactly
+    // at the mod-256 wraps, so DuckDB restates the detector as integer
+    // arithmetic; the frame scan itself is payload-local (no shuffle)
+    "mm_scene_cuts" -> ((s, dir) => {
+      import s.implicits._
+      val specs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map(id => (id, (8 + id % 5).toInt, (3 + id % 4).toInt))
+      graft.pipeline.Multimodal.detectSceneCuts(
+        graft.pipeline.Multimodal.renderGif(specs), threshold = 100L)
+        .toDF()
+        .select(col("media_id").as("doc_id"), col("frame"),
+          col("prev_mean"), col("mean").as("cur_mean"), col("delta"))
+    }),
+
     "mm_video_frames" -> ((s, dir) => {
       import s.implicits._
       val specs = s.read.parquet(s"$dir/documents.parquet")
@@ -4758,6 +4775,23 @@ object SparkEntry {
         |    AS intensity_sum,
         |  'gif' AS codec
         |FROM documents""".stripMargin,
+    // scene cuts: the detector restated as integer arithmetic over the
+    // generative per-frame gray levels — a cut is exactly a mod-256
+    // wrap of the +17 frame step
+    "mm_scene_cuts" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, CAST(2 + doc_id % 4 AS BIGINT)))
+        |      AS frame
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, frame,
+        |    (doc_id * 31 + frame * 17) % 256 AS cur_mean,
+        |    (doc_id * 31 + (frame - 1) * 17) % 256 AS prev_mean
+        |  FROM f)
+        |SELECT doc_id, CAST(frame AS BIGINT) AS frame, prev_mean,
+        |  cur_mean, ABS(cur_mean - prev_mean) AS delta
+        |FROM m WHERE ABS(cur_mean - prev_mean) >= 100""".stripMargin,
     // mm_phash / dedup_images: the PNG roundtrip is lossless and the
     // hash arithmetic is all-integer, so the oracle recomputes the
     // hashes bit-for-bit from the generative pixel formula. The dedup

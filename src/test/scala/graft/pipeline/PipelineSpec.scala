@@ -551,6 +551,32 @@ class PipelineSpec extends AnyFunSuite {
     assert((bad.n_frames, bad.codec) === ((-1L, "undecodable")))
   }
 
+  test("scene cuts: detected exactly where the generative gray level " +
+      "wraps; none below threshold; corrupt payloads yield no rows") {
+    import spark.implicits._
+    // id 14: levels 14*31 + f*17 mod 256 for f=0..5 — wraps where the
+    // +17 step crosses 256; expected cuts from the formula directly
+    val specs = Seq((14L, 8, 6), (2L, 8, 3)).toDS()
+    val media = Multimodal.renderGif(specs)
+    val got = Multimodal.detectSceneCuts(media, threshold = 100L)
+      .collect().map(c => (c.media_id, c.frame, c.delta)).toSet
+    val expected = (for {
+      (id, nf) <- Seq((14L, 6), (2L, 3))
+      f <- 1 until nf
+      cur = (id * 31 + f * 17) % 256
+      prev = (id * 31 + (f - 1) * 17) % 256
+      if math.abs(cur - prev) >= 100
+    } yield (id, f.toLong, math.abs(cur - prev))).toSet
+    assert(got === expected)
+    assert(expected.nonEmpty, "fixture plants at least one wrap cut")
+    // monotone +17 steps never fire below threshold
+    assert(got.forall(_._3 === 239L), "only wrap deltas qualify")
+    val junk = spark.createDataset(Seq(Multimodal.MediaRecord(
+      9L, "video", Array[Byte](71, 73, 70, 56),
+      Multimodal.MediaMeta(None, None, None, None))))
+    assert(Multimodal.detectSceneCuts(junk, 100L).count() === 0L)
+  }
+
   test("semantic dedup: equals brute force on separated clusters; " +
       "subset of brute force always; min-id keeper") {
     import spark.implicits._
