@@ -1969,6 +1969,18 @@ object SparkEntry {
       graft.pipeline.Graphs.triangleCounts(edges, col("src"), col("dst"))
     }),
 
+    // Robust per-language length-outlier screen: |n_chars − median| >
+    // 3·MAD with EXACT integer lower medians from the value histogram
+    // — the distribution-free quality filter (a tail can't drag its
+    // own threshold). Histogram windows + broadcast joins only
+    "quality_mad_outliers" -> ((s, dir) =>
+      graft.pipeline.Sampling.madOutliers(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("lang"), col("doc_id"), col("n_chars"), k = 3.0)
+        .select(col("group").as("lang"), col("id").as("doc_id"),
+          col("value"), col("med"), col("dev"), col("mad"),
+          col("outlier"))),
+
     // Exact curriculum binning: ntile(10) over the global
     // (n_chars, doc_id) order WITHOUT a one-task window — range-sort +
     // two-phase broadcast prefix, then the closed-form ntile assignment
@@ -4529,6 +4541,37 @@ object SparkEntry {
          |${it(3)}
          |SELECT node, r AS rank FROM it3""".stripMargin
     },
+    // MAD outliers: both medians restated as histogram selections
+    // (smallest value whose cumulative count reaches ceil(n/2))
+    "quality_mad_outliers" ->
+      """WITH b AS (
+        |  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS value
+        |  FROM documents),
+        |h AS (SELECT lang, value, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |hc AS (
+        |  SELECT lang, value,
+        |    SUM(c) OVER (PARTITION BY lang ORDER BY value) AS cum,
+        |    SUM(c) OVER (PARTITION BY lang) AS n
+        |  FROM h),
+        |med AS (
+        |  SELECT lang, MIN(value) AS med FROM hc
+        |  WHERE cum >= (n + 1) // 2 GROUP BY lang),
+        |d AS (
+        |  SELECT b.lang, b.doc_id, b.value, med.med,
+        |    ABS(b.value - med.med) AS dev
+        |  FROM b JOIN med USING (lang)),
+        |h2 AS (SELECT lang, dev, COUNT(*) AS c FROM d GROUP BY 1, 2),
+        |h2c AS (
+        |  SELECT lang, dev,
+        |    SUM(c) OVER (PARTITION BY lang ORDER BY dev) AS cum,
+        |    SUM(c) OVER (PARTITION BY lang) AS n
+        |  FROM h2),
+        |mad AS (
+        |  SELECT lang, MIN(dev) AS mad FROM h2c
+        |  WHERE cum >= (n + 1) // 2 GROUP BY lang)
+        |SELECT d.lang, d.doc_id, d.value, d.med, d.dev, mad.mad,
+        |  d.dev > 3.0 * mad.mad AS outlier
+        |FROM d JOIN mad USING (lang)""".stripMargin,
     "curriculum_bins" ->
       """SELECT doc_id,
         |  CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS bin

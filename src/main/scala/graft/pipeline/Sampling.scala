@@ -401,6 +401,54 @@ object Sampling {
       .select(col("group"), col("id"), col("score_bin"), col("bucket"))
   }
 
+  /** Exact lower median per group over an integer column, computed on
+    * the (group, value) COUNT histogram: smallest v whose cumulative
+    * count reaches ⌈n/2⌉. Engine-exact (no interpolation) and
+    * histogram-scale — the window sees distinct values, never rows. */
+  private def lowerMedian(b: DataFrame, vcol: String, out: String)
+      : DataFrame = {
+    val hist = b.groupBy(col("group"), col(vcol))
+      .agg(count(lit(1)).as("__c"))
+    val byV = Window.partitionBy(col("group")).orderBy(col(vcol).asc)
+    hist
+      .withColumn("__cum", sum(col("__c")).over(
+        byV.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__n",
+        sum(col("__c")).over(Window.partitionBy(col("group"))))
+      .where(col("__cum") >= expr("(__n + 1) div 2"))
+      .groupBy(col("group")).agg(min(col(vcol)).as(out))
+  }
+
+  /** Robust per-group outlier detection by median absolute deviation:
+    * a row is an outlier when |value − median| > k · MAD, with both
+    * the median and the MAD as EXACT lower medians of the integer
+    * value — the distribution-free alternative to z-scores for
+    * quality-metric filtering (an extreme tail cannot drag its own
+    * threshold the way it drags a mean/σ). Output: one row per input
+    * (group, id, value, med, dev, mad, outlier).
+    *
+    * Scale shape: two histogram median passes ([[lowerMedian]]: the
+    * ordered window runs over distinct values per group, not rows) and
+    * two broadcast joins back — the corpus is touched by pure map
+    * stages only. Degenerate MAD = 0 (over half the group at one
+    * value) flags EVERY deviating row — the strict, documented choice.
+    * All arithmetic is integer until the one k·MAD comparison. */
+  def madOutliers(df: DataFrame, group: Column, key: Column,
+      value: Column, k: Double = 3.0): DataFrame = {
+    require(k > 0.0, "k must be positive")
+    val b = df.select(group.as("group"), key.as("id"),
+      value.cast("long").as("value"))
+    val med = lowerMedian(b, "value", "med")
+    val withDev = b.join(broadcast(med), Seq("group"))
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = lowerMedian(withDev.select(col("group"), col("dev")),
+      "dev", "mad")
+    withDev.join(broadcast(mad), Seq("group"))
+      .select(col("group"), col("id"), col("value"), col("med"),
+        col("dev"), col("mad"),
+        (col("dev") > lit(k) * col("mad")).as("outlier"))
+  }
+
   /** Water-filling token-budget allocation across domains: given each
     * domain's available token count and one total `budget`, find the
     * unique integer cap `c` such that every domain receives

@@ -327,6 +327,37 @@ class EvaluationOpsSpec extends AnyFunSuite {
       5L -> 0L, 6L -> 1L))
   }
 
+  // ---- MAD outliers -------------------------------------------------------
+
+  test("madOutliers: exact lower medians; only the planted extreme " +
+      "value is flagged at k=3") {
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L),
+      ("g", 4L, 4L), ("g", 5L, 100L)).toDF("lang", "id", "v")
+    val got = Sampling.madOutliers(df, col("lang"), col("id"), col("v"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("med"), r.getAs[Long]("mad"),
+          r.getAs[Boolean]("outlier")))).toMap
+    assert(got(1L) === ((3L, 1L, false)))
+    assert(got(5L) === ((3L, 1L, true)), "dev 97 > 3*1")
+    assert(got.count(_._2._3) === 1)
+  }
+
+  test("madOutliers: even group takes the lower median; zero MAD flags " +
+      "every deviating row") {
+    val even = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L),
+      ("g", 4L, 4L)).toDF("lang", "id", "v")
+    val g1 = Sampling.madOutliers(even, col("lang"), col("id"), col("v"))
+      .collect()
+    assert(g1.forall(_.getAs[Long]("med") == 2L), "lower median of 4")
+    assert(g1.forall(!_.getAs[Boolean]("outlier")))
+    val degen = Seq(("g", 1L, 5L), ("g", 2L, 5L), ("g", 3L, 5L),
+      ("g", 4L, 9L)).toDF("lang", "id", "v")
+    val g2 = Sampling.madOutliers(degen, col("lang"), col("id"),
+        col("v")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("outlier")).toMap
+    assert(g2 === Map(1L -> false, 2L -> false, 3L -> false, 4L -> true))
+  }
+
   // ---- water-filling budget allocation -----------------------------------
 
   private def wf(avail: Seq[(String, Long)], budget: Long)
