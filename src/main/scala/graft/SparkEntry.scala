@@ -53,6 +53,36 @@ object SparkEntry {
     * smoothing, per-doc cross-entropy) as DuckDB CTEs ending in
     * `xent(doc_id, n_bigrams, xent)` — shared by the `lm_score` and
     * `quality_ppl_buckets` oracles. */
+  /** SRP signature computation as DuckDB CTEs over a
+    * `corp(vec_id, embedding)` corpus body, ending in
+    * `sig(vec_id, sig_bits)` — the ±1 coefficients are recomputed from
+    * md5 in SQL, and the dot products fold left-to-right via
+    * `list_sum ∘ list_transform` (the emb_norms order-determinism
+    * precedent), so every sign bit matches the Spark kernel. */
+  private def srpSigSqlOver(corpusSql: String): String =
+    s"""WITH corp AS ($corpusSql),
+       |bs AS (SELECT unnest(generate_series(0, 63)) AS b),
+       |ds AS (SELECT unnest(generate_series(0, 63)) AS d),
+       |p AS (
+       |  SELECT bs.b, ds.d,
+       |    CASE WHEN CAST(CONCAT('0x', substr(
+       |        md5('srp:' || bs.b || ':' || ds.d), 1, 8)) AS BIGINT)
+       |        % 2 = 0
+       |      THEN 1.0 ELSE -1.0 END AS h
+       |  FROM bs, ds),
+       |coef AS (SELECT b, list(h ORDER BY d) AS hs FROM p GROUP BY b),
+       |x AS (
+       |  SELECT e.vec_id, c.b,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * c.hs[i])) AS s
+       |  FROM corp e, coef c),
+       |sig AS (
+       |  SELECT vec_id,
+       |    string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+       |      ORDER BY b) AS sig_bits
+       |  FROM x GROUP BY vec_id)
+       |""".stripMargin
+
   private val lmXentSql: String =
     """WITH d AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
@@ -2293,6 +2323,33 @@ object SparkEntry {
           size(v).cast("long").as("dim"),
           round(emb.norm(emb.toDouble(v)), 6).as("l2_norm"),
           round(element_at(emb.normalize(v), 1), 6).as("first_unit"))
+    }),
+
+    // Signed-random-projection bit signatures: 64-bit SimHash for
+    // embeddings (bit = sign of a ±1-weighted dot product; md5-derived
+    // coefficients both engines replay) — 64 bits instead of 64 floats
+    // is the binary ANN/near-dup state, 32x less shuffle weight
+    "emb_bitsig" -> ((s, dir) =>
+      graft.pipeline.Embeddings.srpSignatures(
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        col("vec_id"), col("embedding"), dim = 64)
+        .toDF().select(col("vec_id"), col("sig_bits"))),
+
+    // Binary embedding near-dup: SRP signatures + the one banded
+    // Hamming machinery (4 complete pigeonhole bands at maxHamming=3).
+    // Planted exact copies land at Hamming 0; the oracle recomputes
+    // signatures AND pairs with identical complete banding
+    "dedup_bitsig" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+        .unionByName(emb.where(col("vec_id") % 25 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            col("embedding")))
+      val sigs = graft.pipeline.Embeddings.srpSignatures(corpus,
+        col("vec_id"), col("embedding"), dim = 64).toDF()
+      graft.pipeline.Dedup.hammingDuplicates64(sigs, col("vec_id"),
+        col("sig"), maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))
     }),
 
     // int8 embedding quantization: symmetric per-vector codes — the 4x
@@ -4588,6 +4645,40 @@ object SparkEntry {
     "emb_pca" ->
       """SELECT vec_id, true AS pca_ok
         |FROM embeddings""".stripMargin,
+    "emb_bitsig" -> (srpSigSqlOver(
+      "SELECT vec_id, embedding FROM embeddings") +
+      """SELECT vec_id, sig_bits FROM sig""".stripMargin),
+    // binary near-dup: same complete 16-bit banding (maxHamming 3 ->
+    // 4 bands; pigeonhole covers every qualifying pair), exact string
+    // hamming verification
+    "dedup_bitsig" -> (srpSigSqlOver(
+      """SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings
+        |  WHERE vec_id % 25 = 0""".stripMargin) +
+      """, cand AS (
+        |  SELECT DISTINCT id_a, id_b FROM (
+        |    SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM sig a
+        |    JOIN sig b ON substr(a.sig_bits, 1, 16) =
+        |      substr(b.sig_bits, 1, 16) AND a.vec_id < b.vec_id
+        |    UNION ALL
+        |    SELECT a.vec_id, b.vec_id FROM sig a
+        |    JOIN sig b ON substr(a.sig_bits, 17, 16) =
+        |      substr(b.sig_bits, 17, 16) AND a.vec_id < b.vec_id
+        |    UNION ALL
+        |    SELECT a.vec_id, b.vec_id FROM sig a
+        |    JOIN sig b ON substr(a.sig_bits, 33, 16) =
+        |      substr(b.sig_bits, 33, 16) AND a.vec_id < b.vec_id
+        |    UNION ALL
+        |    SELECT a.vec_id, b.vec_id FROM sig a
+        |    JOIN sig b ON substr(a.sig_bits, 49, 16) =
+        |      substr(b.sig_bits, 49, 16) AND a.vec_id < b.vec_id))
+        |SELECT c.id_a, c.id_b,
+        |  CAST(hamming(sa.sig_bits, sb.sig_bits) AS BIGINT) AS hamming
+        |FROM cand c
+        |JOIN sig sa ON sa.vec_id = c.id_a
+        |JOIN sig sb ON sb.vec_id = c.id_b
+        |WHERE hamming(sa.sig_bits, sb.sig_bits) <= 3""".stripMargin),
     // emb_kmeans / sample_cluster: the ENTIRE quantized k-means loop
     // restated — fixed-point vectors make every step integer-exact, so
     // the match is hash-exact with no rounding tolerance

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Embedding-matrix decomposition: distributed PCA / whitening for
@@ -120,6 +120,68 @@ object Embeddings {
         out
       })
     df.withColumn("pc", proj(vec.cast("array<double>")))
+  }
+
+  /** One 64-bit signed-random-projection signature: the packed long
+    * (bit b = plane b, `1L << b`) and the engine-portable '0'/'1'
+    * bitstring (char b = plane b) — the [[Multimodal.ImagePHash]]
+    * dual-representation convention. */
+  final case class SrpSig(vec_id: Long, sig: Long, sig_bits: String)
+
+  /** Deterministic ±1 projection coefficients: h(b, d) = +1 iff the
+    * first 32 md5 bits of "srp:b:d" are even — a convention any engine
+    * with md5 can replay (the DuckDB oracle recomputes the table in
+    * SQL). */
+  private[pipeline] def srpCoefs(planes: Int, dim: Int)
+      : Array[Array[Double]] =
+    Array.tabulate(planes) { b =>
+      Array.tabulate(dim) { d =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"srp:$b:$d".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (java.lang.Long.parseLong(hex.take(8), 16) % 2 == 0) 1.0
+        else -1.0
+      }
+    }
+
+  /** Signed-random-projection bit signatures (64-bit SimHash for
+    * embeddings): bit b = [Σ_d v[d]·h(b,d) ≥ 0] with the md5-derived
+    * ±1 coefficients of [[srpCoefs]]. Two vectors' expected Hamming
+    * distance is 64·θ/π (θ = their angle), so Hamming banding over the
+    * signatures is the binary ANN/near-dup path: 64 bits per vector
+    * instead of 64 floats — 32× less state to shuffle, and candidate
+    * generation reuses the one banded-Hamming machinery
+    * ([[Dedup.hammingDuplicates64]]).
+    *
+    * Determinism across engines: the dot products fold LEFT-TO-RIGHT
+    * over the dimension index (a sequential loop here, `list_sum ∘
+    * list_transform` in the oracle — the emb_norms precedent), so the
+    * IEEE sums and therefore every sign bit agree bit-for-bit. Pure
+    * map stage; the planes×dim coefficient table rides the closure. */
+  def srpSignatures(df: DataFrame, idCol: Column, vecCol: Column,
+      dim: Int, planes: Int = 64): Dataset[SrpSig] = {
+    require(planes >= 1 && planes <= 64, s"planes in 1..64, got $planes")
+    val coefs = srpCoefs(planes, dim)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(idCol.cast("long"), vecCol.cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, v) =>
+        var sig = 0L
+        val bits = new java.lang.StringBuilder(planes)
+        var b = 0
+        while (b < planes) {
+          val h = coefs(b)
+          var s = 0.0
+          var d = 0
+          val n = math.min(v.length, h.length)
+          while (d < n) { s += v(d) * h(d); d += 1 }
+          if (s >= 0.0) { sig |= 1L << b; bits.append('1') }
+          else bits.append('0')
+          b += 1
+        }
+        SrpSig(id, sig, bits.toString)
+      }
   }
 
   /** SemDeDup-style semantic deduplication: k-means clusters as

@@ -122,4 +122,33 @@ class EmbeddingsSpec extends AnyFunSuite {
     Seq(1L, 2L, 3L).foreach(i => assert(got(i) === ((i, true)), s"id $i"))
     assert(got.size === vecs.size, "one output row per input row")
   }
+
+  // ---- SRP bit signatures ------------------------------------------------
+
+  test("srpSignatures: bitstring and packed long agree bit-for-bit; " +
+      "identical vectors share signatures; partitioning-independent") {
+    val vecs: Seq[(Long, Seq[Double])] = Seq(
+      0L -> (0 until 64).map(i => math.sin(i + 1).abs + 0.1),
+      1L -> (0 until 64).map(i => math.sin(i + 1).abs + 0.1), // copy of 0
+      2L -> (0 until 64).map(i => math.cos(3 * i + 2)),
+      3L -> (0 until 64).map(i => -math.sin(i + 1).abs - 0.1)) // negated 0
+    val df = vecs.toDF("vec_id", "embedding")
+    val sigs = Embeddings.srpSignatures(df, col("vec_id"),
+      col("embedding"), dim = 64).collect()
+      .map(x => x.vec_id -> x).toMap
+    sigs.values.foreach { x =>
+      assert(x.sig_bits.length === 64)
+      (0 until 64).foreach { b =>
+        assert((((x.sig >>> b) & 1L) == 1L) === (x.sig_bits(b) == '1'),
+          s"bit $b of ${x.vec_id}")
+      }
+    }
+    assert(sigs(0L).sig === sigs(1L).sig, "exact copy -> same signature")
+    // negation flips every strict sign; ties (sum == 0) don't occur here
+    assert(java.lang.Long.bitCount(sigs(0L).sig ^ sigs(3L).sig) === 64)
+    val again = Embeddings.srpSignatures(df.repartition(7),
+      col("vec_id"), col("embedding"), dim = 64).collect()
+      .map(x => x.vec_id -> x.sig).toMap
+    assert(again === sigs.view.mapValues(_.sig).toMap)
+  }
 }
