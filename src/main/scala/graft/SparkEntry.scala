@@ -53,6 +53,38 @@ object SparkEntry {
     * smoothing, per-doc cross-entropy) as DuckDB CTEs ending in
     * `xent(doc_id, n_bigrams, xent)` — shared by the `lm_score` and
     * `quality_ppl_buckets` oracles. */
+  /** The water-filling budget solver as DuckDB CTEs ending in
+    * `wf(domain, avail, quota)` — shared by `corpus_waterfill` and
+    * `corpus_mix_auto`. */
+  private val waterfillSql: String =
+    """WITH a AS (
+      |  SELECT source AS domain,
+      |    CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+      |      AS BIGINT) AS avail
+      |  FROM documents GROUP BY source),
+      |r AS (
+      |  SELECT domain, avail,
+      |    CAST(row_number() OVER (ORDER BY avail, domain) AS BIGINT)
+      |      AS i,
+      |    COALESCE(SUM(avail) OVER (ORDER BY avail, domain
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS sb,
+      |    COUNT(*) OVER () AS n
+      |  FROM a),
+      |f AS (
+      |  SELECT *, avail * (n - i + 1) <= 5000 - sb AS funded FROM r),
+      |k AS (
+      |  SELECT COALESCE(MAX(CASE WHEN funded THEN i END), 0) AS k,
+      |    COALESCE(MAX(CASE WHEN funded THEN sb + avail END), 0) AS sk,
+      |    MAX(n) AS n FROM f),
+      |wf AS (
+      |  SELECT f.domain, f.avail,
+      |    CAST(CASE WHEN k.k = k.n THEN f.avail
+      |      ELSE LEAST(f.avail, (5000 - k.sk) // (k.n - k.k)) END
+      |      AS BIGINT) AS quota
+      |  FROM f, k)
+      |""".stripMargin
+
   /** SRP signature computation as DuckDB CTEs over a
     * `corp(vec_id, embedding)` corpus body, ending in
     * `sig(vec_id, sig_bits)` — the ±1 coefficients are recomputed from
@@ -1840,6 +1872,26 @@ object SparkEntry {
         col("source"),
         graft.pipeline.TextAnalysis.tokenCount(col("text")),
         budget = 5000L)),
+
+    // The budget chain COMPOSED: waterfill solves the per-source
+    // quotas (bounded driver map — one row per domain), then the
+    // running-sum sampler consumes them — auto-budgeted corpus mixing
+    // end-to-end. Any drift in either stage breaks the hash
+    "corpus_mix_auto" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val quotas = graft.pipeline.Sampling.waterfillBudget(
+        docs, col("source"),
+        graft.pipeline.TextAnalysis.tokenCount(col("text")),
+        budget = 5000L)
+        .collect()
+        .map(r => r.getAs[String]("domain") -> r.getAs[Long]("quota"))
+        .toMap
+      graft.pipeline.Sampling.tokenBudgetSample(docs, col("source"),
+        col("doc_id"),
+        graft.pipeline.TextAnalysis.tokenCount(col("text")), quotas,
+        defaultBudget = 0L)
+        .select(col("doc_id"), col("source"))
+    }),
 
     "corpus_mix" -> ((s, dir) =>
       graft.pipeline.Sampling.tokenBudgetSample(
@@ -4392,32 +4444,29 @@ object SparkEntry {
         |  FROM documents)""".stripMargin,
     // waterfill: funded-prefix selection over the ascending-avail
     // domain histogram; all integer arithmetic, '//' = floor division
-    "corpus_waterfill" ->
-      """WITH a AS (
-        |  SELECT source AS domain,
-        |    CAST(SUM(len(string_split_regex(trim(text), '\s+')))
-        |      AS BIGINT) AS avail
-        |  FROM documents GROUP BY source),
-        |r AS (
-        |  SELECT domain, avail,
-        |    CAST(row_number() OVER (ORDER BY avail, domain) AS BIGINT)
-        |      AS i,
-        |    COALESCE(SUM(avail) OVER (ORDER BY avail, domain
+    // (waterfillSql is shared with corpus_mix_auto)
+    "corpus_waterfill" -> (waterfillSql +
+      """SELECT domain, avail, quota FROM wf""".stripMargin),
+    // the composed chain: waterfilled quotas drive the per-source
+    // hash-ordered running-sum selection (the corpus_mix shape with
+    // the budget CASE replaced by the solved quota join)
+    "corpus_mix_auto" -> (waterfillSql +
+      """, d AS (
+        |  SELECT doc_id, source,
+        |    len(string_split_regex(trim(text), '\s+')) AS toks,
+        |    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) / 4294967296.0 AS u
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, toks,
+        |    COALESCE(SUM(toks) OVER (PARTITION BY source
+        |      ORDER BY u, CAST(doc_id AS VARCHAR)
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS sb,
-        |    COUNT(*) OVER () AS n
-        |  FROM a),
-        |f AS (
-        |  SELECT *, avail * (n - i + 1) <= 5000 - sb AS funded FROM r),
-        |k AS (
-        |  SELECT COALESCE(MAX(CASE WHEN funded THEN i END), 0) AS k,
-        |    COALESCE(MAX(CASE WHEN funded THEN sb + avail END), 0) AS sk,
-        |    MAX(n) AS n FROM f)
-        |SELECT f.domain, f.avail,
-        |  CAST(CASE WHEN k.k = k.n THEN f.avail
-        |    ELSE LEAST(f.avail, (5000 - k.sk) // (k.n - k.k)) END
-        |    AS BIGINT) AS quota
-        |FROM f, k""".stripMargin,
+        |      AS before
+        |  FROM d)
+        |SELECT c.doc_id, c.source FROM c
+        |JOIN wf ON wf.domain = c.source
+        |WHERE c.before < wf.quota""".stripMargin),
     "corpus_mix" ->
       """WITH d AS (
         |  SELECT doc_id, source,
