@@ -1904,6 +1904,16 @@ object SparkEntry {
     // Canonical text cleanup: NFC composition + control-char strip +
     // whitespace squeeze (planted combining accents / control bytes /
     // double spaces — the synthetic prose is already clean ASCII)
+    // RAKE keyword extraction: stopword-delimited candidate phrases,
+    // corpus-wide degree/freq word stats, integer micro-unit scores so
+    // ranking is float-free; skew-proof two-phase top-3 per doc
+    "text_keywords" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.rakeKeywords(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), k = 3)
+        .select(col("doc_id"), col("phrase"), col("score_micro"),
+          col("rank").cast("long").as("rank"))),
+
     "text_normalize" -> ((s, dir) => {
       val planted = concat(col("text"),
         when(col("doc_id") % 3 === 0, lit(" cafe\u0301")).otherwise(lit("")),
@@ -4484,6 +4494,51 @@ object SparkEntry {
         |SELECT doc_id, source FROM c
         |WHERE before < CASE source WHEN 'src0' THEN 600
         |  WHEN 'src1' THEN 400 ELSE 200 END""".stripMargin,
+    "text_keywords" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+')
+        |    AS toks
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks)))
+        |    AS i
+        |  FROM t),
+        |m AS (
+        |  SELECT doc_id, i, toks[i] AS w,
+        |    CASE WHEN toks[i] IN ('the','a','an','and','or','of','to',
+        |        'in','is','it','that','for','on','with','as')
+        |      OR NOT regexp_full_match(toks[i], '[a-z0-9]+')
+        |    THEN 1 ELSE 0 END AS stop
+        |  FROM x),
+        |isl AS (
+        |  SELECT doc_id, i, w, stop,
+        |    SUM(stop) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |  FROM m),
+        |ph AS (
+        |  SELECT doc_id, grp, string_agg(w, ' ' ORDER BY i) AS phrase,
+        |    COUNT(*) AS plen
+        |  FROM isl WHERE stop = 0 GROUP BY doc_id, grp),
+        |pw AS (
+        |  SELECT plen, unnest(string_split(phrase, ' ')) AS w FROM ph),
+        |ws AS (
+        |  SELECT w, COUNT(*) AS freq, SUM(plen) AS degree
+        |  FROM pw GROUP BY w),
+        |dp AS (SELECT DISTINCT doc_id, phrase FROM ph),
+        |dpw AS (
+        |  SELECT doc_id, phrase, unnest(string_split(phrase, ' ')) AS w
+        |  FROM dp),
+        |ps AS (
+        |  SELECT d.doc_id, d.phrase,
+        |    CAST(SUM((ws.degree * 1000000) // ws.freq) AS BIGINT)
+        |      AS score_micro
+        |  FROM dpw d JOIN ws USING (w) GROUP BY d.doc_id, d.phrase),
+        |r AS (
+        |  SELECT doc_id, phrase, score_micro,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_micro DESC, phrase) AS rn
+        |  FROM ps)
+        |SELECT doc_id, phrase, score_micro, CAST(rn AS BIGINT) AS rank
+        |FROM r WHERE rn <= 3""".stripMargin,
     "text_normalize" ->
       """WITH d AS (
         |  SELECT doc_id, text

@@ -765,4 +765,58 @@ object TextAnalysis {
           .cast("long"), lit(dim.toLong)).as("dim"))
       .agg(count(lit(1)).as("tf"))
   }
+
+  /** RAKE keyword extraction (Rose et al. 2010), corpus-statistics
+    * flavor: candidate phrases are maximal runs of non-stopword
+    * `[a-z0-9]+` tokens; each word scores degree/freq over ALL phrase
+    * occurrences in the corpus (freq = occurrences containing the
+    * word, degree = summed phrase lengths of those); a phrase scores
+    * the sum of its words' scores; top-`k` distinct phrases per doc.
+    *
+    * Determinism: word scores are kept as INTEGER micro-units
+    * (`degree·10⁶ div freq` — floor division), so phrase scores are
+    * exact integer sums no float association order can perturb, and
+    * ranking ties break on the phrase string.
+    *
+    * Scale shape: phrase extraction is a pure per-doc map; the word
+    * table is ONE map-side-combined aggregation (vocabulary-sized);
+    * scoring is an explode + hash join + per-(doc, phrase) sum; top-k
+    * uses the skew-proof two-phase [[Sampling.topKPerGroup]]. Output:
+    * (doc_id, phrase, score_micro, rank). */
+  def rakeKeywords(docs: DataFrame, idCol: Column, textCol: Column,
+      stopwords: Seq[String] = EnglishStopwords, k: Int = 3)
+      : DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val stop = stopwords.toSet
+    val phrasesUdf = udf((t: String) => {
+      if (t == null) Seq.empty[String]
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        val cur = scala.collection.mutable.ArrayBuffer.empty[String]
+        t.trim.toLowerCase.split("\\s+").foreach { w =>
+          if (w.isEmpty || stop.contains(w) || !w.matches("[a-z0-9]+")) {
+            if (cur.nonEmpty) { out += cur.mkString(" "); cur.clear() }
+          } else cur += w
+        }
+        if (cur.nonEmpty) out += cur.mkString(" ")
+        out.toSeq
+      }
+    })
+    val occ = docs
+      .select(idCol.as("doc_id"), explode(phrasesUdf(textCol)).as("phrase"))
+      .withColumn("plen", size(split(col("phrase"), " ")).cast("long"))
+    val ws = occ
+      .select(col("plen"), explode(split(col("phrase"), " ")).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+    val scored = occ.select(col("doc_id"), col("phrase")).distinct()
+      .withColumn("w", explode(split(col("phrase"), " ")))
+      .join(ws, "w")
+      .groupBy(col("doc_id"), col("phrase"))
+      .agg(sum(expr("(degree * 1000000) div freq")).as("score_micro"))
+    Sampling.topKPerGroup(scored, col("doc_id"), col("score_micro"),
+        col("phrase"), k)
+      .select(col("doc_id"), col("phrase"), col("score_micro"),
+        col("rank"))
+  }
 }

@@ -319,4 +319,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(order(df, "y") !== a)
     assert(a.sorted === (0L until 300L).toSeq) // a permutation
   }
+
+  // ---- RAKE keywords -----------------------------------------------------
+
+  test("rakeKeywords: stopwords split phrases; integer micro-scores " +
+      "rank multiword phrases above low-degree words") {
+    val docs = Seq(
+      (0L, "alpha beta and alpha beta and gamma"),
+      (1L, "alpha beta of delta")).toDF("doc_id", "text")
+    val got = TextAnalysis.rakeKeywords(docs, col("doc_id"), col("text"),
+        k = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("phrase")) ->
+        ((r.getAs[Long]("score_micro"),
+          r.getAs[Int]("rank").toLong))).toMap
+    // occurrences: "alpha beta" x3 (docs 0,0,1), "gamma", "delta"
+    // alpha: freq 3, degree 6 -> 2e6; beta same; gamma/delta: 1e6
+    assert(got((0L, "alpha beta")) === ((4000000L, 1L)))
+    assert(got((0L, "gamma")) === ((1000000L, 2L)))
+    assert(got((1L, "alpha beta")) === ((4000000L, 1L)))
+    assert(got((1L, "delta")) === ((1000000L, 2L)))
+    // distinct phrases only: doc 0 has exactly two ranked rows
+    assert(got.keys.count(_._1 == 0L) === 2)
+  }
 }
