@@ -1904,6 +1904,14 @@ object SparkEntry {
     // Canonical text cleanup: NFC composition + control-char strip +
     // whitespace squeeze (planted combining accents / control bytes /
     // double spaces — the synthetic prose is already clean ASCII)
+    // N-gram novelty: fraction of a doc's distinct 3-grams first seen
+    // in that doc (ownership = min doc_id) — the memorization-risk
+    // readout; verbatim re-crawls score 0. Fingerprint-sized shuffle
+    "text_novelty" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.ngramNovelty(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), n = 3)),
+
     // RAKE keyword extraction: stopword-delimited candidate phrases,
     // corpus-wide degree/freq word stats, integer micro-unit scores so
     // ranking is float-free; skew-proof two-phase top-3 per doc
@@ -4494,6 +4502,24 @@ object SparkEntry {
         |SELECT doc_id, source FROM c
         |WHERE before < CASE source WHEN 'src0' THEN 600
         |  WHEN 'src1' THEN 400 ELSE 200 END""".stripMargin,
+    "text_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(toks) - 1),
+        |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |sx AS (SELECT doc_id, unnest(sh) AS sh FROM s),
+        |fo AS (SELECT sh, MIN(doc_id) AS first_doc FROM sx GROUP BY sh)
+        |SELECT sx.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(CASE WHEN fo.first_doc = sx.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  ROUND(CAST(SUM(CASE WHEN fo.first_doc = sx.doc_id THEN 1
+        |      ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS novelty
+        |FROM sx JOIN fo USING (sh) GROUP BY sx.doc_id""".stripMargin,
     "text_keywords" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+')

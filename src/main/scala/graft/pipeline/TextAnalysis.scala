@@ -819,4 +819,39 @@ object TextAnalysis {
       .select(col("doc_id"), col("phrase"), col("score_micro"),
         col("rank"))
   }
+
+  /** Per-document n-gram novelty — the memorization-risk readout for
+    * ordered corpus ingestion: of a document's DISTINCT token
+    * `n`-grams, how many occur for the FIRST time in this document
+    * (ownership = smallest doc id containing the shingle)? A verbatim
+    * re-crawl scores 0 novel; fresh prose scores ≈ all. Output:
+    * (doc_id, n_shingles, n_novel, novelty round-6) for every doc with
+    * ≥ n tokens — counts are exact integers, the ratio one division.
+    *
+    * Scale shape: one shingle explode (distinct per doc) + ONE
+    * map-side-combined min-aggregation keyed by shingle + a hash join
+    * back — fingerprint-sized shuffle rows, never text bodies. */
+  def ngramNovelty(docs: DataFrame, idCol: Column, textCol: Column,
+      n: Int = 3): DataFrame = {
+    require(n >= 1 && n <= 8, s"n in 1..8, got $n")
+    val parts = (0 until n).map(j =>
+      if (j == 0) "element_at(toks, CAST(i AS INT))"
+      else s"element_at(toks, CAST(i + $j AS INT))")
+      .mkString(", ' ', ")
+    val grams = s"array_distinct(transform(" +
+      s"sequence(1, size(toks) - ${n - 1}), i -> concat($parts)))"
+    val sh = docs
+      .select(idCol.as("doc_id"),
+        split(lower(trim(textCol)), "\\s+").as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(grams)).as("sh"))
+    val firstOwner = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
+    sh.join(firstOwner, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+  }
 }

@@ -341,4 +341,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     // distinct phrases only: doc 0 has exactly two ranked rows
     assert(got.keys.count(_._1 == 0L) === 2)
   }
+
+  test("ngramNovelty: first owner counts as novel, verbatim re-crawl " +
+      "scores zero, within-doc repeats dedup") {
+    val docs = Seq(
+      (0L, "a b c d"),          // grams: "a b c", "b c d" — both novel
+      (1L, "a b c d"),          // verbatim copy -> 0 novel
+      (2L, "b c d e"),          // "b c d" seen (doc 0), "c d e" novel
+      (3L, "q q q q q")         // one DISTINCT gram "q q q" -> novel
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty")))).toMap
+    assert(got(0L) === ((2L, 2L, 1.0)))
+    assert(got(1L) === ((2L, 0L, 0.0)))
+    assert(got(2L) === ((2L, 1L, 0.5)))
+    assert(got(3L) === ((1L, 1L, 1.0)))
+  }
 }
