@@ -2381,6 +2381,19 @@ object SparkEntry {
         col("event_type"), col("event_id"), n = 20)
         .select(col("event_id"), col("event_type"))),
 
+    // Standing streaming quota sample folded over two batch halves:
+    // per-stratum top-n under a total hash order obeys the exact merge
+    // law, so the folded state ≡ the one-shot quotaSample — the oracle
+    // IS the one-shot SQL
+    "sample_quota_incremental" -> ((s, dir) => {
+      val ev = EventsAsQuads.events(s, dir)
+      val sample = new graft.streaming.StructuredStreams
+        .StreamingQuotaSample("event_type", "event_id", n = 20)
+      sample.fold(ev.where(col("event_id") % 2 === 0))
+      sample.fold(ev.where(col("event_id") % 2 === 1))
+      sample.current.get.select(col("event_id"), col("event_type"))
+    }),
+
     // Vector hygiene: dimension check + L2 norms + normalization (the
     // map-stage preprocessing every embedding index assumes). The fold
     // order of the norm sum is sequential on both engines, so the
@@ -4903,6 +4916,14 @@ object SparkEntry {
     "unigram_encode" ->
       """SELECT doc_id, true AS unigram_lossless_compressive
         |FROM documents""".stripMargin,
+    "sample_quota_incremental" ->
+      """SELECT event_id, event_type FROM (
+        |  SELECT event_id, event_type,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY
+        |      CAST(CONCAT('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) / 4294967296.0, event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 20""".stripMargin,
     "sample_quota" ->
       """SELECT event_id, event_type FROM (
         |  SELECT event_id, event_type,

@@ -278,6 +278,53 @@ object StructuredStreams {
     }
   }
 
+  /** Standing per-stratum quota sample over a stream: the top-n rows
+    * of each stratum by deterministic hash priority, folded per
+    * micro-batch. The selection rule is a per-stratum top-n under a
+    * TOTAL order (hash asc, key asc), so it obeys the exact merge law
+    * `topN(A ∪ B) = topN(topN(A) ∪ topN(B))` — the folded standing
+    * sample equals the one-shot [[graft.pipeline.Sampling.quotaSample]]
+    * over everything seen, for ANY batch split
+    * (`StreamingSampleSpec`). Per-fold cost ∝ batch + strata × n
+    * (the standing state), never stream history; state is
+    * lineage-truncated per fold and superseded checkpoints released. */
+  final class StreamingQuotaSample(stratumCol: String, keyCol: String,
+      n: Int) {
+    @volatile private var state: Option[DataFrame] = None
+
+    def fold(batch: DataFrame): Unit = synchronized {
+      val b = batch.select(col(stratumCol), col(keyCol))
+      val merged = state match {
+        case None     => b
+        case Some(s0) => s0.unionByName(b)
+      }
+      val next = graft.pipeline.Sampling.quotaSample(merged,
+        col(stratumCol), col(keyCol), n).localCheckpoint(true)
+      state.foreach(releaseCheckpoint)
+      state = Some(next)
+    }
+
+    /** Current standing sample (None before any batch). */
+    def current: Option[DataFrame] = state
+
+    def unpersist(): Unit = synchronized {
+      state.foreach(releaseCheckpoint); state = None
+    }
+  }
+
+  /** Attach quota-sample maintenance to a streaming DataFrame. */
+  def maintainQuotaSample(stream: DataFrame,
+      sample: StreamingQuotaSample, checkpointDir: String)
+      : StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sample.fold(batch.toDF())
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
   /** Attach sketch maintenance to a streaming DataFrame: one
     * `foreachBatch` folding each micro-batch into `sketches`. The
     * stream carries the raw rows; the fold is the only aggregation. */
