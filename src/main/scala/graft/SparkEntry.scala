@@ -1912,6 +1912,22 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         col("doc_id"), col("text"), n = 3)),
 
+    // Incremental novelty: two ascending halves scored against the
+    // folded first-owner index (min is associative) must union to the
+    // one-shot ngramNovelty — the oracle IS the one-shot SQL
+    "novelty_incremental" -> ((s, dir) => {
+      val T = graft.pipeline.TextAnalysis
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val a = docs.where(col("doc_id") < 250)
+      val b = docs.where(col("doc_id") >= 250)
+      val i1 = T.buildNoveltyIndex(a, col("doc_id"), col("text"))
+      val out1 = T.noveltyWithIndex(a, col("doc_id"), col("text"), i1)
+      val i12 = T.foldNoveltyIndex(i1,
+        T.buildNoveltyIndex(b, col("doc_id"), col("text")))
+      val out2 = T.noveltyWithIndex(b, col("doc_id"), col("text"), i12)
+      out1.unionByName(out2)
+    }),
+
     // RAKE keyword extraction: stopword-delimited candidate phrases,
     // corpus-wide degree/freq word stats, integer micro-unit scores so
     // ranking is float-free; skew-proof two-phase top-3 per doc
@@ -4515,7 +4531,25 @@ object SparkEntry {
         |SELECT doc_id, source FROM c
         |WHERE before < CASE source WHEN 'src0' THEN 600
         |  WHEN 'src1' THEN 400 ELSE 200 END""".stripMargin,
-    "text_novelty" ->
+    "novelty_incremental" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(toks) - 1),
+        |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |sx AS (SELECT doc_id, unnest(sh) AS sh FROM s),
+        |fo AS (SELECT sh, MIN(doc_id) AS first_doc FROM sx GROUP BY sh)
+        |SELECT sx.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(CASE WHEN fo.first_doc = sx.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  ROUND(CAST(SUM(CASE WHEN fo.first_doc = sx.doc_id THEN 1
+        |      ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS novelty
+        |FROM sx JOIN fo USING (sh) GROUP BY sx.doc_id""".stripMargin,
+        "text_novelty" ->
       """WITH t AS (
         |  SELECT doc_id,
         |    string_split_regex(lower(trim(text)), '\s+') AS toks

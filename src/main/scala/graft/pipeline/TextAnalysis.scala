@@ -820,6 +820,56 @@ object TextAnalysis {
         col("rank"))
   }
 
+  /** Standing first-owner shingle index for incremental
+    * [[ngramNovelty]]: (shingle → smallest doc id seen). min is
+    * associative, so batch indexes fold exactly ([[foldNoveltyIndex]])
+    * and the folded index over any split equals the one-shot build —
+    * the [[ChunkIndex]] contract. */
+  final case class NoveltyIndex(firstOwners: DataFrame)
+
+  private def shingleTable(docs: DataFrame, idCol: Column,
+      textCol: Column, n: Int): DataFrame = {
+    val parts = (0 until n).map(j =>
+      if (j == 0) "element_at(toks, CAST(i AS INT))"
+      else s"element_at(toks, CAST(i + $j AS INT))")
+      .mkString(", ' ', ")
+    val grams = s"array_distinct(transform(" +
+      s"sequence(1, size(toks) - ${n - 1}), i -> concat($parts)))"
+    docs
+      .select(idCol.as("doc_id"),
+        split(lower(trim(textCol)), "\\s+").as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(grams)).as("sh"))
+  }
+
+  /** Build the first-owner index of one (micro-)batch. */
+  def buildNoveltyIndex(docs: DataFrame, idCol: Column, textCol: Column,
+      n: Int = 3): NoveltyIndex =
+    NoveltyIndex(shingleTable(docs, idCol, textCol, n)
+      .groupBy("sh").agg(min("doc_id").as("first_doc")))
+
+  /** Fold two first-owner indexes: per-shingle min — associative, so
+    * any fold tree over any batch split yields the one-shot index. */
+  def foldNoveltyIndex(a: NoveltyIndex, b: NoveltyIndex): NoveltyIndex =
+    NoveltyIndex(a.firstOwners.unionByName(b.firstOwners)
+      .groupBy("sh").agg(min("first_doc").as("first_doc")))
+
+  /** Score a batch's novelty against a standing index that already
+    * includes the batch (fold it in first): identical output shape to
+    * [[ngramNovelty]]. With ascending doc ids across batches, scoring
+    * each batch against the fold-so-far accumulates to the one-shot
+    * [[ngramNovelty]] over the concatenated stream. */
+  def noveltyWithIndex(docs: DataFrame, idCol: Column, textCol: Column,
+      index: NoveltyIndex, n: Int = 3): DataFrame =
+    shingleTable(docs, idCol, textCol, n)
+      .join(index.firstOwners, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+
   /** Per-document n-gram novelty — the memorization-risk readout for
     * ordered corpus ingestion: of a document's DISTINCT token
     * `n`-grams, how many occur for the FIRST time in this document
@@ -834,17 +884,7 @@ object TextAnalysis {
   def ngramNovelty(docs: DataFrame, idCol: Column, textCol: Column,
       n: Int = 3): DataFrame = {
     require(n >= 1 && n <= 8, s"n in 1..8, got $n")
-    val parts = (0 until n).map(j =>
-      if (j == 0) "element_at(toks, CAST(i AS INT))"
-      else s"element_at(toks, CAST(i + $j AS INT))")
-      .mkString(", ' ', ")
-    val grams = s"array_distinct(transform(" +
-      s"sequence(1, size(toks) - ${n - 1}), i -> concat($parts)))"
-    val sh = docs
-      .select(idCol.as("doc_id"),
-        split(lower(trim(textCol)), "\\s+").as("toks"))
-      .where(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(expr(grams)).as("sh"))
+    val sh = shingleTable(docs, idCol, textCol, n)
     val firstOwner = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
     sh.join(firstOwner, "sh")
       .groupBy("doc_id")

@@ -359,4 +359,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(2L) === ((2L, 1L, 0.5)))
     assert(got(3L) === ((1L, 1L, 1.0)))
   }
+
+  test("novelty index folds associatively: any batch split accumulates " +
+      "to the one-shot ngramNovelty") {
+    val docs = Seq(
+      (0L, "a b c d"), (1L, "a b c d"), (2L, "b c d e"),
+      (3L, "e f g h"), (4L, "a b c x y z")).toDF("doc_id", "text")
+    val oneShot = TextAnalysis.ngramNovelty(docs, col("doc_id"),
+        col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel")))).toMap
+    for (split <- Seq(1L, 2L, 3L)) {
+      val a = docs.where(col("doc_id") < split)
+      val b = docs.where(col("doc_id") >= split)
+      val i1 = TextAnalysis.buildNoveltyIndex(a, col("doc_id"),
+        col("text"))
+      val o1 = TextAnalysis.noveltyWithIndex(a, col("doc_id"),
+        col("text"), i1)
+      val i12 = TextAnalysis.foldNoveltyIndex(i1,
+        TextAnalysis.buildNoveltyIndex(b, col("doc_id"), col("text")))
+      val o2 = TextAnalysis.noveltyWithIndex(b, col("doc_id"),
+        col("text"), i12)
+      val inc = o1.unionByName(o2).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"))))
+        .toMap
+      assert(inc === oneShot, s"split at $split diverges")
+    }
+  }
 }
