@@ -528,4 +528,59 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected ≤4 hash exchanges (firsts agg, join sides, doc agg), " +
         s"saw $exchanges:\n$plan")
   }
+
+  test("triangle counting: wedge and closing joins are hash equi-joins " +
+      "with no cartesian or nested-loop fallback") {
+    val plan = executedPlan(
+      SparkEntry.queries("graph_triangles")(spark, sf))
+    assert(!plan.toLowerCase.contains("cartesianproduct") &&
+      !plan.toLowerCase.contains("broadcastnestedloop"),
+      s"triangle joins fell back to a non-equi strategy:\n$plan")
+  }
+
+  test("ppl buckets: the bucket-label join back to the corpus is a " +
+      "broadcast, never a shuffle of the scored rows") {
+    val plan = executedPlan(
+      SparkEntry.queries("quality_ppl_buckets")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"histogram label join must broadcast:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesianproduct"), plan)
+  }
+
+  test("MAD outliers: both median tables join back via broadcast; the " +
+      "corpus is never shuffled") {
+    val plan = executedPlan(
+      SparkEntry.queries("quality_mad_outliers")(spark, sf))
+    val bcasts = "BroadcastExchange".r.findAllIn(plan).length
+    assert(bcasts >= 2,
+      s"expected median AND mad broadcasts, saw $bcasts:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesianproduct"), plan)
+  }
+
+  test("SRP signatures are one shuffle-free map stage over the " +
+      "embeddings scan") {
+    val df = graft.pipeline.Embeddings.srpSignatures(
+      spark.read.parquet(s"$sf/embeddings.parquet"),
+      org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.col("embedding"), dim = 64).toDF()
+    val plan = executedPlan(df)
+    assert(!plan.contains("Exchange"),
+      s"signature computation must not shuffle:\n$plan")
+  }
+
+  test("waterfill: the corpus is touched by ONE aggregation; the " +
+      "solved 1-row cap joins back via broadcast (a broadcast " +
+      "nested-loop over ONE row is the intended scalar-attach plan)") {
+    val plan = executedPlan(
+      SparkEntry.queries("corpus_waterfill")(spark, sf))
+    assert(plan.contains("BroadcastExchange"),
+      s"cap must broadcast:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesianproduct"), plan)
+    // one corpus-side aggregation only (the avail totals)
+    val aggsOnText = "hashaggregate\\(keys=\\[source".r
+      .findAllIn(plan.toLowerCase).length
+    assert(aggsOnText <= 2, // partial + final of the ONE aggregation
+      s"corpus aggregated more than once:\n$plan")
+  }
 }
