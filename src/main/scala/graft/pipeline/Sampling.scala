@@ -481,6 +481,9 @@ object Sampling {
     val byAvail = Window.orderBy(col("avail").asc, col("domain").asc)
     val all = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
+    // pin the domain histogram (rows = domain count — tiny): the cap
+    // solve and the final projection both read it, and without the pin
+    // the corpus aggregation runs once per branch
     val ranked = a
       .withColumn("__i", row_number().over(byAvail))
       .withColumn("__sb", coalesce(sum(col("avail")).over(
@@ -489,16 +492,22 @@ object Sampling {
       .withColumn("__funded",
         col("avail") * (col("__n") - col("__i") + 1L) <=
           lit(budget) - col("__sb"))
-    val cap = ranked.agg(
-      coalesce(max(when(col("__funded"), col("__i"))), lit(0L)).as("__k"),
+      .localCheckpoint(true)
+    // the cap is THREE scalars of a bounded histogram — solve it on
+    // the driver and attach as literals (no second plan branch at all)
+    val capRow = ranked.agg(
+      coalesce(max(when(col("__funded"), col("__i"))), lit(0L)),
       coalesce(max(when(col("__funded"), col("__sb") + col("avail"))),
-        lit(0L)).as("__sk"),
-      max(col("__n")).as("__nn"))
-    ranked.crossJoin(broadcast(cap))
-      .select(col("domain"), col("avail"),
-        when(col("__k") === col("__nn"), col("avail"))
-          .otherwise(least(col("avail"),
-            expr("(" + budget + "L - __sk) div (__nn - __k)")))
-          .as("quota"))
+        lit(0L)),
+      max(col("__n"))).collect()(0)
+    if (capRow.isNullAt(2)) // empty input: no domains, no quotas
+      return ranked.select(col("domain"), col("avail"),
+        col("avail").as("quota"))
+    val (k, sk, nn) =
+      (capRow.getLong(0), capRow.getLong(1), capRow.getLong(2))
+    val quota =
+      if (k == nn) col("avail")
+      else least(col("avail"), lit((budget - sk) / (nn - k)))
+    ranked.select(col("domain"), col("avail"), quota.as("quota"))
   }
 }

@@ -569,18 +569,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"signature computation must not shuffle:\n$plan")
   }
 
-  test("waterfill: the corpus is touched by ONE aggregation; the " +
-      "solved 1-row cap joins back via broadcast (a broadcast " +
-      "nested-loop over ONE row is the intended scalar-attach plan)") {
-    val plan = executedPlan(
-      SparkEntry.queries("corpus_waterfill")(spark, sf))
-    assert(plan.contains("BroadcastExchange"),
-      s"cap must broadcast:\n$plan")
-    assert(!plan.toLowerCase.contains("cartesianproduct"), plan)
-    // one corpus-side aggregation only (the avail totals)
-    val aggsOnText = "hashaggregate\\(keys=\\[source".r
-      .findAllIn(plan.toLowerCase).length
-    assert(aggsOnText <= 2, // partial + final of the ONE aggregation
-      s"corpus aggregated more than once:\n$plan")
+  test("waterfill: the corpus is touched by ONE aggregation; the cap " +
+      "is solved driver-side from the pinned histogram (no second " +
+      "plan branch, no join at all)") {
+    val df = SparkEntry.queries("corpus_waterfill")(spark, sf)
+    val plan = executedPlan(df)
+    assert(!plan.toLowerCase.contains("cartesianproduct") &&
+      !plan.toLowerCase.contains("join"),
+      s"expected a join-free projection over the pinned histogram:\n$plan")
+    // the returned frame reads the checkpointed domain histogram —
+    // the corpus scan happened exactly once, at pin time
+    assert(!plan.contains("Scan parquet"),
+      s"documents rescanned after the pin:\n$plan")
   }
 }
