@@ -1904,6 +1904,14 @@ object SparkEntry {
     // Canonical text cleanup: NFC composition + control-char strip +
     // whitespace squeeze (planted combining accents / control bytes /
     // double spaces — the synthetic prose is already clean ASCII)
+    // Gopher-style named rule flags: WHICH heuristic rejected a doc —
+    // every rule an integer comparison (cross-multiplied ratios, x100
+    // integer mean), one shuffle-free map stage
+    "quality_gopher_flags" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.gopherFlags(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), minWords = 20L)),
+
     // N-gram novelty: fraction of a doc's distinct 3-grams first seen
     // in that doc (ownership = min doc_id) — the memorization-risk
     // readout; verbatim re-crawls score 0. Fingerprint-sized shuffle
@@ -4549,7 +4557,38 @@ object SparkEntry {
         |  ROUND(CAST(SUM(CASE WHEN fo.first_doc = sx.doc_id THEN 1
         |      ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS novelty
         |FROM sx JOIN fo USING (sh) GROUP BY sx.doc_id""".stripMargin,
-        "text_novelty" ->
+        "quality_gopher_flags" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS BIGINT) AS n_words,
+        |    CAST(length(regexp_replace(trim(text), '\s+', '', 'g'))
+        |      AS BIGINT) AS n_chars,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x IN ('the','a','an','and','or','of','to','in','is',
+        |        'it','that','for','on','with','as'))) AS BIGINT)
+        |      AS stop_hits
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, n_words,
+        |    CASE WHEN n_words > 0 THEN n_chars * 100 // n_words
+        |      ELSE 0 END AS mean_word_len_x100,
+        |    n_words >= 20 AND n_words <= 100000 AS ok_word_count,
+        |    n_alpha * 10 >= n_chars * 7 AS ok_alpha,
+        |    stop_hits * 50 >= n_words AS ok_stopwords
+        |  FROM b)
+        |SELECT doc_id, n_words, mean_word_len_x100, ok_word_count,
+        |  mean_word_len_x100 >= 300 AND mean_word_len_x100 <= 1000
+        |    AS ok_mean_len,
+        |  ok_alpha, ok_stopwords,
+        |  ok_word_count AND mean_word_len_x100 >= 300
+        |    AND mean_word_len_x100 <= 1000 AND ok_alpha AND ok_stopwords
+        |    AS pass
+        |FROM f""".stripMargin,
+    "text_novelty" ->
       """WITH t AS (
         |  SELECT doc_id,
         |    string_split_regex(lower(trim(text)), '\s+') AS toks

@@ -894,4 +894,46 @@ object TextAnalysis {
       .withColumn("novelty",
         round(col("n_novel").cast("double") / col("n_shingles"), 6))
   }
+
+  /** Gopher-style rule flags — the named-rule counterpart of the
+    * composite [[qualityScore]]: one boolean column per repetition-free
+    * heuristic plus the conjunction, so a curation pipeline can report
+    * WHICH rule rejected a document (the auditability the single score
+    * lacks). Every rule is an integer comparison (counts and
+    * cross-multiplied ratios — no float thresholds), so the flag table
+    * is engine-exact. One shuffle-free codegen'd map stage.
+    *
+    * Rules (documented inline): word count in [minWords, maxWords];
+    * mean word length in [3, 10] (×100 integer division); alphabetic
+    * characters ≥ 70% of non-space characters; stopword tokens ≥ 2%
+    * of words (the "natural prose" signal). */
+  def gopherFlags(docs: DataFrame, idCol: Column, textCol: Column,
+      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val toks = split(lower(trim(textCol)), "\\s+")
+    val nWords = size(toks).cast("long")
+    val nChars = length(regexp_replace(trim(textCol), "\\s+", ""))
+      .cast("long")
+    val nAlpha = length(regexp_replace(textCol, "[^a-zA-Z]", ""))
+      .cast("long")
+    val stopArr = array(EnglishStopwords.map(lit): _*)
+    val stopHits = size(filter(toks,
+      w => array_contains(stopArr, w))).cast("long")
+    docs.select(idCol.as("doc_id"), nWords.as("n_words"),
+      nChars.as("__nc"), nAlpha.as("__na"), stopHits.as("__sh"))
+      // `div` (not `/`, which is float division) keeps the ×100 mean
+      // an exact integer on both engines
+      .withColumn("mean_word_len_x100", when(col("n_words") > 0L,
+        expr("(__nc * 100) div n_words")).otherwise(0L))
+      .select(col("doc_id"), col("n_words"),
+        col("mean_word_len_x100"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .as("ok_word_count"),
+        (col("mean_word_len_x100") >= 300L &&
+          col("mean_word_len_x100") <= 1000L).as("ok_mean_len"),
+        (col("__na") * 10L >= col("__nc") * 7L).as("ok_alpha"),
+        (col("__sh") * 50L >= col("n_words")).as("ok_stopwords"))
+      .withColumn("pass",
+        col("ok_word_count") && col("ok_mean_len") && col("ok_alpha") &&
+          col("ok_stopwords"))
+  }
 }

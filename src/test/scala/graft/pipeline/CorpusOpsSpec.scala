@@ -387,4 +387,28 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(inc === oneShot, s"split at $split diverges")
     }
   }
+
+  test("gopherFlags: each rule rejects its planted pathology and good " +
+      "prose passes") {
+    val good = (1 to 30).map(i => s"the quick word$i fox").mkString(" ")
+    val docs = Seq(
+      (0L, good),                                     // passes all
+      (1L, "too short text"),                         // word count
+      (2L, (1 to 60).map(_ => "a").mkString(" ")),    // mean len < 3
+      (3L, (1 to 60).map(i => s"!!## $i%%").mkString(" ")), // alpha
+      (4L, (1 to 60).map(i => s"zz$i qq$i").mkString(" "))  // stopwords
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherFlags(docs, col("doc_id"), col("text"),
+        minWords = 20L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("ok_word_count"),
+          r.getAs[Boolean]("ok_mean_len"), r.getAs[Boolean]("ok_alpha"),
+          r.getAs[Boolean]("ok_stopwords"),
+          r.getAs[Boolean]("pass")))).toMap
+    assert(got(0L)._5 === true, s"good prose rejected: ${got(0L)}")
+    assert(!got(1L)._1 && !got(1L)._5)
+    assert(!got(2L)._2 && !got(2L)._5)
+    assert(!got(3L)._3 && !got(3L)._5)
+    assert(!got(4L)._4 && !got(4L)._5)
+  }
 }
