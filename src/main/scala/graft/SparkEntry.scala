@@ -1904,6 +1904,43 @@ object SparkEntry {
     // Canonical text cleanup: NFC composition + control-char strip +
     // whitespace squeeze (planted combining accents / control bytes /
     // double spaces — the synthetic prose is already clean ASCII)
+    // The round-12 curation chain COMPOSED end-to-end: gopher rule
+    // gate -> per-language MAD length-outlier removal (thresholds from
+    // the GATED population) -> perplexity head+middle selection
+    // (buckets over the surviving population; LM trained on the full
+    // corpus) -> waterfilled token-budget mix over the survivors. The
+    // oracle restates every stage over the same shrinking populations,
+    // so ANY stage drifting breaks the hash
+    "curation_chain3" -> ((s, dir) => {
+      val T = graft.pipeline.TextAnalysis
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val gpass = T.gopherFlags(docs, col("doc_id"), col("text"),
+        minWords = 20L).where(col("pass")).select("doc_id")
+      val k1 = docs.join(gpass, "doc_id")
+      val keep2 = graft.pipeline.Sampling.madOutliers(k1, col("lang"),
+        col("doc_id"), col("n_chars"), k = 3.0)
+        .where(!col("outlier")).select(col("id").as("doc_id"))
+      val k2 = k1.join(keep2, "doc_id")
+      val m = graft.pipeline.LanguageModel.trainBigramLm(
+        docs, col("doc_id"), col("text"), vocabSize = 256)
+      val scored = graft.pipeline.LanguageModel.scoreBigramLm(
+        k2, col("doc_id"), col("text"), m)
+        .join(k2.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+      val keep3 = graft.pipeline.Sampling.bucketByScoreBins(scored,
+        col("lang"), col("id"), col("xent"), Seq(0.25, 0.5))
+        .where(col("bucket") <= 1L).select(col("id").as("doc_id"))
+      val k3 = k2.join(keep3, "doc_id")
+      val quotas = graft.pipeline.Sampling.waterfillBudget(k3,
+        col("source"), T.tokenCount(col("text")), budget = 3000L)
+        .collect()
+        .map(r => r.getAs[String]("domain") -> r.getAs[Long]("quota"))
+        .toMap
+      graft.pipeline.Sampling.tokenBudgetSample(k3, col("source"),
+        col("doc_id"), T.tokenCount(col("text")), quotas,
+        defaultBudget = 0L)
+        .select(col("doc_id"), col("source"))
+    }),
+
     // Gopher-style named rule flags: WHICH heuristic rejected a doc —
     // every rule an integer comparison (cross-multiplied ratios, x100
     // integer mean), one shuffle-free map stage
@@ -4557,7 +4594,126 @@ object SparkEntry {
         |  ROUND(CAST(SUM(CASE WHEN fo.first_doc = sx.doc_id THEN 1
         |      ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS novelty
         |FROM sx JOIN fo USING (sh) GROUP BY sx.doc_id""".stripMargin,
-        "quality_gopher_flags" ->
+        // curation_chain3: the full round-12 curation chain restated —
+    // gopher gate, MAD thresholds FROM the gated population, ppl
+    // buckets over the survivors (LM trained on the full corpus),
+    // waterfill + running-sum mix over the final population
+    "curation_chain3" -> (lmXentSql +
+      """, gb AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS BIGINT) AS n_words,
+        |    CAST(length(regexp_replace(trim(text), '\s+', '', 'g'))
+        |      AS BIGINT) AS n_chars,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x IN ('the','a','an','and','or','of','to','in','is',
+        |        'it','that','for','on','with','as'))) AS BIGINT)
+        |      AS stop_hits
+        |  FROM documents),
+        |gp AS (
+        |  SELECT doc_id FROM gb
+        |  WHERE n_words >= 20 AND n_words <= 100000
+        |    AND (CASE WHEN n_words > 0 THEN n_chars * 100 // n_words
+        |      ELSE 0 END) BETWEEN 300 AND 1000
+        |    AND n_alpha * 10 >= n_chars * 7
+        |    AND stop_hits * 50 >= n_words),
+        |k1 AS (SELECT documents.* FROM documents JOIN gp USING (doc_id)),
+        |mb AS (
+        |  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS value FROM k1),
+        |mh AS (SELECT lang, value, COUNT(*) AS c FROM mb GROUP BY 1, 2),
+        |mhc AS (
+        |  SELECT lang, value,
+        |    SUM(c) OVER (PARTITION BY lang ORDER BY value) AS cum,
+        |    SUM(c) OVER (PARTITION BY lang) AS n
+        |  FROM mh),
+        |mmed AS (
+        |  SELECT lang, MIN(value) AS med FROM mhc
+        |  WHERE cum >= (n + 1) // 2 GROUP BY lang),
+        |mdv AS (
+        |  SELECT mb.lang, mb.doc_id, ABS(mb.value - mmed.med) AS dev
+        |  FROM mb JOIN mmed USING (lang)),
+        |mh2 AS (SELECT lang, dev, COUNT(*) AS c FROM mdv GROUP BY 1, 2),
+        |mh2c AS (
+        |  SELECT lang, dev,
+        |    SUM(c) OVER (PARTITION BY lang ORDER BY dev) AS cum,
+        |    SUM(c) OVER (PARTITION BY lang) AS n
+        |  FROM mh2),
+        |mmad AS (
+        |  SELECT lang, MIN(dev) AS mad FROM mh2c
+        |  WHERE cum >= (n + 1) // 2 GROUP BY lang),
+        |k2 AS (
+        |  SELECT k1.* FROM k1
+        |  JOIN mdv ON mdv.doc_id = k1.doc_id
+        |  JOIN mmad ON mmad.lang = k1.lang
+        |  WHERE NOT (mdv.dev > 3.0 * mmad.mad)),
+        |sc AS (
+        |  SELECT k2.lang, x.doc_id, round(x.xent, 2) AS score_bin
+        |  FROM xent x JOIN k2 ON k2.doc_id = x.doc_id),
+        |bh AS (
+        |  SELECT lang, score_bin, COUNT(*) AS c FROM sc GROUP BY 1, 2),
+        |bcm AS (
+        |  SELECT lang, score_bin,
+        |    COALESCE(SUM(c) OVER (PARTITION BY lang ORDER BY score_bin
+        |      ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cb,
+        |    SUM(c) OVER (PARTITION BY lang) AS n
+        |  FROM bh),
+        |bl AS (
+        |  SELECT lang, score_bin,
+        |    (CASE WHEN cb >= CEIL(0.25 * n) THEN 1 ELSE 0 END) +
+        |    (CASE WHEN cb >= CEIL(0.5 * n) THEN 1 ELSE 0 END) AS bucket
+        |  FROM bcm),
+        |k3 AS (
+        |  SELECT k2.* FROM k2
+        |  JOIN sc ON sc.doc_id = k2.doc_id
+        |  JOIN bl ON bl.lang = sc.lang AND bl.score_bin = sc.score_bin
+        |  WHERE bl.bucket <= 1),
+        |wa AS (
+        |  SELECT source AS domain,
+        |    CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+        |      AS BIGINT) AS avail
+        |  FROM k3 GROUP BY source),
+        |wr AS (
+        |  SELECT domain, avail,
+        |    CAST(row_number() OVER (ORDER BY avail, domain) AS BIGINT)
+        |      AS i,
+        |    COALESCE(SUM(avail) OVER (ORDER BY avail, domain
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS sb,
+        |    COUNT(*) OVER () AS n
+        |  FROM wa),
+        |wf2 AS (
+        |  SELECT *, avail * (n - i + 1) <= 3000 - sb AS funded FROM wr),
+        |wk AS (
+        |  SELECT COALESCE(MAX(CASE WHEN funded THEN i END), 0) AS k,
+        |    COALESCE(MAX(CASE WHEN funded THEN sb + avail END), 0) AS sk,
+        |    MAX(n) AS n FROM wf2),
+        |wq AS (
+        |  SELECT wf2.domain,
+        |    CAST(CASE WHEN wk.k = wk.n THEN wf2.avail
+        |      ELSE LEAST(wf2.avail, (3000 - wk.sk) // (wk.n - wk.k)) END
+        |      AS BIGINT) AS quota
+        |  FROM wf2, wk),
+        |mixd AS (
+        |  SELECT doc_id, source,
+        |    len(string_split_regex(trim(text), '\s+')) AS toks,
+        |    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) / 4294967296.0 AS u
+        |  FROM k3),
+        |mixc AS (
+        |  SELECT doc_id, source, toks,
+        |    COALESCE(SUM(toks) OVER (PARTITION BY source
+        |      ORDER BY u, CAST(doc_id AS VARCHAR)
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS before
+        |  FROM mixd)
+        |SELECT mixc.doc_id, mixc.source FROM mixc
+        |JOIN wq ON wq.domain = mixc.source
+        |WHERE mixc.before < wq.quota""".stripMargin),
+    "quality_gopher_flags" ->
       """WITH b AS (
         |  SELECT doc_id,
         |    CAST(len(string_split_regex(lower(trim(text)), '\s+'))
