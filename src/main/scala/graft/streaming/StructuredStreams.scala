@@ -312,6 +312,61 @@ object StructuredStreams {
     }
   }
 
+  /** Standing n-gram novelty over a document stream: the first-owner
+    * shingle index ([[graft.pipeline.TextAnalysis.NoveltyIndex]])
+    * folds per micro-batch (per-shingle min — associative), and each
+    * batch is scored against the fold INCLUDING itself. With ascending
+    * doc ids across batches, the accumulated outputs equal the
+    * one-shot `ngramNovelty` over the concatenated stream
+    * (`StreamingNoveltySpec`). The accumulated frame is re-pinned per
+    * fold (plan stays one leaf deep) and superseded checkpoints
+    * release through Lineage. */
+  final class StreamingNovelty(idCol: String, textCol: String,
+      n: Int = 3) {
+    @volatile private var index
+        : Option[graft.pipeline.TextAnalysis.NoveltyIndex] = None
+    @volatile private var outputs: Option[DataFrame] = None
+
+    def fold(batch: DataFrame): Unit = synchronized {
+      val T = graft.pipeline.TextAnalysis
+      val b = T.buildNoveltyIndex(batch, col(idCol), col(textCol), n)
+      val folded = index match {
+        case None     => b
+        case Some(i0) => T.foldNoveltyIndex(i0, b)
+      }
+      val pinned = T.NoveltyIndex(folded.firstOwners.localCheckpoint(true))
+      index.foreach(i => releaseCheckpoint(i.firstOwners))
+      index = Some(pinned)
+      val out = T.noveltyWithIndex(batch, col(idCol), col(textCol),
+        pinned, n)
+      val acc = (outputs match {
+        case None     => out
+        case Some(o0) => o0.unionByName(out)
+      }).localCheckpoint(true)
+      outputs.foreach(releaseCheckpoint)
+      outputs = Some(acc)
+    }
+
+    def current: Option[DataFrame] = outputs
+
+    def unpersist(): Unit = synchronized {
+      index.foreach(i => releaseCheckpoint(i.firstOwners)); index = None
+      outputs.foreach(releaseCheckpoint); outputs = None
+    }
+  }
+
+  /** Attach novelty maintenance to a document stream. */
+  def maintainNovelty(stream: DataFrame, novelty: StreamingNovelty,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        novelty.fold(batch.toDF())
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
   /** Attach quota-sample maintenance to a streaming DataFrame. */
   def maintainQuotaSample(stream: DataFrame,
       sample: StreamingQuotaSample, checkpointDir: String)
