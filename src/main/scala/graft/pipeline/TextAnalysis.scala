@@ -909,11 +909,14 @@ object TextAnalysis {
     * of words (the "natural prose" signal). */
   def gopherFlags(docs: DataFrame, idCol: Column, textCol: Column,
       minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
-    val toks = split(lower(trim(textCol)), "\\s+")
+    // null text = empty text (every rule rejects), not null flags —
+    // a curation gate must never emit three-valued booleans
+    val text = coalesce(textCol, lit(""))
+    val toks = split(lower(trim(text)), "\\s+")
     val nWords = size(toks).cast("long")
-    val nChars = length(regexp_replace(trim(textCol), "\\s+", ""))
+    val nChars = length(regexp_replace(trim(text), "\\s+", ""))
       .cast("long")
-    val nAlpha = length(regexp_replace(textCol, "[^a-zA-Z]", ""))
+    val nAlpha = length(regexp_replace(text, "[^a-zA-Z]", ""))
       .cast("long")
     val stopArr = array(EnglishStopwords.map(lit): _*)
     val stopHits = size(filter(toks,

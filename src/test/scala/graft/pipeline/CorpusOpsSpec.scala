@@ -411,4 +411,18 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!got(3L)._3 && !got(3L)._5)
     assert(!got(4L)._4 && !got(4L)._5)
   }
+
+  test("gopherFlags: null text yields concrete false flags, never " +
+      "three-valued booleans") {
+    val docs = Seq((0L, null.asInstanceOf[String]), (1L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherFlags(docs, col("doc_id"), col("text"),
+      minWords = 20L).collect()
+    assert(got.length === 2)
+    got.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("pass")), "pass must be concrete")
+      assert(!r.getAs[Boolean]("pass"))
+      assert(!r.getAs[Boolean]("ok_word_count"))
+    }
+  }
 }
