@@ -2469,6 +2469,15 @@ object SparkEntry {
           round(element_at(emb.normalize(v), 1), 6).as("first_unit"))
     }),
 
+    // Threshold-calibration probe: round-2 pairwise-cosine histogram
+    // of a bounded deterministic sample (vec_id < 200) — all-pairs by
+    // design, cost = sample^2 at ANY corpus scale
+    "emb_sim_histogram" -> ((s, dir) =>
+      graft.pipeline.Embeddings.cosineHistogram(
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .where(col("vec_id") < 200),
+        col("vec_id"), col("embedding"))),
+
     // Signed-random-projection bit signatures: 64-bit SimHash for
     // embeddings (bit = sign of a ±1-weighted dot product; md5-derived
     // coefficients both engines replay) — 64 bits instead of 64 floats
@@ -5017,6 +5026,14 @@ object SparkEntry {
     "emb_pca" ->
       """SELECT vec_id, true AS pca_ok
         |FROM embeddings""".stripMargin,
+    "emb_sim_histogram" ->
+      """WITH sm AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 200)
+        |SELECT round(list_cosine_similarity(a.v, b.v), 2) AS sim_bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM sm a JOIN sm b ON a.vec_id < b.vec_id
+        |GROUP BY 1""".stripMargin,
     "emb_bitsig" -> (srpSigSqlOver(
       "SELECT vec_id, embedding FROM embeddings") +
       """SELECT vec_id, sig_bits FROM sig""".stripMargin),

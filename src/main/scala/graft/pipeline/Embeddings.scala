@@ -184,6 +184,26 @@ object Embeddings {
       }
   }
 
+  /** Pairwise-cosine histogram of a (bounded) vector sample — the
+    * threshold-calibration readout run before any near-dup/ANN job:
+    * where does the organic similarity mass sit, and how far below a
+    * candidate threshold? The CALLER bounds the sample (pass a
+    * deterministic slice); the operator is all-pairs by design, so its
+    * cost is sample² regardless of corpus scale — a fixed-size
+    * calibration probe, not a corpus scan. One broadcast of the sample
+    * against itself, one map-side-combined bin count. */
+  def cosineHistogram(df: DataFrame, idCol: Column, vecCol: Column,
+      binDecimals: Int = 2): DataFrame = {
+    val base = df.select(idCol.as("id"),
+      vecCol.cast("array<double>").as("vec"))
+    val a = base.toDF("id_a", "vec_a")
+    val b = base.toDF("id_b", "vec_b")
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(round(Ann.cosine(col("vec_a"), col("vec_b")),
+        binDecimals).as("sim_bin"))
+      .groupBy("sim_bin").agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** SemDeDup-style semantic deduplication: k-means clusters as
     * similarity blocks, exact cosine within each block, connected
     * components over the ≥-threshold pairs, keep = the smallest id of
