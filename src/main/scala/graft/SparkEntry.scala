@@ -1941,6 +1941,26 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // Zlib compression ratio (the Gopher repetition proxy),
+    // SELF-VERIFYING: every doc must score in (0, 1.2] AND its doubled
+    // text must compress no worse (the LZ77 back-reference guarantee);
+    // either failing drops rows, so the trivial oracle only matches
+    // when the signal behaves
+    "text_zlib_ratio" -> ((s, dir) => {
+      val T = graft.pipeline.TextAnalysis
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val r = T.compressionRatio(docs, col("doc_id"), col("text"))
+      val doubled = T.compressionRatio(
+        docs.select(col("doc_id"),
+          concat(col("text"), lit(" "), col("text")).as("text")),
+        col("doc_id"), col("text"))
+        .select(col("doc_id"), col("zlib_ratio").as("r2"))
+      r.join(doubled, "doc_id")
+        .where(col("zlib_ratio") > 0.0 && col("zlib_ratio") <= 1.2 &&
+          col("r2") <= col("zlib_ratio") + 0.01)
+        .select(col("doc_id"), lit(true).as("zlib_invariants"))
+    }),
+
     // Gopher-style named rule flags: WHICH heuristic rejected a doc —
     // every rule an integer comparison (cross-multiplied ratios, x100
     // integer mean), one shuffle-free map stage
@@ -4603,7 +4623,10 @@ object SparkEntry {
         |  ROUND(CAST(SUM(CASE WHEN fo.first_doc = sx.doc_id THEN 1
         |      ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS novelty
         |FROM sx JOIN fo USING (sh) GROUP BY sx.doc_id""".stripMargin,
-        // curation_chain3: the full round-12 curation chain restated —
+        "text_zlib_ratio" ->
+      """SELECT doc_id, true AS zlib_invariants
+        |FROM documents""".stripMargin,
+    // curation_chain3: the full round-12 curation chain restated —
     // gopher gate, MAD thresholds FROM the gated population, ppl
     // buckets over the survivors (LM trained on the full corpus),
     // waterfill + running-sum mix over the final population

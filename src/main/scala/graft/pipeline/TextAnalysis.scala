@@ -939,4 +939,34 @@ object TextAnalysis {
         col("ok_word_count") && col("ok_mean_len") && col("ok_alpha") &&
           col("ok_stopwords"))
   }
+
+  /** Per-document zlib compression ratio (deflated bytes / UTF-8
+    * bytes, round-6) — the classic repetition/boilerplate proxy: prose
+    * sits well under 1, heavily repeated or templated text collapses
+    * toward 0, and random-ish payloads push past it. Deterministic for
+    * a fixed deflate level; a pure map stage (one Deflater per row,
+    * reset-free). Empty/null text scores 1.0 (incompressible by
+    * convention, never a divide-by-zero). */
+  def compressionRatio(docs: DataFrame, idCol: Column, textCol: Column,
+      level: Int = 6): DataFrame = {
+    require(level >= 1 && level <= 9, s"deflate level 1..9, got $level")
+    val ratio = udf((t: String) => {
+      if (t == null || t.isEmpty) 1.0
+      else {
+        val in = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d = new java.util.zip.Deflater(level)
+        try {
+          d.setInput(in); d.finish()
+          val buf = new Array[Byte](in.length + 64)
+          var out = 0
+          while (!d.finished()) out += d.deflate(buf, 0,
+            buf.length) // single buffer: out caps at buf.length per call
+          BigDecimal(out.toDouble / in.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        } finally d.end()
+      }
+    })
+    docs.select(idCol.as("doc_id"), ratio(textCol).as("zlib_ratio"),
+      length(textCol).cast("long").as("n_bytes"))
+  }
 }

@@ -425,4 +425,31 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(!r.getAs[Boolean]("ok_word_count"))
     }
   }
+
+  test("compressionRatio: repetition compresses far below prose; " +
+      "empty/null score 1.0; doubled text never compresses worse") {
+    val prose = "the quick brown fox jumps over a lazy dog while " +
+      "seventeen distinct zebras quietly evaluate novel compression"
+    val docs = Seq(
+      (0L, prose),
+      (1L, Seq.fill(40)("spam spam").mkString(" ")),
+      (2L, ""), (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.compressionRatio(docs, col("doc_id"),
+        col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("zlib_ratio"))
+      .toMap
+    assert(got(1L) < got(0L) / 2, s"repetition must crush: $got")
+    assert(got(2L) === 1.0 && got(3L) === 1.0)
+    assert(got.values.forall(v => v > 0.0 && v <= 1.2))
+    val doubled = TextAnalysis.compressionRatio(
+      docs.where(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" "), col("text")).as("text")),
+      col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("zlib_ratio"))
+      .toMap
+    doubled.foreach { case (id, r2) =>
+      assert(r2 <= got(id) + 0.01, s"doc $id doubled ratio $r2 > ${got(id)}")
+    }
+  }
 }
