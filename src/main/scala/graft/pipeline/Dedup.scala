@@ -391,13 +391,18 @@ object Dedup {
         .groupBy("id").agg(min("lbl").as("lbl"))
       // pointer jumping: follow the label one more hop (labels are node
       // ids, so every lbl resolves; coalesce guards the frontier)
-      // lazy checkpoint: the changed-check join below is the first
-      // action on `next`, so its blocks materialize (and lineage
-      // truncates) inside that job — one action per round, not two
+      // EAGER checkpoint: the changed-check below short-circuits
+      // (limit(1)), so a lazy checkpoint would leave partitions
+      // unmaterialized when the predecessor's blocks are released —
+      // and with a REAL release (Lineage), those partitions then
+      // recompute through the evicted round, degrading the loop to
+      // quadratic work (caught by the r12 bench: dedup_semdedup
+      // 2.3 s → 10 s). Full materialization BEFORE the release keeps
+      // every round one hop deep
       val next = propagated
         .join(propagated.toDF("jid", "jlbl"), col("lbl") === col("jid"), "left")
         .select(col("id"), coalesce(col("jlbl"), col("lbl")).as("lbl"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       val changed = next.join(labels.toDF("id", "prev"), "id")
         .where(col("lbl") =!= col("prev")).limit(1).count()
       graft.util.Lineage.release(labels)
