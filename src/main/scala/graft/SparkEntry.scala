@@ -14,6 +14,59 @@ import org.apache.spark.sql.functions._
   * on both sides so cross-engine float-summation order cannot flip the
   * driver's hash compare.
   */
+/** Deterministic fixture derivations shared by several gate entries —
+  * the synthetic documents are single-line word soup, so structure
+  * (line breaks, boilerplate) is planted from doc_id with the SAME
+  * arithmetic the DuckDB oracles apply. */
+private[graft] object SparkEntryFixtures {
+
+  /** Multi-line text: the word soup reshaped into 4-token lines, plus
+    * a cookie banner (doc_id % 4 == 0) and a license footer
+    * (doc_id % 6 == 0) — guaranteed cross-document duplicate lines at
+    * every scale factor on top of the natural 4-gram collisions. */
+  def linedText: org.apache.spark.sql.Column =
+    concat(
+      when(col("doc_id") % 4 === 0,
+        lit("accept all cookies to continue\n")).otherwise(lit("")),
+      regexp_replace(col("text"), "((\\S+ ){3}\\S+) ", "$1\n"),
+      when(col("doc_id") % 6 === 0,
+        lit("\nlicensed under creative commons attribution"))
+        .otherwise(lit("")))
+}
+
+/** Oracle-SQL fragments shared by more than one gate entry. */
+private[graft] object SparkEntryOracleFixtures {
+
+  /** DuckDB restatement of [[SparkEntryFixtures.linedText]] +
+    * first-occurrence line dedup; used verbatim by both `dedup_lines`
+    * and `dedup_lines_incremental` (the index fold law makes the
+    * incremental rewrite identical to the one-shot pass). */
+  val dedupLinesSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 4 = 0
+      |      THEN 'accept all cookies to continue' || chr(10) ELSE '' END
+      |    || regexp_replace(text, '((\S+ ){3}\S+) ', '\1' || chr(10), 'g')
+      |    || CASE WHEN doc_id % 6 = 0
+      |      THEN chr(10) || 'licensed under creative commons attribution'
+      |      ELSE '' END AS lt
+      |  FROM documents),
+      |l AS (
+      |  SELECT doc_id, ord - 1 AS idx, ls[ord] AS line,
+      |         doc_id * 1000000 + ord - 1 AS occ_key
+      |  FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS ord
+      |        FROM (SELECT doc_id, string_split(lt, chr(10)) AS ls FROM d))),
+      |o AS (SELECT line, min(occ_key) AS owner_key FROM l GROUP BY line)
+      |SELECT l.doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CASE WHEN l.occ_key = o.owner_key THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_kept,
+      |  coalesce(string_agg(
+      |    CASE WHEN l.occ_key = o.owner_key THEN l.line END,
+      |    chr(10) ORDER BY l.idx), '') AS clean_text
+      |FROM l JOIN o ON l.line = o.line
+      |GROUP BY l.doc_id""".stripMargin
+}
+
 object SparkEntry {
 
   private val Prefixes =
@@ -1426,6 +1479,36 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         col("text"), windowTokens = 12)),
 
+    // Cross-document exact line dedup (the RefinedWeb pass — distinct
+    // from text_boilerplate, which drops ALL copies of high-df lines):
+    // every distinct line keeps exactly its first (doc, idx) occurrence
+    // corpus-wide; docs reassembled from surviving lines. Line structure
+    // planted: 4-token lines + boilerplate banner/license lines
+    "dedup_lines" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.pipeline.Dedup.dedupLines(
+        docs.withColumn("lt", SparkEntryFixtures.linedText),
+        col("doc_id"), col("lt"))
+    }),
+
+    // Same pass through the standing first-occurrence index: the corpus
+    // split at the median doc id, per-batch indexes folded (per-line
+    // min — associative), full corpus rewritten against the folded
+    // index — the merge law makes this ≡ the one-shot dedup_lines
+    "dedup_lines_incremental" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("lt", SparkEntryFixtures.linedText)
+      val cut = docs.agg(
+        ((min("doc_id") + max("doc_id")) / 2).cast("long")).head.getLong(0)
+      val a = graft.pipeline.Dedup.buildLineIndex(
+        docs.where(col("doc_id") <= cut), col("doc_id"), col("lt"))
+      val b = graft.pipeline.Dedup.buildLineIndex(
+        docs.where(col("doc_id") > cut), col("doc_id"), col("lt"))
+      graft.pipeline.Dedup.dedupLinesWithIndex(
+        docs, col("doc_id"), col("lt"),
+        graft.pipeline.Dedup.foldLineIndex(a, b))
+    }),
+
     // Edit-distance near-dup pairs: complete length-bucket blocking
     // (width = maxDist, doc → {bucket, bucket+1}) + thresholded
     // levenshtein verification — catches the planted 4-edit mutations
@@ -1688,6 +1771,27 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"),
           graft.pipeline.TextAnalysis.langId(col("text")).as("lang_guess"))),
+
+    // Unicode-script composition: per-script char counts + integer ppm
+    // ratios + dominant script — the mixed-script/mojibake readout.
+    // Non-Latin runs planted from doc_id (the docs are ASCII prose):
+    // a doc_id-scaled Cyrillic run makes many docs Cyrillic-DOMINANT,
+    // the fixed CJK/Greek/Arabic tails exercise the minor counts
+    "text_scripts" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          expr("repeat(' привет мир', CAST(doc_id % 37 AS INT))"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" 你好世界")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" γειά σου κόσμε"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" مرحبا بالعالم"))
+          .otherwise(lit("")))
+      graft.pipeline.TextAnalysis.scriptProfile(
+        s.read.parquet(s"$dir/documents.parquet")
+          .withColumn("st", planted),
+        col("doc_id"), col("st"))
+    }),
 
     // Document fingerprinting: min-hash shingle fingerprint
     "text_fingerprint" -> ((s, dir) =>
@@ -3886,6 +3990,9 @@ object SparkEntry {
         |g AS (SELECT unnest(sh) AS span_hash FROM s)
         |SELECT span_hash, COUNT(*) AS n_docs FROM g GROUP BY span_hash
         |HAVING COUNT(*) >= 2""".stripMargin,
+    "dedup_lines" -> SparkEntryOracleFixtures.dedupLinesSql,
+    // the fold law makes the incremental rewrite ≡ the one-shot pass
+    "dedup_lines_incremental" -> SparkEntryOracleFixtures.dedupLinesSql,
     "dedup_cluster" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
@@ -5261,6 +5368,48 @@ object SparkEntry {
         |       WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
         |       WHEN c_es >= c_fr THEN 'es'
         |       ELSE 'fr' END AS lang_guess
+        |FROM c""".stripMargin,
+    "text_scripts" ->
+      """WITH d AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN repeat(' привет мир', CAST(doc_id % 37 AS INT))
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' 你好世界' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' γειά σου κόσμε' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' مرحبا بالعالم' ELSE '' END
+        |    AS st
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(length(st) AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_extract_all(st, '[A-Za-z]')) AS BIGINT)
+        |      AS n_latin,
+        |    CAST(len(regexp_extract_all(st, '[\x{0400}-\x{04FF}]'))
+        |      AS BIGINT) AS n_cyrillic,
+        |    CAST(len(regexp_extract_all(st, '[\x{0370}-\x{03FF}]'))
+        |      AS BIGINT) AS n_greek,
+        |    CAST(len(regexp_extract_all(st, '[\x{4E00}-\x{9FFF}]'))
+        |      AS BIGINT) AS n_cjk,
+        |    CAST(len(regexp_extract_all(st, '[\x{0600}-\x{06FF}]'))
+        |      AS BIGINT) AS n_arabic
+        |  FROM d)
+        |SELECT doc_id, n_chars, n_latin, n_cyrillic, n_greek, n_cjk,
+        |  n_arabic,
+        |  n_latin * 1000000 // greatest(n_chars, 1) AS ppm_latin,
+        |  n_cyrillic * 1000000 // greatest(n_chars, 1) AS ppm_cyrillic,
+        |  n_greek * 1000000 // greatest(n_chars, 1) AS ppm_greek,
+        |  n_cjk * 1000000 // greatest(n_chars, 1) AS ppm_cjk,
+        |  n_arabic * 1000000 // greatest(n_chars, 1) AS ppm_arabic,
+        |  CASE
+        |    WHEN n_latin > 0 AND n_latin >=
+        |      greatest(n_cyrillic, n_greek, n_cjk, n_arabic) THEN 'latin'
+        |    WHEN n_cyrillic > 0 AND n_cyrillic >=
+        |      greatest(n_greek, n_cjk, n_arabic) THEN 'cyrillic'
+        |    WHEN n_greek > 0 AND n_greek >= greatest(n_cjk, n_arabic)
+        |      THEN 'greek'
+        |    WHEN n_cjk > 0 AND n_cjk >= n_arabic THEN 'cjk'
+        |    WHEN n_arabic > 0 THEN 'arabic'
+        |    ELSE 'other' END AS dominant
         |FROM c""".stripMargin,
     "text_fingerprint" ->
       """WITH t AS (

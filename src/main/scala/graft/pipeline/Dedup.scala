@@ -296,6 +296,85 @@ object Dedup {
       Seq("span_hash"), "leftsemi")
   }
 
+  // ---- line-level dedup (C4 / RefinedWeb pass) -------------------------
+
+  /** First-owner key of a line occurrence: lexicographic (doc, idx)
+    * packed into one BIGINT so min() resolves ownership in a single
+    * map-side-combined aggregation. Documents are bounded well below
+    * `LineIdxSpan` lines (posexplode indexes, not tokens). */
+  private val LineIdxSpan = 1000000L
+
+  private def lineTable(df: DataFrame, idCol: Column,
+      textCol: Column, sep: String): DataFrame =
+    df.select(idCol.as("doc_id"),
+        posexplode(split(textCol, sep)).as(Seq("idx", "line")))
+      .select(col("doc_id"), col("idx"), col("line"),
+        md5(col("line")).as("line_hash"),
+        (col("doc_id") * lit(LineIdxSpan) + col("idx")).as("occ_key"))
+
+  /** Cross-document exact line deduplication — the C4/RefinedWeb pass
+    * that document-hash dedup misses entirely: navigation chrome,
+    * cookie banners, license headers duplicated across otherwise
+    * distinct pages. Every distinct line keeps exactly its FIRST
+    * occurrence (lowest (doc, idx), a total order, so the survivor set
+    * is engine- and partitioning-independent); all later occurrences
+    * corpus-wide are dropped and each document is reassembled from its
+    * surviving lines in original order.
+    *
+    * Two shuffles, neither carrying text twice: ownership is one
+    * aggregation over (line_hash → min packed occurrence) — map-side
+    * combined, state one row per DISTINCT line; the occurrence table
+    * then joins that compact owner table and reassembly is one
+    * doc-keyed aggregation (sorted struct collect — bounded by the
+    * document's own line count). No hot key worse than the most
+    * duplicated line, and that key's aggregation state is a single
+    * min. Returns (doc_id, n_lines, n_kept, clean_text). */
+  def dedupLines(df: DataFrame, idCol: Column, textCol: Column,
+      sep: String = "\n"): DataFrame = {
+    val lines = lineTable(df, idCol, textCol, sep)
+    val owners = lines.groupBy("line_hash")
+      .agg(min("occ_key").as("owner_key"))
+    dedupLinesAgainst(lines, owners, sep)
+  }
+
+  private def dedupLinesAgainst(lines: DataFrame, owners: DataFrame,
+      sep: String): DataFrame =
+    lines.join(owners, Seq("line_hash"))
+      .withColumn("__keep", col("occ_key") === col("owner_key"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(sep,
+          transform(
+            sort_array(collect_list(
+              when(col("__keep"), struct(col("idx"), col("line"))))),
+            x => x.getField("line"))).as("clean_text"))
+
+  /** Standing first-occurrence index for incremental line dedup: one
+    * row per distinct line hash with its minimal packed occurrence.
+    * Per-key min is associative, so batch indexes fold to exactly the
+    * one-shot index for ANY batch split — the [[graft.pipeline]]
+    * merge-law contract ingestion pipelines rely on. */
+  final case class LineIndex(owners: DataFrame)
+
+  def buildLineIndex(df: DataFrame, idCol: Column, textCol: Column,
+      sep: String = "\n"): LineIndex =
+    LineIndex(lineTable(df, idCol, textCol, sep)
+      .groupBy("line_hash").agg(min("occ_key").as("owner_key")))
+
+  def foldLineIndex(a: LineIndex, b: LineIndex): LineIndex =
+    LineIndex(a.owners.unionByName(b.owners)
+      .groupBy("line_hash").agg(min("owner_key").as("owner_key")))
+
+  /** Rewrite a batch against a standing index that already includes
+    * the batch (fold it in first): identical output shape and — when
+    * the index equals the one-shot corpus index — identical output to
+    * [[dedupLines]] on the full corpus restricted to the batch. */
+  def dedupLinesWithIndex(df: DataFrame, idCol: Column, textCol: Column,
+      index: LineIndex, sep: String = "\n"): DataFrame =
+    dedupLinesAgainst(lineTable(df, idCol, textCol, sep), index.owners, sep)
+
   // ---- incremental dedup against a standing corpus ---------------------
 
   /** Precomputed LSH state of a standing corpus, reusable across many

@@ -143,6 +143,50 @@ object TextAnalysis {
       .otherwise(best._1)
   }
 
+  /** Unicode-script character classes for [[scriptProfile]] — BMP
+    * ranges only, so char counts agree across engines that measure
+    * code points. Fixed order doubles as the dominant-script
+    * tie-break (earlier wins). */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z]",
+    "cyrillic" -> "[\\u0400-\\u04FF]",
+    "greek" -> "[\\u0370-\\u03FF]",
+    "cjk" -> "[\\u4E00-\\u9FFF]",
+    "arabic" -> "[\\u0600-\\u06FF]")
+
+  /** Per-document unicode-script composition — the script-mix readout
+    * that language ID alone hides (mixed-script spam, mojibake, code
+    * switching): per-script character counts, parts-per-million
+    * ratios as exact integers (count·10⁶ div chars — no float
+    * division anywhere), and the dominant script (max count, ties to
+    * the earlier [[ScriptRanges]] entry). One codegen'd map stage —
+    * no shuffle; at 100 TB this is scan-bound like the other quality
+    * signals. */
+  def scriptProfile(df: DataFrame, idCol: Column, textCol: Column)
+      : DataFrame = {
+    val counted = df.select(
+      idCol.as("doc_id") +:
+      length(textCol).cast("long").as("n_chars") +:
+      ScriptRanges.map { case (name, pattern) =>
+        countMatches(textCol, pattern).cast("long").as(s"n_$name")
+      }: _*)
+    val dominant = ScriptRanges.map(_._1).reverse
+      .foldLeft[Column](lit("other")) { (tail, name) =>
+        val c = col(s"n_$name")
+        val laterMax = ScriptRanges.map(_._1)
+          .dropWhile(_ != name).drop(1)
+          .foldLeft[Column](lit(0L))((m, o) => greatest(m, col(s"n_$o")))
+        when(c > lit(0L) && c >= laterMax, lit(name)).otherwise(tail)
+      }
+    counted.select(
+      col("doc_id") +: col("n_chars") +:
+      (ScriptRanges.map { case (name, _) => col(s"n_$name") } ++
+       ScriptRanges.map { case (name, _) =>
+         expr(s"n_$name * 1000000 div greatest(n_chars, 1)")
+           .as(s"ppm_$name")
+       } :+ dominant.as("dominant")): _*)
+  }
+
   // ---- fingerprinting --------------------------------------------------
 
   /** Min-hash document fingerprint: the smallest md5 over the document's

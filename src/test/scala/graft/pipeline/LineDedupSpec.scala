@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import graft.TestSpark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-document line dedup (the C4/RefinedWeb pass): first-occurrence
+  * keep, ordered reassembly, and the standing-index fold law. */
+class LineDedupSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // banner duplicated in docs 0/2/3; "alpha beta" duplicated in 0/1;
+  // doc 3 is made ENTIRELY of lines owned elsewhere
+  private lazy val docs = Seq(
+    (0L, "accept cookies\nalpha beta\nunique zero"),
+    (1L, "first one\nalpha beta\nlast one"),
+    (2L, "accept cookies\nonly here"),
+    (3L, "accept cookies\nalpha beta")
+  ).toDF("doc_id", "text")
+
+  private def byId(rows: Array[org.apache.spark.sql.Row]) =
+    rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+  test("first occurrence kept, later occurrences dropped, order stable") {
+    val out = byId(
+      Dedup.dedupLines(docs, col("doc_id"), col("text")).collect())
+    assert(out(0L).getAs[String]("clean_text") ===
+      "accept cookies\nalpha beta\nunique zero")
+    assert(out(0L).getAs[Long]("n_kept") === 3L)
+    // doc 1 loses "alpha beta" (owned by doc 0), keeps its own lines
+    assert(out(1L).getAs[String]("clean_text") === "first one\nlast one")
+    assert(out(1L).getAs[Long]("n_lines") === 3L)
+    assert(out(1L).getAs[Long]("n_kept") === 2L)
+    // doc 2 loses the banner, keeps the singleton
+    assert(out(2L).getAs[String]("clean_text") === "only here")
+    // doc 3: every line owned elsewhere -> empty rewrite, still a row
+    assert(out(3L).getAs[String]("clean_text") === "")
+    assert(out(3L).getAs[Long]("n_kept") === 0L)
+  }
+
+  test("within-document duplicate lines also collapse to the first") {
+    val d = Seq((7L, "same line\nsame line\nother")).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(d, col("doc_id"), col("text")).collect()(0)
+    assert(out.getAs[String]("clean_text") === "same line\nother")
+    assert(out.getAs[Long]("n_kept") === 2L)
+  }
+
+  test("index fold law: any batch split rewrites like the one-shot pass") {
+    val oneShot = Dedup.dedupLines(docs, col("doc_id"), col("text"))
+      .collect().map(_.toString).sorted
+    for (cut <- Seq(0L, 1L, 2L)) {
+      val a = Dedup.buildLineIndex(
+        docs.where(col("doc_id") <= cut), col("doc_id"), col("text"))
+      val b = Dedup.buildLineIndex(
+        docs.where(col("doc_id") > cut), col("doc_id"), col("text"))
+      val folded = Dedup.foldLineIndex(a, b)
+      val inc = Dedup.dedupLinesWithIndex(
+        docs, col("doc_id"), col("text"), folded)
+        .collect().map(_.toString).sorted
+      assert(inc === oneShot, s"cut=$cut")
+    }
+  }
+
+  test("result is partitioning-independent") {
+    val out1 = Dedup.dedupLines(docs.repartition(7), col("doc_id"),
+      col("text")).collect().map(_.toString).sorted
+    val out2 = Dedup.dedupLines(docs.coalesce(1), col("doc_id"),
+      col("text")).collect().map(_.toString).sorted
+    assert(out1 === out2)
+  }
+}
+
+/** Unicode-script composition profile. */
+class ScriptProfileSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("counts, ppm, and dominant script") {
+    val docs = Seq(
+      (0L, "hello world"),            // pure latin
+      (1L, "привет мир"),             // pure cyrillic
+      (2L, "ab привет"),              // cyrillic majority (6 > 2)
+      (3L, "...!!! 123"),             // nothing scripted -> other
+      (4L, "αβ 你你")                  // greek ties cjk -> greek (earlier)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptProfile(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[String]("dominant") === "latin")
+    assert(out(0L).getAs[Long]("n_latin") === 10L)
+    assert(out(0L).getAs[Long]("n_chars") === 11L)
+    assert(out(0L).getAs[Long]("ppm_latin") === 10L * 1000000L / 11L)
+    assert(out(1L).getAs[String]("dominant") === "cyrillic")
+    assert(out(1L).getAs[Long]("n_cyrillic") === 9L)
+    assert(out(2L).getAs[String]("dominant") === "cyrillic")
+    assert(out(3L).getAs[String]("dominant") === "other")
+    assert(out(3L).getAs[Long]("ppm_latin") === 0L)
+    assert(out(4L).getAs[String]("dominant") === "greek")
+    assert(out(4L).getAs[Long]("n_cjk") === 2L)
+  }
+
+  test("latin wins ties against every later script") {
+    val docs = Seq((0L, "ab яж")).toDF("doc_id", "text") // 2 vs 2
+    val out = TextAnalysis.scriptProfile(docs, col("doc_id"), col("text"))
+      .collect()(0)
+    assert(out.getAs[String]("dominant") === "latin")
+  }
+}
