@@ -1946,6 +1946,37 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // URL canonicalization + URL-level dedup groups: scheme/host case,
+    // www., default ports, fragments, tracking params, trailing slash
+    // all normalized away; group_n counts corpus URLs sharing the
+    // canonical key. The planted URLs exercise every rule (and keep a
+    // genuinely non-default :8080 port)
+    "url_canonicalize" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("https")),
+        lit("://"),
+        when(col("doc_id") % 4 === 0, lit("WWW.")).otherwise(lit("")),
+        lit("Site"), (col("doc_id") % 7).cast("string"),
+        lit(".Example.COM"),
+        when(col("doc_id") % 2 === 0, lit(":80"))
+          .when(col("doc_id") % 10 === 1, lit(":8080"))
+          .when(col("doc_id") % 3 === 0, lit(":443"))
+          .otherwise(lit("")),
+        lit("/p/"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("?utm_source=news&id="),
+            (col("doc_id") % 25).cast("string"), lit("&utm_campaign=x")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("?id="), (col("doc_id") % 25).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit("#Section2")).otherwise(lit(""))
+      )
+      graft.pipeline.UrlAnalysis.urlDedupTable(
+        docs.withColumn("u", url), col("doc_id"), col("u"))
+    }),
+
     // Deterministic global shuffle: contiguous training-order position
     // under md5(salt || doc_id) — distributed range-sort + zipWithIndex
     "corpus_shuffle" -> ((s, dir) =>
@@ -4661,6 +4692,63 @@ object SparkEntry {
     "url_blocklist" ->
       """SELECT doc_id FROM documents
         |WHERE doc_id % 7 NOT IN (3, 5)""".stripMargin,
+    "url_canonicalize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END
+        |    || '://'
+        |    || CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END
+        |    || 'Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM'
+        |    || CASE WHEN doc_id % 2 = 0 THEN ':80'
+        |         WHEN doc_id % 10 = 1 THEN ':8080'
+        |         WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+        |    || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+        |    || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=news&id='
+        |           || CAST(doc_id % 25 AS VARCHAR) || '&utm_campaign=x'
+        |         WHEN doc_id % 3 = 1
+        |           THEN '?id=' || CAST(doc_id % 25 AS VARCHAR)
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 6 = 0 THEN '#Section2' ELSE '' END
+        |    AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '')
+        |      AS rest
+        |  FROM d),
+        |q AS (
+        |  SELECT doc_id, url, scheme,
+        |    regexp_replace(lower(regexp_extract(rest, '^([^/?#]*)', 1)),
+        |      '^www\.', '') AS host0,
+        |    regexp_replace(regexp_replace(rest, '^[^/?#]*', ''),
+        |      '#.*$', '') AS pq
+        |  FROM p),
+        |c AS (
+        |  SELECT doc_id, url,
+        |    scheme || '://'
+        |    || CASE WHEN scheme = 'http'
+        |         THEN regexp_replace(host0, ':80$', '')
+        |         WHEN scheme = 'https'
+        |         THEN regexp_replace(host0, ':443$', '')
+        |         ELSE host0 END
+        |    || regexp_replace(regexp_extract(pq, '^([^?]*)', 1),
+        |         '/$', '')
+        |    || CASE WHEN len(kept) > 0
+        |         THEN '?' || array_to_string(kept, '&') ELSE '' END
+        |    AS canon_url
+        |  FROM (
+        |    SELECT *, list_filter(
+        |      string_split(regexp_extract(pq, '\?(.*)$', 1), '&'),
+        |      x -> NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)=')
+        |        AND x <> '') AS kept
+        |    FROM q))
+        |SELECT c.doc_id, c.url, c.canon_url, g.group_n
+        |FROM c JOIN (
+        |  SELECT canon_url, CAST(count(*) AS BIGINT) AS group_n
+        |  FROM c GROUP BY canon_url) g USING (canon_url)""".stripMargin,
     "corpus_split" ->
       """SELECT doc_id,
         |  CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val'
