@@ -2783,6 +2783,23 @@ object SparkEntry {
           col("prev_mean"), col("mean").as("cur_mean"), col("delta"))
     }),
 
+    // Per-shot keyframe extraction (the stage after scene-cut
+    // detection): decode once, emit each shot's first frame re-encoded
+    // as a PNG; the gate compares the integer (shot, frame, mean)
+    // triples — KeyframeSpec pins the PNG bytes decode back to the
+    // generative gray
+    "mm_keyframes" -> ((s, dir) => {
+      import s.implicits._
+      val specs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map(id => (id, (8 + id % 5).toInt, (3 + id % 4).toInt))
+      graft.pipeline.Multimodal.extractKeyframes(
+        graft.pipeline.Multimodal.renderGif(specs), threshold = 100L)
+        .toDF()
+        .select(col("media_id").as("doc_id"), col("shot"), col("frame"),
+          col("mean"))
+    }),
+
     "mm_video_frames" -> ((s, dir) => {
       import s.implicits._
       val specs = s.read.parquet(s"$dir/documents.parquet")
@@ -5583,6 +5600,27 @@ object SparkEntry {
         |SELECT doc_id, CAST(frame AS BIGINT) AS frame, prev_mean,
         |  cur_mean, ABS(cur_mean - prev_mean) AS delta
         |FROM m WHERE ABS(cur_mean - prev_mean) >= 100""".stripMargin,
+    // keyframes = frame 0 + every >=100 jump; shot = rank within video
+    "mm_keyframes" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, CAST(2 + doc_id % 4 AS BIGINT)))
+        |      AS frame
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, frame,
+        |    (doc_id * 31 + frame * 17) % 256 AS mean,
+        |    CASE WHEN frame = 0 THEN NULL
+        |      ELSE (doc_id * 31 + (frame - 1) * 17) % 256 END AS prev_mean
+        |  FROM f),
+        |k AS (
+        |  SELECT doc_id, frame, mean FROM m
+        |  WHERE frame = 0 OR ABS(mean - prev_mean) >= 100)
+        |SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY frame) - 1
+        |    AS BIGINT) AS shot,
+        |  CAST(frame AS BIGINT) AS frame, mean
+        |FROM k""".stripMargin,
     // mm_phash / dedup_images: the PNG roundtrip is lossless and the
     // hash arithmetic is all-integer, so the oracle recomputes the
     // hashes bit-for-bit from the generative pixel formula. The dedup

@@ -454,6 +454,91 @@ object Multimodal {
     }
   }
 
+  /** One extracted keyframe: the FIRST frame of shot `shot` (shot 0
+    * starts at frame 0; each ≥-threshold intensity jump starts the
+    * next), with its exact integer mean intensity and the frame
+    * re-encoded as a standalone PNG — the still a downstream
+    * captioning / image-embedding stage consumes. */
+  final case class KeyFrame(media_id: Long, shot: Long, frame: Long,
+      mean: Long, png: Array[Byte])
+
+  /** Per-shot keyframe extraction — the stage AFTER shot-boundary
+    * detection in a video curation pipeline: decode each payload once,
+    * segment it into shots with the same frame-lag rule as
+    * [[detectSceneCuts]], and emit ONLY each shot's first frame,
+    * re-encoded as a lossless PNG. A 10-minute clip yields a handful
+    * of stills; everything else is decoded, measured, and dropped in
+    * the same sequential pass.
+    *
+    * Scale shape: identical to [[detectSceneCuts]] — per-payload local
+    * loop inside `mapPartitions`, no shuffle, output ∝ shots. The PNG
+    * bytes ride the SAME map stage (no second decode pass keyed by the
+    * cut table). Unreadable payloads yield no rows. */
+  def extractKeyframes(ds: Dataset[MediaRecord], threshold: Long)
+      : Dataset[KeyFrame] = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { rec =>
+        var iis: javax.imageio.stream.ImageInputStream = null
+        try {
+          iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(rec.payload))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) Iterator.empty
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, false, true)
+              val n = reader.getNumImages(true)
+              val frames =
+                scala.collection.mutable.ArrayBuffer.empty[KeyFrame]
+              var prev = -1L
+              var shot = -1L
+              var f = 0
+              while (f < n) {
+                val img = reader.read(f)
+                // one pixel pass: accumulate the mean AND copy raw
+                // blue-channel samples into a gray raster (drawImage
+                // would run an sRGB→linear color conversion and bend
+                // the stored values)
+                val gray = new java.awt.image.BufferedImage(
+                  img.getWidth, img.getHeight,
+                  java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+                val raster = gray.getRaster
+                var acc = 0L
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    val v = img.getRGB(x, y) & 0xFF
+                    raster.setSample(x, y, 0, v)
+                    acc += v
+                    x += 1
+                  }
+                  y += 1
+                }
+                val mean = acc / (img.getWidth.toLong * img.getHeight)
+                if (f == 0 || math.abs(mean - prev) >= threshold) {
+                  shot += 1
+                  val bos = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(gray, "png", bos)
+                  frames += KeyFrame(rec.mediaId, shot, f.toLong, mean,
+                    bos.toByteArray)
+                }
+                prev = mean
+                f += 1
+              }
+              frames.iterator
+            } finally reader.dispose()
+          }
+        } catch {
+          case _: java.io.IOException => Iterator.empty
+        } finally if (iis != null) iis.close()
+      }
+    }
+  }
+
   // ---- perceptual hashing ----------------------------------------------
 
   /** Perceptual hashes of one image: aHash (block mean vs global mean)

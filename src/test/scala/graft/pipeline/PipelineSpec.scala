@@ -577,6 +577,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.detectSceneCuts(junk, 100L).count() === 0L)
   }
 
+  test("keyframes: frame 0 plus one per cut, shots numbered in order, " +
+      "PNG payload decodes back to the generative gray") {
+    import spark.implicits._
+    val specs = Seq((14L, 8, 6), (2L, 8, 3)).toDS()
+    val got = Multimodal.extractKeyframes(
+      Multimodal.renderGif(specs), threshold = 100L).collect()
+      .sortBy(k => (k.media_id, k.frame))
+    val expected = (for {
+      (id, nf) <- Seq((14L, 6), (2L, 3))
+      f <- 0 until nf
+      cur = (id * 31 + f * 17) % 256
+      prev = (id * 31 + (f - 1) * 17) % 256
+      if f == 0 || math.abs(cur - prev) >= 100
+    } yield (id, f.toLong, cur)).sorted
+    assert(got.map(k => (k.media_id, k.frame, k.mean)).toSeq === expected)
+    // shot indexes are 0,1,2,... per video in frame order
+    got.groupBy(_.media_id).foreach { case (_, ks) =>
+      assert(ks.sortBy(_.frame).map(_.shot).toSeq ===
+        ks.indices.map(_.toLong))
+    }
+    // the emitted PNG is a real image of the keyframe: solid gray at
+    // the frame's generative level
+    got.foreach { k =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(k.png))
+      assert(img.getWidth === 8 && img.getHeight === 8)
+      // raw raster sample — getRGB on a linear-gray image would run
+      // the gray→sRGB conversion and bend the stored level
+      assert(img.getRaster.getSample(3, 4, 0).toLong === k.mean)
+    }
+    val junk = spark.createDataset(Seq(Multimodal.MediaRecord(
+      9L, "video", Array[Byte](71, 73, 70, 56),
+      Multimodal.MediaMeta(None, None, None, None))))
+    assert(Multimodal.extractKeyframes(junk, 100L).count() === 0L)
+  }
+
   test("semantic dedup: equals brute force on separated clusters; " +
       "subset of brute force always; min-id keeper") {
     import spark.implicits._
