@@ -2453,6 +2453,21 @@ object SparkEntry {
         .select(col("cluster").cast("long").as("cluster"), col("n"),
           col("inertia"))),
 
+    // Per-cluster distinctive terms (integer ppm lift of in-cluster
+    // rate over corpus rate, two-phase top-5): the "what is this
+    // cluster about" readout — embeddings clustered by the fixed-point
+    // k-means, texts joined on the aligned doc ids
+    "cluster_topics" -> ((s, dir) =>
+      graft.pipeline.Clustering.clusterTopTerms(
+        graft.pipeline.Clustering.kMeansAssign(
+          s.read.parquet(s"$dir/embeddings.parquet")
+            .select(col("vec_id"), col("embedding")),
+          k = 8, iterations = 2),
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), topK = 5)
+        .select(col("cluster").cast("long").as("cluster"), col("token"),
+          col("tf_c"), col("lift_ppm"), col("rank"))),
+
     // CCNet-style corpus-fit quality score: add-one-smoothed bigram LM
     // trained on the corpus itself (vocab 256 + OOV fold), documents
     // scored by per-token cross-entropy — exact integer counts feed
@@ -5339,6 +5354,37 @@ object SparkEntry {
       """SELECT j AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(d2) AS BIGINT) AS inertia
         |FROM af GROUP BY j""".stripMargin),
+    // cluster_topics: tokens joined on the aligned ids, ONE
+    // (cluster, token) count table, every marginal derived from it,
+    // integer ppm lift with the multiply BEFORE the floor division
+    "cluster_topics" -> (kMeansOracleSql +
+      """, tokc AS (
+        |  SELECT CAST(af.j AS BIGINT) AS cluster,
+        |    unnest(string_split_regex(lower(trim(d.text)), '\s+'))
+        |      AS token
+        |  FROM af JOIN documents d ON d.doc_id = af.id),
+        |ct AS (
+        |  SELECT cluster, token, CAST(COUNT(*) AS BIGINT) AS tf_c
+        |  FROM tokc GROUP BY cluster, token),
+        |ctot AS (
+        |  SELECT cluster, CAST(SUM(tf_c) AS BIGINT) AS t_c
+        |  FROM ct GROUP BY cluster),
+        |gt AS (
+        |  SELECT token, CAST(SUM(tf_c) AS BIGINT) AS tf_all
+        |  FROM ct GROUP BY token),
+        |tot AS (SELECT CAST(SUM(tf_all) AS BIGINT) AS t_all FROM gt),
+        |sc AS (
+        |  SELECT ct.cluster, ct.token, ct.tf_c,
+        |    ct.tf_c * tot.t_all * 1000000 // (ctot.t_c * gt.tf_all)
+        |      AS lift_ppm
+        |  FROM ct JOIN ctot USING (cluster) JOIN gt USING (token)
+        |    CROSS JOIN tot)
+        |SELECT cluster, token, tf_c, lift_ppm, CAST(rn AS INT) AS rank
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY cluster ORDER BY lift_ppm DESC, token) AS rn
+        |  FROM sc)
+        |WHERE rn <= 5""".stripMargin),
     // lm_score: the whole bigram-LM chain restated — exact counts,
     // identical ln inputs, round-6 only after the per-doc sum
     // (lmXentSql is shared with quality_ppl_buckets)

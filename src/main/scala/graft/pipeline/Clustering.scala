@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -176,6 +176,46 @@ object Clustering {
   def clusterStats(assigned: DataFrame): DataFrame =
     assigned.groupBy("cluster")
       .agg(count(lit(1)).as("n"), sum("d2").as("inertia"))
+
+  /** Distinctive top terms per cluster — the "what is this cluster
+    * about" readout after clustering a corpus: for every (cluster,
+    * token), the integer lift of the token's in-cluster rate over its
+    * corpus rate, in parts-per-million
+    * (`tf_c·T_total·10⁶ div (T_c·tf_total)` — ×1e6 BEFORE the floor
+    * division, no float anywhere), then the `topK` highest-lift terms
+    * per cluster (ties by token asc).
+    *
+    * Scale shape: one doc-level broadcast-able join (cluster table is
+    * one row per doc id), one explode, ONE map-side-combined
+    * (cluster, token) count — every other table ((cluster), (token),
+    * grand total) derives from that count table, so the corpus is
+    * tokenized exactly once. Selection is the skew-proof two-phase
+    * top-k. Intermediate `tf_c·T_total·10⁶` stays under 2⁶³ for
+    * corpora to ~10¹² tokens per the worst token — beyond that, drop
+    * the scale to 10³.
+    *
+    * `assigned` is an [[assign]] output (id, cluster, …). */
+  def clusterTopTerms(assigned: DataFrame, docs: DataFrame,
+      idCol: Column, textCol: Column, topK: Int = 5): DataFrame = {
+    val tok = docs.select(idCol.as("id"), textCol.as("__text"))
+      .join(assigned.select(col("id"), col("cluster")), "id")
+      .select(col("cluster"),
+        explode(TextAnalysis.tokens(col("__text"))).as("token"))
+    val ct = tok.groupBy("cluster", "token")
+      .agg(count(lit(1)).as("tf_c"))
+    val ctot = ct.groupBy("cluster").agg(sum("tf_c").as("t_c"))
+    val gt = ct.groupBy("token").agg(sum("tf_c").as("tf_all"))
+    val scored = ct
+      .join(broadcast(ctot), "cluster")
+      .join(gt, "token")
+      .crossJoin(broadcast(gt.agg(sum("tf_all").as("t_all"))))
+      .select(col("cluster"), col("token"), col("tf_c"),
+        expr("tf_c * t_all * 1000000 div (t_c * tf_all)")
+          .as("lift_ppm"))
+    Sampling.topKPerGroup(scored, col("cluster"), col("lift_ppm"),
+        col("token").asc, topK)
+      .select("cluster", "token", "tf_c", "lift_ppm", "rank")
+  }
 
   /** Cluster-balanced subset: at most `quota` rows per cluster, chosen
     * by the deterministic row hash (so the subset is reproducible and

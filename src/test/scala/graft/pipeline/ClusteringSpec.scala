@@ -97,4 +97,31 @@ class ClusteringSpec extends AnyFunSuite {
     assert(s1.select("id").collect().map(_.getLong(0)).sorted
       .sameElements(s2.select("id").collect().map(_.getLong(0)).sorted))
   }
+
+  test("clusterTopTerms: integer ppm lift, hand-checked; exclusive " +
+      "terms rank above shared ones; topK and ties respected") {
+    // cluster 0 = docs {0,1}: "apple" only there; "common" everywhere
+    val assigned = Seq((0L, 0, 0L), (1L, 0, 0L), (2L, 1, 0L), (3L, 1, 0L))
+      .toDF("id", "cluster", "d2")
+    val docs = Seq(
+      (0L, "apple apple common"),
+      (1L, "apple common pear"),
+      (2L, "plum common plum"),
+      (3L, "pear common plum")).toDF("doc_id", "text")
+    val out = Clustering.clusterTopTerms(assigned, docs, col("doc_id"),
+      col("text"), topK = 2).collect()
+      .map(r => (r.getAs[Int]("cluster"), r.getAs[Int]("rank")) ->
+        (r.getAs[String]("token"), r.getAs[Long]("tf_c"),
+          r.getAs[Long]("lift_ppm"))).toMap
+    // cluster 0: T_total=12, t_c=6, apple tf_c=3 tf_all=3 ->
+    // 3*12*1e6 div (6*3) = 2_000_000 (lift 2.0)
+    assert(out((0, 1)) === (("apple", 3L, 2000000L)))
+    // common (2/6 vs 4/12) and pear (1/6 vs 2/12) both lift 1.0 ->
+    // token asc puts common first
+    assert(out((0, 2)) === (("common", 2L, 1000000L)))
+    // cluster 1: plum is 3/6 vs 3/12 -> lift 2.0
+    assert(out((1, 1)) === (("plum", 3L, 2000000L)))
+    assert(out((1, 2)) === (("common", 2L, 1000000L)))
+    assert(out.size === 4)
+  }
 }
