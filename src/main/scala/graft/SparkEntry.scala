@@ -2604,6 +2604,20 @@ object SparkEntry {
           lit(true).as("unigram_lossless_compressive"))
     }),
 
+    // Distribution-matched resampling: the largest subset whose
+    // length-bin composition follows the target weights exactly
+    // (DoReMi-style mix matching); bin 5 is deliberately absent from
+    // the target -> quota 0, dropped
+    "sample_matched" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("bin",
+          least(expr("n_chars div 100"), lit(5L)).cast("string"))
+      graft.pipeline.Sampling.matchedSample(
+        docs, col("bin"), col("doc_id"),
+        Seq("0" -> 1L, "1" -> 3L, "2" -> 3L, "3" -> 2L, "4" -> 1L))
+        .select(col("doc_id"), col("bin"))
+    }),
+
     // Exact per-stratum quota sample: n smallest key hashes per stratum
     // via skew-proof two-phase top-n
     "sample_quota" -> ((s, dir) =>
@@ -5459,6 +5473,29 @@ object SparkEntry {
         |        AS BIGINT) / 4294967296.0, event_id) AS rn
         |  FROM events)
         |WHERE rn <= 20""".stripMargin,
+    // matched resampling: N* = min over weighted bins of a*W//w,
+    // quota = N*·w//W, rows per bin by md5-hash order — all integer
+    "sample_matched" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(least(n_chars // 100, 5) AS VARCHAR)
+        |    AS bin
+        |  FROM documents),
+        |tw(bin, w) AS (VALUES
+        |  ('0', 1), ('1', 3), ('2', 3), ('3', 2), ('4', 1)),
+        |av AS (SELECT bin, CAST(count(*) AS BIGINT) AS a
+        |       FROM d GROUP BY bin),
+        |ns AS (SELECT min(COALESCE(av.a, 0) * 10 // tw.w) AS nstar
+        |       FROM tw LEFT JOIN av USING (bin)),
+        |q AS (SELECT tw.bin, ns.nstar * tw.w // 10 AS quota
+        |      FROM tw CROSS JOIN ns),
+        |r AS (
+        |  SELECT doc_id, bin,
+        |    row_number() OVER (PARTITION BY bin ORDER BY
+        |      CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) / 4294967296.0, doc_id) AS rn
+        |  FROM d)
+        |SELECT r.doc_id, r.bin FROM r JOIN q USING (bin)
+        |WHERE r.rn <= q.quota""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,

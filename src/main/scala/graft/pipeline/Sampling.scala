@@ -229,6 +229,56 @@ object Sampling {
       .drop("__stratum", "__rate")
   }
 
+  /** Distribution-MATCHED resampling: the largest subset whose bin
+    * composition follows the target integer weights exactly (floor
+    * rounding) — "make the output look like the reference mix", the
+    * rebalancing rule behind DoReMi-style domain reweighting and
+    * length-distribution matching.
+    *
+    * With weights w_b (sum W) and per-bin availability a_b, the
+    * largest feasible matched size is N* = min over weighted bins of
+    * `a_b·W div w_b`, and each quota is `N*·w_b div W` (≤ a_b by
+    * construction — all integer arithmetic, engine-exact). Bins
+    * ABSENT from the target get quota 0 and are dropped; a weighted
+    * bin with no rows forces N* = 0 (loudly empty, not silently
+    * unbalanced). Rows are chosen per bin by the deterministic md5
+    * hash of `key` (ties by key), so the subset is reproducible on
+    * any engine or partitioning.
+    *
+    * Scale shape: the bin histogram is bounded driver metadata (the
+    * [[temperatureSample]] discipline); selection is the skew-proof
+    * two-phase top-n capped at the LARGEST quota, then a broadcast
+    * quota join trims each bin — no global sort, no one-reducer bin. */
+  def matchedSample(df: DataFrame, bin: Column, key: Column,
+      targetWeights: Seq[(String, Long)]): DataFrame = {
+    require(targetWeights.nonEmpty, "need at least one target bin")
+    require(targetWeights.forall(_._2 > 0),
+      "target weights must be positive (omit a bin to exclude it)")
+    require(targetWeights.map(_._1).distinct.length == targetWeights.length,
+      "duplicate target bin")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = targetWeights.map(_._2).sum
+    val binned = df.withColumn("__bin", bin.cast("string"))
+      .where(col("__bin").isNotNull)
+    val avail = binned.groupBy("__bin").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nStar = targetWeights.map { case (b, wb) =>
+      avail.getOrElse(b, 0L) * w / wb
+    }.min
+    val quotas = targetWeights.map { case (b, wb) => (b, nStar * wb / w) }
+    val maxQ = quotas.map(_._2).max
+    if (maxQ == 0L) binned.drop("__bin").limit(0)
+    else {
+      val qdf = quotas.toDF("__bin", "__quota")
+      topKPerGroup(binned, col("__bin"),
+          lit(0.0) - hashUnit(key), key.asc, maxQ.toInt)
+        .join(broadcast(qdf), Seq("__bin"))
+        .where(col("rank") <= col("__quota"))
+        .drop("__bin", "__quota", "rank")
+    }
+  }
+
   /** Deterministic weighted sample WITHOUT replacement (Efraimidis–
     * Spirakis A-ES): each row draws a reproducible uniform u from its
     * key and is ranked by `-ln(u) / weight` ascending — the classical

@@ -346,4 +346,37 @@ class CurationSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(only === Set(3L))
   }
+
+  test("matchedSample: output composition follows the target exactly, " +
+      "size is maximal, absent bins drop, deterministic") {
+    import spark.implicits._
+    // avail a=40, b=10, c=30; target a:2 b:1 (W=3); c excluded.
+    // N* = min(40*3//2, 10*3//1) = min(60, 30) = 30 -> quotas a=20 b=10
+    val df = ((0 until 40).map(i => (i.toLong, "a")) ++
+      (100 until 110).map(i => (i.toLong, "b")) ++
+      (200 until 230).map(i => (i.toLong, "c"))).toDF("id", "grp")
+    val out = Sampling.matchedSample(df, col("grp"), col("id"),
+      Seq("a" -> 2L, "b" -> 1L))
+    val comp = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(comp === Map("a" -> 20L, "b" -> 10L))
+    // maximality: one more unit of N would need 31 total at ratio 2:1,
+    // i.e. ceil(31*1/3)=11 b-rows > 10 available
+    // determinism + partitioning independence
+    val out2 = Sampling.matchedSample(df.repartition(13), col("grp"),
+      col("id"), Seq("a" -> 2L, "b" -> 1L))
+    assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      out2.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("matchedSample: a weighted bin with no rows forces an empty " +
+      "result; non-positive weights rejected") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "a")).toDF("id", "grp")
+    assert(Sampling.matchedSample(df, col("grp"), col("id"),
+      Seq("a" -> 1L, "ghost" -> 1L)).count() === 0L)
+    intercept[IllegalArgumentException] {
+      Sampling.matchedSample(df, col("grp"), col("id"), Seq("a" -> 0L))
+    }
+  }
 }
