@@ -2974,6 +2974,21 @@ object SparkEntry {
           .cast("double").as("revenue"))
     }),
 
+    // C4/FineWeb line-rule filter: lines with < 3 tokens or < half
+    // alphabetic chars dropped, doc reassembled — a pure map stage
+    // (planted junk: a punctuation-only line and a 1-token tail)
+    "text_line_filter" -> ((s, dir) => {
+      val withJunk = concat(
+        when(col("doc_id") % 9 === 0, lit("?? !! ...\n"))
+          .otherwise(lit("")),
+        SparkEntryFixtures.linedText,
+        when(col("doc_id") % 8 === 0, lit("\nok")).otherwise(lit("")))
+      graft.pipeline.TextAnalysis.filterLines(
+        s.read.parquet(s"$dir/documents.parquet")
+          .withColumn("lt", withJunk),
+        col("doc_id"), col("lt"), minTokens = 3)
+    }),
+
     // CCNet-style boilerplate removal: 2-token "lines", per-source
     // document frequency, lines in >= 3 docs of a source are dropped
     "text_boilerplate" -> ((s, dir) =>
@@ -4070,6 +4085,34 @@ object SparkEntry {
     "dedup_lines" -> SparkEntryOracleFixtures.dedupLinesSql,
     // the fold law makes the incremental rewrite ≡ the one-shot pass
     "dedup_lines_incremental" -> SparkEntryOracleFixtures.dedupLinesSql,
+    // line-rule filter: pure list ops — no unnest anywhere
+    "text_line_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 0 THEN '?? !! ...' || chr(10)
+        |      ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0
+        |      THEN 'accept all cookies to continue' || chr(10)
+        |      ELSE '' END
+        |    || regexp_replace(text, '((\S+ ){3}\S+) ', '\1' || chr(10),
+        |         'g')
+        |    || CASE WHEN doc_id % 6 = 0
+        |      THEN chr(10) || 'licensed under creative commons attribution'
+        |      ELSE '' END
+        |    || CASE WHEN doc_id % 8 = 0 THEN chr(10) || 'ok'
+        |      ELSE '' END AS lt
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, string_split(lt, chr(10)) AS ls,
+        |    list_filter(string_split(lt, chr(10)), x ->
+        |      len(string_split_regex(trim(x), '\s+')) >= 3
+        |      AND 2 * len(regexp_extract_all(x, '[A-Za-z]'))
+        |        >= length(x)) AS kept
+        |  FROM d)
+        |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  array_to_string(kept, chr(10)) AS clean_text
+        |FROM f""".stripMargin,
     "dedup_cluster" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks

@@ -984,6 +984,31 @@ object TextAnalysis {
           col("ok_stopwords"))
   }
 
+  /** Line-rule filtering with reassembly — the C4/FineWeb per-line
+    * pass that document-level quality gates miss: drop every line with
+    * fewer than `minTokens` whitespace tokens or with alphabetic
+    * characters covering less than half its length (exact integer
+    * comparison `2·alpha ≥ len` — no float ratio), then rebuild the
+    * document from the survivors in order.
+    *
+    * Entirely higher-order column functions over the split array — a
+    * single codegen'd map stage, NO shuffle (unlike
+    * [[Dedup.dedupLines]], whose ownership is corpus-global); at
+    * 100 TB this is scan-bound like the other quality signals.
+    * Returns (doc_id, n_lines, n_kept, clean_text). */
+  def filterLines(df: DataFrame, idCol: Column, textCol: Column,
+      minTokens: Int = 3, sep: String = "\n"): DataFrame = {
+    val lines = split(textCol, sep)
+    val kept = filter(lines, l =>
+      size(split(trim(l), "\\s+")) >= minTokens &&
+        size(regexp_extract_all(l, lit("[A-Za-z]"), lit(0))) * 2 >=
+          length(l))
+    df.select(idCol.as("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(kept, sep).as("clean_text"))
+  }
+
   /** Per-document zlib compression ratio (deflated bytes / UTF-8
     * bytes, round-6) — the classic repetition/boilerplate proxy: prose
     * sits well under 1, heavily repeated or templated text collapses

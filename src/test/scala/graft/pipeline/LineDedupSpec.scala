@@ -71,6 +71,21 @@ class LineDedupSpec extends AnyFunSuite {
       col("text")).collect().map(_.toString).sorted
     assert(out1 === out2)
   }
+
+  test("filterLines drops short and non-alphabetic lines, keeps order") {
+    val d = Seq(
+      (0L, "the quick brown fox\n?? !! ...\nok\nlazy dogs sleep here"),
+      (1L, "1 2 3 4 5 6 7 8\nwords only all good")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.filterLines(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[String]("clean_text") ===
+      "the quick brown fox\nlazy dogs sleep here")
+    assert(out(0L).getAs[Long]("n_lines") === 4L)
+    assert(out(0L).getAs[Long]("n_kept") === 2L)
+    // digits-only line: 8 tokens but 0 alpha -> dropped
+    assert(out(1L).getAs[String]("clean_text") === "words only all good")
+  }
 }
 
 /** Unicode-script composition profile. */
