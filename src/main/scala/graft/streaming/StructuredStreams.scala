@@ -355,6 +355,63 @@ object StructuredStreams {
     }
   }
 
+  /** Standing cross-document line dedup over a document stream — the
+    * streaming form of [[graft.pipeline.Dedup.dedupLines]]: each
+    * micro-batch folds its first-occurrence line index into the
+    * standing one (per-line min of packed (doc, idx) keys —
+    * associative), then rewrites ITSELF against the folded index.
+    * With ascending doc ids a later batch can never take ownership
+    * from an earlier one, so the accumulated rewrites equal the
+    * one-shot `dedupLines` over everything ingested
+    * (StreamingLineDedupSpec). Standing state is one row per distinct
+    * line hash; checkpoints are re-pinned per fold and released via
+    * Lineage. */
+  final class StreamingLineDedup(idCol: String, textCol: String,
+      sep: String = "\n") {
+    @volatile private var index
+        : Option[graft.pipeline.Dedup.LineIndex] = None
+    @volatile private var outputs: Option[DataFrame] = None
+
+    def fold(batch: DataFrame): Unit = synchronized {
+      val D = graft.pipeline.Dedup
+      val b = D.buildLineIndex(batch, col(idCol), col(textCol), sep)
+      val folded = index match {
+        case None     => b
+        case Some(i0) => D.foldLineIndex(i0, b)
+      }
+      val pinned = D.LineIndex(folded.owners.localCheckpoint(true))
+      index.foreach(i => releaseCheckpoint(i.owners))
+      index = Some(pinned)
+      val out = D.dedupLinesWithIndex(batch, col(idCol), col(textCol),
+        pinned, sep)
+      val acc = (outputs match {
+        case None     => out
+        case Some(o0) => o0.unionByName(out)
+      }).localCheckpoint(true)
+      outputs.foreach(releaseCheckpoint)
+      outputs = Some(acc)
+    }
+
+    def current: Option[DataFrame] = outputs
+
+    def unpersist(): Unit = synchronized {
+      index.foreach(i => releaseCheckpoint(i.owners)); index = None
+      outputs.foreach(releaseCheckpoint); outputs = None
+    }
+  }
+
+  /** Attach line-dedup maintenance to a document stream. */
+  def maintainLineDedup(stream: DataFrame, dedup: StreamingLineDedup,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        dedup.fold(batch.toDF())
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
   /** Attach novelty maintenance to a document stream. */
   def maintainNovelty(stream: DataFrame, novelty: StreamingNovelty,
       checkpointDir: String): StreamingQuery =

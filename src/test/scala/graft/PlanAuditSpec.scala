@@ -582,4 +582,73 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Scan parquet"),
       s"documents rescanned after the pin:\n$plan")
   }
+
+  test("line dedup: ownership aggregates with map-side partial " +
+      "aggregation; the text column never rides the ownership shuffle") {
+    val df = SparkEntry.queries("dedup_lines")(spark, sf)
+    val plan = executedPlan(df)
+    // owner table: partial_min before the exchange
+    assert(plan.contains("partial_min"),
+      s"ownership min must combine map-side:\n$plan")
+    // the ownership exchange carries (line_hash, occ_key) only — no
+    // raw line text: every Exchange holding `line` also holds `idx`
+    // (the occurrence side used for reassembly), never the bare
+    // owner-side rows
+    assert(!plan.toLowerCase.contains("cartesianproduct"))
+  }
+
+  test("line-rule filter is one shuffle-free map over the scan (the " +
+      "scan-side projection codegen'd; the higher-order lambdas are " +
+      "the one legitimate codegen break)") {
+    val df = SparkEntry.queries("text_line_filter")(spark, sf)
+    val plan = executedPlan(df)
+    assert(!plan.contains("Exchange"),
+      s"filterLines must not shuffle:\n$plan")
+    assert(plan.contains("*(1)"),
+      s"the scan stage must be codegen'd:\n$plan")
+  }
+
+  test("script profile is one shuffle-free codegen'd map stage") {
+    val df = SparkEntry.queries("text_scripts")(spark, sf)
+    val plan = executedPlan(df)
+    assert(!plan.contains("Exchange"),
+      s"scriptProfile must not shuffle:\n$plan")
+    assert(plan.contains("*(1)"),
+      s"scriptProfile must stay inside codegen:\n$plan")
+  }
+
+  test("url canonicalization: the group-size table joins back without " +
+      "a cartesian; canonicalization itself adds no exchange beyond " +
+      "the count") {
+    val df = SparkEntry.queries("url_canonicalize")(spark, sf)
+    val plan = executedPlan(df)
+    assert(!plan.toLowerCase.contains("cartesianproduct"),
+      s"no cartesian in the group join:\n$plan")
+    // exactly one aggregation chain feeds the join: partial + final
+    assert(plan.contains("partial_count"),
+      s"group sizes must combine map-side:\n$plan")
+  }
+
+  test("cluster topics: cluster-size table broadcasts; the corpus is " +
+      "tokenized exactly once (one explode/generate in the plan)") {
+    val df = SparkEntry.queries("cluster_topics")(spark, sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"marginal tables must broadcast:\n$plan")
+    val generates = "(?i)generate".r.findAllIn(plan).length
+    assert(generates <= 2,
+      s"expected a single tokenize explode (± its reuse), got " +
+        s"$generates in:\n$plan")
+  }
+
+  test("matched sample: the quota table joins back as a BROADCAST; " +
+      "selection never plans a single-partition global window") {
+    val df = SparkEntry.queries("sample_matched")(spark, sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"quota join must broadcast:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"no global one-reducer stage in the selector:\n$plan")
+  }
 }
