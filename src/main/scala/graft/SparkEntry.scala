@@ -1479,6 +1479,15 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         col("text"), windowTokens = 12)),
 
+    // ExactSubstr span CUT (the apply step over dedup_spans' repeats):
+    // every repeated 12-token window keeps its first (doc, pos)
+    // occurrence; later occurrences' token ranges are cut and the doc
+    // reassembled — the Lee-et-al. training-data dedup rule
+    "dedup_spans_cut" -> ((s, dir) =>
+      graft.pipeline.Dedup.cutDuplicatedSpans(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), windowTokens = 12)),
+
     // Cross-document exact line dedup (the RefinedWeb pass — distinct
     // from text_boilerplate, which drops ALL copies of high-df lines):
     // every distinct line keeps exactly its first (doc, idx) occurrence
@@ -4082,6 +4091,45 @@ object SparkEntry {
         |g AS (SELECT unnest(sh) AS span_hash FROM s)
         |SELECT span_hash, COUNT(*) AS n_docs FROM g GROUP BY span_hash
         |HAVING COUNT(*) >= 2""".stripMargin,
+    // span cut: ownership over ALL (incl. intra-doc) window
+    // occurrences, cut ranges unioned token-wise, survivors re-joined
+    "dedup_spans_cut" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+')
+        |    AS toks
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(toks[i+1:i+12], ' ') AS span,
+        |    doc_id * 1000000 + i AS occ_key
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(0, len(toks) - 12)) AS i
+        |        FROM t WHERE len(toks) >= 12)),
+        |w AS (SELECT span, min(occ_key) AS owner_key,
+        |        count(*) AS n_occ
+        |      FROM o GROUP BY span),
+        |c AS (
+        |  SELECT o.doc_id, o.pos FROM o JOIN w USING (span)
+        |  WHERE w.n_occ >= 2 AND o.occ_key <> w.owner_key),
+        |tok AS (
+        |  SELECT doc_id, j - 1 AS ti, toks[j] AS tok
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks))) AS j FROM t)),
+        |cut AS (
+        |  SELECT DISTINCT tok.doc_id, tok.ti
+        |  FROM tok JOIN c ON tok.doc_id = c.doc_id
+        |    AND tok.ti >= c.pos AND tok.ti < c.pos + 12),
+        |k AS (
+        |  SELECT tok.doc_id, tok.ti, tok.tok
+        |  FROM tok LEFT JOIN cut ON tok.doc_id = cut.doc_id
+        |    AND tok.ti = cut.ti
+        |  WHERE cut.ti IS NULL)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.toks) - count(k.ti) AS BIGINT) AS n_cut,
+        |  coalesce(string_agg(k.tok, ' ' ORDER BY k.ti), '')
+        |    AS clean_text
+        |FROM t LEFT JOIN k ON k.doc_id = t.doc_id
+        |GROUP BY t.doc_id, len(t.toks)""".stripMargin,
     "dedup_lines" -> SparkEntryOracleFixtures.dedupLinesSql,
     // the fold law makes the incremental rewrite ≡ the one-shot pass
     "dedup_lines_incremental" -> SparkEntryOracleFixtures.dedupLinesSql,

@@ -296,6 +296,59 @@ object Dedup {
       Seq("span_hash"), "leftsemi")
   }
 
+  /** ExactSubstr-style span CUTTING (the apply step after
+    * [[duplicatedSpans]] locates repeats — Lee et al.'s "Deduplicating
+    * Training Data Makes Language Models Better" rule): every
+    * `windowTokens`-token window repeated anywhere in the corpus keeps
+    * only its FIRST occurrence (min packed (doc, pos) — intra-doc
+    * repeats included); every other occurrence's token range is cut
+    * from its document and the survivors are reassembled in order.
+    * Overlapping windows of a long repeated region union into one cut,
+    * so the whole region vanishes from non-owner documents while the
+    * owner keeps one intact copy.
+    *
+    * Scale shape: the occurrence table is token-count-proportional but
+    * carries (hash, packed position) — never text; ownership is ONE
+    * map-side-combined aggregation (min + count per distinct span);
+    * the cut list returns doc-keyed (bounded by the doc's own window
+    * count) and reassembly is a per-row higher-order filter — the
+    * exists() scan is O(tokens·cuts) per document, both bounded by
+    * document length, so the stage stays scan-shaped. Returns
+    * (doc_id, n_tokens, n_cut, clean_text). */
+  def cutDuplicatedSpans(df: DataFrame, idCol: Column, textCol: Column,
+      windowTokens: Int): DataFrame = {
+    require(windowTokens >= 2, s"window must be >= 2, got $windowTokens")
+    val w = windowTokens
+    val base = df.select(idCol.as("doc_id"),
+      TextAnalysis.tokens(textCol).as("__toks"))
+    val occ = base.where(size(col("__toks")) >= w)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("__toks")) - w),
+          i => md5(concat_ws(" ", slice(col("__toks"), i + 1, lit(w))))))
+          .as(Seq("pos", "span_hash")))
+      .select(col("doc_id"), col("pos"), col("span_hash"),
+        (col("doc_id") * lit(LineIdxSpan) + col("pos")).as("occ_key"))
+    val owners = occ.groupBy("span_hash")
+      .agg(min("occ_key").as("owner_key"), count(lit(1)).as("n_occ"))
+    val cuts = occ.join(owners, Seq("span_hash"))
+      .where(col("n_occ") >= 2L && col("occ_key") =!= col("owner_key"))
+      .groupBy("doc_id")
+      .agg(collect_list(col("pos")).as("__cuts"))
+    val cutArr = coalesce(col("__cuts"),
+      array().cast("array<int>"))
+    val keptIdx = filter(
+      sequence(lit(0), size(col("__toks")) - 1),
+      t => !exists(cutArr, p => t >= p && t < p + w))
+    base.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        (size(col("__toks")) - size(keptIdx)).cast("long").as("n_cut"),
+        concat_ws(" ",
+          transform(keptIdx,
+            t => element_at(col("__toks"), t + 1))).as("clean_text"))
+  }
+
   // ---- line-level dedup (C4 / RefinedWeb pass) -------------------------
 
   /** First-owner key of a line occurrence: lexicographic (doc, idx)

@@ -72,6 +72,35 @@ class LineDedupSpec extends AnyFunSuite {
     assert(out1 === out2)
   }
 
+  test("cutDuplicatedSpans: owner keeps its copy, later occurrences " +
+      "cut with overlapping windows unioned; intra-doc repeats cut; " +
+      "short docs untouched") {
+    val d = Seq(
+      (0L, "a b c d e f"),                // owner of "a b c d"/"b c d e"
+      (1L, "x y a b c d e q r s"),        // both repeats -> cut 2..6
+      (2L, "a b c d z"),                  // one repeat -> cut 0..3
+      (3L, "m n o p m n o p"),            // intra-doc repeat of "m n o p"
+      (4L, "t u")                         // shorter than the window
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutDuplicatedSpans(d, col("doc_id"), col("text"),
+      windowTokens = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_cut"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(out(0L) === ((6L, 0L, "a b c d e f")))
+    assert(out(1L) === ((10L, 5L, "x y q r s")))
+    assert(out(2L) === ((5L, 4L, "z")))
+    assert(out(3L) === ((8L, 4L, "m n o p")))
+    assert(out(4L) === ((2L, 0L, "t u")))
+    // partitioning independence
+    val out2 = Dedup.cutDuplicatedSpans(d.repartition(5), col("doc_id"),
+      col("text"), windowTokens = 4).collect()
+      .map(_.toString).sorted.toSeq
+    assert(out2 === Dedup.cutDuplicatedSpans(d.coalesce(1),
+      col("doc_id"), col("text"), windowTokens = 4).collect()
+      .map(_.toString).sorted.toSeq)
+  }
+
   test("filterLines drops short and non-alphabetic lines, keeps order") {
     val d = Seq(
       (0L, "the quick brown fox\n?? !! ...\nok\nlazy dogs sleep here"),
