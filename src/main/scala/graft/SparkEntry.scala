@@ -2294,6 +2294,22 @@ object SparkEntry {
       graft.pipeline.Graphs.triangleCounts(edges, col("src"), col("dst"))
     }),
 
+    // Connected components over a planted sparse graph (5-chains plus
+    // occasional block-bridging +2 edges at multiples of 7): min-label
+    // propagation with pointer jumping, component sizes joined back
+    "graph_components" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"))
+      val mx = docs.agg(max("doc_id")).head.getLong(0)
+      val e1 = docs.where(col("doc_id") % 5 =!= 4)
+        .select(col("doc_id").as("s"), (col("doc_id") + 1).as("d"))
+      val e2 = docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("s"), (col("doc_id") + 2).as("d"))
+      graft.pipeline.Graphs.connectedComponents(
+        e1.unionAll(e2).where(col("d") <= mx),
+        col("s"), col("d"), Some(docs))
+    }),
+
     // Robust per-language length-outlier screen: |n_chars − median| >
     // 3·MAD with EXACT integer lower medians from the value histogram
     // — the distribution-free quality filter (a tail can't drag its
@@ -5304,6 +5320,31 @@ object SparkEntry {
         |    THEN 2.0 * COALESCE(pv.t, 0) / (d.deg * (d.deg - 1.0))
         |    ELSE 0 END, 6) AS coeff
         |FROM deg d LEFT JOIN pv USING (node)""".stripMargin,
+    // components: min reachable id by a recursive min-label walk over
+    // the symmetrized edges; isolated vertices are their own label
+    "graph_components" ->
+      """WITH RECURSIVE m AS (SELECT max(doc_id) AS mx FROM documents),
+        |e0 AS (
+        |  SELECT doc_id AS s, doc_id + 1 AS d FROM documents, m
+        |  WHERE doc_id % 5 <> 4 AND doc_id + 1 <= m.mx
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 2 FROM documents, m
+        |  WHERE doc_id % 7 = 0 AND doc_id + 2 <= m.mx),
+        |e AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+        |walk(id, lbl) AS (
+        |  SELECT s, s FROM e
+        |  UNION
+        |  SELECT e.s, w.lbl FROM e JOIN walk w ON e.d = w.id),
+        |r AS (SELECT id, MIN(lbl) AS component FROM walk GROUP BY id),
+        |rr AS (
+        |  SELECT doc.doc_id AS node,
+        |    COALESCE(r.component, doc.doc_id) AS component
+        |  FROM documents doc LEFT JOIN r ON r.id = doc.doc_id),
+        |sz AS (SELECT component, CAST(count(*) AS BIGINT)
+        |         AS component_size
+        |       FROM rr GROUP BY component)
+        |SELECT rr.node, rr.component, sz.component_size
+        |FROM rr JOIN sz USING (component)""".stripMargin,
     "graph_pagerank" -> {
       def it(k: Int) =
         s"""it$k AS (

@@ -138,4 +138,33 @@ object Graphs {
             (col("degree") * (col("degree") - 1L))).otherwise(0d), 6)
           .as("coeff"))
   }
+
+  /** Connected components of an undirected edge list: every vertex
+    * labelled with the MINIMUM vertex id reachable from it — plus the
+    * component size. The general-graph form of the label-propagation +
+    * pointer-jumping loop the dedup clusters run on
+    * ([[Dedup.connectedComponents]]): O(log diameter) rounds, each one
+    * neighbor join + one min aggregation, round state eagerly
+    * checkpointed so the lineage never grows. Isolated vertices (in
+    * `vertices` but no edge) are their own singleton component.
+    * Returns (node, component, component_size). */
+  def connectedComponents(edges: DataFrame, src: Column, dst: Column,
+      vertices: Option[DataFrame] = None): DataFrame = {
+    val pairs = edges.select(src.cast("long").as("id_a"),
+      dst.cast("long").as("id_b"))
+    val labelled = Dedup.connectedComponents(pairs)
+      .select(col("id").as("node"), col("lbl").as("component"))
+    val withIsolated = vertices match {
+      case None => labelled
+      case Some(v) =>
+        val all = v.select(col(v.columns.head).cast("long").as("node"))
+        all.join(labelled, Seq("node"), "left_outer")
+          .select(col("node"),
+            coalesce(col("component"), col("node")).as("component"))
+    }
+    val sizes = withIsolated.groupBy("component")
+      .agg(count(lit(1)).as("component_size"))
+    withIsolated.join(sizes, Seq("component"))
+      .select("node", "component", "component_size")
+  }
 }

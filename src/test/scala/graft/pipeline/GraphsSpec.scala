@@ -133,4 +133,28 @@ class GraphsSpec extends AnyFunSuite {
     // sanity: the fixture actually has triangles
     assert(got.values.map(_._2).sum > 0L)
   }
+
+  test("connectedComponents: min-id labels, sizes, isolated vertices " +
+      "as singletons, partitioning-proof") {
+    // components: {1,2,3,5} (3-5 via 2), {10,11}, isolated {20}
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 5L), (10L, 11L))
+      .toDF("s", "d")
+    val verts = Seq(1L, 2L, 3L, 5L, 10L, 11L, 20L).toDF("v")
+    val out = Graphs.connectedComponents(edges, col("s"), col("d"),
+      Some(verts)).collect()
+      .map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("component"), r.getAs[Long]("component_size"))))
+      .toMap
+    assert(out === Map(
+      1L -> ((1L, 4L)), 2L -> ((1L, 4L)), 3L -> ((1L, 4L)),
+      5L -> ((1L, 4L)),
+      10L -> ((10L, 2L)), 11L -> ((10L, 2L)),
+      20L -> ((20L, 1L))))
+    // a long path exercises pointer jumping past naive propagation
+    val path = (0L until 40L).map(i => (i, i + 1)).toDF("s", "d")
+    val labs = Graphs.connectedComponents(path.repartition(7), col("s"),
+      col("d")).collect()
+    assert(labs.forall(_.getAs[Long]("component") === 0L))
+    assert(labs.forall(_.getAs[Long]("component_size") === 41L))
+  }
 }
