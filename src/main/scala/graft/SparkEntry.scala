@@ -1479,6 +1479,28 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         col("text"), windowTokens = 12)),
 
+    // Dedup funnel: normalized-exact keep-first, then minhash-LSH
+    // near-dup clusters (threshold 0.8) keep component-min — the
+    // stage-by-stage survivor counts a curation dashboard reports.
+    // Composed over SHRINKING populations like curation_chain3
+    "dedup_chain" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val n0 = docs.count()
+      val keep = docs
+        .groupBy(md5(graft.pipeline.Dedup.normalizedText(col("text")))
+          .as("__h"))
+        .agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val s1 = docs.join(keep, Seq("doc_id"), "leftsemi")
+      val n1 = s1.count()
+      val drops = graft.pipeline.Dedup.duplicateClusters(
+        s1, col("doc_id"), col("text"), threshold = 0.8)
+        .where(col("doc_id") =!= col("cluster_id")).count()
+      Seq(("raw", n0), ("exact", n1), ("near", n1 - drops))
+        .toDF("stage", "n_docs")
+    }),
+
     // ExactSubstr span CUT (the apply step over dedup_spans' repeats):
     // every repeated 12-token window keeps its first (doc, pos)
     // occurrence; later occurrences' token ranges are cut and the doc
@@ -4204,6 +4226,54 @@ object SparkEntry {
         |  UNION
         |  SELECT e.src, w.lbl FROM e JOIN walk w ON e.dst = w.id)
         |SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY id""".stripMargin,
+    // the funnel: exact stage = md5(normalized) keep-min; near stage =
+    // the dedup_cluster chain over the exact survivors
+    "dedup_chain" ->
+      """WITH RECURSIVE nm AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+        |    text
+        |  FROM documents),
+        |keep AS (SELECT h, min(doc_id) AS kid FROM nm GROUP BY h),
+        |s1 AS (SELECT nm.doc_id, nm.text FROM nm
+        |       JOIN keep ON nm.doc_id = keep.kid),
+        |t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+')
+        |    AS toks
+        |  FROM s1),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+        |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |sx AS (
+        |  SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(COUNT(*) AS DOUBLE) AS inter,
+        |    CAST(MIN(a.n) + MIN(b.n) AS DOUBLE)
+        |      - CAST(COUNT(*) AS DOUBLE) AS uni
+        |  FROM sx a JOIN sx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  WHERE uni > 0 AND inter / uni >= 0.8
+        |  UNION
+        |  SELECT id_b, id_a FROM p WHERE uni > 0 AND inter / uni >= 0.8),
+        |walk(id, lbl) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.src, w.lbl FROM e JOIN walk w ON e.dst = w.id),
+        |rp AS (SELECT id, MIN(lbl) AS rep FROM walk GROUP BY id),
+        |dr AS (SELECT CAST(count(*) AS BIGINT) AS d FROM rp
+        |       WHERE id <> rep)
+        |SELECT 'raw' AS stage,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs
+        |UNION ALL
+        |SELECT 'exact', (SELECT CAST(count(*) AS BIGINT) FROM s1)
+        |UNION ALL
+        |SELECT 'near',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s1)
+        |    - (SELECT d FROM dr)""".stripMargin,
     // exact simhash replication: same md5-derived 32-bit token hash,
     // same per-bit majority vote, exact hamming pairs (all-pairs is fine
     // HERE: the oracle is DuckDB-side verification, not the plan)

@@ -101,6 +101,20 @@ class LineDedupSpec extends AnyFunSuite {
       .map(_.toString).sorted.toSeq)
   }
 
+  test("hot-key degrade: one line duplicated across 20k docs — the " +
+      "ownership state stays a single min and the rewrite stays exact") {
+    import spark.implicits._
+    val hot = spark.range(20000).selectExpr("id AS doc_id",
+      "concat('every page has this banner\n', 'unique line ', id) AS text")
+    val out = Dedup.dedupLines(hot, col("doc_id"), col("text"))
+    val agg = out.agg(
+      sum(when(col("n_kept") === 2L, 1L).otherwise(0L)),
+      sum(when(col("n_kept") === 1L, 1L).otherwise(0L))).head()
+    // exactly one doc (id 0) keeps the banner; all others keep only
+    // their unique line
+    assert(agg.getLong(0) === 1L && agg.getLong(1) === 19999L)
+  }
+
   test("filterLines drops short and non-alphabetic lines, keeps order") {
     val d = Seq(
       (0L, "the quick brown fox\n?? !! ...\nok\nlazy dogs sleep here"),
