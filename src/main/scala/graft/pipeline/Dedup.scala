@@ -319,8 +319,11 @@ object Dedup {
       windowTokens: Int): DataFrame = {
     require(windowTokens >= 2, s"window must be >= 2, got $windowTokens")
     val w = windowTokens
+    // null text = no tokens: a null array would turn size() into -1
+    // and feed sequence() a descending range downstream
     val base = df.select(idCol.as("doc_id"),
-      TextAnalysis.tokens(textCol).as("__toks"))
+      coalesce(TextAnalysis.tokens(textCol),
+        array().cast("array<string>")).as("__toks"))
     val occ = base.where(size(col("__toks")) >= w)
       .select(col("doc_id"),
         posexplode(transform(
@@ -337,9 +340,13 @@ object Dedup {
       .agg(collect_list(col("pos")).as("__cuts"))
     val cutArr = coalesce(col("__cuts"),
       array().cast("array<int>"))
-    val keptIdx = filter(
-      sequence(lit(0), size(col("__toks")) - 1),
-      t => !exists(cutArr, p => t >= p && t < p + w))
+    // sequence(0, -1) is a DESCENDING range in Spark — an empty token
+    // array must short-circuit to an empty index list
+    val keptIdx = when(size(col("__toks")) > 0,
+      filter(
+        sequence(lit(0), size(col("__toks")) - 1),
+        t => !exists(cutArr, p => t >= p && t < p + w)))
+      .otherwise(array().cast("array<int>"))
     base.join(cuts, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("__toks")).cast("long").as("n_tokens"),
@@ -359,8 +366,11 @@ object Dedup {
 
   private def lineTable(df: DataFrame, idCol: Column,
       textCol: Column, sep: String): DataFrame =
+    // null text = empty document (one empty line) — posexplode over a
+    // null array would silently DROP the document from the output
     df.select(idCol.as("doc_id"),
-        posexplode(split(textCol, sep)).as(Seq("idx", "line")))
+        posexplode(split(coalesce(textCol, lit("")), sep))
+          .as(Seq("idx", "line")))
       .select(col("doc_id"), col("idx"), col("line"),
         md5(col("line")).as("line_hash"),
         (col("doc_id") * lit(LineIdxSpan) + col("idx")).as("occ_key"))

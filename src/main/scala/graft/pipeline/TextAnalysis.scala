@@ -164,11 +164,13 @@ object TextAnalysis {
     * signals. */
   def scriptProfile(df: DataFrame, idCol: Column, textCol: Column)
       : DataFrame = {
+    // null text = empty document (all-zero counts, dominant 'other')
+    val t = coalesce(textCol, lit(""))
     val counted = df.select(
       idCol.as("doc_id") +:
-      length(textCol).cast("long").as("n_chars") +:
+      length(t).cast("long").as("n_chars") +:
       ScriptRanges.map { case (name, pattern) =>
-        countMatches(textCol, pattern).cast("long").as(s"n_$name")
+        countMatches(t, pattern).cast("long").as(s"n_$name")
       }: _*)
     val dominant = ScriptRanges.map(_._1).reverse
       .foldLeft[Column](lit("other")) { (tail, name) =>
@@ -998,7 +1000,8 @@ object TextAnalysis {
     * Returns (doc_id, n_lines, n_kept, clean_text). */
   def filterLines(df: DataFrame, idCol: Column, textCol: Column,
       minTokens: Int = 3, sep: String = "\n"): DataFrame = {
-    val lines = split(textCol, sep)
+    // null text = empty document: size(null) is -1, not 0
+    val lines = split(coalesce(textCol, lit("")), sep)
     val kept = filter(lines, l =>
       size(split(trim(l), "\\s+")) >= minTokens &&
         size(regexp_extract_all(l, lit("[A-Za-z]"), lit(0))) * 2 >=

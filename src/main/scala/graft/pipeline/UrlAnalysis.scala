@@ -96,8 +96,11 @@ object UrlAnalysis {
     * aggregation key so AQE can plan it broadcast when small). */
   def urlDedupTable(df: DataFrame, idCol: Column, urlCol: Column)
       : DataFrame = {
-    val base = df.select(idCol.as("doc_id"), urlCol.as("url"),
-      canonicalizeUrl(urlCol).as("canon_url"))
+    // null URLs carry no canonical key — and a null equi-join key
+    // would silently drop the row at the group join; exclude loudly
+    val base = df.where(urlCol.isNotNull)
+      .select(idCol.as("doc_id"), urlCol.as("url"),
+        canonicalizeUrl(urlCol).as("canon_url"))
     val groups = base.groupBy("canon_url")
       .agg(count(lit(1)).as("group_n"))
     base.join(groups, Seq("canon_url"))

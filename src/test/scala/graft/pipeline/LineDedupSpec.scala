@@ -166,4 +166,34 @@ class ScriptProfileSpec extends AnyFunSuite {
       .collect()(0)
     assert(out.getAs[String]("dominant") === "latin")
   }
+
+  test("null text is an empty document everywhere — never a dropped " +
+      "row, a -1 size, or a descending sequence") {
+    val docs = Seq((0L, "real line\nmore text here"), (1L, null))
+      .toDF("doc_id", "text")
+    val dl = Dedup.dedupLines(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(dl.keySet === Set(0L, 1L))
+    assert(dl(1L).getAs[Long]("n_lines") === 1L) // one empty line
+    val fl = TextAnalysis.filterLines(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(fl(1L).getAs[Long]("n_lines") === 1L &&
+      fl(1L).getAs[Long]("n_kept") === 0L &&
+      fl(1L).getAs[String]("clean_text") === "")
+    val sp = TextAnalysis.scriptProfile(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(sp(1L).getAs[Long]("n_chars") === 0L &&
+      sp(1L).getAs[String]("dominant") === "other")
+    val sc = Dedup.cutDuplicatedSpans(docs, col("doc_id"), col("text"),
+      windowTokens = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(sc(1L).getAs[Long]("n_tokens") === 0L &&
+      sc(1L).getAs[String]("clean_text") === "")
+    // null URL rows are excluded loudly, not nulled through the join
+    val urls = Seq((0L, "https://a.com/x"), (1L, null))
+      .toDF("doc_id", "u")
+    val ud = UrlAnalysis.urlDedupTable(urls, col("doc_id"), col("u"))
+      .collect()
+    assert(ud.map(_.getAs[Long]("doc_id")).toSet === Set(0L))
+  }
 }
