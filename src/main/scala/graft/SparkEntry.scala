@@ -2082,11 +2082,17 @@ object SparkEntry {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val gpass = T.gopherFlags(docs, col("doc_id"), col("text"),
         minWords = 20L).where(col("pass")).select("doc_id")
+      // each surviving population feeds MULTIPLE downstream branches
+      // (MAD histograms, the LM score join, waterfill then the budget
+      // sampler) — pin them via the plan-keyed CacheManager so the
+      // gopher/MAD/ppl chain is computed once, not once per branch
       val k1 = docs.join(gpass, "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val keep2 = graft.pipeline.Sampling.madOutliers(k1, col("lang"),
         col("doc_id"), col("n_chars"), k = 3.0)
         .where(!col("outlier")).select(col("id").as("doc_id"))
       val k2 = k1.join(keep2, "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val m = graft.pipeline.LanguageModel.trainBigramLm(
         docs, col("doc_id"), col("text"), vocabSize = 256)
       val scored = graft.pipeline.LanguageModel.scoreBigramLm(
@@ -2096,6 +2102,7 @@ object SparkEntry {
         col("lang"), col("id"), col("xent"), Seq(0.25, 0.5))
         .where(col("bucket") <= 1L).select(col("id").as("doc_id"))
       val k3 = k2.join(keep3, "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val quotas = graft.pipeline.Sampling.waterfillBudget(k3,
         col("source"), T.tokenCount(col("text")), budget = 3000L)
         .collect()
