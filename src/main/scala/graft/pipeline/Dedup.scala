@@ -361,7 +361,10 @@ object Dedup {
   /** First-owner key of a line occurrence: lexicographic (doc, idx)
     * packed into one BIGINT so min() resolves ownership in a single
     * map-side-combined aggregation. Documents are bounded well below
-    * `LineIdxSpan` lines (posexplode indexes, not tokens). */
+    * `LineIdxSpan` lines (posexplode indexes, not tokens).
+    * PRECONDITION of every packed-key operator ([[dedupLines]],
+    * [[cutDuplicatedSpans]]): doc ids are NON-NEGATIVE — a negative id
+    * would invert the packed lexicographic order. */
   private val LineIdxSpan = 1000000L
 
   private def lineTable(df: DataFrame, idCol: Column,

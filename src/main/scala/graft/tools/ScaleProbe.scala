@@ -134,6 +134,36 @@ object ScaleProbe {
         f"(${tBoiler * 1e6 / nDocs}%.2f s/Mdoc) cdc=$tCdc%.1fs " +
         f"(${tCdc * 1e6 / nDocs}%.2f s/Mdoc) topp=$tTopP%.1fs " +
         f"roc=$tRoc%.1fs")
+
+      // round-12 additions: line dedup (first-occurrence keep), span
+      // cut (ExactSubstr apply), connected components on a sparse
+      // planted graph — the ops whose shuffle state is distinct-line /
+      // distinct-span / label-frontier sized, so per-row cost should
+      // stay flat as the corpus grows
+      val lined = docs.withColumn("lt",
+        regexp_replace(col("text"), "((\\S+ ){3}\\S+) ", "$1\n"))
+      val tLines = timeSec {
+        println("  linededup docs=" + graft.pipeline.Dedup.dedupLines(
+          lined, col("doc_id"), col("lt")).count())
+      }
+      val tCut = timeSec {
+        println("  spancut docs=" + graft.pipeline.Dedup
+          .cutDuplicatedSpans(docs, col("doc_id"), col("text"), 12)
+          .count())
+      }
+      val tCc = timeSec {
+        val ids = docs.select(col("doc_id"))
+        val edges = ids.where(col("doc_id") % 5 =!= 4)
+          .select(col("doc_id").as("s"), (col("doc_id") + 1).as("d"))
+          .unionAll(ids.where(col("doc_id") % 7 === 0)
+            .select(col("doc_id").as("s"), (col("doc_id") + 2).as("d")))
+        println("  components=" + graft.pipeline.Graphs
+          .connectedComponents(edges, col("s"), col("d"))
+          .select("component").distinct().count())
+      }
+      println(f"SCALE4 $dir linededup=$tLines%.1fs " +
+        f"(${tLines * 1e6 / nDocs}%.2f s/Mdoc) spancut=$tCut%.1fs " +
+        f"(${tCut * 1e6 / nDocs}%.2f s/Mdoc) cc=$tCc%.1fs")
     }
     spark.stop()
   }
