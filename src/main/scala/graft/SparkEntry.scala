@@ -2464,6 +2464,26 @@ object SparkEntry {
         .select(col("id").as("vec_id"),
           col("cluster").cast("long").as("cluster"), col("d2"))),
 
+    // Incremental k-means: each round's EXACT integer sufficient
+    // statistics fold across batch halves (integer adds — associative)
+    // then one driver update — bit-identical to the one-shot training,
+    // so the oracle IS emb_kmeans' CTE chain
+    "emb_kmeans_incremental" -> ((s, dir) => {
+      val C = graft.pipeline.Clustering
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val a = emb.where(col("vec_id") % 2 === 0)
+      val b = emb.where(col("vec_id") % 2 === 1)
+      var model = C.seedModel(emb, k = 8)
+      (0 until 2).foreach { _ =>
+        model = C.updatedModel(model,
+          C.foldRoundSums(C.roundSums(a, model), C.roundSums(b, model)))
+      }
+      C.assign(emb, model)
+        .select(col("id").as("vec_id"),
+          col("cluster").cast("long").as("cluster"), col("d2"))
+    }),
+
     // SemDeDup: k-means blocks (fixed-point, oracle-replayable) +
     // exact within-cluster cosine + connected components, keep = min
     // id. Corpus = a quarter subset + planted exact copies of every
@@ -5545,6 +5565,9 @@ object SparkEntry {
     // restated — fixed-point vectors make every step integer-exact, so
     // the match is hash-exact with no rounding tolerance
     "emb_kmeans" -> (kMeansOracleSql +
+      """SELECT id AS vec_id, j AS cluster, d2 FROM af""".stripMargin),
+    // the round-fold law makes incremental training ≡ one-shot
+    "emb_kmeans_incremental" -> (kMeansOracleSql +
       """SELECT id AS vec_id, j AS cluster, d2 FROM af""".stripMargin),
     // semdedup: the same k-means chain over the planted-copy corpus,
     // then within-cluster cosine pairs + recursive min-label walk

@@ -106,6 +106,73 @@ object Clustering {
     * integer adds, immune to reduce order), so the updated model is
     * bit-identical however the data is partitioned. Empty cells keep
     * their previous centroid. */
+  /** One round's EXACT integer sufficient statistics for a batch under
+    * fixed centroids: per cell, (Σ quantized vectors, count). Integer
+    * adds are order-free AND associative across batches, so round sums
+    * fold exactly ([[foldRoundSums]]) — the merge law incremental /
+    * streaming k-means training rests on. Driver-side size is k×d. */
+  def roundSums(batch: DataFrame, model: QKMeansModel)
+      : Map[Int, (Array[Long], Long)] = {
+    val cur = model.centroids
+    quantized(batch, model.scale).rdd.mapPartitions { it =>
+      it.map { case (_, v) => (nearest(cur, v), (v, 1L)) }
+    }.reduceByKey { (a, b) =>
+      val m = a._1.clone()
+      var i = 0
+      while (i < m.length && i < b._1.length) { m(i) += b._1(i); i += 1 }
+      (m, a._2 + b._2)
+    }.collect().toMap
+  }
+
+  /** Fold two rounds' sufficient statistics — exact, associative,
+    * commutative (integer adds), so ANY batch split folds to the
+    * one-shot statistics. */
+  def foldRoundSums(a: Map[Int, (Array[Long], Long)],
+      b: Map[Int, (Array[Long], Long)]): Map[Int, (Array[Long], Long)] =
+    (a.keySet ++ b.keySet).map { cell =>
+      (a.get(cell), b.get(cell)) match {
+        case (Some(x), None) => cell -> x
+        case (None, Some(y)) => cell -> y
+        case (Some((xs, xc)), Some((ys, yc))) =>
+          val m = xs.clone()
+          var i = 0
+          while (i < m.length && i < ys.length) { m(i) += ys(i); i += 1 }
+          cell -> ((m, xc + yc))
+        case (None, None) => throw new IllegalStateException("unreachable")
+      }
+    }.toMap
+
+  /** Apply one centroid update from folded round statistics: the same
+    * `round(Σq / count)` rule as the one-shot fit (one double division
+    * of two exact integers — engine-portable); empty cells keep their
+    * previous centroid. */
+  def updatedModel(model: QKMeansModel,
+      sums: Map[Int, (Array[Long], Long)]): QKMeansModel = {
+    val next = model.centroids.map(_.clone())
+    sums.foreach { case (cell, (s, cnt)) =>
+      next(cell) = s.map(x => quant(x.toDouble / cnt, 1.0))
+    }
+    QKMeansModel(next, model.scale)
+  }
+
+  /** Systematic seed model over the full corpus (the deterministic
+    * id-ordered stride rule; see [[fitQuantizedKMeans]]). */
+  def seedModel(corpus: DataFrame, k: Int, scale: Double = 1e6)
+      : QKMeansModel = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = quantized(corpus, scale)
+    val n = base.count()
+    require(n >= k, s"need at least k=$k vectors, got $n")
+    val stride = math.max(n / k, 1L)
+    val seeds = base.filter(_._1 % stride == 0).sort("_1")
+      .map(_._2)(org.apache.spark.sql.Encoders.kryo[Array[Long]])
+      .take(k)
+    require(seeds.length == k,
+      s"systematic seed sample found ${seeds.length} of $k seeds " +
+        "(ids too sparse for stride-based seeding)")
+    QKMeansModel(seeds, scale)
+  }
+
   def fitQuantizedKMeans(corpus: DataFrame, k: Int, iterations: Int,
       scale: Double = 1e6): QKMeansModel = {
     require(k >= 1, s"k must be >= 1, got $k")

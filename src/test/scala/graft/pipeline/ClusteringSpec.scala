@@ -98,6 +98,24 @@ class ClusteringSpec extends AnyFunSuite {
       .sameElements(s2.select("id").collect().map(_.getLong(0)).sorted))
   }
 
+  test("round-fold law: k-means trained from folded batch statistics " +
+      "is bit-identical to the one-shot fit, for any split") {
+    val oneShot = Clustering.fitQuantizedKMeans(planted, k = 3,
+      iterations = 2)
+    for (m <- Seq(2L, 3L)) {
+      val parts = (0L until m).map(r =>
+        planted.where(col("id") % m === r))
+      var model = Clustering.seedModel(planted, k = 3)
+      (0 until 2).foreach { _ =>
+        val folded = parts.map(p => Clustering.roundSums(p, model))
+          .reduce(Clustering.foldRoundSums)
+        model = Clustering.updatedModel(model, folded)
+      }
+      assert(model.centroids.map(_.toSeq).toSeq ===
+        oneShot.centroids.map(_.toSeq).toSeq, s"split m=$m")
+    }
+  }
+
   test("clusterTopTerms: integer ppm lift, hand-checked; exclusive " +
       "terms rank above shared ones; topK and ties respected") {
     // cluster 0 = docs {0,1}: "apple" only there; "common" everywhere
