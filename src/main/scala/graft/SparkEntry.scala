@@ -2922,6 +2922,20 @@ object SparkEntry {
     // decode with ImageIO, block-mean to an 8x8 grid, emit aHash/dHash.
     // All-integer end-to-end, so the oracle recomputes the hashes
     // bit-for-bit from the generative formula
+    // Image entropy (flat/synthetic screen): 256-bin histogram +
+    // ordered-fold Shannon entropy over REAL decoded PNGs
+    "mm_entropy" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map(id => (id, id, 16))
+      graft.pipeline.Multimodal.imageEntropy(
+        graft.pipeline.Multimodal.renderGradientPng(imgs))
+        .toDF()
+        .select(col("media_id").as("doc_id"), col("n_px"),
+          col("distinct_levels"), col("entropy_bits"))
+    }),
+
     "mm_phash" -> ((s, dir) => {
       import s.implicits._
       val imgs = s.read.parquet(s"$dir/documents.parquet")
@@ -5941,6 +5955,26 @@ object SparkEntry {
     // hashes bit-for-bit from the generative pixel formula. The dedup
     // oracle blocks the same complete way (8-bit bands; pigeonhole
     // covers hamming <= 7), so both engines enumerate identical pairs
+    // entropy: pixels regenerated from the mix formula, counts folded
+    // ascending level — list_sum replays the JVM loop order exactly
+    "mm_entropy" ->
+      s"""WITH px AS (
+        |  SELECT doc_id,
+        |    (${mixSql("doc_id * 256 + y.y * 16 + x.x")}) % 256 AS g
+        |  FROM documents, range(0, 16) x(x), range(0, 16) y(y)),
+        |h AS (
+        |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM px GROUP BY doc_id, g),
+        |e AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_px,
+        |    CAST(count(*) AS BIGINT) AS distinct_levels,
+        |    list_sum(list_transform(list(CAST(c AS DOUBLE) ORDER BY g),
+        |      x -> x * ln(x))) AS s
+        |  FROM h GROUP BY doc_id)
+        |SELECT doc_id, n_px, distinct_levels,
+        |  ROUND((ln(CAST(n_px AS DOUBLE)) - s / n_px) / ln(2.0), 6)
+        |    AS entropy_bits
+        |FROM e""".stripMargin,
     "mm_phash" ->
       s"""WITH d AS (
         |  SELECT doc_id,

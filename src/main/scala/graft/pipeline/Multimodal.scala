@@ -539,6 +539,63 @@ object Multimodal {
     }
   }
 
+  /** Per-image intensity statistics for quality gating: pixel count,
+    * distinct 8-bit levels, and Shannon entropy of the level histogram
+    * in bits (round-6). Undecodable payloads yield the (-1, 0, -1)
+    * sentinel. */
+  final case class ImageEntropy(media_id: Long, n_px: Long,
+      distinct_levels: Long, entropy_bits: Double)
+
+  /** REAL image-entropy computation — the flat/synthetic-image screen
+    * an image curation pipeline runs (a solid color scores 0 bits, a
+    * noisy natural crop approaches 8): decode, one 256-bin histogram
+    * per image, entropy `log2(n) − (Σ c·ln c)/(n·ln 2)` with the sum
+    * folded over ASCENDING levels — the same left-to-right ordered-fold
+    * discipline as the cosine kernels, so an external engine replays
+    * the float sum bit-for-bit; round-6 absorbs the last-ulp `ln`
+    * divergence (the lm_score discipline). Pure scan parallelism —
+    * per-payload local loop, no shuffle. */
+  def imageEntropy(ds: Dataset[MediaRecord]): Dataset[ImageEntropy] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { rec =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(rec.payload))
+          if (img == null) ImageEntropy(rec.mediaId, -1L, 0L, -1.0)
+          else {
+            val hist = new Array[Long](256)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                hist(img.getRGB(x, y) & 0xFF) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val n = img.getWidth.toLong * img.getHeight
+            var s = 0.0
+            var dl = 0L
+            var g = 0
+            while (g < 256) {
+              val c = hist(g)
+              if (c > 0L) { dl += 1; s += c * math.log(c.toDouble) }
+              g += 1
+            }
+            val ent = (math.log(n.toDouble) - s / n) / math.log(2.0)
+            ImageEntropy(rec.mediaId, n, dl,
+              BigDecimal(ent).setScale(6,
+                BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+        } catch {
+          case _: java.io.IOException =>
+            ImageEntropy(rec.mediaId, -1L, 0L, -1.0)
+        }
+      }
+    }
+  }
+
   // ---- perceptual hashing ----------------------------------------------
 
   /** Perceptual hashes of one image: aHash (block mean vs global mean)

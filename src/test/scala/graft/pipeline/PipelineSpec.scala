@@ -613,6 +613,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.extractKeyframes(junk, 100L).count() === 0L)
   }
 
+  test("image entropy: solid image 0 bits, half-and-half 1 bit, " +
+      "corrupt payload sentinel") {
+    import spark.implicits._
+    def png(levels: (Int, Int)): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val g = if (y < 4) levels._1 else levels._2
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRecord(0L, "image", png((80, 80)),
+        Multimodal.MediaMeta(None, None, None, None)),
+      Multimodal.MediaRecord(1L, "image", png((10, 200)),
+        Multimodal.MediaMeta(None, None, None, None)),
+      Multimodal.MediaRecord(2L, "image", Array[Byte](1, 2, 3),
+        Multimodal.MediaMeta(None, None, None, None))))
+    val out = Multimodal.imageEntropy(media).collect()
+      .map(e => e.media_id -> e).toMap
+    assert(out(0L).entropy_bits === 0.0 && out(0L).distinct_levels === 1L)
+    assert(out(1L).entropy_bits === 1.0 && out(1L).distinct_levels === 2L)
+    assert(out(0L).n_px === 64L)
+    assert(out(2L).n_px === -1L && out(2L).entropy_bits === -1.0)
+  }
+
   test("semantic dedup: equals brute force on separated clusters; " +
       "subset of brute force always; min-id keeper") {
     import spark.implicits._
