@@ -1410,6 +1410,57 @@ object SparkEntry {
         key = "user_id", ts = "ts_ms", distinctOf = "event_type")
     }),
 
+    // General interval-overlap join via grid partitioning: purchase
+    // activity windows [ts, ts+6h] × click windows [ts, ts+2h] per
+    // user. Each interval replicates to its covered W=6h buckets, the
+    // join is a pure (key, bucket) equi-join, and each pair is emitted
+    // from exactly one bucket — no distinct pass (see
+    // Temporal.intervalJoin).
+    "interval_join" -> ((s, dir) => {
+      val ev = EventsAsQuads.events(s, dir)
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("ts_ms").as("s_ms"),
+          (col("ts_ms") + lit(21600000L)).as("e_ms"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts_ms").as("cs_ms"),
+          (col("ts_ms") + lit(7200000L)).as("ce_ms"))
+      graft.pipeline.Temporal.intervalJoin(p, c, key = "user_id",
+          leftStart = "s_ms", leftEnd = "e_ms",
+          rightStart = "cs_ms", rightEnd = "ce_ms",
+          rightPayload = Seq("click_id"),
+          bucketMs = 21600000L, maxLenMs = 21600000L)
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          col("overlap_ms"))
+    }),
+
+    // Bloom semi-join reduction: orders of customers in nations 0-2.
+    // The bloom over the dim keys rejects non-matching fact rows at the
+    // scan, BEFORE the exchange; the exact semi-join that follows makes
+    // the output independent of (expectedItems, fpp) — tunable at
+    // scale, never wrong.
+    "bloom_semijoin" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val dim = s.read.parquet(s"$dir/customer.parquet")
+        .where(col("c_nationkey") < 3)
+      graft.pipeline.Joins.bloomSemiJoin(orders, "o_custkey",
+          dim, "c_custkey", expectedItems = 4096L)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 6).as("o_totalprice"))
+    }),
+
+    // Z-order (Morton) clustering key: interleaved (user_id, 70-min
+    // time bucket) bits — the multi-dimensional file-skipping sort key
+    // (ZOrderSpec measures the pruning win; this entry pins the pure
+    // integer bit math against the same formula in SQL).
+    "zorder_value" -> ((s, dir) =>
+      EventsAsQuads.events(s, dir)
+        .select(col("event_id"),
+          graft.storage.ZOrder.zValue2(
+            col("user_id") % 65536,
+            expr("(ts_ms div 4194304) % 65536")).as("z"))),
+
     // ---- LLM-data-pipeline operators over documents/embeddings ----
 
     // Exact dedup: content-hash groupBy (map-side combine)
@@ -3949,6 +4000,30 @@ object SparkEntry {
         |  MAX(ts_ms) - MIN(ts_ms) AS duration_ms,
         |  COUNT(DISTINCT event_type) AS n_event_type
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+    "interval_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) // 1000 AS s_ms,
+        |    epoch_us(ts) // 1000 + 21600000 AS e_ms
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id,
+        |    epoch_us(ts) // 1000 AS cs_ms,
+        |    epoch_us(ts) // 1000 + 7200000 AS ce_ms
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, c.click_id,
+        |  least(p.e_ms, c.ce_ms) - greatest(p.s_ms, c.cs_ms) AS overlap_ms
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND p.s_ms <= c.ce_ms AND c.cs_ms <= p.e_ms""".stripMargin,
+    "bloom_semijoin" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS o_totalprice
+        |FROM orders
+        |WHERE o_custkey IN (
+        |  SELECT c_custkey FROM customer WHERE c_nationkey < 3)""".stripMargin,
+    "zorder_value" ->
+      ("""SELECT event_id, """ +
+        graft.storage.ZOrder.zValue2Sql(
+          "user_id % 65536", "((epoch_us(ts) // 1000) // 4194304) % 65536") +
+        """ AS z FROM events"""),
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, COUNT(*) AS n, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1""".stripMargin,

@@ -164,6 +164,84 @@ object Temporal {
         rightPayload.map(c => col(s"__p_$c").as(c)): _*)
   }
 
+  /** General interval-overlap join: every (left, right) pair with the
+    * same key whose CLOSED intervals `[leftStart, leftEnd]` and
+    * `[rightStart, rightEnd]` intersect (`ls <= re AND rs <= le`, all
+    * epoch ms). Emits `left.* ++ rightPayload ++ overlap_ms` where
+    * `overlap_ms = min(le, re) - max(ls, rs)` (0 for point-touching
+    * intervals).
+    *
+    * Plan shape — grid partitioning, the textbook distributed interval
+    * join: with bucket width W = `bucketMs`, each interval replicates to
+    * every bucket its span covers (`floor(s/W) .. floor(e/W)`), the join
+    * is a pure equi-join on `(key, bucket)` with the exact overlap check
+    * as a post-filter, and each overlapping pair is emitted EXACTLY once
+    * — only from the bucket `max(floor(ls/W), floor(rs/W))`, the first
+    * bucket both intervals inhabit (no `distinct` dedup pass, which
+    * would be a second full shuffle of the output). Replication factor
+    * is `len/W + 1` per row, bounded because interval length is bounded:
+    * the operator enforces `maxLenMs` with a codegen'd `raise_error`
+    * (fail-loud beats silently missing pairs). Shuffle cost is
+    * O(|input| · (maxLen/W + 1)) rows hashed on (key, bucket); a
+    * same-key equi-join with the overlap residual would instead
+    * sort-merge ALL same-key pairs — O(|key group|²) on hot keys. AQE
+    * splits any still-skewed bucket at runtime.
+    *
+    * Reference behaviour anchor: the engine's sliding-window content
+    * test "does event e fall inside window w" (reference
+    * `src/stream/operators/historical_sliding_window.rs`) is the
+    * degenerate point-vs-interval case of this operator.
+    *
+    * @param bucketMs grid width W; choose ≈ the typical interval length
+    *        (smaller W = more replicas, larger W = more post-filtered
+    *        non-pairs)
+    * @param maxLenMs fail-loud upper bound on interval length, caps the
+    *        replication factor at maxLenMs/bucketMs + 1
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String,
+      rightPayload: Seq[String], bucketMs: Long,
+      maxLenMs: Long): DataFrame = {
+    require(bucketMs > 0 && maxLenMs >= 0, "need bucketMs > 0, maxLenMs >= 0")
+    val wUs = bucketMs * 1000L
+    val maxUs = maxLenMs * 1000L
+    val leftCols = left.columns.toSeq
+
+    def buckets(df: DataFrame, s: String, e: String): (Column, Column, Column) = {
+      val sUs = tsUs(df, s)
+      val eUs = tsUs(df, e)
+      val guarded = when(eUs < sUs || eUs - sUs > maxUs,
+        raise_error(concat(lit(s"intervalJoin: $s..$e outside [0, ${maxLenMs}ms]: "),
+          sUs.cast("string"), lit(".."), eUs.cast("string"))))
+        .otherwise(eUs)
+      (sUs, guarded, explode(sequence(floor(sUs / wUs), floor(guarded / wUs))))
+    }
+
+    val (lsUs, leUs, lBucket) = buckets(left, leftStart, leftEnd)
+    val l2 = left
+      .withColumn("__ls_us", lsUs)
+      .withColumn("__le_us", leUs)
+      .withColumn("__bucket", lBucket)
+    val (rsUs, reUs, rBucket) = buckets(right, rightStart, rightEnd)
+    val r2 = right.select(
+      Seq(col(key).as("__rk"), rsUs.as("__rs_us"), reUs.as("__re_us"),
+        rBucket.as("__rbucket")) ++
+        rightPayload.map(c => col(c).as(s"__p_$c")): _*)
+
+    l2.join(r2,
+        col(key) === col("__rk") && col("__bucket") === col("__rbucket") &&
+          col("__ls_us") <= col("__re_us") &&
+          col("__rs_us") <= col("__le_us") &&
+          col("__bucket") === greatest(floor(col("__ls_us") / wUs),
+            floor(col("__rs_us") / wUs)))
+      .select(leftCols.map(col) ++
+        rightPayload.map(c => col(s"__p_$c").as(c)) :+
+        (floor(least(col("__le_us"), col("__re_us")) / 1000L) -
+          floor(greatest(col("__ls_us"), col("__rs_us")) / 1000L))
+          .cast("long").as("overlap_ms"): _*)
+  }
+
   /** Gap-based sessionization: per key, ordered by (ts, tieBreak), a
     * new session starts whenever the gap to the previous row strictly
     * exceeds `gapMs` (split at `gap > gapMs` — the same convention as

@@ -651,4 +651,42 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"),
       s"no global one-reducer stage in the selector:\n$plan")
   }
+
+  test("interval join is a hash equi-join on (key, bucket) — no " +
+      "cartesian, no sort-merge over bare keys, exactly-once without " +
+      "a distinct/dedup exchange") {
+    val df = SparkEntry.queries("interval_join")(spark, sf)
+    val plan = executedPlan(df)
+    assert(!plan.toLowerCase.contains("cartesianproduct"),
+      s"grid join must stay an equi-join:\n$plan")
+    assert(!plan.contains("HashAggregate(keys=[lid") &&
+      !plan.toLowerCase.contains("distinct"),
+      s"exactly-once must come from bucket ownership, not dedup:\n$plan")
+  }
+
+  test("bloom semi-join: the probe filter runs on the FACT SCAN side, " +
+      "below the semi-join's exchange — rows are rejected before they " +
+      "are shuffled") {
+    val df = SparkEntry.queries("bloom_semijoin")(spark, sf)
+    val plan = executedPlan(df)
+    val joinIdx = plan.indexOf("Join")
+    assert(joinIdx >= 0, s"expected a semi-join:\n$plan")
+    // the UDF probe must appear in the plan BELOW the join operator
+    // (plan text is top-down: deeper operators print later)
+    val filterIdx = plan.indexOf("UDF")
+    assert(filterIdx > joinIdx,
+      s"bloom probe must sit under the join, at the scan:\n$plan")
+    assert(plan.contains("LeftSemi"), s"exact finish is a semi-join:\n$plan")
+  }
+
+  test("z-order value is one shuffle-free codegen'd map stage (pure " +
+      "bit math, no UDF)") {
+    val df = SparkEntry.queries("zorder_value")(spark, sf)
+    val plan = executedPlan(df)
+    assert(!plan.contains("Exchange"),
+      s"morton code must not shuffle:\n$plan")
+    assert(!plan.contains("UDF"), s"bit math must be native:\n$plan")
+    assert(plan.contains("*(1)"),
+      s"the interleave must stay inside codegen:\n$plan")
+  }
 }
