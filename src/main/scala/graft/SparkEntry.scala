@@ -2075,6 +2075,33 @@ object SparkEntry {
         col("doc_id"),
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))),
 
+    // Split-hygiene audit: exact-duplicate texts spanning >1 hash
+    // split = train/test leakage. Copies of every 10th doc are planted
+    // under shifted ids (the key-hash split CANNOT co-locate them —
+    // that is the failure mode the audit exists to catch)
+    "split_leakage" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val planted = docs.unionByName(
+        docs.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val split = graft.pipeline.Sampling.hashSplit(planted,
+        col("doc_id"), Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      graft.pipeline.Sampling.splitLeakage(split, col("text"))
+    }),
+
+    // Vocabulary-coverage / OOV report per source against the corpus's
+    // top-512 token vocabulary (ties by token — deterministic):
+    // the sizing readout for a tokenizer vocabulary. Integer counts +
+    // ppm floor division; one tokenize, two-phase top-V, broadcast
+    // vocab join
+    "tok_coverage" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.vocabCoverage(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("source"), col("text"), vocabSize = 512)
+        .select(col("grp").as("source"), col("n_tokens"),
+          col("n_covered"), col("n_distinct_oov"), col("oov_ppm"))),
+
     // Token-budget corpus mixing: per-source token targets met in
     // key-hash order (first overshooting doc included) via the
     // two-phase distributed running sum — no per-stratum window task
@@ -2533,6 +2560,45 @@ object SparkEntry {
       C.assign(emb, model)
         .select(col("id").as("vec_id"),
           col("cluster").cast("long").as("cluster"), col("d2"))
+    }),
+
+    // Incremental PCA: EXACT integer second-order moments
+    // (round(x·2^16) sums + packed Gram, long partials checked with
+    // addExact, BigInt across batches) fold associatively — three
+    // batch folds in BOTH orders and the one-shot pass must agree
+    // BIT-FOR-BIT on (n, Σq, Σqqᵀ), hence on the model; then the
+    // emitted rows carry the same projection-energy contract as
+    // emb_pca
+    "emb_pca_incremental" -> ((s, dir) => {
+      import graft.pipeline.Embeddings
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val parts = (0 until 3).map(i =>
+        Embeddings.momentsOf(emb.where(col("vec_id") % 3 === i),
+          col("embedding")))
+      val fwd = parts.reduce(_ fold _)
+      val rev = parts.reverse.reduce(_ fold _)
+      val one = Embeddings.momentsOf(emb, col("embedding"))
+      require(fwd.n == one.n && fwd.sum.sameElements(one.sum) &&
+        fwd.gram.sameElements(one.gram),
+        "batch-folded moments != one-shot moments")
+      require(rev.sum.sameElements(fwd.sum) &&
+        rev.gram.sameElements(fwd.gram),
+        "fold order changed the moments")
+      val m = Embeddings.pcaFromMoments(fwd, k = 16)
+      val m1 = Embeddings.pcaFromMoments(one, k = 16)
+      require(m.components.zip(m1.components).forall(p =>
+        p._1.sameElements(p._2)) &&
+        m.explained.sameElements(m1.explained),
+        "incremental model != one-shot model")
+      val mean = m.mean
+      val centeredNorm = udf((x: Seq[Double]) =>
+        x.zip(mean).map(p => (p._1 - p._2) * (p._1 - p._2)).sum)
+      Embeddings.project(emb, col("embedding"), m)
+        .select(col("vec_id"),
+          aggregate(col("pc"), lit(0.0), (a, v) => a + v * v).as("pn"),
+          centeredNorm(col("embedding").cast("array<double>")).as("cn"))
+        .where(col("pn") <= col("cn") + 1e-6)
+        .select(col("vec_id"), lit(true).as("pca_inc_ok"))
     }),
 
     // SemDeDup: k-means blocks (fixed-point, oracle-replayable) +
@@ -5608,6 +5674,54 @@ object SparkEntry {
     "emb_pca" ->
       """SELECT vec_id, true AS pca_ok
         |FROM embeddings""".stripMargin,
+    // the incremental entry re-proves the fold law in-query
+    // (bit-identical moments and model across batchings) and then
+    // emits the same per-vector energy contract as emb_pca
+    "emb_pca_incremental" ->
+      """SELECT vec_id, true AS pca_inc_ok
+        |FROM embeddings""".stripMargin,
+    "split_leakage" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |s AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) / 4294967296.0 AS u
+        |    FROM d))
+        |SELECT md5(text) AS content_hash,
+        |  COUNT(DISTINCT split) AS n_splits,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  array_to_string(list_sort(list_distinct(list(split))), ',')
+        |    AS splits
+        |FROM s GROUP BY md5(text)
+        |HAVING COUNT(DISTINCT split) > 1""".stripMargin,
+    "tok_coverage" ->
+      """WITH gt AS (
+        |  SELECT source AS grp,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT grp, token, COUNT(*) AS c FROM gt GROUP BY 1, 2),
+        |g AS (SELECT token, SUM(c) AS tc FROM c GROUP BY 1),
+        |v AS (
+        |  SELECT token FROM g
+        |  ORDER BY tc DESC, token ASC LIMIT 512)
+        |SELECT c.grp AS source,
+        |  CAST(SUM(c.c) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.token IS NOT NULL THEN c.c ELSE 0 END)
+        |    AS BIGINT) AS n_covered,
+        |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_distinct_oov,
+        |  CAST((SUM(c.c) - SUM(CASE WHEN v.token IS NOT NULL THEN c.c
+        |    ELSE 0 END)) * 1000000 // SUM(c.c) AS BIGINT) AS oov_ppm
+        |FROM c LEFT JOIN v ON c.token = v.token
+        |GROUP BY c.grp""".stripMargin,
     "emb_sim_histogram" ->
       """WITH sm AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

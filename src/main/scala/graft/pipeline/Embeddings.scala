@@ -122,6 +122,101 @@ object Embeddings {
     df.withColumn("pc", proj(vec.cast("array<double>")))
   }
 
+  /** Exact quantized second-order moments — the sufficient statistics
+    * of PCA as INTEGERS, so batches fold associatively with no float
+    * drift: `pcaFromMoments(fold(m1, m2))` is bit-identical to the
+    * one-shot fit for ANY batch split or fold order (the k-means
+    * round-fold pattern applied to covariance). Coordinates quantize to
+    * `round(x · 2^scaleBits)`; sums and the packed upper-triangular
+    * Gram accumulate per-partition in overflow-checked longs
+    * (`Math.addExact` — at scaleBits=16 and |x| ≤ 8 a partition holds
+    * >10⁷ rows before the guard can trip) and cross partitions/batches
+    * in BigInt, exact at any corpus size. */
+  final case class QMoments(n: Long, sum: Array[BigInt],
+      gram: Array[BigInt], d: Int, scaleBits: Int) {
+    def fold(other: QMoments): QMoments = {
+      require(d == other.d && scaleBits == other.scaleBits,
+        "incompatible moment shapes")
+      QMoments(n + other.n,
+        sum.zip(other.sum).map(p => p._1 + p._2),
+        gram.zip(other.gram).map(p => p._1 + p._2), d, scaleBits)
+    }
+  }
+
+  /** One pass over a batch → its [[QMoments]]. Per-partition long
+    * accumulation (one primitive array pass per row), one BigInt
+    * triple per partition shipped to the tree reduce — the driver sees
+    * O(d²) numbers regardless of batch size. */
+  def momentsOf(df: DataFrame, vec: Column, scaleBits: Int = 16)
+      : QMoments = {
+    require(scaleBits >= 1 && scaleBits <= 24, "scaleBits in [1,24]")
+    val scale = (1L << scaleBits).toDouble
+    val rows = df.select(vec.cast("array<double>")).na.drop()
+      .rdd.map(_.getSeq[Double](0).toArray)
+    val d = rows.first().length
+    val tri = d * (d + 1) / 2
+    val partials = rows.mapPartitions { it =>
+      var n = 0L
+      val s = new Array[Long](d)
+      val g = new Array[Long](tri)
+      it.foreach { x =>
+        require(x.length == d, s"ragged embedding: ${x.length} != $d")
+        val q = new Array[Long](d)
+        var i = 0
+        while (i < d) { q(i) = math.round(x(i) * scale); i += 1 }
+        i = 0
+        var off = 0
+        while (i < d) {
+          s(i) = Math.addExact(s(i), q(i))
+          var j = i
+          while (j < d) {
+            g(off + j - i) = Math.addExact(g(off + j - i), q(i) * q(j))
+            j += 1
+          }
+          off += d - i
+          i += 1
+        }
+        n += 1
+      }
+      Iterator.single(QMoments(n, s.map(BigInt(_)), g.map(BigInt(_)),
+        d, scaleBits))
+    }
+    partials.treeReduce((a, b) => a.fold(b))
+  }
+
+  /** Deterministic PCA model from exact integer moments: identical
+    * BigInt totals → identical doubles → identical eigSym → identical
+    * model, for any batching. Same covariance/eigen/canonical-sign
+    * convention as [[fitPca]] (which this generalizes — fitPca is the
+    * single-batch float path; this is the mergeable exact path). */
+  def pcaFromMoments(m: QMoments, k: Int): PcaModel = {
+    require(m.n > 1, "need at least 2 vectors")
+    require(k >= 1 && k <= m.d, s"k must be in [1, ${m.d}]")
+    val d = m.d
+    val scale = (1L << m.scaleBits).toDouble
+    val nD = m.n.toDouble
+    val mean = m.sum.map(_.toDouble / scale / nD)
+    val cov = breeze.linalg.DenseMatrix.zeros[Double](d, d)
+    var off = 0
+    for (i <- 0 until d) {
+      for (j <- i until d) {
+        val e = m.gram(off + j - i).toDouble / (scale * scale) / nD
+        val c = e - mean(i) * mean(j)
+        cov(i, j) = c
+        cov(j, i) = c
+      }
+      off += d - i
+    }
+    val es = breeze.linalg.eigSym(cov)
+    val order = es.eigenvalues.toArray.zipWithIndex.sortBy(-_._1).take(k)
+    val comps = order.map { case (_, idx) =>
+      val v = (0 until d).map(r => es.eigenvectors(r, idx)).toArray
+      val mx = v.indices.maxBy(i => math.abs(v(i)))
+      if (v(mx) < 0) v.map(-_) else v
+    }
+    PcaModel(mean, comps, order.map(_._1), es.eigenvalues.toArray.sum)
+  }
+
   /** One 64-bit signed-random-projection signature: the packed long
     * (bit b = plane b, `1L << b`) and the engine-portable '0'/'1'
     * bitstring (char b = plane b) — the [[Multimodal.ImagePHash]]

@@ -63,6 +63,22 @@ object Sampling {
       })
   }
 
+  /** Split-hygiene audit: content hashes that appear in MORE THAN ONE
+    * split of [[hashSplit]]'s output — the train/test leakage a
+    * key-hashed split cannot prevent when the corpus still holds exact
+    * duplicates under different keys (dedup before splitting, or accept
+    * contaminated eval). Emits one row per leaking content hash with
+    * its blast radius. One groupBy on the content hash (map-side
+    * combined); the shuffle carries (hash, split) pairs, never text. */
+  def splitLeakage(split: DataFrame, contentCol: Column): DataFrame =
+    split.groupBy(md5(contentCol).as("content_hash"))
+      .agg(count_distinct(col("split")).as("n_splits"),
+        count(lit(1)).as("n_docs"),
+        sort_array(collect_set(col("split"))).as("splits"))
+      .where(col("n_splits") > 1)
+      .select(col("content_hash"), col("n_splits"), col("n_docs"),
+        concat_ws(",", col("splits")).as("splits"))
+
   /** Deterministic global shuffle for training order: every row gets a
     * contiguous 0-based `shuffle_pos` under the total order
     * `(md5(salt || key), key)`. Changing the salt re-deals the whole

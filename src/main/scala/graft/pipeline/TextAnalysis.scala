@@ -372,6 +372,47 @@ object TextAnalysis {
       .drop("__n")
   }
 
+  /** Vocabulary-coverage / OOV report per group: with the vocabulary
+    * fixed to the corpus's `vocabSize` most frequent tokens (ties
+    * broken by token — deterministic on any engine), how much of each
+    * group's token mass the vocabulary covers, and how many distinct
+    * out-of-vocabulary forms remain. The go/no-go readout for sizing a
+    * tokenizer vocabulary before training.
+    *
+    * Integer-exact throughout (counts + ppm by floor division). Plan:
+    * one token aggregation for the vocab (map-side combined, same
+    * shape as [[vocabulary]]), a two-phase top-V selection, then the
+    * per-(group, token) count table left-joins the BROADCAST vocab —
+    * the corpus is tokenized once, nothing driver-side but the model
+    * size V. */
+  def vocabCoverage(df: DataFrame, groupCol: Column, textCol: Column,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val tok = df.select(groupCol.as("grp"), explode(tokens(textCol))
+      .as("token"))
+    val gt = tok.groupBy(col("grp"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    // global counts derive from the (group, token) table — the corpus
+    // is NOT re-tokenized; top-V per the (count desc, token asc) total
+    // order via the skew-proof two-phase ranker (no global
+    // one-reducer window over the vocabulary table)
+    val global = gt.groupBy(col("token")).agg(sum(col("c")).as("tc"))
+    val vocab = Sampling.topKPerGroup(global, lit(1), col("tc"),
+        col("token").asc, vocabSize)
+      .select(col("token"), lit(1).as("__in"))
+    gt.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("grp").as("grp"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("__in").isNotNull, col("c")).otherwise(0L))
+          .as("n_covered"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L))
+          .as("n_distinct_oov"))
+      .select(col("grp"), col("n_tokens"), col("n_covered"),
+        col("n_distinct_oov"),
+        expr("(n_tokens - n_covered) * 1000000 div n_tokens")
+          .as("oov_ppm"))
+  }
+
   // ---- text normalization ----------------------------------------------
 
   /** Unicode NFC normalization (native kernel with an is-already-NFC

@@ -679,6 +679,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("LeftSemi"), s"exact finish is a semi-join:\n$plan")
   }
 
+  test("vocab coverage: the vocabulary joins back as a BROADCAST; the " +
+      "corpus is tokenized exactly once; counts combine map-side") {
+    val df = SparkEntry.queries("tok_coverage")(spark, sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab join must broadcast:\n$plan")
+    val generates = "(?i)generate".r.findAllIn(plan).length
+    assert(generates <= 1,
+      s"corpus must be tokenized once, got $generates explodes:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"token counts must combine map-side:\n$plan")
+  }
+
+  test("split leakage: the content hash is computed BELOW the " +
+      "exchange — raw text never rides the ownership shuffle") {
+    val df = SparkEntry.queries("split_leakage")(spark, sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("partial_count"),
+      s"leak counts must combine map-side:\n$plan")
+    // the exchange output column set carries the md5, not `text`
+    val exchange = plan.linesIterator
+      .find(_.contains("Exchange hashpartitioning")).getOrElse("")
+    assert(!exchange.contains("text"),
+      s"raw text must not be a shuffle key:\n$exchange")
+  }
+
   test("z-order value is one shuffle-free codegen'd map stage (pure " +
       "bit math, no UDF)") {
     val df = SparkEntry.queries("zorder_value")(spark, sf)

@@ -243,6 +243,59 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("splitLeakage: flags exactly the duplicate content that crosses " +
+      "splits, silent on a clean corpus") {
+    val spark2 = spark
+    import spark2.implicits._
+    // keys chosen so ids 1 and 2 land in different splits (verified
+    // below), with identical text; id 3 is a same-split duplicate pair
+    val docs = (0L until 400L).map(i => (i, s"text-$i")).toDF("id", "text")
+    val splits = Seq("train" -> 0.5, "test" -> 0.5)
+    val base = Sampling.hashSplit(docs, col("id"), splits)
+    val labels = base.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val (aId, bId) = { // first cross-split pair
+      val t = labels.collectFirst { case (id, "train") => id }.get
+      val e = labels.collectFirst { case (id, "test") => id }.get
+      (t, e)
+    }
+    val sameSplit = labels.collect { case (id, "train") => id }
+      .filter(_ != aId).take(2).toIndexedSeq
+    val planted = docs
+      .withColumn("text", when(col("id") === bId, lit(s"text-$aId"))
+        .when(col("id") === sameSplit(1), lit(s"text-${sameSplit(0)}"))
+        .otherwise(col("text")))
+    val leaks = Sampling.splitLeakage(
+      Sampling.hashSplit(planted, col("id"), splits), col("text"))
+      .collect()
+    assert(leaks.length === 1, s"expected 1 leak, got ${leaks.toSeq}")
+    assert(leaks(0).getAs[Long]("n_splits") === 2)
+    assert(leaks(0).getAs[Long]("n_docs") === 2)
+    assert(leaks(0).getAs[String]("splits") === "test,train")
+    // clean corpus (all texts unique): nothing flagged
+    assert(Sampling.splitLeakage(base, col("text")).count() === 0)
+  }
+
+  test("vocabCoverage: exact counts on a hand fixture, deterministic " +
+      "tie-break at the vocabulary boundary") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      ("s1", "a a a b b c"),   // a:3 b:2 c:1
+      ("s2", "a b d d e")      // d:2, e:1
+    ).toDF("src", "text")
+    // global counts: a:4 b:3 d:2 c:1 e:1 — V=4 keeps a,b,d and then
+    // the c/e tie at count 1 resolves by token asc -> c
+    val out = TextAnalysis.vocabCoverage(df, col("src"), col("text"), 4)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // s1: 6 tokens, all of a,b,c in vocab -> covered 6, oov 0
+    assert(out("s1") === ((6L, 6L, 0L, 0L)))
+    // s2: 5 tokens, e is OOV (1 occurrence) -> covered 4, 1 distinct
+    // oov, ppm = 1e6 div 5 = 200000
+    assert(out("s2") === ((5L, 4L, 1L, 200000L)))
+  }
+
   test("globalShuffle: contiguous positions matching the hash total order") {
     val df = (0L until 500L).toDF("id")
     val out = Sampling.globalShuffle(df, col("id"), salt = "s1")

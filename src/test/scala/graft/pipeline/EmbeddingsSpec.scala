@@ -151,4 +151,65 @@ class EmbeddingsSpec extends AnyFunSuite {
       .map(x => x.vec_id -> x.sig).toMap
     assert(again === sigs.view.mapValues(_.sig).toMap)
   }
+
+  // ---- incremental PCA (exact quantized moments) --------------------------
+
+  private def randVecs(n: Int, d: Int, seed: Int): Seq[(Long, Seq[Double])] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => i.toLong -> Seq.fill(d)(rnd.nextGaussian()))
+  }
+
+  test("momentsOf: any batch split and fold order gives bit-identical " +
+      "moments and model") {
+    val data = randVecs(200, 8, 21)
+    val df = data.toDF("vec_id", "embedding")
+    val one = Embeddings.momentsOf(df, col("embedding"))
+    // three different partitionings of the same corpus
+    val byMod = (0 until 3).map(i =>
+      Embeddings.momentsOf(df.where(col("vec_id") % 3 === i),
+        col("embedding")))
+    val byRange = Seq(df.where(col("vec_id") < 50),
+      df.where(col("vec_id") >= 50 && col("vec_id") < 120),
+      df.where(col("vec_id") >= 120))
+      .map(b => Embeddings.momentsOf(b, col("embedding")))
+    for (folded <- Seq(byMod.reduce(_ fold _), byMod.reverse.reduce(_ fold _),
+        byRange.reduce(_ fold _))) {
+      assert(folded.n === one.n)
+      assert(folded.sum.toSeq === one.sum.toSeq)
+      assert(folded.gram.toSeq === one.gram.toSeq)
+      val m = Embeddings.pcaFromMoments(folded, 4)
+      val m1 = Embeddings.pcaFromMoments(one, 4)
+      assert(m.components.map(_.toSeq).toSeq ===
+        m1.components.map(_.toSeq).toSeq)
+      assert(m.explained.toSeq === m1.explained.toSeq)
+    }
+    // and repartitioning the input never changes the moments either
+    val shuffled = Embeddings.momentsOf(df.repartition(13),
+      col("embedding"))
+    assert(shuffled.sum.toSeq === one.sum.toSeq &&
+      shuffled.gram.toSeq === one.gram.toSeq)
+  }
+
+  test("pcaFromMoments recovers the same subspace as the float fitPca") {
+    // anisotropic data: variance concentrated on two known axes
+    val rnd = new scala.util.Random(33)
+    val data = (0 until 300).map { i =>
+      val a = rnd.nextGaussian() * 10
+      val b = rnd.nextGaussian() * 3
+      i.toLong -> (0 until 6).map {
+        case 0 => a; case 1 => b; case j => rnd.nextGaussian() * 0.01
+      }
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val exact = Embeddings.fitPca(df, col("embedding"), 2)
+    val quant = Embeddings.pcaFromMoments(
+      Embeddings.momentsOf(df, col("embedding")), 2)
+    exact.components.zip(quant.components).foreach { case (e, q) =>
+      val dot = math.abs(e.zip(q).map(p => p._1 * p._2).sum)
+      assert(dot > 0.9999, s"subspace drift: |cos| = $dot")
+    }
+    exact.explained.zip(quant.explained).foreach { case (e, q) =>
+      assert(math.abs(e - q) / e < 1e-3, s"eigenvalue drift: $e vs $q")
+    }
+  }
 }
