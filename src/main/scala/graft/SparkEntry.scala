@@ -37,6 +37,68 @@ private[graft] object SparkEntryFixtures {
 /** Oracle-SQL fragments shared by more than one gate entry. */
 private[graft] object SparkEntryOracleFixtures {
 
+  /** DuckDB replay of [[graft.pipeline.Dedup.lshCandidateEval]] with
+    * its entry parameters (k=16, 4 bands × 4 rows, 3-gram shingles,
+    * J ≥ 0.8 truth): the portable md5 MinHash, the band buckets (the
+    * comma-joined minima — injective for longs, so string equality ≡
+    * Spark's band-array equality), the banded candidate self-join,
+    * the exact all-pairs truth, and the summary counts. */
+  val dedupEvalSql: String = {
+    val k = 16; val bands = 4; val rows = 4
+    val mins = (0 until k).map(i =>
+      s"""list_min(list_transform(sh, x -> CAST(CONCAT('0x',
+         |    substr(md5(x || ':$i'), 1, 15)) AS BIGINT))) AS m$i"""
+        .stripMargin).mkString(",\n  ")
+    val bandExprs = (0 until bands).map { j =>
+      val parts = (0 until rows).map(r => s"m${j * rows + r}")
+        .mkString(" || ',' || ")
+      s"CONCAT('$j:', $parts)"
+    }.mkString(",\n    ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+')
+       |    AS toks
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+       |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
+       |  FROM t WHERE len(toks) >= 3),
+       |m AS (SELECT doc_id,
+       |  $mins
+       |  FROM s),
+       |bk AS (SELECT doc_id, unnest([
+       |    $bandExprs]) AS bucket FROM m),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bk a JOIN bk b ON a.bucket = b.bucket
+       |    AND a.doc_id < b.doc_id),
+       |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(COUNT(*) AS DOUBLE) AS inter,
+       |    CAST(MIN(a.n) + MIN(b.n) AS DOUBLE)
+       |      - CAST(COUNT(*) AS DOUBLE) AS uni
+       |  FROM e a JOIN e b ON a.shingle = b.shingle
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT id_a, id_b FROM p WHERE uni > 0 AND inter / uni >= 0.8),
+       |j AS (
+       |  SELECT coalesce(c.c, 0) AS c, coalesce(tr.t, 0) AS t FROM
+       |    (SELECT id_a, id_b, 1 AS c FROM cand) c
+       |    FULL OUTER JOIN (SELECT id_a, id_b, 1 AS t FROM truth) tr
+       |    USING (id_a, id_b))
+       |SELECT CAST(SUM(t) AS BIGINT) AS n_true,
+       |  CAST(SUM(c) AS BIGINT) AS n_candidates,
+       |  CAST(SUM(c*t) AS BIGINT) AS n_hit,
+       |  CAST(CASE WHEN SUM(c) > 0
+       |    THEN SUM(c*t) * 1000000 // SUM(c) ELSE 0 END AS BIGINT)
+       |    AS precision_ppm,
+       |  CAST(CASE WHEN SUM(t) > 0
+       |    THEN SUM(c*t) * 1000000 // SUM(t) ELSE 0 END AS BIGINT)
+       |    AS recall_ppm
+       |FROM j""".stripMargin
+  }
+
   /** DuckDB restatement of [[SparkEntryFixtures.linedText]] +
     * first-occurrence line dedup; used verbatim by both `dedup_lines`
     * and `dedup_lines_incremental` (the index fold law makes the
@@ -1487,6 +1549,17 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         col("doc_id"), col("text"), threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+
+    // LSH candidate-quality evaluation: precision/recall of the RAW
+    // 4×4 banding candidate set against exact-Jaccard truth — the
+    // pilot measurement that sizes (k, bands, rows) before a 100 TB
+    // dedup pass. The portable md5 MinHash puts the candidate set
+    // itself under the cross-engine oracle, not just the verified
+    // output
+    "dedup_eval" -> ((s, dir) =>
+      graft.pipeline.Dedup.lshCandidateEval(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), threshold = 0.8)),
 
     // SimHash near-dup: chunk-bucketed hamming pairs. Uses the
     // cross-engine md5-derived token hash so DuckDB can recompute the
@@ -4112,6 +4185,7 @@ object SparkEntry {
         |  GROUP BY a.doc_id, b.doc_id)
         |SELECT id_a, id_b, ROUND(inter / uni, 6) AS jaccard
         |FROM p WHERE uni > 0 AND inter / uni >= 0.8""".stripMargin,
+    "dedup_eval" -> SparkEntryOracleFixtures.dedupEvalSql,
     "dedup_minhash" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks

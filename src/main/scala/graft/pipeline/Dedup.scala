@@ -61,6 +61,69 @@ object Dedup {
       .otherwise(lit(null))
   }
 
+  /** Engine-portable MinHash signature: per-seed hash
+    * `bigint(md5(shingle || ':' || seed)[0,15))` (the repo's md5-hex
+    * cross-engine convention, 60-bit positive) → array_min. ~an order
+    * of magnitude more hashing than [[minhashSignature]]'s xxhash64
+    * path — the price of being replayable bit-for-bit in any engine
+    * with an md5(), which is what lets [[lshCandidateEval]] put the
+    * CANDIDATE SET itself (not just the verified output) under the
+    * cross-engine oracle. */
+  def portableMinhashSignature(shingleCol: Column, k: Int): Column = {
+    require(k >= 1 && k <= 64, "k in [1,64] — each seed re-hashes the set")
+    when(size(shingleCol) > 0,
+      array((0 until k).map(i =>
+        array_min(transform(shingleCol, s =>
+          conv(substring(md5(concat(s, lit(s":$i"))), 1, 15), 16, 10)
+            .cast("long")))): _*))
+      .otherwise(lit(null))
+  }
+
+  /** Candidate-quality evaluation of MinHash-LSH against exact Jaccard
+    * truth — the "measure your approximation before trusting it"
+    * harness. Returns ONE summary row: true-pair count at `threshold`,
+    * LSH candidate-pair count (UNverified — the raw banding output),
+    * their intersection, and integer precision/recall ppm. Run this at
+    * a pilot scale factor before committing a (k, bands, rows) choice
+    * to a 100 TB dedup pass: recall_ppm is the fraction of real
+    * near-dup pairs the banding would even consider.
+    *
+    * Both sides are deterministic and engine-portable: candidates come
+    * from [[portableMinhashSignature]] banding (no hot-bucket cap —
+    * a cap would bias the measurement; eval corpora are pilot-sized),
+    * truth from the prefix-filtered exact [[jaccardNearDuplicates]].
+    * The expensive stages are the same bucketed shapes as the
+    * production path; the final count is one full-outer join of two
+    * pair tables. */
+  def lshCandidateEval(df: DataFrame, idCol: Column, textCol: Column,
+      threshold: Double, shingleSize: Int = 3, k: Int = 16,
+      bands: Int = 4, rows: Int = 4): DataFrame = {
+    require(bands * rows <= k, "bands*rows must not exceed k")
+    val docs = df.select(idCol.as("id"),
+      TextAnalysis.shingles(textCol, shingleSize).as("sh"))
+      .where(size(col("sh")) > 0)
+    val sigs = docs.select(col("id"),
+      portableMinhashSignature(col("sh"), k).as("sig"))
+    val cand = candidatePairs(lshBands(sigs, col("id"), col("sig"),
+      bands, rows))
+    val truth = jaccardNearDuplicates(df, idCol, textCol, threshold,
+      shingleSize).select(col("id_a"), col("id_b"))
+    cand.withColumn("__c", lit(1L))
+      .join(truth.withColumn("__t", lit(1L)), Seq("id_a", "id_b"),
+        "full_outer")
+      .agg(sum(coalesce(col("__t"), lit(0L))).as("n_true"),
+        sum(coalesce(col("__c"), lit(0L))).as("n_candidates"),
+        sum(when(col("__c").isNotNull && col("__t").isNotNull, 1L)
+          .otherwise(0L)).as("n_hit"))
+      .select(col("n_true"), col("n_candidates"), col("n_hit"),
+        when(col("n_candidates") > 0,
+          expr("n_hit * 1000000 div n_candidates")).otherwise(0L)
+          .as("precision_ppm"),
+        when(col("n_true") > 0,
+          expr("n_hit * 1000000 div n_true")).otherwise(0L)
+          .as("recall_ppm"))
+  }
+
   /** (id, band_id, band) rows — the LSH banding step. Docs agreeing on
     * any full band become candidates. */
   def lshBands(df: DataFrame, idCol: Column, signatureCol: Column,

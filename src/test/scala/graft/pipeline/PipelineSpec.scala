@@ -52,6 +52,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("lshCandidateEval: exact copies always collide, so the planted " +
+      "truth is fully recalled; metrics are integers in [0, 1e6]") {
+    val row = Dedup.lshCandidateEval(docs, col("doc_id"), col("text"),
+      threshold = 0.7).collect()(0)
+    val (nTrue, nCand, nHit) = (row.getAs[Long]("n_true"),
+      row.getAs[Long]("n_candidates"), row.getAs[Long]("n_hit"))
+    // truth at 0.7: the (0,1) exact pair plus the one-word-edit near
+    // pairs (0,2)/(1,2) — J = |17 shared| / |23 union| ≈ 0.74
+    assert(nTrue === Dedup.jaccardNearDuplicates(docs, col("doc_id"),
+      col("text"), 0.7).count())
+    assert(nTrue === 3)
+    // the J=1 exact pair collides in EVERY band; the J≈0.74 near pairs
+    // are the default 4×4 banding's probabilistic tail — which is the
+    // point of the harness: it MEASURES that miss instead of hiding it
+    assert(nHit >= 1 && nHit <= nTrue)
+    assert(nCand >= nHit)
+    assert(row.getAs[Long]("recall_ppm") === nHit * 1000000L / nTrue)
+    val prec = row.getAs[Long]("precision_ppm")
+    assert(prec > 0 && prec <= 1000000L)
+    // more, narrower bands (16×2): collision odds at J≈0.74 rise from
+    // ~76% to ~99.99% per pair — recall must reach 1.0 here
+    val wide = Dedup.lshCandidateEval(docs, col("doc_id"), col("text"),
+      threshold = 0.7, k = 32, bands = 16, rows = 2).collect()(0)
+    assert(wide.getAs[Long]("n_hit") === 3)
+    assert(wide.getAs[Long]("recall_ppm") === 1000000L)
+  }
+
+  test("portableMinhashSignature is partitioning-independent and " +
+      "permutation-invariant over the shingle set") {
+    val sh = Seq(
+      (0L, Seq("aa bb cc", "bb cc dd", "cc dd ee")),
+      (1L, Seq("cc dd ee", "aa bb cc", "bb cc dd")), // same set, reordered
+      (2L, Seq("zz yy xx"))
+    ).toDF("id", "sh")
+    val sigs = sh.select(col("id"),
+      Dedup.portableMinhashSignature(col("sh"), 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) === sigs(1L), "order must not matter")
+    assert(sigs(0L) !== sigs(2L))
+    val again = sh.repartition(5).select(col("id"),
+      Dedup.portableMinhashSignature(col("sh"), 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(again === sigs)
+  }
+
   test("prefix-filtered jaccard join: exact pairs, agrees with all-pairs") {
     val pairs = Dedup.jaccardNearDuplicates(docs, col("doc_id"),
       col("text"), threshold = 0.5)
