@@ -2433,6 +2433,50 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           round(avg(col("n_chars")), 6).as("avg_chars"))),
 
+    // Standing CUBE dashboard maintained incrementally: three batch
+    // cubes of ADDITIVE partials (count + sum; avg derives at read
+    // time) fold by one tiny aggregation — integer adds are
+    // associative, so the folded cube equals the one-shot CUBE
+    // bit-for-bit and the oracle IS the one-shot CUBE restated
+    "corpus_cube_incremental" -> ((s, dir) => {
+      val R = graft.pipeline.Reports
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val parts = (0 until 3).map(i =>
+        R.cubePartial(docs.where(col("doc_id") % 3 === i),
+          Seq(col("source"), col("lang")), col("n_chars")))
+      R.withAvg(R.foldCubes(parts))
+        .select(col("d0").as("source"), col("d1").as("lang"),
+          col("n"), col("sum_m").as("sum_chars"),
+          col("avg_m").as("avg_chars"))
+    }),
+
+    // Sharded export with a reproducibility manifest: 8 contiguous
+    // doc_id-ordered parquet shards written to disk, then the manifest
+    // (count, position range, contiguity, order-independent XOR
+    // content checksum) recomputed FROM THE FILES must equal the
+    // manifest of the frame that was written — the write-fidelity
+    // contract a 100 TB export hand-off rests on
+    "export_manifest" -> ((s, dir) => {
+      val E = graft.pipeline.Export
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_export").toString + "/shards"
+      val sharded = E.shardedExport(docs, col("doc_id"), nShards = 8,
+        path, format = "parquet")
+      val payload = Seq(col("doc_id"), col("text"))
+      val m = E.manifest(sharded, payload)
+      val readBack = E.manifest(
+        s.read.parquet(path).select(col("shard").cast("long").as("shard"),
+          col("pos"), col("doc_id"), col("text")), payload)
+      val a = m.orderBy("shard").collect().toSeq
+      val b = readBack.orderBy("shard").collect().toSeq
+      require(a == b, s"read-back manifest drifted:\n$a\nvs\n$b")
+      require(a.forall(_.getAs[Boolean]("contiguous")),
+        "non-contiguous shard positions")
+      m
+    }),
+
     // Deterministic weighted sampling without replacement (A-ES
     // exponential jitter): rank by round(-ln(u)/w, 9), u strictly in
     // (0,1) from the key hash, w = document length — skew-proof
@@ -5598,6 +5642,40 @@ object SparkEntry {
       """SELECT source, lang, COUNT(*) AS n,
         |  round(AVG(n_chars), 6) AS avg_chars
         |FROM documents GROUP BY CUBE(source, lang)""".stripMargin,
+    // the incremental entry folds three batch cubes; additivity makes
+    // the one-shot CUBE the exact oracle
+    "corpus_cube_incremental" ->
+      """SELECT source, lang, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+        |FROM documents GROUP BY CUBE(source, lang)""".stripMargin,
+    "export_manifest" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS pos,
+        |    COUNT(*) OVER () AS total
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, text, pos,
+        |    CASE WHEN pos < (total // 8 + 1) * (total % 8)
+        |      THEN pos // (total // 8 + 1)
+        |      ELSE total % 8
+        |        + (pos - (total // 8 + 1) * (total % 8))
+        |          // GREATEST(total // 8, 1)
+        |    END AS shard
+        |  FROM d),
+        |h AS (
+        |  SELECT shard, pos,
+        |    CAST(CONCAT('0x', substr(md5(doc_id || '|' || text), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM s)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(MIN(pos) AS BIGINT) AS first_pos,
+        |  CAST(MAX(pos) AS BIGINT) AS last_pos,
+        |  (MAX(pos) - MIN(pos) + 1 = COUNT(*)) AS contiguous,
+        |  bit_xor(h) AS checksum
+        |FROM h GROUP BY shard""".stripMargin,
     "sample_weighted" ->
       """WITH d AS (
         |  SELECT doc_id, source,

@@ -43,4 +43,31 @@ object Export {
       .save(path)
     sharded
   }
+
+  /** Engine-portable 60-bit row fingerprint over the payload columns
+    * (the md5-hex convention) — the unit [[manifest]] checksums. */
+  def portableRowHash(cols: Column*): Column =
+    conv(substring(md5(concat_ws("|", cols.map(_.cast("string")): _*)),
+      1, 15), 16, 10).cast("long")
+
+  /** Per-shard export manifest: row count, position range, a
+    * contiguity flag, and an ORDER-INDEPENDENT content checksum (XOR
+    * of per-row fingerprints — commutative, so any read order, retry,
+    * or partitioning reproduces it; the trade-off is that duplicate
+    * row PAIRS cancel, which the count column catches). This is the
+    * reproducibility contract of a 100 TB export: a loader (or a
+    * re-run) recomputes the manifest from the files and compares —
+    * byte-identical data, no full-sort diff required. One map-side
+    * combined aggregation; the shuffle carries one row per shard. */
+  def manifest(sharded: DataFrame, payloadCols: Seq[Column]): DataFrame =
+    sharded.withColumn("__h", portableRowHash(payloadCols: _*))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("pos")).as("first_pos"),
+        max(col("pos")).as("last_pos"),
+        expr("bit_xor(__h)").as("checksum"))
+      .withColumn("contiguous",
+        col("last_pos") - col("first_pos") + 1L === col("n_rows"))
+      .select(col("shard"), col("n_rows"), col("first_pos"),
+        col("last_pos"), col("contiguous"), col("checksum"))
 }

@@ -63,4 +63,44 @@ class ExportSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(a === b)
   }
+
+  test("manifest: order-independent checksum, contiguity flag, and " +
+      "corruption detection") {
+    val df = (0L until 97L).map(i => (i, s"payload-$i")).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("expm")
+      .resolve("o").toString
+    val sharded = Export.shardedExport(df, col("id"), 4, dir,
+      format = "parquet")
+    val payload = Seq(col("id"), col("text"))
+    val m = Export.manifest(sharded, payload)
+      .collect().map(r => r.getAs[Long]("shard") -> r).toMap
+    assert(m.size === 4)
+    assert(m.values.forall(_.getAs[Boolean]("contiguous")))
+    assert(m.values.map(_.getAs[Long]("n_rows")).sum === 97L)
+    // recomputing from the files in ANY row order reproduces it
+    val back = spark.read.parquet(dir)
+      .select(col("shard").cast("long").as("shard"), col("pos"),
+        col("id"), col("text"))
+    val m2 = Export.manifest(back.repartition(9), payload)
+      .collect().map(r => r.getAs[Long]("shard") -> r).toMap
+    assert(m2.keySet === m.keySet)
+    m.foreach { case (s, r) =>
+      assert(m2(s).getAs[Long]("checksum") === r.getAs[Long]("checksum"))
+      assert(m2(s).getAs[Long]("n_rows") === r.getAs[Long]("n_rows"))
+    }
+    // one flipped payload byte changes exactly that shard's checksum
+    val tampered = back.withColumn("text",
+      when(col("pos") === 11L, lit("payload-TAMPERED"))
+        .otherwise(col("text")))
+    val m3 = Export.manifest(tampered, payload)
+      .collect().map(r => r.getAs[Long]("shard") -> r).toMap
+    val dirty = m.keys.filter(s =>
+      m3(s).getAs[Long]("checksum") != m(s).getAs[Long]("checksum"))
+    assert(dirty.size === 1)
+    // and a dropped row flips the count even if XOR happened to cancel
+    val dropped = Export.manifest(back.where(col("pos") =!= 11L), payload)
+      .collect().map(r => r.getAs[Long]("shard") -> r.getAs[Long]("n_rows"))
+      .toMap
+    assert(dropped.values.sum === 96L)
+  }
 }
