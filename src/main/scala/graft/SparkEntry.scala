@@ -1497,6 +1497,37 @@ object SparkEntry {
           col("overlap_ms"))
     }),
 
+    // Incremental interval join (symmetric hash join): the SAME
+    // purchase/click overlap as interval_join, ingested as three
+    // interleaved (left, right) ticks — the union of the tick outputs
+    // must equal the one-shot join, so interval_join's oracle IS this
+    // entry's oracle
+    "interval_join_incremental" -> ((s, dir) => {
+      val ev = EventsAsQuads.events(s, dir)
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("ts_ms").as("s_ms"),
+          (col("ts_ms") + lit(21600000L)).as("e_ms"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts_ms").as("cs_ms"),
+          (col("ts_ms") + lit(7200000L)).as("ce_ms"))
+      val j = new graft.pipeline.Temporal.IncrementalIntervalJoin(
+        key = "user_id", leftStart = "s_ms", leftEnd = "e_ms",
+        rightStart = "cs_ms", rightEnd = "ce_ms",
+        rightPayload = Seq("click_id"),
+        bucketMs = 21600000L, maxLenMs = 21600000L)
+      val out = (0 until 3).map(i =>
+        j.ingest(p.where(col("event_id") % 3 === i),
+          c.where(col("click_id") % 3 === i)))
+        .reduce(_ unionByName _)
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          col("overlap_ms"))
+        .localCheckpoint(true)
+      j.close()
+      out
+    }),
+
     // Bloom semi-join reduction: orders of customers in nations 0-2.
     // The bloom over the dim keys rejects non-matching fact rows at the
     // scan, BEFORE the exchange; the exact semi-join that follows makes
@@ -2516,6 +2547,23 @@ object SparkEntry {
         .unionAll(d.select(((col("doc_id") * 7 + 3) % 997).as("src"),
           ((col("doc_id") * 13 + 5) % 997).as("dst")))
       graft.pipeline.Graphs.triangleCounts(edges, col("src"), col("dst"))
+    }),
+
+    // k-core decomposition (k=2) by iterative peeling over the same
+    // mod-997 synthetic graph as graph_triangles: the density filter
+    // that strips the leaf tail before community analysis. The
+    // fixpoint is peel-order-independent, so the round-adaptive Spark
+    // loop and the oracle's recursive-CTE fixpoint agree exactly
+    "graph_kcore" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"))
+      val edges = d.select((col("doc_id") % 997).as("src"),
+          ((col("doc_id") * 7 + 3) % 997).as("dst"))
+        .unionAll(d.select((col("doc_id") % 997).as("src"),
+          ((col("doc_id") * 13 + 5) % 997).as("dst")))
+        .unionAll(d.select(((col("doc_id") * 7 + 3) % 997).as("src"),
+          ((col("doc_id") * 13 + 5) % 997).as("dst")))
+      graft.pipeline.Graphs.kCore(edges, col("src"), col("dst"), k = 2)
     }),
 
     // Connected components over a planted sparse graph (5-chains plus
@@ -4197,6 +4245,22 @@ object SparkEntry {
         |  least(p.e_ms, c.ce_ms) - greatest(p.s_ms, c.cs_ms) AS overlap_ms
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND p.s_ms <= c.ce_ms AND c.cs_ms <= p.e_ms""".stripMargin,
+    // the incremental entry's tick-output union equals the one-shot
+    // join (symmetric-hash exactly-once), so the oracle is identical
+    "interval_join_incremental" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) // 1000 AS s_ms,
+        |    epoch_us(ts) // 1000 + 21600000 AS e_ms
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id,
+        |    epoch_us(ts) // 1000 AS cs_ms,
+        |    epoch_us(ts) // 1000 + 7200000 AS ce_ms
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, c.click_id,
+        |  least(p.e_ms, c.ce_ms) - greatest(p.s_ms, c.cs_ms) AS overlap_ms
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND p.s_ms <= c.ce_ms AND c.cs_ms <= p.e_ms""".stripMargin,
     "bloom_semijoin" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS o_totalprice
         |FROM orders
@@ -5691,6 +5755,43 @@ object SparkEntry {
     // triangle counting: classic ordered three-way self-join (u<v<w
     // counts each triangle once); integer counts feed one IEEE
     // division, round-6 on both engines
+    // k-core: recursive-CTE peeling — each recursion level holds the
+    // surviving edge set, emitted only while it still shrinks, so the
+    // recursion terminates at the fixpoint; the final stability guard
+    // maps an empty core to zero rows instead of the last non-empty
+    // pre-peel level
+    "graph_kcore" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT doc_id % 997 AS src, (doc_id * 7 + 3) % 997 AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 997, (doc_id * 13 + 5) % 997 FROM documents
+        |  UNION ALL
+        |  SELECT (doc_id * 7 + 3) % 997, (doc_id * 13 + 5) % 997
+        |  FROM documents),
+        |ed AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM raw WHERE src <> dst),
+        |peel(r, u, v) AS (
+        |  SELECT 0 AS r, u, v FROM ed
+        |  UNION ALL
+        |  (WITH cur AS (SELECT * FROM peel),
+        |       deg AS (SELECT node, COUNT(*) AS c FROM (
+        |         SELECT u AS node FROM cur UNION ALL SELECT v FROM cur)
+        |         GROUP BY node),
+        |       keep AS (SELECT node FROM deg WHERE c >= 2),
+        |       surv AS (SELECT r, u, v FROM cur
+        |         WHERE u IN (SELECT node FROM keep)
+        |           AND v IN (SELECT node FROM keep))
+        |   SELECT r + 1, u, v FROM surv
+        |   WHERE (SELECT COUNT(*) FROM surv) < (SELECT COUNT(*) FROM cur))),
+        |fin AS (SELECT u, v FROM peel WHERE r = (SELECT MAX(r) FROM peel)),
+        |dfin AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+        |    SELECT u AS node FROM fin UNION ALL SELECT v FROM fin)
+        |  GROUP BY node)
+        |SELECT node, core_degree FROM dfin
+        |WHERE (SELECT MIN(core_degree) FROM dfin) >= 2""".stripMargin,
     "graph_triangles" ->
       """WITH raw AS (
         |  SELECT doc_id % 997 AS src, (doc_id * 7 + 3) % 997 AS dst

@@ -167,4 +167,57 @@ object Graphs {
     withIsolated.join(sizes, Seq("component"))
       .select("node", "component", "component_size")
   }
+
+  /** k-core decomposition membership: the maximal subgraph in which
+    * every vertex keeps degree ≥ k, found by iterative peeling —
+    * remove all vertices of degree < k, recompute degrees, repeat to
+    * the fixpoint. The standard density filter before community /
+    * influence analysis on a web-scale graph (peels the long tail of
+    * leaf vertices, which is most of it). Returns the surviving
+    * (node, core_degree) rows — core_degree is the degree WITHIN the
+    * core, ≥ k by construction.
+    *
+    * The fixpoint is unique (independent of peel order), so the result
+    * is engine-portable even though the round COUNT is data-dependent
+    * — the oracle replays it as a recursive fixpoint, not round by
+    * round. Each round: one map-side-combined degree aggregation + one
+    * semi-join of edges against surviving vertices — O(|E|) per round,
+    * O(peel depth) rounds, round state eagerly checkpointed and the
+    * superseded generation released ([[graft.util.Lineage]]); the
+    * driver sees one count per round. */
+  def kCore(edges: DataFrame, src: Column, dst: Column, k: Int,
+      maxRounds: Int = 100): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    var und = edges
+      .select(least(src, dst).cast("long").as("u"),
+        greatest(src, dst).cast("long").as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull &&
+        col("v").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    var round = 0
+    var stable = false
+    while (!stable && round < maxRounds) {
+      val deg = und.select(col("u").as("node"))
+        .unionAll(und.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.where(col("deg") >= k).select("node")
+      val next = und
+        .join(keep.toDF("u"), Seq("u"), "left_semi")
+        .join(keep.toDF("v"), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint(true)
+      val removed = und.count() - next.count()
+      graft.util.Lineage.release(und)
+      und = next
+      stable = removed == 0
+      round += 1
+    }
+    // the returned frame reads the final round's checkpoint blocks —
+    // the same convention as connectedComponents (a standing session
+    // releases them via Lineage once the result is consumed)
+    und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_degree"))
+  }
 }

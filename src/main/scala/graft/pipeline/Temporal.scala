@@ -242,6 +242,102 @@ object Temporal {
           .cast("long").as("overlap_ms"): _*)
   }
 
+  /** Standing incremental form of [[intervalJoin]] — the symmetric
+    * hash join: each tick ingests one batch per side, joins the new
+    * left against everything right seen so far and the PREVIOUS
+    * standing left against the new right, so every overlapping pair is
+    * emitted exactly once (a pair meets when its LATER side arrives;
+    * same-tick pairs ride the first term). The union of all tick
+    * outputs equals the one-shot [[intervalJoin]] of the unioned
+    * inputs for ANY batch interleaving — the merge law the
+    * `interval_join_incremental` gate entry and
+    * [[graft.pipeline.IntervalJoinSpec]] pin against the one-shot
+    * oracle.
+    *
+    * State discipline: standing sides are eagerly checkpointed per
+    * tick and the superseded generation released
+    * ([[graft.util.Lineage]] — `Dataset.unpersist` alone would leak
+    * the checkpoint blocks). Growth is bounded by [[evict]]: once the
+    * caller guarantees no future interval STARTS before watermark W,
+    * any standing interval ENDING before W can never pair again and is
+    * dropped — the same watermark contract as Structured Streaming's
+    * stream-stream join. */
+  final class IncrementalIntervalJoin(key: String,
+      leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String,
+      rightPayload: Seq[String], bucketMs: Long, maxLenMs: Long) {
+
+    private var leftState: Option[DataFrame] = None
+    private var rightState: Option[DataFrame] = None
+
+    private def fold(cur: Option[DataFrame], batch: DataFrame)
+        : DataFrame = {
+      val next = cur match {
+        case Some(st) => st.unionByName(batch).localCheckpoint(true)
+        case None     => batch.localCheckpoint(true)
+      }
+      cur.foreach(graft.util.Lineage.release)
+      next
+    }
+
+    /** One tick: new pairs involving at least one row of this tick's
+      * batches. Either batch may be empty (`limit(0)` slices are
+      * fine); both must keep their side's schema. The returned frame
+      * is MATERIALIZED (its blocks are the caller's to release via
+      * [[graft.util.Lineage.release]] once consumed) — it must not
+      * depend on the superseded state generation this tick retires. */
+    def ingest(leftBatch: DataFrame, rightBatch: DataFrame): DataFrame = {
+      val allRight = rightState match {
+        case Some(st) => st.unionByName(rightBatch)
+        case None     => rightBatch
+      }
+      val newVsRight = intervalJoin(leftBatch, allRight, key,
+        leftStart, leftEnd, rightStart, rightEnd, rightPayload,
+        bucketMs, maxLenMs)
+      val oldVsNew = leftState match {
+        case Some(st) => intervalJoin(st, rightBatch, key,
+          leftStart, leftEnd, rightStart, rightEnd, rightPayload,
+          bucketMs, maxLenMs)
+        case None => newVsRight.limit(0)
+      }
+      // materialize BEFORE the fold below releases the state these
+      // joins read — a lazy result would recompute through freed
+      // checkpoint blocks
+      val out = newVsRight.unionByName(oldVsNew).localCheckpoint(true)
+      leftState = Some(fold(leftState, leftBatch))
+      rightState = Some(fold(rightState, rightBatch))
+      out
+    }
+
+    /** Drop standing intervals that can never pair again under the
+      * caller's watermark promise (no future interval starts before
+      * `watermarkMs`). */
+    def evict(watermarkMs: Long): Unit = {
+      def trim(st: Option[DataFrame], end: String): Option[DataFrame] =
+        st.map { s =>
+          val kept = s.where(tsUs(s, end) >= watermarkMs * 1000L)
+            .localCheckpoint(true)
+          graft.util.Lineage.release(s)
+          kept
+        }
+      leftState = trim(leftState, leftEnd)
+      rightState = trim(rightState, rightEnd)
+    }
+
+    /** Rows currently held per side — the memory-envelope readout. */
+    def stateSizes(): (Long, Long) =
+      (leftState.map(_.count()).getOrElse(0L),
+        rightState.map(_.count()).getOrElse(0L))
+
+    /** Release all standing blocks (end of stream). */
+    def close(): Unit = {
+      leftState.foreach(graft.util.Lineage.release)
+      rightState.foreach(graft.util.Lineage.release)
+      leftState = None
+      rightState = None
+    }
+  }
+
   /** Gap-based sessionization: per key, ordered by (ts, tieBreak), a
     * new session starts whenever the gap to the previous row strictly
     * exceeds `gapMs` (split at `gap > gapMs` — the same convention as

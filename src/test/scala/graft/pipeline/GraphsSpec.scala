@@ -157,4 +157,27 @@ class GraphsSpec extends AnyFunSuite {
     assert(labs.forall(_.getAs[Long]("component") === 0L))
     assert(labs.forall(_.getAs[Long]("component_size") === 41L))
   }
+
+  test("kCore: peels cascading tails to the exact core; empty core " +
+      "when nothing survives; partitioning-independent") {
+    val spark2 = spark
+    import spark2.implicits._
+    // triangle {1,2,3} + a pendant path 3-4-5 that peels in CASCADE
+    // (5 goes first, then 4), + an isolated edge 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (10L, 11L)).toDF("s", "d")
+    val core2 = Graphs.kCore(edges, col("s"), col("d"), k = 2)
+      .collect().map(r => r.getAs[Long]("node") ->
+        r.getAs[Long]("core_degree")).toMap
+    assert(core2 === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k=3: the triangle's vertices only have degree 2 — empty core
+    assert(Graphs.kCore(edges, col("s"), col("d"), k = 3).count() === 0)
+    // duplicate/reversed edges and repartitioning change nothing
+    val noisy = edges.unionAll(edges.select(col("d"), col("s")))
+      .repartition(5)
+    val again = Graphs.kCore(noisy, col("s"), col("d"), k = 2)
+      .collect().map(r => r.getAs[Long]("node") ->
+        r.getAs[Long]("core_degree")).toMap
+    assert(again === core2)
+  }
 }

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.TestSpark
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -79,6 +79,66 @@ class IntervalJoinSpec extends AnyFunSuite {
       if lk == rk && ls <= re && rs <= le
     } yield (li, ri)).toSet
     assert(got === want)
+  }
+
+  test("incremental symmetric hash join: any interleaving of batches " +
+      "unions to the one-shot join; eviction drops only dead state") {
+    val rnd = new scala.util.Random(19)
+    val l = (0 until 200).map { i =>
+      val s = rnd.nextInt(50_000).toLong
+      (i.toLong, rnd.nextInt(4).toLong, s, s + rnd.nextInt(5_000))
+    }
+    val r = (0 until 200).map { i =>
+      val s = rnd.nextInt(50_000).toLong
+      (1000L + i, rnd.nextInt(4).toLong, s, s + rnd.nextInt(5_000))
+    }
+    val lDf = ivals(l, "lid")
+    val rDf = ivals(r, "rid")
+    val oneShot = Temporal.intervalJoin(lDf, rDf, "k", "s_ms", "e_ms",
+        "s_ms", "e_ms", Seq("rid"), 4_096L, 5_000L)
+      .select(col("lid"), col("rid")).as[(Long, Long)].collect().toSet
+
+    // three interleavings, including lopsided ones (left-heavy tick,
+    // an empty right batch, etc.)
+    val splits: Seq[Seq[(Column => Column, Column => Column)]] = Seq(
+      (0 until 3).map(i => ((c: Column) => c % 3 === i,
+        (c: Column) => c % 3 === i)),
+      Seq(((c: Column) => c < 100, (c: Column) => lit(false)),
+        ((c: Column) => c >= 100, (c: Column) => c < 1100),
+        ((c: Column) => lit(false), (c: Column) => c >= 1100)))
+    for (ticks <- splits) {
+      val j = new Temporal.IncrementalIntervalJoin("k", "s_ms", "e_ms",
+        "s_ms", "e_ms", Seq("rid"), 4_096L, 5_000L)
+      val got = ticks.map { case (lp, rp) =>
+        j.ingest(lDf.where(lp(col("lid"))), rDf.where(rp(col("rid"))))
+          .select(col("lid"), col("rid")).as[(Long, Long)].collect().toSet
+      }
+      // tick outputs are disjoint (exactly-once) and union to one-shot
+      assert(got.map(_.size).sum === got.reduce(_ ++ _).size,
+        "a pair was emitted twice")
+      assert(got.reduce(_ ++ _) === oneShot)
+      j.close()
+    }
+
+    // eviction safety: watermark at 20_000 after ingesting everything
+    // that ends before it; later batches (all starting >= 20_000) must
+    // still find every live partner
+    val early = (t: Long) => t < 20_000L
+    val j2 = new Temporal.IncrementalIntervalJoin("k", "s_ms", "e_ms",
+      "s_ms", "e_ms", Seq("rid"), 4_096L, 5_000L)
+    val out1 = j2.ingest(lDf.where(col("s_ms") < 20_000L),
+      rDf.where(col("s_ms") < 20_000L))
+      .select(col("lid"), col("rid")).as[(Long, Long)].collect().toSet
+    val (lPre, rPre) = j2.stateSizes()
+    j2.evict(20_000L)
+    val (lPost, rPost) = j2.stateSizes()
+    assert(lPost < lPre && rPost < rPre, "eviction must drop dead state")
+    val out2 = j2.ingest(lDf.where(col("s_ms") >= 20_000L),
+      rDf.where(col("s_ms") >= 20_000L))
+      .select(col("lid"), col("rid")).as[(Long, Long)].collect().toSet
+    j2.close()
+    assert((out1 ++ out2) === oneShot,
+      "watermark eviction lost a live pair")
   }
 
   test("over-length interval raises instead of silently missing pairs") {
