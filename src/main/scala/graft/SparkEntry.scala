@@ -1556,6 +1556,47 @@ object SparkEntry {
 
     // ---- LLM-data-pipeline operators over documents/embeddings ----
 
+    // JSONL ingest with a corrupt-row quarantine: documents serialized
+    // to JSONL with every 50th line deliberately mangled, read back
+    // through the text-scan + from_json(corrupt-slot) reader — parsed
+    // rows must equal the clean documents, the mangled ones must land
+    // verbatim in quarantine (the in-query requires), nothing is
+    // silently nulled or dropped
+    "source_jsonl" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_jsonl").toString + "/docs"
+      docs.select(
+        when(col("doc_id") % 50 === 0,
+          concat(lit("{!corrupt!"), to_json(struct(col("doc_id"),
+            col("text"), col("lang"), col("source"), col("n_chars")))))
+          .otherwise(to_json(struct(col("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars"))))
+          .as("value"))
+        .write.mode("overwrite").text(path)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType)))
+      val (parsed, quarantine) =
+        graft.sources.JsonLines.readWithQuarantine(s, path, schema)
+      val expectBad = docs.where(col("doc_id") % 50 === 0).count()
+      val bad = quarantine.localCheckpoint(true)
+      require(bad.count() == expectBad,
+        s"quarantine drifted: ${bad.count()} != $expectBad")
+      require(bad.where(!col("raw_line").startsWith("{!corrupt!"))
+        .isEmpty, "quarantine must hold the mangled lines verbatim")
+      parsed.select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"))
+    }),
+
     // Exact dedup: content-hash groupBy (map-side combine)
     "dedup_exact" -> ((s, dir) =>
       graft.pipeline.Dedup.exactDuplicates(
@@ -4271,6 +4312,11 @@ object SparkEntry {
         graft.storage.ZOrder.zValue2Sql(
           "user_id % 65536", "((epoch_us(ts) // 1000) // 4194304) % 65536") +
         """ AS z FROM events"""),
+    // JSONL roundtrip: the parsed side must be exactly the un-mangled
+    // documents (quarantine correctness is required in-query)
+    "source_jsonl" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents WHERE doc_id % 50 <> 0""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, COUNT(*) AS n, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1""".stripMargin,

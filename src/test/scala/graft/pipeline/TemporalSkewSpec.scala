@@ -60,6 +60,27 @@ class TemporalSkewSpec extends AnyFunSuite {
       !plan.contains("broadcastnestedloop"), plan)
   }
 
+  test("intervalJoin: hot key with dense short intervals stays a " +
+      "bucketed equi-join with exactly the overlap pairs") {
+    // one key, 2000 × 2000 intervals of length 10 ms starting 1 ms
+    // apart: ~21 overlaps per left row; the naive same-key residual
+    // join would sort-merge all 4M pairs
+    val left = (0 until 2000).map(i =>
+      (i.toLong, 1L, i.toLong, i.toLong + 10L)).toDF("lid", "k", "s", "e")
+    val right = (0 until 2000).map(i =>
+      (5000L + i, 1L, i.toLong, i.toLong + 10L)).toDF("rid", "k", "s", "e")
+    val out = Temporal.intervalJoin(left, right, "k", "s", "e", "s", "e",
+      Seq("rid"), bucketMs = 16L, maxLenMs = 10L)
+    // |[i-10, i+10] ∩ [0,1999]| overlapping starts per left row
+    val expected = (0 until 2000).map { i =>
+      (math.min(1999, i + 10) - math.max(0, i - 10) + 1).toLong
+    }.sum
+    assert(out.count() === expected)
+    val plan = out.queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("cartesianproduct") &&
+      !plan.contains("broadcastnestedloop"), plan)
+  }
+
   test("sessionize: one user with 30k events stays one window pass " +
       "with correct boundary count") {
     val ev = (0 until 30000).map { i =>
