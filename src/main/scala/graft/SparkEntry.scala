@@ -1755,6 +1755,27 @@ object SparkEntry {
         Seq("spark", "vector", "hash", "window"), k = 25)
         .withColumnRenamed("id", "doc_id")),
 
+    // Ranking-quality evaluation: every 25th document becomes a query
+    // (its first 4 distinct tokens); MRR@10 asks where BM25 ranks the
+    // source document back. Completes the eval family: classification
+    // (ROC/PR/F1), candidate sets (dedup_eval), and now ranking —
+    // integer ppm reciprocal ranks over the rounded-score total order
+    "retrieval_mrr" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val queries = docs.where(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(slice(
+            graft.pipeline.TextAnalysis.tokens(col("text")), 1, 4)))
+            .as("token"))
+      val scores = graft.pipeline.Retrieval.bm25ScoresForQueries(
+        docs, col("doc_id"), col("text"), queries)
+      graft.pipeline.Retrieval.mrrAtK(scores,
+        docs.where(col("doc_id") % 25 === 0)
+          .select(col("doc_id").as("query_id"),
+            col("doc_id").as("rel_id")),
+        k = 10)
+    }),
+
     // Same retrieval served from the standing inverted index: tokenize
     // once, probe many — results bit-identical to the ad-hoc path, so
     // it shares the ad-hoc oracle
@@ -4485,6 +4506,46 @@ object SparkEntry {
         |FROM tf JOIN df USING (token), st
         |GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id LIMIT 25""".stripMargin,
+    "retrieval_mrr" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+')
+        |    AS toks
+        |  FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |  AVG(CAST(len(toks) AS DOUBLE)) AS avgdl FROM d),
+        |q AS (
+        |  SELECT doc_id AS query_id,
+        |    unnest(list_distinct(toks[1:4])) AS token
+        |  FROM d WHERE doc_id % 25 = 0),
+        |f AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+        |  unnest(toks) AS token FROM d),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf,
+        |    ANY_VALUE(dl) AS dl
+        |  FROM f WHERE token IN (SELECT DISTINCT token FROM q)
+        |  GROUP BY doc_id, token),
+        |dfq AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df
+        |  FROM tf GROUP BY token),
+        |sc AS (
+        |  SELECT q.query_id, tf.doc_id AS id,
+        |    ROUND(SUM(ln(1 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+        |      * tf.tf * 2.2
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))), 6)
+        |      AS bm25
+        |  FROM q JOIN tf USING (token) JOIN dfq USING (token), st
+        |  GROUP BY q.query_id, tf.doc_id),
+        |rk AS (
+        |  SELECT query_id, id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY bm25 DESC, id) AS rank
+        |  FROM sc)
+        |SELECT q2.query_id,
+        |  CAST(COALESCE(r.rank, 0) AS BIGINT) AS rel_rank,
+        |  CAST(CASE WHEN r.rank IS NOT NULL THEN 1000000 // r.rank
+        |    ELSE 0 END AS BIGINT) AS rr_ppm
+        |FROM (SELECT DISTINCT query_id FROM q) q2
+        |LEFT JOIN (SELECT query_id, rank FROM rk
+        |  WHERE id = query_id AND rank <= 10) r USING (query_id)"""
+        .stripMargin,
     "pack_concat" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+'))

@@ -63,6 +63,74 @@ object Retrieval {
         count(lit(1)).as("n_terms_hit"))
   }
 
+  /** Multi-query BM25: scores for a whole query TABLE in one pass —
+    * the shape of retrieval evaluation and of any query-log replay.
+    * `queries` is (query_id, token) rows (distinct within a query);
+    * returns (query_id, id, bm25, n_terms_hit).
+    *
+    * Plan: the distinct term set (broadcast) filters the postings
+    * BEFORE their shuffle — the corpus is tokenized once regardless of
+    * query count; per-term document frequencies are global (scored
+    * identically for every query) and broadcast back; the query table
+    * joins the filtered postings by token, so cost is
+    * Σ_term |postings(term)| · |queries sharing term|, never
+    * |corpus| × |queries|. */
+  def bm25ScoresForQueries(df: DataFrame, idCol: Column, textCol: Column,
+      queries: DataFrame, k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    val q = queries.toDF("query_id", "token")
+      .select(col("query_id"), lower(trim(col("token"))).as("token"))
+      .distinct()
+    val terms = q.select(col("token")).distinct()
+    val toks = df.select(idCol.as("id"),
+        TextAnalysis.tokens(textCol).as("__toks"))
+      .select(col("id"), size(col("__toks")).cast("double").as("dl"),
+        explode(col("__toks")).as("token"))
+    val stats = df.select(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(TextAnalysis.tokenCount(textCol)).as("avgdl"))
+    val tf = toks.join(broadcast(terms), Seq("token"), "left_semi")
+      .groupBy(col("id"), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"),
+        first(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("token"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfreq), "token")
+      .join(broadcast(q), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("__contrib",
+        idf(col("n_docs"), col("df")) * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("id"))
+      .agg(round(sum(col("__contrib")), 6).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+  }
+
+  /** Mean-reciprocal-rank readout per query: where does each query's
+    * known-relevant document land in the BM25 ranking? Returns
+    * (query_id, rel_rank, rr_ppm) with rel_rank = 0 / rr_ppm = 0 when
+    * the relevant doc misses the top-k — the ranking-quality
+    * counterpart of the classifier's ROC/PR family and the dedup
+    * harness's precision/recall. Integer ppm (10⁶ div rank) keeps the
+    * metric engine-exact; ranking order is (bm25 desc, id asc) over
+    * the ROUNDED scores, the same total order both engines rank.
+    * Rank selection is the skew-proof two-phase top-k per query. */
+  def mrrAtK(scores: DataFrame, relevant: DataFrame, k: Int)
+      : DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val ranked = Sampling.topKPerGroup(scores, col("query_id"),
+      col("bm25"), col("id").asc, k)
+    val rel = relevant.toDF("query_id", "rel_id")
+    rel.join(ranked.select(col("query_id"), col("id").as("rel_id"),
+          col("rank").cast("long").as("rel_rank")),
+        Seq("query_id", "rel_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("rel_rank"), lit(0L)).as("rel_rank"),
+        when(col("rel_rank").isNotNull,
+          expr("1000000 div rel_rank")).otherwise(0L).as("rr_ppm"))
+  }
+
   /** Top-k BM25 retrieval: highest-scoring k docs, score-desc then
     * id-asc for a deterministic total order. */
   def bm25TopK(df: DataFrame, idCol: Column, textCol: Column,

@@ -164,6 +164,50 @@ object ScaleProbe {
       println(f"SCALE4 $dir linededup=$tLines%.1fs " +
         f"(${tLines * 1e6 / nDocs}%.2f s/Mdoc) spancut=$tCut%.1fs " +
         f"(${tCut * 1e6 / nDocs}%.2f s/Mdoc) cc=$tCc%.1fs")
+
+      // round-13 additions: grid interval join (replication bounded by
+      // maxLen/W), bloom semi-join reduction (bloom build ∝ dim, probe
+      // ∝ fact scan), k-core peeling (rounds ∝ peel depth), LSH
+      // candidate eval (the portable-hash pilot measurement)
+      val tIval = timeSec {
+        val p = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            col("ts_ms").as("s_ms"),
+            (col("ts_ms") + lit(21600000L)).as("e_ms"))
+        val c = ev.where(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts_ms").as("cs_ms"),
+            (col("ts_ms") + lit(7200000L)).as("ce_ms"))
+        println("  interval pairs=" + graft.pipeline.Temporal
+          .intervalJoin(p, c, "user_id", "s_ms", "e_ms", "cs_ms",
+            "ce_ms", Seq("click_id"), 21600000L, 21600000L).count())
+      }
+      val tBloom = timeSec {
+        val orders = spark.read.parquet(s"$dir/orders.parquet")
+        val dim = spark.read.parquet(s"$dir/customer.parquet")
+          .where(col("c_nationkey") < 3)
+        println("  bloom semi rows=" + graft.pipeline.Joins
+          .bloomSemiJoin(orders, "o_custkey", dim, "c_custkey",
+            expectedItems = 1 << 20).count())
+      }
+      val tKcore = timeSec {
+        val d = docs.select(col("doc_id"))
+        val edges = d.select((col("doc_id") % 997).as("src"),
+            ((col("doc_id") * 7 + 3) % 997).as("dst"))
+          .unionAll(d.select((col("doc_id") % 997).as("src"),
+            ((col("doc_id") * 13 + 5) % 997).as("dst")))
+        println("  kcore nodes=" + graft.pipeline.Graphs
+          .kCore(edges, col("src"), col("dst"), k = 2).count())
+      }
+      val tEval = timeSec {
+        val row = graft.pipeline.Dedup.lshCandidateEval(docs,
+          col("doc_id"), col("text"), threshold = 0.8).collect()(0)
+        println(s"  lsh eval recall_ppm=${row.getAs[Long]("recall_ppm")}")
+      }
+      println(f"SCALE5 $dir interval=$tIval%.1fs " +
+        f"(${tIval * 1e6 / nEv}%.2f s/Mevent) bloom=$tBloom%.1fs " +
+        f"kcore=$tKcore%.1fs lsh_eval=$tEval%.1fs " +
+        f"(${tEval * 1e6 / nDocs}%.2f s/Mdoc)")
     }
     spark.stop()
   }

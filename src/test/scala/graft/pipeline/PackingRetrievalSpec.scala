@@ -157,6 +157,38 @@ class PackingRetrievalSpec extends AnyFunSuite {
       case _ => true })
   }
 
+  test("bm25ScoresForQueries: batch scores equal per-query bm25Scores; " +
+      "mrrAtK ranks the planted relevant docs correctly") {
+    val docs = docsOf(
+      1L -> "zebra quokka apple banana",      // 'zebra' unique to doc 1
+      2L -> "apple banana cherry apple",
+      3L -> "apple banana cherry date",
+      4L -> "unrelated words entirely here")
+    val queries = Seq(
+      (1L, "zebra"), (1L, "apple"),     // doc 1 must rank first
+      (4L, "apple"), (4L, "banana"))    // doc 4 matches NOTHING
+      .toDF("query_id", "token")
+    val batch = Retrieval.bm25ScoresForQueries(docs, col("id"),
+      col("text"), queries)
+    // per-query equivalence with the single-query path
+    for ((qid, terms) <- Seq(1L -> Seq("zebra", "apple"),
+        4L -> Seq("apple", "banana"))) {
+      val single = Retrieval.bm25Scores(docs, col("id"), col("text"),
+        terms).collect().map(r => r.getLong(0) ->
+          (r.getDouble(1), r.getLong(2))).toMap
+      val part = batch.where(col("query_id") === qid).collect()
+        .map(r => r.getAs[Long]("id") ->
+          (r.getAs[Double]("bm25"), r.getAs[Long]("n_terms_hit"))).toMap
+      assert(part === single, s"query $qid")
+    }
+    val rel = Seq((1L, 1L), (4L, 4L)).toDF("query_id", "rel_id")
+    val mrr = Retrieval.mrrAtK(batch, rel, k = 3).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("rel_rank"), r.getAs[Long]("rr_ppm"))).toMap
+    assert(mrr(1L) === ((1L, 1000000L)), "unique term must rank #1")
+    assert(mrr(4L) === ((0L, 0L)), "no-match query must read 0")
+  }
+
   test("standing BM25 index serves identical scores to the ad-hoc path") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
