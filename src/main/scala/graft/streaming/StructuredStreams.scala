@@ -278,6 +278,42 @@ object StructuredStreams {
     }
   }
 
+  /** Standing additive CUBE dashboard over a stream
+    * ([[graft.pipeline.Reports]]): each micro-batch aggregates to its
+    * own cube of (count, sum) partials, then folds into the standing
+    * cube with one aggregation over |batch cube| + |standing cube|
+    * rows — never a rescan of history. Integer adds are associative,
+    * so the folded cube is BIT-IDENTICAL to the one-shot CUBE over the
+    * concatenated stream for any batch split
+    * ([[StreamingCubeSpec]]). State lineage-truncated per fold,
+    * superseded checkpoints released — the standing-state discipline
+    * shared by every Streaming* class here. */
+  final class StreamingCube(dims: Seq[String], measure: String) {
+    @volatile private var state: Option[DataFrame] = None
+
+    def fold(batch: DataFrame): Unit = synchronized {
+      val b = graft.pipeline.Reports.cubePartial(batch,
+        dims.map(col), col(measure))
+      val next = state match {
+        case None => b.localCheckpoint(true)
+        case Some(s0) =>
+          val merged = graft.pipeline.Reports.foldCubes(Seq(s0, b))
+            .localCheckpoint(true)
+          releaseCheckpoint(s0)
+          merged
+      }
+      state = Some(next)
+    }
+
+    /** Current standing cube (None before any batch); read through
+      * [[graft.pipeline.Reports.withAvg]] for derived means. */
+    def current: Option[DataFrame] = state
+
+    def unpersist(): Unit = synchronized {
+      state.foreach(releaseCheckpoint); state = None
+    }
+  }
+
   /** Standing per-stratum quota sample over a stream: the top-n rows
     * of each stratum by deterministic hash priority, folded per
     * micro-batch. The selection rule is a per-stratum top-n under a
@@ -425,6 +461,19 @@ object StructuredStreams {
       .start()
 
   /** Attach quota-sample maintenance to a streaming DataFrame. */
+  /** Wire a [[StreamingCube]] to a stream via foreachBatch — same
+    * shape as [[maintainSketches]]. */
+  def maintainCube(stream: DataFrame, cube: StreamingCube,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        cube.fold(batch.toDF())
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
   def maintainQuotaSample(stream: DataFrame,
       sample: StreamingQuotaSample, checkpointDir: String)
       : StreamingQuery =
