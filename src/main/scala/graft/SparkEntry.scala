@@ -1435,6 +1435,25 @@ object SparkEntry {
           col("asof_gap_ms"))
     }),
 
+    // Forward as-of join: the NEXT click at-or-after each purchase —
+    // the exact mirror of asof_join (same one-shuffle union + single
+    // window plan, greatest-click_id rule on equal-ms ties)
+    "asof_join_forward" -> ((s, dir) => {
+      val ev = EventsAsQuads.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts_ms").as("cts_ms"), col("value").as("click_value"))
+      graft.pipeline.Temporal.asOfJoinForward(purchases, clicks,
+          key = "user_id", leftTs = "ts_ms", rightTs = "cts_ms",
+          rightPayload = Seq("click_id", "click_value"),
+          rightTieBreak = "click_id")
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          col("click_id"), round(col("click_value"), 6).as("click_value"),
+          col("asof_gap_ms"))
+    }),
+
     // Banded event-time range join: every click within the 12 hours
     // BEFORE each purchase (time-bucketed band join: right rows hash to
     // one (key, bucket), left explodes to ≤2 buckets — a pure equi-join,
@@ -4239,6 +4258,32 @@ object SparkEntry {
         |SELECT w.event_id, w.user_id, w.ts_ms,
         |  w.m_id AS click_id, round(r.click_value, 6) AS click_value,
         |  w.ts_ms - r.ts_ms AS asof_gap_ms
+        |FROM w LEFT JOIN r ON w.m_id = r.click_id
+        |WHERE w.side = 1""".stripMargin,
+    // forward mirror: ts DESCENDING in the window order, gap reversed
+    "asof_join_forward" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, epoch_us(ts) // 1000 AS ts_ms
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT event_id AS click_id, user_id,
+        |    epoch_us(ts) // 1000 AS ts_ms,
+        |    value AS click_value FROM events WHERE event_type = 'click'),
+        |u AS (
+        |  SELECT user_id, ts_ms, 1 AS side, event_id,
+        |    NULL::BIGINT AS click_id FROM l
+        |  UNION ALL
+        |  SELECT user_id, ts_ms, 0, NULL, click_id FROM r),
+        |w AS (
+        |  SELECT user_id, ts_ms, side, event_id,
+        |    last_value(click_id IGNORE NULLS) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY ts_ms DESC, side, click_id NULLS FIRST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_id
+        |  FROM u)
+        |SELECT w.event_id, w.user_id, w.ts_ms,
+        |  w.m_id AS click_id, round(r.click_value, 6) AS click_value,
+        |  r.ts_ms - w.ts_ms AS asof_gap_ms
         |FROM w LEFT JOIN r ON w.m_id = r.click_id
         |WHERE w.side = 1""".stripMargin,
     "range_join" ->

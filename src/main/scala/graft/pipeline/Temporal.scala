@@ -62,7 +62,26 @@ object Temporal {
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, rightPayload: Seq[String],
-      rightTieBreak: String, toleranceMs: Option[Long] = None): DataFrame = {
+      rightTieBreak: String, toleranceMs: Option[Long] = None): DataFrame =
+    asOfImpl(left, right, key, leftTs, rightTs, rightPayload,
+      rightTieBreak, toleranceMs, forward = false)
+
+  /** Forward as-of join: for every left row, the single EARLIEST right
+    * row with the same key and `rightTs >= leftTs` (optionally within
+    * `toleranceMs`) — "what is the next reading after this event?".
+    * The exact mirror of [[asOfJoin]] (same one-shuffle union + single
+    * window plan, same greatest-`rightTieBreak` rule on equal-ts
+    * ties); `asof_gap_ms` is `rightTs - leftTs >= 0`. */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightPayload: Seq[String],
+      rightTieBreak: String, toleranceMs: Option[Long] = None): DataFrame =
+    asOfImpl(left, right, key, leftTs, rightTs, rightPayload,
+      rightTieBreak, toleranceMs, forward = true)
+
+  private def asOfImpl(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightPayload: Seq[String],
+      rightTieBreak: String, toleranceMs: Option[Long],
+      forward: Boolean): DataFrame = {
     // the tiebreak is cast to long for the window ordering — a
     // non-numeric column would silently become null and make equal-ts
     // tie resolution nondeterministic; fail loudly instead
@@ -95,16 +114,18 @@ object Temporal {
       .withColumn("__l", lit(null).cast(l2.schema("__l").dataType))
       .unionByName(l2)
 
+    val tsOrd = if (forward) col("__ts_us").desc else col("__ts_us").asc
     val w = Window.partitionBy("__k")
-      .orderBy(col("__ts_us").asc, col("__side").asc, col("__tb").asc)
+      .orderBy(tsOrd, col("__side").asc, col("__tb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matchedRaw = last(col("__r"), ignoreNulls = true).over(w)
 
     val withMatch = unioned
       .withColumn("__m", matchedRaw)
       .where(col("__side") === 1)
-    val gapMs = floor(col("__ts_us") / 1000L).cast("long") -
-      col("__m.__rts_ms")
+    val ltsMs = floor(col("__ts_us") / 1000L).cast("long")
+    val gapMs = if (forward) col("__m.__rts_ms") - ltsMs
+      else ltsMs - col("__m.__rts_ms")
     val admissible = toleranceMs match {
       case Some(tol) => col("__m").isNotNull && gapMs <= lit(tol)
       case None      => col("__m").isNotNull

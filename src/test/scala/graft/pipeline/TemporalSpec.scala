@@ -176,4 +176,46 @@ class TemporalSpec extends AnyFunSuite {
       assert(got(lid) === want, s"lid=$lid")
     }
   }
+
+  test("asOfJoinForward: earliest at-or-after right row, inclusive " +
+      "equal-ts ties, mirrored gap; brute-force equivalence") {
+    val out = Temporal.asOfJoinForward(purchases, clicks, key = "user",
+      leftTs = "pts", rightTs = "cts",
+      rightPayload = Seq("cid"), rightTieBreak = "cid")
+      .select("pid", "cid", "asof_gap_ms")
+      .collect().map(r => r.getLong(0) -> ((
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    // pid 100 @10_000: next click is 202/203 @20_000 — max cid wins
+    assert(out(100L) === ((Some(203L), Some(10_000L))))
+    // pid 101 @20_000: the equal-ts pair is admissible, gap 0
+    assert(out(101L) === ((Some(203L), Some(0L))))
+    // pid 104 @40_000 (user 3): only click was @1_000 — nothing ahead
+    assert(out(104L) === ((None, None)))
+    // user 2: purchase @5_000, click @6_000 — forward finds it
+    assert(out(103L) === ((Some(204L), Some(1_000L))))
+
+    // randomized brute force (mirror of the backward sweep)
+    val left = tsDf((0L until 50L).map(i =>
+      (i, i % 4, (i * 173) % 5000, 0.0)), ("lid", "k", "lts", "lv"))
+    val right = tsDf((0L until 70L).map(i =>
+      (1000L + i, i % 4, (i * 211) % 5000, i.toDouble)),
+      ("rid", "k", "rts", "rv"))
+    val got = Temporal.asOfJoinForward(left, right, "k", "lts", "rts",
+      Seq("rid"), "rid")
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+      .toMap
+    val ls = left.select("lid", "k", "lts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime))
+    val rs = right.select("rid", "k", "rts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime))
+    ls.foreach { case (lid, k, lts) =>
+      val adm = rs.filter(r => r._2 == k && r._3 >= lts)
+      // earliest ts wins; among equal ts the greatest rid
+      val want = if (adm.isEmpty) None
+        else Some(adm.minBy(r => (r._3, -r._1))._1)
+      assert(got(lid) === want, s"lid=$lid")
+    }
+  }
 }
