@@ -213,6 +213,13 @@ object Graphs {
       stable = removed == 0
       round += 1
     }
+    // an unconverged exit would silently return a SUPERSET of the
+    // core (nodes the next rounds would have peeled) — fail loud; the
+    // caller raises maxRounds for pathological peel depths (a path
+    // graph peels from the ends, O(n/2) rounds; web/social graphs
+    // peel in tens)
+    require(stable,
+      s"kCore did not reach the fixpoint within $maxRounds rounds")
     // the returned frame reads the final round's checkpoint blocks —
     // the same convention as connectedComponents (a standing session
     // releases them via Lineage once the result is consumed)

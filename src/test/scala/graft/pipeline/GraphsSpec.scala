@@ -179,5 +179,12 @@ class GraphsSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[Long]("node") ->
         r.getAs[Long]("core_degree")).toMap
     assert(again === core2)
+    // hitting maxRounds before the fixpoint fails loud — a cascading
+    // path needs one round per pendant layer
+    val longPath = (0L until 12L).map(i => (i, i + 1)).toDF("s", "d")
+    val ex = intercept[IllegalArgumentException] {
+      Graphs.kCore(longPath, col("s"), col("d"), k = 2, maxRounds = 2)
+    }
+    assert(ex.getMessage.contains("fixpoint"))
   }
 }
