@@ -1641,6 +1641,45 @@ object SparkEntry {
         col("doc_id"), col("text"), threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // ASYMMETRIC containment dedup: |S(a)∩S(b)| / |S(a)| ≥ 0.8 — the
+    // quote/excerpt/subset relation Jaccard misses (a 12-token excerpt
+    // inside a 300-token page has J≈0.03 but containment 1.0).
+    // Excerpt docs (id+1e6, first 12 tokens of the parent) are planted
+    // in-query with arithmetic the oracle restates; candidates come
+    // from the exact asymmetric prefix filter, output is integer ppm
+    "dedup_containment" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val excerpt = concat_ws(" ", slice(
+        graft.pipeline.TextAnalysis.tokens(col("text")), 1, 12))
+      val aug = docs.select(col("doc_id").as("id"), col("text"))
+        .unionByName(docs.select((col("doc_id") + 1000000L).as("id"),
+          excerpt.as("text")))
+      graft.pipeline.Dedup.containmentPairs(aug, col("id"),
+        col("text"), minPpm = 800000L)
+    }),
+
+    // Video-level near-dup: each video's signature is its keyframe set
+    // (shot, mean intensity) from the real GIF decode; videos sharing
+    // ≥ 90% of their keyframes (element containment, integer ppm) are
+    // duplicates — the keyframe-hash composition of the multimodal
+    // and dedup stacks. The lossless indexed-GIF roundtrip keeps the
+    // oracle generative (keyframe means restated from the pixel
+    // formula), same as mm_keyframes
+    "dedup_videos" -> ((s, dir) => {
+      import s.implicits._
+      val specs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map(id => (id, (8 + id % 5).toInt, (3 + id % 4).toInt))
+      val kf = graft.pipeline.Multimodal.extractKeyframes(
+        graft.pipeline.Multimodal.renderGif(specs), threshold = 100L)
+        .toDF()
+      val elems = kf.select(col("media_id").as("id"),
+        (col("shot") * 4096L + col("mean")).as("elem"))
+      graft.pipeline.Dedup.elementContainmentPairs(elems,
+        minPpm = 900000L)
+    }),
+
     // LSH candidate-quality evaluation: precision/recall of the RAW
     // 4×4 banding candidate set against exact-Jaccard truth — the
     // pilot measurement that sizes (k, bands, rows) before a 100 TB
@@ -1805,6 +1844,79 @@ object SparkEntry {
       graft.pipeline.Retrieval.bm25TopKIndexed(idx,
         Seq("spark", "vector", "hash", "window"), k = 25)
         .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Incremental BM25 index maintenance: three disjoint doc batches
+    // fold into the standing accumulator (postings union + exact
+    // integer (n_docs, sum_dl) adds — associative, so ANY batching
+    // serves the bit-identical index). SELF-VERIFYING like the other
+    // incremental entries: folded-index scores must equal a one-shot
+    // rebuild exactly, then the top-25 shares the ad-hoc BM25 oracle
+    "retrieval_bm25_incremental" -> ((s, dir) => {
+      val R = graft.pipeline.Retrieval
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val terms = Seq("spark", "vector", "hash", "window")
+      val folded = (0 until 3).map(i =>
+          R.buildBm25Acc(docs.where(col("doc_id") % 3 === i),
+            col("doc_id"), col("text")))
+        .reduce(R.foldBm25Acc)
+      val fs = R.bm25ScoresIndexed(folded.index, terms)
+        .localCheckpoint(true)
+      val os = R.bm25ScoresIndexed(
+        R.buildBm25Acc(docs, col("doc_id"), col("text")).index, terms)
+      val (nF, nBoth) = (fs.count(), fs.intersect(os).count())
+      require(nF == nBoth && nF == os.count(),
+        s"folded-index scores != one-shot rebuild ($nF vs $nBoth)")
+      fs.orderBy(col("bm25").desc, col("id")).limit(25)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // NDCG@10 over graded relevance (source doc grade 3, its successor
+    // grade 1): the ranking-eval readout MRR can't express. log2 via
+    // ln · (1/ln 2) — ln is the gate's proven-portable transcendental
+    "retrieval_ndcg" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val queries = docs.where(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(slice(
+            graft.pipeline.TextAnalysis.tokens(col("text")), 1, 4)))
+            .as("token"))
+      val scores = graft.pipeline.Retrieval.bm25ScoresForQueries(
+        docs, col("doc_id"), col("text"), queries)
+      val qids = docs.where(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("query_id"))
+      val relevance = qids
+        .select(col("query_id"), col("query_id").as("rel_id"),
+          lit(3L).as("grade"))
+        .unionByName(qids.select(col("query_id"),
+          (col("query_id") + 1L).as("rel_id"), lit(1L).as("grade")))
+      graft.pipeline.Retrieval.ndcgAtK(scores, relevance, k = 10)
+    }),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25)
+    // and dense (brute-force cosine) top-20 lists — the standard
+    // two-tower + keyword combiner. Both input rankings and the fused
+    // one are deterministic total orders; the only new floats are
+    // 1/(60+rank) reciprocals summed over ≤ 2 terms
+    "retrieval_fusion" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val queries = docs.where(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(slice(
+            graft.pipeline.TextAnalysis.tokens(col("text")), 1, 4)))
+            .as("token"))
+      val lex = graft.pipeline.Retrieval.bm25ScoresForQueries(
+        docs, col("doc_id"), col("text"), queries)
+      val lexRank = graft.pipeline.Sampling.topKPerGroup(lex,
+        col("query_id"), col("bm25"), col("id").asc, 20)
+        .select(col("query_id"), col("id"), col("rank"))
+      val denseRank = graft.pipeline.Ann.bruteForceTopK(emb,
+        emb.where(col("vec_id") < 3), k = 20)
+        .select(col("query_id"), col("id"), col("rank"))
+      graft.pipeline.Retrieval.rrfFuse(Seq(lexRank, denseRank),
+        topK = 10)
     }),
 
     // Sequence packing, pretraining shape: concat docs in doc_id order
@@ -2600,6 +2712,35 @@ object SparkEntry {
         col("doc_id"), col("n_chars"), n = 200)
         .select(col("doc_id"), col("source"))),
 
+    // DSIR importance selection: score every doc by Σ tokens
+    // [ln p̂ − ln q̂] under hashed-unigram (md5 mod 256) bag models of
+    // the target slice (lang = zh) vs the raw corpus, then keep the
+    // top-50 — the pretraining data-selection recipe. Bucket counts
+    // are exact integers; each bucket log-ratio is one ln of an exact
+    // rational (round-9, broadcast table); doc weights round-6
+    "sample_dsir" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val w = graft.pipeline.Sampling.dsirWeights(docs, col("doc_id"),
+        col("text"), col("lang") === "zh", buckets = 256)
+      graft.pipeline.Sampling.dsirSelect(w, n = 50)
+        .select(col("id").as("doc_id"), col("n_toks"), col("dsir_w"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    // Gumbel-top-k resampling ∝ exp(dsir_w) — the stochastic sampling
+    // DSIR prescribes, with deterministic md5-derived Gumbel noise
+    // (reproducible AND engine-portable); selection is the skew-proof
+    // two-phase top-n over the round-9 perturbed scores
+    "sample_gumbel" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val w = graft.pipeline.Sampling.dsirWeights(docs, col("doc_id"),
+        col("text"), col("lang") === "zh", buckets = 256)
+      graft.pipeline.Sampling.gumbelTopK(w, col("id"), col("dsir_w"),
+        n = 50)
+        .select(col("id").as("doc_id"), col("dsir_w"),
+          col("gumbel_score"), col("rank").cast("long").as("rank"))
+    }),
+
     // Weighted PageRank over a planted link graph (3 power iterations,
     // damping 0.85, dangling mass redistributed; ranks rounded to 9
     // decimals per iteration on BOTH engines so fixed-iteration
@@ -2645,6 +2786,50 @@ object SparkEntry {
         .unionAll(d.select(((col("doc_id") * 7 + 3) % 997).as("src"),
           ((col("doc_id") * 13 + 5) % 997).as("dst")))
       graft.pipeline.Graphs.kCore(edges, col("src"), col("dst"), k = 2)
+    }),
+
+    // Multi-source BFS distance from seed vertex 0 over the same
+    // mod-997 graph: hops-from-trusted-seed, the crawl-quality prior.
+    // Frontier iteration — each edge expands at most twice total;
+    // round state eagerly checkpointed; the distance fixpoint is
+    // execution-order-independent, so a recursive-CTE min-dist replay
+    // agrees exactly
+    "graph_bfs" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"))
+      val edges = d.select((col("doc_id") % 997).as("src"),
+          ((col("doc_id") * 7 + 3) % 997).as("dst"))
+        .unionAll(d.select((col("doc_id") % 997).as("src"),
+          ((col("doc_id") * 13 + 5) % 997).as("dst")))
+        .unionAll(d.select(((col("doc_id") * 7 + 3) % 997).as("src"),
+          ((col("doc_id") * 13 + 5) % 997).as("dst")))
+      val seeds = s.range(1).select(lit(0L).as("node"))
+      graft.pipeline.Graphs.bfsDistances(edges, col("src"), col("dst"),
+        seeds, maxDepth = 32)
+    }),
+
+    // Weighted shortest paths (distributed Bellman–Ford, delta
+    // frontier) over the same mod-997 graph with symmetric integer
+    // weights 1 + (src+dst) % 5 — integer relaxations are exact, so
+    // the fixpoint is unique and the recursive-CTE min-dist replay
+    // agrees bit-for-bit
+    "graph_sssp" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"))
+      val fwd = d.select((col("doc_id") % 997).as("src"),
+          ((col("doc_id") * 7 + 3) % 997).as("dst"))
+        .unionAll(d.select((col("doc_id") % 997).as("src"),
+          ((col("doc_id") * 13 + 5) % 997).as("dst")))
+        .unionAll(d.select(((col("doc_id") * 7 + 3) % 997).as("src"),
+          ((col("doc_id") * 13 + 5) % 997).as("dst")))
+      // undirected read: union the reverse; the weight is symmetric in
+      // (src + dst) so both directions carry the same cost
+      val edges = fwd.unionAll(fwd.select(col("dst").as("src"),
+          col("src").as("dst")))
+        .withColumn("w", lit(1L) + (col("src") + col("dst")) % 5)
+      val seeds = s.range(1).select(lit(0L).as("node"))
+      graft.pipeline.Graphs.sssp(edges, col("src"), col("dst"),
+        col("w"), seeds, maxRounds = 64)
     }),
 
     // Connected components over a planted sparse graph (5-chains plus
@@ -3694,6 +3879,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = oracleSqlBase +
     // the standing-index path is bit-identical to ad-hoc BM25 — one oracle
     ("retrieval_bm25_indexed" -> oracleSqlBase("retrieval_bm25")) +
+    // the folded accumulator serves the bit-identical index (exact
+    // integer (n_docs, sum_dl) adds; the entry's in-query require
+    // already pinned fold ≡ rebuild) — one oracle
+    ("retrieval_bm25_incremental" -> oracleSqlBase("retrieval_bm25")) +
     // folded-dictionary removal must equal the one-shot semantics
     ("boiler_incremental" -> oracleSqlBase("text_boilerplate")) +
     // folded-chunk-index dedup must equal the one-shot rebuild
@@ -4591,6 +4780,315 @@ object SparkEntry {
         |LEFT JOIN (SELECT query_id, rank FROM rk
         |  WHERE id = query_id AND rank <= 10) r USING (query_id)"""
         .stripMargin,
+    // NDCG@10 with graded relevance (source doc grade 3, successor
+    // grade 1); log2 = ln · 1/ln2, the portable formulation
+    "retrieval_ndcg" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+')
+        |    AS toks
+        |  FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |  AVG(CAST(len(toks) AS DOUBLE)) AS avgdl FROM d),
+        |q AS (
+        |  SELECT doc_id AS query_id,
+        |    unnest(list_distinct(toks[1:4])) AS token
+        |  FROM d WHERE doc_id % 25 = 0),
+        |f AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+        |  unnest(toks) AS token FROM d),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf,
+        |    ANY_VALUE(dl) AS dl
+        |  FROM f WHERE token IN (SELECT DISTINCT token FROM q)
+        |  GROUP BY doc_id, token),
+        |dfq AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df
+        |  FROM tf GROUP BY token),
+        |sc AS (
+        |  SELECT q.query_id, tf.doc_id AS id,
+        |    ROUND(SUM(ln(1 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+        |      * tf.tf * 2.2
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))), 6)
+        |      AS bm25
+        |  FROM q JOIN tf USING (token) JOIN dfq USING (token), st
+        |  GROUP BY q.query_id, tf.doc_id),
+        |rk AS (
+        |  SELECT query_id, id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY bm25 DESC, id) AS rank
+        |  FROM sc),
+        |rel AS (
+        |  SELECT doc_id AS query_id, doc_id AS rel_id, 3 AS grade
+        |  FROM documents WHERE doc_id % 25 = 0
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 1, 1
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |dcg AS (
+        |  SELECT rel.query_id,
+        |    ROUND(SUM((POW(2.0, grade) - 1) / ln(rank + 1))
+        |      * 0.6931471805599453, 6) AS dcg
+        |  FROM rel JOIN rk ON rel.query_id = rk.query_id
+        |    AND rel.rel_id = rk.id AND rk.rank <= 10
+        |  GROUP BY rel.query_id),
+        |irk AS (
+        |  SELECT query_id, grade, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY grade DESC, rel_id) AS r
+        |  FROM rel),
+        |idcg AS (
+        |  SELECT query_id,
+        |    ROUND(SUM((POW(2.0, grade) - 1) / ln(r + 1))
+        |      * 0.6931471805599453, 6) AS idcg
+        |  FROM irk WHERE r <= 10 GROUP BY query_id)
+        |SELECT idcg.query_id, COALESCE(dcg.dcg, 0) AS dcg, idcg.idcg,
+        |  ROUND(CASE WHEN idcg.idcg > 0
+        |    THEN COALESCE(dcg.dcg, 0) / idcg.idcg ELSE 0 END, 6) AS ndcg
+        |FROM idcg LEFT JOIN dcg USING (query_id)""".stripMargin,
+    // Reciprocal-rank fusion of lexical top-20 and dense top-20
+    "retrieval_fusion" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+')
+        |    AS toks
+        |  FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |  AVG(CAST(len(toks) AS DOUBLE)) AS avgdl FROM d),
+        |q AS (
+        |  SELECT doc_id AS query_id,
+        |    unnest(list_distinct(toks[1:4])) AS token
+        |  FROM d WHERE doc_id < 3),
+        |f AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+        |  unnest(toks) AS token FROM d),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf,
+        |    ANY_VALUE(dl) AS dl
+        |  FROM f WHERE token IN (SELECT DISTINCT token FROM q)
+        |  GROUP BY doc_id, token),
+        |dfq AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df
+        |  FROM tf GROUP BY token),
+        |sc AS (
+        |  SELECT q.query_id, tf.doc_id AS id,
+        |    ROUND(SUM(ln(1 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+        |      * tf.tf * 2.2
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))), 6)
+        |      AS bm25
+        |  FROM q JOIN tf USING (token) JOIN dfq USING (token), st
+        |  GROUP BY q.query_id, tf.doc_id),
+        |l20 AS (
+        |  SELECT query_id, id, rank FROM (
+        |    SELECT query_id, id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY bm25 DESC, id) AS rank
+        |    FROM sc) WHERE rank <= 20),
+        |e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |qe AS (SELECT vec_id AS query_id, v AS qv FROM e
+        |  WHERE vec_id < 3),
+        |ds AS (
+        |  SELECT qe.query_id, e.vec_id AS id,
+        |    ROUND(list_cosine_similarity(e.v, qe.qv), 6) AS sim
+        |  FROM e, qe WHERE e.vec_id <> qe.query_id),
+        |d20 AS (
+        |  SELECT query_id, id, rank FROM (
+        |    SELECT query_id, id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY sim DESC, id) AS rank
+        |    FROM ds) WHERE rank <= 20),
+        |u AS (SELECT * FROM l20 UNION ALL SELECT * FROM d20),
+        |fs AS (
+        |  SELECT query_id, id,
+        |    ROUND(SUM(1.0 / (60 + rank)), 9) AS rrf,
+        |    COUNT(*) AS n_lists
+        |  FROM u GROUP BY query_id, id)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, id, rrf, n_lists
+        |FROM (
+        |  SELECT query_id, id, rrf, n_lists, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY rrf DESC, id) AS rank
+        |  FROM fs) WHERE rank <= 10""".stripMargin,
+    // BFS distances from seed 0 as a bounded recursive min-dist CTE:
+    // the UNION-dedup keeps the walk state finite; MIN collapses the
+    // multiple discovery depths to the true shortest distance — the
+    // same fixpoint the Spark frontier loop converges to
+    "graph_bfs" ->
+      """WITH RECURSIVE ed0 AS (
+        |  SELECT doc_id % 997 AS a, (doc_id * 7 + 3) % 997 AS b
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 997, (doc_id * 13 + 5) % 997 FROM documents
+        |  UNION ALL
+        |  SELECT (doc_id * 7 + 3) % 997, (doc_id * 13 + 5) % 997
+        |  FROM documents),
+        |ed AS (
+        |  SELECT DISTINCT a, b FROM (
+        |    SELECT a, b FROM ed0 WHERE a <> b
+        |    UNION ALL
+        |    SELECT b, a FROM ed0 WHERE a <> b)),
+        |walk AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, 0 AS dist
+        |  UNION
+        |  SELECT ed.b AS node, walk.dist + 1 AS dist
+        |  FROM walk JOIN ed ON ed.a = walk.node
+        |  WHERE walk.dist < 32)
+        |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+        |FROM walk GROUP BY node""".stripMargin,
+    // weighted min-dist fixpoint: UNION-dedup keeps the walk state
+    // finite; the 150 bound comfortably exceeds the graph's true
+    // eccentricity (max edge weight 5, diameter ≈ 10) — the Spark side
+    // fails loud rather than truncate, so a bound breach is visible
+    "graph_sssp" ->
+      """WITH RECURSIVE ed0 AS (
+        |  SELECT doc_id % 997 AS a, (doc_id * 7 + 3) % 997 AS b
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 997, (doc_id * 13 + 5) % 997 FROM documents
+        |  UNION ALL
+        |  SELECT (doc_id * 7 + 3) % 997, (doc_id * 13 + 5) % 997
+        |  FROM documents),
+        |ed AS (
+        |  SELECT a, b, 1 + (a + b) % 5 AS w FROM (
+        |    SELECT DISTINCT a, b FROM (
+        |      SELECT a, b FROM ed0
+        |      UNION ALL
+        |      SELECT b, a FROM ed0))),
+        |walk AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+        |  UNION
+        |  SELECT ed.b AS node, walk.dist + ed.w AS dist
+        |  FROM walk JOIN ed ON ed.a = walk.node
+        |  WHERE walk.dist < 150)
+        |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+        |FROM walk GROUP BY node""".stripMargin,
+    // Exact all-pairs containment over originals + planted 12-token
+    // excerpts (id + 1e6) — the brute-force restatement of the
+    // asymmetric prefix-filter join
+    "dedup_containment" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(
+        |      string_split_regex(lower(trim(text)), '\s+')[1:12], ' ')
+        |  FROM documents),
+        |t AS (
+        |  SELECT id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM base),
+        |s AS (
+        |  SELECT id, list_distinct(list_transform(range(1, len(toks)-1),
+        |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |e AS (SELECT id, len(sh) AS n, unnest(sh) AS shingle FROM s),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(COUNT(*) AS BIGINT) AS inter,
+        |    CAST(MIN(a.n) AS BIGINT) AS n_a
+        |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.id <> b.id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, inter, n_a,
+        |  inter * 1000000 // n_a AS containment_ppm
+        |FROM p WHERE inter * 1000000 // n_a >= 800000""".stripMargin,
+    // video keyframe signatures restated generatively (the lossless
+    // GIF roundtrip: frame f of video id is solid (id·31+f·17) % 256),
+    // then exact element containment over (shot·4096 + mean) keys
+    "dedup_videos" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, CAST(2 + doc_id % 4 AS BIGINT)))
+        |      AS frame
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, frame,
+        |    (doc_id * 31 + frame * 17) % 256 AS mean,
+        |    CASE WHEN frame = 0 THEN NULL
+        |      ELSE (doc_id * 31 + (frame - 1) * 17) % 256 END AS prev_mean
+        |  FROM f),
+        |k AS (
+        |  SELECT doc_id, frame, mean FROM m
+        |  WHERE frame = 0 OR ABS(mean - prev_mean) >= 100),
+        |kk AS (
+        |  SELECT doc_id AS id,
+        |    (ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY frame) - 1)
+        |      * 4096 + mean AS elem
+        |  FROM k),
+        |e AS (SELECT DISTINCT id, elem FROM kk),
+        |c AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY id),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM e a JOIN e b ON a.elem = b.elem AND a.id <> b.id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, inter, c.n AS n_a,
+        |  inter * 1000000 // c.n AS containment_ppm
+        |FROM p JOIN c ON c.id = p.id_a
+        |WHERE inter * 1000000 // c.n >= 900000""".stripMargin,
+    // DSIR importance weights (hashed-unigram md5 mod 256 bag models,
+    // target = zh slice) + deterministic top-50 selection
+    "sample_dsir" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CONCAT('0x', substr(md5(token), 1, 15)) AS BIGINT) % 256
+        |      AS bucket
+        |  FROM t),
+        |db AS (
+        |  SELECT doc_id, bucket, COUNT(*) AS c,
+        |    SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS ct
+        |  FROM tb GROUP BY 1, 2),
+        |m AS (SELECT bucket, SUM(c) AS cr, SUM(ct) AS ctg
+        |  FROM db GROUP BY 1),
+        |tot AS (SELECT SUM(cr) AS tr, SUM(ctg) AS tt FROM m),
+        |lr AS (
+        |  SELECT bucket,
+        |    ROUND(ln((CAST(ctg + 1 AS DOUBLE) * CAST(tr + 256 AS DOUBLE))
+        |      / (CAST(cr + 1 AS DOUBLE) * CAST(tt + 256 AS DOUBLE))), 9)
+        |      AS lr
+        |  FROM m, tot),
+        |w AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks,
+        |    ROUND(SUM(CAST(c AS DOUBLE) * lr), 6) AS dsir_w
+        |  FROM db JOIN lr USING (bucket) GROUP BY doc_id)
+        |SELECT doc_id, n_toks, dsir_w, CAST(rank AS BIGINT) AS rank
+        |FROM (
+        |  SELECT doc_id, n_toks, dsir_w, row_number() OVER (
+        |    ORDER BY dsir_w DESC, doc_id) AS rank
+        |  FROM w) WHERE rank <= 50""".stripMargin,
+    // Gumbel-top-k over the same DSIR weights: deterministic md5
+    // uniforms (the weightedSample convention), g = w − ln(−ln u)
+    "sample_gumbel" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CONCAT('0x', substr(md5(token), 1, 15)) AS BIGINT) % 256
+        |      AS bucket
+        |  FROM t),
+        |db AS (
+        |  SELECT doc_id, bucket, COUNT(*) AS c,
+        |    SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS ct
+        |  FROM tb GROUP BY 1, 2),
+        |m AS (SELECT bucket, SUM(c) AS cr, SUM(ct) AS ctg
+        |  FROM db GROUP BY 1),
+        |tot AS (SELECT SUM(cr) AS tr, SUM(ctg) AS tt FROM m),
+        |lr AS (
+        |  SELECT bucket,
+        |    ROUND(ln((CAST(ctg + 1 AS DOUBLE) * CAST(tr + 256 AS DOUBLE))
+        |      / (CAST(cr + 1 AS DOUBLE) * CAST(tt + 256 AS DOUBLE))), 9)
+        |      AS lr
+        |  FROM m, tot),
+        |w AS (
+        |  SELECT doc_id,
+        |    ROUND(SUM(CAST(c AS DOUBLE) * lr), 6) AS dsir_w
+        |  FROM db JOIN lr USING (bucket) GROUP BY doc_id),
+        |g AS (
+        |  SELECT doc_id, dsir_w,
+        |    ROUND(dsir_w - ln(-ln(
+        |      (CAST(CONCAT('0x',
+        |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |       + 0.5) / 4294967296.0)), 9) AS gumbel_score
+        |  FROM w)
+        |SELECT doc_id, dsir_w, gumbel_score, CAST(rank AS BIGINT) AS rank
+        |FROM (
+        |  SELECT doc_id, dsir_w, gumbel_score, row_number() OVER (
+        |    ORDER BY gumbel_score DESC, doc_id) AS rank
+        |  FROM g) WHERE rank <= 50""".stripMargin,
     "pack_concat" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+'))

@@ -303,6 +303,110 @@ object Dedup {
     out
   }
 
+  /** EXACT shingle-containment pairs: every ordered pair (a, b) with
+    * |S(a) ∩ S(b)| / |S(a)| ≥ t — the ASYMMETRIC near-dup relation
+    * Jaccard misses. A 100-word excerpt quoted inside a 10 000-word
+    * page has Jaccard ≈ 0.01 but containment ≈ 1.0: this is the
+    * quote / subset / boilerplate-inclusion detector, the C(A,B) of
+    * the set-similarity-join literature.
+    *
+    * Candidate rule (the asymmetric prefix filter): if C(A,B) ≥ t then
+    * in any global total order on the shingle universe the first
+    * `|A| - ⌈t·|A|⌉ + 1` elements of A must intersect B's FULL set —
+    * only the probe side gets prefix-truncated (the indexed side can't
+    * be, which is exactly why this costs more than the symmetric
+    * Jaccard prefix join and why the threshold governs the probe
+    * volume). Order is xxhash64, content-independent; hash collisions
+    * only ADD candidates — the exact verify removes them.
+    *
+    * Scale shape: one (hash) equi-join for candidates, one array-
+    * intersect verify over pair rows — no all-pairs stage. The indexed
+    * (full) side is the standard inverted-index volume; a hot shingle
+    * (corpus-wide boilerplate token run) fans out there, the same
+    * skew the Jaccard path carries — at 100 TB cut the universe first
+    * with [[duplicatedSpans]]-style df stats if the shingle df
+    * distribution is pathological. Output: (id_a, id_b, inter, n_a,
+    * containment_ppm) — integer-exact, id_a ≠ id_b, BOTH directions
+    * reported when both qualify (the relation is asymmetric). */
+  def containmentPairs(df: DataFrame, idCol: Column, textCol: Column,
+      minPpm: Long, shingleSize: Int = 3): DataFrame = {
+    require(minPpm > 0L && minPpm <= 1000000L,
+      "minPpm must be in (0, 1000000]")
+    val docs = df.select(idCol.as("id"),
+      TextAnalysis.shingles(textCol, shingleSize).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("hs",
+        sort_array(array_distinct(transform(col("sh"), s => xxhash64(s)))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the qualifying-intersection floor is ⌈(minPpm/1e6)·n⌉ — computed
+    // in EXACT integer arithmetic (`div`): a float `ceil(t · n)` can
+    // land one ulp above the true rational and silently shorten the
+    // prefix below the recall-safe bound
+    val prefLen = expr(
+      s"cast(size(hs) - ((cast(size(hs) as bigint) * $minPpm + 999999)" +
+        " div 1000000) + 1 as int)")
+    val probe = docs.select(col("id").as("id_a"),
+      explode(slice(col("hs"), lit(1), prefLen)).as("h"))
+    val index = docs.select(col("id").as("id_b"),
+      explode(col("hs")).as("h"))
+    val pairs = probe.join(index, Seq("h"))
+      .where(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val sa = docs.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val sb = docs.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    val out = pairs.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_a", size(col("sh_a")).cast("long"))
+      .withColumn("containment_ppm",
+        expr("inter * 1000000 div n_a"))
+      .where(col("containment_ppm") >= minPpm)
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_a"),
+        col("containment_ppm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    docs.unpersist()
+    out
+  }
+
+  /** [[containmentPairs]] generalized to a pre-exploded ELEMENT table
+    * (id, elem) — for signatures that aren't text shingles: keyframe
+    * hashes of a video, chunk fingerprints of a file, feature ids of a
+    * record. Returns every ordered pair with
+    * |E(a) ∩ E(b)| · 10⁶ div |E(a)| ≥ minPpm as (id_a, id_b, inter,
+    * n_a, containment_ppm) — integer-exact, both directions when both
+    * qualify.
+    *
+    * Scale shape: one map-side-combined distinct + per-id count, one
+    * inverted-index self-join on the element (candidates ∝
+    * Σ_elem df(elem)², the usual postings bound — a pathologically hot
+    * element is the caller's signal to lengthen the signature), one
+    * pair-count aggregation. Nothing all-pairs, no driver state. */
+  def elementContainmentPairs(elems: DataFrame, minPpm: Long)
+      : DataFrame = {
+    require(minPpm > 0L && minPpm <= 1000000L,
+      "minPpm must be in (0, 1000000]")
+    val e = elems.toDF("id", "elem").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = e.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val shared = e.toDF("id_a", "elem")
+      .join(e.toDF("id_b", "elem"), Seq("elem"))
+      .where(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val out = shared
+      .join(counts.toDF("id_a", "n_a"), "id_a")
+      .withColumn("containment_ppm", expr("inter * 1000000 div n_a"))
+      .where(col("containment_ppm") >= minPpm)
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_a"),
+        col("containment_ppm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    e.unpersist()
+    out
+  }
+
   /** Corpus-level deduplication: drop every document that near-matches a
     * lower-id document (exact dups at Jaccard 1.0 included). The keeper
     * of each duplicate cluster is its smallest id (any doc appearing as

@@ -227,4 +227,132 @@ object Graphs {
       .unionAll(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("core_degree"))
   }
+
+  /** Multi-source BFS: the unweighted shortest-path distance from the
+    * nearest seed to every reachable vertex — the crawl-frontier /
+    * link-distance primitive (e.g. "hops from a trusted seed set" as a
+    * quality prior). `seeds` is a one-column vertex table; edges are
+    * treated as undirected. Returns (node, dist), seeds at dist 0;
+    * unreachable vertices are absent.
+    *
+    * Frontier iteration: round d joins the CURRENT frontier against
+    * the adjacency (one key-hash shuffle), anti-joins already-visited
+    * vertices, and folds survivors into the visited set — each edge is
+    * expanded at most twice over the whole run, so total work is
+    * O(|E|) + O(diameter) rounds, NOT O(|E| · rounds). Round state is
+    * eagerly checkpointed and the superseded generation released (the
+    * [[kCore]] discipline); the driver sees one frontier count per
+    * round. The result is the unique distance fixpoint, independent of
+    * execution order — engine-portable, oracled by a recursive CTE. */
+  def bfsDistances(edges: DataFrame, src: Column, dst: Column,
+      seeds: DataFrame, maxDepth: Int = 64): DataFrame = {
+    require(maxDepth >= 0, "maxDepth must be >= 0")
+    val adj = edges
+      .select(src.cast("long").as("a"), dst.cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .unionAll(edges.select(dst.cast("long").as("a"),
+          src.cast("long").as("b"))
+        .where(col("a").isNotNull && col("b").isNotNull &&
+          col("a") =!= col("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var visited = seeds
+      .select(col(seeds.columns.head).cast("long").as("node"))
+      .distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    var frontier = visited
+    var depth = 0
+    var exhausted = false
+    while (!exhausted && depth < maxDepth) {
+      val next = frontier.select(col("node").as("a"))
+        .join(adj, "a")
+        .select(col("b").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(depth + 1L))
+        .localCheckpoint(true)
+      val grew = next.count()
+      val nextVisited = visited.unionByName(next).localCheckpoint(true)
+      graft.util.Lineage.release(visited)
+      graft.util.Lineage.release(frontier)
+      visited = nextVisited
+      frontier = next
+      depth += 1
+      exhausted = grew == 0L
+    }
+    // an un-exhausted exit would return dist values that LOOK final
+    // but are truncated at maxDepth — fail loud, same rule as kCore
+    // (conservative: a graph whose last discovery round lands exactly
+    // on maxDepth also fails — raise maxDepth rather than guess)
+    require(exhausted,
+      s"bfsDistances frontier still live after $maxDepth rounds")
+    graft.util.Lineage.release(adj)
+    visited
+  }
+
+  /** Single/multi-source WEIGHTED shortest paths (non-negative integer
+    * edge weights) — the link-cost generalization of [[bfsDistances]].
+    * Distributed Bellman–Ford to the fixpoint: each round relaxes every
+    * edge out of the vertices whose distance IMPROVED last round (delta
+    * frontier, not the whole dist table), one equi-join + one min
+    * aggregation; integer dists make every relaxation exact, so the
+    * fixpoint is unique and engine-portable. Rounds ≤ longest
+    * shortest-path hop count; round state eagerly checkpointed and
+    * released; fail-loud when `maxRounds` truncates live improvements.
+    * Returns (node, dist); unreachable vertices absent; edges are
+    * DIRECTED (union the reverse for an undirected read). */
+  def sssp(edges: DataFrame, src: Column, dst: Column, w: Column,
+      seeds: DataFrame, maxRounds: Int = 64): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val adj = edges
+      .select(src.cast("long").as("a"), dst.cast("long").as("b"),
+        w.cast("long").as("w"))
+      .where(col("a").isNotNull && col("b").isNotNull &&
+        col("w").isNotNull)
+      .localCheckpoint(true)
+    val negs = adj.where(col("w") < 0L).count()
+    require(negs == 0L, s"sssp needs non-negative weights, $negs negative")
+    var dist = seeds
+      .select(col(seeds.columns.head).cast("long").as("node"))
+      .distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    var delta = dist // vertices improved last round
+    var round = 0
+    var settled = false
+    while (!settled && round < maxRounds) {
+      val relaxed = delta.select(col("node").as("a"), col("dist"))
+        .join(adj, "a")
+        .groupBy(col("b").as("node"))
+        .agg(min(col("dist") + col("w")).as("cand"))
+      val joined = relaxed
+        .join(dist.withColumnRenamed("dist", "old"), Seq("node"),
+          "left_outer")
+      val improved = joined
+        .where(col("old").isNull || col("cand") < col("old"))
+        .select(col("node"), col("cand").as("dist"))
+        .localCheckpoint(true)
+      val n = improved.count()
+      if (n == 0L) {
+        graft.util.Lineage.release(improved)
+        settled = true
+      } else {
+        val nextDist = dist.join(improved.select("node"), Seq("node"),
+            "left_anti")
+          .unionByName(improved)
+          .localCheckpoint(true)
+        graft.util.Lineage.release(dist)
+        if (!(delta eq dist)) graft.util.Lineage.release(delta)
+        dist = nextDist
+        delta = improved
+      }
+      round += 1
+    }
+    require(settled,
+      s"sssp still improving after $maxRounds rounds")
+    if (!(delta eq dist)) graft.util.Lineage.release(delta)
+    graft.util.Lineage.release(adj)
+    dist
+  }
 }

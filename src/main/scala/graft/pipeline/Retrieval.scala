@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Keyword retrieval over a document corpus: BM25 scoring and top-k —
@@ -192,4 +193,137 @@ object Retrieval {
     bm25ScoresIndexed(index, queryTerms, k1, b)
       .orderBy(col("bm25").desc, col("id"))
       .limit(k)
+
+  // ---- incremental index maintenance (fold batches, never rescan) -------
+
+  /** Accumulator form of the BM25 index: postings plus EXACT integer
+    * corpus counts (n_docs, sum_dl) instead of the derived float avgdl.
+    * Keeping the moments integral is what makes the fold law exact —
+    * `avg` of two batch averages is a float expression whose rounding
+    * depends on the batch split, but (Σn, Σdl) adds associatively, so
+    * ANY batching folds to the bit-identical index. The same discipline
+    * as the PCA/kmeans incremental paths. */
+  case class Bm25Acc(postings: DataFrame, counts: DataFrame) {
+    /** Derive the servable index: avgdl materializes as ONE float
+      * division of exact longs — the identical IEEE op `avg(long)`
+      * performs, so acc-served scores match the ad-hoc path. */
+    def index: Bm25Index = Bm25Index(postings,
+      counts.select(col("n_docs").cast("double").as("n_docs"),
+        (col("sum_dl").cast("double") /
+          col("n_docs").cast("double")).as("avgdl")))
+  }
+
+  /** Build the accumulator for one document batch: one explode + one
+    * map-side-combined aggregation (the [[buildBm25Index]] cost), plus
+    * a one-row integer count. */
+  def buildBm25Acc(df: DataFrame, idCol: Column, textCol: Column)
+      : Bm25Acc = {
+    val toks = df.select(idCol.as("id"),
+        TextAnalysis.tokens(textCol).as("__toks"))
+      .select(col("id"), size(col("__toks")).cast("double").as("dl"),
+        explode(col("__toks")).as("token"))
+    val postings = toks.groupBy(col("token"), col("id"))
+      .agg(count(lit(1)).cast("double").as("tf"),
+        first(col("dl")).as("dl"))
+    val counts = df.select(count(lit(1)).as("n_docs"),
+      coalesce(sum(TextAnalysis.tokenCount(textCol)), lit(0L))
+        .as("sum_dl"))
+    Bm25Acc(postings, counts)
+  }
+
+  /** Fold a new batch's accumulator into the standing one. Cost is
+    * |batch postings| + |standing postings| union glue — the corpus is
+    * NEVER rescanned. Contract: batches partition the corpus by
+    * document (a doc id appearing in two batches would carry partial
+    * tf/dl rows — the same disjointness every append-only ingest
+    * already guarantees). Counts add associatively, so fold order
+    * cannot change the served index. */
+  def foldBm25Acc(a: Bm25Acc, b: Bm25Acc): Bm25Acc =
+    Bm25Acc(a.postings.unionByName(b.postings),
+      a.counts.unionByName(b.counts)
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("sum_dl")).as("sum_dl")))
+
+  // ---- ranking evaluation & fusion --------------------------------------
+
+  /** NDCG@k over graded relevance — the ranking-quality readout for
+    * retrieval with non-binary labels (MRR only sees the first hit).
+    * `scores` is (query_id, id, bm25) — any scored candidate table;
+    * `relevance` is (query_id, rel_id, grade >= 0). Returns one row per
+    * query: (query_id, dcg, idcg, ndcg).
+    *
+    * DCG = Σ_{rank<=k} (2^grade - 1) / log2(rank + 1) over the rounded-
+    * score total order (score desc, id asc); IDCG ranks the query's own
+    * grades descending. Both sums are rounded at 6 before the final
+    * division (also round-6), so cross-engine float-summation order
+    * cannot flip the compare — the [[Evaluation.aucBinned]] discipline.
+    * log2 is computed as ln(x) · (1/ln 2): natural log is the one
+    * transcendental this gate has already proven bit-portable across
+    * engines (the BM25 idf, the A-ES scores), and the rescale is a
+    * single exact IEEE multiply by a shared literal. A query with no
+    * positive grade scores ndcg 0, not NaN.
+    *
+    * Scale shape: ranked top-k is the skew-proof two-phase per-group
+    * top-k; the ideal ranking windows over the RELEVANCE table
+    * (|judgments| rows, keyed by query — never corpus-sized
+    * partitions); both reductions are map-side-combinable sums. */
+  def ndcgAtK(scores: DataFrame, relevance: DataFrame, k: Int)
+      : DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val rel = relevance.toDF("query_id", "rel_id", "grade")
+    val ranked = Sampling.topKPerGroup(scores, col("query_id"),
+      col("bm25"), col("id").asc, k)
+      .select(col("query_id"), col("id").as("rel_id"),
+        col("rank").cast("double").as("__r"))
+    val ln2 = lit(0.6931471805599453) // ln 2: gain/ln(x) · ln2 = gain/log2(x)
+    val gain = (pow(lit(2.0), col("grade").cast("double")) - lit(1.0)) /
+      log(col("__r") + lit(1.0))
+    val dcg = rel.join(ranked, Seq("query_id", "rel_id"))
+      .groupBy(col("query_id"))
+      .agg(round(sum(gain) * ln2, 6).as("dcg"))
+    val byGrade = Window.partitionBy(col("query_id"))
+      .orderBy(col("grade").desc, col("rel_id").asc)
+    val idcg = rel
+      .withColumn("__r", row_number().over(byGrade).cast("double"))
+      .where(col("__r") <= k)
+      .groupBy(col("query_id"))
+      .agg(round(sum(gain) * ln2, 6).as("idcg"))
+    idcg.join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("dcg"), lit(0.0)).as("dcg"), col("idcg"),
+        round(when(col("idcg") > 0.0,
+          coalesce(col("dcg"), lit(0.0)) / col("idcg"))
+          .otherwise(lit(0.0)), 6).as("ndcg"))
+  }
+
+  /** Reciprocal-rank fusion of any number of per-query rankings — the
+    * standard lexical+dense hybrid-retrieval combiner (Cormack et al.):
+    * fused(d) = Σ_lists 1 / (k0 + rank_list(d)), documents missing from
+    * a list contribute nothing. Each input is (query_id, id, rank).
+    * Returns (query_id, rank, id, rrf, n_lists) — the fused top-k per
+    * query, rank 1 best, ties broken by id.
+    *
+    * Scale shape: one union of the ranking tables (each already top-k
+    * sized, |queries| × k rows — NOT corpus-sized), one map-side-
+    * combinable aggregation, then the two-phase per-group top-k. The
+    * only floats are the 1/(k0+rank) reciprocals of small integers —
+    * identical IEEE divisions on any engine — summed over ≤ |lists|
+    * terms and rounded at 9. */
+  def rrfFuse(rankings: Seq[DataFrame], topK: Int, k0: Int = 60)
+      : DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k0 >= 1 && topK >= 1, "k0 and topK must be >= 1")
+    val u = rankings
+      .map(_.select(col("query_id"), col("id"),
+        col("rank").cast("double").as("__r")))
+      .reduce(_ unionByName _)
+    val scored = u.groupBy(col("query_id"), col("id"))
+      .agg(round(sum(lit(1.0) / (lit(k0.toDouble) + col("__r"))), 9)
+          .as("rrf"),
+        count(lit(1)).as("n_lists"))
+    Sampling.topKPerGroup(scored, col("query_id"), col("rrf"),
+      col("id").asc, topK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("id"), col("rrf"), col("n_lists"))
+  }
 }

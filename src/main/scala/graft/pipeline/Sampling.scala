@@ -576,4 +576,103 @@ object Sampling {
       else least(col("avail"), lit((budget - sk) / (nn - k)))
     ranked.select(col("domain"), col("avail"), quota.as("quota"))
   }
+
+  // ---- importance resampling (DSIR) --------------------------------------
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its tokens are under a TARGET
+    * distribution than under the raw-corpus distribution, using
+    * hashed-unigram bag models —
+    * w(doc) = Σ_tokens [ln p̂(bucket) − ln q̂(bucket)], with p̂/q̂ the
+    * add-one-smoothed bucket frequencies of the target / raw corpora.
+    * Selecting the top-weight raw docs shifts a generic crawl toward
+    * the target domain — the standard pretraining data-selection
+    * recipe. Returns (id, n_toks, dsir_w) for every doc with ≥ 1 token.
+    *
+    * Engine-portable determinism: buckets use the repo's md5-hex
+    * convention (`bigint(md5(token)[0,15)) % buckets` — replayable in
+    * any engine with an md5), bucket counts are exact integers, each
+    * bucket's log-ratio is ONE float ln of an exact rational (round-9,
+    * a B-row table), and the per-doc weight is a ≤ B-term sum of
+    * count·logratio products (round-6) — the aggregate-rounding
+    * discipline of the rest of the gate.
+    *
+    * Scale shape: one token explode + one map-side-combined (id,
+    * bucket) count per corpus pass; the bucket model is ≤ `buckets`
+    * rows — broadcast back; nothing corpus-sized ever meets a window
+    * or the driver. The target corpus is typically small (it rides the
+    * same aggregation); the raw corpus is the 100 TB side and touches
+    * exactly one shuffle keyed by (id, bucket). */
+  def dsirWeights(df: DataFrame, idCol: Column, textCol: Column,
+      isTarget: Column, buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, "need at least 2 hash buckets")
+    val toks = df.select(idCol.as("id"), isTarget.as("__t"),
+        explode(TextAnalysis.tokens(textCol)).as("token"))
+      .withColumn("bucket",
+        conv(substring(md5(col("token")), 1, 15), 16, 10)
+          .cast("long") % buckets)
+    val docBucket = toks.groupBy(col("id"), col("bucket"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("ct"))
+    // bucket model: raw counts over ALL docs, target counts over the
+    // target slice — ≤ `buckets` rows, plus one-row corpus totals
+    val model = docBucket.groupBy(col("bucket"))
+      .agg(sum(col("c")).as("cr"), sum(col("ct")).as("ctg"))
+    val totals = model.agg(sum(col("cr")).as("tr"),
+      sum(col("ctg")).as("tt"))
+    val logRatio = model.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        // ln(p̂/q̂) with add-one smoothing, as one ln of the exact
+        // cross-multiplied rational — absent-from-target buckets get
+        // the smoothed floor instead of -inf
+        // multiply as DOUBLE: the cross-product of two corpus-total
+        // longs overflows int64 at real scale; double mul is an exact
+        // IEEE op both engines share
+        round(log(
+          ((col("ctg") + 1L).cast("double") *
+            (col("tr") + buckets).cast("double")) /
+            ((col("cr") + 1L).cast("double") *
+              (col("tt") + buckets).cast("double"))),
+          9).as("lr"))
+    docBucket.join(broadcast(logRatio), "bucket")
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_toks"),
+        round(sum(col("c").cast("double") * col("lr")), 6).as("dsir_w"))
+  }
+
+  /** Deterministic DSIR selection: the `n` highest-weight documents
+    * (weight desc, id asc — the engine's total-order tiebreak), via the
+    * skew-proof two-phase top-n. The greedy top-n variant of DSIR's
+    * Gumbel resampling — reproducible run to run, which is what a
+    * gated data pipeline wants. */
+  def dsirSelect(weights: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    twoPhaseTopN(weights, Seq.empty,
+      Seq(col("dsir_w").desc, col("id").asc), n)
+      .withColumnRenamed("__rn", "rank")
+  }
+
+  /** Gumbel-top-k sampling WITHOUT replacement ∝ exp(logWeight) — the
+    * sampling DSIR actually prescribes (the greedy [[dsirSelect]] is
+    * its zero-temperature limit): perturb each row's log-weight with
+    * deterministic Gumbel noise g = −ln(−ln u) and take the top `n`
+    * perturbed scores; by the Gumbel-max trick the selected set is an
+    * exact weighted sample without replacement. u derives from
+    * md5(key) exactly as [[weightedSample]]'s uniform — reproducible
+    * run to run AND engine-portable, strictly inside (0,1) so neither
+    * ln sees 0. Perturbed scores round-9 with key-asc tiebreak (the
+    * cross-engine float discipline); one map stage + the skew-proof
+    * two-phase top-n. Returns the selected rows with (gumbel_score,
+    * rank). */
+  def gumbelTopK(df: DataFrame, key: Column, logWeight: Column, n: Int)
+      : DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val u = (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val g = round(logWeight.cast("double") - log(-log(u)), 9)
+    twoPhaseTopN(df.withColumn("gumbel_score", g),
+      Seq.empty, Seq(col("gumbel_score").desc, key.asc), n)
+      .withColumnRenamed("__rn", "rank")
+  }
 }

@@ -278,6 +278,61 @@ object StructuredStreams {
     }
   }
 
+  /** Standing BM25 inverted index over a document stream: each
+    * micro-batch builds its own postings + integer corpus counts
+    * ([[graft.pipeline.Retrieval.buildBm25Acc]]) and folds into the
+    * standing accumulator — per-batch cost ∝ batch postings + standing
+    * postings glue, NEVER a re-tokenization of history. Postings from
+    * disjoint doc batches union associatively and the (n_docs, sum_dl)
+    * counts are exact integer adds, so the folded index serves scores
+    * BIT-IDENTICAL to a one-shot build over the concatenated stream
+    * (`StreamingBm25Spec`). Same standing-state discipline as the
+    * other Streaming* classes: lineage-truncated per fold, superseded
+    * checkpoints released. */
+  final class StreamingBm25(idCol: String, textCol: String) {
+    @volatile private var state
+        : Option[graft.pipeline.Retrieval.Bm25Acc] = None
+
+    def fold(batch: DataFrame): Unit = synchronized {
+      val R = graft.pipeline.Retrieval
+      val b = R.buildBm25Acc(batch, col(idCol), col(textCol))
+      val folded = state match {
+        case None     => b
+        case Some(s0) => R.foldBm25Acc(s0, b)
+      }
+      val pinned = R.Bm25Acc(folded.postings.localCheckpoint(true),
+        folded.counts.localCheckpoint(true))
+      state.foreach { s0 =>
+        releaseCheckpoint(s0.postings); releaseCheckpoint(s0.counts)
+      }
+      state = Some(pinned)
+    }
+
+    /** Current standing accumulator (None before any batch); serve
+      * probes via `current.map(_.index)` +
+      * [[graft.pipeline.Retrieval.bm25ScoresIndexed]]. */
+    def current: Option[graft.pipeline.Retrieval.Bm25Acc] = state
+
+    def unpersist(): Unit = synchronized {
+      state.foreach { s0 =>
+        releaseCheckpoint(s0.postings); releaseCheckpoint(s0.counts)
+      }
+      state = None
+    }
+  }
+
+  /** Attach standing BM25 index maintenance to a document stream. */
+  def maintainBm25(stream: DataFrame, index: StreamingBm25,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        index.fold(batch.toDF())
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
   /** Standing additive CUBE dashboard over a stream
     * ([[graft.pipeline.Reports]]): each micro-batch aggregates to its
     * own cube of (count, sum) partials, then folds into the standing
