@@ -1435,6 +1435,26 @@ object SparkEntry {
           col("asof_gap_ms"))
     }),
 
+    // Nearest as-of: the closest click in EITHER direction (ties →
+    // backward, the reading already known at event time) — both
+    // directional matches from two window passes over ONE key-hash
+    // shuffle, no join operator
+    "asof_join_nearest" -> ((s, dir) => {
+      val ev = EventsAsQuads.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts_ms").as("cts_ms"), col("value").as("click_value"))
+      graft.pipeline.Temporal.asOfJoinNearest(purchases, clicks,
+          key = "user_id", leftTs = "ts_ms", rightTs = "cts_ms",
+          rightPayload = Seq("click_id", "click_value"),
+          rightTieBreak = "click_id")
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          col("click_id"), round(col("click_value"), 6).as("click_value"),
+          col("asof_gap_ms"), col("asof_dir"))
+    }),
+
     // Forward as-of join: the NEXT click at-or-after each purchase —
     // the exact mirror of asof_join (same one-shuffle union + single
     // window plan, greatest-click_id rule on equal-ms ties)
@@ -1919,6 +1939,66 @@ object SparkEntry {
         topK = 10)
     }),
 
+    // Hard-negative mining: per query, the 5 highest-BM25 docs NOT in
+    // the relevance set — the training-pair generator for rerankers /
+    // bi-encoders (lexically confusable yet wrong). One anti-join +
+    // the skew-proof two-phase per-query top-k
+    "retrieval_hard_negatives" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val queries = docs.where(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(slice(
+            graft.pipeline.TextAnalysis.tokens(col("text")), 1, 4)))
+            .as("token"))
+      val scores = graft.pipeline.Retrieval.bm25ScoresForQueries(
+        docs, col("doc_id"), col("text"), queries)
+      graft.pipeline.Retrieval.hardNegatives(scores,
+        docs.where(col("doc_id") % 25 === 0)
+          .select(col("doc_id").as("query_id"),
+            col("doc_id").as("rel_id")),
+        perQuery = 5)
+    }),
+
+    // The retrieval stack composed END-TO-END as one plan: incremental
+    // index fold (3 batches) → multi-query scoring FROM the standing
+    // index → hybrid RRF fusion with dense ranks → NDCG@10 of the
+    // fused ranking. Any stage drifting breaks the hash — the
+    // curation_e2e pattern for the retrieval family
+    "retrieval_chain" -> ((s, dir) => {
+      val R = graft.pipeline.Retrieval
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val folded = (0 until 3).map(i =>
+          R.buildBm25Acc(docs.where(col("doc_id") % 3 === i),
+            col("doc_id"), col("text")))
+        .reduce(R.foldBm25Acc)
+      val queries = docs.where(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(slice(
+            graft.pipeline.TextAnalysis.tokens(col("text")), 1, 4)))
+            .as("token"))
+      val lexRank = graft.pipeline.Sampling.topKPerGroup(
+        R.bm25ScoresIndexedForQueries(folded.index, queries),
+        col("query_id"), col("bm25"), col("id").asc, 20)
+        .select(col("query_id"), col("id"), col("rank"))
+      val denseRank = graft.pipeline.Ann.bruteForceTopK(emb,
+        emb.where(col("vec_id") < 3), k = 20)
+        .select(col("query_id"), col("id"), col("rank"))
+      val fused = R.rrfFuse(Seq(lexRank, denseRank), topK = 10)
+      val qids = docs.where(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"))
+      val relevance = qids
+        .select(col("query_id"), col("query_id").as("rel_id"),
+          lit(3L).as("grade"))
+        .unionByName(qids.select(col("query_id"),
+          (col("query_id") + 1L).as("rel_id"), lit(1L).as("grade")))
+      R.ndcgAtK(
+        fused.select(col("query_id"), col("id"),
+          col("rrf").as("bm25")),
+        relevance, k = 10)
+    }),
+
     // Sequence packing, pretraining shape: concat docs in doc_id order
     // and cut every 256 tokens; docs may straddle cuts. The global
     // token offset is a two-phase broadcast-prefix sum (no one-task
@@ -2248,6 +2328,23 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         col("doc_id"), col("text"))
         .withColumnRenamed("id", "doc_id")),
+
+    // Zipf rank-frequency fit: least-squares slope of ln(count) vs
+    // ln(rank) over the top-100 tokens — the one-row corpus-health
+    // readout. Regression moments accumulate as exact decimals
+    "corpus_zipf" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.zipfFit(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("text"), topV = 100)),
+
+    // PMI collocation mining: the top-50 adjacent pairs by pointwise
+    // mutual information (≥ 5 occurrences) — the phrase/MWE miner for
+    // tokenizer seeding. Exact integer counts; one round-9 ln of the
+    // double-cross-multiplied rational per surviving pair
+    "corpus_pmi" -> ((s, dir) =>
+      graft.pipeline.LanguageModel.pmiCollocations(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), minCount = 5L, topK = 50)),
 
     // Supervised curation filter (fasttext shape): multinomial NB over
     // tokens, trained on docs < 400 with the real `lang` labels, capped
@@ -2723,6 +2820,31 @@ object SparkEntry {
       val w = graft.pipeline.Sampling.dsirWeights(docs, col("doc_id"),
         col("text"), col("lang") === "zh", buckets = 256)
       graft.pipeline.Sampling.dsirSelect(w, n = 50)
+        .select(col("id").as("doc_id"), col("n_toks"), col("dsir_w"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    // Incremental DSIR: three disjoint batch models fold into the
+    // standing bucket model (exact integer adds — any batching is
+    // bit-identical); in-query require pins folded ≡ one-shot counts,
+    // then the scored top-50 shares the one-shot oracle
+    "sample_dsir_incremental" -> ((s, dir) => {
+      val S = graft.pipeline.Sampling
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val folded = (0 until 3).map(i =>
+          S.buildDsirModel(docs.where(col("doc_id") % 3 === i),
+            col("doc_id"), col("text"), col("lang") === "zh",
+            buckets = 256))
+        .reduce(S.foldDsirModel)
+      val oneShot = S.buildDsirModel(docs, col("doc_id"), col("text"),
+        col("lang") === "zh", buckets = 256)
+      val fc = folded.counts.localCheckpoint(true)
+      val (nF, nBoth) = (fc.count(), fc.intersect(oneShot.counts).count())
+      require(nF == nBoth && nF == oneShot.counts.count(),
+        s"folded model != one-shot model ($nF vs $nBoth)")
+      val w = S.dsirWeightsWithModel(docs, col("doc_id"), col("text"),
+        S.DsirModel(fc, 256))
+      S.dsirSelect(w, n = 50)
         .select(col("id").as("doc_id"), col("n_toks"), col("dsir_w"),
           col("rank").cast("long").as("rank"))
     }),
@@ -3885,6 +4007,9 @@ object SparkEntry {
     ("retrieval_bm25_incremental" -> oracleSqlBase("retrieval_bm25")) +
     // folded-dictionary removal must equal the one-shot semantics
     ("boiler_incremental" -> oracleSqlBase("text_boilerplate")) +
+    // the folded DSIR model is bit-identical to one-shot (exact
+    // integer bucket adds; the entry's require pins it) — one oracle
+    ("sample_dsir_incremental" -> oracleSqlBase("sample_dsir")) +
     // folded-chunk-index dedup must equal the one-shot rebuild
     ("dedup_cdc_incremental" -> oracleSqlBase("dedup_cdc_apply")) +
     // confusion matrix wraps the classify_nb prediction SQL
@@ -4899,6 +5024,236 @@ object SparkEntry {
         |  SELECT query_id, id, rrf, n_lists, row_number() OVER (
         |    PARTITION BY query_id ORDER BY rrf DESC, id) AS rank
         |  FROM fs) WHERE rank <= 10""".stripMargin,
+    // nearest as-of: both directional window passes + the tie-backward
+    // choice, restated over the same millisecond-granularity union
+    "asof_join_nearest" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, epoch_us(ts) // 1000 AS ts_ms
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT event_id AS click_id, user_id,
+        |    epoch_us(ts) // 1000 AS ts_ms,
+        |    value AS click_value FROM events WHERE event_type = 'click'),
+        |u AS (
+        |  SELECT user_id, ts_ms, 1 AS side, event_id,
+        |    NULL::BIGINT AS click_id FROM l
+        |  UNION ALL
+        |  SELECT user_id, ts_ms, 0, NULL, click_id FROM r),
+        |w AS (
+        |  SELECT user_id, ts_ms, side, event_id,
+        |    last_value(click_id IGNORE NULLS) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY ts_ms, side, click_id NULLS FIRST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_id,
+        |    last_value(click_id IGNORE NULLS) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY ts_ms DESC, side, click_id NULLS FIRST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_id
+        |  FROM u),
+        |j AS (
+        |  SELECT w.event_id, w.user_id, w.ts_ms,
+        |    p.click_id AS pb_id, p.click_value AS pb_val,
+        |    w.ts_ms - p.ts_ms AS gb,
+        |    n.click_id AS nf_id, n.click_value AS nf_val,
+        |    n.ts_ms - w.ts_ms AS gf
+        |  FROM w
+        |  LEFT JOIN r p ON w.p_id = p.click_id
+        |  LEFT JOIN r n ON w.n_id = n.click_id
+        |  WHERE w.side = 1),
+        |c AS (
+        |  SELECT *,
+        |    (pb_id IS NOT NULL AND (nf_id IS NULL OR gb <= gf)) AS use_b,
+        |    (nf_id IS NOT NULL AND NOT
+        |      (pb_id IS NOT NULL AND (nf_id IS NULL OR gb <= gf)))
+        |      AS use_f
+        |  FROM j)
+        |SELECT event_id, user_id, ts_ms,
+        |  CASE WHEN use_b THEN pb_id WHEN use_f THEN nf_id END
+        |    AS click_id,
+        |  round(CASE WHEN use_b THEN pb_val WHEN use_f THEN nf_val END,
+        |    6) AS click_value,
+        |  CASE WHEN use_b THEN gb WHEN use_f THEN gf END AS asof_gap_ms,
+        |  CASE WHEN use_b THEN 'backward' WHEN use_f THEN 'forward' END
+        |    AS asof_dir
+        |FROM c""".stripMargin,
+    // Zipf fit: decimal-exact regression moments over the top-100
+    // (count desc, token asc) ranks; slope/intercept closed form
+    "corpus_zipf" ->
+      """WITH u AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |    AS w
+        |  FROM documents),
+        |c1 AS (SELECT w, COUNT(*) AS c FROM u GROUP BY w),
+        |rk AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rank
+        |  FROM c1 QUALIFY rank <= 100),
+        |xy AS (
+        |  SELECT CAST(ROUND(ln(CAST(rank AS DOUBLE)), 9)
+        |      AS DECIMAL(15,9)) AS x,
+        |    CAST(ROUND(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(15,9)) AS y
+        |  FROM rk),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy
+        |  FROM xy)
+        |SELECT CAST(n AS BIGINT) AS n_tokens,
+        |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+        |    / n, 6) AS intercept
+        |FROM m""".stripMargin,
+    // PMI collocations: exact unigram/bigram counts, one ln per
+    // surviving pair, top-50 by (pmi desc, "w1 w2" asc)
+    "corpus_pmi" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+')
+        |    AS toks
+        |  FROM documents),
+        |u AS (SELECT unnest(toks) AS w FROM t),
+        |c1 AS (SELECT w, COUNT(*) AS c FROM u GROUP BY w),
+        |tot AS (SELECT SUM(c) AS t FROM c1),
+        |bg AS (SELECT
+        |    unnest(list_transform(range(1, len(toks)), i -> toks[i]))
+        |      AS w1,
+        |    unnest(list_transform(range(1, len(toks)), i -> toks[i+1]))
+        |      AS w2
+        |  FROM t WHERE len(toks) >= 2),
+        |c2full AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+        |bt AS (SELECT SUM(c12) AS bt FROM c2full),
+        |c2 AS (SELECT * FROM c2full WHERE c12 >= 5),
+        |sc AS (
+        |  SELECT c2.w1, c2.w2, c2.c12,
+        |    ROUND(ln((CAST(c2.c12 AS DOUBLE) * CAST(tot.t AS DOUBLE)
+        |        * CAST(tot.t AS DOUBLE))
+        |      / (CAST(bt.bt AS DOUBLE) * CAST(a.c AS DOUBLE)
+        |        * CAST(b.c AS DOUBLE))), 9) AS pmi
+        |  FROM c2 JOIN c1 a ON a.w = c2.w1 JOIN c1 b ON b.w = c2.w2,
+        |    tot, bt)
+        |SELECT w1, w2, c12, pmi, CAST(rank AS BIGINT) AS rank
+        |FROM (
+        |  SELECT w1, w2, c12, pmi, row_number() OVER (
+        |    ORDER BY pmi DESC, w1 || ' ' || w2) AS rank
+        |  FROM sc) WHERE rank <= 50""".stripMargin,
+    // hard negatives: the BM25 multi-query scores minus the relevance
+    // set, top-5 per query
+    "retrieval_hard_negatives" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+')
+        |    AS toks
+        |  FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |  AVG(CAST(len(toks) AS DOUBLE)) AS avgdl FROM d),
+        |q AS (
+        |  SELECT doc_id AS query_id,
+        |    unnest(list_distinct(toks[1:4])) AS token
+        |  FROM d WHERE doc_id % 25 = 0),
+        |f AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+        |  unnest(toks) AS token FROM d),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf,
+        |    ANY_VALUE(dl) AS dl
+        |  FROM f WHERE token IN (SELECT DISTINCT token FROM q)
+        |  GROUP BY doc_id, token),
+        |dfq AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df
+        |  FROM tf GROUP BY token),
+        |sc AS (
+        |  SELECT q.query_id, tf.doc_id AS id,
+        |    ROUND(SUM(ln(1 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+        |      * tf.tf * 2.2
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))), 6)
+        |      AS bm25
+        |  FROM q JOIN tf USING (token) JOIN dfq USING (token), st
+        |  GROUP BY q.query_id, tf.doc_id)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, id, bm25
+        |FROM (
+        |  SELECT query_id, id, bm25, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY bm25 DESC, id) AS rank
+        |  FROM sc WHERE id <> query_id) WHERE rank <= 5""".stripMargin,
+    // the retrieval chain: fusion (identical CTEs — the folded index
+    // serves bit-identical scores) + NDCG of the fused ranking
+    "retrieval_chain" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+')
+        |    AS toks
+        |  FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |  AVG(CAST(len(toks) AS DOUBLE)) AS avgdl FROM d),
+        |q AS (
+        |  SELECT doc_id AS query_id,
+        |    unnest(list_distinct(toks[1:4])) AS token
+        |  FROM d WHERE doc_id < 3),
+        |f AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+        |  unnest(toks) AS token FROM d),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf,
+        |    ANY_VALUE(dl) AS dl
+        |  FROM f WHERE token IN (SELECT DISTINCT token FROM q)
+        |  GROUP BY doc_id, token),
+        |dfq AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df
+        |  FROM tf GROUP BY token),
+        |sc AS (
+        |  SELECT q.query_id, tf.doc_id AS id,
+        |    ROUND(SUM(ln(1 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+        |      * tf.tf * 2.2
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))), 6)
+        |      AS bm25
+        |  FROM q JOIN tf USING (token) JOIN dfq USING (token), st
+        |  GROUP BY q.query_id, tf.doc_id),
+        |l20 AS (
+        |  SELECT query_id, id, rank FROM (
+        |    SELECT query_id, id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY bm25 DESC, id) AS rank
+        |    FROM sc) WHERE rank <= 20),
+        |e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |qe AS (SELECT vec_id AS query_id, v AS qv FROM e
+        |  WHERE vec_id < 3),
+        |ds AS (
+        |  SELECT qe.query_id, e.vec_id AS id,
+        |    ROUND(list_cosine_similarity(e.v, qe.qv), 6) AS sim
+        |  FROM e, qe WHERE e.vec_id <> qe.query_id),
+        |d20 AS (
+        |  SELECT query_id, id, rank FROM (
+        |    SELECT query_id, id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY sim DESC, id) AS rank
+        |    FROM ds) WHERE rank <= 20),
+        |u AS (SELECT * FROM l20 UNION ALL SELECT * FROM d20),
+        |fs AS (
+        |  SELECT query_id, id,
+        |    ROUND(SUM(1.0 / (60 + rank)), 9) AS rrf
+        |  FROM u GROUP BY query_id, id),
+        |rk AS (
+        |  SELECT query_id, id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY rrf DESC, id) AS rank
+        |  FROM fs),
+        |rel AS (
+        |  SELECT doc_id AS query_id, doc_id AS rel_id, 3 AS grade
+        |  FROM documents WHERE doc_id < 3
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 1, 1
+        |  FROM documents WHERE doc_id < 3),
+        |dcg AS (
+        |  SELECT rel.query_id,
+        |    ROUND(SUM((POW(2.0, grade) - 1) / ln(rank + 1))
+        |      * 0.6931471805599453, 6) AS dcg
+        |  FROM rel JOIN rk ON rel.query_id = rk.query_id
+        |    AND rel.rel_id = rk.id AND rk.rank <= 10
+        |  GROUP BY rel.query_id),
+        |irk AS (
+        |  SELECT query_id, grade, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY grade DESC, rel_id) AS r
+        |  FROM rel),
+        |idcg AS (
+        |  SELECT query_id,
+        |    ROUND(SUM((POW(2.0, grade) - 1) / ln(r + 1))
+        |      * 0.6931471805599453, 6) AS idcg
+        |  FROM irk WHERE r <= 10 GROUP BY query_id)
+        |SELECT idcg.query_id, COALESCE(dcg.dcg, 0) AS dcg, idcg.idcg,
+        |  ROUND(CASE WHEN idcg.idcg > 0
+        |    THEN COALESCE(dcg.dcg, 0) / idcg.idcg ELSE 0 END, 6) AS ndcg
+        |FROM idcg LEFT JOIN dcg USING (query_id)""".stripMargin,
     // BFS distances from seed 0 as a bounded recursive min-dist CTE:
     // the UNION-dedup keeps the walk state finite; MIN collapses the
     // multiple discovery depths to the true shortest distance — the

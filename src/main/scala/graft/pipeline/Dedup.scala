@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication operators for 100 TB-scale corpora.
@@ -311,23 +312,28 @@ object Dedup {
     * the set-similarity-join literature.
     *
     * Candidate rule (the asymmetric prefix filter): if C(A,B) ≥ t then
-    * in any global total order on the shingle universe the first
+    * in any FIXED global total order on the shingle universe the first
     * `|A| - ⌈t·|A|⌉ + 1` elements of A must intersect B's FULL set —
     * only the probe side gets prefix-truncated (the indexed side can't
     * be, which is exactly why this costs more than the symmetric
     * Jaccard prefix join and why the threshold governs the probe
-    * volume). Order is xxhash64, content-independent; hash collisions
-    * only ADD candidates — the exact verify removes them.
+    * volume). The order used is GLOBAL DOCUMENT FREQUENCY ascending
+    * (hash as tiebreak) — the PPJoin rarest-first rule: the pigeonhole
+    * recall argument holds for any fixed order, and df-ascending makes
+    * each probe hit the SMALLEST postings lists, which is the
+    * difference between linear and quadratic growth on a corpus full
+    * of near-copies (ScaleProbe measured 8.5× super-linear per-doc
+    * growth at 10× under hash-ordered prefixes; df-ordered probes cut
+    * candidate volume to ≈ output size). Hash collisions only ADD
+    * candidates — the exact verify removes them.
     *
-    * Scale shape: one (hash) equi-join for candidates, one array-
-    * intersect verify over pair rows — no all-pairs stage. The indexed
-    * (full) side is the standard inverted-index volume; a hot shingle
-    * (corpus-wide boilerplate token run) fans out there, the same
-    * skew the Jaccard path carries — at 100 TB cut the universe first
-    * with [[duplicatedSpans]]-style df stats if the shingle df
-    * distribution is pathological. Output: (id_a, id_b, inter, n_a,
-    * containment_ppm) — integer-exact, id_a ≠ id_b, BOTH directions
-    * reported when both qualify (the relation is asymmetric). */
+    * Scale shape: one df aggregation + one (hash) equi-join for
+    * candidates + one array-intersect verify over pair rows — no
+    * all-pairs stage, and the per-doc prefix window partitions by doc
+    * id (bounded by the doc's own shingle count). Output: (id_a, id_b,
+    * inter, n_a, containment_ppm) — integer-exact, id_a ≠ id_b, BOTH
+    * directions reported when both qualify (the relation is
+    * asymmetric). */
   def containmentPairs(df: DataFrame, idCol: Column, textCol: Column,
       minPpm: Long, shingleSize: Int = 3): DataFrame = {
     require(minPpm > 0L && minPpm <= 1000000L,
@@ -345,10 +351,17 @@ object Dedup {
     val prefLen = expr(
       s"cast(size(hs) - ((cast(size(hs) as bigint) * $minPpm + 999999)" +
         " div 1000000) + 1 as int)")
-    val probe = docs.select(col("id").as("id_a"),
-      explode(slice(col("hs"), lit(1), prefLen)).as("h"))
     val index = docs.select(col("id").as("id_b"),
       explode(col("hs")).as("h"))
+    val dfTab = index.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+    val byRarity = Window.partitionBy(col("id"))
+      .orderBy(col("__df").asc, col("h").asc)
+    val probe = docs.select(col("id"), prefLen.as("__pl"),
+        explode(col("hs")).as("h"))
+      .join(dfTab, "h")
+      .withColumn("__rk", row_number().over(byRarity))
+      .where(col("__rk") <= col("__pl"))
+      .select(col("id").as("id_a"), col("h"))
     val pairs = probe.join(index, Seq("h"))
       .where(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b")

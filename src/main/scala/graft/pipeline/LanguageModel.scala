@@ -128,4 +128,59 @@ object LanguageModel {
     model.vocab.unpersist()
     ()
   }
+
+  /** Pointwise-mutual-information collocations — the classic phrase /
+    * multi-word-expression miner (tokenizer seeding, stop-phrase
+    * lists): for every adjacent pair seen ≥ `minCount` times,
+    * PMI = ln( p(w1,w2) / (p(w1)·p(w2)) )
+    *     = ln( c₁₂ · T · T / (B · c₁ · c₂) )
+    * with T the corpus token count and B its bigram count. Returns the
+    * `topK` pairs by (PMI desc, bigram asc): (w1, w2, c12, pmi).
+    *
+    * Determinism: all counts are exact integers; the cross-multiplied
+    * rational goes through DOUBLE (exact IEEE ops; the integer products
+    * overflow int64 at real corpus totals) into ONE round-9 ln — the
+    * DSIR discipline. Scale shape: one token-count and one bigram-count
+    * shuffle (both map-side combined, vocab-sized outputs), unigram
+    * counts joined back BY TOKEN (vocab tables are not broadcastable at
+    * 100 TB), corpus totals one broadcast row, then the skew-proof
+    * two-phase top-k. The `minCount` floor is applied BEFORE the joins
+    * — it prunes the hapax tail, which is most of the bigram table. */
+  def pmiCollocations(docs: DataFrame, idCol: Column, textCol: Column,
+      minCount: Long, topK: Int): DataFrame = {
+    require(minCount >= 1L && topK >= 1, "minCount and topK must be >= 1")
+    val uni = docs
+      .select(explode(graft.pipeline.TextAnalysis.tokens(textCol))
+        .as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum(col("c")).as("t"))
+    // ONE corpus pass builds the grouped bigram table; the total and
+    // the min-count slice both read the pinned aggregate (re-deriving
+    // either would re-tokenize the corpus)
+    val big = pairs(docs, idCol, textCol)
+      .groupBy(col("a").as("w1"), col("b").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val btot = big.agg(sum(col("c12")).as("bt"))
+    val bi = big.where(col("c12") >= minCount)
+    val scored = bi
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(btot))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log(
+          (col("c12").cast("double") * col("t").cast("double") *
+            col("t").cast("double")) /
+            (col("bt").cast("double") * col("c1").cast("double") *
+              col("c2").cast("double"))), 9).as("pmi"))
+    val out = Sampling.topKPerGroup(scored, lit(1), col("pmi"),
+      concat_ws(" ", col("w1"), col("w2")).asc, topK)
+      .select(col("w1"), col("w2"), col("c12"), col("pmi"),
+        col("rank").cast("long").as("rank"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    big.unpersist()
+    out
+  }
 }

@@ -244,6 +244,51 @@ object Retrieval {
         .agg(sum(col("n_docs")).as("n_docs"),
           sum(col("sum_dl")).as("sum_dl")))
 
+  /** Multi-query scoring from a STANDING index — [[bm25ScoresForQueries]]
+    * without re-reading the corpus: the query table's distinct terms
+    * semi-join the postings (partition/bucket-prunable on token), df
+    * stats recompute on the filtered slice, identical results to the
+    * ad-hoc path. */
+  def bm25ScoresIndexedForQueries(index: Bm25Index, queries: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val q = queries.toDF("query_id", "token")
+      .select(col("query_id"), lower(trim(col("token"))).as("token"))
+      .distinct()
+    val terms = q.select(col("token")).distinct()
+    val tf = index.postings
+      .join(broadcast(terms), Seq("token"), "left_semi")
+    val dfreq = tf.groupBy(col("token"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfreq), "token")
+      .join(broadcast(q), "token")
+      .crossJoin(broadcast(index.stats))
+      .withColumn("__contrib",
+        idf(col("n_docs"), col("df")) * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("id"))
+      .agg(round(sum(col("__contrib")), 6).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+  }
+
+  /** Hard-negative mining — the training-pair generator for retrieval
+    * models: per query, the `perQuery` HIGHEST-scoring documents that
+    * are NOT in the relevance set (lexically confusable yet wrong —
+    * exactly what a reranker/bi-encoder needs to learn against).
+    * `scores` is (query_id, id, bm25), `relevant` is (query_id,
+    * rel_id). One broadcast anti-join + the skew-proof two-phase
+    * per-query top-k; returns (query_id, rank, id, bm25). */
+  def hardNegatives(scores: DataFrame, relevant: DataFrame,
+      perQuery: Int): DataFrame = {
+    require(perQuery >= 1, "perQuery must be >= 1")
+    val rel = relevant.toDF("query_id", "id")
+    val negatives = scores.join(rel, Seq("query_id", "id"), "left_anti")
+    Sampling.topKPerGroup(negatives, col("query_id"), col("bm25"),
+      col("id").asc, perQuery)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("id"), col("bm25"))
+  }
+
   // ---- ranking evaluation & fusion --------------------------------------
 
   /** NDCG@k over graded relevance — the ranking-quality readout for

@@ -605,20 +605,57 @@ object Sampling {
     * same aggregation); the raw corpus is the 100 TB side and touches
     * exactly one shuffle keyed by (id, bucket). */
   def dsirWeights(df: DataFrame, idCol: Column, textCol: Column,
-      isTarget: Column, buckets: Int = 256): DataFrame = {
+      isTarget: Column, buckets: Int = 256): DataFrame =
+    dsirWeightsWithModel(df, idCol, textCol,
+      buildDsirModel(df, idCol, textCol, isTarget, buckets))
+
+  /** The DSIR bucket model as standing state: exact integer (raw,
+    * target) counts per hashed-unigram bucket. Counts add
+    * associatively, so batch models FOLD to the bit-identical model
+    * ([[foldDsirModel]]) — the same incremental discipline as the BM25
+    * accumulator and the PCA moments. ≤ `buckets` rows. */
+  case class DsirModel(counts: DataFrame, buckets: Int)
+
+  /** Build the bucket model for one document batch: one token explode
+    * + one map-side-combined (bucket) count. */
+  def buildDsirModel(df: DataFrame, idCol: Column, textCol: Column,
+      isTarget: Column, buckets: Int = 256): DsirModel = {
     require(buckets >= 2, "need at least 2 hash buckets")
-    val toks = df.select(idCol.as("id"), isTarget.as("__t"),
+    val counts = df.select(isTarget.as("__t"),
+        explode(TextAnalysis.tokens(textCol)).as("token"))
+      .withColumn("bucket",
+        conv(substring(md5(col("token")), 1, 15), 16, 10)
+          .cast("long") % buckets)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("ctg"))
+    DsirModel(counts, buckets)
+  }
+
+  /** Fold a batch model into the standing one — one aggregation over
+    * ≤ 2·buckets rows, NEVER a corpus rescan; integer adds are
+    * associative, so any batching folds to the bit-identical model. */
+  def foldDsirModel(a: DsirModel, b: DsirModel): DsirModel = {
+    require(a.buckets == b.buckets,
+      s"bucket counts differ: ${a.buckets} vs ${b.buckets}")
+    DsirModel(a.counts.unionByName(b.counts)
+      .groupBy(col("bucket"))
+      .agg(sum(col("cr")).as("cr"), sum(col("ctg")).as("ctg")),
+      a.buckets)
+  }
+
+  /** Score documents against a (possibly folded) standing model. */
+  def dsirWeightsWithModel(df: DataFrame, idCol: Column,
+      textCol: Column, model0: DsirModel): DataFrame = {
+    val buckets = model0.buckets
+    val toks = df.select(idCol.as("id"),
         explode(TextAnalysis.tokens(textCol)).as("token"))
       .withColumn("bucket",
         conv(substring(md5(col("token")), 1, 15), 16, 10)
           .cast("long") % buckets)
     val docBucket = toks.groupBy(col("id"), col("bucket"))
-      .agg(count(lit(1)).as("c"),
-        sum(when(col("__t"), 1L).otherwise(0L)).as("ct"))
-    // bucket model: raw counts over ALL docs, target counts over the
-    // target slice — ≤ `buckets` rows, plus one-row corpus totals
-    val model = docBucket.groupBy(col("bucket"))
-      .agg(sum(col("c")).as("cr"), sum(col("ct")).as("ctg"))
+      .agg(count(lit(1)).as("c"))
+    val model = model0.counts
     val totals = model.agg(sum(col("cr")).as("tr"),
       sum(col("ctg")).as("tt"))
     val logRatio = model.crossJoin(broadcast(totals))
@@ -635,10 +672,18 @@ object Sampling {
             ((col("cr") + 1L).cast("double") *
               (col("tt") + buckets).cast("double"))),
           9).as("lr"))
-    docBucket.join(broadcast(logRatio), "bucket")
+    // a scored doc may hit a bucket the standing model never saw (new
+    // vocabulary): both smoothed counts floor to 1, so its log-ratio
+    // is ln((tr+B)/(tt+B)) — joined LEFT and coalesced, never dropped
+    val floorLr = round(log((col("tr") + buckets).cast("double") /
+      (col("tt") + buckets).cast("double")), 9)
+    docBucket.crossJoin(broadcast(totals))
+      .join(broadcast(logRatio), Seq("bucket"), "left")
+      .withColumn("__lr", coalesce(col("lr"), floorLr))
       .groupBy(col("id"))
       .agg(sum(col("c")).as("n_toks"),
-        round(sum(col("c").cast("double") * col("lr")), 6).as("dsir_w"))
+        round(sum(col("c").cast("double") * col("__lr")), 6)
+          .as("dsir_w"))
   }
 
   /** Deterministic DSIR selection: the `n` highest-weight documents

@@ -78,6 +78,81 @@ object Temporal {
     asOfImpl(left, right, key, leftTs, rightTs, rightPayload,
       rightTieBreak, toleranceMs, forward = true)
 
+  /** Nearest as-of join: for every left row, the single right row with
+    * the same key whose timestamp is CLOSEST in either direction
+    * (optionally within `toleranceMs`); exact ties between the previous
+    * and next candidate resolve BACKWARD (the reading already known at
+    * event time). Emits `left.* ++ rightPayload ++ (asof_gap_ms,
+    * asof_dir)` — gap is the absolute millisecond distance, dir is
+    * 'backward'/'forward'/null.
+    *
+    * Plan shape: the same single key-hash shuffle as [[asOfJoin]] —
+    * one union, then BOTH directional matches come from two window
+    * passes over the same partitioning (one exchange, two sorts); no
+    * join operator, no per-key explosion on hot keys. */
+  def asOfJoinNearest(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightPayload: Seq[String],
+      rightTieBreak: String, toleranceMs: Option[Long] = None)
+      : DataFrame = {
+    right.schema(rightTieBreak).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case other => throw new IllegalArgumentException(
+        s"asOfJoinNearest rightTieBreak '$rightTieBreak' must be " +
+          s"numeric (deterministic long ordering), got $other")
+    }
+    val leftCols = left.columns.toSeq
+    val rUs = tsUs(right, rightTs)
+    val payloadStruct = struct(
+      floor(rUs / 1000L).cast("long").as("__rts_ms") +:
+        rightPayload.map(c => col(c).as(c)): _*)
+    val r2 = right.select(
+      col(key).as("__k"),
+      rUs.as("__ts_us"),
+      lit(0).as("__side"),
+      col(rightTieBreak).cast("long").as("__tb"),
+      payloadStruct.as("__r"))
+    val rStructType = r2.schema("__r").dataType
+    val l2 = left.select(
+      col(key).as("__k"),
+      tsUs(left, leftTs).as("__ts_us"),
+      lit(1).as("__side"),
+      lit(null).cast("long").as("__tb"),
+      lit(null).cast(rStructType).as("__r"),
+      struct(leftCols.map(col): _*).as("__l"))
+    val unioned = r2
+      .withColumn("__l", lit(null).cast(l2.schema("__l").dataType))
+      .unionByName(l2)
+    val wBack = Window.partitionBy("__k")
+      .orderBy(col("__ts_us").asc, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy("__k")
+      .orderBy(col("__ts_us").desc, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withBoth = unioned
+      .withColumn("__p", last(col("__r"), ignoreNulls = true).over(wBack))
+      .withColumn("__n", last(col("__r"), ignoreNulls = true).over(wFwd))
+      .where(col("__side") === 1)
+    val ltsMs = floor(col("__ts_us") / 1000L).cast("long")
+    val gb = ltsMs - col("__p.__rts_ms")
+    val gf = col("__n.__rts_ms") - ltsMs
+    def admissible(m: Column, gap: Column): Column = toleranceMs match {
+      case Some(tol) => m.isNotNull && gap <= lit(tol)
+      case None      => m.isNotNull
+    }
+    val okB = admissible(col("__p"), gb)
+    val okF = admissible(col("__n"), gf)
+    // ties resolve backward: the reading already known at event time
+    val useB = okB && (!okF || gb <= gf)
+    val useF = okF && !useB
+    val m = when(useB, col("__p")).when(useF, col("__n"))
+    withBoth.select(
+      leftCols.map(c => col(s"__l.$c").as(c)) ++
+        rightPayload.map(c => m.getField(c).as(c)) :+
+        when(useB, gb).when(useF, gf).as("asof_gap_ms") :+
+        when(useB, lit("backward")).when(useF, lit("forward"))
+          .as("asof_dir"): _*)
+  }
+
   private def asOfImpl(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, rightPayload: Seq[String],
       rightTieBreak: String, toleranceMs: Option[Long],

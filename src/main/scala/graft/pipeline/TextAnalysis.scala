@@ -1082,4 +1082,44 @@ object TextAnalysis {
     docs.select(idCol.as("doc_id"), ratio(textCol).as("zlib_ratio"),
       length(textCol).cast("long").as("n_bytes"))
   }
+
+  /** Zipf rank–frequency fit over the corpus vocabulary: least-squares
+    * slope/intercept of ln(count) against ln(rank) for the top-`topV`
+    * tokens — the one-row corpus-health readout (natural language sits
+    * near slope −1; template/boilerplate corpora flatten it, OCR noise
+    * steepens the tail). Returns (n_tokens, slope, intercept).
+    *
+    * Determinism: ranks come from the deterministic (count desc, token
+    * asc) total order; x = ln(rank) and y = ln(count) are round-9 lns
+    * of exact integers; the regression moments Σx, Σy, Σx², Σxy
+    * accumulate as DECIMAL (exact, order-free — the q1_agg discipline,
+    * because a double Σxy over thousands of terms flips its last ulp
+    * with partitioning), and only the final slope/intercept divisions
+    * are doubles (round-6). Scale shape: one map-side-combined token
+    * count, the skew-proof two-phase top-V, then a V-row aggregate. */
+  def zipfFit(df: DataFrame, textCol: Column, topV: Int): DataFrame = {
+    require(topV >= 2, "need at least 2 ranks to fit a slope")
+    val counts = df.select(explode(tokens(textCol)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val ranked = Sampling.topKPerGroup(counts, lit(1), col("c"),
+      col("w").asc, topV)
+    val xy = ranked.select(
+      round(log(col("rank").cast("double")), 9)
+        .cast("decimal(15,9)").as("x"),
+      round(log(col("c").cast("double")), 9)
+        .cast("decimal(15,9)").as("y"))
+    // the SUMS are exact decimals (order-free); the closed-form slope
+    // then runs on 5 scalars in double — one deterministic expression
+    val agg = xy.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("x") * col("y")).cast("double").as("sxy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    agg.select(col("n").cast("long").as("n_tokens"),
+      round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / col("n"), 6)
+        .as("intercept"))
+  }
 }

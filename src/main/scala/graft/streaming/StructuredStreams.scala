@@ -333,6 +333,54 @@ object StructuredStreams {
       .trigger(Trigger.ProcessingTime(0))
       .start()
 
+  /** Standing DSIR bucket model over a document stream: each
+    * micro-batch's (raw, target) bucket counts fold into the standing
+    * model with one ≤ 2·buckets-row aggregation
+    * ([[graft.pipeline.Sampling.foldDsirModel]]) — integer adds are
+    * associative, so the folded model scores documents BIT-IDENTICALLY
+    * to a one-shot build over the concatenated stream
+    * (`StreamingDsirSpec`). Lineage-truncated per fold, superseded
+    * checkpoints released. */
+  final class StreamingDsir(idCol: String, textCol: String,
+      isTarget: String, buckets: Int = 256) {
+    @volatile private var state
+        : Option[graft.pipeline.Sampling.DsirModel] = None
+
+    def fold(batch: DataFrame): Unit = synchronized {
+      val S = graft.pipeline.Sampling
+      val b = S.buildDsirModel(batch, col(idCol), col(textCol),
+        col(isTarget), buckets)
+      val folded = state match {
+        case None     => b
+        case Some(s0) => S.foldDsirModel(s0, b)
+      }
+      val pinned = S.DsirModel(folded.counts.localCheckpoint(true),
+        buckets)
+      state.foreach(s0 => releaseCheckpoint(s0.counts))
+      state = Some(pinned)
+    }
+
+    /** Current standing model (None before any batch); score via
+      * [[graft.pipeline.Sampling.dsirWeightsWithModel]]. */
+    def current: Option[graft.pipeline.Sampling.DsirModel] = state
+
+    def unpersist(): Unit = synchronized {
+      state.foreach(s0 => releaseCheckpoint(s0.counts)); state = None
+    }
+  }
+
+  /** Attach standing DSIR-model maintenance to a document stream. */
+  def maintainDsir(stream: DataFrame, model: StreamingDsir,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        model.fold(batch.toDF())
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
   /** Standing additive CUBE dashboard over a stream
     * ([[graft.pipeline.Reports]]): each micro-batch aggregates to its
     * own cube of (count, sum) partials, then folds into the standing

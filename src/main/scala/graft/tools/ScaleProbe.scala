@@ -208,6 +208,53 @@ object ScaleProbe {
         f"(${tIval * 1e6 / nEv}%.2f s/Mevent) bloom=$tBloom%.1fs " +
         f"kcore=$tKcore%.1fs lsh_eval=$tEval%.1fs " +
         f"(${tEval * 1e6 / nDocs}%.2f s/Mdoc)")
+
+      // round-14 additions: incremental BM25 fold (cost ∝ postings
+      // glue, flat per doc), containment join (prefix-filtered probe ×
+      // inverted index), DSIR weights (one (id, bucket) shuffle +
+      // broadcast model), BFS/SSSP (frontier rounds, each edge ≤ 2
+      // expansions total)
+      val tBm25Fold = timeSec {
+        val folded = (0 until 3).map(i =>
+            graft.pipeline.Retrieval.buildBm25Acc(
+              docs.where(col("doc_id") % 3 === i),
+              col("doc_id"), col("text")))
+          .reduce(graft.pipeline.Retrieval.foldBm25Acc)
+        println("  bm25 folded-index scored docs=" +
+          graft.pipeline.Retrieval.bm25ScoresIndexed(folded.index,
+            Seq("spark", "vector", "hash", "window")).count())
+      }
+      val tContain = timeSec {
+        val out = graft.pipeline.Dedup.containmentPairs(docs,
+          col("doc_id"), col("text"), minPpm = 800000L)
+        println("  containment pairs=" + out.count())
+        out.unpersist()
+      }
+      val tDsir = timeSec {
+        println("  dsir docs=" + graft.pipeline.Sampling.dsirWeights(
+          docs, col("doc_id"), col("text"), col("lang") === "zh",
+          buckets = 256).count())
+      }
+      val tPaths = timeSec {
+        val d = docs.select(col("doc_id"))
+        val fwd = d.select((col("doc_id") % 997).as("src"),
+            ((col("doc_id") * 7 + 3) % 997).as("dst"))
+          .unionAll(d.select((col("doc_id") % 997).as("src"),
+            ((col("doc_id") * 13 + 5) % 997).as("dst")))
+        val seeds = spark.range(1).select(lit(0L).as("node"))
+        println("  bfs reach=" + graft.pipeline.Graphs.bfsDistances(
+          fwd, col("src"), col("dst"), seeds, maxDepth = 32).count())
+        val weighted = fwd.unionAll(fwd.select(col("dst").as("src"),
+            col("src").as("dst")))
+          .withColumn("w", lit(1L) + (col("src") + col("dst")) % 5)
+        println("  sssp reach=" + graft.pipeline.Graphs.sssp(weighted,
+          col("src"), col("dst"), col("w"), seeds).count())
+      }
+      println(f"SCALE6 $dir bm25_fold=$tBm25Fold%.1fs " +
+        f"(${tBm25Fold * 1e6 / nDocs}%.2f s/Mdoc) " +
+        f"containment=$tContain%.1fs " +
+        f"(${tContain * 1e6 / nDocs}%.2f s/Mdoc) dsir=$tDsir%.1fs " +
+        f"(${tDsir * 1e6 / nDocs}%.2f s/Mdoc) paths=$tPaths%.1fs")
     }
     spark.stop()
   }

@@ -715,4 +715,54 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("*(1)"),
       s"the interleave must stay inside codegen:\n$plan")
   }
+
+  test("DSIR weights: the bucket model joins back as a BROADCAST; " +
+      "bucket counts combine map-side; no corpus-sized window") {
+    val df = SparkEntry.queries("sample_dsir")(spark, sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the B-row log-ratio model must broadcast:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"(id, bucket) counts must combine map-side:\n$plan")
+  }
+
+  test("indexed multi-query BM25: query terms semi-join the postings; " +
+      "df stats and the query table broadcast back") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val idx = graft.pipeline.Retrieval.buildBm25Acc(docs,
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text")).index
+    import spark.implicits._
+    val q = Seq((1L, "spark"), (2L, "hash")).toDF("query_id", "token")
+    val plan = executedPlan(
+      graft.pipeline.Retrieval.bm25ScoresIndexedForQueries(idx, q))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"df/query joins must broadcast:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"the term filter must be a semi-join on the postings:\n$plan")
+  }
+
+  test("RRF fusion: rank lists aggregate map-side; fused top-k is a " +
+      "two-phase window, never a single global partition") {
+    val df = SparkEntry.queries("retrieval_fusion")(spark, sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"rrf sums must combine map-side:\n$plan")
+    // the two-phase top-k salts phase 1 by partition id — no window
+    // may run with an EMPTY partition spec (a single global partition)
+    val emptyPartWindow = plan.linesIterator.exists(l =>
+      l.contains("Window [") && l.contains("], [], ["))
+    assert(!emptyPartWindow,
+      s"no window may use a single global partition:\n$plan")
+  }
+
+  test("containment prefix: candidates shuffle on the shingle hash; " +
+      "the per-doc rarity window partitions by doc id") {
+    val df = SparkEntry.queries("dedup_containment")(spark, sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("partial_count"),
+      s"pair/df counts must combine map-side:\n$plan")
+    assert("(?i)cartesian".r.findFirstIn(plan).isEmpty,
+      s"containment must never plan a cartesian product:\n$plan")
+  }
 }

@@ -284,6 +284,80 @@ class RetrievalFusionSpec extends AnyFunSuite {
 
   // ---- Gumbel top-k ------------------------------------------------------
 
+  // ---- multi-query indexed scoring / hard negatives ----------------------
+
+  test("bm25ScoresIndexedForQueries equals the ad-hoc multi-query path") {
+    val queries = Seq((1L, "spark"), (1L, "hash"), (2L, "sort"),
+      (2L, "merge")).toDF("query_id", "token")
+    val adHoc = Retrieval.bm25ScoresForQueries(corpus, col("id"),
+      col("text"), queries)
+    val idx = Retrieval.buildBm25Acc(corpus, col("id"), col("text")).index
+    val served = Retrieval.bm25ScoresIndexedForQueries(idx, queries)
+    assert(TestSpark.rows(served) === TestSpark.rows(adHoc))
+  }
+
+  test("hardNegatives excludes every relevant doc and ranks the rest") {
+    val scores = Seq((1L, 10L, 5.0), (1L, 11L, 4.0), (1L, 12L, 3.0),
+      (1L, 13L, 2.0)).toDF("query_id", "id", "bm25")
+    val rel = Seq((1L, 11L)).toDF("query_id", "rel_id")
+    val out = Retrieval.hardNegatives(scores, rel, perQuery = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq === Seq(10L, 12L))
+    assert(out.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L))
+  }
+
+  // ---- PMI collocations ---------------------------------------------------
+
+  test("pmiCollocations: the planted collocation tops the list") {
+    // "ad hoc" always co-occurs; its parts appear nowhere else
+    // together; filler words pair randomly
+    val docs = docsOf(
+      1L -> "ad hoc x y ad hoc y x",
+      2L -> "x y ad hoc x x y y",
+      3L -> "y x x y ad hoc x y")
+    val out = LanguageModel.pmiCollocations(docs, col("id"), col("text"),
+      minCount = 3L, topK = 3)
+    val top = out.orderBy("rank").collect().head
+    assert((top.getAs[String]("w1"), top.getAs[String]("w2")) ===
+      ("ad", "hoc"))
+    // PMI hand check: c12=4, c(ad)=4, c(hoc)=4, T=24 tokens, B=21
+    // bigrams
+    val want = math.log(4.0 * 24 * 24 / (21.0 * 4 * 4))
+    assert(math.abs(top.getAs[Double]("pmi") - want) < 1e-6)
+    out.unpersist()
+  }
+
+  // ---- Zipf fit -----------------------------------------------------------
+
+  test("zipfFit recovers the slope of an exact power law") {
+    // plant counts c(rank) = 2^20 / rank exactly: token t_r repeated
+    // (2^20 div r) times would be huge — use c(r) = 4096 div r over
+    // 8 ranks and repeat tokens that many times in synthetic docs
+    val rows = (1 to 8).flatMap { r =>
+      val c = 4096 / r
+      Seq.fill(c)(s"w$r")
+    }
+    // one doc per 64 tokens to keep rows reasonable
+    val docs = rows.grouped(64).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("id", "text")
+    val out = TextAnalysis.zipfFit(docs, col("text"), topV = 8)
+      .collect().head
+    assert(out.getAs[Long]("n_tokens") === 8L)
+    // 4096/r is integer division, so the fit is near −1 but not exact;
+    // the exact least-squares on the actual counts:
+    val pts = (1 to 8).map(r => (math.log(r.toDouble),
+      math.log((4096 / r).toDouble)))
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(out.getAs[Double]("slope") - slope) < 1e-4)
+    assert(out.getAs[Double]("slope") < -0.9 &&
+      out.getAs[Double]("slope") > -1.1)
+  }
+
   test("gumbelTopK: deterministic, and heavier weights dominate") {
     // weights differ by far more than the Gumbel noise span of the
     // md5 uniforms, so the top-2 must be the two heavy rows

@@ -218,4 +218,66 @@ class TemporalSpec extends AnyFunSuite {
       assert(got(lid) === want, s"lid=$lid")
     }
   }
+
+  test("asOfJoinNearest: closest direction wins, exact ties go backward, " +
+      "tolerance applies per direction; brute-force equivalence") {
+    val out = Temporal.asOfJoinNearest(purchases, clicks, key = "user",
+      leftTs = "pts", rightTs = "cts",
+      rightPayload = Seq("cid"), rightTieBreak = "cid")
+      .select("pid", "cid", "asof_gap_ms", "asof_dir")
+      .collect().map(r => r.getLong(0) -> ((
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.toString)))).toMap
+    // pid 100 @10_000: prev 201 @9_999 (gap 1) beats next @20_000
+    assert(out(100L) === ((Some(201L), Some(1L), Some("backward"))))
+    // pid 101 @20_000: equal-ts click (gap 0) — backward by the tie rule
+    assert(out(101L) === ((Some(203L), Some(0L), Some("backward"))))
+    // pid 103 (user 2) @5_000: only a LATER click exists — forward
+    assert(out(103L) === ((Some(204L), Some(1_000L), Some("forward"))))
+    // pid 104 (user 3) @40_000: only click @1_000 — backward, huge gap
+    assert(out(104L) === ((Some(205L), Some(39_000L), Some("backward"))))
+
+    // tolerance kills the 39s match but keeps the 1s ones
+    val tol = Temporal.asOfJoinNearest(purchases, clicks, "user",
+      "pts", "cts", Seq("cid"), "cid", toleranceMs = Some(2_000L))
+      .select("pid", "cid").collect()
+      .map(r => r.getLong(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(tol(104L) === None && tol(100L) === Some(201L))
+
+    // randomized brute force: nearest by |gap|, ties backward, then
+    // (for a same-direction same-gap tie) the directional pass's own
+    // max-cid rule
+    val left = tsDf((0L until 50L).map(i =>
+      (i, i % 4, (i * 173) % 5000, 0.0)), ("lid", "k", "lts", "lv"))
+    val right = tsDf((0L until 70L).map(i =>
+      (1000L + i, i % 4, (i * 211) % 5000, i.toDouble)),
+      ("rid", "k", "rts", "rv"))
+    val got = Temporal.asOfJoinNearest(left, right, "k", "lts", "rts",
+      Seq("rid"), "rid")
+      .select("lid", "rid").collect()
+      .map(r => r.getLong(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    val ls = left.select("lid", "k", "lts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime))
+    val rs = right.select("rid", "k", "rts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime))
+    ls.foreach { case (lid, k, lts) =>
+      val back = rs.filter(r => r._2 == k && r._3 <= lts)
+      val fwd = rs.filter(r => r._2 == k && r._3 >= lts)
+      val b = if (back.isEmpty) None
+        else Some(back.maxBy(r => (r._3, r._1)))
+      val f = if (fwd.isEmpty) None
+        else Some(fwd.minBy(r => (r._3, -r._1)))
+      val want = (b, f) match {
+        case (None, None) => None
+        case (Some(x), None) => Some(x._1)
+        case (None, Some(y)) => Some(y._1)
+        case (Some(x), Some(y)) =>
+          if (lts - x._3 <= y._3 - lts) Some(x._1) else Some(y._1)
+      }
+      assert(got(lid) === want, s"lid=$lid")
+    }
+  }
 }
