@@ -2337,6 +2337,15 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         col("text"), topV = 100)),
 
+    // Heaps'-law vocabulary growth: ln V(n) vs ln n at 8 exact integer
+    // token-count checkpoints — token global positions from the
+    // broadcast-prefix pass (no one-task window), first occurrences
+    // are integer mins, only the final fit touches floats
+    "corpus_heaps" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.heapsFit(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), points = 8)),
+
     // PMI collocation mining: the top-50 adjacent pairs by pointwise
     // mutual information (≥ 5 occurrences) — the phrase/MWE miner for
     // tokenizer seeding. Exact integer counts; one round-9 ln of the
@@ -2847,6 +2856,16 @@ object SparkEntry {
       S.dsirSelect(w, n = 50)
         .select(col("id").as("doc_id"), col("n_toks"), col("dsir_w"),
           col("rank").cast("long").as("rank"))
+    }),
+
+    // Effective sample size of the DSIR weights — the reweighting
+    // diagnostic (ESS ≪ n means a handful of docs dominate); exponents
+    // are max-shifted so nothing overflows at any weight scale
+    "sample_ess" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val w = graft.pipeline.Sampling.dsirWeights(docs, col("doc_id"),
+        col("text"), col("lang") === "zh", buckets = 256)
+      graft.pipeline.Sampling.effectiveSampleSize(w, col("dsir_w"))
     }),
 
     // Gumbel-top-k resampling ∝ exp(dsir_w) — the stochastic sampling
@@ -5403,6 +5422,92 @@ object SparkEntry {
         |  SELECT doc_id, n_toks, dsir_w, row_number() OVER (
         |    ORDER BY dsir_w DESC, doc_id) AS rank
         |  FROM w) WHERE rank <= 50""".stripMargin,
+    // ESS over the same DSIR weights, max-shifted exponents
+    "sample_ess" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CONCAT('0x', substr(md5(token), 1, 15)) AS BIGINT) % 256
+        |      AS bucket
+        |  FROM t),
+        |db AS (
+        |  SELECT doc_id, bucket, COUNT(*) AS c,
+        |    SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS ct
+        |  FROM tb GROUP BY 1, 2),
+        |m AS (SELECT bucket, SUM(c) AS cr, SUM(ct) AS ctg
+        |  FROM db GROUP BY 1),
+        |tot AS (SELECT SUM(cr) AS tr, SUM(ctg) AS tt FROM m),
+        |lr AS (
+        |  SELECT bucket,
+        |    ROUND(ln((CAST(ctg + 1 AS DOUBLE) * CAST(tr + 256 AS DOUBLE))
+        |      / (CAST(cr + 1 AS DOUBLE) * CAST(tt + 256 AS DOUBLE))), 9)
+        |      AS lr
+        |  FROM m, tot),
+        |w AS (
+        |  SELECT doc_id,
+        |    ROUND(SUM(CAST(c AS DOUBLE) * lr), 6) AS dsir_w
+        |  FROM db JOIN lr USING (bucket) GROUP BY doc_id),
+        |mx AS (SELECT MAX(dsir_w) AS mx FROM w),
+        |ex AS (SELECT ROUND(exp(dsir_w - mx), 9) AS e FROM w, mx),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CAST(e AS DECIMAL(20,9))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(ROUND(e * e, 9) AS DECIMAL(20,9))) AS DOUBLE)
+        |      AS s2
+        |  FROM ex)
+        |SELECT n_docs, ROUND(s1 * s1 / s2, 6) AS ess,
+        |  ROUND(s1 * s1 / s2 / n_docs, 6) AS ess_ratio
+        |FROM s""".stripMargin,
+    // Heaps fit: exact global token positions + integer checkpoints,
+    // the zipf decimal-moment regression tail
+    "corpus_heaps" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+')
+        |    AS toks
+        |  FROM documents),
+        |dc AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+        |  FROM t),
+        |off AS (
+        |  SELECT doc_id, toks,
+        |    COALESCE(SUM(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS off
+        |  FROM dc),
+        |e AS (
+        |  SELECT off + ord AS gpos, toks[ord] AS w FROM (
+        |    SELECT doc_id, toks, off,
+        |      unnest(generate_series(1, len(toks))) AS ord
+        |    FROM off)),
+        |fo AS (SELECT w, MIN(gpos) AS fo FROM e GROUP BY w),
+        |tot AS (SELECT SUM(n) AS t FROM dc),
+        |ck AS (
+        |  SELECT DISTINCT (t * k + 7) // 8 AS nk FROM (
+        |    SELECT t, unnest(generate_series(1, 8)) AS k FROM tot)),
+        |v AS (
+        |  SELECT ck.nk, COUNT(*) AS v
+        |  FROM ck JOIN fo ON fo.fo <= ck.nk GROUP BY 1),
+        |voc AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab FROM fo),
+        |xy AS (
+        |  SELECT CAST(ROUND(ln(CAST(nk AS DOUBLE)), 9)
+        |      AS DECIMAL(15,9)) AS x,
+        |    CAST(ROUND(ln(CAST(v AS DOUBLE)), 9) AS DECIMAL(15,9)) AS y
+        |  FROM v),
+        |mm AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy
+        |  FROM xy)
+        |SELECT CAST(mm.n AS BIGINT) AS n_points,
+        |  CAST(tot.t AS BIGINT) AS total_tokens, voc.vocab
+        |    AS total_vocab,
+        |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+        |    / n, 6) AS intercept
+        |FROM mm, tot, voc""".stripMargin,
     // Gumbel-top-k over the same DSIR weights: deterministic md5
     // uniforms (the weightedSample convention), g = w − ln(−ln u)
     "sample_gumbel" ->

@@ -698,6 +698,37 @@ object Sampling {
       .withColumnRenamed("__rn", "rank")
   }
 
+  /** Effective sample size of an importance-weighted corpus — the
+    * one-row diagnostic that tells you whether a DSIR-style reweighting
+    * still carries signal (ESS ≈ n: weights are flat, selection is
+    * meaningless; ESS ≪ n: a handful of docs dominate, variance blows
+    * up): ESS = (Σ eʷ)² / Σ e²ʷ, computed on MAX-SHIFTED exponents
+    * (e^{w−max}) so nothing overflows at any weight scale — the shift
+    * cancels exactly in the ratio. Returns (n_docs, ess, ess_ratio).
+    *
+    * Determinism: the max is an exact reduction over the round-6
+    * weights; each exponent is one IEEE exp of an exact difference,
+    * rounded to 9 and accumulated as exact DECIMAL — a double Σe over
+    * the corpus WILL eventually land on a rounding boundary and flip
+    * with summation order (it did, at sf0.1); decimal sums are
+    * order-free. Only the final ratio is a double. One map stage + one
+    * all-reduce. */
+  def effectiveSampleSize(weights: DataFrame, logWeight: Column)
+      : DataFrame = {
+    val mx = weights.agg(max(logWeight.cast("double")).as("__mx"))
+    val e9 = round(exp(logWeight.cast("double") - col("__mx")), 9)
+    weights.crossJoin(broadcast(mx))
+      .select(e9.cast("decimal(20,9)").as("__e"),
+        round(e9 * e9, 9).cast("decimal(20,9)").as("__e2"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__e")).cast("double").as("__s1"),
+        sum(col("__e2")).cast("double").as("__s2"))
+      .select(col("n_docs"),
+        round(col("__s1") * col("__s1") / col("__s2"), 6).as("ess"),
+        round(col("__s1") * col("__s1") / col("__s2") /
+          col("n_docs").cast("double"), 6).as("ess_ratio"))
+  }
+
   /** Gumbel-top-k sampling WITHOUT replacement ∝ exp(logWeight) — the
     * sampling DSIR actually prescribes (the greedy [[dsirSelect]] is
     * its zero-temperature limit): perturb each row's log-weight with

@@ -1110,6 +1110,13 @@ object TextAnalysis {
         .cast("decimal(15,9)").as("y"))
     // the SUMS are exact decimals (order-free); the closed-form slope
     // then runs on 5 scalars in double — one deterministic expression
+    fitLine(xy, "n_tokens")
+  }
+
+  /** Shared least-squares tail of [[zipfFit]]/[[heapsFit]]: exact
+    * DECIMAL moments of a (x, y) point table (both round-9 lns), then
+    * the closed-form slope/intercept on 5 double scalars. */
+  private def fitLine(xy: DataFrame, nName: String): DataFrame = {
     val agg = xy.agg(count(lit(1)).cast("double").as("n"),
       sum(col("x")).cast("double").as("sx"),
       sum(col("y")).cast("double").as("sy"),
@@ -1117,9 +1124,61 @@ object TextAnalysis {
       sum(col("x") * col("y")).cast("double").as("sxy"))
     val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
       (col("n") * col("sxx") - col("sx") * col("sx"))
-    agg.select(col("n").cast("long").as("n_tokens"),
+    agg.select(col("n").cast("long").as(nName),
       round(slope, 6).as("slope"),
       round((col("sy") - slope * col("sx")) / col("n"), 6)
         .as("intercept"))
+  }
+
+  /** Heaps'-law vocabulary-growth fit — [[zipfFit]]'s companion
+    * corpus-health readout: least squares of ln V(n) against ln n at
+    * `points` evenly spaced token-count checkpoints, where V(n) is the
+    * number of DISTINCT tokens among the corpus's first n tokens (docs
+    * ordered by id). Natural corpora sit near β ≈ 0.5–0.8; β → 1 means
+    * vocabulary never saturates (noise/IDs), β → 0 means template text.
+    * Returns (n_points, total_tokens, total_vocab, slope, intercept).
+    *
+    * Exactness: each token's global position is its doc's exact prefix
+    * offset ([[Packing.withGlobalPrefix]] — range-sort + broadcast
+    * prefix, no one-task window) plus its in-doc ordinal; first
+    * occurrences are integer mins; checkpoints are exact integer
+    * ceilings `(T·k + P−1) div P`; V counts are integers; only the
+    * final lns/fit touch floats (the zipfFit discipline). Scale shape:
+    * one prefix pass, one map-side-combined min per token, a
+    * vocab × points broadcast range join, a points-row regression. */
+  def heapsFit(df: DataFrame, idCol: Column, textCol: Column,
+      points: Int = 8): DataFrame = {
+    require(points >= 2, "need at least 2 checkpoints to fit a slope")
+    val base = df.select(idCol.as("__id"), tokens(textCol).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+    val pref = Packing.withGlobalPrefix(base, col("__id"), col("__n"))
+    val tok = pref.select(col("offset"),
+        posexplode(col("__toks")).as(Seq("__p", "__w")))
+      .select((col("offset") + col("__p") + 1L).as("__gpos"),
+        col("__w"))
+    val fo = tok.groupBy(col("__w")).agg(min(col("__gpos")).as("__fo"))
+    val totals = base.agg(sum(col("__n")).as("__t"))
+    val ck = totals
+      .select(col("__t"),
+        explode(sequence(lit(1), lit(points))).as("__k"))
+      .select(col("__t"),
+        expr(s"(__t * __k + ${points - 1}) div $points").as("__nk"))
+      // a tiny corpus can repeat a checkpoint — dedup, or the range
+      // join would double-count V at the repeated n
+      .distinct()
+    val v = fo.join(broadcast(ck), col("__fo") <= col("__nk"))
+      .groupBy(col("__nk"), col("__t"))
+      .agg(count(lit(1)).as("__v"))
+    val vocab = fo.agg(count(lit(1)).as("__vocab"))
+    val xy = v.select(col("__t"), col("__v"),
+      round(log(col("__nk").cast("double")), 9)
+        .cast("decimal(15,9)").as("x"),
+      round(log(col("__v").cast("double")), 9)
+        .cast("decimal(15,9)").as("y"))
+    fitLine(xy.select(col("x"), col("y")), "n_points")
+      .crossJoin(broadcast(totals.select(col("__t").as("total_tokens"))))
+      .crossJoin(broadcast(vocab.select(col("__vocab").as("total_vocab"))))
+      .select(col("n_points"), col("total_tokens"), col("total_vocab"),
+        col("slope"), col("intercept"))
   }
 }

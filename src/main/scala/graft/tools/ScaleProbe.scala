@@ -255,6 +255,38 @@ object ScaleProbe {
         f"containment=$tContain%.1fs " +
         f"(${tContain * 1e6 / nDocs}%.2f s/Mdoc) dsir=$tDsir%.1fs " +
         f"(${tDsir * 1e6 / nDocs}%.2f s/Mdoc) paths=$tPaths%.1fs")
+
+      // round-14 second half: PMI mining (bigram-type-bound), nearest
+      // as-of (one shuffle, two sorts), Heaps/Zipf fits (corpus pass +
+      // tiny regressions), DSIR model fold (≤ 2·B-row glue)
+      val tPmi = timeSec {
+        val out = graft.pipeline.LanguageModel.pmiCollocations(docs,
+          col("doc_id"), col("text"), minCount = 5L, topK = 50)
+        println("  pmi rows=" + out.count()); out.unpersist()
+      }
+      val tNearest = timeSec {
+        println("  nearest rows=" + graft.pipeline.Temporal
+          .asOfJoinNearest(purchases, clicks, "user_id", "ts_ms",
+            "cts_ms", Seq("click_id"), "click_id").count())
+      }
+      val tFits = timeSec {
+        println("  zipf rows=" + graft.pipeline.TextAnalysis
+          .zipfFit(docs, col("text"), topV = 100).count())
+        println("  heaps rows=" + graft.pipeline.TextAnalysis
+          .heapsFit(docs, col("doc_id"), col("text")).count())
+      }
+      val tDsirFold = timeSec {
+        val folded = (0 until 3).map(i =>
+            graft.pipeline.Sampling.buildDsirModel(
+              docs.where(col("doc_id") % 3 === i), col("doc_id"),
+              col("text"), col("lang") === "zh", 256))
+          .reduce(graft.pipeline.Sampling.foldDsirModel)
+        println("  dsir fold buckets=" + folded.counts.count())
+      }
+      println(f"SCALE7 $dir pmi=$tPmi%.1fs " +
+        f"(${tPmi * 1e6 / nDocs}%.2f s/Mdoc) nearest=$tNearest%.1fs " +
+        f"(${tNearest * 1e6 / nEv}%.2f s/Mevent) fits=$tFits%.1fs " +
+        f"dsir_fold=$tDsirFold%.1fs")
     }
     spark.stop()
   }

@@ -358,6 +358,39 @@ class RetrievalFusionSpec extends AnyFunSuite {
       out.getAs[Double]("slope") > -1.1)
   }
 
+  // ---- ESS / Heaps ----------------------------------------------------
+
+  test("effectiveSampleSize: flat weights give ESS = n; one dominant " +
+      "weight collapses it toward 1") {
+    val flat = (1L to 40L).map(i => (i, 2.5)).toDF("id", "w")
+    val f = Sampling.effectiveSampleSize(flat, col("w")).collect().head
+    assert(f.getAs[Long]("n_docs") === 40L)
+    assert(f.getAs[Double]("ess") === 40.0)
+    assert(f.getAs[Double]("ess_ratio") === 1.0)
+    val skewed = ((1L to 39L).map(i => (i, 0.0)) :+ (40L, 50.0))
+      .toDF("id", "w")
+    val s = Sampling.effectiveSampleSize(skewed, col("w")).collect().head
+    assert(s.getAs[Double]("ess") < 1.1)
+  }
+
+  test("heapsFit: all-distinct corpus fits slope 1; constant corpus " +
+      "fits slope 0") {
+    val distinctDocs = (0L until 20L).map(i =>
+      (i, (0 until 16).map(j => s"t${i}_$j").mkString(" ")))
+      .toDF("id", "text")
+    val d = TextAnalysis.heapsFit(distinctDocs, col("id"), col("text"))
+      .collect().head
+    assert(d.getAs[Long]("total_tokens") === 320L)
+    assert(d.getAs[Long]("total_vocab") === 320L)
+    assert(math.abs(d.getAs[Double]("slope") - 1.0) < 1e-6)
+    val constDocs = (0L until 20L).map(i =>
+      (i, Seq.fill(16)("same").mkString(" "))).toDF("id", "text")
+    val c = TextAnalysis.heapsFit(constDocs, col("id"), col("text"))
+      .collect().head
+    assert(c.getAs[Long]("total_vocab") === 1L)
+    assert(c.getAs[Double]("slope") === 0.0)
+  }
+
   test("gumbelTopK: deterministic, and heavier weights dominate") {
     // weights differ by far more than the Gumbel noise span of the
     // md5 uniforms, so the top-2 must be the two heavy rows
