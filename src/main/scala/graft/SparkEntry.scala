@@ -5415,7 +5415,8 @@ object SparkEntry {
         |  FROM m, tot),
         |w AS (
         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks,
-        |    ROUND(SUM(CAST(c AS DOUBLE) * lr), 6) AS dsir_w
+        |    CAST(ROUND(SUM(CAST(c AS DECIMAL(20,0))
+        |      * CAST(lr AS DECIMAL(15,9))), 6) AS DOUBLE) AS dsir_w
         |  FROM db JOIN lr USING (bucket) GROUP BY doc_id)
         |SELECT doc_id, n_toks, dsir_w, CAST(rank AS BIGINT) AS rank
         |FROM (
@@ -5448,7 +5449,8 @@ object SparkEntry {
         |  FROM m, tot),
         |w AS (
         |  SELECT doc_id,
-        |    ROUND(SUM(CAST(c AS DOUBLE) * lr), 6) AS dsir_w
+        |    CAST(ROUND(SUM(CAST(c AS DECIMAL(20,0))
+        |      * CAST(lr AS DECIMAL(15,9))), 6) AS DOUBLE) AS dsir_w
         |  FROM db JOIN lr USING (bucket) GROUP BY doc_id),
         |mx AS (SELECT MAX(dsir_w) AS mx FROM w),
         |ex AS (SELECT ROUND(exp(dsir_w - mx), 9) AS e FROM w, mx),
@@ -5535,7 +5537,8 @@ object SparkEntry {
         |  FROM m, tot),
         |w AS (
         |  SELECT doc_id,
-        |    ROUND(SUM(CAST(c AS DOUBLE) * lr), 6) AS dsir_w
+        |    CAST(ROUND(SUM(CAST(c AS DECIMAL(20,0))
+        |      * CAST(lr AS DECIMAL(15,9))), 6) AS DOUBLE) AS dsir_w
         |  FROM db JOIN lr USING (bucket) GROUP BY doc_id),
         |g AS (
         |  SELECT doc_id, dsir_w,

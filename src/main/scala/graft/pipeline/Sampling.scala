@@ -681,9 +681,15 @@ object Sampling {
       .join(broadcast(logRatio), Seq("bucket"), "left")
       .withColumn("__lr", coalesce(col("lr"), floorLr))
       .groupBy(col("id"))
+      // c·lr is an EXACT decimal (integer × 9-decimal rational): the
+      // weight sum accumulates order-free, so dsir_w is bit-stable for
+      // EVERY doc — a double Σ(c·lr) flips its round-6 on boundary
+      // docs with summation order, which the top-50 outputs tolerate
+      // but any all-docs aggregate (ESS) does not
       .agg(sum(col("c")).as("n_toks"),
-        round(sum(col("c").cast("double") * col("__lr")), 6)
-          .as("dsir_w"))
+        round(sum(col("c").cast("decimal(20,0)") *
+          col("__lr").cast("decimal(15,9)")), 6)
+          .cast("double").as("dsir_w"))
   }
 
   /** Deterministic DSIR selection: the `n` highest-weight documents
