@@ -3114,6 +3114,18 @@ object SparkEntry {
         .select(col("id").as("vec_id"),
           col("cluster").cast("long").as("cluster"), col("d2"))),
 
+    // IVF recall@10 measured with BOTH sides under the oracle — the
+    // ANN mirror of dedup_eval's candidate-quality harness: quantized
+    // (integer-exact) k-means cells, nprobe=3 probe selection by exact
+    // integer d2, round-6 cosine ranks, brute-force truth. The pilot
+    // measurement that sizes (kCells, nprobe) before a 100 TB ANN pass
+    "ann_recall_eval" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      graft.pipeline.Clustering.ivfRecallEval(emb,
+        emb.where(col("vec_id") < 20), k = 10, nprobe = 3)
+    }),
+
     // Incremental k-means: each round's EXACT integer sufficient
     // statistics fold across batch halves (integer adds — associative)
     // then one driver update — bit-identical to the one-shot training,
@@ -7135,6 +7147,48 @@ object SparkEntry {
     // the match is hash-exact with no rounding tolerance
     "emb_kmeans" -> (kMeansOracleSql +
       """SELECT id AS vec_id, j AS cluster, d2 FROM af""".stripMargin),
+    // IVF recall harness: the same k-means chain, then probe-cell
+    // selection (exact integer d2), in-cell cosine ranks, brute-force
+    // truth, and the one-row recall summary
+    "ann_recall_eval" -> (kMeansOracleSql +
+      """, qs AS (SELECT DISTINCT id FROM q WHERE id < 20),
+        |qc AS (
+        |  SELECT id AS query_id, j AS cell FROM (
+        |    SELECT q.id, c.j,
+        |      row_number() OVER (PARTITION BY q.id ORDER BY
+        |        SUM((q.qv - c.cv) * (q.qv - c.cv)), c.j) AS rn
+        |    FROM q JOIN c2 c ON c.i = q.i
+        |    WHERE q.id < 20
+        |    GROUP BY q.id, c.j) WHERE rn <= 3),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM corp),
+        |ivf AS (
+        |  SELECT query_id, id FROM (
+        |    SELECT cd.query_id, cd.cid AS id,
+        |      row_number() OVER (PARTITION BY cd.query_id ORDER BY
+        |        ROUND(list_cosine_similarity(ec.v, eq.v), 6) DESC,
+        |        cd.cid) AS rn
+        |    FROM (SELECT qc.query_id, af.id AS cid
+        |          FROM qc JOIN af ON af.j = qc.cell
+        |          WHERE af.id <> qc.query_id) cd
+        |    JOIN e ec ON ec.vec_id = cd.cid
+        |    JOIN e eq ON eq.vec_id = cd.query_id) WHERE rn <= 10),
+        |truth AS (
+        |  SELECT query_id, id FROM (
+        |    SELECT qs.id AS query_id, e2.vec_id AS id,
+        |      row_number() OVER (PARTITION BY qs.id ORDER BY
+        |        ROUND(list_cosine_similarity(e2.v, eq.v), 6) DESC,
+        |        e2.vec_id) AS rn
+        |    FROM qs JOIN e eq ON eq.vec_id = qs.id
+        |    JOIN e e2 ON e2.vec_id <> qs.id) WHERE rn <= 10)
+        |SELECT CAST(COUNT(DISTINCT t.query_id) AS BIGINT) AS n_queries,
+        |  CAST(COUNT(*) AS BIGINT) AS n_truth,
+        |  CAST(COALESCE(SUM(CASE WHEN i.id IS NOT NULL THEN 1 END), 0)
+        |    AS BIGINT) AS n_hits,
+        |  CAST(COALESCE(SUM(CASE WHEN i.id IS NOT NULL THEN 1 END), 0)
+        |    * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+        |FROM truth t LEFT JOIN ivf i
+        |  ON i.query_id = t.query_id AND i.id = t.id""".stripMargin),
     // the round-fold law makes incremental training ≡ one-shot
     "emb_kmeans_incremental" -> (kMeansOracleSql +
       """SELECT id AS vec_id, j AS cluster, d2 FROM af""".stripMargin),

@@ -291,4 +291,64 @@ object Clustering {
     * broadcast-prefix selection, no one-task global window. */
   def clusterBalancedSample(assigned: DataFrame, quota: Int): DataFrame =
     Sampling.quotaSample(assigned, col("cluster"), col("id"), quota)
+
+  /** IVF recall@k evaluation with BOTH sides under the cross-engine
+    * oracle — the ANN counterpart of [[Dedup.lshCandidateEval]]'s
+    * "measure your approximation before trusting it" harness. Clusters
+    * with the QUANTIZED (integer-exact, engine-portable) k-means, probes
+    * each query's `nprobe` nearest cells, ranks candidates by exact
+    * cosine, and scores recall against brute-force truth. Because cell
+    * assignment, probe selection (exact integer d2, ties to the lower
+    * cell), and both rankings (round-6 cosine, id tiebreak) are all
+    * deterministic AND SQL-restatable, even the APPROXIMATE side is
+    * under the oracle — run at a pilot SF to size (kCells, nprobe)
+    * before committing a 100 TB ANN pass. Returns ONE row:
+    * (n_queries, n_truth, n_hits, recall_ppm).
+    *
+    * `corpus` and `queries` are (id, vec) tables, queries ⊆ corpus
+    * id-space (self-matches excluded on both sides). */
+  def ivfRecallEval(corpus: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int, kCells: Int = 8, iterations: Int = 2): DataFrame = {
+    require(k >= 1 && nprobe >= 1 && nprobe <= kCells,
+      "need 1 <= nprobe <= kCells and k >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val model = fitQuantizedKMeans(corpus, kCells, iterations)
+    val assigned = assign(corpus, model)
+      .select(col("id").as("cid"), col("cluster"))
+    val cents = model.centroids
+    // per-query exact integer distance to EVERY centroid → top-nprobe
+    // cells (d2 asc, cell asc — the oracle's ORDER BY)
+    val qCells = quantized(queries, model.scale)
+      .flatMap { case (id, v) =>
+        cents.iterator.zipWithIndex
+          .map { case (c, j) => (id, j, dist2(v, c)) }
+      }
+      .toDF("query_id", "cluster", "__qd2")
+    val probe = Sampling.topKPerGroup(
+      qCells.withColumn("__neg", -col("__qd2")),
+      col("query_id"), col("__neg"), col("cluster").asc, nprobe)
+      .select(col("query_id"), col("cluster"))
+    val cand = probe.join(assigned, "cluster")
+      .where(col("cid") =!= col("query_id"))
+      .select("query_id", "cid")
+    val vecs = corpus.toDF("id", "vec")
+    val scored = cand
+      .join(vecs.toDF("cid", "__vc"), "cid")
+      .join(broadcast(vecs.toDF("query_id", "__vq")), "query_id")
+      .withColumn("__sim", round(Ann.cosine(Ann.toDouble(col("__vc")),
+        Ann.toDouble(col("__vq"))), 6))
+    val ivf = Sampling.topKPerGroup(scored, col("query_id"),
+      col("__sim"), col("cid").asc, k)
+      .select(col("query_id"), col("cid").as("id"))
+    val truth = Ann.bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("id"))
+    truth.join(ivf.withColumn("__hit", lit(1L)),
+        Seq("query_id", "id"), "left")
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_truth"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+      .select(col("n_queries"), col("n_truth"), col("n_hits"),
+        expr("n_hits * 1000000 div n_truth").as("recall_ppm"))
+  }
 }

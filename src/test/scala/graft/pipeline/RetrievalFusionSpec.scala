@@ -358,6 +358,26 @@ class RetrievalFusionSpec extends AnyFunSuite {
       out.getAs[Double]("slope") > -1.1)
   }
 
+  // ---- IVF recall harness ------------------------------------------------
+
+  test("ivfRecallEval: probing every cell is exactly brute force " +
+      "(recall 1.0); fewer probes can only lose recall") {
+    val rnd = new scala.util.Random(11)
+    val emb = (0L until 120L).map { i =>
+      val base = Array.fill(8)(rnd.nextGaussian())
+      (i, base.map(x => (x + (i % 4).toDouble * 3.0).toFloat))
+    }.toDF("id", "vec")
+    val full = Clustering.ivfRecallEval(emb, emb.where(col("id") < 6),
+      k = 5, nprobe = 4, kCells = 4).collect().head
+    assert(full.getAs[Long]("recall_ppm") === 1000000L)
+    assert(full.getAs[Long]("n_truth") === 30L)
+    val partial = Clustering.ivfRecallEval(emb,
+      emb.where(col("id") < 6), k = 5, nprobe = 1, kCells = 4)
+      .collect().head
+    assert(partial.getAs[Long]("recall_ppm") <= 1000000L)
+    assert(partial.getAs[Long]("n_queries") === 6L)
+  }
+
   // ---- ESS / Heaps ----------------------------------------------------
 
   test("effectiveSampleSize: flat weights give ESS = n; one dominant " +
