@@ -1435,6 +1435,19 @@ object SparkEntry {
           col("asof_gap_ms"))
     }),
 
+    // Conversion funnel: earliest strictly-ordered view → click →
+    // purchase per user inside a 7-day window — one key-hash
+    // aggregation per step, no per-key sort, state bounded by
+    // |users| × steps; exact integer millisecond times
+    "events_funnel" -> ((s, dir) => {
+      val ev = EventsAsQuads.events(s, dir)
+      graft.pipeline.Temporal.funnel(ev, key = "user_id", ts = "ts_ms",
+        steps = Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowMs = Some(7L * 86400000L))
+    }),
+
     // Nearest as-of: the closest click in EITHER direction (ties →
     // backward, the reading already known at event time) — both
     // directional matches from two window passes over ONE key-hash
@@ -5055,6 +5068,34 @@ object SparkEntry {
         |  SELECT query_id, id, rrf, n_lists, row_number() OVER (
         |    PARTITION BY query_id ORDER BY rrf DESC, id) AS rank
         |  FROM fs) WHERE rank <= 10""".stripMargin,
+    // funnel: the greedy earliest-completion chain, one CTE per step
+    "events_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 1000 AS ts_ms, event_type
+        |  FROM events),
+        |s1 AS (
+        |  SELECT user_id, MIN(ts_ms) AS t_1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts_ms) AS t_2
+        |  FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND e.ts_ms >= s1.t_1
+        |    AND e.ts_ms <= s1.t_1 + 604800000
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.ts_ms) AS t_3
+        |  FROM e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND e.ts_ms >= s2.t_2
+        |    AND e.ts_ms <= s1.t_1 + 604800000
+        |  GROUP BY 1)
+        |SELECT s1.user_id,
+        |  CAST(1 + CASE WHEN s2.t_2 IS NOT NULL THEN 1 ELSE 0 END
+        |    + CASE WHEN s3.t_3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS steps_completed,
+        |  s1.t_1, s2.t_2, s3.t_3,
+        |  COALESCE(s3.t_3, s2.t_2, s1.t_1) - s1.t_1 AS elapsed_ms
+        |FROM s1 LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)""".stripMargin,
     // nearest as-of: both directional window passes + the tie-backward
     // choice, restated over the same millisecond-granularity union
     "asof_join_nearest" ->

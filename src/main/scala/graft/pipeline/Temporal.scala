@@ -475,4 +475,55 @@ object Temporal {
         (max(tsMs) - min(tsMs)).as("duration_ms"),
         count_distinct(col(distinctOf)).as(s"n_$distinctOf"))
   }
+
+  /** Ordered event-sequence funnel: per key, the earliest strictly-
+    * ordered completion of `steps` (each a boolean predicate over the
+    * event row), where step k must fire AFTER step k−1's matched time
+    * and (optionally) the whole sequence must fit inside `windowMs` of
+    * step 1. The classic view→click→purchase conversion analysis —
+    * and the earliest-completion semantics ("min ts of step k at or
+    * after t_{k−1}") is the standard greedy rule, which is OPTIMAL
+    * here: matching step 1 as early as possible can only widen the
+    * window the later steps may land in (with a per-sequence deadline,
+    * earlier t₁ trades window for reach — this takes the canonical
+    * earliest-t₁ interpretation every funnel product uses). Returns
+    * (key, steps_completed, t_1..t_n epoch-ms, elapsed_ms) — one row
+    * per key that completed at least step 1.
+    *
+    * Scale shape: ONE key-hash aggregation per step (k aggregations of
+    * the pre-filtered event slice, each map-side combined, joined on
+    * the key) — no per-key sort, no window over raw events, no state
+    * larger than |keys| × k; all timestamps are exact integer ms. */
+  def funnel(events: DataFrame, key: String, ts: String,
+      steps: Seq[Column], windowMs: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val tsMs = floor(tsUs(events, ts) / 1000L).cast("long")
+    val base = events.select(col(key).as("__k"), tsMs.as("__ts"),
+      struct(steps.zipWithIndex.map { case (s, i) =>
+        s.as(s"s$i") }: _*).as("__p"))
+    // step 1: earliest matching event per key
+    var acc = base.where(col("__p.s0"))
+      .groupBy(col("__k")).agg(min(col("__ts")).as("t_1"))
+    for (i <- 1 until steps.length) {
+      val deadline = windowMs match {
+        case Some(w) => col("__ts") <= col("t_1") + w
+        case None    => lit(true)
+      }
+      val next = base.where(col(s"__p.s$i"))
+        .join(acc, "__k")
+        .where(col("__ts") >= col(s"t_$i") && deadline)
+        .groupBy(col("__k"))
+        .agg(min(col("__ts")).as(s"t_${i + 1}"))
+        .select(col("__k"), col(s"t_${i + 1}"))
+      acc = acc.join(next, Seq("__k"), "left_outer")
+    }
+    val tCols = (1 to steps.length).map(i => col(s"t_$i"))
+    val completed = tCols.map(c =>
+      when(c.isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+    val lastReached = coalesce(tCols.reverse: _*)
+    acc.select(col("__k").as(key) +:
+      completed.as("steps_completed") +:
+      tCols :+
+      (lastReached - col("t_1")).as("elapsed_ms"): _*)
+  }
 }

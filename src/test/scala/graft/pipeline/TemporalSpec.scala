@@ -280,4 +280,36 @@ class TemporalSpec extends AnyFunSuite {
       assert(got(lid) === want, s"lid=$lid")
     }
   }
+
+  test("funnel: strict ordering, window deadline, partial completion") {
+    val ev = Seq(
+      // user 1: full funnel in order
+      (1L, 1L, 1_000L, "view"), (2L, 1L, 2_000L, "click"),
+      (3L, 1L, 3_000L, "purchase"),
+      // user 2: click BEFORE the first view — step 2 must not match it
+      (4L, 2L, 5_000L, "click"), (5L, 2L, 6_000L, "view"),
+      (6L, 2L, 7_000L, "click"),
+      // user 3: purchase outside the window deadline
+      (7L, 3L, 0L, "view"), (8L, 3L, 100L, "click"),
+      (9L, 3L, 99_999_000L, "purchase"),
+      // user 4: never starts (no view)
+      (10L, 4L, 1_000L, "purchase"))
+      .toDF("eid", "user", "ms", "kind")
+      .select(col("eid"), col("user"),
+        timestamp_millis(col("ms")).as("ts"), col("kind"))
+    val out = Temporal.funnel(ev, key = "user", ts = "ts",
+      steps = Seq(col("kind") === "view", col("kind") === "click",
+        col("kind") === "purchase"),
+      windowMs = Some(10_000L))
+      .collect().map(r => r.getAs[Long]("user") -> ((
+        r.getAs[Long]("steps_completed"),
+        Option(r.get(r.fieldIndex("t_3"))).map(_.asInstanceOf[Long]),
+        r.getAs[Long]("elapsed_ms")))).toMap
+    assert(out(1L) === ((3L, Some(3_000L), 2_000L)))
+    // user 2 reaches click only via the post-view click at 7s
+    assert(out(2L) === ((2L, None, 1_000L)))
+    // user 3's purchase misses the 10s window
+    assert(out(3L) === ((2L, None, 100L)))
+    assert(!out.contains(4L)) // no step-1 match → absent
+  }
 }
