@@ -1448,6 +1448,19 @@ object SparkEntry {
         windowMs = Some(7L * 86400000L))
     }),
 
+    // The funnel's conversion report: per step, keys reached +
+    // step-over-step and overall conversion (integer ppm)
+    "events_funnel_rates" -> ((s, dir) => {
+      val ev = EventsAsQuads.events(s, dir)
+      val perUser = graft.pipeline.Temporal.funnel(ev, key = "user_id",
+        ts = "ts_ms",
+        steps = Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowMs = Some(7L * 86400000L))
+      graft.pipeline.Temporal.funnelRates(perUser, nSteps = 3)
+    }),
+
     // Nearest as-of: the closest click in EITHER direction (ties →
     // backward, the reading already known at event time) — both
     // directional matches from two window passes over ONE key-hash
@@ -5096,6 +5109,50 @@ object SparkEntry {
         |  COALESCE(s3.t_3, s2.t_2, s1.t_1) - s1.t_1 AS elapsed_ms
         |FROM s1 LEFT JOIN s2 USING (user_id)
         |LEFT JOIN s3 USING (user_id)""".stripMargin,
+    // funnel rates: the same step chain folded to per-step counts
+    "events_funnel_rates" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 1000 AS ts_ms, event_type
+        |  FROM events),
+        |s1 AS (
+        |  SELECT user_id, MIN(ts_ms) AS t_1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts_ms) AS t_2
+        |  FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND e.ts_ms >= s1.t_1
+        |    AND e.ts_ms <= s1.t_1 + 604800000
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.ts_ms) AS t_3
+        |  FROM e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND e.ts_ms >= s2.t_2
+        |    AND e.ts_ms <= s1.t_1 + 604800000
+        |  GROUP BY 1),
+        |n AS (
+        |  SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n1,
+        |    CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n2,
+        |    CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n3)
+        |SELECT CAST(1 AS BIGINT) AS step, n1 AS n_keys,
+        |  CASE WHEN n1 > 0 THEN CAST(n1 * 1000000 // n1 AS BIGINT)
+        |    ELSE 0 END AS step_conv_ppm,
+        |  CASE WHEN n1 > 0 THEN CAST(n1 * 1000000 // n1 AS BIGINT)
+        |    ELSE 0 END AS overall_conv_ppm
+        |FROM n
+        |UNION ALL
+        |SELECT 2, n2,
+        |  CASE WHEN n1 > 0 THEN CAST(n2 * 1000000 // n1 AS BIGINT)
+        |    ELSE 0 END,
+        |  CASE WHEN n1 > 0 THEN CAST(n2 * 1000000 // n1 AS BIGINT)
+        |    ELSE 0 END
+        |FROM n
+        |UNION ALL
+        |SELECT 3, n3,
+        |  CASE WHEN n2 > 0 THEN CAST(n3 * 1000000 // n2 AS BIGINT)
+        |    ELSE 0 END,
+        |  CASE WHEN n1 > 0 THEN CAST(n3 * 1000000 // n1 AS BIGINT)
+        |    ELSE 0 END
+        |FROM n""".stripMargin,
     // nearest as-of: both directional window passes + the tie-backward
     // choice, restated over the same millisecond-granularity union
     "asof_join_nearest" ->

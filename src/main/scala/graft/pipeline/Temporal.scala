@@ -526,4 +526,29 @@ object Temporal {
       tCols :+
       (lastReached - col("t_1")).as("elapsed_ms"): _*)
   }
+
+  /** Funnel conversion report — the number funnels exist to produce:
+    * one row per step with the keys reaching it, conversion from the
+    * PREVIOUS step (integer ppm), and conversion from step 1. A
+    * steps-row aggregate of [[funnel]]'s per-key output (exact integer
+    * counts; the explode is steps-wide, not corpus-wide). */
+  def funnelRates(perKey: DataFrame, nSteps: Int): DataFrame = {
+    require(nSteps >= 1, "need at least one step")
+    val counts = perKey.select(
+      (1 to nSteps).map(i =>
+        sum(when(col("steps_completed") >= i, 1L).otherwise(0L))
+          .as(s"n$i")): _*)
+    counts.select(explode(array((1 to nSteps).map(i =>
+        struct(lit(i.toLong).as("step"), col(s"n$i").as("n_keys"),
+          (if (i == 1) col("n1") else col(s"n${i - 1}")).as("__prev"),
+          col("n1").as("__n1"))): _*)).as("__s"))
+      .select(col("__s.step").as("step"),
+        col("__s.n_keys").as("n_keys"),
+        when(col("__s.__prev") > 0L,
+          expr("__s.n_keys * 1000000 div __s.__prev")).otherwise(0L)
+          .as("step_conv_ppm"),
+        when(col("__s.__n1") > 0L,
+          expr("__s.n_keys * 1000000 div __s.__n1")).otherwise(0L)
+          .as("overall_conv_ppm"))
+  }
 }

@@ -312,4 +312,15 @@ class TemporalSpec extends AnyFunSuite {
     assert(out(3L) === ((2L, None, 100L)))
     assert(!out.contains(4L)) // no step-1 match → absent
   }
+
+  test("funnelRates: per-step counts and integer ppm conversions") {
+    val perKey = Seq((1L, 3L), (2L, 2L), (3L, 2L), (4L, 1L))
+      .toDF("user", "steps_completed")
+    val out = Temporal.funnelRates(perKey, nSteps = 3)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) === ((1L, 4L, 1000000L, 1000000L)))
+    assert(out(1) === ((2L, 3L, 750000L, 750000L)))
+    assert(out(2) === ((3L, 1L, 333333L, 250000L)))
+  }
 }
