@@ -3675,6 +3675,27 @@ object SparkEntry {
           col("ahash_bits"), col("dhash_bits"))
     }),
 
+    // REAL decoded-raster features: render gradient PNGs, decode with
+    // ImageIO, reduce to a 4x4 grid of EXACT integer block sums and
+    // cleared-denominator variance numerators (n·Σg² − (Σg)², n = 16
+    // px/block) — the all-integer moments the float ANN embedding
+    // derives from, so the oracle recomputes both arrays bit-for-bit
+    // from the generative pixel formula (one row per (doc, block))
+    "mm_features" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map(id => (id, if (id < 800) id % 400 else id, 16))
+      graft.pipeline.Multimodal.extractFeatures(
+        graft.pipeline.Multimodal.renderGradientPng(imgs), grid = 4)
+        .toDF()
+        .select(col("media_id").as("doc_id"),
+          posexplode(arrays_zip(col("block_sum"), col("block_var_num"))))
+        .select(col("doc_id"), col("pos").cast("long").as("blk"),
+          col("col.block_sum").as("block_sum"),
+          col("col.block_var_num").as("block_var_num"))
+    }),
+
     // REAL audio feature extraction: render modulated square-wave WAVs
     // (per-block amplitude = exact integer formula of (seed, block)),
     // decode with javax.sound, hash the energy contour (bit b =
@@ -7709,6 +7730,24 @@ object SparkEntry {
         |  GROUP BY l.doc_id)
         |SELECT doc_id, ahash_bits, dhash_bits
         |FROM ab JOIN db USING (doc_id)""".stripMargin,
+    // mm_features: 16x16 render, 4x4 blocks of 16 px — block sums and
+    // n·Σg²−(Σg)² variance numerators are exact integers on both
+    // engines (PNG roundtrip lossless, luma of gray = gray)
+    "mm_features" ->
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id < 800 THEN doc_id % 400 ELSE doc_id END
+        |      AS seed
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, (y.y // 4) * 4 + (x.x // 4) AS blk,
+        |    (${mixSql("seed * 256 + y.y * 16 + x.x")}) % 256 AS g
+        |  FROM d, range(0, 16) x(x), range(0, 16) y(y))
+        |SELECT doc_id, CAST(blk AS BIGINT) AS blk,
+        |  CAST(SUM(g) AS BIGINT) AS block_sum,
+        |  CAST(16 * SUM(g * g) - SUM(g) * SUM(g) AS BIGINT)
+        |    AS block_var_num
+        |FROM px GROUP BY doc_id, blk""".stripMargin,
     // mm_audio_hash / dedup_audio: per-block square-wave energy is
     // span*A(seed,b)^2 exactly, so E[b+1] > E[b] <=> A[b+1] > A[b] and
     // the oracle works on amplitudes directly; the dedup oracle blocks

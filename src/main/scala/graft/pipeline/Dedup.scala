@@ -324,8 +324,15 @@ object Dedup {
     * difference between linear and quadratic growth on a corpus full
     * of near-copies (ScaleProbe measured 8.5× super-linear per-doc
     * growth at 10× under hash-ordered prefixes; df-ordered probes cut
-    * candidate volume to ≈ output size). Hash collisions only ADD
-    * candidates — the exact verify removes them.
+    * candidate volume to ≈ output size). Hash-collision caveat: unlike
+    * the symmetric Jaccard prefix (where merging shingles can only
+    * raise similarity, so collisions only ADD candidates), here an
+    * xxhash64 collision INSIDE one doc's shingle set shrinks both
+    * |H(A)| and the hashed intersection, so a pair sitting exactly at
+    * the threshold can in principle be dropped — probability
+    * ~|shingles|²·2⁻⁶⁴ per doc, negligible in practice but the recall
+    * guarantee is modulo 64-bit collisions, not absolute. The exact
+    * verify removes all false positives either way.
     *
     * Scale shape: one df aggregation + one (hash) equi-join for
     * candidates + one array-intersect verify over pair rows — no

@@ -14,12 +14,13 @@ import org.apache.spark.sql.types._
   * via javax.sound ([[renderWav]] / [[decodeAudioStats]]: format, frame
   * count, sample RMS), GIF video decodes for REAL frame-by-frame
   * ([[renderGif]] / [[decodeVideoStats]]), image feature extraction is
-  * REAL ([[imagePHash]]: decode → integer block grid → aHash/dHash),
-  * and resize is REAL ([[resizeImage]]: nearest-neighbor rescale +
-  * lossless re-encode). Only the GENERIC byte-window feature fake
-  * ([[extractFeatures]]) remains as the documented seam where a codec
-  * this container lacks (e.g. video embedding models) would drop in
-  * without touching the dataflow.
+  * REAL ([[imagePHash]]: decode → integer block grid → aHash/dHash;
+  * [[extractFeatures]]: decode → blockwise exact integer mean/variance
+  * grid + float embedding), and resize is REAL ([[resizeImage]]:
+  * nearest-neighbor rescale + lossless re-encode). Nothing on this
+  * surface is stubbed; a learned embedding model (a codec this
+  * container lacks) would drop into the same mapPartitions shape as
+  * [[extractFeatures]] without touching the dataflow.
   */
 object Multimodal {
 
@@ -39,8 +40,6 @@ object Multimodal {
       durationMs: Option[Long], codec: Option[String])
   final case class MediaRecord(mediaId: Long, kind: String,
       payload: Array[Byte], meta: MediaMeta)
-  final case class MediaFeatures(mediaId: Long, kind: String,
-      byteLength: Int, features: Array[Float])
 
   /** Payload statistics — pure byte-level, fully real. */
   def byteLength(payload: Column): Column = length(payload)
@@ -57,32 +56,79 @@ object Multimodal {
     })
   }
 
-  /** Deterministic fake feature extraction — STUB for the real decoder.
-    * Emits a `dim`-length float vector derived from payload byte
-    * windows. Runs as typed mapPartitions: one decoder instance per
-    * partition, batched rows — exactly the shape a real codec needs
-    * (expensive init amortized across the partition). */
-  def extractFeatures(ds: Dataset[MediaRecord], dim: Int = 16)
-      : Dataset[MediaFeatures] = {
+  /** One decoded image reduced to a blockwise integer moment grid:
+    * per-block EXACT luma sum and cleared-denominator variance
+    * numerator (`n·Σg² − (Σg)²`, n = pixels per block) — all-integer,
+    * so a SQL oracle recomputes both arrays bit-for-bit from a
+    * generative pixel formula. `features` is the float embedding
+    * derived from the same integers (normalized block means then
+    * normalized variances, 2·grid² dims) for downstream ANN/near-dup
+    * composition. Sentinel (-1 dims, empty arrays) for undecodable
+    * payloads or sides not a multiple of `grid`. */
+  final case class ImageFeatures(media_id: Long, width: Int, height: Int,
+      block_sum: Array[Long], block_var_num: Array[Long],
+      features: Array[Float])
+
+  /** REAL image feature extraction: decode each payload with ImageIO,
+    * reduce the integer-luma plane to a `grid`×`grid` matrix of exact
+    * block sums and sum-of-squares, and emit (sums, variance
+    * numerators, float embedding) per image — the decoded-raster
+    * feature every image-curation stage downstream composes with
+    * (near-dup via [[graft.pipeline.Ann]] cosine, quality filters on
+    * blockwise contrast, SemDeDup-style clustering). Variance uses the
+    * cleared-denominator form `n·Σg² − (Σg)²` so no division touches
+    * the integers; with luma ≤ 255 and blocks up to 256² px the terms
+    * stay far inside a signed 64-bit long. Runs as typed
+    * mapPartitions: one codec instance per partition, batched rows —
+    * expensive init amortized across the partition. */
+  def extractFeatures(ds: Dataset[MediaRecord], grid: Int = 4)
+      : Dataset[ImageFeatures] = {
+    require(grid >= 1 && grid <= 64, s"grid must be in [1, 64], got $grid")
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      // STUB: real implementation decodes payload with a codec here;
-      // the deterministic fake hashes byte windows into a vector.
       it.map { rec =>
-        val bytes = rec.payload
-        val features = Array.tabulate(dim) { i =>
-          if (bytes.isEmpty) 0.0f
-          else {
-            var acc = 17L
-            var j = i
-            while (j < bytes.length) {
-              acc = acc * 31 + (bytes(j) & 0xFF)
-              j += dim
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(rec.payload))
+          catch { case _: java.io.IOException => null }
+        if (img == null || img.getWidth % grid != 0 ||
+            img.getHeight % grid != 0)
+          ImageFeatures(rec.mediaId, -1, -1,
+            Array.empty[Long], Array.empty[Long], Array.empty[Float])
+        else {
+          val (bw, bh) = (img.getWidth / grid, img.getHeight / grid)
+          val n = bw.toLong * bh
+          val s = new Array[Long](grid * grid)
+          val ss = new Array[Long](grid * grid)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              // integer luma of an RGB pixel; gray fixtures (r=g=b=v)
+              // reduce to exactly v since (299+587+114)v/1000 = v
+              val rgb = img.getRGB(x, y)
+              val lum = (299 * ((rgb >> 16) & 0xFF) +
+                587 * ((rgb >> 8) & 0xFF) + 114 * (rgb & 0xFF)) / 1000
+              val b = (y / bh) * grid + x / bw
+              s(b) += lum
+              ss(b) += lum.toLong * lum
+              x += 1
             }
-            ((acc % 1000003L).toFloat / 1000003.0f)
+            y += 1
           }
+          val varNum = Array.tabulate(grid * grid)(b =>
+            n * ss(b) - s(b) * s(b))
+          val feats = new Array[Float](2 * grid * grid)
+          var b = 0
+          while (b < grid * grid) {
+            feats(b) = (s(b).toDouble / (255.0 * n)).toFloat
+            feats(grid * grid + b) =
+              (varNum(b).toDouble / (255.0 * 255.0 * n * n)).toFloat
+            b += 1
+          }
+          ImageFeatures(rec.mediaId, img.getWidth, img.getHeight,
+            s, varNum, feats)
         }
-        MediaFeatures(rec.mediaId, rec.kind, bytes.length, features)
       }
     }
   }
@@ -180,9 +226,9 @@ object Multimodal {
   /** REAL image decode: parse each payload with ImageIO (PNG/JPEG/GIF —
     * whatever the JVM's registered readers handle) and report the
     * intrinsic pixel dimensions. Partition-local decoding — the same
-    * shape as [[extractFeatures]], but the codec is genuine; a payload
-    * no reader accepts reports (-1, -1, "undecodable") instead of
-    * failing the job (a 100 TB corpus always contains corrupt blobs). */
+    * shape as [[extractFeatures]]; a payload no reader accepts reports
+    * (-1, -1, "undecodable") instead of failing the job (a 100 TB
+    * corpus always contains corrupt blobs). */
   def decodeImageDims(ds: Dataset[MediaRecord]): Dataset[ImageDims] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>

@@ -721,9 +721,16 @@ object Sampling {
     * all-reduce. */
   def effectiveSampleSize(weights: DataFrame, logWeight: Column)
       : DataFrame = {
-    val mx = weights.agg(max(logWeight.cast("double")).as("__mx"))
-    val e9 = round(exp(logWeight.cast("double") - col("__mx")), 9)
-    weights.crossJoin(broadcast(mx))
+    // pin the projected weights ONCE (eager localCheckpoint of one
+    // double per row): the max branch and the sum scan both read this
+    // plan, and without the pin each would re-run the full upstream —
+    // fed from dsirWeights that is the whole tokenize+shuffle DSIR
+    // pass, twice
+    val w = weights.select(logWeight.cast("double").as("__w"))
+      .localCheckpoint(true)
+    val mx = w.agg(max(col("__w")).as("__mx"))
+    val e9 = round(exp(col("__w") - col("__mx")), 9)
+    w.crossJoin(broadcast(mx))
       .select(e9.cast("decimal(20,9)").as("__e"),
         round(e9 * e9, 9).cast("decimal(20,9)").as("__e2"))
       .agg(count(lit(1)).as("n_docs"),

@@ -83,8 +83,11 @@ object Temporal {
     * (optionally within `toleranceMs`); exact ties between the previous
     * and next candidate resolve BACKWARD (the reading already known at
     * event time). Emits `left.* ++ rightPayload ++ (asof_gap_ms,
-    * asof_dir)` — gap is the absolute millisecond distance, dir is
-    * 'backward'/'forward'/null.
+    * asof_dir)` — gap is the absolute distance floored to ms, dir is
+    * 'backward'/'forward'/null. Nearest-vs and tolerance comparisons
+    * run at full MICROSECOND resolution (only the reported gap rounds);
+    * with true sub-ms timestamps the closer side wins even inside one
+    * millisecond, and tolerance never admits past the exact bound.
     *
     * Plan shape: the same single key-hash shuffle as [[asOfJoin]] —
     * one union, then BOTH directional matches come from two window
@@ -103,7 +106,7 @@ object Temporal {
     val leftCols = left.columns.toSeq
     val rUs = tsUs(right, rightTs)
     val payloadStruct = struct(
-      floor(rUs / 1000L).cast("long").as("__rts_ms") +:
+      rUs.cast("long").as("__rts_us") +:
         rightPayload.map(c => col(c).as(c)): _*)
     val r2 = right.select(
       col(key).as("__k"),
@@ -132,11 +135,15 @@ object Temporal {
       .withColumn("__p", last(col("__r"), ignoreNulls = true).over(wBack))
       .withColumn("__n", last(col("__r"), ignoreNulls = true).over(wFwd))
       .where(col("__side") === 1)
-    val ltsMs = floor(col("__ts_us") / 1000L).cast("long")
-    val gb = ltsMs - col("__p.__rts_ms")
-    val gf = col("__n.__rts_ms") - ltsMs
-    def admissible(m: Column, gap: Column): Column = toleranceMs match {
-      case Some(tol) => m.isNotNull && gap <= lit(tol)
+    // nearest/tolerance decisions run at FULL microsecond resolution
+    // (a forward match closer by µs must beat a backward match in the
+    // same millisecond, and tolerance must not admit up to 999 µs past
+    // the bound); only the REPORTED gap floors to ms, the oracle's
+    // granularity — identical on whole-ms inputs either way
+    val gb = col("__ts_us") - col("__p.__rts_us")
+    val gf = col("__n.__rts_us") - col("__ts_us")
+    def admissible(m: Column, gapUs: Column): Column = toleranceMs match {
+      case Some(tol) => m.isNotNull && gapUs <= lit(tol * 1000L)
       case None      => m.isNotNull
     }
     val okB = admissible(col("__p"), gb)
@@ -148,7 +155,8 @@ object Temporal {
     withBoth.select(
       leftCols.map(c => col(s"__l.$c").as(c)) ++
         rightPayload.map(c => m.getField(c).as(c)) :+
-        when(useB, gb).when(useF, gf).as("asof_gap_ms") :+
+        floor(when(useB, gb).when(useF, gf) / 1000L).cast("long")
+          .as("asof_gap_ms") :+
         when(useB, lit("backward")).when(useF, lit("forward"))
           .as("asof_dir"): _*)
   }

@@ -1122,8 +1122,16 @@ object TextAnalysis {
       sum(col("y")).cast("double").as("sy"),
       sum(col("x") * col("x")).cast("double").as("sxx"),
       sum(col("x") * col("y")).cast("double").as("sxy"))
-    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
-      (col("n") * col("sxx") - col("sx") * col("sx"))
+    // n·sxx − sx² = 0 ⟺ fewer than 2 distinct x survive (one fitted
+    // point, or all checkpoints collapsing to one) — a silent 0/0
+    // would emit NaN/null slope; fail loudly like every other
+    // degenerate-input path in the repo
+    val den0 = col("n") * col("sxx") - col("sx") * col("sx")
+    val den = when(den0 > 0d, den0).otherwise(raise_error(concat(
+      lit("fitLine: fewer than 2 distinct x values (n="),
+      col("n").cast("long").cast("string"),
+      lit(") — cannot fit a slope"))))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / den
     agg.select(col("n").cast("long").as(nName),
       round(slope, 6).as("slope"),
       round((col("sy") - slope * col("sx")) / col("n"), 6)

@@ -422,23 +422,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(m(0L)._2 !== m(2L)._2) // reversed word order → different rolling hash
   }
 
-  test("multimodal: feature extraction over binary payloads (stub decode)") {
+  test("multimodal: REAL image feature extraction — blockwise integer " +
+      "moments match the generative formula exactly; duplicate seeds " +
+      "agree; undecodable payloads sentinel") {
     import spark.implicits._
-    val media = Multimodal.fromText(docs, col("doc_id"), col("text"))
-    // same field names and types (nullability flags may differ on literals)
-    assert(media.schema.simpleString === Multimodal.schema.simpleString)
-    val ds = media.as[(Long, String, Array[Byte],
-      (Option[Int], Option[Int], Option[Long], Option[String]))]
-      .map { case (id, kind, payload, (w, h, d, c)) =>
-        Multimodal.MediaRecord(id, kind, payload,
-          Multimodal.MediaMeta(w, h, d, c)) }
-    val feats = Multimodal.extractFeatures(ds, dim = 8).collect()
-    assert(feats.length === 5)
-    assert(feats.forall(_.features.length === 8))
-    // identical payloads → identical features; different → different
-    val byId = feats.map(f => f.mediaId -> f.features.toSeq).toMap
-    assert(byId(0L) === byId(1L))
-    assert(byId(0L) !== byId(3L))
+    val imgs = Multimodal.renderGradientPng(
+      Seq((0L, 7L, 16), (1L, 7L, 16), (2L, 8L, 16)).toDS())
+    val bad = Seq(Multimodal.MediaRecord(9L, "image",
+      Array[Byte](1, 2, 3),
+      Multimodal.MediaMeta(None, None, None, None))).toDS()
+    val feats = Multimodal.extractFeatures(imgs.union(bad), grid = 4)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats.size === 4)
+    // recompute the 16 block sums/variances straight from the pixel
+    // formula g(x, y) = mix32(seed·256 + y·16 + x) mod 256
+    val s = new Array[Long](16)
+    val ss = new Array[Long](16)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val g = Multimodal.mix32(7L * 256 + y * 16 + x) % 256
+      val b = (y / 4) * 4 + x / 4
+      s(b) += g
+      ss(b) += g * g
+    }
+    val f0 = feats(0L)
+    assert(f0.width === 16 && f0.height === 16)
+    assert(f0.block_sum.toSeq === s.toSeq)
+    assert(f0.block_var_num.toSeq ===
+      s.indices.map(b => 16L * ss(b) - s(b) * s(b)))
+    assert(f0.features.length === 32)
+    // float embedding is the normalized integer grid
+    assert(f0.features(0) === (s(0).toDouble / (255.0 * 16)).toFloat)
+    // same seed → identical features; different seed → different
+    assert(feats(1L).block_sum.toSeq === f0.block_sum.toSeq)
+    assert(feats(1L).features.toSeq === f0.features.toSeq)
+    assert(feats(2L).block_sum.toSeq !== f0.block_sum.toSeq)
+    // corrupt payload: sentinel row, job survives
+    assert(feats(9L).width === -1 && feats(9L).features.isEmpty)
   }
 
   test("multimodal: REAL nearest-neighbor resize — exact source pixels, " +
