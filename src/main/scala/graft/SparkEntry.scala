@@ -1461,6 +1461,42 @@ object SparkEntry {
       graft.pipeline.Temporal.funnelRates(perUser, nSteps = 3)
     }),
 
+    // Streaming twin of the funnel: per-key step times fold across two
+    // event-time-ordered micro-batches (each t_i is write-once under
+    // ascending event time, so the fold is a coalesce of per-batch
+    // step minima) — the standing state must equal the one-shot
+    // funnel, so it replays the SAME oracle
+    "events_funnel_incremental" -> ((s, dir) => {
+      val ev = EventsAsQuads.events(s, dir)
+      val cut = ev.agg(((min("ts_ms") + max("ts_ms")) / 2).cast("long"))
+        .head.getLong(0)
+      val f = new graft.streaming.StructuredStreams.StreamingFunnel(
+        "user_id", "ts_ms",
+        Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowMs = Some(7L * 86400000L))
+      f.fold(ev.where(col("ts_ms") <= cut))
+      f.fold(ev.where(col("ts_ms") > cut))
+      f.current.get
+    }),
+
+    // Any-anchor funnel: the existence test first-touch semantics is
+    // not — a key converts iff SOME ordered chain fits inside the
+    // window of ITS OWN step-1 anchor. Latest-anchor recurrence, k
+    // window passes over one per-key time sort; the 1-DAY window makes
+    // the two semantics measurably diverge on this data (sf0.01: 86
+    // any-anchor conversions vs 14 first-touch)
+    "events_funnel_anyanchor" -> ((s, dir) => {
+      val ev = EventsAsQuads.events(s, dir)
+      graft.pipeline.Temporal.funnelAnyAnchor(ev, key = "user_id",
+        ts = "ts_ms",
+        steps = Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowMs = 86400000L)
+    }),
+
     // Nearest as-of: the closest click in EITHER direction (ties →
     // backward, the reading already known at event time) — both
     // directional matches from two window passes over ONE key-hash
@@ -4090,6 +4126,9 @@ object SparkEntry {
     ("sample_dsir_incremental" -> oracleSqlBase("sample_dsir")) +
     // folded-chunk-index dedup must equal the one-shot rebuild
     ("dedup_cdc_incremental" -> oracleSqlBase("dedup_cdc_apply")) +
+    // the folded per-key step times must equal the one-shot funnel
+    // (write-once t_i under ascending event time) — one oracle
+    ("events_funnel_incremental" -> oracleSqlBase("events_funnel")) +
     // confusion matrix wraps the classify_nb prediction SQL
     ("classify_confusion" ->
       s"""WITH preds AS (
@@ -5130,6 +5169,38 @@ object SparkEntry {
         |  COALESCE(s3.t_3, s2.t_2, s1.t_1) - s1.t_1 AS elapsed_ms
         |FROM s1 LEFT JOIN s2 USING (user_id)
         |LEFT JOIN s3 USING (user_id)""".stripMargin,
+    // any-anchor funnel: the latest-anchor recurrence A_i(t) as nested
+    // MAX window passes (RANGE frames = non-strict same-ms ordering,
+    // matching the Spark side); a purchase converts iff the latest
+    // feasible anchor is within the 1-day window; earliest completion
+    // reported (anchor is a function of ts, so ties are exact)
+    "events_funnel_anyanchor" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 1000 AS ts_ms, event_type
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, ts_ms, event_type,
+        |    max(CASE WHEN event_type = 'view' THEN ts_ms END)
+        |      OVER w AS a1
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |b AS (
+        |  SELECT user_id, ts_ms, event_type,
+        |    max(CASE WHEN event_type = 'click' THEN a1 END)
+        |      OVER w AS a2
+        |  FROM a
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |q AS (
+        |  SELECT user_id, ts_ms, a2 FROM b
+        |  WHERE event_type = 'purchase' AND a2 IS NOT NULL
+        |    AND a2 >= ts_ms - 86400000)
+        |SELECT user_id, a2 AS anchor_ms, ts_ms AS complete_ms,
+        |  ts_ms - a2 AS span_ms
+        |FROM (SELECT user_id, ts_ms, a2, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY ts_ms) AS rn
+        |      FROM q) WHERE rn = 1""".stripMargin,
     // funnel rates: the same step chain folded to per-step counts
     "events_funnel_rates" ->
       """WITH e AS (

@@ -26,7 +26,7 @@ object Temporal {
     * reinterpreted as UTC, session-zone-free — see
     * [[graft.expressions.native.ntzEpochMicros]]), or an already-numeric
     * epoch-milliseconds column (the repo's `ts_ms` convention). */
-  private def tsUs(df: DataFrame, name: String): Column =
+  private[graft] def tsUs(df: DataFrame, name: String): Column =
     df.schema(name).dataType match {
       case TimestampType    => unix_micros(col(name))
       case TimestampNTZType => graft.expressions.native.ntzEpochMicros(col(name))
@@ -488,15 +488,19 @@ object Temporal {
     * ordered completion of `steps` (each a boolean predicate over the
     * event row), where step k must fire AFTER step k−1's matched time
     * and (optionally) the whole sequence must fit inside `windowMs` of
-    * step 1. The classic view→click→purchase conversion analysis —
-    * and the earliest-completion semantics ("min ts of step k at or
-    * after t_{k−1}") is the standard greedy rule, which is OPTIMAL
-    * here: matching step 1 as early as possible can only widen the
-    * window the later steps may land in (with a per-sequence deadline,
-    * earlier t₁ trades window for reach — this takes the canonical
-    * earliest-t₁ interpretation every funnel product uses). Returns
-    * (key, steps_completed, t_1..t_n epoch-ms, elapsed_ms) — one row
-    * per key that completed at least step 1.
+    * step 1. The classic view→click→purchase conversion analysis,
+    * using the earliest-completion greedy rule ("min ts of step k at
+    * or after t_{k−1}"). WITHOUT a deadline the greedy rule is optimal
+    * — an earlier step-k match can only widen step k+1's feasible
+    * window. WITH `windowMs` set these are FIRST-TOUCH semantics: the
+    * deadline anchors at the EARLIEST step-1 event, so a key whose
+    * completion only fits a LATER step-1 anchor counts as incomplete —
+    * the common per-user attribution rule ("did the user convert
+    * within w of first entering the funnel"), not an existence test.
+    * For "converted within w of ANY entry" parity with
+    * last-touch/any-touch analytics tools, use [[funnelAnyAnchor]].
+    * Returns (key, steps_completed, t_1..t_n epoch-ms, elapsed_ms) —
+    * one row per key that completed at least step 1.
     *
     * Scale shape: ONE key-hash aggregation per step (k aggregations of
     * the pre-filtered event slice, each map-side combined, joined on
@@ -558,5 +562,60 @@ object Temporal {
         when(col("__s.__n1") > 0L,
           expr("__s.n_keys * 1000000 div __s.__n1")).otherwise(0L)
           .as("overall_conv_ppm"))
+  }
+
+  /** Any-anchor funnel conversion — the existence test [[funnel]]'s
+    * first-touch semantics is not: a key converts iff SOME ordered
+    * chain step-1..step-k fits inside `windowMs` of ITS OWN step-1
+    * anchor (the "converted within w of any entry" rule of
+    * last-touch/any-touch analytics tools). The classic latest-anchor
+    * recurrence, k window passes over ONE per-key time sort:
+    * A₁(t) = latest step-1 event ≤ t; Aᵢ(t) = Aᵢ₋₁(ts of the latest
+    * step-i event ≤ t) — each Aᵢ is nondecreasing in t, so the max
+    * anchor among feasible chains reaching step i by time t, and a
+    * step-k event e completes a chain iff A_{k−1}(e.ts) ≥ e.ts − w
+    * (maximizing the anchor is optimal for meeting the deadline;
+    * ordered intermediates are ≤ e.ts ≤ anchor + w automatically).
+    * RANGE frames make every comparison non-strict (a same-ms earlier
+    * step qualifies), matching [[funnel]]'s `>=` step rule. Returns
+    * one row per CONVERTED key: (key, anchor_ms — the latest feasible
+    * anchor of the earliest completion, complete_ms, span_ms).
+    *
+    * Scale shape: one key-hash shuffle + one per-key sort shared by
+    * all k window passes (Catalyst collapses same-spec windows), then
+    * a key aggregation — unlike [[funnel]]'s sort-free k aggregations,
+    * the existence test needs the per-key event order; state is still
+    * O(1) per row. */
+  def funnelAnyAnchor(events: DataFrame, key: String, ts: String,
+      steps: Seq[Column], windowMs: Long): DataFrame = {
+    require(steps.length >= 2,
+      "any-anchor funnel needs at least 2 steps (1-step trivially " +
+        "converts at every match)")
+    require(windowMs >= 0L, s"windowMs must be >= 0, got $windowMs")
+    val tsMs = floor(tsUs(events, ts) / 1000L).cast("long")
+    val base = events.select(col(key).as("__k"), tsMs.as("__ts"),
+      struct(steps.zipWithIndex.map { case (s, i) =>
+        s.as(s"s$i") }: _*).as("__p"))
+    val w = Window.partitionBy("__k").orderBy(col("__ts").asc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    var cur = base.withColumn("__a1",
+      max(when(col("__p.s0"), col("__ts"))).over(w))
+    var prev = "__a1"
+    for (i <- 1 until steps.length - 1) {
+      cur = cur.withColumn(s"__a${i + 1}",
+        max(when(col(s"__p.s$i"), col(prev))).over(w))
+      prev = s"__a${i + 1}"
+    }
+    val last = steps.length - 1
+    val qualifies = col(s"__p.s$last") && col(prev).isNotNull &&
+      col(prev) >= col("__ts") - windowMs
+    cur.groupBy(col("__k"))
+      .agg(min(when(qualifies, struct(col("__ts"), col(prev))))
+        .as("__c"))
+      .where(col("__c").isNotNull)
+      .select(col("__k").as(key),
+        col(s"__c.$prev").as("anchor_ms"),
+        col("__c.__ts").as("complete_ms"),
+        (col("__c.__ts") - col(s"__c.$prev")).as("span_ms"))
   }
 }

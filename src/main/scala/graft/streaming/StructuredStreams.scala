@@ -5,7 +5,7 @@ import graft.comparator.{ComparatorConfig, ComparisonResult,
 import graft.parsing.NQuadsParser
 import graft.storage.EventLog
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   OutputMode, StreamingQuery, Trigger}
@@ -538,6 +538,104 @@ object StructuredStreams {
       outputs.foreach(releaseCheckpoint); outputs = None
     }
   }
+
+  /** Standing conversion funnel over an event stream — the streaming
+    * twin of [[graft.pipeline.Temporal.funnel]]: per-key matched step
+    * times (t_1..t_k) fold per micro-batch. Under the batch funnel's
+    * greedy earliest-completion rule each t_i is WRITE-ONCE given
+    * ascending event time across batches (t_1 is the global earliest
+    * step-1 event, so later batches can never lower it; by induction a
+    * set t_i never moves because its predecessor never moves and later
+    * events are never earlier) — so the fold is `t_i' = coalesce(t_i,
+    * min batch step-i event ≥ t_{i−1}' within the deadline)`, computed
+    * step-by-step so a single batch can complete several steps at
+    * once. CONTRACT (documented, same as [[StreamingLineDedup]]'s
+    * ascending-id rule): batches arrive in ascending event time — a
+    * late event older than a fold boundary would need the reference's
+    * no-watermark replay, not this fold. With that contract the
+    * standing state equals the one-shot [[graft.pipeline.Temporal
+    * .funnel]] over everything ingested (StreamingFunnelSpec; the
+    * `events_funnel_incremental` gate entry replays the one-shot
+    * oracle against a two-batch fold). State: one row per key that
+    * reached step 1 — |keys| × k longs, re-pinned per fold, superseded
+    * generations released through Lineage. */
+  final class StreamingFunnel(key: String, ts: String,
+      steps: Seq[Column], windowMs: Option[Long] = None) {
+    require(steps.nonEmpty, "need at least one funnel step")
+    @volatile private var state: Option[DataFrame] = None
+
+    def fold(batch: DataFrame): Unit = synchronized {
+      val n = steps.length
+      val tsMs =
+        floor(graft.pipeline.Temporal.tsUs(batch, ts) / 1000L)
+          .cast("long")
+      // pinned: the batch slice is scanned once per step below
+      val b = batch.select(col(key).as("__k"), tsMs.as("__ts"),
+        struct(steps.zipWithIndex.map { case (s, i) =>
+          s.as(s"s$i") }: _*).as("__p"))
+        .localCheckpoint(true)
+      val s0 = state.getOrElse(
+        b.select(col("__k") +:
+          (1 to n).map(i => lit(null).cast("long").as(s"t_$i")): _*)
+          .where(lit(false)))
+      // step 1: earliest batch match fills a still-null t_1
+      val m1 = b.where(col("__p.s0")).groupBy(col("__k"))
+        .agg(min(col("__ts")).as("m_1"))
+      var acc = s0.join(m1, Seq("__k"), "full_outer")
+        .select(col("__k") +: coalesce(col("t_1"), col("m_1")).as("t_1") +:
+          (2 to n).map(i => col(s"t_$i")): _*)
+      for (i <- 2 to n) {
+        val deadline = windowMs match {
+          case Some(w) => col("__ts") <= col("t_1") + w
+          case None    => lit(true)
+        }
+        val need = Seq("t_1", s"t_${i - 1}").distinct.map(col)
+        val mi = b.where(col(s"__p.s${i - 1}"))
+          .join(acc.select(col("__k") +: need: _*), "__k")
+          .where(col(s"t_${i - 1}").isNotNull &&
+            col("__ts") >= col(s"t_${i - 1}") && deadline)
+          .groupBy(col("__k")).agg(min(col("__ts")).as(s"m_$i"))
+        acc = acc.join(mi, Seq("__k"), "left_outer")
+          .select(col("__k") +: (1 to n).map(j =>
+            if (j == i) coalesce(col(s"t_$j"), col(s"m_$j")).as(s"t_$j")
+            else col(s"t_$j")): _*)
+      }
+      val pinned = acc.localCheckpoint(true)
+      state.foreach(releaseCheckpoint)
+      releaseCheckpoint(b)
+      state = Some(pinned)
+    }
+
+    /** Standing per-key funnel in the one-shot output shape
+      * (key, steps_completed, t_1..t_k, elapsed_ms); None before any
+      * batch. */
+    def current: Option[DataFrame] = state.map { st =>
+      val tCols = (1 to steps.length).map(i => col(s"t_$i"))
+      val completed = tCols.map(c =>
+        when(c.isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+      val lastReached = coalesce(tCols.reverse: _*)
+      st.select(col("__k").as(key) +:
+        completed.as("steps_completed") +:
+        tCols :+
+        (lastReached - col("t_1")).as("elapsed_ms"): _*)
+    }
+
+    def unpersist(): Unit = synchronized {
+      state.foreach(releaseCheckpoint); state = None
+    }
+  }
+
+  /** Attach funnel maintenance to an event stream. */
+  def maintainFunnel(stream: DataFrame, funnel: StreamingFunnel,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        funnel.fold(batch.toDF())
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
 
   /** Attach line-dedup maintenance to a document stream. */
   def maintainLineDedup(stream: DataFrame, dedup: StreamingLineDedup,

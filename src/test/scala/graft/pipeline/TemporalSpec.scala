@@ -313,6 +313,52 @@ class TemporalSpec extends AnyFunSuite {
     assert(!out.contains(4L)) // no step-1 match → absent
   }
 
+  test("funnelAnyAnchor: converts keys first-touch misses, reports " +
+      "the latest feasible anchor of the earliest completion") {
+    val ev = Seq(
+      // user 1: plain in-window chain — anchor = its only view
+      (1L, 1L, 1_000L, "view"), (2L, 1L, 2_000L, "click"),
+      (3L, 1L, 3_000L, "purchase"),
+      // user 2: first-touch anchor (view@0) misses the 10s deadline,
+      // but a second entry at 99_990_000 completes in 9s — any-anchor
+      // converts where funnel's windowed semantics does not
+      (4L, 2L, 0L, "view"), (5L, 2L, 100L, "click"),
+      (6L, 2L, 99_990_000L, "view"), (7L, 2L, 99_995_000L, "click"),
+      (8L, 2L, 99_999_000L, "purchase"),
+      // user 3: purchase BEFORE any view→click chain — no conversion
+      (9L, 3L, 500L, "purchase"), (10L, 3L, 1_000L, "view"),
+      (11L, 3L, 2_000L, "click"),
+      // user 4: same-ms chain — RANGE frames make >= hold
+      (12L, 4L, 7_000L, "view"), (13L, 4L, 7_000L, "click"),
+      (14L, 4L, 7_000L, "purchase"),
+      // user 5: two anchors both feasible — the LATEST wins
+      (15L, 5L, 1_000L, "view"), (16L, 5L, 4_000L, "view"),
+      (17L, 5L, 5_000L, "click"), (18L, 5L, 6_000L, "purchase"))
+      .toDF("eid", "user", "ms", "kind")
+      .select(col("eid"), col("user"),
+        timestamp_millis(col("ms")).as("ts"), col("kind"))
+    val out = Temporal.funnelAnyAnchor(ev, key = "user", ts = "ts",
+      steps = Seq(col("kind") === "view", col("kind") === "click",
+        col("kind") === "purchase"),
+      windowMs = 10_000L)
+      .collect().map(r => r.getAs[Long]("user") -> ((
+        r.getAs[Long]("anchor_ms"), r.getAs[Long]("complete_ms"),
+        r.getAs[Long]("span_ms")))).toMap
+    assert(out(1L) === ((1_000L, 3_000L, 2_000L)))
+    assert(out(2L) === ((99_990_000L, 99_999_000L, 9_000L)))
+    assert(!out.contains(3L))
+    assert(out(4L) === ((7_000L, 7_000L, 0L)))
+    assert(out(5L) === ((4_000L, 6_000L, 2_000L)))
+    // the first-touch funnel misses user 2's conversion entirely
+    val ft = Temporal.funnel(ev, key = "user", ts = "ts",
+      steps = Seq(col("kind") === "view", col("kind") === "click",
+        col("kind") === "purchase"),
+      windowMs = Some(10_000L))
+      .collect().map(r => r.getAs[Long]("user") ->
+        r.getAs[Long]("steps_completed")).toMap
+    assert(ft(2L) === 2L, "fixture must actually separate the semantics")
+  }
+
   test("funnelRates: per-step counts and integer ppm conversions") {
     val perKey = Seq((1L, 3L), (2L, 2L), (3L, 2L), (4L, 1L))
       .toDF("user", "steps_completed")
