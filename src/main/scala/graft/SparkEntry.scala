@@ -531,6 +531,67 @@ object SparkEntry {
           round(col("avg_val"), 6).as("avg_val"))
     }),
 
+    // W1 under OUT-OF-ORDER ARRIVAL — the late-arrival policy of the
+    // live path, pinned: the reference has no watermark (SURVEY §7.3.1)
+    // and window contents are EVENT-TIME-defined by the log, so an
+    // event arriving late — but before its earliest covering close
+    // fires — lands in exactly the windows its timestamp belongs to,
+    // and the fire schedule + results match the in-order run
+    // bit-for-bit (same oracle as w1_live_fires). An event later than
+    // that would land in the log but not re-fire closed windows (no
+    // retraction). Replay: one micro-batch per arrival day, every
+    // third event (by subject hash) held back one day — scrambled
+    // arrival order with lateness bounded under the open-window
+    // horizon; processBatch appends before advancing, so the held
+    // events are in the log when their first covering close fires.
+    "w1_live_out_of_order" -> ((s, dir) => {
+      val StreamUri = "http://graft.dev/stream/events"
+      val ev = EventsAsQuads.events(s, dir)
+      val t0 = ev.agg(min(col("ts_ms"))).head.getLong(0)
+      val quads = EventsAsQuads.quads(s, dir)
+        .withColumn("timestamp", col("timestamp") - t0)
+        .withColumn("graph", lit(StreamUri))
+      val query =
+        """PREFIX ex: <http://graft.dev/>
+          |PREFIX v: <http://graft.dev/vocab#>
+          |PREFIX st: <http://graft.dev/stream/>
+          |REGISTER RStream <out> AS
+          |SELECT (COUNT(?e) AS ?n) (AVG(?val) AS ?avg_val)
+          |FROM NAMED WINDOW ex:w ON STREAM st:events [RANGE 172800000 STEP 86400000]
+          |WHERE {
+          |    WINDOW ex:w { ?e v:value ?val }
+          |}""".stripMargin
+      val tmp = java.nio.file.Files.createTempDirectory("w1ooo")
+      val log = new graft.storage.EventLog(s,
+        tmp.resolve("log").toString, bucketMs = 86400000L)
+      val fires = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      // each fire pins eagerly: the sink contract is evaluate-before-
+      // the-next-batch (the log prunes superseded segments as arrival
+      // advances, so a lazily-held snapshot would outlive its files)
+      val cls = new graft.streaming.CompiledLiveStream(s, query, log,
+        (df, from, to) => fires += df
+          .withColumn("timestamp_from", lit(from))
+          .withColumn("timestamp_to", lit(to))
+          .localCheckpoint(true))
+      // arrival CHUNK = 3 arrival days (due closes inside a chunk still
+      // fire in close order, batched as one job); a held-back day-d
+      // event has arrival day d+1, which is never in an earlier chunk
+      // than its first covering close d+1 — the lateness bound holds
+      val arr = quads.withColumn("__arr",
+        floor((floor(col("timestamp") / 86400000L) +
+          when(pmod(xxhash64(col("subject")), lit(3)) === 0, 1L)
+            .otherwise(0L)) / 3L))
+        .persist()
+      val maxArr = arr.agg(max("__arr")).head.getLong(0)
+      (0L to maxArr).foreach { d =>
+        cls.processBatch(arr.where(col("__arr") === d).drop("__arr"))
+      }
+      arr.unpersist()
+      fires.reduce(_ unionByName _)
+        .select(col("timestamp_from"), col("timestamp_to"), col("n"),
+          round(col("avg_val"), 6).as("avg_val"))
+    }),
+
     // W2: CROSS-WINDOW MERGE at fire, oracle-verified — two live
     // windows with different RANGEs over the same stream; at every
     // close both windows fire (same STEP) and each evaluation joins
@@ -4129,6 +4190,10 @@ object SparkEntry {
     // the folded per-key step times must equal the one-shot funnel
     // (write-once t_i under ascending event time) — one oracle
     ("events_funnel_incremental" -> oracleSqlBase("events_funnel")) +
+    // out-of-order arrival with lateness bounded under the open-window
+    // horizon must reproduce the in-order fire schedule and contents
+    // exactly (window contents are event-time-defined) — one oracle
+    ("w1_live_out_of_order" -> oracleSqlBase("w1_live_fires")) +
     // confusion matrix wraps the classify_nb prediction SQL
     ("classify_confusion" ->
       s"""WITH preds AS (
