@@ -2237,6 +2237,31 @@ object SparkEntry {
         .select(col("query_id"), lit(true).as("recall_ge_070"))
     }),
 
+    // IVF-PQ composition — the standard billion-vector search shape:
+    // IVF cells prune the scan (nprobe=6 of 8), the PQ ADC scan ranks
+    // probed rows from 16-byte codes alone, exact re-rank on the
+    // k·rerank shortlist. SELF-VERIFYING like ann_ivf_topk: recall@10
+    // vs brute force inside Spark, rows dropped (oracle fails) below
+    // 0.7 (observed 0.9-1.0: probe coverage dominates, matching
+    // ann_ivf_topk; the PQ stage adds no misses at rerank=16)
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val ann = graft.pipeline.Ann
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val queries = emb.where(col("vec_id") < 3)
+      val ivfModel = ann.trainIvf(emb, nCells = 8)
+      val pqModel = ann.trainPq(emb, m = 16, ksub = 64, iterations = 2)
+      val got = ann.ivfPqTopK(emb, queries, k = 10, ivfModel, pqModel,
+        nprobe = 6, rerank = 16)
+      val brute = ann.bruteForceTopK(emb, queries, k = 10)
+      got.join(brute.select("query_id", "id"), Seq("query_id", "id"),
+          "leftsemi")
+        .groupBy("query_id")
+        .agg((count(lit(1)) / 10.0).as("recall"))
+        .where(col("recall") >= 0.7)
+        .select(col("query_id"), lit(true).as("recall_ge_070"))
+    }),
+
     // Incremental IVF maintenance: build on a third of the corpus, then
     // append the other two batches — the first append crosses the 0.4
     // drift threshold (appended fraction 0.5) and RECLUSTERS, the second
@@ -6044,6 +6069,9 @@ object SparkEntry {
       """SELECT vec_id AS query_id, true AS recall_ge_070
         |FROM embeddings WHERE vec_id < 3""".stripMargin,
     "ann_pq_topk" ->
+      """SELECT vec_id AS query_id, true AS recall_ge_070
+        |FROM embeddings WHERE vec_id < 3""".stripMargin,
+    "ann_ivfpq_topk" ->
       """SELECT vec_id AS query_id, true AS recall_ge_070
         |FROM embeddings WHERE vec_id < 3""".stripMargin,
     "ann_ivf_incremental" ->

@@ -510,6 +510,30 @@ object Ann {
     }
   }
 
+  /** Per-query ADC lookup tables, `table(j)(cell) = <q_sub_j,
+    * centroid(j)(cell)>` — one m×ksub double grid per query, built on
+    * the driver (queries are the small side by contract) and broadcast;
+    * the code scan then scores a candidate with m array lookups and no
+    * raw-vector access. */
+  private def adcTables(q: DataFrame, model: PqModel)
+      : Array[(Long, Array[Array[Double]])] = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    q.select(col("query_id").cast("long"), toDouble(col("query_vec")))
+      .as[(Long, Array[Double])]
+      .collect()
+      .map { case (qid, v) =>
+        val nv = normalized(v)
+        val t = Array.tabulate(model.m, model.ksub) { (j, cell) =>
+          val cen = model.codebooks(j)(cell)
+          var s = 0.0; var i = 0
+          while (i < cen.length) { s += cen(i) * nv(j * model.dsub + i); i += 1 }
+          s
+        }
+        (qid, t)
+      }
+  }
+
   /** PQ top-k with exact re-rank: asymmetric-distance (ADC) scan over
     * the m-byte codes shortlists `k × rerank` candidates per query —
     * each query ships only its m×ksub inner-product lookup table, and
@@ -533,22 +557,7 @@ object Ann {
     import spark.implicits._
     val c = corpus.toDF("id", "vec")
     val q = queries.toDF("query_id", "query_vec")
-    // per-query ADC tables: table(j)(cell) = <q_sub_j, centroid(j)(cell)>
-    val qTables: Array[(Long, Array[Array[Double]])] = q
-      .select(col("query_id").cast("long"), toDouble(col("query_vec")))
-      .as[(Long, Array[Double])]
-      .collect()
-      .map { case (qid, v) =>
-        val nv = normalized(v)
-        val t = Array.tabulate(model.m, model.ksub) { (j, cell) =>
-          val cen = model.codebooks(j)(cell)
-          var s = 0.0; var i = 0
-          while (i < cen.length) { s += cen(i) * nv(j * model.dsub + i); i += 1 }
-          s
-        }
-        (qid, t)
-      }
-    val bTables = spark.sparkContext.broadcast(qTables)
+    val bTables = spark.sparkContext.broadcast(adcTables(q, model))
     // two-phase shortlist: each input partition keeps its own local
     // top-(k·rerank) per query BEFORE the global rank, so the
     // query-keyed window sees ≤ partitions × k × rerank rows per query
@@ -590,6 +599,93 @@ object Ann {
     val scored = candidates.join(c, "id").join(broadcast(q), "query_id")
       .withColumn("sim",
         round(cosine(toDouble(col("vec")), toDouble(col("query_vec"))), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "id", "sim")
+  }
+
+  /** IVF-PQ top-k — the standard billion-vector composition of the two
+    * already-separately-oracled components: IVF cells prune the scan
+    * (each query touches only its `nprobe` nearest cells), the PQ ADC
+    * scan ranks the probed rows from m-byte codes alone (no raw-vector
+    * reads), and the `k × rerank` shortlist joins back to full vectors
+    * for exact cosine ordering. Output sims are exact; IVF probing and
+    * PQ error affect only WHICH candidates are shortlisted (recall).
+    * At 100 TB: the index is (id, cell, code) — bytes per vector —
+    * partitioned by cell so probing prunes at the scan; raw vectors
+    * are touched for shortlist rows only. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      ivfModel: IvfModel, pqModel: PqModel, nprobe: Int = 3,
+      rerank: Int = 4): DataFrame = {
+    val index = buildIvfIndex(corpus, ivfModel)
+      .join(pqEncode(corpus, pqModel), "id")
+    ivfPqTopKIndexed(index, queries, k, ivfModel, pqModel, nprobe,
+      rerank)
+  }
+
+  /** IVF-PQ search over a standing composed index `(id, cell, code,
+    * vec)` — build once ([[buildIvfIndex]] ⋈ [[pqEncode]]), query many
+    * times. `vec` rides along for the exact re-rank join; a
+    * deployment that stores vectors separately can pass codes-only
+    * rows joined back by id at the same place. */
+  def ivfPqTopKIndexed(index: DataFrame, queries: DataFrame, k: Int,
+      ivfModel: IvfModel, pqModel: PqModel, nprobe: Int = 3,
+      rerank: Int = 4): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val q = queries.toDF("query_id", "query_vec")
+    val queryCells = q
+      .select(col("query_id").cast("long").as("query_id"),
+        toDouble(col("query_vec")).as("v"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        nearestCells(ivfModel, v, nprobe).map(cell => (id, cell)) }
+      .toDF("query_id", "cell")
+    val bTables =
+      spark.sparkContext.broadcast(adcTables(q, pqModel).toMap)
+    val take = k * rerank
+    // probed rows only: equi-join on cell, then the ADC scan with
+    // partition-local per-query top-take heaps (the pqTopK two-phase
+    // shape, fed by the pruned candidate stream instead of the corpus)
+    val shortlist = index.join(broadcast(queryCells), "cell")
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id").cast("long"), col("id").cast("long"),
+        col("code"))
+      .as[(Long, Long, Array[Int])]
+      .mapPartitions { it =>
+        val tables = bTables.value
+        val heaps = collection.mutable.Map
+          .empty[Long, collection.mutable.PriorityQueue[(Double, Long)]]
+        val ord = Ordering.by[(Double, Long), (Double, Long)] {
+          case (s, id) => (-s, id)
+        }
+        it.foreach { case (qid, id, code) =>
+          val t = tables(qid)
+          var s = 0.0; var j = 0
+          while (j < code.length) { s += t(j)(code(j)); j += 1 }
+          val heap = heaps.getOrElseUpdate(qid,
+            collection.mutable.PriorityQueue.empty(ord))
+          heap.enqueue((s, id))
+          if (heap.size > take) heap.dequeue()
+        }
+        heaps.iterator.flatMap { case (qid, heap) =>
+          heap.iterator.map { case (s, id) => (qid, id, s) }
+        }
+      }
+      .toDF("query_id", "id", "adc")
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("id"))
+    val candidates = shortlist
+      .withColumn("r", row_number().over(wAdc))
+      .where(col("r") <= take)
+      .select("query_id", "id")
+    val scored = candidates
+      .join(index.select(col("id"), col("vec")), "id")
+      .join(broadcast(q), "query_id")
+      .withColumn("sim",
+        round(cosine(col("vec"), toDouble(col("query_vec"))), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))

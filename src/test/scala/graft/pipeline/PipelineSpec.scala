@@ -373,6 +373,46 @@ class PipelineSpec extends AnyFunSuite {
       got.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted)
   }
 
+  test("IVF-PQ composition: equals full-scan PQ when probing every " +
+      "cell; exact on separated clusters at nprobe=1; indexed form " +
+      "identical") {
+    val rnd = new scala.util.Random(29)
+    def jitter(v: Array[Float]): Array[Float] =
+      v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)
+    val c1 = Array.fill(16)(1.0f)
+    val c2 = Array.tabulate(16)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val corpus = ((0 until 30).map(i => (i.toLong, jitter(c1))) ++
+      (30 until 60).map(i => (i.toLong, jitter(c2)))).toDF("id", "vec")
+    val ivfModel = Ann.trainIvf(corpus, nCells = 2)
+    val pqModel = Ann.trainPq(corpus, m = 4, ksub = 8, iterations = 2)
+    val queries = Seq((100L, c1)).toDF("qid", "qvec")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sorted
+    // probing every cell degenerates to the full-scan PQ search
+    val allCells = rows(Ann.ivfPqTopK(corpus, queries, 5, ivfModel,
+      pqModel, nprobe = 2, rerank = 4))
+    val fullPq = rows(Ann.pqTopK(corpus, queries, 5, pqModel,
+      rerank = 4))
+    assert(allCells === fullPq)
+    // separated clusters: the query's top-5 all live in its own cell,
+    // so nprobe=1 with a shortlist covering the cell (5×8 ≥ 30 — the
+    // tight cluster quantizes to near-identical codes, so a SMALLER
+    // ADC shortlist tie-breaks by id, not true rank) recalls brute
+    // force exactly
+    val one = Ann.ivfPqTopK(corpus, queries, 5, ivfModel, pqModel,
+      nprobe = 1, rerank = 8)
+    val exact = Ann.bruteForceTopK(corpus, queries, 5)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(one.collect().map(_.getAs[Long]("id")).toSet === exact)
+    // standing composed index gives identical results
+    val index = Ann.buildIvfIndex(corpus, ivfModel)
+      .join(Ann.pqEncode(corpus, pqModel), "id")
+    val viaIndex = rows(Ann.ivfPqTopKIndexed(index, queries, 5,
+      ivfModel, pqModel, nprobe = 1, rerank = 8))
+    assert(viaIndex === rows(one))
+  }
+
   test("token counts: whitespace and BPE-ish") {
     val df = Seq(Tuple1("hello world, it's 42 degrees!")).toDF("text")
     val r = df.select(
