@@ -3043,6 +3043,19 @@ object SparkEntry {
         col("w"), iterations = 3)
     }),
 
+    // Convergence-stopped PageRank: iterate until max per-node change
+    // <= eps (fail-loud past maxIter) — per-iteration round-9 makes
+    // the diff sequence, hence the stopping iteration, engine-exact;
+    // the oracle's recursive CTE runs under the SAME epsilon and must
+    // stop at the same n_iter with the same ranks
+    "graph_pagerank_conv" -> ((s, dir) => {
+      val edges = s.read.parquet(s"$dir/documents.parquet")
+        .select((col("doc_id") % 17).as("src"),
+          ((col("doc_id") * 7 + 3) % 20).as("dst"), lit(1.0).as("w"))
+      graft.pipeline.Graphs.pageRankConverged(edges, col("src"),
+        col("dst"), col("w"), eps = 1e-7, maxIter = 100)
+    }),
+
     // Per-vertex triangle counts + local clustering coefficient over a
     // planted link graph (three correlated mod-997 edge families per
     // doc close triangles by construction; the vertex set stays
@@ -7288,6 +7301,52 @@ object SparkEntry {
          |${it(3)}
          |SELECT node, r AS rank FROM it3""".stripMargin
     },
+    // convergence-stopped pagerank: the SAME per-iteration update as
+    // graph_pagerank inside a recursive CTE whose recursive term only
+    // produces rows while the previous iteration's max diff (carried
+    // on every row as `md`) exceeds eps — both engines run the exact
+    // round-9 recurrence, so they stop at the same n_iter with the
+    // same ranks
+    "graph_pagerank_conv" ->
+      """WITH RECURSIVE
+        |e0 AS (SELECT doc_id % 17 AS src, (doc_id * 7 + 3) % 20 AS dst,
+        |         1.0 AS w
+        |       FROM documents),
+        |e AS (SELECT src, dst, CAST(SUM(w) AS DOUBLE) AS w FROM e0
+        |      GROUP BY src, dst),
+        |o AS (SELECT src, CAST(SUM(w) AS DOUBLE) AS ow FROM e
+        |      GROUP BY src),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        |it(iter, node, r, md) AS (
+        |  SELECT 0, node, round(1.0 / nn.n, 9), CAST(1 AS DOUBLE)
+        |  FROM nodes, nn
+        |  UNION ALL
+        |  SELECT q.iter, q.node, q.r, max(q.diff) OVER () AS md
+        |  FROM (
+        |    SELECT pr.iter + 1 AS iter, nodes.node AS node,
+        |      round((1 - 0.85) / nn.n +
+        |        0.85 * (COALESCE(inc.s, 0) + dang.dm / nn.n), 9) AS r,
+        |      abs(round((1 - 0.85) / nn.n +
+        |        0.85 * (COALESCE(inc.s, 0) + dang.dm / nn.n), 9)
+        |        - pr.r) AS diff
+        |    FROM nodes
+        |    JOIN it pr ON pr.node = nodes.node
+        |    LEFT JOIN (
+        |      SELECT e.dst AS node, SUM(e.w / o.ow * p2.r) AS s
+        |      FROM e JOIN o ON e.src = o.src
+        |      JOIN it p2 ON p2.node = e.src
+        |      GROUP BY e.dst) inc ON inc.node = nodes.node
+        |    CROSS JOIN (SELECT COALESCE(SUM(r), 0) AS dm FROM it
+        |                WHERE node NOT IN (SELECT src FROM o)) dang
+        |    CROSS JOIN nn
+        |    WHERE pr.md > 0.0000001 AND pr.iter < 100
+        |  ) q
+        |)
+        |SELECT node, r AS rank,
+        |  CAST((SELECT max(iter) FROM it) AS BIGINT) AS n_iter
+        |FROM it WHERE iter = (SELECT max(iter) FROM it)""".stripMargin,
     // MAD outliers: both medians restated as histogram selections
     // (smallest value whose cumulative count reaches ceil(n/2))
     "quality_mad_outliers" ->

@@ -77,6 +77,76 @@ object Graphs {
     ranks.select(col("node"), col("r").as("rank"))
   }
 
+  /** Convergence-stopped PageRank: iterate until the max per-node rank
+    * change is ≤ `eps`, failing LOUDLY past `maxIter` (the kCore
+    * discipline — an unconverged exit would silently return a
+    * mid-mixing vector; the caller raises maxIter for slow-mixing
+    * graphs instead of trusting it blind). The fixed-iteration
+    * [[pageRank]] over- or under-iterates a 100 TB graph whose mixing
+    * time nobody measured; this variant spends exactly the iterations
+    * the graph needs. Returns (node, rank, n_iter) — n_iter is the
+    * number of updates performed, identical on any engine because each
+    * iteration's ranks round to `roundTo` (the diff sequence, hence
+    * the stopping decision `md > eps`, is bit-reproducible; the
+    * `graph_pagerank_conv` oracle iterates a recursive CTE under the
+    * SAME epsilon and must stop at the same iteration). Per-iteration
+    * cost = one [[pageRank]] iteration + one broadcast-join diff
+    * aggregate (a scalar to the driver — the loop is driver-steered
+    * like every iterative operator here). */
+  def pageRankConverged(edges: DataFrame, src: Column, dst: Column,
+      w: Column, eps: Double, maxIter: Int, damping: Double = 0.85,
+      roundTo: Int = 9): DataFrame = {
+    require(eps > 0, s"eps must be > 0, got $eps")
+    require(maxIter >= 1, "need at least one iteration")
+    val e = edges.groupBy(src.as("src"), dst.as("dst"))
+      .agg(sum(w.cast("double")).as("w"))
+      .localCheckpoint(true)
+    val outW = e.groupBy("src").agg(sum("w").as("ow"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val nDf = nodes.agg(count(lit(1)).cast("double").as("n"))
+
+    var ranks = nodes.crossJoin(broadcast(nDf))
+      .select(col("node"), round(lit(1.0) / col("n"), roundTo).as("r"))
+      .localCheckpoint(true)
+    var converged = false
+    var iters = 0
+    while (!converged && iters < maxIter) {
+      val incoming = e.join(outW, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("w") / col("ow") * col("r")).as("inc"))
+      val dangling = ranks.join(outW.select(col("src").as("node")),
+          Seq("node"), "left_anti")
+        .agg(coalesce(sum("r"), lit(0.0)).as("dm"))
+      val next = nodes
+        .join(incoming, Seq("node"), "left_outer")
+        .crossJoin(broadcast(dangling))
+        .crossJoin(broadcast(nDf))
+        .select(col("node"), round(
+          lit(1.0 - damping) / col("n") +
+            lit(damping) * (coalesce(col("inc"), lit(0.0)) +
+              col("dm") / col("n")),
+          roundTo).as("r"))
+        .localCheckpoint(true)
+      val md = next.join(ranks.withColumnRenamed("r", "r0"), "node")
+        .agg(max(abs(col("r") - col("r0")))).head.getDouble(0)
+      graft.util.Lineage.release(ranks)
+      ranks = next
+      iters += 1
+      converged = md <= eps
+    }
+    require(converged,
+      s"pageRank did not converge to eps=$eps within $maxIter " +
+        s"iterations — raise maxIter or relax eps")
+    graft.util.Lineage.release(e)
+    graft.util.Lineage.release(nodes)
+    ranks.select(col("node"), col("r").as("rank"),
+      lit(iters.toLong).as("n_iter"))
+  }
+
   /** Per-vertex triangle counts + local clustering coefficient over an
     * undirected simple graph (self-loops dropped, multi-edges and
     * direction collapsed). Output: (node, degree, triangles, coeff)

@@ -85,6 +85,38 @@ class GraphsSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("node") -> ((r.getAs[Long]("degree"),
         r.getAs[Long]("triangles"), r.getAs[Double]("coeff")))).toMap
 
+  test("pageRankConverged: stops at the first iteration with max diff " +
+      "<= eps, equals fixed-iteration pageRank at n_iter, fails loud " +
+      "past maxIter") {
+    val edges = (0 until 200).map(i =>
+      ((i % 13).toLong, ((i * 11 + 5) % 17).toLong, 1.0 + (i % 3)))
+    val conv = Graphs.pageRankConverged(edges.toDF("s", "t", "w"),
+      col("s"), col("t"), col("w"), eps = 1e-6, maxIter = 200)
+      .collect()
+    val nIter = conv.head.getAs[Long]("n_iter").toInt
+    assert(conv.forall(_.getAs[Long]("n_iter") === nIter.toLong))
+    assert(nIter >= 2 && nIter < 200, s"suspicious n_iter $nIter")
+    val got = conv.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // identical to running exactly n_iter fixed iterations...
+    assert(got === run(edges, nIter))
+    // ...and n_iter is MINIMAL: the local reference's diff sequence
+    // crosses eps exactly there
+    val before = localPageRank(edges, nIter - 1)
+    val at = localPageRank(edges, nIter)
+    def md(a: Map[Long, Double], b: Map[Long, Double]) =
+      a.keys.map(k => math.abs(a(k) - b(k))).max
+    assert(md(at, before) <= 1e-6)
+    if (nIter >= 2)
+      assert(md(before, localPageRank(edges, nIter - 2)) > 1e-6,
+        "stopped later than the first converged iteration")
+    // unconverged exit must throw, not return a mid-mixing vector
+    val ex = intercept[IllegalArgumentException] {
+      Graphs.pageRankConverged(edges.toDF("s", "t", "w"), col("s"),
+        col("t"), col("w"), eps = 1e-12, maxIter = 2).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("K4: every vertex has degree 3, 3 triangles, coefficient 1") {
     val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
     val got = tri(k4)
