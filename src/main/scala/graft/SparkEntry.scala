@@ -3554,6 +3554,41 @@ object SparkEntry {
         .select(col("doc_id"), col("bin"))
     }),
 
+    // Streaming twin of the matched sample (fixed budget targetN=100):
+    // per-bin smallest-hash pools min-fold across two arbitrary batch
+    // splits (NO ordering contract — pools are order-free), exact
+    // counts steer the quotas; the standing sample must equal the
+    // one-shot capped matchedSample over everything
+    "sample_matched_incremental" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("bin",
+          least(expr("n_chars div 100"), lit(5L)).cast("string"))
+        .select(col("doc_id"), col("bin"))
+      val sm = new graft.streaming.StructuredStreams
+        .StreamingMatchedSample("bin", "doc_id",
+          Seq("0" -> 1L, "1" -> 3L, "2" -> 3L, "3" -> 2L, "4" -> 1L),
+          targetN = 100L)
+      sm.fold(docs.where(col("doc_id") % 2 === 0))
+      sm.fold(docs.where(col("doc_id") % 2 === 1))
+      sm.current.get.select(col("doc_id"), col("bin"))
+    }),
+
+    // Streaming twin of the temperature sample: rates depend only on
+    // the FINAL stratum counts and are non-increasing as any count
+    // grows (alpha <= 1), so kept rows re-filter and rejected rows are
+    // never wanted back — the standing sample equals the one-shot
+    // (same oracle), again with no arrival-order contract
+    "sample_temperature_incremental" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"))
+      val st = new graft.streaming.StructuredStreams
+        .StreamingTemperatureSample("lang", "doc_id",
+          alpha = 0.5, targetN = 200L)
+      st.fold(docs.where(col("doc_id") % 2 === 0))
+      st.fold(docs.where(col("doc_id") % 2 === 1))
+      st.current.get.select(col("doc_id"), col("lang"))
+    }),
+
     // Exact per-stratum quota sample: n smallest key hashes per stratum
     // via skew-proof two-phase top-n
     "sample_quota" -> ((s, dir) =>
@@ -4232,6 +4267,10 @@ object SparkEntry {
     // horizon must reproduce the in-order fire schedule and contents
     // exactly (window contents are event-time-defined) — one oracle
     ("w1_live_out_of_order" -> oracleSqlBase("w1_live_fires")) +
+    // the folded temperature sample depends only on final counts
+    // (rates non-increasing under alpha <= 1) — one oracle
+    ("sample_temperature_incremental" ->
+      oracleSqlBase("sample_temperature")) +
     // confusion matrix wraps the classify_nb prediction SQL
     ("classify_confusion" ->
       s"""WITH preds AS (
@@ -7682,6 +7721,31 @@ object SparkEntry {
         |av AS (SELECT bin, CAST(count(*) AS BIGINT) AS a
         |       FROM d GROUP BY bin),
         |ns AS (SELECT min(COALESCE(av.a, 0) * 10 // tw.w) AS nstar
+        |       FROM tw LEFT JOIN av USING (bin)),
+        |q AS (SELECT tw.bin, ns.nstar * tw.w // 10 AS quota
+        |      FROM tw CROSS JOIN ns),
+        |r AS (
+        |  SELECT doc_id, bin,
+        |    row_number() OVER (PARTITION BY bin ORDER BY
+        |      CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) / 4294967296.0, doc_id) AS rn
+        |  FROM d)
+        |SELECT r.doc_id, r.bin FROM r JOIN q USING (bin)
+        |WHERE r.rn <= q.quota""".stripMargin,
+    // the streaming twin's one-shot equivalent: matchedSample CAPPED
+    // at targetN=100 (nstar = least(feasible, 100)); otherwise the
+    // same integer quota math and hash selection as sample_matched
+    "sample_matched_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(least(n_chars // 100, 5) AS VARCHAR)
+        |    AS bin
+        |  FROM documents),
+        |tw(bin, w) AS (VALUES
+        |  ('0', 1), ('1', 3), ('2', 3), ('3', 2), ('4', 1)),
+        |av AS (SELECT bin, CAST(count(*) AS BIGINT) AS a
+        |       FROM d GROUP BY bin),
+        |ns AS (SELECT least(min(COALESCE(av.a, 0) * 10 // tw.w), 100)
+        |         AS nstar
         |       FROM tw LEFT JOIN av USING (bin)),
         |q AS (SELECT tw.bin, ns.nstar * tw.w // 10 AS quota
         |      FROM tw CROSS JOIN ns),

@@ -264,14 +264,22 @@ object Sampling {
     * Scale shape: the bin histogram is bounded driver metadata (the
     * [[temperatureSample]] discipline); selection is the skew-proof
     * two-phase top-n capped at the LARGEST quota, then a broadcast
-    * quota join trims each bin — no global sort, no one-reducer bin. */
+    * quota join trims each bin — no global sort, no one-reducer bin.
+    *
+    * `maxN` caps the matched size (N* = min(feasible, maxN)) — the
+    * fixed-budget form ingest-time mixing wants ("maintain a 100k-doc
+    * matched sample"), and the form whose streaming twin
+    * ([[graft.streaming.StructuredStreams.StreamingMatchedSample]])
+    * folds with bounded state. */
   def matchedSample(df: DataFrame, bin: Column, key: Column,
-      targetWeights: Seq[(String, Long)]): DataFrame = {
+      targetWeights: Seq[(String, Long)], maxN: Option[Long] = None)
+      : DataFrame = {
     require(targetWeights.nonEmpty, "need at least one target bin")
     require(targetWeights.forall(_._2 > 0),
       "target weights must be positive (omit a bin to exclude it)")
     require(targetWeights.map(_._1).distinct.length == targetWeights.length,
       "duplicate target bin")
+    require(maxN.forall(_ > 0), "maxN must be positive when given")
     val spark = df.sparkSession
     import spark.implicits._
     val w = targetWeights.map(_._2).sum
@@ -279,9 +287,14 @@ object Sampling {
       .where(col("__bin").isNotNull)
     val avail = binned.groupBy("__bin").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val nStar = targetWeights.map { case (b, wb) =>
-      avail.getOrElse(b, 0L) * w / wb
-    }.min
+    // optional CAP on the matched size (maxN): the fixed-budget form —
+    // quotas then never exceed maxN·w_b div W, which is what makes the
+    // streaming twin's per-bin candidate pools bounded
+    val nStar = math.min(
+      targetWeights.map { case (b, wb) =>
+        avail.getOrElse(b, 0L) * w / wb
+      }.min,
+      maxN.getOrElse(Long.MaxValue))
     val quotas = targetWeights.map { case (b, wb) => (b, nStar * wb / w) }
     val maxQ = quotas.map(_._2).max
     if (maxQ == 0L) binned.drop("__bin").limit(0)

@@ -451,6 +451,151 @@ object StructuredStreams {
     }
   }
 
+  /** Standing temperature-rebalanced sample over a document stream —
+    * the streaming twin of [[graft.pipeline.Sampling
+    * .temperatureSample]] (fixed `targetN`, `alpha` ≤ 1). EXACT with
+    * NO arrival-order contract: selection is `hashUnit(key) <
+    * rate(stratum)` where `rate_s = min(1, targetN·N_s^{α−1} /
+    * Σ N_t^α)` depends only on the FINAL stratum counts — and rates
+    * are NON-INCREASING as any count grows (α ≤ 1: the numerator falls
+    * in N_s, the denominator grows in every N_t; rounding is
+    * monotone), so a row rejected under an earlier, larger rate can
+    * never be wanted again and previously kept rows just re-filter
+    * under the new rates. State: the current sample (≈ targetN rows)
+    * plus the per-stratum count table (bounded metadata, kept on the
+    * driver like the one-shot's). Folded state ≡ the one-shot over
+    * everything ingested (`sample_temperature_incremental`). */
+  final class StreamingTemperatureSample(stratumCol: String,
+      keyCol: String, alpha: Double, targetN: Long) {
+    require(alpha >= 0 && alpha <= 1,
+      s"alpha must be in [0, 1] (rates must be non-increasing as " +
+        s"counts grow or the fold would need rejected rows back), " +
+        s"got $alpha")
+    require(targetN > 0, s"targetN must be > 0, got $targetN")
+    private val counts =
+      scala.collection.mutable.Map.empty[String, Long]
+    @volatile private var state: Option[DataFrame] = None
+
+    def fold(batch: DataFrame): Unit = synchronized {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val b = batch.where(col(stratumCol).isNotNull)
+      b.groupBy(col(stratumCol).cast("string")).count().collect()
+        .foreach(r => counts(r.getString(0)) =
+          counts.getOrElse(r.getString(0), 0L) + r.getLong(1))
+      val powSum =
+        counts.values.map(n => math.pow(n.toDouble, alpha)).sum
+      val rates = counts.toSeq.map { case (s, n) =>
+        val rate = math.min(1.0,
+          targetN.toDouble * (math.pow(n.toDouble, alpha) / powSum) / n)
+        (s, BigDecimal(rate)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toDF("__stratum", "__rate")
+      val merged = state match {
+        case None     => b
+        case Some(s0) => s0.unionByName(b)
+      }
+      val next = merged
+        .join(broadcast(rates),
+          col(stratumCol).cast("string") === col("__stratum"))
+        .where(graft.pipeline.Sampling.hashUnit(col(keyCol)) <
+          col("__rate"))
+        .drop("__stratum", "__rate")
+        .localCheckpoint(true)
+      state.foreach(releaseCheckpoint)
+      state = Some(next)
+    }
+
+    /** Current standing sample (None before any batch). */
+    def current: Option[DataFrame] = state
+
+    def unpersist(): Unit = synchronized {
+      state.foreach(releaseCheckpoint); state = None; counts.clear()
+    }
+  }
+
+  /** Standing distribution-matched sample over a document stream — the
+    * streaming twin of [[graft.pipeline.Sampling.matchedSample]] in
+    * its fixed-budget form (`maxN = targetN`). State per weighted bin:
+    * the top-`targetN·w_b div W` smallest-hash rows (an associative
+    * min-fold — order-free, no arrival contract) plus exact bin counts
+    * (bounded driver metadata). `current` computes N* =
+    * min(targetN, min_b(a_b·W div w_b)) from the TRUE counts and trims
+    * each pool to its quota — by the floor inequality
+    * `N*·w_b div W ≤ targetN·w_b div W` every needed row is in the
+    * pool, so the standing sample ≡ the one-shot
+    * `matchedSample(all, …, maxN = targetN)` exactly
+    * (`sample_matched_incremental`). The UNCAPPED maximizing form is
+    * deliberately not streamed: its quotas grow with the corpus, so an
+    * exact fold would have to retain nearly every bin in full —
+    * output-unbounded state is a rebuild, not a fold. */
+  final class StreamingMatchedSample(binCol: String, keyCol: String,
+      targetWeights: Seq[(String, Long)], targetN: Long) {
+    require(targetWeights.nonEmpty, "need at least one target bin")
+    require(targetWeights.forall(_._2 > 0), "weights must be positive")
+    require(targetN > 0, s"targetN must be > 0, got $targetN")
+    private val w = targetWeights.map(_._2).sum
+    private val caps =
+      targetWeights.map { case (b, wb) => (b, targetN * wb / w) }
+    private val counts =
+      scala.collection.mutable.Map.empty[String, Long]
+    @volatile private var pools: Option[DataFrame] = None
+
+    def fold(batch: DataFrame): Unit = synchronized {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val b = batch.withColumn("__bin", col(binCol).cast("string"))
+        .where(col("__bin").isin(targetWeights.map(_._1): _*))
+      b.groupBy("__bin").count().collect()
+        .foreach(r => counts(r.getString(0)) =
+          counts.getOrElse(r.getString(0), 0L) + r.getLong(1))
+      val merged = pools match {
+        case None     => b
+        case Some(p0) => p0.unionByName(b)
+      }
+      val capDf = caps.toDF("__bin", "__cap")
+      val next = graft.pipeline.Sampling.topKPerGroup(merged,
+          col("__bin"),
+          lit(0.0) - graft.pipeline.Sampling.hashUnit(col(keyCol)),
+          col(keyCol).asc,
+          math.max(caps.map(_._2).max, 1L).toInt)
+        .join(broadcast(capDf), Seq("__bin"))
+        .where(col("rank") <= col("__cap"))
+        .drop("rank", "__cap")
+        .localCheckpoint(true)
+      pools.foreach(releaseCheckpoint)
+      pools = Some(next)
+    }
+
+    /** Current matched sample: quotas from the exact standing counts,
+      * each pool trimmed to its quota (None before any batch; empty
+      * when a weighted bin has no rows yet — loudly empty, the
+      * one-shot's contract). */
+    def current: Option[DataFrame] = pools.map { p =>
+      val spark = p.sparkSession
+      import spark.implicits._
+      val nStar = math.min(
+        targetWeights.map { case (b, wb) =>
+          counts.getOrElse(b, 0L) * w / wb }.min,
+        targetN)
+      val quotas = targetWeights
+        .map { case (b, wb) => (b, nStar * wb / w) }
+        .toDF("__bin", "__quota")
+      val ranked = p.withColumn("__rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__bin"))
+          .orderBy(graft.pipeline.Sampling.hashUnit(col(keyCol)).asc,
+            col(keyCol).asc)))
+      ranked.join(broadcast(quotas), Seq("__bin"))
+        .where(col("__rn") <= col("__quota"))
+        .drop("__rn", "__quota", "__bin")
+    }
+
+    def unpersist(): Unit = synchronized {
+      pools.foreach(releaseCheckpoint); pools = None; counts.clear()
+    }
+  }
+
   /** Standing n-gram novelty over a document stream: the first-owner
     * shingle index ([[graft.pipeline.TextAnalysis.NoveltyIndex]])
     * folds per micro-batch (per-shingle min — associative), and each
