@@ -287,6 +287,68 @@ object ScaleProbe {
         f"(${tPmi * 1e6 / nDocs}%.2f s/Mdoc) nearest=$tNearest%.1fs " +
         f"(${tNearest * 1e6 / nEv}%.2f s/Mevent) fits=$tFits%.1fs " +
         f"dsir_fold=$tDsirFold%.1fs")
+
+      // round-15 additions: funnels (k key-aggs; any-anchor = one
+      // per-key sort + k windows), convergence-stopped pagerank
+      // (iterations set by the graph, not the scale), IVF-PQ composed
+      // search (probe-pruned ADC scan), streaming matched/temperature
+      // folds (state ∝ budget / sample)
+      val steps = Seq(col("event_type") === "view",
+        col("event_type") === "click", col("event_type") === "purchase")
+      val tFunnel = timeSec {
+        println("  funnel keys=" + graft.pipeline.Temporal.funnel(
+          ev, "user_id", "ts_ms", steps,
+          windowMs = Some(7L * 86400000L)).count())
+      }
+      val tAnyAnchor = timeSec {
+        println("  anyanchor conv=" + graft.pipeline.Temporal
+          .funnelAnyAnchor(ev, "user_id", "ts_ms", steps,
+            windowMs = 86400000L).count())
+      }
+      val tPrConv = timeSec {
+        val d = docs.select(col("doc_id"))
+        val edges = d.select((col("doc_id") % 997).as("src"),
+            ((col("doc_id") * 7 + 3) % 1100).as("dst"),
+            lit(1.0).as("w"))
+        val out = graft.pipeline.Graphs.pageRankConverged(edges,
+          col("src"), col("dst"), col("w"), eps = 1e-7, maxIter = 200)
+        println("  pr_conv iters=" + out.select(max("n_iter"))
+          .head.getLong(0) + " nodes=" + out.count())
+      }
+      val tIvfPq = timeSec {
+        val ivfModel = graft.pipeline.Ann.trainIvf(emb, nCells = nCells)
+        val pqModel = graft.pipeline.Ann.trainPq(emb, m = 16, ksub = 64)
+        println("  ivfpq rows=" + graft.pipeline.Ann.ivfPqTopK(emb,
+          emb.where(col("vec_id") < 100), k = 10, ivfModel, pqModel,
+          nprobe = 6, rerank = 8).count())
+      }
+      val tSampleFolds = timeSec {
+        val binned = docs.withColumn("bin",
+          least(expr("n_chars div 100"), lit(5L)).cast("string"))
+          .select(col("doc_id"), col("bin"), col("lang"))
+        val sm = new graft.streaming.StructuredStreams
+          .StreamingMatchedSample("bin", "doc_id",
+            Seq("0" -> 1L, "1" -> 3L, "2" -> 3L, "3" -> 2L, "4" -> 1L),
+            targetN = 1000L)
+        sm.fold(binned.where(col("doc_id") % 2 === 0))
+        sm.fold(binned.where(col("doc_id") % 2 === 1))
+        println("  matched fold rows=" + sm.current.get.count())
+        sm.unpersist()
+        val st = new graft.streaming.StructuredStreams
+          .StreamingTemperatureSample("lang", "doc_id", 0.5, 1000L)
+        st.fold(binned.where(col("doc_id") % 2 === 0))
+        st.fold(binned.where(col("doc_id") % 2 === 1))
+        println("  temperature fold rows=" + st.current.get.count())
+        st.unpersist()
+      }
+      println(f"SCALE8 $dir funnel=$tFunnel%.1fs " +
+        f"(${tFunnel * 1e6 / nEv}%.2f s/Mevent) " +
+        f"anyanchor=$tAnyAnchor%.1fs " +
+        f"(${tAnyAnchor * 1e6 / nEv}%.2f s/Mevent) " +
+        f"pr_conv=$tPrConv%.1fs ivfpq=$tIvfPq%.1fs " +
+        f"(${tIvfPq * 1e6 / nVec}%.2f s/Mvec) " +
+        f"sample_folds=$tSampleFolds%.1fs " +
+        f"(${tSampleFolds * 1e6 / nDocs}%.2f s/Mdoc)")
     }
     spark.stop()
   }
