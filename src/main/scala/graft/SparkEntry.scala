@@ -1542,6 +1542,25 @@ object SparkEntry {
       f.current.get
     }),
 
+    // Live conversion report off the standing fold: funnelRates over
+    // StreamingFunnel state — the report a dashboard would read at any
+    // micro-batch boundary; over the full ingest it must equal the
+    // one-shot rates (same oracle as events_funnel_rates)
+    "events_funnel_rates_incremental" -> ((s, dir) => {
+      val ev = EventsAsQuads.events(s, dir)
+      val cut = ev.agg(((min("ts_ms") + max("ts_ms")) / 2).cast("long"))
+        .head.getLong(0)
+      val f = new graft.streaming.StructuredStreams.StreamingFunnel(
+        "user_id", "ts_ms",
+        Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowMs = Some(7L * 86400000L))
+      f.fold(ev.where(col("ts_ms") <= cut))
+      f.fold(ev.where(col("ts_ms") > cut))
+      graft.pipeline.Temporal.funnelRates(f.current.get, nSteps = 3)
+    }),
+
     // Any-anchor funnel: the existence test first-touch semantics is
     // not — a key converts iff SOME ordered chain fits inside the
     // window of ITS OWN step-1 anchor. Latest-anchor recurrence, k
@@ -2260,6 +2279,43 @@ object SparkEntry {
         .agg((count(lit(1)) / 10.0).as("recall"))
         .where(col("recall") >= 0.7)
         .select(col("query_id"), lit(true).as("recall_ge_070"))
+    }),
+
+    // Incremental IVF-PQ maintenance — the composed always-on index:
+    // both components append statelessly and recluster past the same
+    // drift threshold; SELF-VERIFYING like its parents: the standing
+    // composed search after the append sequence must equal a one-shot
+    // rebuild with the FINAL models exactly (both assignments are
+    // stateless maps), asserted as set-identical top-k tables
+    "ann_ivfpq_incremental" -> ((s, dir) => {
+      val ann = graft.pipeline.Ann
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      var idx = ann.buildIvfPq(emb.where(col("vec_id") % 3 === 0),
+        nCells = 8, m = 16, ksub = 64)
+      idx = ann.appendToIvfPqIndex(idx,
+        emb.where(col("vec_id") % 3 === 1), reclusterAt = 0.4)
+      require(idx.reclusters == 1,
+        s"append past 0.5 drift must recluster, got ${idx.reclusters}")
+      idx = ann.appendToIvfPqIndex(idx,
+        emb.where(col("vec_id") % 3 === 2), reclusterAt = 0.4)
+      require(idx.reclusters == 1,
+        s"append at 1/3 drift must NOT recluster, got ${idx.reclusters}")
+      val queries = emb.where(col("vec_id") < 3)
+      val inc = ann.ivfPqTopKOnIndex(idx, queries, k = 10,
+        nprobe = 6, rerank = 16).localCheckpoint(true)
+      val oneShot = ann.ivfPqTopKIndexed(
+        ann.buildIvfIndex(emb, idx.ivf.model)
+          .join(ann.pqEncode(emb, idx.pq.model), "id"),
+        queries, k = 10, idx.ivf.model, idx.pq.model,
+        nprobe = 6, rerank = 16)
+      val (nInc, nBoth) = (inc.count(), inc.intersect(oneShot).count())
+      require(nInc == nBoth && nInc == oneShot.count(),
+        s"incremental top-k != one-shot rebuild top-k ($nInc vs $nBoth)")
+      idx.unpersist()
+      inc.select(col("query_id")).distinct()
+        .select(col("query_id"),
+          lit(true).as("incremental_equals_rebuild"))
     }),
 
     // Incremental IVF maintenance: build on a third of the corpus, then
@@ -4263,6 +4319,10 @@ object SparkEntry {
     // the folded per-key step times must equal the one-shot funnel
     // (write-once t_i under ascending event time) — one oracle
     ("events_funnel_incremental" -> oracleSqlBase("events_funnel")) +
+    // the live conversion report off the folded state must equal the
+    // one-shot rates — one oracle
+    ("events_funnel_rates_incremental" ->
+      oracleSqlBase("events_funnel_rates")) +
     // out-of-order arrival with lateness bounded under the open-window
     // horizon must reproduce the in-order fire schedule and contents
     // exactly (window contents are event-time-defined) — one oracle
@@ -6125,6 +6185,9 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 3""".stripMargin,
     "ann_ivfpq_topk" ->
       """SELECT vec_id AS query_id, true AS recall_ge_070
+        |FROM embeddings WHERE vec_id < 3""".stripMargin,
+    "ann_ivfpq_incremental" ->
+      """SELECT vec_id AS query_id, true AS incremental_equals_rebuild
         |FROM embeddings WHERE vec_id < 3""".stripMargin,
     "ann_ivf_incremental" ->
       """SELECT vec_id AS query_id, true AS incremental_equals_rebuild

@@ -693,6 +693,41 @@ object Ann {
       .select("query_id", "rank", "id", "sim")
   }
 
+  /** Standing incremental IVF-PQ index — the composed always-on form:
+    * the IVF assignment table prunes searches to probed cells, the PQ
+    * code table serves the ADC scan, and BOTH components append
+    * statelessly and recluster past the same drift threshold (each is
+    * separately pinned incremental ≡ rebuild, so the composition is
+    * too — `ann_ivfpq_incremental`). */
+  final case class IvfPqIndex(ivf: IvfIndex, pq: PqIndex) {
+    /** Composed (id, cell, vec, code) search table. */
+    def composed: DataFrame = ivf.index.join(pq.codes, "id")
+    def reclusters: Int = math.max(ivf.reclusters, pq.reclusters)
+    def unpersist(): Unit = { ivf.unpersist(); pq.unpersist() }
+  }
+
+  /** Train + build a standing incremental IVF-PQ index. */
+  def buildIvfPq(corpus: DataFrame, nCells: Int, m: Int,
+      ksub: Int = 16, iterations: Int = 2): IvfPqIndex =
+    IvfPqIndex(buildIvf(corpus, nCells, iterations),
+      buildPq(corpus, m, ksub, iterations))
+
+  /** Append a vector batch to both components (stateless maps, cost ∝
+    * batch); either reclusters independently past `reclusterAt` —
+    * after which each is BY CONSTRUCTION identical to a one-shot
+    * rebuild with its final model. */
+  def appendToIvfPqIndex(idx: IvfPqIndex, batch: DataFrame,
+      reclusterAt: Double = 0.5, iterations: Int = 2): IvfPqIndex =
+    IvfPqIndex(
+      appendToIvfIndex(idx.ivf, batch, reclusterAt, iterations),
+      appendToPqIndex(idx.pq, batch, reclusterAt, iterations))
+
+  /** IVF-PQ search over a standing [[IvfPqIndex]]. */
+  def ivfPqTopKOnIndex(idx: IvfPqIndex, queries: DataFrame, k: Int,
+      nprobe: Int = 3, rerank: Int = 4): DataFrame =
+    ivfPqTopKIndexed(idx.composed, queries, k, idx.ivf.model,
+      idx.pq.model, nprobe, rerank)
+
   /** Embedding-cosine near-duplicate pairs at `threshold`, LSH-bucketed
     * with exact verification. */
   /** Cross-corpus cosine matching — the semantic-contamination /

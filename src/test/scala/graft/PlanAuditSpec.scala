@@ -765,4 +765,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("(?i)cartesian".r.findFirstIn(plan).isEmpty,
       s"containment must never plan a cartesian product:\n$plan")
   }
+
+  test("any-anchor funnel: ONE key-hash exchange and ONE sort feed all " +
+      "k window passes AND the final key aggregation") {
+    val df = SparkEntry.queries("events_funnel_anyanchor")(spark, sf)
+    val plan = executedPlan(df)
+    assert("(?i)cartesian".r.findFirstIn(plan).isEmpty, plan)
+    // the k chained MAX windows share one partitioning+ordering, and
+    // the final groupBy reuses the same key partitioning — a second
+    // hash exchange or a second per-key sort means the recurrence
+    // degenerated to one shuffle per step
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected exactly 1 key-hash exchange, got $exchanges in:\n$plan")
+    val sorts = "\\bSort \\[".r.findAllIn(plan).size
+    assert(sorts == 1,
+      s"expected exactly 1 per-key sort, got $sorts in:\n$plan")
+  }
+
+  test("IVF-PQ search: probed-cell join and query join are BROADCASTs; " +
+      "no cartesian anywhere in the composed plan") {
+    val c = org.apache.spark.sql.functions.col _
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(c("vec_id"), c("embedding"))
+    val ivfModel = graft.pipeline.Ann.trainIvf(emb, nCells = 4)
+    val pqModel = graft.pipeline.Ann.trainPq(emb, m = 8, ksub = 16)
+    val df = graft.pipeline.Ann.ivfPqTopK(emb,
+      emb.where(c("vec_id") < 3), k = 5, ivfModel, pqModel,
+      nprobe = 2, rerank = 4)
+    val plan = executedPlan(df)
+    assert("(?i)cartesian".r.findFirstIn(plan).isEmpty, plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-side joins must broadcast (corpus never shuffles on " +
+        s"query keys):\n$plan")
+  }
 }
