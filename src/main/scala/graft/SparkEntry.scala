@@ -3975,6 +3975,46 @@ object SparkEntry {
           col("ahash_bits"), col("dhash_bits"))
     }),
 
+    // CONTENT-level image dedup across containers: the planted twins
+    // render the SAME pixels in DIFFERENT formats (originals PNG,
+    // replicas BMP — both lossless RGB), so byte-level dedup finds
+    // NOTHING (asserted in-entry) while the decoded feature grid
+    // matches exactly — the md5-of-payload vs content-defined
+    // distinction that matters in any real crawl (same image,
+    // different encoder). Oracle: grids recomputed from the pixel
+    // formula and self-joined on grid equality — no planted-pair
+    // assumption, the join IS the computation
+    "dedup_images_content" -> ((s, dir) => {
+      import s.implicits._
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long")).as[Long]
+      val png = graft.pipeline.Multimodal.renderGradientPng(
+        ids.filter(i => i < 400L || i >= 800L).map(i => (i, i, 16)),
+        "png")
+      val bmp = graft.pipeline.Multimodal.renderGradientPng(
+        ids.filter(i => i >= 400L && i < 800L)
+          .map(i => (i, i - 400L, 16)), "bmp")
+      val media = png.union(bmp)
+      val byteDupes = media.toDF()
+        .groupBy(md5(col("payload"))).agg(count(lit(1)).as("n"))
+        .where(col("n") > 1).count()
+      require(byteDupes == 0L,
+        s"cross-format twins must be byte-DISTINCT ($byteDupes dup " +
+          "payload groups) or the content-vs-byte contrast is void")
+      // checkpoint: the grid self-join reads the table twice — without
+      // it every render+decode runs once per branch
+      val feats = graft.pipeline.Multimodal
+        .extractFeatures(media, grid = 4).toDF()
+        .select(col("media_id"), col("block_sum"), col("block_var_num"))
+        .localCheckpoint(true)
+      val other = feats.select(col("media_id").as("id_b"),
+        col("block_sum").as("bs2"), col("block_var_num").as("bv2"))
+      feats.join(other, col("block_sum") === col("bs2") &&
+          col("block_var_num") === col("bv2") &&
+          col("media_id") < col("id_b"))
+        .select(col("media_id").as("id_a"), col("id_b"))
+    }),
+
     // Image-level near-dup: perceptual hash composed with the EXACT
     // Hamming-banded blocking (8 bands of 8 bits; pigeonhole makes
     // blocking complete for hamming <= 7) — the SimHash shape applied
@@ -8098,6 +8138,31 @@ object SparkEntry {
         |  CAST(16 * SUM(g * g) - SUM(g) * SUM(g) AS BIGINT)
         |    AS block_var_num
         |FROM px GROUP BY doc_id, blk""".stripMargin,
+    // dedup_images_content: both containers are lossless RGB, so the
+    // decoded grids equal the formula grids; the oracle joins formula
+    // grids on equality — same computation, no planted-pair shortcut
+    "dedup_images_content" ->
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id < 800 THEN doc_id % 400 ELSE doc_id END
+        |      AS seed
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, (y.y // 4) * 4 + (x.x // 4) AS blk,
+        |    (${mixSql("seed * 256 + y.y * 16 + x.x")}) % 256 AS g
+        |  FROM d, range(0, 16) x(x), range(0, 16) y(y)),
+        |bs AS (
+        |  SELECT doc_id, blk, SUM(g) AS s,
+        |    16 * SUM(g * g) - SUM(g) * SUM(g) AS v
+        |  FROM px GROUP BY doc_id, blk),
+        |grids AS (
+        |  SELECT doc_id, string_agg(
+        |    CAST(s AS VARCHAR) || ':' || CAST(v AS VARCHAR), ','
+        |    ORDER BY blk) AS grid
+        |  FROM bs GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM grids a JOIN grids b
+        |  ON a.grid = b.grid AND a.doc_id < b.doc_id""".stripMargin,
     // mm_audio_hash / dedup_audio: per-block square-wave energy is
     // span*A(seed,b)^2 exactly, so E[b+1] > E[b] <=> A[b+1] > A[b] and
     // the oracle works on amplitudes directly; the dedup oracle blocks

@@ -678,9 +678,11 @@ object Multimodal {
     * (PNG is lossless and luma of (g,g,g) is g, so the decoded grid IS
     * the formula); see [[mix32]] for why the mixing must be nonlinear.
     * Rows SHARING a seed render identical images — the planted
-    * duplicates for image-level dedup. */
-  def renderGradientPng(ds: Dataset[(Long, Long, Int)])
-      : Dataset[MediaRecord] = {
+    * duplicates for image-level dedup. `format` is any lossless-RGB
+    * registered ImageIO writer ("png", "bmp") — the same pixels in a
+    * different container, for content-vs-byte dedup fixtures. */
+  def renderGradientPng(ds: Dataset[(Long, Long, Int)],
+      format: String = "png"): Dataset[MediaRecord] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.map { case (id, seed, side) =>
@@ -698,10 +700,10 @@ object Multimodal {
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        require(javax.imageio.ImageIO.write(img, "png", bos),
-          "no registered ImageIO writer for format 'png'")
+        require(javax.imageio.ImageIO.write(img, format, bos),
+          s"no registered ImageIO writer for format '$format'")
         MediaRecord(id, "image", bos.toByteArray,
-          MediaMeta(Some(side), Some(side), None, Some("png")))
+          MediaMeta(Some(side), Some(side), None, Some(format)))
       }
     }
   }

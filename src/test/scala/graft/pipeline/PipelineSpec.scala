@@ -498,6 +498,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(feats(2L).block_sum.toSeq !== f0.block_sum.toSeq)
     // corrupt payload: sentinel row, job survives
     assert(feats(9L).width === -1 && feats(9L).features.isEmpty)
+    // a BMP render of the same pixels decodes to the SAME grid (both
+    // containers lossless RGB) while the payload bytes differ — the
+    // content-vs-byte dedup contrast dedup_images_content relies on
+    val bmp = Multimodal.renderGradientPng(
+      Seq((5L, 7L, 16)).toDS(), "bmp").collect().head
+    assert(bmp.payload.toSeq !==
+      imgs.collect().head.payload.toSeq)
+    val bmpFeats = Multimodal.extractFeatures(
+      Seq(bmp).toDS(), grid = 4).collect().head
+    assert(bmpFeats.block_sum.toSeq === f0.block_sum.toSeq)
+    assert(bmpFeats.block_var_num.toSeq === f0.block_var_num.toSeq)
   }
 
   test("multimodal: REAL nearest-neighbor resize — exact source pixels, " +
