@@ -4015,6 +4015,38 @@ object SparkEntry {
         .select(col("media_id").as("id_a"), col("id_b"))
     }),
 
+    // Multimodal composition chain — ONE hash covers five real stages:
+    // two encoders (PNG + BMP), ImageIO decode, exact feature grids,
+    // content-level dedup (keep-min per grid), and the perceptual hash
+    // of the SURVIVORS (grid 4 on 16x16: 16-bit aHash, 12-bit dHash).
+    // The oracle replays the whole chain from the pixel formula
+    "mm_chain" -> ((s, dir) => {
+      import s.implicits._
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long")).as[Long]
+      val png = graft.pipeline.Multimodal.renderGradientPng(
+        ids.filter(i => i < 400L || i >= 800L).map(i => (i, i, 16)),
+        "png")
+      val bmp = graft.pipeline.Multimodal.renderGradientPng(
+        ids.filter(i => i >= 400L && i < 800L)
+          .map(i => (i, i - 400L, 16)), "bmp")
+      val media = png.union(bmp)
+      val feats = graft.pipeline.Multimodal
+        .extractFeatures(media, grid = 4).toDF()
+        .select(col("media_id"), col("block_sum"), col("block_var_num"))
+      val keep = feats
+        .groupBy(col("block_sum"), col("block_var_num"))
+        .agg(min(col("media_id")).as("mediaId"))
+        .select("mediaId")
+      val survivors = media.toDF()
+        .join(keep, Seq("mediaId"), "left_semi")
+        .as[graft.pipeline.Multimodal.MediaRecord]
+      graft.pipeline.Multimodal.imagePHash(survivors, grid = 4)
+        .toDF()
+        .select(col("media_id").as("doc_id"),
+          col("ahash_bits"), col("dhash_bits"))
+    }),
+
     // Image-level near-dup: perceptual hash composed with the EXACT
     // Hamming-banded blocking (8 bands of 8 bits; pigeonhole makes
     // blocking complete for hamming <= 7) — the SimHash shape applied
@@ -8163,6 +8195,45 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM grids a JOIN grids b
         |  ON a.grid = b.grid AND a.doc_id < b.doc_id""".stripMargin,
+    // mm_chain: the full five-stage chain replayed from the formula —
+    // grids, keep-min owner per grid, then the survivors' 4x4 pHash
+    // (block sums of 16 px: ahash bit = s*16 > total, dhash row-wise)
+    "mm_chain" ->
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id < 800 THEN doc_id % 400 ELSE doc_id END
+        |      AS seed
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, (y.y // 4) * 4 + (x.x // 4) AS blk,
+        |    (${mixSql("seed * 256 + y.y * 16 + x.x")}) % 256 AS g
+        |  FROM d, range(0, 16) x(x), range(0, 16) y(y)),
+        |bs AS (
+        |  SELECT doc_id, blk, SUM(g) AS s,
+        |    16 * SUM(g * g) - SUM(g) * SUM(g) AS v
+        |  FROM px GROUP BY doc_id, blk),
+        |grids AS (
+        |  SELECT doc_id, string_agg(
+        |    CAST(s AS VARCHAR) || ':' || CAST(v AS VARCHAR), ','
+        |    ORDER BY blk) AS grid
+        |  FROM bs GROUP BY doc_id),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM grids GROUP BY grid),
+        |kbs AS (SELECT bs.* FROM bs JOIN keep USING (doc_id)),
+        |tot AS (SELECT doc_id, SUM(s) AS t FROM kbs GROUP BY doc_id),
+        |ab AS (
+        |  SELECT kbs.doc_id,
+        |    string_agg(CASE WHEN kbs.s * 16 > tot.t THEN '1' ELSE '0'
+        |      END, '' ORDER BY kbs.blk) AS ahash_bits
+        |  FROM kbs JOIN tot USING (doc_id) GROUP BY kbs.doc_id),
+        |db AS (
+        |  SELECT l.doc_id,
+        |    string_agg(CASE WHEN r.s > l.s THEN '1' ELSE '0' END,
+        |      '' ORDER BY l.blk) AS dhash_bits
+        |  FROM kbs l JOIN kbs r ON l.doc_id = r.doc_id
+        |    AND r.blk = l.blk + 1 AND l.blk % 4 < 3
+        |  GROUP BY l.doc_id)
+        |SELECT doc_id, ahash_bits, dhash_bits
+        |FROM ab JOIN db USING (doc_id)""".stripMargin,
     // mm_audio_hash / dedup_audio: per-block square-wave energy is
     // span*A(seed,b)^2 exactly, so E[b+1] > E[b] <=> A[b+1] > A[b] and
     // the oracle works on amplitudes directly; the dedup oracle blocks
