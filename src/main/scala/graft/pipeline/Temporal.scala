@@ -177,7 +177,7 @@ object Temporal {
     val leftCols = left.columns.toSeq
     val rUs = tsUs(right, rightTs)
     val payloadStruct = struct(
-      floor(rUs / 1000L).cast("long").as("__rts_ms") +:
+      rUs.cast("long").as("__rts_us") +:
         rightPayload.map(c => col(c).as(c)): _*)
     val r2 = right.select(
       col(key).as("__k"),
@@ -206,18 +206,21 @@ object Temporal {
     val withMatch = unioned
       .withColumn("__m", matchedRaw)
       .where(col("__side") === 1)
-    val ltsMs = floor(col("__ts_us") / 1000L).cast("long")
-    val gapMs = if (forward) col("__m.__rts_ms") - ltsMs
-      else ltsMs - col("__m.__rts_ms")
+    // tolerance admits at FULL microsecond resolution (the nearest
+    // variant's discipline — never up to 999 µs past the bound); the
+    // reported gap floors to ms, identical on whole-ms inputs
+    val gapUs = if (forward) col("__m.__rts_us") - col("__ts_us")
+      else col("__ts_us") - col("__m.__rts_us")
     val admissible = toleranceMs match {
-      case Some(tol) => col("__m").isNotNull && gapMs <= lit(tol)
+      case Some(tol) => col("__m").isNotNull && gapUs <= lit(tol * 1000L)
       case None      => col("__m").isNotNull
     }
     val m = when(admissible, col("__m"))
     withMatch.select(
       leftCols.map(c => col(s"__l.$c").as(c)) ++
         rightPayload.map(c => m.getField(c).as(c)) :+
-        when(admissible, gapMs).as("asof_gap_ms"): _*)
+        when(admissible, floor(gapUs / 1000L).cast("long"))
+          .as("asof_gap_ms"): _*)
   }
 
   /** Banded event-time range join: all (left, right) pairs with equal
