@@ -94,11 +94,21 @@ object Bench {
     * 1.78 M q/s at 1.2 M vs 3.1 M q/s at 3.6 M on an idle box; the
     * marginal cost per quad is identical). `extras.write_quads` keeps
     * the measured volume transparent in the artifact. */
+  /** SPARK_GRAFT_PROBE_MAX, validated once with a clear message (a
+    * bare .toDouble at each call site would crash the whole bench
+    * with an uncontextualized NumberFormatException on a typo'd env). */
+  def defaultProbeMax: Double = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_PROBE_MAX", "0.45")
+    try raw.toDouble catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_PROBE_MAX must be a number (seconds), got '$raw'")
+    }
+  }
+
   def run(spark: SparkSession, sfDir: String,
       queries: Map[String, (SparkSession, String) => DataFrame],
       nCpus: Int, scaleQuads: Long = 3600000L,
-      probeMaxSec: Double =
-        sys.env.getOrElse("SPARK_GRAFT_PROBE_MAX", "0.45").toDouble)
+      probeMaxSec: Double = defaultProbeMax)
       : Report = {
     val cpus = nCpus.toString
 
@@ -147,6 +157,15 @@ object Bench {
       wlog.appendBulk(warm, cpus.toInt)
       wlog.query(0, Long.MaxValue / 2).limit(1).collect()
       warm.unpersist()
+    } catch { case _: Throwable => () }
+    // warm the PROBE plan itself before the first gated sample: the
+    // round-13 artifact's p00_start ran JIT-cold at 0.416 s against a
+    // 0.45 s threshold (~8% headroom) — two untimed probe executions
+    // bring p00 in line with the steady-state series so a cold start
+    // can't masquerade as co-tenant contention
+    try {
+      materialize(spark.range(8000000L).selectExpr("sum(id * 3 + 1) as s"))
+      materialize(spark.range(8000000L).selectExpr("sum(id * 3 + 1) as s"))
     } catch { case _: Throwable => () }
     probeAt("start")
 

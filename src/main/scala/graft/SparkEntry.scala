@@ -7480,7 +7480,11 @@ object SparkEntry {
     // produces rows while the previous iteration's max diff (carried
     // on every row as `md`) exceeds eps — both engines run the exact
     // round-9 recurrence, so they stop at the same n_iter with the
-    // same ranks
+    // same ranks. The `chk` CTE mirrors the Spark side's fail-loud
+    // maxIter contract: if the recursion was CUT at iter 100 with the
+    // last diff still above eps, error() aborts the oracle instead of
+    // silently returning mid-mixing ranks (the failure modes of the
+    // two engines now agree)
     "graph_pagerank_conv" ->
       """WITH RECURSIVE
         |e0 AS (SELECT doc_id % 17 AS src, (doc_id * 7 + 3) % 20 AS dst,
@@ -7517,10 +7521,16 @@ object SparkEntry {
         |    CROSS JOIN nn
         |    WHERE pr.md > 0.0000001 AND pr.iter < 100
         |  ) q
-        |)
+        |),
+        |chk AS (
+        |  SELECT CASE WHEN max(iter) >= 100 AND
+        |      max(CASE WHEN iter = 100 THEN md END) > 0.0000001
+        |    THEN error('pagerank oracle did not converge within 100 iterations')
+        |    ELSE 1 END AS ok
+        |  FROM it)
         |SELECT node, r AS rank,
         |  CAST((SELECT max(iter) FROM it) AS BIGINT) AS n_iter
-        |FROM it WHERE iter = (SELECT max(iter) FROM it)""".stripMargin,
+        |FROM it, chk WHERE iter = (SELECT max(iter) FROM it)""".stripMargin,
     // MAD outliers: both medians restated as histogram selections
     // (smallest value whose cumulative count reaches ceil(n/2))
     "quality_mad_outliers" ->

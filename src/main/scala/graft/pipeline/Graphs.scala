@@ -113,7 +113,11 @@ object Graphs {
       .localCheckpoint(true)
     var converged = false
     var iters = 0
-    while (!converged && iters < maxIter) {
+    // the fail-loud path must not leak the eager checkpoints: e/nodes
+    // release on every exit, the standing ranks frame only when it is
+    // NOT being returned (non-convergence or a mid-loop failure)
+    try {
+      while (!converged && iters < maxIter) {
       val incoming = e.join(outW, "src")
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
@@ -131,18 +135,21 @@ object Graphs {
               col("dm") / col("n")),
           roundTo).as("r"))
         .localCheckpoint(true)
-      val md = next.join(ranks.withColumnRenamed("r", "r0"), "node")
-        .agg(max(abs(col("r") - col("r0")))).head.getDouble(0)
-      graft.util.Lineage.release(ranks)
-      ranks = next
-      iters += 1
-      converged = md <= eps
+        val md = next.join(ranks.withColumnRenamed("r", "r0"), "node")
+          .agg(max(abs(col("r") - col("r0")))).head.getDouble(0)
+        graft.util.Lineage.release(ranks)
+        ranks = next
+        iters += 1
+        converged = md <= eps
+      }
+      require(converged,
+        s"pageRank did not converge to eps=$eps within $maxIter " +
+          s"iterations — raise maxIter or relax eps")
+    } finally {
+      graft.util.Lineage.release(e)
+      graft.util.Lineage.release(nodes)
+      if (!converged) graft.util.Lineage.release(ranks)
     }
-    require(converged,
-      s"pageRank did not converge to eps=$eps within $maxIter " +
-        s"iterations — raise maxIter or relax eps")
-    graft.util.Lineage.release(e)
-    graft.util.Lineage.release(nodes)
     ranks.select(col("node"), col("r").as("rank"),
       lit(iters.toLong).as("n_iter"))
   }

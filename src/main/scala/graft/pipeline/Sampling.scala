@@ -230,8 +230,16 @@ object Sampling {
     // null strata carry no stratum identity to rebalance on — they are
     // excluded (filter nulls upstream, or assign a sentinel stratum)
     val nonNull = df.where(stratum.isNotNull)
+    // powSum is accumulated in CANONICAL (sorted-stratum) order: double
+    // addition is order-sensitive at the last ulp, and the streaming
+    // twin ([[graft.streaming.StructuredStreams
+    // .StreamingTemperatureSample]]) re-derives the same sum from its
+    // own count map — both sides summing sorted-by-stratum is what
+    // makes fold ≡ one-shot bit-identical, not merely
+    // round-to-9-identical
     val counts = nonNull.groupBy(stratum.as("__stratum")).count()
       .collect().map(r => (r.get(0), r.getLong(1)))
+      .sortBy(_._1.toString)
     val powSum = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
     val rates = counts.map { case (s, n) =>
       val w = math.pow(n.toDouble, alpha) / powSum

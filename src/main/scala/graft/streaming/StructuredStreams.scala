@@ -483,9 +483,15 @@ object StructuredStreams {
       b.groupBy(col(stratumCol).cast("string")).count().collect()
         .foreach(r => counts(r.getString(0)) =
           counts.getOrElse(r.getString(0), 0L) + r.getLong(1))
+      // canonical (sorted-stratum) accumulation order — the one-shot
+      // [[graft.pipeline.Sampling.temperatureSample]] sums the same
+      // way, so the double powSum (and hence every rate compared
+      // against hashUnit) is bit-identical between fold and one-shot,
+      // not just equal after round-to-9
+      val sorted = counts.toSeq.sortBy(_._1)
       val powSum =
-        counts.values.map(n => math.pow(n.toDouble, alpha)).sum
-      val rates = counts.toSeq.map { case (s, n) =>
+        sorted.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
+      val rates = sorted.map { case (s, n) =>
         val rate = math.min(1.0,
           targetN.toDouble * (math.pow(n.toDouble, alpha) / powSum) / n)
         (s, BigDecimal(rate)
@@ -694,10 +700,20 @@ object StructuredStreams {
     * events are never earlier) — so the fold is `t_i' = coalesce(t_i,
     * min batch step-i event ≥ t_{i−1}' within the deadline)`, computed
     * step-by-step so a single batch can complete several steps at
-    * once. CONTRACT (documented, same as [[StreamingLineDedup]]'s
-    * ascending-id rule): batches arrive in ascending event time — a
-    * late event older than a fold boundary would need the reference's
-    * no-watermark replay, not this fold. With that contract the
+    * once. CONTRACT (ENFORCED, not merely documented): no timestamp
+    * may straddle a fold boundary — each batch's earliest event must
+    * be STRICTLY later than every previously folded event. Plain
+    * "ascending event time" is not enough: if two equal-timestamp
+    * events split across batches (batch 1 = click@t, batch 2 =
+    * view@t), the one-shot funnel can set t_2 = t while the fold never
+    * can (batch-1 events are discarded before t_1 exists), so the
+    * write-once induction genuinely requires strictly-greater
+    * timestamps across folds. A real foreachBatch source splits
+    * same-ms events routinely, so a violating batch FAILS LOUDLY
+    * (the repo's contract-violation discipline) instead of silently
+    * diverging from the one-shot; a late event older than a fold
+    * boundary needs the reference's no-watermark replay, not this
+    * fold. With that contract the
     * standing state equals the one-shot [[graft.pipeline.Temporal
     * .funnel]] over everything ingested (StreamingFunnelSpec; the
     * `events_funnel_incremental` gate entry replays the one-shot
@@ -708,6 +724,9 @@ object StructuredStreams {
       steps: Seq[Column], windowMs: Option[Long] = None) {
     require(steps.nonEmpty, "need at least one funnel step")
     @volatile private var state: Option[DataFrame] = None
+    // high-water mark of folded event time (ms) — the enforced fold
+    // boundary: the next batch must start strictly after it
+    @volatile private var maxSeenMs: Option[Long] = None
 
     def fold(batch: DataFrame): Unit = synchronized {
       val n = steps.length
@@ -719,6 +738,22 @@ object StructuredStreams {
         struct(steps.zipWithIndex.map { case (s, i) =>
           s.as(s"s$i") }: _*).as("__p"))
         .localCheckpoint(true)
+      // contract check: one bounded 2-long aggregate per fold. Equal
+      // timestamps straddling the boundary would break the write-once
+      // induction (see class doc), so reject them loudly.
+      val mm = b.agg(min(col("__ts")).as("lo"), max(col("__ts")).as("hi"))
+        .head()
+      if (!mm.isNullAt(0)) {
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        maxSeenMs.foreach(prev => require(lo > prev,
+          s"StreamingFunnel fold-boundary violation: batch min event " +
+            s"time $lo ms is not strictly after the previous fold's " +
+            s"max $prev ms — no timestamp may straddle a fold " +
+            s"boundary (equal-timestamp events split across batches " +
+            s"diverge from the one-shot funnel); buffer same-time " +
+            s"events into one batch or replay from storage"))
+        maxSeenMs = Some(math.max(hi, maxSeenMs.getOrElse(Long.MinValue)))
+      }
       val s0 = state.getOrElse(
         b.select(col("__k") +:
           (1 to n).map(i => lit(null).cast("long").as(s"t_$i")): _*)
@@ -766,7 +801,7 @@ object StructuredStreams {
     }
 
     def unpersist(): Unit = synchronized {
-      state.foreach(releaseCheckpoint); state = None
+      state.foreach(releaseCheckpoint); state = None; maxSeenMs = None
     }
   }
 

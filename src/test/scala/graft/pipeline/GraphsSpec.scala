@@ -109,12 +109,18 @@ class GraphsSpec extends AnyFunSuite {
     if (nIter >= 2)
       assert(md(before, localPageRank(edges, nIter - 2)) > 1e-6,
         "stopped later than the first converged iteration")
-    // unconverged exit must throw, not return a mid-mixing vector
+    // unconverged exit must throw, not return a mid-mixing vector —
+    // AND must release its eager checkpoints (e, nodes, ranks) on the
+    // way out: a fail-loud path that leaks pins would accumulate
+    // storage in a long-lived session that retries with higher maxIter
+    val pinsBefore = spark.sparkContext.getPersistentRDDs.size
     val ex = intercept[IllegalArgumentException] {
       Graphs.pageRankConverged(edges.toDF("s", "t", "w"), col("s"),
         col("t"), col("w"), eps = 1e-12, maxIter = 2).collect()
     }
     assert(ex.getMessage.contains("did not converge"))
+    assert(spark.sparkContext.getPersistentRDDs.size <= pinsBefore,
+      "fail-loud pageRankConverged must not leak localCheckpoints")
   }
 
   test("K4: every vertex has degree 3, 3 triangles, coefficient 1") {

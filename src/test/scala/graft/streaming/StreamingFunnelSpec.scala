@@ -100,6 +100,27 @@ class StreamingFunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("fold-boundary violation fails loudly: an equal timestamp " +
+      "straddling batches would diverge from the one-shot") {
+    // one-shot over BOTH events sets t_2 = 5s (click@5s then view@5s
+    // is fine — equal ts chains match); the fold can never recover the
+    // batch-1 click once batch 2 establishes t_1 = 5s, so the class
+    // must reject the straddle instead of silently under-counting
+    val f = new StructuredStreams.StreamingFunnel("user", "ts", steps)
+    f.fold(df(Seq((1L, 9L, 5_000L, "click"))))
+    val e = intercept[IllegalArgumentException] {
+      f.fold(df(Seq((2L, 9L, 5_000L, "view"))))
+    }
+    assert(e.getMessage.contains("fold-boundary"))
+    f.unpersist()
+    // strictly ascending batches still fold fine after the reset
+    val g = new StructuredStreams.StreamingFunnel("user", "ts", steps)
+    g.fold(df(Seq((1L, 9L, 5_000L, "view"))))
+    g.fold(df(Seq((2L, 9L, 6_000L, "click"))))
+    assert(g.current.get.where(col("steps_completed") === 2L).count() === 1L)
+    g.unpersist()
+  }
+
   test("maintainFunnel folds a real MemoryStream through foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
