@@ -390,6 +390,113 @@ object Dedup {
     out
   }
 
+  /** Containment dedup APPLY path: the kept corpus under the
+    * drop-if-dominated rule, computed WITHOUT materializing the
+    * O(K²) pair relation [[containmentPairs]] emits. A document `a`
+    * is dropped iff some other document `b` absorbs it:
+    * |S(a) ∩ S(b)| · 10⁶ div |S(a)| ≥ `minPpm` AND `b` outranks `a`
+    * in the keeper order (more distinct shingles, smaller id on ties).
+    * The keeper order is a strict total order, so the rule is
+    * well-defined without iteration; like [[deduplicate]], a dropped
+    * document may itself dominate others (drop-if-dominated-by-ANY,
+    * the same single-pass semantics as the Jaccard `deduplicate` —
+    * not a transitive keeper chain). Documents with NO shingles
+    * (under `shingleSize` tokens) carry no signature and are always
+    * kept.
+    *
+    * Why this exists: on a corpus full of near-copies the pair
+    * RELATION is quadratic per replica group (sf10 measured ~50 M
+    * pairs ≈ 90 GB of output for a corpus whose keep/drop answer is
+    * ~1 M rows) — a 100 TB excerpt-dedup pass needs the decision, not
+    * the pairs. Three ideas keep every materialized row ∝ documents:
+    *
+    *  1. EXACT-SET COLLAPSE. Documents are grouped by their full
+    *     distinct-shingle ARRAY (no hashing — exact); each group's
+    *     min-id member is the only possible survivor (any other
+    *     member is contained in it at ppm 10⁶ with equal size and
+    *     larger id), so the pairwise machinery runs over DISTINCT
+    *     shingle sets only. A ×K replica group collapses to ONE
+    *     probe/index row — the sf10 quadratic blow-up disappears
+    *     structurally rather than being sliced around.
+    *  2. The asymmetric PPJoin prefix filter of [[containmentPairs]],
+    *     but over RAW shingle strings (df-ascending global order, so
+    *     probes hit the smallest postings lists). Raw strings make
+    *     recall ABSOLUTE — the xxhash64 collision caveat documented on
+    *     [[containmentPairs]] does not apply here.
+    *  3. Candidate pairs live only as a transient shuffle stream:
+    *     intersection sizes come from one map-side-combined
+    *     count aggregation, immediately reduced to a per-document
+    *     dominated? bit. Nothing pair-shaped is persisted, returned,
+    *     or collected.
+    *
+    * Scale shape: one exact-set groupBy (map-side combinable on the
+    * sorted array), one df aggregation, one prefix-probe equi-join,
+    * one intersection count agg, one anti-join. Returns the kept rows
+    * of `df` unchanged (the [[cdcDeduplicate]] output contract). */
+  def containmentDeduplicate(df: DataFrame, idCol: Column,
+      textCol: Column, minPpm: Long, shingleSize: Int = 3): DataFrame = {
+    require(minPpm > 0L && minPpm <= 1000000L,
+      "minPpm must be in (0, 1000000]")
+    val withSh = df.select(idCol.as("id"),
+      TextAnalysis.shingles(textCol, shingleSize).as("sh0"))
+      .where(size(col("sh0")) > 0)
+      .select(col("id"), sort_array(array_distinct(col("sh0"))).as("sh"))
+    // exact-set collapse: one representative (min id) per distinct
+    // shingle SET; n is the exact distinct-shingle count the ppm
+    // denominator needs
+    val reps = withSh.groupBy(col("sh"))
+      .agg(min(col("id")).as("id"))
+      .select(col("id"), col("sh"), size(col("sh")).cast("long").as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    reps.count()
+    val index = reps.select(col("id").as("id_b"), col("n").as("n_b"),
+      explode(col("sh")).as("t"))
+    val dfTab = index.groupBy(col("t")).agg(count(lit(1)).as("__df"))
+    // recall-safe prefix length in EXACT integer arithmetic (the
+    // containmentPairs discipline): |A| - ceil(t·|A|) + 1
+    val prefLen = expr(
+      s"cast(n - ((n * $minPpm + 999999) div 1000000) + 1 as int)")
+    val byRarity = Window.partitionBy(col("id"))
+      .orderBy(col("__df").asc, col("t").asc)
+    val probe = reps.select(col("id"), prefLen.as("__pl"),
+        explode(col("sh")).as("t"))
+      .join(dfTab, "t")
+      .withColumn("__rk", row_number().over(byRarity))
+      .where(col("__rk") <= col("__pl"))
+      .select(col("id").as("id_a"), col("t"))
+    val cand = probe.join(index.select(col("id_b"), col("t")), Seq("t"))
+      .where(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    // exact intersection per candidate via the inverted index — a
+    // transient aggregation stream, never a persisted pair table
+    val fullA = reps.select(col("id").as("id_a"), col("n").as("n_a"),
+      explode(col("sh")).as("t"))
+    val dominated = cand
+      .join(fullA, Seq("id_a"))
+      .join(index, Seq("id_b", "t"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"), first(col("n_a")).as("n_a"),
+        first(col("n_b")).as("n_b"))
+      .where(expr(s"inter * 1000000 div n_a >= $minPpm") &&
+        (col("n_b") > col("n_a") ||
+          (col("n_b") === col("n_a") && col("id_b") < col("id_a"))))
+      .select(col("id_a")).distinct()
+    // drop set ∝ documents: non-representative members (exact-set
+    // duplicates of a smaller id) plus dominated representatives
+    val keptReps = reps.select(col("id"))
+      .join(dominated.withColumnRenamed("id_a", "id"), Seq("id"),
+        "left_anti")
+    val dropIds = withSh.select(col("id"))
+      .join(keptReps, Seq("id"), "left_anti")
+      .withColumnRenamed("id", "__drop_id")
+    val out = df.join(dropIds, idCol === col("__drop_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    reps.unpersist()
+    out
+  }
+
   /** [[containmentPairs]] generalized to a pre-exploded ELEMENT table
     * (id, elem) — for signatures that aren't text shingles: keyframe
     * hashes of a video, chunk fingerprints of a file, feature ids of a

@@ -172,6 +172,54 @@ class RetrievalFusionSpec extends AnyFunSuite {
     fast.unpersist()
   }
 
+  test("containmentDeduplicate: replicas collapse to min id, excerpts " +
+      "drop into their parent, shingle-less docs always keep") {
+    val docs = docsOf(
+      1L -> "a b c d e f g h i j k l m n o p q r s t",
+      2L -> "a b c d e f g h i j k l m n o p q r s t", // exact replica
+      7L -> "a b c d e f g h i j k l m n o p q r s t", // exact replica
+      3L -> "a b c d e f g h",                         // excerpt of 1
+      4L -> "zz yy xx ww vv uu tt ss rr qq",           // unrelated
+      5L -> "one two")                                  // no shingles
+    val kept = Dedup.containmentDeduplicate(docs, col("id"),
+      col("text"), minPpm = 900000L)
+    assert(kept.collect().map(_.getAs[Long]("id")).toSet ===
+      Set(1L, 4L, 5L))
+    kept.unpersist()
+  }
+
+  test("containmentDeduplicate equals the brute-force drop rule on a " +
+      "random corpus (kept rows pass through unchanged)") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docs = (0L until 40L).map { i =>
+      i -> Seq.fill(4 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    val df = docsOf(docs: _*)
+    val minPpm = 600000L
+    def sh(t: String): Set[String] =
+      t.split("\\s+").sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val sets = docs.map { case (i, t) => i -> sh(t) }.toMap
+    val dropped = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+      if a != b && sa.nonEmpty && sb.nonEmpty
+      if (sa & sb).size.toLong * 1000000L / sa.size >= minPpm
+      if sb.size > sa.size || (sb.size == sa.size && b < a)
+    } yield a).toSet
+    val want = docs.map(_._1).toSet -- dropped
+    val kept = Dedup.containmentDeduplicate(df, col("id"), col("text"),
+      minPpm)
+    val got = kept.collect().map(r =>
+      r.getAs[Long]("id") -> r.getAs[String]("text")).toMap
+    assert(got.keySet === want)
+    // output contract: kept rows are the input rows, untouched
+    val origin = docs.toMap
+    assert(got.forall { case (i, t) => origin(i) == t })
+    kept.unpersist()
+  }
+
   // ---- DSIR ------------------------------------------------------------------
 
   test("dsirWeights: docs made of target-heavy tokens score higher") {
