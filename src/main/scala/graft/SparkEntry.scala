@@ -1542,6 +1542,32 @@ object SparkEntry {
       f.current.get
     }),
 
+    // Restart-durable funnel fold: fold batch 1, SAVE the standing
+    // state to parquet, restore into a brand-new instance (a simulated
+    // driver restart — nothing driver-memory survives), fold batch 2.
+    // The restored fold must still equal the one-shot funnel, so it
+    // replays the SAME oracle as events_funnel
+    "events_funnel_durable" -> ((s, dir) => {
+      val ev = EventsAsQuads.events(s, dir)
+      val cut = ev.agg(((min("ts_ms") + max("ts_ms")) / 2).cast("long"))
+        .head.getLong(0)
+      val steps = Seq(col("event_type") === "view",
+        col("event_type") === "click",
+        col("event_type") === "purchase")
+      val f1 = new graft.streaming.StructuredStreams.StreamingFunnel(
+        "user_id", "ts_ms", steps, windowMs = Some(7L * 86400000L))
+      f1.fold(ev.where(col("ts_ms") <= cut))
+      val dir2 = java.nio.file.Files
+        .createTempDirectory("funnel-durable").toString
+      f1.save(dir2)
+      f1.unpersist()
+      val f2 = new graft.streaming.StructuredStreams.StreamingFunnel(
+        "user_id", "ts_ms", steps, windowMs = Some(7L * 86400000L))
+      f2.restore(s, dir2)
+      f2.fold(ev.where(col("ts_ms") > cut))
+      f2.current.get
+    }),
+
     // Live conversion report off the standing fold: funnelRates over
     // StreamingFunnel state — the report a dashboard would read at any
     // micro-batch boundary; over the full ingest it must equal the
@@ -4414,6 +4440,9 @@ object SparkEntry {
     // one-shot rates — one oracle
     ("events_funnel_rates_incremental" ->
       oracleSqlBase("events_funnel_rates")) +
+    // a parquet save/restore between folds must be invisible: the
+    // restored fold equals the one-shot funnel — one oracle
+    ("events_funnel_durable" -> oracleSqlBase("events_funnel")) +
     // out-of-order arrival with lateness bounded under the open-window
     // horizon must reproduce the in-order fire schedule and contents
     // exactly (window contents are event-time-defined) — one oracle

@@ -5,7 +5,7 @@ import graft.comparator.{ComparatorConfig, ComparisonResult,
 import graft.parsing.NQuadsParser
 import graft.storage.EventLog
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   OutputMode, StreamingQuery, Trigger}
@@ -35,6 +35,44 @@ object StructuredStreams {
     * checkpoint blocks). */
   private[streaming] def releaseCheckpoint(df: DataFrame): Unit =
     graft.util.Lineage.release(df)
+
+  /** Restart durability for the Streaming* folds below. Every standing
+    * state is one or two plain DataFrames plus, for a few classes,
+    * bounded driver metadata (per-stratum count maps, a watermark
+    * scalar) — so surviving a driver restart is a parquet write + read,
+    * the same operational claim the standing indexes prove in
+    * IndexPersistenceSpec, now FIRST-CLASS on every fold: a
+    * driver-memory localCheckpoint pin alone is NOT restart-durable,
+    * and before this the round-13 folds would silently lose their
+    * standing sample/funnel on restart. Each class exposes
+    * `save(path)` (overwrite the state under `path`; fails loudly when
+    * nothing has been folded) and `restore(spark, path)` (load into a
+    * FRESH instance constructed with the same parameters; fails loudly
+    * on a non-fresh instance), after which `fold` resumes exactly
+    * where the saved instance stopped — StreamingDurabilitySpec pins
+    * fold-k → save → new instance → restore → fold-rest ≡ the
+    * uninterrupted fold, and the `events_funnel_durable` gate entry
+    * routes a save/restore through the DuckDB oracle. */
+  private def saveFrame(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+  private def loadFrame(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).localCheckpoint(true)
+  private def saveCounts(spark: SparkSession,
+      m: scala.collection.mutable.Map[String, Long], path: String): Unit = {
+    import spark.implicits._
+    saveFrame(m.toSeq.toDF("k", "n"), path)
+  }
+  private def loadCounts(spark: SparkSession, path: String,
+      into: scala.collection.mutable.Map[String, Long]): Unit =
+    spark.read.parquet(path).select("k", "n").collect()
+      .foreach(r => into(r.getString(0)) = r.getLong(1))
+  private def requireFresh(isEmpty: Boolean, cls: String): Unit =
+    require(isEmpty, s"$cls.restore must target a fresh instance " +
+      "(state already folded — restoring over live state would " +
+      "silently merge two histories)")
+  private def requireSaved(nonEmpty: Boolean, cls: String): Unit =
+    if (!nonEmpty) throw new IllegalStateException(
+      s"$cls.save: nothing to save — no batch folded yet")
 
   /** Streaming N-Quads ingest: any streaming Dataset of raw lines
     * (file source, socket, Kafka value, MemoryStream in tests) →
@@ -273,6 +311,16 @@ object StructuredStreams {
       * batch). */
     def current: Option[DataFrame] = state
 
+    def save(path: String): Unit = synchronized {
+      requireSaved(state.nonEmpty, "StreamingSketches")
+      saveFrame(state.get, s"$path/state")
+    }
+
+    def restore(spark: SparkSession, path: String): Unit = synchronized {
+      requireFresh(state.isEmpty, "StreamingSketches")
+      state = Some(loadFrame(spark, s"$path/state"))
+    }
+
     def unpersist(): Unit = synchronized {
       state.foreach(releaseCheckpoint); state = None
     }
@@ -312,6 +360,19 @@ object StructuredStreams {
       * probes via `current.map(_.index)` +
       * [[graft.pipeline.Retrieval.bm25ScoresIndexed]]. */
     def current: Option[graft.pipeline.Retrieval.Bm25Acc] = state
+
+    def save(path: String): Unit = synchronized {
+      requireSaved(state.nonEmpty, "StreamingBm25")
+      saveFrame(state.get.postings, s"$path/postings")
+      saveFrame(state.get.counts, s"$path/counts")
+    }
+
+    def restore(spark: SparkSession, path: String): Unit = synchronized {
+      requireFresh(state.isEmpty, "StreamingBm25")
+      state = Some(graft.pipeline.Retrieval.Bm25Acc(
+        loadFrame(spark, s"$path/postings"),
+        loadFrame(spark, s"$path/counts")))
+    }
 
     def unpersist(): Unit = synchronized {
       state.foreach { s0 =>
@@ -364,6 +425,17 @@ object StructuredStreams {
       * [[graft.pipeline.Sampling.dsirWeightsWithModel]]. */
     def current: Option[graft.pipeline.Sampling.DsirModel] = state
 
+    def save(path: String): Unit = synchronized {
+      requireSaved(state.nonEmpty, "StreamingDsir")
+      saveFrame(state.get.counts, s"$path/state")
+    }
+
+    def restore(spark: SparkSession, path: String): Unit = synchronized {
+      requireFresh(state.isEmpty, "StreamingDsir")
+      state = Some(graft.pipeline.Sampling.DsirModel(
+        loadFrame(spark, s"$path/state"), buckets))
+    }
+
     def unpersist(): Unit = synchronized {
       state.foreach(s0 => releaseCheckpoint(s0.counts)); state = None
     }
@@ -412,6 +484,16 @@ object StructuredStreams {
       * [[graft.pipeline.Reports.withAvg]] for derived means. */
     def current: Option[DataFrame] = state
 
+    def save(path: String): Unit = synchronized {
+      requireSaved(state.nonEmpty, "StreamingCube")
+      saveFrame(state.get, s"$path/state")
+    }
+
+    def restore(spark: SparkSession, path: String): Unit = synchronized {
+      requireFresh(state.isEmpty, "StreamingCube")
+      state = Some(loadFrame(spark, s"$path/state"))
+    }
+
     def unpersist(): Unit = synchronized {
       state.foreach(releaseCheckpoint); state = None
     }
@@ -445,6 +527,16 @@ object StructuredStreams {
 
     /** Current standing sample (None before any batch). */
     def current: Option[DataFrame] = state
+
+    def save(path: String): Unit = synchronized {
+      requireSaved(state.nonEmpty, "StreamingQuotaSample")
+      saveFrame(state.get, s"$path/state")
+    }
+
+    def restore(spark: SparkSession, path: String): Unit = synchronized {
+      requireFresh(state.isEmpty, "StreamingQuotaSample")
+      state = Some(loadFrame(spark, s"$path/state"))
+    }
 
     def unpersist(): Unit = synchronized {
       state.foreach(releaseCheckpoint); state = None
@@ -514,6 +606,19 @@ object StructuredStreams {
 
     /** Current standing sample (None before any batch). */
     def current: Option[DataFrame] = state
+
+    def save(path: String): Unit = synchronized {
+      requireSaved(state.nonEmpty, "StreamingTemperatureSample")
+      saveFrame(state.get, s"$path/state")
+      saveCounts(state.get.sparkSession, counts, s"$path/counts")
+    }
+
+    def restore(spark: SparkSession, path: String): Unit = synchronized {
+      requireFresh(state.isEmpty && counts.isEmpty,
+        "StreamingTemperatureSample")
+      state = Some(loadFrame(spark, s"$path/state"))
+      loadCounts(spark, s"$path/counts", counts)
+    }
 
     def unpersist(): Unit = synchronized {
       state.foreach(releaseCheckpoint); state = None; counts.clear()
@@ -597,6 +702,19 @@ object StructuredStreams {
         .drop("__rn", "__quota", "__bin")
     }
 
+    def save(path: String): Unit = synchronized {
+      requireSaved(pools.nonEmpty, "StreamingMatchedSample")
+      saveFrame(pools.get, s"$path/state")
+      saveCounts(pools.get.sparkSession, counts, s"$path/counts")
+    }
+
+    def restore(spark: SparkSession, path: String): Unit = synchronized {
+      requireFresh(pools.isEmpty && counts.isEmpty,
+        "StreamingMatchedSample")
+      pools = Some(loadFrame(spark, s"$path/state"))
+      loadCounts(spark, s"$path/counts", counts)
+    }
+
     def unpersist(): Unit = synchronized {
       pools.foreach(releaseCheckpoint); pools = None; counts.clear()
     }
@@ -638,6 +756,19 @@ object StructuredStreams {
     }
 
     def current: Option[DataFrame] = outputs
+
+    def save(path: String): Unit = synchronized {
+      requireSaved(index.nonEmpty, "StreamingNovelty")
+      saveFrame(index.get.firstOwners, s"$path/index")
+      outputs.foreach(o => saveFrame(o, s"$path/outputs"))
+    }
+
+    def restore(spark: SparkSession, path: String): Unit = synchronized {
+      requireFresh(index.isEmpty && outputs.isEmpty, "StreamingNovelty")
+      index = Some(graft.pipeline.TextAnalysis.NoveltyIndex(
+        loadFrame(spark, s"$path/index")))
+      outputs = Some(loadFrame(spark, s"$path/outputs"))
+    }
 
     def unpersist(): Unit = synchronized {
       index.foreach(i => releaseCheckpoint(i.firstOwners)); index = None
@@ -683,6 +814,19 @@ object StructuredStreams {
     }
 
     def current: Option[DataFrame] = outputs
+
+    def save(path: String): Unit = synchronized {
+      requireSaved(index.nonEmpty, "StreamingLineDedup")
+      saveFrame(index.get.owners, s"$path/index")
+      outputs.foreach(o => saveFrame(o, s"$path/outputs"))
+    }
+
+    def restore(spark: SparkSession, path: String): Unit = synchronized {
+      requireFresh(index.isEmpty && outputs.isEmpty, "StreamingLineDedup")
+      index = Some(graft.pipeline.Dedup.LineIndex(
+        loadFrame(spark, s"$path/index")))
+      outputs = Some(loadFrame(spark, s"$path/outputs"))
+    }
 
     def unpersist(): Unit = synchronized {
       index.foreach(i => releaseCheckpoint(i.owners)); index = None
@@ -800,6 +944,29 @@ object StructuredStreams {
         (lastReached - col("t_1")).as("elapsed_ms"): _*)
     }
 
+    def save(path: String): Unit = synchronized {
+      requireSaved(state.nonEmpty, "StreamingFunnel")
+      saveFrame(state.get, s"$path/state")
+      // the enforced fold-boundary watermark travels with the state —
+      // a restore that forgot it would accept a boundary-straddling
+      // batch the saved instance would have rejected
+      val spark = state.get.sparkSession
+      import spark.implicits._
+      saveFrame(maxSeenMs.toSeq.toDF("max_ms"), s"$path/watermark")
+    }
+
+    def restore(spark: SparkSession, path: String): Unit = synchronized {
+      requireFresh(state.isEmpty && maxSeenMs.isEmpty, "StreamingFunnel")
+      val st = loadFrame(spark, s"$path/state")
+      val want = "__k" +: (1 to steps.length).map(i => s"t_$i")
+      require(st.columns.toSeq == want,
+        s"saved funnel state columns ${st.columns.mkString(",")} do " +
+          s"not match this instance's ${steps.length} steps")
+      state = Some(st)
+      maxSeenMs = spark.read.parquet(s"$path/watermark")
+        .collect().headOption.map(_.getLong(0))
+    }
+
     def unpersist(): Unit = synchronized {
       state.foreach(releaseCheckpoint); state = None; maxSeenMs = None
     }
@@ -909,6 +1076,16 @@ object StructuredStreams {
 
     def current: Option[DataFrame] = state
 
+    def save(path: String): Unit = synchronized {
+      requireSaved(state.nonEmpty, "StreamingBoilerplate")
+      saveFrame(state.get, s"$path/state")
+    }
+
+    def restore(spark: SparkSession, path: String): Unit = synchronized {
+      requireFresh(state.isEmpty, "StreamingBoilerplate")
+      state = Some(loadFrame(spark, s"$path/state"))
+    }
+
     def unpersist(): Unit = synchronized {
       state.foreach(releaseCheckpoint); state = None
     }
@@ -963,6 +1140,19 @@ object StructuredStreams {
     }
 
     def current: Option[DataFrame] = outputs
+
+    def save(path: String): Unit = synchronized {
+      requireSaved(index.nonEmpty, "StreamingChunkDedup")
+      saveFrame(index.get.firsts, s"$path/index")
+      outputs.foreach(o => saveFrame(o, s"$path/outputs"))
+    }
+
+    def restore(spark: SparkSession, path: String): Unit = synchronized {
+      requireFresh(index.isEmpty && outputs.isEmpty, "StreamingChunkDedup")
+      index = Some(graft.pipeline.TextAnalysis.ChunkIndex(
+        loadFrame(spark, s"$path/index")))
+      outputs = Some(loadFrame(spark, s"$path/outputs"))
+    }
 
     def unpersist(): Unit = synchronized {
       index.foreach(i => releaseCheckpoint(i.firsts)); index = None
