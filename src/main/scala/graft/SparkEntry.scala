@@ -565,14 +565,14 @@ object SparkEntry {
       val log = new graft.storage.EventLog(s,
         tmp.resolve("log").toString, bucketMs = 86400000L)
       val fires = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      // each fire pins eagerly: the sink contract is evaluate-before-
-      // the-next-batch (the log prunes superseded segments as arrival
-      // advances, so a lazily-held snapshot would outlive its files)
+      // sink frames are FILE-INDEPENDENT (each advance's fires land in
+      // one eager checkpoint inside the engine), so the lazily-held
+      // slices stay valid after the log prunes superseded segments —
+      // no per-fire re-pin, no per-fire Spark job
       val cls = new graft.streaming.CompiledLiveStream(s, query, log,
         (df, from, to) => fires += df
           .withColumn("timestamp_from", lit(from))
-          .withColumn("timestamp_to", lit(to))
-          .localCheckpoint(true))
+          .withColumn("timestamp_to", lit(to)))
       // arrival CHUNK = 3 arrival days (due closes inside a chunk still
       // fire in close order, batched as one job); a held-back day-d
       // event has arrival day d+1, which is never in an earlier chunk

@@ -234,7 +234,14 @@ final class EventLog(
     expr(s"(timestamp - pmod(timestamp, ${bucketMs}L)) div ${bucketMs}L")
 
   def append(quads: DataFrame): Unit = {
-    quads
+    // live micro-batches are small but often arrive spread over many
+    // upstream partitions (a foreachBatch slice keeps its parent's 32);
+    // each task then opens a writer per bucket dir it touches, and the
+    // driver-side commit cost is ∝ files — ~100 tiny files per
+    // day-spanning micro-batch, measured ~40% of the live path's
+    // per-chunk append wall. Cap the writer fan-out; bulk loads take
+    // [[appendBulk]], which levels buckets across the cluster instead.
+    quads.coalesce(EventLog.AppendMaxTasks) // no-op when already narrower
       .withColumn(BucketCol, bucketExpr)
       // sort by (bucket, ts): satisfies the file writer's required
       // partition-column ordering (so it adds no extra sort of its own)
@@ -690,6 +697,13 @@ object EventLog {
     * bucket-count estimation job in [[EventLog.appendBulk]] auto mode
     * and salt with a fixed 2 (see its doc for the tradeoff). */
   val AutoEstimateBytes: Long = 1L << 30
+
+  /** Writer fan-out cap for the micro-batch [[EventLog.append]] path:
+    * tasks × touched-buckets files per append, committed one by one on
+    * the driver. 8 tasks keep a small batch's file count (and commit
+    * wall) bounded while still spreading encode CPU; bulk loads use
+    * [[EventLog.appendBulk]]'s bucket-salted repartition instead. */
+  val AppendMaxTasks: Int = 8
 
   /** One data file's ts span in the driver-side sparse index. */
   final case class FileSpan(path: String, minTs: Long, maxTs: Long)

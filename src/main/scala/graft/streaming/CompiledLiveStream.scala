@@ -34,8 +34,11 @@ import scala.collection.mutable
   *     aggregates, baseline joins — executes as one distributed job;
   *   - results go to `resultSink` as a DataFrame: the consumer decides
   *     whether to write, stream on, or collect. The engine never
-  *     materializes results on the driver. A lazy sink must evaluate
-  *     before the NEXT micro-batch arrives — see the pruning note;
+  *     materializes results on the driver, and every sink frame is
+  *     FILE-INDEPENDENT (backed by the advance's eager checkpoint, see
+  *     [[advance]]) — a sink may hold frames across micro-batches and
+  *     evaluate them long after the log pruned the segments behind
+  *     them;
   *   - buckets no future fire can reach are PRUNED from the log
   *     (`EventLog.pruneBefore`) — storage stays bounded by
   *     `max(RANGE) + slide`, the distributed analogue of
@@ -105,28 +108,43 @@ final class CompiledLiveStream(
   /** Largest RANGE over all live windows — the snapshot horizon. */
   private val maxRange: Long = parsed.liveWindows.map(_.width).max
 
+  /** Registered stream uris — the only graphs whose event-time maxima
+    * drive window closes. */
+  private val registeredStreams: Seq[String] =
+    parsed.liveWindows.map(_.streamName).distinct
+
   /** Process one micro-batch of canonical quads whose `graph` column
     * holds the source STREAM uri. Called from `foreachBatch` (or
     * directly for batch backfills): appends the batch to the
     * distributed log, advances per-stream event time, fires every due
-    * window, prunes unreachable buckets. */
+    * window, prunes unreachable buckets.
+    *
+    * The per-stream event-time maxima RIDE the append job as observed
+    * metrics (`Dataset.observe` — one global `max(when(graph = s, ts))`
+    * per registered stream, bounded driver metadata) instead of a
+    * separate aggregate-and-collect: at steady fire cadence the
+    * scheduling floor of one extra Spark job per micro-batch is the
+    * dominant live-path cost, so bookkeeping must not buy jobs.
+    * Sentinels are rows like any other — they advance time exactly as
+    * before. */
   def processBatch(batch: DataFrame): Unit = synchronized {
-    val cached = batch.persist()
-    try {
-      // per-stream event-time maxima: a tiny aggregate row per stream
-      // (sentinels included — they exist to advance time)
-      val maxima = cached.groupBy(col("graph"))
-        .agg(max(col("timestamp")).as("max_ts"))
-        .collect()
-      if (maxima.isEmpty) return
-      log.append(cached)
-      maxima.foreach { r =>
-        val uri = r.getString(0)
-        val ts = r.getLong(1)
-        streamMaxTs(uri) = math.max(streamMaxTs.getOrElse(uri, Long.MinValue), ts)
+    val obs = new org.apache.spark.sql.Observation()
+    val maxExprs = registeredStreams.zipWithIndex.map { case (s, i) =>
+      max(when(col("graph") === s, col("timestamp"))).as(s"m$i")
+    }
+    log.append(batch.observe(obs, maxExprs.head, maxExprs.tail: _*))
+    val metrics = obs.get
+    var advanced = false
+    registeredStreams.zipWithIndex.foreach { case (uri, i) =>
+      metrics.get(s"m$i") match {
+        case Some(ts: Long) =>
+          streamMaxTs(uri) =
+            math.max(streamMaxTs.getOrElse(uri, Long.MinValue), ts)
+          advanced = true
+        case _ => () // null/absent: no rows for this stream in the batch
       }
-      advance()
-    } finally cached.unpersist()
+    }
+    if (advanced) advance()
   }
 
   /** Attach to a streaming quads DataFrame (canonical 5-column shape,
@@ -146,19 +164,25 @@ final class CompiledLiveStream(
     * evaluates lazily (async write, downstream stream). */
   private var pendingPruneCutoff: Option[Long] = None
 
+
   /** Fire every due window in close-time order (same order as
     * [[LiveStreamProcessing]]'s one-at-a-time loop — the due set is
     * fixed for the whole advance, so enumerating it up front is
     * equivalent), then schedule the log prune.
     *
-    * A steady-state micro-batch makes at most one window due and takes
-    * the direct [[fire]] path. A batch that advances event time across
-    * MANY closes (catch-up, backfill, coarse batches) would pay one
-    * full Spark job per fire — ~0.3 s of scheduling floor each on an
-    * idle local cluster, the dominant cost at high fire rates — so all
-    * due fires evaluate as ONE distributed job instead ([[fireBatch]]),
+    * Every advance evaluates its due fires as ONE distributed job
+    * ([[fireBatch]]) — a fire per Spark job would pay ~0.3 s of
+    * scheduling floor each, the dominant cost at high fire rates —
     * keyed per fire through the compiler's `extraKeys` channel (the
-    * same machinery that makes N historical windows one plan). */
+    * same machinery that makes N historical windows one plan). Because
+    * that one job lands in an EAGER localCheckpoint, every frame
+    * handed to `resultSink` is FILE-INDEPENDENT: it stays valid after
+    * the log prunes the segments behind it, so a sink may hold frames
+    * across arrival chunks and evaluate late (the out-of-order gate
+    * entry unions all 29 fire frames at the very end) without
+    * re-pinning each one. The pins live as long as this stream object
+    * — result-sized (aggregate rows per fire), the same driver-bounded
+    * footprint as the fire bookkeeping. */
   private def advance(): Unit = {
     pendingPruneCutoff.foreach(log.pruneBefore)
     pendingPruneCutoff = None
@@ -170,8 +194,7 @@ final class CompiledLiveStream(
       }
     }.sortBy(_._2)
     if (due.nonEmpty) {
-      if (due.sizeIs == 1) fire(due.head._1, due.head._2)
-      else fireBatch(due)
+      fireBatch(due)
       due.groupBy(_._1.windowName).foreach { case (name, fs) =>
         nextClose(name) = fs.map(_._2).max + fs.head._1.slide
       }
@@ -221,41 +244,93 @@ final class CompiledLiveStream(
     // for an entirely empty snapshot (LiveStreamProcessing.fire's
     // windowQuads.isEmpty && staticQuads.isEmpty shortcut), so those
     // closes are skipped, not evaluated to an implicit-group row.
-    // The probe scan is only paid when it can matter: a query that
-    // emits nothing on empty input needs no rows-present/no-groups
-    // distinction, and static rows make every close present
-    val snapPresent =
+    // The probe is only paid when it can matter: a query that emits
+    // nothing on empty input needs no rows-present/no-groups
+    // distinction, and static rows make every close present. When it
+    // IS needed, the probe rides INSIDE the one checkpointed job (a
+    // tagged union with the compiled results) instead of a separate
+    // scan — one scheduling floor per advance, not two
+    // which fires have ANY snapshot row rides the snapshot scan the
+    // compiled plan performs anyway, as an observed collect_set metric
+    // — no second scan, no distinct shuffle, no extra job (collect_set
+    // dedups, so a query whose BGP scans the snapshot several times
+    // still reports each fire once)
+    val needProbe = emitsOnEmptyGroup && !staticHasRows
+    val probeObs = new org.apache.spark.sql.Observation()
+    val probed =
+      if (needProbe) snapshot.observe(probeObs, collect_set(col(fireCol)))
+      else snapshot
+    val resultPart = SparqlCompiler
+      .compile(probed, compiledQuery, Seq(fireCol))
+    val fireIdx = resultPart.schema.fieldIndex(fireCol)
+    def snapPresent: Set[Long] =
       if (!emitsOnEmptyGroup) Set.empty[Long]
       else if (staticHasRows) closes.toSet
-      else snapshot.select(fireCol).distinct()
-        .collect().map(_.getLong(0)).toSet
-    val combined = SparqlCompiler
-      .compile(snapshot, compiledQuery, Seq(fireCol))
-      .localCheckpoint(eager = true)
-    val present = combined.select(fireCol).distinct()
+      else probeObs.get.values.headOption match {
+        case Some(s: scala.collection.Seq[_]) =>
+          s.iterator.map(_.asInstanceOf[Long]).toSet
+        case _ => Set.empty[Long]
+      }
+    if (emitsOnEmptyGroup) {
+      // single-group aggregates emit AT MOST ONE row per fire — the
+      // result set is fire-count-bounded, so it rides the driver like
+      // the reference's one-message-per-fire channel
+      // (live_stream_processing.rs result bus): ONE collect, then each
+      // fire's row becomes a LOCAL frame (LocalTableScan — no Spark
+      // job to hand off, none to read downstream, trivially
+      // file-independent). The distributed checkpoint path below stays
+      // for every shape whose result can be row-per-match.
+      val rows = resultPart.collect()
+      val present = rows.iterator
+        .map(r => r.getLong(fireIdx) -> r).toMap
+      val keepIdx = resultPart.schema.fields.indices.filter(_ != fireIdx)
+      val outSchema = org.apache.spark.sql.types.StructType(
+        keepIdx.map(resultPart.schema.fields))
+      val snapHas = snapPresent
+      due.foreach { case (w, c) =>
+        present.get(c) match {
+          case Some(r) =>
+            val slim = org.apache.spark.sql.Row
+              .fromSeq(keepIdx.map(r.get))
+            resultSink(spark.createDataFrame(
+              java.util.Collections.singletonList(slim), outSchema),
+              c - w.width, c)
+          case None if snapHas.contains(c) =>
+            // snapshot rows exist but zero pattern matches: parity
+            // DOES evaluate and emits e.g. COUNT = 0 — re-run through
+            // the single-fire path, whose implicit single group
+            // preserves that shape
+            fire(w, c, knownNonEmpty = true)
+          case None => () // empty snapshot — parity emits nothing
+        }
+      }
+      return
+    }
+    val combined = resultPart.localCheckpoint(eager = true)
+    val present = combined.select(col(fireCol)).distinct()
       .collect().map(_.getLong(0)).toSet
     due.foreach { case (w, c) =>
       if (present.contains(c))
         resultSink(combined.where(col(fireCol) === c).drop(fireCol),
           c - w.width, c)
-      else if (snapPresent.contains(c))
-        // snapshot rows exist but the keyed aggregation produced no
-        // group (zero pattern matches): parity DOES evaluate here and
-        // emits e.g. COUNT = 0 — re-run through the single-fire path,
-        // whose implicit single group preserves that shape
-        fire(w, c, knownNonEmpty = true)
-      // else: empty snapshot — parity emits nothing
+      // else: no solutions for this fire — a non-aggregate (or
+      // grouped) query emits nothing on an empty solution sequence,
+      // whether the snapshot had rows or not
     }
   }
 
-  /** One distributed evaluation at close `c`: window graphs from the
-    * log (time-pruned scans), static data in the default graph, the
-    * full compiled plan, results handed to the sink lazily. An
-    * entirely empty snapshot emits NOTHING — the parity path's
+  /** One distributed evaluation at close `c` — the [[fireBatch]]
+    * fallback for a fire whose snapshot has rows but whose keyed
+    * aggregation produced no group (the implicit single group must
+    * emit e.g. `COUNT = 0`): window graphs from the log (time-pruned
+    * scans), static data in the default graph, the full compiled plan.
+    * An entirely empty snapshot emits NOTHING — the parity path's
     * shortcut — rather than an implicit-group aggregate row; the probe
     * is a limit-1 job over bucket-pruned scans, skipped when static
     * data guarantees the snapshot is non-empty (or the caller already
-    * knows it is). */
+    * knows it is). The result is pinned eagerly before the sink sees
+    * it — the file-independence guarantee of [[advance]] holds on
+    * every sink handoff, this path included. */
   private def fire(w: WindowDefinition, c: Long,
       knownNonEmpty: Boolean = false): Unit = {
     val windowParts = parsed.liveWindows.map { lw =>
@@ -271,6 +346,7 @@ final class CompiledLiveStream(
     // static frame must NOT defeat the parity shortcut
     if (!knownNonEmpty && !staticHasRows && snapshot.isEmpty) return
     val out = SparqlCompiler.compile(snapshot, compiledQuery)
+      .localCheckpoint(eager = true)
     resultSink(out, c - w.width, c)
   }
 }
