@@ -7,7 +7,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[4, 2]: ONE task retry, so TaskRetrySpec can inject a
+      // first-attempt failure and prove retry determinism; genuine
+      // failures still fail (one extra small-task attempt on the
+      // fail-loud paths is noise)
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
