@@ -406,94 +406,116 @@ object Dedup {
     *
     * Why this exists: on a corpus full of near-copies the pair
     * RELATION is quadratic per replica group (sf10 measured ~50 M
-    * pairs ≈ 90 GB of output for a corpus whose keep/drop answer is
-    * ~1 M rows) — a 100 TB excerpt-dedup pass needs the decision, not
-    * the pairs. Three ideas keep every materialized row ∝ documents:
+    * pairs ≈ 90 GB for a corpus whose keep/drop answer is ~1 M rows) —
+    * a 100 TB excerpt-dedup pass needs the DECISION, not the pairs.
+    * And the decision needs only ONE witness per dropped document, so
+    * the algorithm is WITNESS-SENSITIVE rather than pair-complete:
     *
-    *  1. EXACT-SET COLLAPSE. Documents are grouped by their full
-    *     distinct-shingle ARRAY (no hashing — exact); each group's
-    *     min-id member is the only possible survivor (any other
-    *     member is contained in it at ppm 10⁶ with equal size and
-    *     larger id), so the pairwise machinery runs over DISTINCT
-    *     shingle sets only. A ×K replica group collapses to ONE
-    *     probe/index row — the sf10 quadratic blow-up disappears
-    *     structurally rather than being sliced around.
-    *  2. The asymmetric PPJoin prefix filter of [[containmentPairs]],
-    *     but over RAW shingle strings (df-ascending global order, so
-    *     probes hit the smallest postings lists). Raw strings make
-    *     recall ABSOLUTE — the xxhash64 collision caveat documented on
-    *     [[containmentPairs]] does not apply here.
-    *  3. Candidate pairs live only as a transient shuffle stream:
-    *     intersection sizes come from one map-side-combined
-    *     count aggregation, immediately reduced to a per-document
-    *     dominated? bit. Nothing pair-shaped is persisted, returned,
-    *     or collected.
+    *  1. Prefix filter over RAW shingle strings (df-ascending global
+    *     order — absolute recall, no hash-collision caveat): if b
+    *     absorbs a, b shares at least one of a's `|A| − ⌈t·|A|⌉ + 1`
+    *     rarest shingles (pigeonhole, any fixed order).
+    *  2. PRIORITY-CURSOR probing. Postings of prefix shingles are
+    *     ranked by the keeper order (n desc, id asc) — so for any doc
+    *     a, the postings that COULD absorb it (priority above a's)
+    *     are exactly a contiguous head of each list. Rounds proceed
+    *     driver-steered (the pageRank/kCore loop discipline): in
+    *     round r each still-undecided doc verifies only the next
+    *     batch of cursor positions of each of its prefix shingles —
+    *     exact array-intersect on those ≤ prefixLen·batch candidate
+    *     pairs — and every dominated doc leaves the live set the
+    *     moment ONE witness confirms. Batch doubles per round, so a
+    *     cursor that must scan d postings finishes in ≤ log₂ d
+    *     rounds at ≤ 2× the optimal probe count.
     *
-    * Scale shape: one exact-set groupBy (map-side combinable on the
-    * sorted array), one df aggregation, one prefix-probe equi-join,
-    * one intersection count agg, one anti-join. Returns the kept rows
-    * of `df` unchanged (the [[cdcDeduplicate]] output contract). */
+    * On a replica-heavy corpus (the sf10 shape that OOM-killed the
+    * pair-complete formulation at ~98 GB of shuffle) round 1 already
+    * drops every non-top family member — its rank-1 cursor IS the
+    * family keeper — leaving live ∝ families; nothing pair-shaped is
+    * ever persisted, returned, or collected, and per-round state
+    * (live cursor rows, ∝ docs × prefixLen) is checkpoint-rotated
+    * like every iterative operator here. Returns the kept rows of
+    * `df` unchanged (the [[cdcDeduplicate]] output contract). */
   def containmentDeduplicate(df: DataFrame, idCol: Column,
-      textCol: Column, minPpm: Long, shingleSize: Int = 3): DataFrame = {
+      textCol: Column, minPpm: Long, shingleSize: Int = 3,
+      maxRounds: Int = 64): DataFrame = {
     require(minPpm > 0L && minPpm <= 1000000L,
       "minPpm must be in (0, 1000000]")
-    val withSh = df.select(idCol.as("id"),
+    val L = graft.util.Lineage
+    val docs = df.select(idCol.as("id"),
       TextAnalysis.shingles(textCol, shingleSize).as("sh0"))
       .where(size(col("sh0")) > 0)
       .select(col("id"), sort_array(array_distinct(col("sh0"))).as("sh"))
-    // exact-set collapse: one representative (min id) per distinct
-    // shingle SET; n is the exact distinct-shingle count the ppm
-    // denominator needs
-    val reps = withSh.groupBy(col("sh"))
-      .agg(min(col("id")).as("id"))
-      .select(col("id"), col("sh"), size(col("sh")).cast("long").as("n"))
+      .withColumn("n", size(col("sh")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    reps.count()
-    val index = reps.select(col("id").as("id_b"), col("n").as("n_b"),
-      explode(col("sh")).as("t"))
-    val dfTab = index.groupBy(col("t")).agg(count(lit(1)).as("__df"))
+    docs.count()
+    val elems = docs.select(col("id"), col("n"), explode(col("sh")).as("t"))
+    val dfTab = elems.groupBy(col("t")).agg(count(lit(1)).as("__df"))
     // recall-safe prefix length in EXACT integer arithmetic (the
     // containmentPairs discipline): |A| - ceil(t·|A|) + 1
     val prefLen = expr(
       s"cast(n - ((n * $minPpm + 999999) div 1000000) + 1 as int)")
     val byRarity = Window.partitionBy(col("id"))
       .orderBy(col("__df").asc, col("t").asc)
-    val probe = reps.select(col("id"), prefLen.as("__pl"),
-        explode(col("sh")).as("t"))
+    val prefix = elems
       .join(dfTab, "t")
       .withColumn("__rk", row_number().over(byRarity))
-      .where(col("__rk") <= col("__pl"))
-      .select(col("id").as("id_a"), col("t"))
-    val cand = probe.join(index.select(col("id_b"), col("t")), Seq("t"))
-      .where(col("id_a") =!= col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    // exact intersection per candidate via the inverted index — a
-    // transient aggregation stream, never a persisted pair table
-    val fullA = reps.select(col("id").as("id_a"), col("n").as("n_a"),
-      explode(col("sh")).as("t"))
-    val dominated = cand
-      .join(fullA, Seq("id_a"))
-      .join(index, Seq("id_b", "t"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"), first(col("n_a")).as("n_a"),
-        first(col("n_b")).as("n_b"))
-      .where(expr(s"inter * 1000000 div n_a >= $minPpm") &&
-        (col("n_b") > col("n_a") ||
-          (col("n_b") === col("n_a") && col("id_b") < col("id_a"))))
-      .select(col("id_a")).distinct()
-    // drop set ∝ documents: non-representative members (exact-set
-    // duplicates of a smaller id) plus dominated representatives
-    val keptReps = reps.select(col("id"))
-      .join(dominated.withColumnRenamed("id_a", "id"), Seq("id"),
-        "left_anti")
-    val dropIds = withSh.select(col("id"))
-      .join(keptReps, Seq("id"), "left_anti")
-      .withColumnRenamed("id", "__drop_id")
-    val out = df.join(dropIds, idCol === col("__drop_id"), "left_anti")
+      .where(col("__rk") <= prefLen)
+      .select(col("id").as("id_a"), col("n").as("n_a"), col("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    prefix.count()
+    // priority-ranked postings, built ONLY for shingles some prefix
+    // uses (rare by df-asc construction — the window never sees a
+    // stop-shingle's postings list)
+    val ranked = elems
+      .join(prefix.select(col("t")).distinct(), Seq("t"), "left_semi")
+      .withColumn("__rk", row_number().over(Window.partitionBy(col("t"))
+        .orderBy(col("n").desc, col("id").asc)))
+      .select(col("t"), col("id").as("id_b"), col("n").as("n_b"),
+        col("__rk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxRk = ranked.agg(max(col("__rk")).cast("long")).head.getLong(0)
+    val setsA = docs.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val setsB = docs.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    val absorbs = col("n_b") > col("n_a") ||
+      (col("n_b") === col("n_a") && col("id_b") < col("id_a"))
+
+    var live = prefix.localCheckpoint(true)
+    var dropped: DataFrame = docs.select(col("id").as("__drop_id"))
+      .where(lit(false)).localCheckpoint(true)
+    var lo = 1L
+    var batch = 1L
+    var round = 0
+    while (lo <= maxRk && !live.isEmpty) {
+      require(round < maxRounds,
+        s"containmentDeduplicate did not converge in $maxRounds rounds" +
+          " — raise maxRounds (cursor depth grows log2(max posting))")
+      val cand = live
+        .join(ranked.where(col("__rk").between(lo, lo + batch - 1)),
+          Seq("t"))
+        .where(absorbs)
+        .select(col("id_a"), col("id_b")).distinct()
+      val verified = cand
+        .join(setsA, Seq("id_a")).join(setsB, Seq("id_b"))
+        .where(expr("size(array_intersect(sh_a, sh_b)) * 1000000L div " +
+          s"size(sh_a) >= $minPpm"))
+        .select(col("id_a").as("__drop_id")).distinct()
+      val nextDropped = dropped.unionByName(verified).localCheckpoint(true)
+      val nextLive = live
+        .join(nextDropped, col("id_a") === col("__drop_id"), "left_anti")
+        .localCheckpoint(true)
+      L.release(dropped); L.release(live)
+      dropped = nextDropped
+      live = nextLive
+      lo += batch
+      batch *= 2
+      round += 1
+    }
+    val out = df.join(dropped, idCol === col("__drop_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
-    reps.unpersist()
+    L.release(dropped); L.release(live)
+    docs.unpersist(); prefix.unpersist(); ranked.unpersist()
     out
   }
 

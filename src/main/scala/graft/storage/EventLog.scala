@@ -239,9 +239,14 @@ final class EventLog(
     // each task then opens a writer per bucket dir it touches, and the
     // driver-side commit cost is ∝ files — ~100 tiny files per
     // day-spanning micro-batch, measured ~40% of the live path's
-    // per-chunk append wall. Cap the writer fan-out; bulk loads take
-    // [[appendBulk]], which levels buckets across the cluster instead.
-    quads.coalesce(EventLog.AppendMaxTasks) // no-op when already narrower
+    // per-chunk append wall. Cap the writer fan-out for SMALL batches
+    // (by plan stats — no job), but leave a genuinely large catch-up
+    // batch at its full width: 8 tasks encoding a 36 M-row backlog
+    // would trade commit overhead for a 4× encode stall. Bulk loads
+    // take [[appendBulk]], which levels buckets across the cluster.
+    val small = quads.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      EventLog.AppendCoalesceBytes
+    (if (small) quads.coalesce(EventLog.AppendMaxTasks) else quads)
       .withColumn(BucketCol, bucketExpr)
       // sort by (bucket, ts): satisfies the file writer's required
       // partition-column ordering (so it adds no extra sort of its own)
@@ -704,6 +709,11 @@ object EventLog {
     * wall) bounded while still spreading encode CPU; bulk loads use
     * [[EventLog.appendBulk]]'s bucket-salted repartition instead. */
   val AppendMaxTasks: Int = 8
+
+  /** Plan-stats size under which [[EventLog.append]] applies the
+    * [[AppendMaxTasks]] coalesce — above it, commit overhead is no
+    * longer the bottleneck and narrowing would stall the encode. */
+  val AppendCoalesceBytes: Long = 256L << 20
 
   /** One data file's ts span in the driver-side sparse index. */
   final case class FileSpan(path: String, minTs: Long, maxTs: Long)
