@@ -52,9 +52,15 @@ class ZOrderSpec extends AnyFunSuite {
 
     val zPath = s"$dir/z"
     val lPath = s"$dir/linear"
-    ZOrder.clusterWrite(data, col("a"), col("b"), zPath, nFiles = 32,
+    // 64 files, not 32: range-partition boundaries come from SAMPLED
+    // splits, so candidate counts jitter by ±1 file — at 32 files the
+    // z-vs-linear gap was one file wide (full-suite run 2026-08-15 saw
+    // z=4 vs linear=4) and the strict compare flaked; at 64 the
+    // expected gap (~4 z cells vs ~8 linear stripes for a 1/8 × 1/8
+    // box) absorbs the sampling jitter
+    ZOrder.clusterWrite(data, col("a"), col("b"), zPath, nFiles = 64,
       bits = 12)
-    data.repartitionByRange(32, col("a")).sortWithinPartitions("a")
+    data.repartitionByRange(64, col("a")).sortWithinPartitions("a")
       .write.mode("overwrite").parquet(lPath)
 
     // box selective in BOTH dims: 1/8 × 1/8 of the space
@@ -63,7 +69,7 @@ class ZOrderSpec extends AnyFunSuite {
       aLo, aHi, bLo, bHi)
     val lCand = ZOrder.candidateFiles(spark, lPath, "a", "b",
       aLo, aHi, bLo, bHi)
-    // the a-sorted layout prunes on a only (≈ 1/8 of 32 ≈ 4 files) but
+    // the a-sorted layout prunes on a only (≈ 1/8 of 64 ≈ 8 files) but
     // every surviving file spans all of b; z-ordering must beat it
     assert(zCand < lCand,
       s"z-layout candidates ($zCand) should be < linear ($lCand)")
