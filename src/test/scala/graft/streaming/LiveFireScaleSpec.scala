@@ -122,4 +122,50 @@ class LiveFireScaleSpec extends AnyFunSuite {
     assert(jobs.get() <= 15,
       s"follow-up batch should stay constant-job; saw ${jobs.get()}")
   }
+
+  test("single-group aggregate fires ride the driver channel: " +
+      "consuming every fire frame afterwards costs ZERO Spark jobs") {
+    // the reference's one-message-per-fire bus: an aggregate with no
+    // GROUP BY emits ≤ 1 row per fire, so the engine collects the
+    // fire-keyed result ONCE and hands the sink LocalTableScan-backed
+    // frames — downstream reads must not schedule anything
+    val aggQuery =
+      """PREFIX ex: <http://example.org/>
+        |REGISTER RStream <out> AS
+        |SELECT (COUNT(?e) AS ?n)
+        |FROM NAMED WINDOW ex:wa ON STREAM ex:s [RANGE 200 STEP 100]
+        |WHERE {
+        |    WINDOW ex:wa { ?e ex:p1 ?a }
+        |}""".stripMargin
+    val fires = mutable.ArrayBuffer.empty[(DataFrame, Long, Long)]
+    val log = new EventLog(spark,
+      Files.createTempDirectory("firechan").resolve("log").toString,
+      bucketMs = 1000L)
+    val cls = new CompiledLiveStream(spark, aggQuery, log,
+      (df, from, to) => fires += ((df, from, to)))
+    cls.processBatch(quads(1 to 1000)) // 100 closes due at once
+    assert(fires.size == 100, s"expected 100 fires, got ${fires.size}")
+
+    val jobs = new AtomicInteger
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val counts = try {
+      val r = fires.map { case (df, _, to) => to -> df.collect() }
+      Thread.sleep(2000)
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 0,
+      s"fire frames should be driver-local; consuming them scheduled " +
+        s"${jobs.get()} jobs")
+    // and they carry the right aggregates: close c covers [c-200, c),
+    // events every 10 ms with one p1 quad each → 20 events per full
+    // window (9 in the very first, 10 in the second)
+    val byClose = counts.map { case (to, rows) =>
+      to -> rows.head.getLong(rows.head.fieldIndex("n")) }.toMap
+    assert(byClose(100L) == 9L && byClose(200L) == 19L &&
+      byClose(1000L) == 20L && byClose(10000L) == 20L)
+  }
 }
