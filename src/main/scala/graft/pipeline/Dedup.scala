@@ -471,29 +471,42 @@ object Dedup {
       .join(prefix.select(col("t")).distinct(), Seq("t"), "left_semi")
       .withColumn("__rk", row_number().over(Window.partitionBy(col("t"))
         .orderBy(col("n").desc, col("id").asc)))
-      .select(col("t"), col("id").as("id_b"), col("n").as("n_b"),
-        col("__rk"))
+      .select(col("t"), col("id").as("id_b"), col("__rk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val maxRk = ranked.agg(max(col("__rk")).cast("long")).head.getLong(0)
+    ranked.count()
     val setsA = docs.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val setsB = docs.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    val absorbs = col("n_b") > col("n_a") ||
-      (col("n_b") === col("n_a") && col("id_b") < col("id_a"))
 
-    var live = prefix.localCheckpoint(true)
+    // each cursor's qualifying depth is known UP FRONT: a doc sits in
+    // its own prefix shingles' postings, so the postings that outrank
+    // it are exactly ranks 1..(own rank − 1) — carry __m = rank(a)−1
+    // per (doc, prefix shingle) and a cursor dies (and a fully
+    // exhausted doc is KEPT and leaves the live set) the moment the
+    // window passes __m. A replica-family keeper is rank 1 of its own
+    // shingles (__m = 0): it exits round 1 instead of riding every
+    // round to the global max posting depth.
+    var live = prefix
+      .join(ranked.withColumnRenamed("id_b", "id_a"), Seq("t", "id_a"))
+      .select(col("id_a"), col("t"),
+        (col("__rk") - 1).cast("long").as("__m"))
+      .where(col("__m") > 0)
+      .localCheckpoint(true)
     var dropped: DataFrame = docs.select(col("id").as("__drop_id"))
       .where(lit(false)).localCheckpoint(true)
     var lo = 1L
     var batch = 1L
     var round = 0
-    while (lo <= maxRk && !live.isEmpty) {
+    while (!live.isEmpty) {
       require(round < maxRounds,
         s"containmentDeduplicate did not converge in $maxRounds rounds" +
           " — raise maxRounds (cursor depth grows log2(max posting))")
+      // ranks lo..lo+batch-1 capped at __m are EXACTLY the next
+      // untested higher-priority postings of this cursor — the keeper
+      // order needs no re-check
       val cand = live
         .join(ranked.where(col("__rk").between(lo, lo + batch - 1)),
           Seq("t"))
-        .where(absorbs)
+        .where(col("__rk") <= col("__m"))
         .select(col("id_a"), col("id_b")).distinct()
       val verified = cand
         .join(setsA, Seq("id_a")).join(setsB, Seq("id_b"))
@@ -502,6 +515,7 @@ object Dedup {
         .select(col("id_a").as("__drop_id")).distinct()
       val nextDropped = dropped.unionByName(verified).localCheckpoint(true)
       val nextLive = live
+        .where(col("__m") >= lo + batch) // cursor still has candidates
         .join(nextDropped, col("id_a") === col("__drop_id"), "left_anti")
         .localCheckpoint(true)
       L.release(dropped); L.release(live)
@@ -510,6 +524,9 @@ object Dedup {
       lo += batch
       batch *= 2
       round += 1
+      if (sys.props.contains("graft.debug.containment"))
+        println(s"  [containment] round=$round lo=$lo " +
+          s"live=${live.count()} dropped=${dropped.count()}")
     }
     val out = df.join(dropped, idCol === col("__drop_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
