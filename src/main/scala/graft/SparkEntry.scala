@@ -1866,6 +1866,26 @@ object SparkEntry {
         col("text"), minPpm = 800000L).select(col("id"))
     }),
 
+    // Composition chain: containment APPLY (witness-cursor keeper
+    // selection) feeding the deterministic global shuffle — ONE hash
+    // covers shingling, prefix/cursor decisions, the kept set, AND the
+    // training-order positions of the survivors (the "dedup then
+    // shuffle for training" hand-off a curation pipeline actually runs)
+    "dedup_containment_chain" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val excerpt = concat_ws(" ", slice(
+        graft.pipeline.TextAnalysis.tokens(col("text")), 1, 12))
+      val aug = docs.select(col("doc_id").as("id"), col("text"))
+        .unionByName(docs.select((col("doc_id") + 1000000L).as("id"),
+          excerpt.as("text")))
+      val kept = graft.pipeline.Dedup.containmentDeduplicate(aug,
+        col("id"), col("text"), minPpm = 800000L)
+      graft.pipeline.Sampling.globalShuffle(kept.select(col("id")),
+        col("id"), salt = "graft-r14")
+        .select(col("id"), col("shuffle_pos"))
+    }),
+
     // Video-level near-dup: each video's signature is its keyframe set
     // (shot, mean intensity) from the real GIF decode; videos sharing
     // ≥ 90% of their keyframes (element containment, integer ppm) are
@@ -5923,6 +5943,42 @@ object SparkEntry {
         |    AND (n_b > n_a OR (n_b = n_a AND id_b < id_a)))
         |SELECT id FROM base
         |WHERE id NOT IN (SELECT id_a FROM dropped)""".stripMargin,
+    // the chain restates the kept corpus (brute-force pair rule) and
+    // then the md5 training order over exactly the survivors
+    "dedup_containment_chain" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(
+        |      string_split_regex(lower(trim(text)), '\s+')[1:12], ' ')
+        |  FROM documents),
+        |t AS (
+        |  SELECT id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM base),
+        |s AS (
+        |  SELECT id, list_distinct(list_transform(range(1, len(toks)-1),
+        |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
+        |  FROM t WHERE len(toks) >= 3),
+        |e AS (SELECT id, len(sh) AS n, unnest(sh) AS shingle FROM s),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(COUNT(*) AS BIGINT) AS inter,
+        |    CAST(MIN(a.n) AS BIGINT) AS n_a,
+        |    CAST(MIN(b.n) AS BIGINT) AS n_b
+        |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.id <> b.id
+        |  GROUP BY 1, 2),
+        |dropped AS (
+        |  SELECT DISTINCT id_a FROM p
+        |  WHERE inter * 1000000 // n_a >= 800000
+        |    AND (n_b > n_a OR (n_b = n_a AND id_b < id_a))),
+        |kept AS (
+        |  SELECT id FROM base
+        |  WHERE id NOT IN (SELECT id_a FROM dropped))
+        |SELECT id, row_number() OVER (
+        |  ORDER BY md5('graft-r14' || CAST(id AS VARCHAR)), id) - 1
+        |  AS shuffle_pos
+        |FROM kept""".stripMargin,
     // video keyframe signatures restated generatively (the lossless
     // GIF roundtrip: frame f of video id is solid (id·31+f·17) % 256),
     // then exact element containment over (shot·4096 + mean) keys
