@@ -1866,6 +1866,27 @@ object SparkEntry {
         col("text"), minPpm = 800000L).select(col("id"))
     }),
 
+    // Streaming twin of the apply path: the standing kept set folded
+    // over two micro-batches — split ADVERSARIALLY so the absorbers
+    // (the originals) arrive AFTER their victims (the excerpts), which
+    // forces the retro-drop pass. The drop rule is order-free and
+    // monotone, so the fold is exact with NO arrival contract and
+    // replays the SAME oracle as dedup_containment_apply
+    "dedup_containment_incremental" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val excerpt = concat_ws(" ", slice(
+        graft.pipeline.TextAnalysis.tokens(col("text")), 1, 12))
+      val aug = docs.select(col("doc_id").as("id"), col("text"))
+        .unionByName(docs.select((col("doc_id") + 1000000L).as("id"),
+          excerpt.as("text")))
+      val f = new graft.streaming.StructuredStreams
+        .StreamingContainmentDedup("id", "text", minPpm = 800000L)
+      f.fold(aug.where(col("id") >= 1000000L)) // excerpts first
+      f.fold(aug.where(col("id") < 1000000L))  // absorbers second
+      f.current.get
+    }),
+
     // Composition chain: containment APPLY (witness-cursor keeper
     // selection) feeding the deterministic global shuffle — ONE hash
     // covers shingling, prefix/cursor decisions, the kept set, AND the
@@ -4475,6 +4496,11 @@ object SparkEntry {
     // a parquet save/restore between folds must be invisible: the
     // restored fold equals the one-shot funnel — one oracle
     ("events_funnel_durable" -> oracleSqlBase("events_funnel")) +
+    // the folded standing kept set (absorbers arriving AFTER their
+    // victims — the retro-drop pass) must equal the one-shot
+    // containment apply — one oracle
+    ("dedup_containment_incremental" ->
+      oracleSqlBase("dedup_containment_apply")) +
     // out-of-order arrival with lateness bounded under the open-window
     // horizon must reproduce the in-order fire schedule and contents
     // exactly (window contents are event-time-defined) — one oracle

@@ -720,6 +720,155 @@ object StructuredStreams {
     }
   }
 
+  /** Standing containment dedup over a document stream — the streaming
+    * twin of [[graft.pipeline.Dedup.containmentDeduplicate]]'s
+    * drop-if-dominated rule. EXACT with NO arrival contract: the rule
+    * (`a` dropped iff SOME `b` with more shingles — smaller id on ties
+    * — contains ≥ `minPpm` of it) is order-free and MONOTONE — a bit
+    * only ever flips kept → dropped, and only a NEW arrival can flip
+    * it (old-vs-old pairs were decided in earlier folds) — so each
+    * micro-batch needs exactly two probe directions:
+    *
+    *   1. NEW doc vs (standing ∪ batch): the batch's prefix shingles
+    *      against the full postings index;
+    *   2. standing doc vs NEW: the STANDING prefix index against the
+    *      batch's postings — the pass that retro-drops an old doc when
+    *      a bigger absorber finally arrives.
+    *
+    * The per-doc prefix is its `|A| − ⌈t·|A|⌉ + 1` smallest shingles
+    * in GLOBAL HASH order — fixed forever at arrival, so the standing
+    * prefix index never goes stale (the one-shot's df-ascending order
+    * would re-rank as counts grow; any fixed order preserves the
+    * pigeonhole recall guarantee, hash order trades the rare-first
+    * probe-size optimization for growth-stable state — documented
+    * cost, not approximation). Candidate pairs verify by exact
+    * `array_intersect` against the standing shingle sets; the KEPT SET
+    * equals the one-shot `containmentDeduplicate` over everything
+    * ingested for ANY batch split (`StreamingContainmentSpec`,
+    * `dedup_containment_incremental`). State — shingle sets, postings,
+    * prefix index, ids, dropped bits — is ∝ corpus tokens (the
+    * standing-index discipline of [[StreamingBm25]]/[[StreamingLineDedup]]),
+    * re-pinned per fold and parquet save/restore durable. */
+  final class StreamingContainmentDedup(idCol: String, textCol: String,
+      minPpm: Long, shingleSize: Int = 3) {
+    require(minPpm > 0L && minPpm <= 1000000L,
+      "minPpm must be in (0, 1000000]")
+    // (id, sh, n) / (t, id, n) postings / (t, id, n) prefix / (id)
+    @volatile private var docsSt: Option[DataFrame] = None
+    @volatile private var postSt: Option[DataFrame] = None
+    @volatile private var prefSt: Option[DataFrame] = None
+    @volatile private var idsSt: Option[DataFrame] = None
+    @volatile private var dropSt: Option[DataFrame] = None
+
+    private def shingled(batch: DataFrame): DataFrame =
+      batch.select(col(idCol).as("id"),
+        graft.pipeline.TextAnalysis
+          .shingles(col(textCol), shingleSize).as("sh0"))
+        .where(size(col("sh0")) > 0)
+        .select(col("id"),
+          sort_array(array_distinct(col("sh0"))).as("sh"))
+        .withColumn("n", size(col("sh")).cast("long"))
+
+    def fold(batch: DataFrame): Unit = synchronized {
+      val b = shingled(batch).localCheckpoint(true)
+      val bPost = b.select(explode(col("sh")).as("t"), col("id"), col("n"))
+      val prefLen = expr(
+        s"cast(n - ((n * $minPpm + 999999) div 1000000) + 1 as int)")
+      val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+        .orderBy(xxhash64(col("t")).asc, col("t").asc)
+      val bPref = b.select(col("id"), col("n"), prefLen.as("__pl"),
+          explode(col("sh")).as("t"))
+        .withColumn("__rk", row_number().over(byHash))
+        .where(col("__rk") <= col("__pl"))
+        .select(col("t"), col("id"), col("n"))
+      val allPost = postSt.map(_.unionByName(bPost)).getOrElse(bPost)
+      val allDocs = docsSt.map(_.unionByName(b)).getOrElse(b)
+      val absorbs = col("n_b") > col("n_a") ||
+        (col("n_b") === col("n_a") && col("id_b") < col("id_a"))
+      // direction 1: new docs probed against everything seen
+      val d1 = bPref.toDF("t", "id_a", "n_a")
+        .join(allPost.toDF("t", "id_b", "n_b"), Seq("t"))
+      // direction 2: standing prefixes probed against the new postings
+      val d2 = prefSt.map(_.toDF("t", "id_a", "n_a")
+        .join(bPost.toDF("t", "id_b", "n_b"), Seq("t")))
+      val cand = d2.foldLeft(d1)(_ unionByName _)
+        .where(absorbs)
+        .select(col("id_a"), col("id_b")).distinct()
+      val setsA = allDocs.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      val setsB = allDocs.select(col("id").as("id_b"), col("sh").as("sh_b"))
+      val newlyDropped = cand
+        .join(setsA, Seq("id_a")).join(setsB, Seq("id_b"))
+        .where(expr("size(array_intersect(sh_a, sh_b)) * 1000000L div " +
+          s"size(sh_a) >= $minPpm"))
+        .select(col("id_a").as("id")).distinct()
+      val bIds = batch.select(col(idCol).as("id"))
+      // pin EVERY next-generation frame before releasing ANY previous
+      // one: newlyDropped's plan reads the old docs checkpoint, so a
+      // release-as-you-go swap would pull blocks out from under the
+      // last pin
+      val nextDocs = allDocs.localCheckpoint(true)
+      val nextPost = allPost.localCheckpoint(true)
+      val nextPref = prefSt.map(_.unionByName(bPref)).getOrElse(bPref)
+        .localCheckpoint(true)
+      val nextIds = idsSt.map(_.unionByName(bIds)).getOrElse(bIds)
+        .localCheckpoint(true)
+      val nextDrop = dropSt.map(_.unionByName(newlyDropped))
+        .getOrElse(newlyDropped).localCheckpoint(true)
+      Seq(docsSt, postSt, prefSt, idsSt, dropSt)
+        .foreach(_.foreach(releaseCheckpoint))
+      releaseCheckpoint(b)
+      docsSt = Some(nextDocs); postSt = Some(nextPost)
+      prefSt = Some(nextPref); idsSt = Some(nextIds)
+      dropSt = Some(nextDrop)
+    }
+
+    /** Kept ids of everything ingested — shingle-less docs (no
+      * signature) always keep, matching the one-shot's contract.
+      * None before any batch. */
+    def current: Option[DataFrame] = idsSt.map { ids =>
+      ids.join(dropSt.get, Seq("id"), "left_anti")
+    }
+
+    def save(path: String): Unit = synchronized {
+      requireSaved(idsSt.nonEmpty, "StreamingContainmentDedup")
+      saveFrame(docsSt.get, s"$path/docs")
+      saveFrame(postSt.get, s"$path/postings")
+      saveFrame(prefSt.get, s"$path/prefixes")
+      saveFrame(idsSt.get, s"$path/ids")
+      saveFrame(dropSt.get, s"$path/dropped")
+    }
+
+    def restore(spark: SparkSession, path: String): Unit = synchronized {
+      requireFresh(idsSt.isEmpty, "StreamingContainmentDedup")
+      docsSt = Some(loadFrame(spark, s"$path/docs"))
+      postSt = Some(loadFrame(spark, s"$path/postings"))
+      prefSt = Some(loadFrame(spark, s"$path/prefixes"))
+      idsSt = Some(loadFrame(spark, s"$path/ids"))
+      dropSt = Some(loadFrame(spark, s"$path/dropped"))
+    }
+
+    def unpersist(): Unit = synchronized {
+      Seq(docsSt, postSt, prefSt, idsSt, dropSt)
+        .foreach(_.foreach(releaseCheckpoint))
+      docsSt = None; postSt = None; prefSt = None
+      idsSt = None; dropSt = None
+    }
+  }
+
+  /** Attach standing containment-dedup maintenance to a document
+    * stream. */
+  def maintainContainmentDedup(stream: DataFrame,
+      dedup: StreamingContainmentDedup, checkpointDir: String)
+      : StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        dedup.fold(batch.toDF())
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
   /** Standing n-gram novelty over a document stream: the first-owner
     * shingle index ([[graft.pipeline.TextAnalysis.NoveltyIndex]])
     * folds per micro-batch (per-shingle min — associative), and each
