@@ -735,27 +735,33 @@ object StructuredStreams {
     *      batch's postings — the pass that retro-drops an old doc when
     *      a bigger absorber finally arrives.
     *
-    * The per-doc prefix is its `|A| − ⌈t·|A|⌉ + 1` smallest shingles
-    * in GLOBAL HASH order — fixed forever at arrival, so the standing
-    * prefix index never goes stale (the one-shot's df-ascending order
-    * would re-rank as counts grow; any fixed order preserves the
-    * pigeonhole recall guarantee, hash order trades the rare-first
-    * probe-size optimization for growth-stable state — documented
-    * cost, not approximation). Candidate pairs verify by exact
+    * The per-doc prefix is its `|A| − ⌈t·|A|⌉ + 1` rarest shingles by
+    * DF-AT-ARRIVAL (a standing document-frequency table folds per
+    * batch; each doc's prefix is chosen against the counts as of its
+    * own fold and FIXED forever, hash as tiebreak) — so the standing
+    * prefix index never goes stale. The one-shot's global df order
+    * would re-rank as counts grow; the pigeonhole recall guarantee
+    * holds for ANY order fixed per probe doc, and at-arrival df keeps
+    * the rare-first probe-size optimization: a shingle that is rare
+    * when a doc arrives can only become MORE discriminating to have
+    * indexed, never less correct. Candidate pairs verify by exact
     * `array_intersect` against the standing shingle sets; the KEPT SET
     * equals the one-shot `containmentDeduplicate` over everything
     * ingested for ANY batch split (`StreamingContainmentSpec`,
     * `dedup_containment_incremental`). State — shingle sets, postings,
-    * prefix index, ids, dropped bits — is ∝ corpus tokens (the
-    * standing-index discipline of [[StreamingBm25]]/[[StreamingLineDedup]]),
-    * re-pinned per fold and parquet save/restore durable. */
+    * df counts, prefix index, ids, dropped bits — is ∝ corpus tokens
+    * (the standing-index discipline of
+    * [[StreamingBm25]]/[[StreamingLineDedup]]), re-pinned per fold and
+    * parquet save/restore durable. */
   final class StreamingContainmentDedup(idCol: String, textCol: String,
       minPpm: Long, shingleSize: Int = 3) {
     require(minPpm > 0L && minPpm <= 1000000L,
       "minPpm must be in (0, 1000000]")
-    // (id, sh, n) / (t, id, n) postings / (t, id, n) prefix / (id)
+    // (id, sh, n) / (t, id, n) postings / (t, df) counts /
+    // (t, id, n) prefix / (id) ids / (id) dropped
     @volatile private var docsSt: Option[DataFrame] = None
     @volatile private var postSt: Option[DataFrame] = None
+    @volatile private var dfSt: Option[DataFrame] = None
     @volatile private var prefSt: Option[DataFrame] = None
     @volatile private var idsSt: Option[DataFrame] = None
     @volatile private var dropSt: Option[DataFrame] = None
@@ -772,13 +778,23 @@ object StructuredStreams {
     def fold(batch: DataFrame): Unit = synchronized {
       val b = shingled(batch).localCheckpoint(true)
       val bPost = b.select(explode(col("sh")).as("t"), col("id"), col("n"))
+      // df-at-arrival: fold the batch's counts into the standing table
+      // FIRST, then choose this batch's prefixes against the folded
+      // snapshot — fixed for these docs forever
+      val bDf = bPost.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val allDf = dfSt.map(_.unionByName(bDf)
+          .groupBy(col("t")).agg(sum(col("df")).as("df")))
+        .getOrElse(bDf)
+        .localCheckpoint(true)
       val prefLen = expr(
         s"cast(n - ((n * $minPpm + 999999) div 1000000) + 1 as int)")
-      val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-        .orderBy(xxhash64(col("t")).asc, col("t").asc)
+      val byRarity = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id"))
+        .orderBy(col("df").asc, col("t").asc)
       val bPref = b.select(col("id"), col("n"), prefLen.as("__pl"),
           explode(col("sh")).as("t"))
-        .withColumn("__rk", row_number().over(byHash))
+        .join(allDf, Seq("t"))
+        .withColumn("__rk", row_number().over(byRarity))
         .where(col("__rk") <= col("__pl"))
         .select(col("t"), col("id"), col("n"))
       val allPost = postSt.map(_.unionByName(bPost)).getOrElse(bPost)
@@ -814,12 +830,12 @@ object StructuredStreams {
         .localCheckpoint(true)
       val nextDrop = dropSt.map(_.unionByName(newlyDropped))
         .getOrElse(newlyDropped).localCheckpoint(true)
-      Seq(docsSt, postSt, prefSt, idsSt, dropSt)
+      Seq(docsSt, postSt, dfSt, prefSt, idsSt, dropSt)
         .foreach(_.foreach(releaseCheckpoint))
       releaseCheckpoint(b)
       docsSt = Some(nextDocs); postSt = Some(nextPost)
-      prefSt = Some(nextPref); idsSt = Some(nextIds)
-      dropSt = Some(nextDrop)
+      dfSt = Some(allDf); prefSt = Some(nextPref)
+      idsSt = Some(nextIds); dropSt = Some(nextDrop)
     }
 
     /** Kept ids of everything ingested — shingle-less docs (no
@@ -833,6 +849,7 @@ object StructuredStreams {
       requireSaved(idsSt.nonEmpty, "StreamingContainmentDedup")
       saveFrame(docsSt.get, s"$path/docs")
       saveFrame(postSt.get, s"$path/postings")
+      saveFrame(dfSt.get, s"$path/df")
       saveFrame(prefSt.get, s"$path/prefixes")
       saveFrame(idsSt.get, s"$path/ids")
       saveFrame(dropSt.get, s"$path/dropped")
@@ -842,15 +859,16 @@ object StructuredStreams {
       requireFresh(idsSt.isEmpty, "StreamingContainmentDedup")
       docsSt = Some(loadFrame(spark, s"$path/docs"))
       postSt = Some(loadFrame(spark, s"$path/postings"))
+      dfSt = Some(loadFrame(spark, s"$path/df"))
       prefSt = Some(loadFrame(spark, s"$path/prefixes"))
       idsSt = Some(loadFrame(spark, s"$path/ids"))
       dropSt = Some(loadFrame(spark, s"$path/dropped"))
     }
 
     def unpersist(): Unit = synchronized {
-      Seq(docsSt, postSt, prefSt, idsSt, dropSt)
+      Seq(docsSt, postSt, dfSt, prefSt, idsSt, dropSt)
         .foreach(_.foreach(releaseCheckpoint))
-      docsSt = None; postSt = None; prefSt = None
+      docsSt = None; postSt = None; dfSt = None; prefSt = None
       idsSt = None; dropSt = None
     }
   }
