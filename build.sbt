@@ -11,6 +11,25 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// TaskRetrySpec injects a REAL first-attempt task failure, so it needs
+// task retries (local[4, 2]); every other suite must run at
+// maxFailures=1 so a genuinely flaky first attempt FAILS the suite
+// instead of being silently retried and hidden. One SparkSession per
+// JVM → the chaos suite gets its own forked JVM with the retry flag.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val base = (Test / javaOptions).value.toVector
+  def group(name: String, ts: Seq[TestDefinition], opts: Vector[String]) =
+    Tests.Group(name, ts, Tests.SubProcess(
+      ForkOptions().withRunJVMOptions(opts)))
+  val (chaos, main) = tests.partition(_.name.endsWith("TaskRetrySpec"))
+  Seq(group("main", main, base),
+    group("chaos", chaos, base :+ "-Dgraft.test.taskMaxFailures=2"))
+    .filter(_.tests.nonEmpty)
+}
+// the two groups each hold a full local SparkSession — run them
+// one at a time, not two 8 GiB JVMs side by side
+Global / concurrentRestrictions += Tags.limit(Tags.ForkedTestGroup, 1)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

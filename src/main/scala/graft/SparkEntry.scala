@@ -1849,11 +1849,13 @@ object SparkEntry {
 
     // Containment APPLY path: the kept corpus under drop-if-dominated
     // (≥ 80% contained in a doc with more shingles, or equal shingles
-    // and smaller id) — computed via exact-set collapse + prefix
-    // probe + one count aggregation, never materializing the pair
-    // relation. Same planted-excerpt augmentation as dedup_containment;
-    // the oracle restates the FULL kept corpus from the brute-force
-    // doc-level pair rule
+    // and smaller id) — computed via witness-sensitive priority-cursor
+    // rounds: each doc holds a cursor per prefix shingle with its
+    // qualifying depth (rank(self)−1) known up front, and doubling
+    // probe windows test only still-untested higher-priority postings,
+    // never materializing the pair relation. Same planted-excerpt
+    // augmentation as dedup_containment; the oracle restates the FULL
+    // kept corpus from the brute-force doc-level pair rule
     "dedup_containment_apply" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))

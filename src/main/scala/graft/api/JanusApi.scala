@@ -144,6 +144,10 @@ final class JanusApi(
     private[api] def shutdown(): Unit = {
       threads.foreach(_.join(100))
       threads.foreach(_.interrupt())
+      // the scale-mode sink collects bindings inside the callback, so
+      // every handed-off frame is already consumed — release the
+      // accumulated fire checkpoints with the stream
+      compiledLive.foreach(_.close())
       statusRef.set(ExecutionStatus.Stopped)
     }
   }

@@ -496,6 +496,11 @@ object Dedup {
     var lo = 1L
     var batch = 1L
     var round = 0
+    // fail-loud exits (maxRounds, any mid-round failure) must not
+    // leave the pinned state behind — mirror pageRankConverged's
+    // try/finally (release/unpersist are idempotent, so the success
+    // path below shares the finally harmlessly)
+    try {
     while (!live.isEmpty) {
       require(round < maxRounds,
         s"containmentDeduplicate did not converge in $maxRounds rounds" +
@@ -531,9 +536,11 @@ object Dedup {
     val out = df.join(dropped, idCol === col("__drop_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
-    L.release(dropped); L.release(live)
-    docs.unpersist(); prefix.unpersist(); ranked.unpersist()
     out
+    } finally {
+      L.release(dropped); L.release(live)
+      docs.unpersist(); prefix.unpersist(); ranked.unpersist()
+    }
   }
 
   /** [[containmentPairs]] generalized to a pre-exploded ELEMENT table

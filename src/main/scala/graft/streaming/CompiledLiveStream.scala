@@ -128,6 +128,20 @@ final class CompiledLiveStream(
     * Sentinels are rows like any other — they advance time exactly as
     * before. */
   def processBatch(batch: DataFrame): Unit = synchronized {
+    // apply the prune scheduled at the previous advance HERE — "next
+    // micro-batch" must mean every next batch, not the next batch that
+    // happens to advance a registered stream (rows confined to
+    // unregistered graphs used to defer the prune indefinitely)
+    pendingPruneCutoff.foreach(log.pruneBefore)
+    pendingPruneCutoff = None
+    // provably-empty batch (empty LocalRelation — the API's
+    // empty-events path, an idle foreachBatch tick): nothing to
+    // append, no event time to advance. Plan-level check, no job.
+    batch.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if l.data.isEmpty => return
+      case _ => ()
+    }
     val obs = new org.apache.spark.sql.Observation()
     val maxExprs = registeredStreams.zipWithIndex.map { case (s, i) =>
       max(when(col("graph") === s, col("timestamp"))).as(s"m$i")
@@ -164,6 +178,23 @@ final class CompiledLiveStream(
     * evaluates lazily (async write, downstream stream). */
   private var pendingPruneCutoff: Option[Long] = None
 
+  /** Every fire's eager localCheckpoint, retained so sink-held frames
+    * stay file-independent across prunes. Result-sized per fire, but
+    * cumulative over the stream's life — [[close]] is the release
+    * path for long-running streams. */
+  private val firePins = mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Release every retained fire checkpoint. Call once the sink has
+    * fully consumed (collected / written out) all frames it was handed
+    * — a frame read AFTER close can no longer be recomputed. A stream
+    * whose sink consumes eagerly (the API sink collects bindings
+    * inside the callback) can close at shutdown; a sink that holds
+    * frames across arrivals must consume them first. Idempotent. */
+  def close(): Unit = synchronized {
+    firePins.foreach(graft.util.Lineage.release)
+    firePins.clear()
+  }
+
 
   /** Fire every due window in close-time order (same order as
     * [[LiveStreamProcessing]]'s one-at-a-time loop — the due set is
@@ -180,12 +211,10 @@ final class CompiledLiveStream(
     * the log prunes the segments behind it, so a sink may hold frames
     * across arrival chunks and evaluate late (the out-of-order gate
     * entry unions all 29 fire frames at the very end) without
-    * re-pinning each one. The pins live as long as this stream object
-    * — result-sized (aggregate rows per fire), the same driver-bounded
-    * footprint as the fire bookkeeping. */
+    * re-pinning each one. The pins live until [[close]] — result-sized
+    * (aggregate rows per fire) but cumulative over fires, so a
+    * long-running stream releases them once its sink has consumed. */
   private def advance(): Unit = {
-    pendingPruneCutoff.foreach(log.pruneBefore)
-    pendingPruneCutoff = None
     // every due (window, close) pair, closes enumerated per window
     val due = parsed.liveWindows.flatMap { w =>
       streamMaxTs.get(w.streamName).toSeq.flatMap { maxTs =>
@@ -307,6 +336,7 @@ final class CompiledLiveStream(
       return
     }
     val combined = resultPart.localCheckpoint(eager = true)
+    firePins += combined
     val present = combined.select(col(fireCol)).distinct()
       .collect().map(_.getLong(0)).toSet
     due.foreach { case (w, c) =>
@@ -347,6 +377,7 @@ final class CompiledLiveStream(
     if (!knownNonEmpty && !staticHasRows && snapshot.isEmpty) return
     val out = SparqlCompiler.compile(snapshot, compiledQuery)
       .localCheckpoint(eager = true)
+    firePins += out
     resultSink(out, c - w.width, c)
   }
 }

@@ -1011,20 +1011,28 @@ object StructuredStreams {
     * events are never earlier) — so the fold is `t_i' = coalesce(t_i,
     * min batch step-i event ≥ t_{i−1}' within the deadline)`, computed
     * step-by-step so a single batch can complete several steps at
-    * once. CONTRACT (ENFORCED, not merely documented): no timestamp
-    * may straddle a fold boundary — each batch's earliest event must
-    * be STRICTLY later than every previously folded event. Plain
-    * "ascending event time" is not enough: if two equal-timestamp
-    * events split across batches (batch 1 = click@t, batch 2 =
-    * view@t), the one-shot funnel can set t_2 = t while the fold never
-    * can (batch-1 events are discarded before t_1 exists), so the
+    * once. CONTRACT (ENFORCED, not merely documented, and PER KEY):
+    * no timestamp may straddle a fold boundary WITHIN a key — each
+    * batch's earliest event for a key must be STRICTLY later than
+    * every previously folded event of that same key. Plain "ascending
+    * event time" is not enough: if two equal-timestamp events of one
+    * key split across batches (batch 1 = click@t, batch 2 = view@t),
+    * the one-shot funnel can set t_2 = t while the fold never can
+    * (batch-1 events are discarded before t_1 exists), so the
     * write-once induction genuinely requires strictly-greater
-    * timestamps across folds. A real foreachBatch source splits
-    * same-ms events routinely, so a violating batch FAILS LOUDLY
-    * (the repo's contract-violation discipline) instead of silently
-    * diverging from the one-shot; a late event older than a fold
-    * boundary needs the reference's no-watermark replay, not this
-    * fold. With that contract the
+    * timestamps across folds — but only per key: funnels never read
+    * across keys, so equal timestamps straddling a boundary in
+    * DIFFERENT keys fold exactly (a real foreachBatch source splits
+    * same-ms events across batches routinely, and rejecting those
+    * would crash correctly-folding workloads). A same-key straddle
+    * FAILS LOUDLY (the repo's contract-violation discipline) instead
+    * of silently diverging from the one-shot; a late event older than
+    * its key's fold boundary needs the reference's no-watermark
+    * replay, not this fold. Enforcement is two-tier: a free global
+    * scalar (batch min > previous global max ⇒ no key can straddle)
+    * short-circuits the common strictly-ascending case; only batches
+    * that overlap the global high-water mark pay a per-key
+    * min-vs-standing-max anti-join check. With that contract the
     * standing state equals the one-shot [[graft.pipeline.Temporal
     * .funnel]] over everything ingested (StreamingFunnelSpec; the
     * `events_funnel_incremental` gate entry replays the one-shot
@@ -1035,9 +1043,15 @@ object StructuredStreams {
       steps: Seq[Column], windowMs: Option[Long] = None) {
     require(steps.nonEmpty, "need at least one funnel step")
     @volatile private var state: Option[DataFrame] = None
-    // high-water mark of folded event time (ms) — the enforced fold
-    // boundary: the next batch must start strictly after it
+    // global high-water mark of folded event time (ms) — the FAST-PATH
+    // fold boundary: a batch starting strictly after it cannot
+    // straddle any key's boundary, so the per-key check is skipped
     @volatile private var maxSeenMs: Option[Long] = None
+    // per-key high-water marks (__k, __wm) over ALL folded events —
+    // consulted only when a batch overlaps the global mark, to reject
+    // exactly the same-key straddles (different-key overlap is fine).
+    // O(keys seen) standing rows, the same order as the funnel state.
+    @volatile private var keyWm: Option[DataFrame] = None
 
     def fold(batch: DataFrame): Unit = synchronized {
       val n = steps.length
@@ -1049,22 +1063,50 @@ object StructuredStreams {
         struct(steps.zipWithIndex.map { case (s, i) =>
           s.as(s"s$i") }: _*).as("__p"))
         .localCheckpoint(true)
-      // contract check: one bounded 2-long aggregate per fold. Equal
-      // timestamps straddling the boundary would break the write-once
-      // induction (see class doc), so reject them loudly.
+      try {
+      // contract check: one bounded 2-long aggregate per fold. A
+      // same-key timestamp straddling the boundary would break the
+      // write-once induction (see class doc), so reject it loudly —
+      // but only when the cheap global test cannot rule it out.
       val mm = b.agg(min(col("__ts")).as("lo"), max(col("__ts")).as("hi"))
         .head()
+      val perKey = b.groupBy(col("__k"))
+        .agg(min(col("__ts")).as("__blo"), max(col("__ts")).as("__bhi"))
       if (!mm.isNullAt(0)) {
         val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-        maxSeenMs.foreach(prev => require(lo > prev,
-          s"StreamingFunnel fold-boundary violation: batch min event " +
-            s"time $lo ms is not strictly after the previous fold's " +
-            s"max $prev ms — no timestamp may straddle a fold " +
-            s"boundary (equal-timestamp events split across batches " +
-            s"diverge from the one-shot funnel); buffer same-time " +
-            s"events into one batch or replay from storage"))
+        if (maxSeenMs.exists(lo <= _)) keyWm.foreach { wm =>
+          // slow path: batch overlaps the global mark — straddle iff
+          // some KEY's batch-min is not strictly after that key's
+          // standing max (different-key overlap folds exactly)
+          val viol = perKey.join(wm, "__k")
+            .where(col("__blo") <= col("__wm"))
+            .select(col("__k"), col("__blo"), col("__wm")).head(1)
+          require(viol.isEmpty, {
+            val v = viol.head
+            s"StreamingFunnel fold-boundary violation: key " +
+              s"${v.get(0)}'s batch min event time ${v.getLong(1)} ms " +
+              s"is not strictly after that key's previously folded " +
+              s"max ${v.getLong(2)} ms — no timestamp may straddle a " +
+              s"fold boundary within a key (same-key equal-timestamp " +
+              s"events split across batches diverge from the one-shot " +
+              s"funnel); buffer a key's same-time events into one " +
+              s"batch or replay from storage"
+          })
+        }
         maxSeenMs = Some(math.max(hi, maxSeenMs.getOrElse(Long.MinValue)))
       }
+      // merge the batch's per-key maxima into the standing watermark
+      val wm1 = keyWm match {
+        case Some(wm) => wm.join(perKey.select(col("__k"),
+            col("__bhi")), Seq("__k"), "full_outer")
+          .select(col("__k"),
+            greatest(coalesce(col("__wm"), lit(Long.MinValue)),
+              coalesce(col("__bhi"), lit(Long.MinValue))).as("__wm"))
+        case None => perKey.select(col("__k"), col("__bhi").as("__wm"))
+      }
+      val wmPinned = wm1.localCheckpoint(true)
+      keyWm.foreach(releaseCheckpoint)
+      keyWm = Some(wmPinned)
       val s0 = state.getOrElse(
         b.select(col("__k") +:
           (1 to n).map(i => lit(null).cast("long").as(s"t_$i")): _*)
@@ -1093,8 +1135,11 @@ object StructuredStreams {
       }
       val pinned = acc.localCheckpoint(true)
       state.foreach(releaseCheckpoint)
-      releaseCheckpoint(b)
       state = Some(pinned)
+      // a rejected batch (fold-boundary require) or any mid-fold
+      // failure must not leave the batch pin alive — release is
+      // idempotent, so the success path shares the finally
+      } finally releaseCheckpoint(b)
     }
 
     /** Standing per-key funnel in the one-shot output shape
@@ -1114,12 +1159,13 @@ object StructuredStreams {
     def save(path: String): Unit = synchronized {
       requireSaved(state.nonEmpty, "StreamingFunnel")
       saveFrame(state.get, s"$path/state")
-      // the enforced fold-boundary watermark travels with the state —
-      // a restore that forgot it would accept a boundary-straddling
+      // the enforced fold-boundary watermarks travel with the state —
+      // a restore that forgot them would accept a boundary-straddling
       // batch the saved instance would have rejected
       val spark = state.get.sparkSession
       import spark.implicits._
       saveFrame(maxSeenMs.toSeq.toDF("max_ms"), s"$path/watermark")
+      keyWm.foreach(wm => saveFrame(wm, s"$path/wmkeys"))
     }
 
     def restore(spark: SparkSession, path: String): Unit = synchronized {
@@ -1132,10 +1178,12 @@ object StructuredStreams {
       state = Some(st)
       maxSeenMs = spark.read.parquet(s"$path/watermark")
         .collect().headOption.map(_.getLong(0))
+      keyWm = Some(loadFrame(spark, s"$path/wmkeys"))
     }
 
     def unpersist(): Unit = synchronized {
       state.foreach(releaseCheckpoint); state = None; maxSeenMs = None
+      keyWm.foreach(releaseCheckpoint); keyWm = None
     }
   }
 

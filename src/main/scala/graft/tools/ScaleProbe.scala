@@ -392,13 +392,15 @@ object ScaleProbe {
           f"(${tSampleFolds * 1e6 / nDocs}%.2f s/Mdoc)")
       }
 
-      // round-16 addition: containment dedup APPLY path — UNSLICED at
-      // every sf. Unlike containmentPairs (whose OUTPUT is the pair
-      // relation, quadratic per replica group — the reason SCALE6
-      // slices), containmentDeduplicate's exact-set collapse runs the
-      // pairwise machinery over DISTINCT shingle sets and returns the
-      // kept corpus (∝ documents), so the replica blow-up never
-      // materializes — the claim this probe exists to measure
+      // containment dedup APPLY path — UNSLICED at every sf. Unlike
+      // containmentPairs (whose OUTPUT is the pair relation, quadratic
+      // per replica group — the reason SCALE6 slices),
+      // containmentDeduplicate runs witness-sensitive priority-cursor
+      // rounds — per-doc prefix cursors with known qualifying depth
+      // (rank(self)−1) probed in doubling windows — and returns the
+      // kept corpus (∝ documents); a replica-family keeper is rank 1
+      // of its own shingles and exits round 1, so the replica blow-up
+      // never materializes — the claim this probe exists to measure
       if (waveOn(9)) {
         val tApply = timeSec {
           val kept = graft.pipeline.Dedup.containmentDeduplicate(

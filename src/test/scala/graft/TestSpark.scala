@@ -6,12 +6,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * startup dominates test wall-clock otherwise). */
 object TestSpark {
   lazy val spark: SparkSession = {
+    // maxFailures=1 (plain local[4]) for the shared suite so a
+    // genuinely nondeterministic first-attempt failure FAILS the test
+    // instead of being silently retried; TaskRetrySpec runs in its own
+    // forked JVM (build.sbt testGrouping) with
+    // -Dgraft.test.taskMaxFailures=2 so its injected first-attempt
+    // failure is retried and retry determinism can be proven
+    val maxFailures = sys.props.get("graft.test.taskMaxFailures")
     val s = SparkSession.builder()
-      // local[4, 2]: ONE task retry, so TaskRetrySpec can inject a
-      // first-attempt failure and prove retry determinism; genuine
-      // failures still fail (one extra small-task attempt on the
-      // fail-loud paths is noise)
-      .master("local[4, 2]")
+      .master(maxFailures.fold("local[4]")(m => s"local[4, $m]"))
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")

@@ -14,7 +14,8 @@ import java.util.concurrent.ConcurrentHashMap
   * on partitioning-independence specs — none injected an ACTUAL task
   * failure. Here a pass-through mapPartitions kills the FIRST attempt
   * of one partition per labelled stage (`TaskContext.attemptNumber`,
-  * retried under the session's `local[4, 2]` master) and the outputs
+  * retried under this suite's dedicated `local[4, 2]` JVM — build.sbt
+  * groups it apart so the shared suite keeps maxFailures=1) and the outputs
   * must be bit-identical to the unchaosed run: a retried task
   * re-derives exactly the rows the killed attempt would have produced,
   * because every value is a pure function of the row (hash positions,
@@ -48,7 +49,17 @@ object TaskRetrySpec {
 class TaskRetrySpec extends AnyFunSuite {
   import TaskRetrySpec.{chaos, fired}
 
-  private lazy val spark = TestSpark.spark
+  private lazy val spark = {
+    val s = TestSpark.spark
+    // this suite is meaningless without task retries — fail loudly if
+    // run outside its build.sbt chaos group (e.g. from an IDE without
+    // -Dgraft.test.taskMaxFailures=2)
+    assert(s.sparkContext.master == "local[4, 2]",
+      s"TaskRetrySpec needs the chaos-group session (local[4, 2]); " +
+        s"got ${s.sparkContext.master} — run via sbt, or set " +
+        "-Dgraft.test.taskMaxFailures=2")
+    s
+  }
   import spark.implicits._
 
   private def docs = (0L until 120L)

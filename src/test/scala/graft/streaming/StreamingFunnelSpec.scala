@@ -100,8 +100,8 @@ class StreamingFunnelSpec extends AnyFunSuite {
     }
   }
 
-  test("fold-boundary violation fails loudly: an equal timestamp " +
-      "straddling batches would diverge from the one-shot") {
+  test("fold-boundary violation fails loudly: a SAME-KEY equal " +
+      "timestamp straddling batches would diverge from the one-shot") {
     // one-shot over BOTH events sets t_2 = 5s (click@5s then view@5s
     // is fine — equal ts chains match); the fold can never recover the
     // batch-1 click once batch 2 establishes t_1 = 5s, so the class
@@ -119,6 +119,38 @@ class StreamingFunnelSpec extends AnyFunSuite {
     g.fold(df(Seq((2L, 9L, 6_000L, "click"))))
     assert(g.current.get.where(col("steps_completed") === 2L).count() === 1L)
     g.unpersist()
+  }
+
+  test("equal timestamps straddling batches in DIFFERENT keys fold " +
+      "exactly (the boundary is per key, not global)") {
+    // a real foreachBatch source splits same-ms events across batches
+    // routinely; funnels never read across keys, so this must fold —
+    // user 7 ends at 5s in batch 1, user 8 STARTS at 5s in batch 2,
+    // and user 7 continues later (exercising its standing watermark)
+    val rows = Seq(
+      (1L, 7L, 4_000L, "view"), (2L, 7L, 5_000L, "click"),
+      (3L, 8L, 5_000L, "view"), (4L, 8L, 6_000L, "click"),
+      (5L, 7L, 7_000L, "purchase"), (6L, 8L, 7_000L, "purchase"))
+    val f = new StructuredStreams.StreamingFunnel("user", "ts", steps)
+    f.fold(df(rows.take(2)))
+    f.fold(df(rows.slice(2, 4))) // batch min 5s == prior global max 5s
+    f.fold(df(rows.drop(4)))     // both purchases share 7s — same batch
+    val folded = toMap(f.current.get.collect())
+    val oneShot = toMap(Temporal.funnel(df(rows), key = "user",
+      ts = "ts", steps = steps, windowMs = None).collect())
+    assert(folded === oneShot)
+    assert(folded(7L)._1 === 3L && folded(8L)._1 === 3L)
+    f.unpersist()
+    // but the same shape WITH a shared key still rejects: user 7's
+    // 5s click in batch 2 after its 5s view folded in batch 1
+    val h = new StructuredStreams.StreamingFunnel("user", "ts", steps)
+    h.fold(df(Seq((1L, 7L, 5_000L, "view"), (2L, 8L, 4_000L, "view"))))
+    val e = intercept[IllegalArgumentException] {
+      h.fold(df(Seq((3L, 7L, 5_000L, "click"), (4L, 8L, 6_000L, "click"))))
+    }
+    assert(e.getMessage.contains("key") &&
+      e.getMessage.contains("fold-boundary"))
+    h.unpersist()
   }
 
   test("maintainFunnel folds a real MemoryStream through foreachBatch") {
