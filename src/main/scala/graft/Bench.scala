@@ -124,6 +124,9 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val medians = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // first-sample (cold: Catalyst planning + JIT) wall per query —
+    // kept out of queries/queries_median so steady state diffs clean
+    val colds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val extras = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     // artifact transparency: which pilot-fixture cap (if any) bounded
@@ -290,19 +293,26 @@ object Bench {
     queries.toSeq.sortBy(_._1).zipWithIndex.foreach {
       case ((name, fn), qi) =>
         try {
-          // two runs, keep the faster (steady-state; first run may pay
-          // one-time planning/codegen costs). The bench machine sees
-          // heavy intermittent contention (round-over-round swings of
-          // 10-30x on identical code) — when the two samples disagree
-          // badly, that IS contention, so buy a third sample. The
-          // median (upper-middle of the sorted samples) is recorded
-          // alongside the min: a large median/min gap per query is the
-          // per-query contention signal.
+          // first run pays one-time Catalyst/JIT cost — recorded
+          // SEPARATELY as queries_cold so the steady-state series
+          // never mixes first-plan cost in (the round-13 "four
+          // regressions" were exactly a 2-sample median counting the
+          // cold run). Cheap entries (min < 2 s) buy a third sample so
+          // the recorded median is a REAL median of 3, with the cold
+          // run the discardable outlier; expensive entries keep 2
+          // samples (min + cold tell the story, and a third run of a
+          // 7 s entry is not worth 40 s of artifact latency). The
+          // bench machine also sees heavy intermittent contention
+          // (round-over-round swings of 10-30x on identical code) —
+          // when samples disagree badly, that IS contention, so buy
+          // another sample. A large median/min gap per query remains
+          // the per-query contention signal.
           val t1 = timeSec(materialize(fn(spark, sfDir)))
           val t2 = timeSec(materialize(fn(spark, sfDir)))
+          colds += name -> t1
           var samples = List(t1, t2)
           val best0 = math.min(t1, t2)
-          if (math.max(t1, t2) > 2.0 * best0 && best0 > 0.2)
+          if (best0 < 2.0 || (math.max(t1, t2) > 2.0 * best0 && best0 > 0.2))
             samples = timeSec(materialize(fn(spark, sfDir))) :: samples
           val sorted = samples.sorted
           results += name -> sorted.head
@@ -340,7 +350,7 @@ object Bench {
     // must never look like a successful run (round 8 recorded rc=0 with
     // ~76 per-query ExtendedAnalysisExceptions and voided the round).
     val ok = failed.isEmpty
-    val json = s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","ok":$ok,"queries":${jm(results)},"queries_median":${jm(medians)},"probes":${jm(probes)},"sf":"$sfDir","extras":${jm(extras)},"failed":$failedJson}"""
+    val json = s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","ok":$ok,"queries":${jm(results)},"queries_median":${jm(medians)},"queries_cold":${jm(colds)},"probes":${jm(probes)},"sf":"$sfDir","extras":${jm(extras)},"failed":$failedJson}"""
     // Compact tail-window summary: headline metrics + the slowest
     // queries only. Stays well under the driver's 2000-char stdout
     // capture even with hundreds of registered queries; the full
