@@ -334,51 +334,63 @@ object StructuredStreams {
     * disjoint doc batches union associatively and the (n_docs, sum_dl)
     * counts are exact integer adds, so the folded index serves scores
     * BIT-IDENTICAL to a one-shot build over the concatenated stream
-    * (`StreamingBm25Spec`). Same standing-state discipline as the
-    * other Streaming* classes: lineage-truncated per fold, superseded
-    * checkpoints released. */
-  final class StreamingBm25(idCol: String, textCol: String) {
-    @volatile private var state
-        : Option[graft.pipeline.Retrieval.Bm25Acc] = None
+    * (`StreamingBm25Spec`). The corpus-sized postings live in a
+    * log-structured [[DeltaFrame]] spool — disjoint doc batches make
+    * the postings fold a pure union, so each fold writes ONLY the
+    * batch's postings (cost ∝ batch; the old full-corpus re-pin was
+    * O(standing) per fold). The one-row integer counts stay a
+    * checkpoint pin. */
+  final class StreamingBm25(idCol: String, textCol: String,
+      compactEvery: Int = 64) {
+    @volatile private var postDl: Option[DeltaFrame] = None
+    @volatile private var countsSt: Option[DataFrame] = None
+
+    /** Live postings generation count (spec observability). */
+    def generationCount: Int = postDl.map(_.generationCount).getOrElse(0)
 
     def fold(batch: DataFrame): Unit = synchronized {
       val R = graft.pipeline.Retrieval
       val b = R.buildBm25Acc(batch, col(idCol), col(textCol))
-      val folded = state match {
-        case None     => b
-        case Some(s0) => R.foldBm25Acc(s0, b)
+      if (postDl.isEmpty)
+        postDl = Some(new DeltaFrame(batch.sparkSession, "bm25-post",
+          compactEvery))
+      postDl.get.append(b.postings)
+      val foldedCounts = countsSt match {
+        case None     => b.counts
+        case Some(c0) => c0.unionByName(b.counts)
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("sum_dl")).as("sum_dl"))
       }
-      val pinned = R.Bm25Acc(folded.postings.localCheckpoint(true),
-        folded.counts.localCheckpoint(true))
-      state.foreach { s0 =>
-        releaseCheckpoint(s0.postings); releaseCheckpoint(s0.counts)
-      }
-      state = Some(pinned)
+      val pinned = foldedCounts.localCheckpoint(true)
+      countsSt.foreach(releaseCheckpoint)
+      countsSt = Some(pinned)
     }
 
     /** Current standing accumulator (None before any batch); serve
       * probes via `current.map(_.index)` +
-      * [[graft.pipeline.Retrieval.bm25ScoresIndexed]]. */
-    def current: Option[graft.pipeline.Retrieval.Bm25Acc] = state
+      * [[graft.pipeline.Retrieval.bm25ScoresIndexed]]. The postings
+      * frame is backed by the delta spool — valid until the next fold
+      * (compaction may rewrite the files behind it). */
+    def current: Option[graft.pipeline.Retrieval.Bm25Acc] =
+      countsSt.map(c =>
+        graft.pipeline.Retrieval.Bm25Acc(postDl.get.read, c))
 
     def save(path: String): Unit = synchronized {
-      requireSaved(state.nonEmpty, "StreamingBm25")
-      saveFrame(state.get.postings, s"$path/postings")
-      saveFrame(state.get.counts, s"$path/counts")
+      requireSaved(countsSt.nonEmpty, "StreamingBm25")
+      postDl.get.saveTo(s"$path/postings")
+      saveFrame(countsSt.get, s"$path/counts")
     }
 
     def restore(spark: SparkSession, path: String): Unit = synchronized {
-      requireFresh(state.isEmpty, "StreamingBm25")
-      state = Some(graft.pipeline.Retrieval.Bm25Acc(
-        loadFrame(spark, s"$path/postings"),
-        loadFrame(spark, s"$path/counts")))
+      requireFresh(countsSt.isEmpty && postDl.isEmpty, "StreamingBm25")
+      postDl = Some(new DeltaFrame(spark, "bm25-post"))
+      postDl.get.loadFrom(s"$path/postings")
+      countsSt = Some(loadFrame(spark, s"$path/counts"))
     }
 
     def unpersist(): Unit = synchronized {
-      state.foreach { s0 =>
-        releaseCheckpoint(s0.postings); releaseCheckpoint(s0.counts)
-      }
-      state = None
+      countsSt.foreach(releaseCheckpoint); countsSt = None
+      postDl.foreach(_.delete()); postDl = None
     }
   }
 
@@ -748,23 +760,50 @@ object StructuredStreams {
     * `array_intersect` against the standing shingle sets; the KEPT SET
     * equals the one-shot `containmentDeduplicate` over everything
     * ingested for ANY batch split (`StreamingContainmentSpec`,
-    * `dedup_containment_incremental`). State — shingle sets, postings,
-    * df counts, prefix index, ids, dropped bits — is ∝ corpus tokens
-    * (the standing-index discipline of
-    * [[StreamingBm25]]/[[StreamingLineDedup]]), re-pinned per fold and
-    * parquet save/restore durable. */
+    * `dedup_containment_incremental`).
+    *
+    * State discipline: the CORPUS-SIZED frames — shingle sets,
+    * postings, per-batch df partials, prefix index — live in
+    * log-structured [[DeltaFrame]] spools, so each fold WRITES only
+    * the batch's rows (the re-pin pattern wrote the full standing
+    * corpus through the block manager every fold — O(standing) per
+    * batch, cumulatively quadratic in stream length; this fold's
+    * state-maintenance cost is ∝ batch, with bounded-amplification
+    * compaction). Only the THIN frames (ids, dropped bits) stay as
+    * per-fold checkpoint pins. The df snapshot a batch ranks its
+    * prefixes against is the generation SUM restricted (semi-join) to
+    * the batch's own vocabulary — exact, because df partials add
+    * associatively and a doc's prefix only consults its own shingles'
+    * counts. Parquet save/restore durable (saves compact). */
   final class StreamingContainmentDedup(idCol: String, textCol: String,
-      minPpm: Long, shingleSize: Int = 3) {
+      minPpm: Long, shingleSize: Int = 3, compactEvery: Int = 64) {
     require(minPpm > 0L && minPpm <= 1000000L,
       "minPpm must be in (0, 1000000]")
-    // (id, sh, n) / (t, id, n) postings / (t, df) counts /
-    // (t, id, n) prefix / (id) ids / (id) dropped
-    @volatile private var docsSt: Option[DataFrame] = None
-    @volatile private var postSt: Option[DataFrame] = None
-    @volatile private var dfSt: Option[DataFrame] = None
-    @volatile private var prefSt: Option[DataFrame] = None
+    // corpus-sized, log-structured: (id, sh, n) docs / (t, id, n)
+    // postings / (t, df) per-batch df partials / (t, id, n) prefixes
+    @volatile private var docsDl: Option[DeltaFrame] = None
+    @volatile private var postDl: Option[DeltaFrame] = None
+    @volatile private var dfDl: Option[DeltaFrame] = None
+    @volatile private var prefDl: Option[DeltaFrame] = None
+    // thin, per-fold checkpoint pins: (id) ids / (id) dropped
     @volatile private var idsSt: Option[DataFrame] = None
     @volatile private var dropSt: Option[DataFrame] = None
+
+    private def deltas(spark: SparkSession): (DeltaFrame, DeltaFrame,
+        DeltaFrame, DeltaFrame) = {
+      if (docsDl.isEmpty) {
+        docsDl = Some(new DeltaFrame(spark, "containment-docs", compactEvery))
+        postDl = Some(new DeltaFrame(spark, "containment-post", compactEvery))
+        dfDl = Some(new DeltaFrame(spark, "containment-df", compactEvery))
+        prefDl = Some(new DeltaFrame(spark, "containment-pref", compactEvery))
+      }
+      (docsDl.get, postDl.get, dfDl.get, prefDl.get)
+    }
+
+    /** Live generation counts (docs, postings, df, prefixes) — spec
+      * observability for the flat-fold-cost proof. */
+    def generationCounts: Seq[Int] =
+      Seq(docsDl, postDl, dfDl, prefDl).flatten.map(_.generationCount)
 
     private def shingled(batch: DataFrame): DataFrame =
       batch.select(col(idCol).as("id"),
@@ -776,66 +815,75 @@ object StructuredStreams {
         .withColumn("n", size(col("sh")).cast("long"))
 
     def fold(batch: DataFrame): Unit = synchronized {
+      val (docs, post, dfc, pref) = deltas(batch.sparkSession)
       val b = shingled(batch).localCheckpoint(true)
-      val bPost = b.select(explode(col("sh")).as("t"), col("id"), col("n"))
-      // df-at-arrival: fold the batch's counts into the standing table
-      // FIRST, then choose this batch's prefixes against the folded
-      // snapshot — fixed for these docs forever
-      val bDf = bPost.groupBy(col("t")).agg(count(lit(1)).as("df"))
-      val allDf = dfSt.map(_.unionByName(bDf)
-          .groupBy(col("t")).agg(sum(col("df")).as("df")))
-        .getOrElse(bDf)
-        .localCheckpoint(true)
-      val prefLen = expr(
-        s"cast(n - ((n * $minPpm + 999999) div 1000000) + 1 as int)")
-      val byRarity = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("id"))
-        .orderBy(col("df").asc, col("t").asc)
-      val bPref = b.select(col("id"), col("n"), prefLen.as("__pl"),
-          explode(col("sh")).as("t"))
-        .join(allDf, Seq("t"))
-        .withColumn("__rk", row_number().over(byRarity))
-        .where(col("__rk") <= col("__pl"))
-        .select(col("t"), col("id"), col("n"))
-      val allPost = postSt.map(_.unionByName(bPost)).getOrElse(bPost)
-      val allDocs = docsSt.map(_.unionByName(b)).getOrElse(b)
-      val absorbs = col("n_b") > col("n_a") ||
-        (col("n_b") === col("n_a") && col("id_b") < col("id_a"))
-      // direction 1: new docs probed against everything seen
-      val d1 = bPref.toDF("t", "id_a", "n_a")
-        .join(allPost.toDF("t", "id_b", "n_b"), Seq("t"))
-      // direction 2: standing prefixes probed against the new postings
-      val d2 = prefSt.map(_.toDF("t", "id_a", "n_a")
-        .join(bPost.toDF("t", "id_b", "n_b"), Seq("t")))
-      val cand = d2.foldLeft(d1)(_ unionByName _)
-        .where(absorbs)
-        .select(col("id_a"), col("id_b")).distinct()
-      val setsA = allDocs.select(col("id").as("id_a"), col("sh").as("sh_a"))
-      val setsB = allDocs.select(col("id").as("id_b"), col("sh").as("sh_b"))
-      val newlyDropped = cand
-        .join(setsA, Seq("id_a")).join(setsB, Seq("id_b"))
-        .where(expr("size(array_intersect(sh_a, sh_b)) * 1000000L div " +
-          s"size(sh_a) >= $minPpm"))
-        .select(col("id_a").as("id")).distinct()
-      val bIds = batch.select(col(idCol).as("id"))
-      // pin EVERY next-generation frame before releasing ANY previous
-      // one: newlyDropped's plan reads the old docs checkpoint, so a
-      // release-as-you-go swap would pull blocks out from under the
-      // last pin
-      val nextDocs = allDocs.localCheckpoint(true)
-      val nextPost = allPost.localCheckpoint(true)
-      val nextPref = prefSt.map(_.unionByName(bPref)).getOrElse(bPref)
-        .localCheckpoint(true)
-      val nextIds = idsSt.map(_.unionByName(bIds)).getOrElse(bIds)
-        .localCheckpoint(true)
-      val nextDrop = dropSt.map(_.unionByName(newlyDropped))
-        .getOrElse(newlyDropped).localCheckpoint(true)
-      Seq(docsSt, postSt, dfSt, prefSt, idsSt, dropSt)
-        .foreach(_.foreach(releaseCheckpoint))
-      releaseCheckpoint(b)
-      docsSt = Some(nextDocs); postSt = Some(nextPost)
-      dfSt = Some(allDf); prefSt = Some(nextPref)
-      idsSt = Some(nextIds); dropSt = Some(nextDrop)
+      try {
+        val bPost = b.select(explode(col("sh")).as("t"), col("id"),
+          col("n")).localCheckpoint(true)
+        try {
+          // df-at-arrival: spill the batch's df PARTIAL first, then
+          // rank this batch's prefixes against the generation sum
+          // restricted to the batch's own vocabulary — fixed for these
+          // docs forever. Cost ∝ batch (+ a semi-filtered scan).
+          dfc.append(bPost.groupBy(col("t")).agg(count(lit(1)).as("df")))
+          val dfNow = dfc.read
+            .join(bPost.select(col("t")).distinct(), Seq("t"), "left_semi")
+            .groupBy(col("t")).agg(sum(col("df")).as("df"))
+          val prefLen = expr(
+            s"cast(n - ((n * $minPpm + 999999) div 1000000) + 1 as int)")
+          val byRarity = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("id"))
+            .orderBy(col("df").asc, col("t").asc)
+          val bPref = b.select(col("id"), col("n"), prefLen.as("__pl"),
+              explode(col("sh")).as("t"))
+            .join(dfNow, Seq("t"))
+            .withColumn("__rk", row_number().over(byRarity))
+            .where(col("__rk") <= col("__pl"))
+            .select(col("t"), col("id"), col("n"))
+            .localCheckpoint(true)
+          try {
+            // ALL appends land before ANY probe plan is built — an
+            // append can trigger compaction, and compaction deletes
+            // the files a lazily-built plan would still reference
+            post.append(bPost); docs.append(b); pref.append(bPref)
+            val allPost = post.read
+            val prefAll = pref.read
+            val allDocs = docs.read
+            val absorbs = col("n_b") > col("n_a") ||
+              (col("n_b") === col("n_a") && col("id_b") < col("id_a"))
+            // direction 1: new docs probed against everything seen
+            val d1 = bPref.toDF("t", "id_a", "n_a")
+              .join(allPost.toDF("t", "id_b", "n_b"), Seq("t"))
+            // direction 2: the standing prefix index probed against
+            // the new postings (retro-drop). prefAll already includes
+            // the batch generation; the extra batch-vs-batch pairs it
+            // contributes are a subset of d1 and fall to the distinct
+            val d2 = prefAll.toDF("t", "id_a", "n_a")
+              .join(bPost.toDF("t", "id_b", "n_b"), Seq("t"))
+            val cand = d1.unionByName(d2)
+              .where(absorbs)
+              .select(col("id_a"), col("id_b")).distinct()
+            val setsA = allDocs.select(col("id").as("id_a"),
+              col("sh").as("sh_a"))
+            val setsB = allDocs.select(col("id").as("id_b"),
+              col("sh").as("sh_b"))
+            val newlyDropped = cand
+              .join(setsA, Seq("id_a")).join(setsB, Seq("id_b"))
+              .where(expr("size(array_intersect(sh_a, sh_b)) * " +
+                s"1000000L div size(sh_a) >= $minPpm"))
+              .select(col("id_a").as("id")).distinct()
+            val bIds = batch.select(col(idCol).as("id"))
+            // pin the thin next-generation frames before releasing the
+            // previous ones (the drop plan reads the old drop pin)
+            val nextIds = idsSt.map(_.unionByName(bIds)).getOrElse(bIds)
+              .localCheckpoint(true)
+            val nextDrop = dropSt.map(_.unionByName(newlyDropped))
+              .getOrElse(newlyDropped).localCheckpoint(true)
+            Seq(idsSt, dropSt).foreach(_.foreach(releaseCheckpoint))
+            idsSt = Some(nextIds); dropSt = Some(nextDrop)
+          } finally releaseCheckpoint(bPref)
+        } finally releaseCheckpoint(bPost)
+      } finally releaseCheckpoint(b)
     }
 
     /** Kept ids of everything ingested — shingle-less docs (no
@@ -847,29 +895,31 @@ object StructuredStreams {
 
     def save(path: String): Unit = synchronized {
       requireSaved(idsSt.nonEmpty, "StreamingContainmentDedup")
-      saveFrame(docsSt.get, s"$path/docs")
-      saveFrame(postSt.get, s"$path/postings")
-      saveFrame(dfSt.get, s"$path/df")
-      saveFrame(prefSt.get, s"$path/prefixes")
+      docsDl.get.saveTo(s"$path/docs")
+      postDl.get.saveTo(s"$path/postings")
+      dfDl.get.saveTo(s"$path/df")
+      prefDl.get.saveTo(s"$path/prefixes")
       saveFrame(idsSt.get, s"$path/ids")
       saveFrame(dropSt.get, s"$path/dropped")
     }
 
     def restore(spark: SparkSession, path: String): Unit = synchronized {
-      requireFresh(idsSt.isEmpty, "StreamingContainmentDedup")
-      docsSt = Some(loadFrame(spark, s"$path/docs"))
-      postSt = Some(loadFrame(spark, s"$path/postings"))
-      dfSt = Some(loadFrame(spark, s"$path/df"))
-      prefSt = Some(loadFrame(spark, s"$path/prefixes"))
+      requireFresh(idsSt.isEmpty && docsDl.isEmpty,
+        "StreamingContainmentDedup")
+      val (docs, post, dfc, pref) = deltas(spark)
+      docs.loadFrom(s"$path/docs")
+      post.loadFrom(s"$path/postings")
+      dfc.loadFrom(s"$path/df")
+      pref.loadFrom(s"$path/prefixes")
       idsSt = Some(loadFrame(spark, s"$path/ids"))
       dropSt = Some(loadFrame(spark, s"$path/dropped"))
     }
 
     def unpersist(): Unit = synchronized {
-      Seq(docsSt, postSt, dfSt, prefSt, idsSt, dropSt)
-        .foreach(_.foreach(releaseCheckpoint))
-      docsSt = None; postSt = None; dfSt = None; prefSt = None
+      Seq(idsSt, dropSt).foreach(_.foreach(releaseCheckpoint))
       idsSt = None; dropSt = None
+      Seq(docsDl, postDl, dfDl, prefDl).foreach(_.foreach(_.delete()))
+      docsDl = None; postDl = None; dfDl = None; prefDl = None
     }
   }
 
@@ -951,53 +1001,74 @@ object StructuredStreams {
     * With ascending doc ids a later batch can never take ownership
     * from an earlier one, so the accumulated rewrites equal the
     * one-shot `dedupLines` over everything ingested
-    * (StreamingLineDedupSpec). Standing state is one row per distinct
-    * line hash; checkpoints are re-pinned per fold and released via
-    * Lineage. */
+    * (StreamingLineDedupSpec). Both corpus-sized frames are
+    * log-structured [[DeltaFrame]] spools: the index spool holds
+    * per-BATCH ownership partials (per-line min is associative, so the
+    * standing owner of a hash is the min over generations — and a
+    * batch's rewrite only needs owners for its OWN line hashes, so the
+    * read-time fold is semi-filtered to the batch's vocabulary before
+    * aggregating); the outputs spool is a pure append. Each fold
+    * writes ∝ batch instead of re-pinning the full standing index and
+    * every rewrite so far. */
   final class StreamingLineDedup(idCol: String, textCol: String,
-      sep: String = "\n") {
-    @volatile private var index
-        : Option[graft.pipeline.Dedup.LineIndex] = None
-    @volatile private var outputs: Option[DataFrame] = None
+      sep: String = "\n", compactEvery: Int = 64) {
+    @volatile private var idxDl: Option[DeltaFrame] = None
+    @volatile private var outDl: Option[DeltaFrame] = None
+
+    /** Live generation counts (index, outputs) — spec observability. */
+    def generationCounts: Seq[Int] =
+      Seq(idxDl, outDl).flatten.map(_.generationCount)
 
     def fold(batch: DataFrame): Unit = synchronized {
       val D = graft.pipeline.Dedup
-      val b = D.buildLineIndex(batch, col(idCol), col(textCol), sep)
-      val folded = index match {
-        case None     => b
-        case Some(i0) => D.foldLineIndex(i0, b)
+      if (idxDl.isEmpty) {
+        idxDl = Some(new DeltaFrame(batch.sparkSession, "linededup-idx",
+          compactEvery))
+        outDl = Some(new DeltaFrame(batch.sparkSession, "linededup-out",
+          compactEvery))
       }
-      val pinned = D.LineIndex(folded.owners.localCheckpoint(true))
-      index.foreach(i => releaseCheckpoint(i.owners))
-      index = Some(pinned)
-      val out = D.dedupLinesWithIndex(batch, col(idCol), col(textCol),
-        pinned, sep)
-      val acc = (outputs match {
-        case None     => out
-        case Some(o0) => o0.unionByName(out)
-      }).localCheckpoint(true)
-      outputs.foreach(releaseCheckpoint)
-      outputs = Some(acc)
+      val b = D.buildLineIndex(batch, col(idCol), col(textCol), sep)
+      // batch partial pinned once: it is both appended (parquet write)
+      // and the semi-filter vocabulary below
+      val bOwners = b.owners.localCheckpoint(true)
+      try {
+        idxDl.get.append(bOwners)
+        // standing owners for exactly this batch's hashes: min over
+        // generations, semi-filtered BEFORE the aggregation so the
+        // shuffle is ∝ batch matches, not the standing index
+        val ownersNow = idxDl.get.read
+          .join(bOwners.select(col("line_hash")), Seq("line_hash"),
+            "left_semi")
+          .groupBy(col("line_hash")).agg(min(col("owner_key"))
+            .as("owner_key"))
+        val out = D.dedupLinesWithIndex(batch, col(idCol), col(textCol),
+          D.LineIndex(ownersNow), sep)
+        outDl.get.append(out)
+      } finally releaseCheckpoint(bOwners)
     }
 
-    def current: Option[DataFrame] = outputs
+    /** Accumulated rewrites — backed by the delta spool, valid until
+      * the next fold. None before any batch. */
+    def current: Option[DataFrame] =
+      outDl.filter(!_.isEmpty).map(_.read)
 
     def save(path: String): Unit = synchronized {
-      requireSaved(index.nonEmpty, "StreamingLineDedup")
-      saveFrame(index.get.owners, s"$path/index")
-      outputs.foreach(o => saveFrame(o, s"$path/outputs"))
+      requireSaved(idxDl.exists(!_.isEmpty), "StreamingLineDedup")
+      idxDl.get.saveTo(s"$path/index")
+      outDl.get.saveTo(s"$path/outputs")
     }
 
     def restore(spark: SparkSession, path: String): Unit = synchronized {
-      requireFresh(index.isEmpty && outputs.isEmpty, "StreamingLineDedup")
-      index = Some(graft.pipeline.Dedup.LineIndex(
-        loadFrame(spark, s"$path/index")))
-      outputs = Some(loadFrame(spark, s"$path/outputs"))
+      requireFresh(idxDl.isEmpty && outDl.isEmpty, "StreamingLineDedup")
+      idxDl = Some(new DeltaFrame(spark, "linededup-idx"))
+      outDl = Some(new DeltaFrame(spark, "linededup-out"))
+      idxDl.get.loadFrom(s"$path/index")
+      outDl.get.loadFrom(s"$path/outputs")
     }
 
     def unpersist(): Unit = synchronized {
-      index.foreach(i => releaseCheckpoint(i.owners)); index = None
-      outputs.foreach(releaseCheckpoint); outputs = None
+      Seq(idxDl, outDl).foreach(_.foreach(_.delete()))
+      idxDl = None; outDl = None
     }
   }
 

@@ -51,10 +51,13 @@ class StreamingLineDedupSpec extends AnyFunSuite {
     assert(streamed(2L) === ((3L, 1L, "gamma three")))
     assert(streamed(3L) === ((2L, 1L, "delta four")))
 
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // log-structured state: three folds leave three generations per
+    // spool (well under the compaction threshold) and NO standing
+    // checkpoint pins — the per-fold cost is the batch write, not a
+    // full-corpus re-pin
+    assert(sld.generationCounts === Seq(3, 3),
+      "expected one delta generation per fold in index and outputs")
     sld.unpersist()
     assert(sld.current.isEmpty)
-    assert(spark.sparkContext.getPersistentRDDs.size <= before - 2,
-      "index and outputs checkpoints must release")
   }
 }
