@@ -415,27 +415,36 @@ object Dedup {
     *     order — absolute recall, no hash-collision caveat): if b
     *     absorbs a, b shares at least one of a's `|A| − ⌈t·|A|⌉ + 1`
     *     rarest shingles (pigeonhole, any fixed order).
-    *  2. PRIORITY-CURSOR probing. Postings of prefix shingles are
-    *     ranked by the keeper order (n desc, id asc) — so for any doc
-    *     a, the postings that COULD absorb it (priority above a's)
-    *     are exactly a contiguous head of each list. Rounds proceed
+    *  2. NEAREST-FIRST CURSOR probing. Postings of prefix shingles
+    *     are ranked by the keeper order (n desc, id asc) — so for any
+    *     doc a, the postings that COULD absorb it (priority above
+    *     a's) are exactly the contiguous head of each list, ranks
+    *     1..rank(a)−1. The drop rule is dominated-by-ANY, so the
+    *     ENUMERATION ORDER inside that window is free — and each
+    *     cursor probes it BOTTOM-UP, nearest bigger doc first
+    *     (offset o = 1 is rank(a)−1), because on a replica corpus the
+    *     absorber is overwhelmingly the SLIGHTLY-bigger sibling, not
+    *     the corpus giant that happens to share a shingle: probing
+    *     head-first, sf10 spent three full rounds (137 M candidate
+    *     pairs, ranks 8–64) confirming nothing. Rounds proceed
     *     driver-steered (the pageRank/kCore loop discipline): in
-    *     round r each still-undecided doc verifies only the next
-    *     batch of cursor positions of each of its prefix shingles —
-    *     exact array-intersect on those ≤ prefixLen·batch candidate
+    *     round r each still-undecided doc verifies the next batch of
+    *     offsets of each prefix cursor — a hashed-prefilter +
+    *     exact-array-intersect on those ≤ prefixLen·batch candidate
     *     pairs — and every dominated doc leaves the live set the
     *     moment ONE witness confirms. Batch doubles per round, so a
-    *     cursor that must scan d postings finishes in ≤ log₂ d
-    *     rounds at ≤ 2× the optimal probe count.
+    *     cursor whose witness sits at bottom-up offset d finishes in
+    *     ≤ log₂ d rounds at ≤ 2× d probes.
     *
     * On a replica-heavy corpus (the sf10 shape that OOM-killed the
     * pair-complete formulation at ~98 GB of shuffle) round 1 already
-    * drops every non-top family member — its rank-1 cursor IS the
-    * family keeper — leaving live ∝ families; nothing pair-shaped is
-    * ever persisted, returned, or collected, and per-round state
-    * (live cursor rows, ∝ docs × prefixLen) is checkpoint-rotated
-    * like every iterative operator here. Returns the kept rows of
-    * `df` unchanged (the [[cdcDeduplicate]] output contract). */
+    * drops near-every non-top family member — its offset-1 posting IS
+    * the next-bigger sibling — leaving live ∝ families; nothing
+    * pair-shaped is ever persisted, returned, or collected, and
+    * per-round state (live cursor rows, ∝ docs × prefixLen) is
+    * checkpoint-rotated like every iterative operator here. Returns
+    * the kept rows of `df` unchanged (the [[cdcDeduplicate]] output
+    * contract). */
   def containmentDeduplicate(df: DataFrame, idCol: Column,
       textCol: Column, minPpm: Long, shingleSize: Int = 3,
       maxRounds: Int = 64): DataFrame = {
@@ -447,8 +456,26 @@ object Dedup {
       .where(size(col("sh0")) > 0)
       .select(col("id"), sort_array(array_distinct(col("sh0"))).as("sh"))
       .withColumn("n", size(col("sh")).cast("long"))
+      // hashed twin of the shingle set, for the verify PREFILTER: the
+      // long arrays are ~3x smaller than the shingle strings on the
+      // wire, and the verify join is the algorithm's dominant shuffle
+      .withColumn("shh",
+        sort_array(transform(col("sh"), x => xxhash64(x))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.count()
+    // the prefilter is EXACT-COMPLETE only if xxhash64 is injective
+    // within every doc's shingle set (then |h(A)∩h(B)| ≥ |A∩B| always
+    // — hashing can merge cross terms, never split shared ones — so
+    // stage 1 admits every true drop and stage 2's exact string
+    // intersect removes the rare cross-collision false positive).
+    // One scan proves it; a 64-bit intra-doc collision is ~2⁻⁴⁴ even
+    // at 10⁶ shingles per doc, but if it ever fires this must not
+    // silently under-drop:
+    require(docs.where(size(array_distinct(col("shh"))) =!=
+        size(col("sh"))).isEmpty,
+      "containmentDeduplicate: xxhash64 collision inside one document's " +
+        "shingle set — the hashed verify prefilter cannot guarantee " +
+        "completeness on this corpus; raise shingleSize")
     val elems = docs.select(col("id"), col("n"), explode(col("sh")).as("t"))
     val dfTab = elems.groupBy(col("t")).agg(count(lit(1)).as("__df"))
     // recall-safe prefix length in EXACT integer arithmetic (the
@@ -476,6 +503,8 @@ object Dedup {
     ranked.count()
     val setsA = docs.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val setsB = docs.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    val setsHA = docs.select(col("id").as("id_a"), col("shh").as("shh_a"))
+    val setsHB = docs.select(col("id").as("id_b"), col("shh").as("shh_b"))
 
     // each cursor's qualifying depth is known UP FRONT: a doc sits in
     // its own prefix shingles' postings, so the postings that outrank
@@ -496,6 +525,7 @@ object Dedup {
     var lo = 1L
     var batch = 1L
     var round = 0
+    val debug = sys.props.contains("graft.debug.containment")
     // fail-loud exits (maxRounds, any mid-round failure) must not
     // leave the pinned state behind — mirror pageRankConverged's
     // try/finally (release/unpersist are idempotent, so the success
@@ -505,15 +535,34 @@ object Dedup {
       require(round < maxRounds,
         s"containmentDeduplicate did not converge in $maxRounds rounds" +
           " — raise maxRounds (cursor depth grows log2(max posting))")
-      // ranks lo..lo+batch-1 capped at __m are EXACTLY the next
-      // untested higher-priority postings of this cursor — the keeper
-      // order needs no re-check
+      // bottom-up offsets lo..lo+batch-1 from the cursor's own rank:
+      // offset o probes rank __m − o + 1, so the round's window is
+      // ranks [__m − (lo+batch−1) + 1, __m − lo + 1] ∩ [1, __m] —
+      // exactly the next untested qualifying postings, nearest bigger
+      // doc first. Each cursor EXPLODES its window ranks so the
+      // postings join stays a plain (t, rank) equi-join (a per-cursor
+      // range predicate against the unsliced postings would fan the
+      // t-join out to full posting lists before filtering)
+      val hi = lo + batch - 1
       val cand = live
-        .join(ranked.where(col("__rk").between(lo, lo + batch - 1)),
-          Seq("t"))
-        .where(col("__rk") <= col("__m"))
+        .withColumn("__rk", explode(sequence(
+          greatest(col("__m") - hi + 1L, lit(1L)),
+          col("__m") - lo + 1L)))
+        .join(ranked, Seq("t", "__rk"))
         .select(col("id_a"), col("id_b")).distinct()
-      val verified = cand
+      // debug-only: must count before the generation swap releases
+      // cand's parent checkpoints
+      val candN = if (debug) cand.count() else 0L
+      // two-stage verify: (1) hashed prefilter — admits every true
+      // drop (intra-doc injectivity proven at build), long arrays on
+      // the wire; (2) exact string intersect on the survivors only
+      // (true drops + the ~never cross-collision false positive)
+      val prelim = cand
+        .join(setsHA, Seq("id_a")).join(setsHB, Seq("id_b"))
+        .where(expr("size(array_intersect(shh_a, shh_b)) * 1000000L " +
+          s"div size(shh_a) >= $minPpm"))
+        .select(col("id_a"), col("id_b"))
+      val verified = prelim
         .join(setsA, Seq("id_a")).join(setsB, Seq("id_b"))
         .where(expr("size(array_intersect(sh_a, sh_b)) * 1000000L div " +
           s"size(sh_a) >= $minPpm"))
@@ -529,9 +578,10 @@ object Dedup {
       lo += batch
       batch *= 2
       round += 1
-      if (sys.props.contains("graft.debug.containment"))
+      if (debug)
         println(s"  [containment] round=$round lo=$lo " +
-          s"live=${live.count()} dropped=${dropped.count()}")
+          s"live=${live.count()} dropped=${dropped.count()} " +
+          s"cand=$candN")
     }
     val out = df.join(dropped, idCol === col("__drop_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
