@@ -514,13 +514,49 @@ object Dedup {
     // window passes __m. A replica-family keeper is rank 1 of its own
     // shingles (__m = 0): it exits round 1 instead of riding every
     // round to the global max posting depth.
-    var live = prefix
+    val live0 = prefix
       .join(ranked.withColumnRenamed("id_b", "id_a"), Seq("t", "id_a"))
       .select(col("id_a"), col("t"),
         (col("__rk") - 1).cast("long").as("__m"))
       .where(col("__m") > 0)
-      .localCheckpoint(true)
-    var dropped: DataFrame = docs.select(col("id").as("__drop_id"))
+    val dropped = cursorDrops(live0, ranked,
+      docs.select(col("id"), col("sh"), col("shh")), minPpm, maxRounds)
+    try {
+      val out = df.join(dropped, idCol === col("__drop_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    } finally {
+      L.release(dropped)
+      docs.unpersist(); prefix.unpersist(); ranked.unpersist()
+    }
+  }
+
+  /** The witness-sensitive nearest-first cursor loop shared by
+    * [[containmentDeduplicate]] and the streaming twin
+    * (`StreamingContainmentDedup`). Inputs: `live0` — one cursor per
+    * (probe doc, prefix shingle) as (id_a, t, __m) with __m = the
+    * number of qualifying (keeper-order-higher) postings in t's list,
+    * all > 0; `ranked` — postings (t, id_b, __rk) ranked per t by the
+    * keeper order (n desc, id asc); `sets` — (id, sh, shh) for exact
+    * verification (shh: the xxhash64 twin, intra-doc injectivity
+    * already proven by the caller). Drop rule: id_a is dropped iff
+    * some candidate posting (ranks 1..__m of a cursor's list) passes
+    * the exact containment test. Probes run BOTTOM-UP (offset 1 =
+    * rank __m, the nearest bigger doc — on replica corpora the
+    * absorber) in doubling windows with early exit the moment one
+    * witness confirms; verification is two-stage (hashed prefilter,
+    * exact string intersect). Returns the dropped ids as a PINNED
+    * (__drop_id) frame — the caller releases it. */
+  private[graft] def cursorDrops(live0: DataFrame, ranked: DataFrame,
+      sets: DataFrame, minPpm: Long, maxRounds: Int = 64): DataFrame = {
+    val L = graft.util.Lineage
+    val setsA = sets.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val setsB = sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    val setsHA = sets.select(col("id").as("id_a"), col("shh").as("shh_a"))
+    val setsHB = sets.select(col("id").as("id_b"), col("shh").as("shh_b"))
+    var live = live0.localCheckpoint(true)
+    var dropped: DataFrame = live0.select(col("id_a").as("__drop_id"))
       .where(lit(false)).localCheckpoint(true)
     var lo = 1L
     var batch = 1L
@@ -528,69 +564,70 @@ object Dedup {
     val debug = sys.props.contains("graft.debug.containment")
     // fail-loud exits (maxRounds, any mid-round failure) must not
     // leave the pinned state behind — mirror pageRankConverged's
-    // try/finally (release/unpersist are idempotent, so the success
-    // path below shares the finally harmlessly)
+    // try/finally; on success only `live` (empty by then) is released
+    // and the pinned `dropped` is returned
     try {
-    while (!live.isEmpty) {
-      require(round < maxRounds,
-        s"containmentDeduplicate did not converge in $maxRounds rounds" +
-          " — raise maxRounds (cursor depth grows log2(max posting))")
-      // bottom-up offsets lo..lo+batch-1 from the cursor's own rank:
-      // offset o probes rank __m − o + 1, so the round's window is
-      // ranks [__m − (lo+batch−1) + 1, __m − lo + 1] ∩ [1, __m] —
-      // exactly the next untested qualifying postings, nearest bigger
-      // doc first. Each cursor EXPLODES its window ranks so the
-      // postings join stays a plain (t, rank) equi-join (a per-cursor
-      // range predicate against the unsliced postings would fan the
-      // t-join out to full posting lists before filtering)
-      val hi = lo + batch - 1
-      val cand = live
-        .withColumn("__rk", explode(sequence(
-          greatest(col("__m") - hi + 1L, lit(1L)),
-          col("__m") - lo + 1L)))
-        .join(ranked, Seq("t", "__rk"))
-        .select(col("id_a"), col("id_b")).distinct()
-      // debug-only: must count before the generation swap releases
-      // cand's parent checkpoints
-      val candN = if (debug) cand.count() else 0L
-      // two-stage verify: (1) hashed prefilter — admits every true
-      // drop (intra-doc injectivity proven at build), long arrays on
-      // the wire; (2) exact string intersect on the survivors only
-      // (true drops + the ~never cross-collision false positive)
-      val prelim = cand
-        .join(setsHA, Seq("id_a")).join(setsHB, Seq("id_b"))
-        .where(expr("size(array_intersect(shh_a, shh_b)) * 1000000L " +
-          s"div size(shh_a) >= $minPpm"))
-        .select(col("id_a"), col("id_b"))
-      val verified = prelim
-        .join(setsA, Seq("id_a")).join(setsB, Seq("id_b"))
-        .where(expr("size(array_intersect(sh_a, sh_b)) * 1000000L div " +
-          s"size(sh_a) >= $minPpm"))
-        .select(col("id_a").as("__drop_id")).distinct()
-      val nextDropped = dropped.unionByName(verified).localCheckpoint(true)
-      val nextLive = live
-        .where(col("__m") >= lo + batch) // cursor still has candidates
-        .join(nextDropped, col("id_a") === col("__drop_id"), "left_anti")
-        .localCheckpoint(true)
-      L.release(dropped); L.release(live)
-      dropped = nextDropped
-      live = nextLive
-      lo += batch
-      batch *= 2
-      round += 1
-      if (debug)
-        println(s"  [containment] round=$round lo=$lo " +
-          s"live=${live.count()} dropped=${dropped.count()} " +
-          s"cand=$candN")
-    }
-    val out = df.join(dropped, idCol === col("__drop_id"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    out
-    } finally {
-      L.release(dropped); L.release(live)
-      docs.unpersist(); prefix.unpersist(); ranked.unpersist()
-    }
+      while (!live.isEmpty) {
+        require(round < maxRounds,
+          s"containment cursorDrops did not converge in $maxRounds " +
+            "rounds — raise maxRounds (cursor depth grows log2(max " +
+            "posting))")
+        // bottom-up offsets lo..lo+batch-1 from the cursor's own rank:
+        // offset o probes rank __m − o + 1, so the round's window is
+        // ranks [__m − (lo+batch−1) + 1, __m − lo + 1] ∩ [1, __m] —
+        // exactly the next untested qualifying postings, nearest
+        // bigger doc first. Each cursor EXPLODES its window ranks so
+        // the postings join stays a plain (t, rank) equi-join (a
+        // per-cursor range predicate against the unsliced postings
+        // would fan the t-join out to full posting lists before
+        // filtering)
+        val hi = lo + batch - 1
+        val cand = live
+          .withColumn("__rk", explode(sequence(
+            greatest(col("__m") - hi + 1L, lit(1L)),
+            col("__m") - lo + 1L)))
+          .join(ranked, Seq("t", "__rk"))
+          .select(col("id_a"), col("id_b")).distinct()
+        // debug-only: must count before the generation swap releases
+        // cand's parent checkpoints
+        val candN = if (debug) cand.count() else 0L
+        // two-stage verify: (1) hashed prefilter — admits every true
+        // drop (intra-doc injectivity proven by the caller), long
+        // arrays on the wire; (2) exact string intersect on the
+        // survivors only (true drops + the ~never cross-collision
+        // false positive)
+        val prelim = cand
+          .join(setsHA, Seq("id_a")).join(setsHB, Seq("id_b"))
+          .where(expr("size(array_intersect(shh_a, shh_b)) * 1000000L " +
+            s"div size(shh_a) >= $minPpm"))
+          .select(col("id_a"), col("id_b"))
+        val verified = prelim
+          .join(setsA, Seq("id_a")).join(setsB, Seq("id_b"))
+          .where(expr("size(array_intersect(sh_a, sh_b)) * 1000000L " +
+            s"div size(sh_a) >= $minPpm"))
+          .select(col("id_a").as("__drop_id")).distinct()
+        val nextDropped = dropped.unionByName(verified)
+          .localCheckpoint(true)
+        val nextLive = live
+          .where(col("__m") >= lo + batch) // cursor still has candidates
+          .join(nextDropped, col("id_a") === col("__drop_id"), "left_anti")
+          .localCheckpoint(true)
+        L.release(dropped); L.release(live)
+        dropped = nextDropped
+        live = nextLive
+        lo += batch
+        batch *= 2
+        round += 1
+        if (debug)
+          println(s"  [containment] round=$round lo=$lo " +
+            s"live=${live.count()} dropped=${dropped.count()} " +
+            s"cand=$candN")
+      }
+      dropped
+    } catch {
+      case t: Throwable =>
+        L.release(dropped); throw t
+    } finally L.release(live)
   }
 
   /** [[containmentPairs]] generalized to a pre-exploded ELEMENT table

@@ -813,11 +813,24 @@ object StructuredStreams {
         .select(col("id"),
           sort_array(array_distinct(col("sh0"))).as("sh"))
         .withColumn("n", size(col("sh")).cast("long"))
+        // hashed twin for the verify prefilter (see cursorDrops);
+        // intra-doc injectivity is proven per batch in fold()
+        .withColumn("shh",
+          sort_array(transform(col("sh"), x => xxhash64(x))))
 
     def fold(batch: DataFrame): Unit = synchronized {
+      val D = graft.pipeline.Dedup
+      val L = graft.util.Lineage
+      val W = org.apache.spark.sql.expressions.Window
       val (docs, post, dfc, pref) = deltas(batch.sparkSession)
       val b = shingled(batch).localCheckpoint(true)
       try {
+        // the hashed-prefilter completeness proof, per arriving doc
+        // (a doc's shh is fixed at its fold; see cursorDrops)
+        require(b.where(size(array_distinct(col("shh"))) =!=
+            size(col("sh"))).isEmpty,
+          "StreamingContainmentDedup: xxhash64 collision inside one " +
+            "document's shingle set — raise shingleSize")
         val bPost = b.select(explode(col("sh")).as("t"), col("id"),
           col("n")).localCheckpoint(true)
         try {
@@ -831,8 +844,7 @@ object StructuredStreams {
             .groupBy(col("t")).agg(sum(col("df")).as("df"))
           val prefLen = expr(
             s"cast(n - ((n * $minPpm + 999999) div 1000000) + 1 as int)")
-          val byRarity = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("id"))
+          val byRarity = W.partitionBy(col("id"))
             .orderBy(col("df").asc, col("t").asc)
           val bPref = b.select(col("id"), col("n"), prefLen.as("__pl"),
               explode(col("sh")).as("t"))
@@ -846,32 +858,71 @@ object StructuredStreams {
             // append can trigger compaction, and compaction deletes
             // the files a lazily-built plan would still reference
             post.append(bPost); docs.append(b); pref.append(bPref)
-            val allPost = post.read
-            val prefAll = pref.read
-            val allDocs = docs.read
-            val absorbs = col("n_b") > col("n_a") ||
-              (col("n_b") === col("n_a") && col("id_b") < col("id_a"))
-            // direction 1: new docs probed against everything seen
-            val d1 = bPref.toDF("t", "id_a", "n_a")
-              .join(allPost.toDF("t", "id_b", "n_b"), Seq("t"))
-            // direction 2: the standing prefix index probed against
-            // the new postings (retro-drop). prefAll already includes
-            // the batch generation; the extra batch-vs-batch pairs it
-            // contributes are a subset of d1 and fall to the distinct
-            val d2 = prefAll.toDF("t", "id_a", "n_a")
-              .join(bPost.toDF("t", "id_b", "n_b"), Seq("t"))
-            val cand = d1.unionByName(d2)
-              .where(absorbs)
-              .select(col("id_a"), col("id_b")).distinct()
-            val setsA = allDocs.select(col("id").as("id_a"),
-              col("sh").as("sh_a"))
-            val setsB = allDocs.select(col("id").as("id_b"),
-              col("sh").as("sh_b"))
-            val newlyDropped = cand
-              .join(setsA, Seq("id_a")).join(setsB, Seq("id_b"))
-              .where(expr("size(array_intersect(sh_a, sh_b)) * " +
-                s"1000000L div size(sh_a) >= $minPpm"))
-              .select(col("id_a").as("id")).distinct()
+            val sets = docs.read.select(col("id"), col("sh"), col("shh"))
+
+            // direction 1 — new docs against everything seen, via the
+            // witness-sensitive cursor loop (the pair-complete union
+            // this replaces verified the batch's FULL candidate
+            // universe per fold; at 100× the universe is ~10⁹ pairs,
+            // the cursor loop probes nearest-bigger-first with early
+            // exit). Postings ranked only for the batch's prefix
+            // vocabulary; a batch doc sits in its own lists, so
+            // __m = own rank − 1, exactly the one-shot's derivation.
+            val ranked1 = post.read
+              .join(bPref.select(col("t")).distinct(), Seq("t"),
+                "left_semi")
+              .withColumn("__rk", row_number().over(W.partitionBy("t")
+                .orderBy(col("n").desc, col("id").asc)))
+              .select(col("t"), col("id").as("id_b"), col("__rk"))
+              .localCheckpoint(true)
+            val live1 = bPref
+              .join(ranked1.withColumnRenamed("id_b", "id"),
+                Seq("t", "id"))
+              .select(col("id").as("id_a"), col("t"),
+                (col("__rk") - 1).cast("long").as("__m"))
+              .where(col("__m") > 0)
+            val drops1 = D.cursorDrops(live1, ranked1, sets, minPpm)
+
+            // direction 2 — the standing prefix index against the NEW
+            // postings (retro-drop: an old keeper falls when its
+            // absorber finally arrives). Rank the batch's postings per
+            // shingle and compute each standing cursor's qualifying
+            // depth by inserting it as a PHANTOM row into the same
+            // window: reals outranking the phantom = row_number minus
+            // the running phantom count. One linear window pass, no
+            // pair fan-out. Cursors of batch docs (direction 1's job)
+            // and of already-dropped docs are excluded.
+            val prefOld0 = pref.read
+              .join(b.select(col("id")), Seq("id"), "left_anti")
+            val prefOld = dropSt match {
+              case Some(d) => prefOld0.join(d, Seq("id"), "left_anti")
+              case None    => prefOld0
+            }
+            val real = bPost
+              .join(prefOld.select(col("t")).distinct(), Seq("t"),
+                "left_semi")
+            val posW = W.partitionBy("t")
+              .orderBy(col("n").desc, col("id").asc)
+            val pos = real.select(col("t"), col("id"), col("n"),
+                lit(0L).as("__ph"))
+              .unionByName(prefOld.select(col("t"), col("id"), col("n"),
+                lit(1L).as("__ph")))
+              .withColumn("__rka", row_number().over(posW))
+              .withColumn("__cph", sum(col("__ph")).over(posW
+                .rowsBetween(W.unboundedPreceding, W.currentRow)))
+            val ranked2 = pos.where(col("__ph") === 0L)
+              .select(col("t"), col("id").as("id_b"),
+                (col("__rka") - col("__cph")).as("__rk"))
+              .localCheckpoint(true)
+            val live2 = pos.where(col("__ph") === 1L)
+              .select(col("id").as("id_a"), col("t"),
+                (col("__rka") - col("__cph")).cast("long").as("__m"))
+              .where(col("__m") > 0)
+            val drops2 = D.cursorDrops(live2, ranked2, sets, minPpm)
+
+            val newlyDropped = drops1.select(col("__drop_id").as("id"))
+              .unionByName(drops2.select(col("__drop_id").as("id")))
+              .distinct()
             val bIds = batch.select(col(idCol).as("id"))
             // pin the thin next-generation frames before releasing the
             // previous ones (the drop plan reads the old drop pin)
@@ -881,6 +932,7 @@ object StructuredStreams {
               .getOrElse(newlyDropped).localCheckpoint(true)
             Seq(idsSt, dropSt).foreach(_.foreach(releaseCheckpoint))
             idsSt = Some(nextIds); dropSt = Some(nextDrop)
+            Seq(drops1, drops2, ranked1, ranked2).foreach(L.release)
           } finally releaseCheckpoint(bPref)
         } finally releaseCheckpoint(bPost)
       } finally releaseCheckpoint(b)

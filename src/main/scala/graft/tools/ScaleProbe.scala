@@ -412,6 +412,48 @@ object ScaleProbe {
         println(f"SCALE9 $dir containment_apply=$tApply%.1fs " +
           f"(${tApply * 1e6 / nDocs}%.2f s/Mdoc) UNSLICED docs=$nDocs")
       }
+
+      // STREAMING containment twin at scale: fold the corpus in THREE
+      // adversarial batches — absorbers (largest docs) arrive LAST, so
+      // the standing kept set is maximally wrong until the final
+      // retro-drop pass — and require the standing kept set to equal
+      // the one-shot apply EXACTLY (set equality, not counts). The
+      // DuckDB brute-force pair oracle is ~6 h at sf10 (measured 209 s
+      // at sf1, Σdf² grows ~100×), so 100×-scale containment evidence
+      // is Spark-internal: fold ≡ one-shot, with the one-shot itself
+      // DuckDB-hash-verified at sf1. Per-fold wall is printed — the
+      // log-structured state makes it ∝ batch, not ∝ standing corpus.
+      if (waveOn(10)) {
+        val keptOneShot = graft.pipeline.Dedup.containmentDeduplicate(
+          docs, col("doc_id"), col("text"), minPpm = 800000L)
+          .select(col("doc_id").as("id"))
+        // thirds by TEXT LENGTH descending: third 1 holds the biggest
+        // docs (the absorbers); folding 3 → 2 → 1 lands them last
+        val byThirds = docs.withColumn("__third",
+          ntile(3).over(org.apache.spark.sql.expressions.Window
+            .orderBy(length(col("text")).desc, col("doc_id"))))
+        val sc = new graft.streaming.StructuredStreams
+          .StreamingContainmentDedup("doc_id", "text", minPpm = 800000L)
+        (3 to 1 by -1).foreach { third =>
+          val b = byThirds.where(col("__third") === third)
+            .select(col("doc_id"), col("text"))
+          val tFold = timeSec(sc.fold(b))
+          println(f"  [SCALE10] fold third=$third wall=$tFold%.1fs " +
+            s"gens=${sc.generationCounts.mkString(",")}")
+        }
+        val streamed = sc.current.get
+        val extra = streamed.join(keptOneShot, Seq("id"), "left_anti")
+          .count()
+        val missing = keptOneShot.join(streamed, Seq("id"), "left_anti")
+          .count()
+        require(extra == 0 && missing == 0,
+          s"streaming containment diverged from one-shot at $dir: " +
+            s"extra=$extra missing=$missing")
+        println(f"SCALE10 $dir streaming_containment kept=" +
+          f"${streamed.count()} == one-shot (exact set match) " +
+          f"docs=$nDocs")
+        sc.unpersist(); keptOneShot.unpersist()
+      }
     }
     spark.stop()
   }
