@@ -501,10 +501,6 @@ object Dedup {
       .select(col("t"), col("id").as("id_b"), col("__rk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ranked.count()
-    val setsA = docs.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val setsB = docs.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    val setsHA = docs.select(col("id").as("id_a"), col("shh").as("shh_a"))
-    val setsHB = docs.select(col("id").as("id_b"), col("shh").as("shh_b"))
 
     // each cursor's qualifying depth is known UP FRONT: a doc sits in
     // its own prefix shingles' postings, so the postings that outrank
