@@ -543,15 +543,27 @@ object Dedup {
     * absorber) in doubling windows with early exit the moment one
     * witness confirms; verification is two-stage (hashed prefilter,
     * exact string intersect). Returns the dropped ids as a PINNED
-    * (__drop_id) frame — the caller releases it. */
+    * (__drop_id) frame — the caller releases it.
+    *
+    * Window sizing is BUDGETED, not fixed: each round's window is
+    * `max(doubling schedule, candidateBudget / live cursors)` — when
+    * the live set is corpus-sized (sf10 round 1, ~10⁶ cursors) that is
+    * the plain nearest-first doubling with its ≤2× probe bound, and as
+    * the live set collapses the window widens so a handful of
+    * stragglers don't buy log₂(depth) more driver-steered rounds whose
+    * ~0.3 s scheduling floor dwarfs their candidate joins. Probe
+    * overshoot per round is ≤ candidateBudget rows through the
+    * (t, rank) equi-join — bounded at any scale. */
   private[graft] def cursorDrops(live0: DataFrame, ranked: DataFrame,
-      sets: DataFrame, minPpm: Long, maxRounds: Int = 64): DataFrame = {
+      sets: DataFrame, minPpm: Long, maxRounds: Int = 64,
+      candidateBudget: Long = 1L << 20): DataFrame = {
     val L = graft.util.Lineage
     val setsA = sets.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val setsB = sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
     val setsHA = sets.select(col("id").as("id_a"), col("shh").as("shh_a"))
     val setsHB = sets.select(col("id").as("id_b"), col("shh").as("shh_b"))
     var live = live0.localCheckpoint(true)
+    var liveN = live.count()
     var dropped: DataFrame = live0.select(col("id_a").as("__drop_id"))
       .where(lit(false)).localCheckpoint(true)
     var lo = 1L
@@ -563,21 +575,26 @@ object Dedup {
     // try/finally; on success only `live` (empty by then) is released
     // and the pinned `dropped` is returned
     try {
-      while (!live.isEmpty) {
+      while (liveN > 0) {
         require(round < maxRounds,
           s"containment cursorDrops did not converge in $maxRounds " +
             "rounds — raise maxRounds (cursor depth grows log2(max " +
             "posting))")
-        // bottom-up offsets lo..lo+batch-1 from the cursor's own rank:
-        // offset o probes rank __m − o + 1, so the round's window is
-        // ranks [__m − (lo+batch−1) + 1, __m − lo + 1] ∩ [1, __m] —
-        // exactly the next untested qualifying postings, nearest
+        // budgeted window (see scaladoc): the doubling schedule is the
+        // floor, and a collapsed live set widens to spend the round's
+        // candidate budget instead of buying more rounds
+        val batchEff = math.max(batch,
+          candidateBudget / math.max(liveN, 1L))
+        // bottom-up offsets lo..lo+batchEff-1 from the cursor's own
+        // rank: offset o probes rank __m − o + 1, so the round's window
+        // is ranks [__m − (lo+batchEff−1) + 1, __m − lo + 1] ∩ [1, __m]
+        // — exactly the next untested qualifying postings, nearest
         // bigger doc first. Each cursor EXPLODES its window ranks so
         // the postings join stays a plain (t, rank) equi-join (a
         // per-cursor range predicate against the unsliced postings
         // would fan the t-join out to full posting lists before
         // filtering)
-        val hi = lo + batch - 1
+        val hi = lo + batchEff - 1
         val cand = live
           .withColumn("__rk", explode(sequence(
             greatest(col("__m") - hi + 1L, lit(1L)),
@@ -605,18 +622,20 @@ object Dedup {
         val nextDropped = dropped.unionByName(verified)
           .localCheckpoint(true)
         val nextLive = live
-          .where(col("__m") >= lo + batch) // cursor still has candidates
+          // cursor still has candidates
+          .where(col("__m") >= lo + batchEff)
           .join(nextDropped, col("id_a") === col("__drop_id"), "left_anti")
           .localCheckpoint(true)
         L.release(dropped); L.release(live)
         dropped = nextDropped
         live = nextLive
-        lo += batch
-        batch *= 2
+        liveN = live.count() // the loop guard; also sizes the window
+        lo += batchEff
+        batch = batchEff * 2
         round += 1
         if (debug)
           println(s"  [containment] round=$round lo=$lo " +
-            s"live=${live.count()} dropped=${dropped.count()} " +
+            s"live=$liveN dropped=${dropped.count()} " +
             s"cand=$candN")
       }
       dropped

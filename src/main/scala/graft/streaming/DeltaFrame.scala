@@ -35,9 +35,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * compaction may delete the files behind it after that. Call the
   * owning class's `unpersist()` to delete the spool.
   *
-  * Locality: `spoolDir` defaults to a JVM temp directory, which is
-  * correct for `local[*]`; on a real cluster pass a shared filesystem
-  * path (the same requirement the EventLog already carries). */
+  * Locality: `spoolDir` defaults to a tmpfs-backed temp directory
+  * when one is writable (`/dev/shm` — generations are micro-batch
+  * partials; paying disk latency per fold in local mode doubles the
+  * fold floor), falling back to the JVM temp dir; on a real cluster
+  * pass a shared filesystem path (the same requirement the EventLog
+  * already carries). */
 private[streaming] final class DeltaFrame(spark: SparkSession,
     name: String, compactEvery: Int = 64,
     spoolDir: Option[String] = None) {
@@ -49,7 +52,10 @@ private[streaming] final class DeltaFrame(spark: SparkSession,
       java.nio.file.Files.createDirectories(p)
       p
     case None =>
-      java.nio.file.Files.createTempDirectory(s"graft-delta-$name-")
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, s"graft-delta-$name-")
+      else java.nio.file.Files.createTempDirectory(s"graft-delta-$name-")
   }
   private val gens = scala.collection.mutable.ArrayBuffer.empty[String]
   private var nextGen = 0L

@@ -780,30 +780,31 @@ object StructuredStreams {
     require(minPpm > 0L && minPpm <= 1000000L,
       "minPpm must be in (0, 1000000]")
     // corpus-sized, log-structured: (id, sh, n) docs / (t, id, n)
-    // postings / (t, df) per-batch df partials / (t, id, n) prefixes
+    // postings / (t, id, n) prefixes. Document frequency is NOT a
+    // separate spool: df(t) ≡ posting count of t, so the at-arrival df
+    // a batch ranks against is an aggregate over the postings spool —
+    // one fewer write+read per fold, one fewer restore surface.
     @volatile private var docsDl: Option[DeltaFrame] = None
     @volatile private var postDl: Option[DeltaFrame] = None
-    @volatile private var dfDl: Option[DeltaFrame] = None
     @volatile private var prefDl: Option[DeltaFrame] = None
     // thin, per-fold checkpoint pins: (id) ids / (id) dropped
     @volatile private var idsSt: Option[DataFrame] = None
     @volatile private var dropSt: Option[DataFrame] = None
 
-    private def deltas(spark: SparkSession): (DeltaFrame, DeltaFrame,
-        DeltaFrame, DeltaFrame) = {
+    private def deltas(spark: SparkSession)
+        : (DeltaFrame, DeltaFrame, DeltaFrame) = {
       if (docsDl.isEmpty) {
         docsDl = Some(new DeltaFrame(spark, "containment-docs", compactEvery))
         postDl = Some(new DeltaFrame(spark, "containment-post", compactEvery))
-        dfDl = Some(new DeltaFrame(spark, "containment-df", compactEvery))
         prefDl = Some(new DeltaFrame(spark, "containment-pref", compactEvery))
       }
-      (docsDl.get, postDl.get, dfDl.get, prefDl.get)
+      (docsDl.get, postDl.get, prefDl.get)
     }
 
-    /** Live generation counts (docs, postings, df, prefixes) — spec
+    /** Live generation counts (docs, postings, prefixes) — spec
       * observability for the flat-fold-cost proof. */
     def generationCounts: Seq[Int] =
-      Seq(docsDl, postDl, dfDl, prefDl).flatten.map(_.generationCount)
+      Seq(docsDl, postDl, prefDl).flatten.map(_.generationCount)
 
     private def shingled(batch: DataFrame): DataFrame =
       batch.select(col(idCol).as("id"),
@@ -822,7 +823,8 @@ object StructuredStreams {
       val D = graft.pipeline.Dedup
       val L = graft.util.Lineage
       val W = org.apache.spark.sql.expressions.Window
-      val (docs, post, dfc, pref) = deltas(batch.sparkSession)
+      val (docs, post, pref) = deltas(batch.sparkSession)
+      val firstFold = idsSt.isEmpty
       val b = shingled(batch).localCheckpoint(true)
       try {
         // the hashed-prefilter completeness proof, per arriving doc
@@ -834,14 +836,17 @@ object StructuredStreams {
         val bPost = b.select(explode(col("sh")).as("t"), col("id"),
           col("n")).localCheckpoint(true)
         try {
-          // df-at-arrival: spill the batch's df PARTIAL first, then
-          // rank this batch's prefixes against the generation sum
-          // restricted to the batch's own vocabulary — fixed for these
-          // docs forever. Cost ∝ batch (+ a semi-filtered scan).
-          dfc.append(bPost.groupBy(col("t")).agg(count(lit(1)).as("df")))
-          val dfNow = dfc.read
+          // df-at-arrival: the batch's postings land FIRST, then the
+          // batch ranks its prefixes against the posting count (≡ df)
+          // restricted to its own vocabulary — INCLUDING itself, fixed
+          // for these docs forever. Cost ∝ batch (+ a semi-filtered
+          // aggregate over the spool). bPref materializes eagerly
+          // below, so a later append's compaction cannot delete the
+          // spool files under its plan.
+          post.append(bPost)
+          val dfNow = post.read
             .join(bPost.select(col("t")).distinct(), Seq("t"), "left_semi")
-            .groupBy(col("t")).agg(sum(col("df")).as("df"))
+            .groupBy(col("t")).agg(count(lit(1)).as("df"))
           val prefLen = expr(
             s"cast(n - ((n * $minPpm + 999999) div 1000000) + 1 as int)")
           val byRarity = W.partitionBy(col("id"))
@@ -854,10 +859,10 @@ object StructuredStreams {
             .select(col("t"), col("id"), col("n"))
             .localCheckpoint(true)
           try {
-            // ALL appends land before ANY probe plan is built — an
-            // append can trigger compaction, and compaction deletes
+            // remaining appends land before ANY probe plan is built —
+            // an append can trigger compaction, and compaction deletes
             // the files a lazily-built plan would still reference
-            post.append(bPost); docs.append(b); pref.append(bPref)
+            docs.append(b); pref.append(bPref)
             val sets = docs.read.select(col("id"), col("sh"), col("shh"))
 
             // direction 1 — new docs against everything seen, via the
@@ -874,54 +879,69 @@ object StructuredStreams {
               .withColumn("__rk", row_number().over(W.partitionBy("t")
                 .orderBy(col("n").desc, col("id").asc)))
               .select(col("t"), col("id").as("id_b"), col("__rk"))
-              .localCheckpoint(true)
             val live1 = bPref
               .join(ranked1.withColumnRenamed("id_b", "id"),
                 Seq("t", "id"))
               .select(col("id").as("id_a"), col("t"),
                 (col("__rk") - 1).cast("long").as("__m"))
               .where(col("__m") > 0)
-            val drops1 = D.cursorDrops(live1, ranked1, sets, minPpm)
 
             // direction 2 — the standing prefix index against the NEW
             // postings (retro-drop: an old keeper falls when its
-            // absorber finally arrives). Rank the batch's postings per
-            // shingle and compute each standing cursor's qualifying
-            // depth by inserting it as a PHANTOM row into the same
-            // window: reals outranking the phantom = row_number minus
-            // the running phantom count. One linear window pass, no
-            // pair fan-out. Cursors of batch docs (direction 1's job)
-            // and of already-dropped docs are excluded.
-            val prefOld0 = pref.read
-              .join(b.select(col("id")), Seq("id"), "left_anti")
-            val prefOld = dropSt match {
-              case Some(d) => prefOld0.join(d, Seq("id"), "left_anti")
-              case None    => prefOld0
+            // absorber finally arrives); on the FIRST fold there is no
+            // standing index, so the whole direction is skipped. Rank
+            // the batch's postings per shingle and compute each
+            // standing cursor's qualifying depth by inserting it as a
+            // PHANTOM row into the same window: reals outranking the
+            // phantom = row_number minus the running phantom count.
+            // One linear window pass, no pair fan-out. Cursors of
+            // batch docs (direction 1's job) and of already-dropped
+            // docs are excluded.
+            //
+            // The directions then share ONE cursor loop: `t` is an
+            // opaque join key inside cursorDrops, so namespacing it
+            // with a direction byte keeps the two posting universes
+            // disjoint while sharing each round's candidate join,
+            // verify join, and driver-steered count — at micro-batch
+            // scale the per-round scheduling floor dominates, and two
+            // sequential loops paid it twice.
+            val (live, ranked) = if (firstFold) {
+              (live1, ranked1.localCheckpoint(true))
+            } else {
+              val prefOld0 = pref.read
+                .join(b.select(col("id")), Seq("id"), "left_anti")
+              val prefOld = dropSt match {
+                case Some(d) => prefOld0.join(d, Seq("id"), "left_anti")
+                case None    => prefOld0
+              }
+              val real = bPost
+                .join(prefOld.select(col("t")).distinct(), Seq("t"),
+                  "left_semi")
+              val posW = W.partitionBy("t")
+                .orderBy(col("n").desc, col("id").asc)
+              val pos = real.select(col("t"), col("id"), col("n"),
+                  lit(0L).as("__ph"))
+                .unionByName(prefOld.select(col("t"), col("id"), col("n"),
+                  lit(1L).as("__ph")))
+                .withColumn("__rka", row_number().over(posW))
+                .withColumn("__cph", sum(col("__ph")).over(posW
+                  .rowsBetween(W.unboundedPreceding, W.currentRow)))
+              val ranked2 = pos.where(col("__ph") === 0L)
+                .select(col("t"), col("id").as("id_b"),
+                  (col("__rka") - col("__cph")).as("__rk"))
+              val live2 = pos.where(col("__ph") === 1L)
+                .select(col("id").as("id_a"), col("t"),
+                  (col("__rka") - col("__cph")).cast("long").as("__m"))
+                .where(col("__m") > 0)
+              def tag(dir: String, df: DataFrame): DataFrame =
+                df.withColumn("t", concat(lit(dir), col("t")))
+              (tag("1 ", live1).unionByName(tag("2 ", live2)),
+                tag("1 ", ranked1).unionByName(tag("2 ", ranked2))
+                  .localCheckpoint(true))
             }
-            val real = bPost
-              .join(prefOld.select(col("t")).distinct(), Seq("t"),
-                "left_semi")
-            val posW = W.partitionBy("t")
-              .orderBy(col("n").desc, col("id").asc)
-            val pos = real.select(col("t"), col("id"), col("n"),
-                lit(0L).as("__ph"))
-              .unionByName(prefOld.select(col("t"), col("id"), col("n"),
-                lit(1L).as("__ph")))
-              .withColumn("__rka", row_number().over(posW))
-              .withColumn("__cph", sum(col("__ph")).over(posW
-                .rowsBetween(W.unboundedPreceding, W.currentRow)))
-            val ranked2 = pos.where(col("__ph") === 0L)
-              .select(col("t"), col("id").as("id_b"),
-                (col("__rka") - col("__cph")).as("__rk"))
-              .localCheckpoint(true)
-            val live2 = pos.where(col("__ph") === 1L)
-              .select(col("id").as("id_a"), col("t"),
-                (col("__rka") - col("__cph")).cast("long").as("__m"))
-              .where(col("__m") > 0)
-            val drops2 = D.cursorDrops(live2, ranked2, sets, minPpm)
+            val drops = D.cursorDrops(live, ranked, sets, minPpm)
 
-            val newlyDropped = drops1.select(col("__drop_id").as("id"))
-              .unionByName(drops2.select(col("__drop_id").as("id")))
+            val newlyDropped = drops.select(col("__drop_id").as("id"))
               .distinct()
             val bIds = batch.select(col(idCol).as("id"))
             // pin the thin next-generation frames before releasing the
@@ -932,7 +952,7 @@ object StructuredStreams {
               .getOrElse(newlyDropped).localCheckpoint(true)
             Seq(idsSt, dropSt).foreach(_.foreach(releaseCheckpoint))
             idsSt = Some(nextIds); dropSt = Some(nextDrop)
-            Seq(drops1, drops2, ranked1, ranked2).foreach(L.release)
+            Seq(drops, ranked).foreach(L.release)
           } finally releaseCheckpoint(bPref)
         } finally releaseCheckpoint(bPost)
       } finally releaseCheckpoint(b)
@@ -949,7 +969,6 @@ object StructuredStreams {
       requireSaved(idsSt.nonEmpty, "StreamingContainmentDedup")
       docsDl.get.saveTo(s"$path/docs")
       postDl.get.saveTo(s"$path/postings")
-      dfDl.get.saveTo(s"$path/df")
       prefDl.get.saveTo(s"$path/prefixes")
       saveFrame(idsSt.get, s"$path/ids")
       saveFrame(dropSt.get, s"$path/dropped")
@@ -958,10 +977,9 @@ object StructuredStreams {
     def restore(spark: SparkSession, path: String): Unit = synchronized {
       requireFresh(idsSt.isEmpty && docsDl.isEmpty,
         "StreamingContainmentDedup")
-      val (docs, post, dfc, pref) = deltas(spark)
+      val (docs, post, pref) = deltas(spark)
       docs.loadFrom(s"$path/docs")
       post.loadFrom(s"$path/postings")
-      dfc.loadFrom(s"$path/df")
       pref.loadFrom(s"$path/prefixes")
       idsSt = Some(loadFrame(spark, s"$path/ids"))
       dropSt = Some(loadFrame(spark, s"$path/dropped"))
@@ -970,8 +988,8 @@ object StructuredStreams {
     def unpersist(): Unit = synchronized {
       Seq(idsSt, dropSt).foreach(_.foreach(releaseCheckpoint))
       idsSt = None; dropSt = None
-      Seq(docsDl, postDl, dfDl, prefDl).foreach(_.foreach(_.delete()))
-      docsDl = None; postDl = None; dfDl = None; prefDl = None
+      Seq(docsDl, postDl, prefDl).foreach(_.foreach(_.delete()))
+      docsDl = None; postDl = None; prefDl = None
     }
   }
 
