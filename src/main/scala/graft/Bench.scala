@@ -334,10 +334,39 @@ object Bench {
     // ok=false / exit 1 — rerun on an idle machine instead of
     // publishing noise. Threshold overridable (param / env) so spec
     // fixtures on a busy test JVM stay deterministic.
-    val hotProbes = probes.filter(_._2 > probeMaxSec)
+    //
+    // The probe also measures HOST SPEED, not just contention: the
+    // series is bimodal (a ~0.04 s truly-idle mode and a ~0.3 s
+    // post-query mode where the probe lands on a JVM still digesting
+    // the previous entry's GC/cleanup), and on a slower-placed VM both
+    // modes shift UP uniformly together with every entry timing
+    // (round 15: a fresh host ran all 265 entries ~25% slower in
+    // lockstep, upper probe mode 0.35 → 0.45 — slowness, not noise).
+    // A fixed absolute cutoff cannot distinguish that from contention,
+    // so the DEFAULT gate self-calibrates: contended means a probe
+    // left the run's OWN upper mode (> 1.4× the probe p75), with the
+    // 0.45 s default as the floor so fast hosts keep the strict
+    // absolute gate. A co-tenant spike is still localized far above
+    // the mode (this session: 0.64 vs p75 0.35 — fails); a uniformly
+    // slow host certifies, and probe_p75 in the artifact lets
+    // cross-round entry deltas be normalized by host speed. An
+    // EXPLICIT threshold (param or SPARK_GRAFT_PROBE_MAX) stays
+    // absolute — spec fixtures and deliberate overrides mean exactly
+    // what they say.
+    val probeP75 = {
+      val s = probes.values.toSeq.sorted; s((s.size * 3) / 4)
+    }
+    val explicitGate = sys.env.contains("SPARK_GRAFT_PROBE_MAX") ||
+      probeMaxSec != 0.45
+    val probeGate =
+      if (explicitGate) probeMaxSec
+      else math.max(probeMaxSec, 1.4 * probeP75)
+    extras += "probe_p75" -> probeP75
+    extras += "probe_gate" -> probeGate
+    val hotProbes = probes.filter(_._2 > probeGate)
     if (hotProbes.nonEmpty)
       failed += f"probe_contention:max=${probes.values.max}%.2fs" +
-        f">$probeMaxSec%.2fs(n=${hotProbes.size})"
+        f">$probeGate%.2fs(n=${hotProbes.size})"
 
     val total = results.values.sum
     def jm(m: collection.Map[String, Double]): String =
