@@ -104,21 +104,46 @@ object Bench {
     * 1.78 M q/s at 1.2 M vs 3.1 M q/s at 3.6 M on an idle box; the
     * marginal cost per quad is identical). `extras.write_quads` keeps
     * the measured volume transparent in the artifact. */
-  /** SPARK_GRAFT_PROBE_MAX, validated once with a clear message (a
-    * bare .toDouble at each call site would crash the whole bench
-    * with an uncontextualized NumberFormatException on a typo'd env). */
-  def defaultProbeMax: Double = {
-    val raw = sys.env.getOrElse("SPARK_GRAFT_PROBE_MAX", "0.45")
-    try raw.toDouble catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"SPARK_GRAFT_PROBE_MAX must be a number (seconds), got '$raw'")
+  /** SPARK_GRAFT_PROBE_MAX (absolute gate override), validated once
+    * with a clear message (a bare .toDouble at each call site would
+    * crash the whole bench with an uncontextualized
+    * NumberFormatException on a typo'd env). None → adaptive gate. */
+  def envProbeMax: Option[Double] =
+    sys.env.get("SPARK_GRAFT_PROBE_MAX").map { raw =>
+      try raw.toDouble catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_PROBE_MAX must be a number (seconds), got '$raw'")
+      }
     }
-  }
 
+  /** Floor for the adaptive contention gate (fast idle hosts keep the
+    * strict absolute gate) and the ceiling on probe p75 above which
+    * self-calibration is rejected outright: a co-tenant loading the
+    * host for >25% of the run lifts p75 itself, so without a ceiling
+    * the gate would rise with the noise and certify a contended run as
+    * a "slow host". 0.9 s is 2× the slowest lockstep-shifted upper
+    * probe mode ever observed on a legitimately slow placement
+    * (round 15: 0.45 s) — host slowness moves the mode tens of
+    * percent, co-tenant saturation moves it multiples. */
+  val ProbeGateFloor = 0.45
+  val ProbeP75Ceiling = 0.9
+
+  /** `probeMaxSec`: Some(x) = absolute gate meaning exactly x (spec
+    * fixtures, deliberate overrides); None = SPARK_GRAFT_PROBE_MAX if
+    * set, else the self-calibrating gate. `settleMs`: pause before
+    * re-sampling contention-tagged entries (None → env
+    * SPARK_GRAFT_SETTLE_MS, else 15 s adaptive / 0 s explicit-gate —
+    * explicit gates are spec fixtures that must stay fast).
+    * `probeFn`: test seam — scripted probe readings make the
+    * contention machinery deterministically testable without loading
+    * the machine (BenchResampleSpec); None = the real codegen'd
+    * no-op probe. */
   def run(spark: SparkSession, sfDir: String,
       queries: Map[String, (SparkSession, String) => DataFrame],
       nCpus: Int, scaleQuads: Long = 3600000L,
-      probeMaxSec: Double = defaultProbeMax)
+      probeMaxSec: Option[Double] = None,
+      settleMs: Option[Long] = None,
+      probeFn: Option[() => Double] = None)
       : Report = {
     val cpus = nCpus.toString
 
@@ -142,11 +167,26 @@ object Bench {
     // artifact alone (round 9's r16–r26 window needed a judge re-run).
     val probes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     var probeIdx = 0
+    def probeOnce(): Double = probeFn.map(_.apply()).getOrElse(
+      timeSec(materialize(
+        spark.range(8000000L).selectExpr("sum(id * 3 + 1) as s"))))
     def probeAt(label: String): Unit = {
-      val t = timeSec(materialize(
-        spark.range(8000000L).selectExpr("sum(id * 3 + 1) as s")))
-      probes += f"p$probeIdx%02d_$label" -> t
+      probes += f"p$probeIdx%02d_$label" -> probeOnce()
       probeIdx += 1
+    }
+    // per-entry contention tagging: each query is bracketed by the
+    // probe taken just before its group and the one just after — if
+    // BOTH sit inside a spike window, every sample of that entry
+    // overlapped the spike and the recorded timing is phantom
+    // (round 15's driver rerun recorded a 1.0 s entry at 22.4 s that
+    // way). Brackets feed the post-gate re-sample pass below.
+    val brackets =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Int, Int)]
+    val pendingBracket = scala.collection.mutable.ArrayBuffer.empty[String]
+    def sealBrackets(): Unit = {
+      pendingBracket.foreach(n =>
+        brackets(n) = (brackets(n)._1, probeIdx - 1))
+      pendingBracket.clear()
     }
 
     def tmpDir(prefix: String): String = java.nio.file.Files
@@ -292,6 +332,8 @@ object Bench {
     // ---- every registered query at the bench scale factor ----------
     queries.toSeq.sortBy(_._1).zipWithIndex.foreach {
       case ((name, fn), qi) =>
+        brackets(name) = (probeIdx - 1, -1)
+        pendingBracket += name
         try {
           // first run pays one-time Catalyst/JIT cost — recorded
           // SEPARATELY as queries_cold so the steady-state series
@@ -321,18 +363,22 @@ object Bench {
           case e: Throwable =>
             failed += s"$name:${e.getClass.getSimpleName}"
         }
-        if (qi % 5 == 4) probeAt(s"q$qi")
+        if (qi % 5 == 4) { probeAt(s"q$qi"); sealBrackets() }
     }
     probeAt("end")
+    sealBrackets()
 
-    // contended-machine rejection — the same fail-loud discipline the
-    // oracle gate has: the no-op probe costs ~0.3 s on an idle box and
-    // is pure CPU, so ANY probe far above that means a co-tenant was
-    // stealing cores mid-run and the per-query timings are phantom
-    // (round 12's final artifact shipped probe max 0.73 s and implied
-    // 4x "regressions" on untouched queries). A run that trips this is
-    // ok=false / exit 1 — rerun on an idle machine instead of
-    // publishing noise. Threshold overridable (param / env) so spec
+    // contention diagnosis + per-entry repair — the same fail-loud
+    // discipline the oracle gate has: the no-op probe costs ~0.3 s on
+    // an idle box and is pure CPU, so a probe far above the run's own
+    // mode means a co-tenant was stealing cores in that window and the
+    // timings recorded inside it are phantom (round 12's final
+    // artifact shipped probe max 0.73 s and implied 4x "regressions"
+    // on untouched queries; round 15's driver rerun recorded a 1.0 s
+    // entry at 22.4 s). Instead of ONLY failing the run, entries whose
+    // samples all overlap a spike are re-sampled under clean probes
+    // (below); the run fails iff an entry stays contended or the load
+    // is sustained. Threshold overridable (param / env) so spec
     // fixtures on a busy test JVM stay deterministic.
     //
     // The probe also measures HOST SPEED, not just contention: the
@@ -347,26 +393,83 @@ object Bench {
     // left the run's OWN upper mode (> 1.4× the probe p75), with the
     // 0.45 s default as the floor so fast hosts keep the strict
     // absolute gate. A co-tenant spike is still localized far above
-    // the mode (this session: 0.64 vs p75 0.35 — fails); a uniformly
-    // slow host certifies, and probe_p75 in the artifact lets
+    // the mode (0.64 vs p75 0.35 — triggers the per-entry repair); a
+    // uniformly slow host certifies, and probe_p75 in the artifact lets
     // cross-round entry deltas be normalized by host speed. An
     // EXPLICIT threshold (param or SPARK_GRAFT_PROBE_MAX) stays
     // absolute — spec fixtures and deliberate overrides mean exactly
     // what they say.
+    val probeSeries = probes.values.toIndexedSeq
     val probeP75 = {
-      val s = probes.values.toSeq.sorted; s((s.size * 3) / 4)
+      val s = probeSeries.sorted; s((s.size * 3) / 4)
     }
-    val explicitGate = sys.env.contains("SPARK_GRAFT_PROBE_MAX") ||
-      probeMaxSec != 0.45
-    val probeGate =
-      if (explicitGate) probeMaxSec
-      else math.max(probeMaxSec, 1.4 * probeP75)
+    val explicit: Option[Double] = probeMaxSec.orElse(envProbeMax)
+    val probeGate = explicit.getOrElse(
+      math.max(ProbeGateFloor, 1.4 * probeP75))
     extras += "probe_p75" -> probeP75
     extras += "probe_gate" -> probeGate
-    val hotProbes = probes.filter(_._2 > probeGate)
-    if (hotProbes.nonEmpty)
-      failed += f"probe_contention:max=${probes.values.max}%.2fs" +
-        f">$probeGate%.2fs(n=${hotProbes.size})"
+    // ceiling on self-calibration (adaptive gate only): sustained
+    // co-tenant load lifts p75 itself, and a gate that rises with the
+    // noise would certify a contended run as a slow host — p75 far
+    // above any legitimately-slow placement's upper mode is itself
+    // disqualifying, and no per-entry repair can fix a whole run
+    if (explicit.isEmpty && probeP75 > ProbeP75Ceiling)
+      failed += f"probe_sustained_contention:p75=$probeP75%.2fs" +
+        f">$ProbeP75Ceiling%.2fs"
+    val hotIdx = probeSeries.zipWithIndex.collect {
+      case (v, i) if v > probeGate => i
+    }.toSet
+
+    // per-entry contention repair: an entry whose EVERY sample sits
+    // inside a spike window (either bracketing probe hot) carries a
+    // phantom timing — round 15's driver artifact recorded a 1.0 s
+    // entry at 22.4 s that way and a judge had to re-profile by hand.
+    // Re-sample each such entry once after a settle, bracketed by its
+    // OWN probes: clean brackets → the fresh samples replace the
+    // phantom ones (original kept in `resampled` for transparency);
+    // still-hot brackets → the entry is annotated `contended` and the
+    // run fails loudly — an artifact can be ok=true with honest
+    // numbers or carry a per-entry contended annotation, never a
+    // silently-wrong reading. Section headlines (storage, live) are
+    // min-of-5 over samples spread across the section, which a
+    // localized spike cannot set — spikes there are annotated
+    // (`contended_sections`), not repaired and not failed.
+    val resampled =
+      scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val contended = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (hotIdx.nonEmpty) {
+      val affected = brackets.collect {
+        case (n, (a, b)) if results.contains(n) &&
+          (hotIdx(a) || hotIdx(b)) => n
+      }.toSeq
+      if (affected.nonEmpty) {
+        val settle = settleMs.orElse(
+          sys.env.get("SPARK_GRAFT_SETTLE_MS").map(_.toLong)).getOrElse(
+          if (explicit.isDefined) 0L else 15000L)
+        Thread.sleep(settle)
+        affected.foreach { name =>
+          try {
+            val pB = probeOnce()
+            val s1 = timeSec(materialize(queries(name)(spark, sfDir)))
+            val s2 = timeSec(materialize(queries(name)(spark, sfDir)))
+            val pA = probeOnce()
+            probes += s"rs_${name}_pre" -> pB
+            probes += s"rs_${name}_post" -> pA
+            if (pB <= probeGate && pA <= probeGate) {
+              resampled += name -> results(name)
+              results(name) = math.min(s1, s2)
+              medians(name) = math.max(s1, s2)
+            } else contended += name
+          } catch { case _: Throwable => contended += name }
+        }
+      }
+    }
+    val sectionSpikes = Seq(
+      0 -> "storage", 1 -> "storage", 1 -> "live", 2 -> "live")
+      .collect { case (i, s) if hotIdx(i) => s }.distinct
+    if (contended.nonEmpty)
+      failed += f"probe_contention:max=${probeSeries.max}%.2fs" +
+        f">$probeGate%.2fs(entries=${contended.mkString("|")})"
 
     val total = results.values.sum
     def jm(m: collection.Map[String, Double]): String =
@@ -379,7 +482,11 @@ object Bench {
     // must never look like a successful run (round 8 recorded rc=0 with
     // ~76 per-query ExtendedAnalysisExceptions and voided the round).
     val ok = failed.isEmpty
-    val json = s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","ok":$ok,"queries":${jm(results)},"queries_median":${jm(medians)},"queries_cold":${jm(colds)},"probes":${jm(probes)},"sf":"$sfDir","extras":${jm(extras)},"failed":$failedJson}"""
+    val contendedJson =
+      contended.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sectionsJson =
+      sectionSpikes.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","ok":$ok,"queries":${jm(results)},"queries_median":${jm(medians)},"queries_cold":${jm(colds)},"probes":${jm(probes)},"resampled":${jm(resampled)},"contended":$contendedJson,"contended_sections":$sectionsJson,"sf":"$sfDir","extras":${jm(extras)},"failed":$failedJson}"""
     // Compact tail-window summary: headline metrics + the slowest
     // queries only. Stays well under the driver's 2000-char stdout
     // capture even with hundreds of registered queries; the full
@@ -392,7 +499,7 @@ object Bench {
       .sortBy(-_._2).take(8)
     val failedCompact = failed.take(8).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    val compact = s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","ok":$ok,"n_queries":${results.size},"sf":"$sfDir","headline":${jm(collection.mutable.LinkedHashMap(headline: _*))},"slowest":${jm(collection.mutable.LinkedHashMap(slowest: _*))},"extras":${jm(extras)},"failed_n":${failed.size},"failed":$failedCompact,"full":"BENCH_FULL.json"}"""
+    val compact = s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","ok":$ok,"n_queries":${results.size},"resampled_n":${resampled.size},"contended_n":${contended.size},"sf":"$sfDir","headline":${jm(collection.mutable.LinkedHashMap(headline: _*))},"slowest":${jm(collection.mutable.LinkedHashMap(slowest: _*))},"extras":${jm(extras)},"failed_n":${failed.size},"failed":$failedCompact,"full":"BENCH_FULL.json"}"""
     Report(json, ok, results.toMap, failed.toSeq, compact)
   }
 }

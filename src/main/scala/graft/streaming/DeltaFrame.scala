@@ -36,26 +36,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * owning class's `unpersist()` to delete the spool.
   *
   * Locality: `spoolDir` defaults to a tmpfs-backed temp directory
-  * when one is writable (`/dev/shm` — generations are micro-batch
-  * partials; paying disk latency per fold in local mode doubles the
-  * fold floor), falling back to the JVM temp dir; on a real cluster
-  * pass a shared filesystem path (the same requirement the EventLog
-  * already carries). */
+  * (`/dev/shm` — generations are micro-batch partials; paying disk
+  * latency per fold in local mode doubles the fold floor) ONLY when it
+  * is writable AND has comfortable headroom ([[DeltaFrame.tmpfsEligible]]
+  * — tmpfs is RAM, and this class explicitly holds CORPUS-SIZED state,
+  * so an unchecked default could fill /dev/shm with ENOSPC where plain
+  * disk kept working); otherwise the JVM temp dir. A tmpfs-rooted spool
+  * additionally migrates itself to disk mid-stream if free space falls
+  * below a floor ([[append]]). On a real cluster pass a shared
+  * filesystem path (the same requirement the EventLog already carries);
+  * an explicit `spoolDir` is caller-managed (no auto-placement, no
+  * shutdown-hook deletion, still removed by [[delete]]).
+  *
+  * Hygiene: auto-placed spools are registered with a JVM shutdown hook
+  * (abnormal exits otherwise leak the dirs — leaked RAM when on tmpfs),
+  * and construction sweeps orphaned `graft-delta-*` dirs older than
+  * [[DeltaFrame.OrphanAgeMs]] left behind by killed JVMs. */
 private[streaming] final class DeltaFrame(spark: SparkSession,
     name: String, compactEvery: Int = 64,
     spoolDir: Option[String] = None) {
   require(compactEvery >= 2, "compactEvery must be at least 2")
 
-  private val root: java.nio.file.Path = spoolDir match {
+  private val autoPlaced = spoolDir.isEmpty
+  private var root: java.nio.file.Path = spoolDir match {
     case Some(d) =>
       val p = java.nio.file.Paths.get(d)
       java.nio.file.Files.createDirectories(p)
       p
     case None =>
-      val shm = java.nio.file.Paths.get("/dev/shm")
-      if (java.nio.file.Files.isWritable(shm))
-        java.nio.file.Files.createTempDirectory(shm, s"graft-delta-$name-")
-      else java.nio.file.Files.createTempDirectory(s"graft-delta-$name-")
+      DeltaFrame.sweepOrphans()
+      val r = DeltaFrame.autoRoot(name)
+      DeltaFrame.registerLive(r)
+      r
   }
   private val gens = scala.collection.mutable.ArrayBuffer.empty[String]
   private var nextGen = 0L
@@ -67,13 +79,45 @@ private[streaming] final class DeltaFrame(spark: SparkSession,
   def generationCount: Int = gens.size
 
   /** Spill one batch-sized partial as a new generation. Cost ∝ batch,
-    * except every `compactEvery`-th call, which compacts. */
+    * except every `compactEvery`-th call, which compacts. An auto-placed
+    * tmpfs spool whose filesystem is nearly full migrates to disk FIRST
+    * (one compaction-cost rewrite) instead of failing with ENOSPC —
+    * tmpfs is RAM and standing state outgrowing it is a deployment
+    * fact, not an error. */
   def append(df: DataFrame): Unit = {
+    if (autoPlaced && DeltaFrame.onTmpfs(root) &&
+        root.toFile.getUsableSpace < DeltaFrame.TmpfsFloorBytes)
+      migrateToDisk()
     val p = root.resolve(s"g$nextGen").toString
     nextGen += 1
     df.write.mode("overwrite").parquet(p)
     gens += p
     if (gens.size >= compactEvery) compact()
+  }
+
+  /** Where the spool currently lives (spec observability). */
+  def rootDir: String = root.toString
+
+  /** Move the spool to a fresh JVM-temp-dir root: one compacting
+    * rewrite of the standing contents, then the old root is deleted.
+    * Called automatically by [[append]] when a tmpfs root runs low;
+    * exposed for specs (low tmpfs space is not reproducible on
+    * demand). */
+  private[streaming] def migrateToDisk(): Unit = {
+    val newRoot =
+      java.nio.file.Files.createTempDirectory(s"graft-delta-$name-")
+    if (autoPlaced) DeltaFrame.registerLive(newRoot)
+    if (gens.nonEmpty) {
+      val p = newRoot.resolve(s"g$nextGen").toString
+      nextGen += 1
+      spark.read.parquet(gens.toSeq: _*).write.mode("overwrite").parquet(p)
+      gens.clear()
+      gens += p
+    }
+    val oldRoot = root
+    root = newRoot
+    if (autoPlaced) DeltaFrame.unregisterLive(oldRoot)
+    deleteRecursively(oldRoot.toString)
   }
 
   /** Union of all live generations, lazily. Fails loudly before the
@@ -112,6 +156,7 @@ private[streaming] final class DeltaFrame(spark: SparkSession,
   /** Delete the spool from disk. The frame is unusable afterwards. */
   def delete(): Unit = {
     gens.clear()
+    if (autoPlaced) DeltaFrame.unregisterLive(root)
     deleteRecursively(root.toString)
   }
 
@@ -119,6 +164,101 @@ private[streaming] final class DeltaFrame(spark: SparkSession,
     val f = new java.io.File(path)
     if (f.isDirectory) f.listFiles().foreach(c =>
       deleteRecursively(c.getPath))
+    f.delete()
+    ()
+  }
+}
+
+private[streaming] object DeltaFrame {
+  /** Usable bytes /dev/shm must have for a spool to be PLACED there
+    * (GRAFT_DELTA_TMPFS_MIN_FREE_MB overrides). */
+  val TmpfsMinFreeBytes: Long =
+    sys.env.get("GRAFT_DELTA_TMPFS_MIN_FREE_MB")
+      .map(_.toLong << 20).getOrElse(8L << 30)
+
+  /** Usable-bytes floor below which an already-tmpfs spool migrates to
+    * disk on the next append. */
+  val TmpfsFloorBytes: Long = 2L << 30
+
+  /** Auto-placed spools older than this are presumed orphans of a
+    * killed JVM and swept at construction. Generous: every append and
+    * compaction touches the root's mtime, so only a spool idle for
+    * hours qualifies, and a concurrent healthy JVM's spools stay. */
+  val OrphanAgeMs: Long = 2L * 3600 * 1000
+
+  private def shm = java.nio.file.Paths.get("/dev/shm")
+
+  private[streaming] def onTmpfs(p: java.nio.file.Path): Boolean =
+    p.startsWith(shm)
+
+  /** Placement predicate, pure in the measured free space so the
+    * capacity check is spec-testable without draining real tmpfs. */
+  private[streaming] def tmpfsEligible(usableBytes: Long): Boolean =
+    usableBytes >= TmpfsMinFreeBytes
+
+  private def autoRoot(name: String): java.nio.file.Path =
+    if (java.nio.file.Files.isWritable(shm) &&
+        tmpfsEligible(shm.toFile.getUsableSpace))
+      java.nio.file.Files.createTempDirectory(shm, s"graft-delta-$name-")
+    else java.nio.file.Files.createTempDirectory(s"graft-delta-$name-")
+
+  // -- leak hygiene: one JVM-wide shutdown hook over all live auto-
+  // placed spools, plus an age-based orphan sweep (throttled) --------
+  private val liveRoots =
+    java.util.concurrent.ConcurrentHashMap
+      .newKeySet[java.nio.file.Path]()
+  private val hookInstalled =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val lastSweepAt =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def registerLive(p: java.nio.file.Path): Unit = {
+    liveRoots.add(p)
+    if (hookInstalled.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => shutdownCleanup(), "graft-delta-cleanup"))
+  }
+
+  private def unregisterLive(p: java.nio.file.Path): Unit = {
+    liveRoots.remove(p); ()
+  }
+
+  /** The shutdown hook's body (directly callable so a spec can
+    * simulate the kill path without forking a JVM). */
+  private[streaming] def shutdownCleanup(): Unit = {
+    val it = liveRoots.iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      try deleteTree(p.toFile) catch { case _: Exception => () }
+    }
+    liveRoots.clear()
+  }
+
+  /** Delete `graft-delta-*` dirs older than `minAgeMs` under the two
+    * auto-placement parents. Construction-time call is throttled to
+    * once per 10 minutes per JVM; specs call with explicit args. */
+  private[streaming] def sweepOrphans(minAgeMs: Long = OrphanAgeMs,
+      parents: Seq[java.io.File] = Seq(shm.toFile,
+        new java.io.File(System.getProperty("java.io.tmpdir"))),
+      force: Boolean = false): Unit = {
+    val now = System.currentTimeMillis()
+    val last = lastSweepAt.get()
+    if (!force && now - last < 600000L) return
+    if (!force && !lastSweepAt.compareAndSet(last, now)) return
+    parents.filter(_.isDirectory).foreach { parent =>
+      val kids = Option(parent.listFiles()).getOrElse(Array.empty)
+      kids.foreach { f =>
+        if (f.isDirectory && f.getName.startsWith("graft-delta-") &&
+            now - f.lastModified() > minAgeMs &&
+            !liveRoots.contains(f.toPath))
+          try deleteTree(f) catch { case _: Exception => () }
+      }
+    }
+  }
+
+  private def deleteTree(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
     f.delete()
     ()
   }

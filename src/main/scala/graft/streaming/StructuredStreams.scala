@@ -341,7 +341,7 @@ object StructuredStreams {
     * O(standing) per fold). The one-row integer counts stay a
     * checkpoint pin. */
   final class StreamingBm25(idCol: String, textCol: String,
-      compactEvery: Int = 64) {
+      compactEvery: Int = 64, spoolDir: Option[String] = None) {
     @volatile private var postDl: Option[DeltaFrame] = None
     @volatile private var countsSt: Option[DataFrame] = None
 
@@ -353,7 +353,7 @@ object StructuredStreams {
       val b = R.buildBm25Acc(batch, col(idCol), col(textCol))
       if (postDl.isEmpty)
         postDl = Some(new DeltaFrame(batch.sparkSession, "bm25-post",
-          compactEvery))
+          compactEvery, spoolDir.map(d => s"$d/postings")))
       postDl.get.append(b.postings)
       val foldedCounts = countsSt match {
         case None     => b.counts
@@ -383,7 +383,8 @@ object StructuredStreams {
 
     def restore(spark: SparkSession, path: String): Unit = synchronized {
       requireFresh(countsSt.isEmpty && postDl.isEmpty, "StreamingBm25")
-      postDl = Some(new DeltaFrame(spark, "bm25-post"))
+      postDl = Some(new DeltaFrame(spark, "bm25-post",
+        spoolDir = spoolDir.map(d => s"$d/postings")))
       postDl.get.loadFrom(s"$path/postings")
       countsSt = Some(loadFrame(spark, s"$path/counts"))
     }
@@ -776,7 +777,8 @@ object StructuredStreams {
     * associatively and a doc's prefix only consults its own shingles'
     * counts. Parquet save/restore durable (saves compact). */
   final class StreamingContainmentDedup(idCol: String, textCol: String,
-      minPpm: Long, shingleSize: Int = 3, compactEvery: Int = 64) {
+      minPpm: Long, shingleSize: Int = 3, compactEvery: Int = 64,
+      spoolDir: Option[String] = None) {
     require(minPpm > 0L && minPpm <= 1000000L,
       "minPpm must be in (0, 1000000]")
     // corpus-sized, log-structured: (id, sh, n) docs / (t, id, n)
@@ -794,9 +796,12 @@ object StructuredStreams {
     private def deltas(spark: SparkSession)
         : (DeltaFrame, DeltaFrame, DeltaFrame) = {
       if (docsDl.isEmpty) {
-        docsDl = Some(new DeltaFrame(spark, "containment-docs", compactEvery))
-        postDl = Some(new DeltaFrame(spark, "containment-post", compactEvery))
-        prefDl = Some(new DeltaFrame(spark, "containment-pref", compactEvery))
+        docsDl = Some(new DeltaFrame(spark, "containment-docs",
+          compactEvery, spoolDir.map(d => s"$d/docs")))
+        postDl = Some(new DeltaFrame(spark, "containment-post",
+          compactEvery, spoolDir.map(d => s"$d/postings")))
+        prefDl = Some(new DeltaFrame(spark, "containment-pref",
+          compactEvery, spoolDir.map(d => s"$d/prefixes")))
       }
       (docsDl.get, postDl.get, prefDl.get)
     }
@@ -824,7 +829,12 @@ object StructuredStreams {
       val L = graft.util.Lineage
       val W = org.apache.spark.sql.expressions.Window
       val (docs, post, pref) = deltas(batch.sparkSession)
-      val firstFold = idsSt.isEmpty
+      // direction-2's skip derives from the ACTUAL state it depends on
+      // — the standing prefix spool — not the idsSt proxy: if a fold
+      // path ever reorders state writes, or a fold throws between the
+      // appends and the idsSt assignment and is retried, the proxy
+      // would silently skip retro-drops while a standing index exists
+      val firstFold = pref.isEmpty
       val b = shingled(batch).localCheckpoint(true)
       try {
         // the hashed-prefilter completeness proof, per arriving doc
@@ -1081,7 +1091,8 @@ object StructuredStreams {
     * writes ∝ batch instead of re-pinning the full standing index and
     * every rewrite so far. */
   final class StreamingLineDedup(idCol: String, textCol: String,
-      sep: String = "\n", compactEvery: Int = 64) {
+      sep: String = "\n", compactEvery: Int = 64,
+      spoolDir: Option[String] = None) {
     @volatile private var idxDl: Option[DeltaFrame] = None
     @volatile private var outDl: Option[DeltaFrame] = None
 
@@ -1093,9 +1104,9 @@ object StructuredStreams {
       val D = graft.pipeline.Dedup
       if (idxDl.isEmpty) {
         idxDl = Some(new DeltaFrame(batch.sparkSession, "linededup-idx",
-          compactEvery))
+          compactEvery, spoolDir.map(d => s"$d/index")))
         outDl = Some(new DeltaFrame(batch.sparkSession, "linededup-out",
-          compactEvery))
+          compactEvery, spoolDir.map(d => s"$d/outputs")))
       }
       val b = D.buildLineIndex(batch, col(idCol), col(textCol), sep)
       // batch partial pinned once: it is both appended (parquet write)
@@ -1130,8 +1141,10 @@ object StructuredStreams {
 
     def restore(spark: SparkSession, path: String): Unit = synchronized {
       requireFresh(idxDl.isEmpty && outDl.isEmpty, "StreamingLineDedup")
-      idxDl = Some(new DeltaFrame(spark, "linededup-idx"))
-      outDl = Some(new DeltaFrame(spark, "linededup-out"))
+      idxDl = Some(new DeltaFrame(spark, "linededup-idx",
+        spoolDir = spoolDir.map(d => s"$d/index")))
+      outDl = Some(new DeltaFrame(spark, "linededup-out",
+        spoolDir = spoolDir.map(d => s"$d/outputs")))
       idxDl.get.loadFrom(s"$path/index")
       outDl.get.loadFrom(s"$path/outputs")
     }

@@ -44,10 +44,11 @@ object Profile {
       val q = graft.SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown entry '$name'"))
       val ts = Seq.fill(reps)(timeSec {
-        // the bench's non-lazy consumption shape: full result count
-        val out = q(spark, sfDir)
-        out.count()
-        ()
+        // the bench's EXACT consumption shape (Bench.materialize): the
+        // noop-format write evaluates every output column, where a
+        // count() would let Catalyst prune unused projections and
+        // under-time projection-heavy entries relative to the bench
+        q(spark, sfDir).write.format("noop").mode("overwrite").save()
       })
       println(f"PROF $name%-36s min ${ts.min}%.3f  " +
         s"(${ts.map(t => f"$t%.3f").mkString(" ")})")

@@ -21,7 +21,7 @@ class BenchFailLoudSpec extends AnyFunSuite {
       (_, _) => throw new IllegalStateException("forced")
     val report = Bench.run(spark, sf,
       Map("zz_boom" -> boom, "aa_fine" -> fineQuery),
-      nCpus = 4, scaleQuads = 5000L, probeMaxSec = 1e9)
+      nCpus = 4, scaleQuads = 5000L, probeMaxSec = Some(1e9))
     assert(!report.ok)
     assert(report.json.contains("\"ok\":false"))
     assert(report.failed.exists(_.startsWith("zz_boom:")))
@@ -32,7 +32,7 @@ class BenchFailLoudSpec extends AnyFunSuite {
   test("a bogus sf dir fails the storage section AND every query " +
       "instead of recording a green total") {
     val report = Bench.run(spark, "/nonexistent/sfX",
-      Map("q" -> fineQuery), nCpus = 4, scaleQuads = 5000L, probeMaxSec = 1e9)
+      Map("q" -> fineQuery), nCpus = 4, scaleQuads = 5000L, probeMaxSec = Some(1e9))
     assert(!report.ok)
     assert(report.failed.exists(_.startsWith("storage:")))
     assert(report.failed.exists(_.startsWith("q:")))
@@ -41,7 +41,7 @@ class BenchFailLoudSpec extends AnyFunSuite {
   test("a healthy run is ok=true and carries the contention-probe " +
       "series plus per-query medians") {
     val report = Bench.run(spark, sf, Map("aa_fine" -> fineQuery),
-      nCpus = 4, scaleQuads = 5000L, probeMaxSec = 1e9)
+      nCpus = 4, scaleQuads = 5000L, probeMaxSec = Some(1e9))
     assert(report.ok, s"failed=${report.failed}")
     assert(report.json.contains("\"ok\":true"))
     assert(report.json.contains("\"probes\":{\"p00_start\":"))
@@ -58,7 +58,7 @@ class BenchFailLoudSpec extends AnyFunSuite {
     // simulating round 12's 0.73 s probe spike without needing to
     // actually load the machine
     val report = Bench.run(spark, sf, Map("aa_fine" -> fineQuery),
-      nCpus = 4, scaleQuads = 5000L, probeMaxSec = 0.0)
+      nCpus = 4, scaleQuads = 5000L, probeMaxSec = Some(0.0))
     assert(!report.ok)
     assert(report.json.contains("\"ok\":false"))
     assert(report.failed.exists(_.startsWith("probe_contention:")),
@@ -74,7 +74,7 @@ class BenchFailLoudSpec extends AnyFunSuite {
     val manyFailing = (1 to 300)
       .map(i => f"q$i%03d_a_rather_long_query_name" -> boom).toMap
     val report = Bench.run(spark, sf, manyFailing,
-      nCpus = 4, scaleQuads = 5000L, probeMaxSec = 1e9)
+      nCpus = 4, scaleQuads = 5000L, probeMaxSec = Some(1e9))
     assert(!report.ok)
     assert(report.compactJson.startsWith("{\"metric\":\"total\""))
     assert(report.compactJson.contains("\"failed_n\":300"))
