@@ -315,6 +315,67 @@ object SparkEntry {
       |    SUM(CASE WHEN tr2 THEN 0 ELSE 1 END) AS neg
       |  FROM t GROUP BY 1)""".stripMargin
 
+  /** Shared TEMP-TABLE stage chain for the containment-apply oracles
+    * (apply, incremental, chain): planted-excerpt base, per-doc
+    * distinct shingles, 64-bit hashed twins + global injectivity
+    * guard, df-ascending recall-safe prefix, and the dropped set via
+    * the streamed prefix-candidate × hashed-set-intersect verify. See
+    * the dedup_containment_apply entry comment for why these are
+    * multi-statement temp tables rather than CTEs. Names are
+    * __ca_-prefixed + OR REPLACE so shared-connection harnesses can
+    * run several containment oracles back to back. */
+  private val containmentApplyStages: String =
+    """SET preserve_insertion_order = false;
+      |CREATE OR REPLACE TEMP TABLE __ca_base AS
+      |  SELECT doc_id AS id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    array_to_string(
+      |      string_split_regex(lower(trim(text)), '\s+')[1:12], ' ')
+      |  FROM documents;
+      |CREATE OR REPLACE TEMP TABLE __ca_e AS
+      |  WITH t AS (
+      |    SELECT id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      |    FROM __ca_base)
+      |  SELECT DISTINCT id, unnest(list_transform(range(1, len(toks)-1),
+      |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS shingle
+      |  FROM t WHERE len(toks) >= 3;
+      |CREATE OR REPLACE TEMP TABLE __ca_eh AS
+      |  SELECT id, (hash(shingle) % 9223372036854775807)::BIGINT AS h
+      |  FROM __ca_e;
+      |CREATE OR REPLACE TEMP TABLE __ca_inj AS
+      |  SELECT (COUNT(DISTINCT shingle) = COUNT(DISTINCT
+      |    (hash(shingle) % 9223372036854775807)::BIGINT)) AS ok
+      |  FROM __ca_e;
+      |CREATE OR REPLACE TEMP TABLE __ca_dn AS
+      |  SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM __ca_eh GROUP BY id;
+      |CREATE OR REPLACE TEMP TABLE __ca_sh2 AS
+      |  SELECT id, list_sort(list(h)) AS shh,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM __ca_eh GROUP BY id;
+      |CREATE OR REPLACE TEMP TABLE __ca_dfreq AS
+      |  SELECT h, COUNT(*) AS df FROM __ca_eh GROUP BY 1;
+      |CREATE OR REPLACE TEMP TABLE __ca_pe AS
+      |  SELECT id, n, h FROM (
+      |    SELECT eh.id, dn.n, eh.h,
+      |      row_number() OVER (PARTITION BY eh.id
+      |        ORDER BY d.df ASC, eh.h ASC) AS rk
+      |    FROM __ca_eh eh JOIN __ca_dfreq d USING (h)
+      |    JOIN __ca_dn dn ON dn.id = eh.id)
+      |  WHERE rk <= n - ((n * 800000 + 999999) // 1000000) + 1;
+      |CREATE OR REPLACE TEMP TABLE __ca_ehn AS
+      |  SELECT eh.id, dn.n, eh.h FROM __ca_eh eh
+      |  JOIN __ca_dn dn USING (id);
+      |CREATE OR REPLACE TEMP TABLE __ca_dropped AS
+      |  SELECT DISTINCT a.id FROM __ca_pe a
+      |  JOIN __ca_ehn b ON b.h = a.h
+      |    AND (b.n > a.n OR (b.n = a.n AND b.id < a.id))
+      |  JOIN __ca_sh2 sa ON sa.id = a.id
+      |  JOIN __ca_sh2 sb ON sb.id = b.id
+      |  WHERE CAST(len(list_intersect(sa.shh, sb.shh)) AS BIGINT)
+      |        * 1000000 // sa.n >= 800000;
+      |""".stripMargin
+
   /** Shared CTE chain for the CDC chunking oracles: boundary positions
     * from the scalar hash restatement, the document end appended
     * (UNION dedups a coinciding final boundary), chunks as the spans
@@ -5938,75 +5999,47 @@ object SparkEntry {
         |SELECT id_a, id_b, inter, n_a,
         |  inter * 1000000 // n_a AS containment_ppm
         |FROM p WHERE inter * 1000000 // n_a >= 800000""".stripMargin,
-    // kept corpus under the containment drop-if-dominated rule,
-    // restated from the brute-force doc-level pair relation (the Spark
-    // side must reach the same keep/drop set WITHOUT building this
-    // pair table)
+    // kept corpus under the containment drop-if-dominated rule. The
+    // oracle restates the Spark side's EXACT recall-safe prefix filter
+    // (any n − ceil(t·n) + 1 element subset of A must intersect an
+    // absorber — pigeonhole, so candidates are complete for ANY prefix
+    // choice; df-ascending is the selectivity heuristic), then
+    // verifies candidates on 64-bit-hashed shingle sets guarded by a
+    // corpus-global injectivity check (__ca_inj: distinct shingles ==
+    // distinct hashes ⇒ hashed intersections ARE string intersections;
+    // on the ~2⁻⁴⁰ collision the final SELECT returns zero rows — a
+    // loud gate failure, never a silent wrong answer — mirroring the
+    // Spark side's own guarded two-stage verify). This bounds the
+    // oracle's candidate join to Σ prefix-df·df ≈ 5.2 G streamed rows
+    // at sf10 instead of the brute-force Σ df² ≈ 40 G, making the
+    // entry hash-checkable at 100× (~21 min) where the all-pairs form
+    // runs ~6 h. Stages are TEMP TABLES (multi-statement: every DuckDB
+    // entry path — con.sql/execute/duckdb.sql — runs all statements
+    // and returns the last SELECT) because DuckDB 1.0 re-evaluates CTE
+    // subtrees per reference (16 parquet scans for this query inlined)
+    // and mis-plans build sides without real cardinalities, spilling
+    // >150 GB at sf10; with temp-table stats the verify stream runs
+    // spill-free. Row-level-equal to the brute-force rule at
+    // sf0.01/sf0.1/sf1; the untouched brute-force pair oracle of
+    // dedup_containment still pins the pair RELATION itself.
     "dedup_containment_apply" ->
-      """WITH base AS (
-        |  SELECT doc_id AS id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000,
-        |    array_to_string(
-        |      string_split_regex(lower(trim(text)), '\s+')[1:12], ' ')
-        |  FROM documents),
-        |t AS (
-        |  SELECT id, string_split_regex(lower(trim(text)), '\s+') AS toks
-        |  FROM base),
-        |s AS (
-        |  SELECT id, list_distinct(list_transform(range(1, len(toks)-1),
-        |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
-        |  FROM t WHERE len(toks) >= 3),
-        |e AS (SELECT id, len(sh) AS n, unnest(sh) AS shingle FROM s),
-        |p AS (
-        |  SELECT a.id AS id_a, b.id AS id_b,
-        |    CAST(COUNT(*) AS BIGINT) AS inter,
-        |    CAST(MIN(a.n) AS BIGINT) AS n_a,
-        |    CAST(MIN(b.n) AS BIGINT) AS n_b
-        |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.id <> b.id
-        |  GROUP BY 1, 2),
-        |dropped AS (
-        |  SELECT DISTINCT id_a FROM p
-        |  WHERE inter * 1000000 // n_a >= 800000
-        |    AND (n_b > n_a OR (n_b = n_a AND id_b < id_a)))
-        |SELECT id FROM base
-        |WHERE id NOT IN (SELECT id_a FROM dropped)""".stripMargin,
-    // the chain restates the kept corpus (brute-force pair rule) and
-    // then the md5 training order over exactly the survivors
+      (containmentApplyStages +
+      """SELECT id FROM __ca_base
+        |WHERE (SELECT ok FROM __ca_inj)
+        |  AND id NOT IN (SELECT id FROM __ca_dropped)""".stripMargin),
+    // the chain restates the kept corpus (same sf10-feasible staged
+    // prefix-filtered form as dedup_containment_apply) and then the
+    // md5 training order over exactly the survivors
     "dedup_containment_chain" ->
-      """WITH base AS (
-        |  SELECT doc_id AS id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000,
-        |    array_to_string(
-        |      string_split_regex(lower(trim(text)), '\s+')[1:12], ' ')
-        |  FROM documents),
-        |t AS (
-        |  SELECT id, string_split_regex(lower(trim(text)), '\s+') AS toks
-        |  FROM base),
-        |s AS (
-        |  SELECT id, list_distinct(list_transform(range(1, len(toks)-1),
-        |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
-        |  FROM t WHERE len(toks) >= 3),
-        |e AS (SELECT id, len(sh) AS n, unnest(sh) AS shingle FROM s),
-        |p AS (
-        |  SELECT a.id AS id_a, b.id AS id_b,
-        |    CAST(COUNT(*) AS BIGINT) AS inter,
-        |    CAST(MIN(a.n) AS BIGINT) AS n_a,
-        |    CAST(MIN(b.n) AS BIGINT) AS n_b
-        |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.id <> b.id
-        |  GROUP BY 1, 2),
-        |dropped AS (
-        |  SELECT DISTINCT id_a FROM p
-        |  WHERE inter * 1000000 // n_a >= 800000
-        |    AND (n_b > n_a OR (n_b = n_a AND id_b < id_a))),
-        |kept AS (
-        |  SELECT id FROM base
-        |  WHERE id NOT IN (SELECT id_a FROM dropped))
+      (containmentApplyStages +
+      """WITH kept AS (
+        |  SELECT id FROM __ca_base
+        |  WHERE (SELECT ok FROM __ca_inj)
+        |    AND id NOT IN (SELECT id FROM __ca_dropped))
         |SELECT id, row_number() OVER (
         |  ORDER BY md5('graft-r14' || CAST(id AS VARCHAR)), id) - 1
         |  AS shuffle_pos
-        |FROM kept""".stripMargin,
+        |FROM kept""".stripMargin),
     // video keyframe signatures restated generatively (the lossless
     // GIF roundtrip: frame f of video id is solid (id·31+f·17) % 256),
     // then exact element containment over (shot·4096 + mean) keys

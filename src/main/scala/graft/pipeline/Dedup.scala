@@ -554,9 +554,20 @@ object Dedup {
     * ~0.3 s scheduling floor dwarfs their candidate joins. Probe
     * overshoot per round is ≤ candidateBudget rows through the
     * (t, rank) equi-join — bounded at any scale. */
+  /** Mutable per-call observability for [[cursorDrops]] (scale-probe
+    * instrumentation: rounds run and cumulative candidate pairs probed
+    * — the work terms a fold's wall should be proportional to).
+    * Counting candidates costs one extra action per round, so it only
+    * happens when a holder is passed (or the debug channel is on). */
+  final class CursorLoopStats {
+    var rounds: Int = 0
+    var candidatePairs: Long = 0L
+  }
+
   private[graft] def cursorDrops(live0: DataFrame, ranked: DataFrame,
       sets: DataFrame, minPpm: Long, maxRounds: Int = 64,
-      candidateBudget: Long = 1L << 20): DataFrame = {
+      candidateBudget: Long = 1L << 20,
+      stats: Option[CursorLoopStats] = None): DataFrame = {
     val L = graft.util.Lineage
     val setsA = sets.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val setsB = sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
@@ -601,9 +612,10 @@ object Dedup {
             col("__m") - lo + 1L)))
           .join(ranked, Seq("t", "__rk"))
           .select(col("id_a"), col("id_b")).distinct()
-        // debug-only: must count before the generation swap releases
-        // cand's parent checkpoints
-        val candN = if (debug) cand.count() else 0L
+        // debug/stats-only: must count before the generation swap
+        // releases cand's parent checkpoints
+        val candN = if (debug || stats.nonEmpty) cand.count() else 0L
+        stats.foreach { s => s.rounds += 1; s.candidatePairs += candN }
         // two-stage verify: (1) hashed prefilter — admits every true
         // drop (intra-doc injectivity proven by the caller), long
         // arrays on the wire; (2) exact string intersect on the

@@ -811,6 +811,18 @@ object StructuredStreams {
     def generationCounts: Seq[Int] =
       Seq(docsDl, postDl, prefDl).flatten.map(_.generationCount)
 
+    /** Per-fold work attribution, populated only when the
+      * `graft.debug.containment` channel is on (counting costs extra
+      * actions): how much of a fold's wall is OUTPUT-SHAPED work —
+      * batch drops + retro-drops found, cursor rounds run, candidate
+      * pairs probed — vs a standing-size term (which the DeltaFrame
+      * state is designed to eliminate). ScaleProbe SCALE10/11 read
+      * this to prove fold walls track recorded work, not corpus. */
+    final case class FoldStats(batchDocs: Long, batchDrops: Long,
+        retroDrops: Long, cursorRounds: Int, candidatePairs: Long)
+    @volatile private var foldStats: Option[FoldStats] = None
+    def lastFoldStats: Option[FoldStats] = foldStats
+
     private def shingled(batch: DataFrame): DataFrame =
       batch.select(col(idCol).as("id"),
         graft.pipeline.TextAnalysis
@@ -949,11 +961,23 @@ object StructuredStreams {
                 tag("1 ", ranked1).unionByName(tag("2 ", ranked2))
                   .localCheckpoint(true))
             }
-            val drops = D.cursorDrops(live, ranked, sets, minPpm)
+            val loopStats =
+              if (sys.props.contains("graft.debug.containment"))
+                Some(new D.CursorLoopStats) else None
+            val drops = D.cursorDrops(live, ranked, sets, minPpm,
+              stats = loopStats)
 
             val newlyDropped = drops.select(col("__drop_id").as("id"))
               .distinct()
             val bIds = batch.select(col(idCol).as("id"))
+            loopStats.foreach { ls =>
+              val batchDrops = newlyDropped
+                .join(bIds, Seq("id"), "left_semi").count()
+              val retroDrops = newlyDropped
+                .join(bIds, Seq("id"), "left_anti").count()
+              foldStats = Some(FoldStats(bIds.count(), batchDrops,
+                retroDrops, ls.rounds, ls.candidatePairs))
+            }
             // pin the thin next-generation frames before releasing the
             // previous ones (the drop plan reads the old drop pin)
             val nextIds = idsSt.map(_.unionByName(bIds)).getOrElse(bIds)

@@ -423,37 +423,67 @@ object ScaleProbe {
       // is Spark-internal: fold ≡ one-shot, with the one-shot itself
       // DuckDB-hash-verified at sf1. Per-fold wall is printed — the
       // log-structured state makes it ∝ batch, not ∝ standing corpus.
-      if (waveOn(10)) {
-        val keptOneShot = graft.pipeline.Dedup.containmentDeduplicate(
-          docs, col("doc_id"), col("text"), minPpm = 800000L)
-          .select(col("doc_id").as("id"))
-        // thirds by TEXT LENGTH descending: third 1 holds the biggest
-        // docs (the absorbers); folding 3 → 2 → 1 lands them last
-        val byThirds = docs.withColumn("__third",
-          ntile(3).over(org.apache.spark.sql.expressions.Window
-            .orderBy(length(col("text")).desc, col("doc_id"))))
-        val sc = new graft.streaming.StructuredStreams
-          .StreamingContainmentDedup("doc_id", "text", minPpm = 800000L)
-        (3 to 1 by -1).foreach { third =>
-          val b = byThirds.where(col("__third") === third)
-            .select(col("doc_id"), col("text"))
-          val tFold = timeSec(sc.fold(b))
-          println(f"  [SCALE10] fold third=$third wall=$tFold%.1fs " +
-            s"gens=${sc.generationCounts.mkString(",")}")
-        }
-        val streamed = sc.current.get
-        val extra = streamed.join(keptOneShot, Seq("id"), "left_anti")
-          .count()
-        val missing = keptOneShot.join(streamed, Seq("id"), "left_anti")
-          .count()
-        require(extra == 0 && missing == 0,
-          s"streaming containment diverged from one-shot at $dir: " +
-            s"extra=$extra missing=$missing")
-        println(f"SCALE10 $dir streaming_containment kept=" +
-          f"${streamed.count()} == one-shot (exact set match) " +
-          f"docs=$nDocs")
-        sc.unpersist(); keptOneShot.unpersist()
+      // shared driver for SCALE10 (adversarial split) and SCALE11
+      // (random split): fold the corpus in three batches, print each
+      // fold's wall NEXT TO its recorded work terms (batch/retro drops,
+      // cursor rounds, candidate pairs — `graft.debug.containment`
+      // turns the counters on), then require exact set equality with
+      // the one-shot. The work attribution is the point: a fold wall
+      // that grows on the adversarial series must track the recorded
+      // retro-drop/candidate volume (output-shaped), and the random
+      // series must hold flat — together they rule out a hidden
+      // standing-size term in the fold cost.
+      def streamingContainmentSeries(tag: String,
+          order: org.apache.spark.sql.Column,
+          foldOrder: Seq[Int]): Unit = {
+        System.setProperty("graft.debug.containment", "1")
+        try {
+          val keptOneShot = graft.pipeline.Dedup.containmentDeduplicate(
+            docs, col("doc_id"), col("text"), minPpm = 800000L)
+            .select(col("doc_id").as("id"))
+          val byThirds = docs.withColumn("__third",
+            ntile(3).over(org.apache.spark.sql.expressions.Window
+              .orderBy(order, col("doc_id"))))
+          val sc = new graft.streaming.StructuredStreams
+            .StreamingContainmentDedup("doc_id", "text", minPpm = 800000L)
+          foldOrder.foreach { third =>
+            val b = byThirds.where(col("__third") === third)
+              .select(col("doc_id"), col("text"))
+            val tFold = timeSec(sc.fold(b))
+            val st = sc.lastFoldStats.map(s =>
+              s"batch=${s.batchDocs} batchDrops=${s.batchDrops} " +
+                s"retroDrops=${s.retroDrops} rounds=${s.cursorRounds} " +
+                s"cand=${s.candidatePairs}").getOrElse("(no stats)")
+            println(f"  [$tag] fold third=$third wall=$tFold%.1fs " +
+              s"$st gens=${sc.generationCounts.mkString(",")}")
+          }
+          val streamed = sc.current.get
+          val extra = streamed.join(keptOneShot, Seq("id"), "left_anti")
+            .count()
+          val missing = keptOneShot.join(streamed, Seq("id"), "left_anti")
+            .count()
+          require(extra == 0 && missing == 0,
+            s"streaming containment diverged from one-shot at $dir " +
+              s"($tag): extra=$extra missing=$missing")
+          println(f"$tag $dir streaming_containment kept=" +
+            f"${streamed.count()} == one-shot (exact set match) " +
+            f"docs=$nDocs")
+          sc.unpersist(); keptOneShot.unpersist()
+        } finally System.clearProperty("graft.debug.containment")
       }
+      if (waveOn(10))
+        // thirds by TEXT LENGTH descending: third 1 holds the biggest
+        // docs (the absorbers); folding 3 → 2 → 1 lands them last, so
+        // the standing kept set is maximally wrong until the final
+        // retro-drop pass
+        streamingContainmentSeries("SCALE10",
+          length(col("text")).desc, Seq(3, 2, 1))
+      if (waveOn(11))
+        // NON-adversarial control: deterministic random thirds
+        // (xxhash64 order) — absorbers arrive uniformly, so per-fold
+        // walls must stay flat on equal-size batches
+        streamingContainmentSeries("SCALE11",
+          xxhash64(col("doc_id")).asc, Seq(1, 2, 3))
     }
     spark.stop()
   }

@@ -37,6 +37,19 @@ def check_one(sfdir, outdir, name, sql):
         return res, None
     try:
         con = duckdb.connect()
+        # big-sf runs: bound DuckDB's memory (default 80% of RAM fights
+        # a co-resident Spark JVM into pathological spilling) and point
+        # its spill at a roomy filesystem instead of cwd/.tmp
+        mem = os.environ.get("GRAFT_DUCKDB_MEMLIMIT")
+        if mem:
+            con.execute(f"SET memory_limit='{mem}'")
+        tmp = os.environ.get("GRAFT_DUCKDB_TMP")
+        if tmp:
+            os.makedirs(tmp, exist_ok=True)
+            con.execute(f"SET temp_directory='{tmp}'")
+        thr = os.environ.get("GRAFT_DUCKDB_THREADS")
+        if thr:
+            con.execute(f"SET threads TO {int(thr)}")
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
