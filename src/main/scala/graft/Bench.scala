@@ -408,6 +408,18 @@ object Bench {
       math.max(ProbeGateFloor, 1.4 * probeP75))
     extras += "probe_p75" -> probeP75
     extras += "probe_gate" -> probeGate
+    // host-speed-normalized write headline: the probe's upper mode is
+    // pure CPU and shifts in lockstep with entry timings across VM
+    // placements (round 15: ALL 265 entries ~1.27× slower, probe mode
+    // 0.35 → 0.45), so qps × (p75 / 0.35) restates the measured write
+    // throughput on a round-14-class host. Recorded next to the raw
+    // number — the normalization basis (0.35 s, the round-14 certified
+    // upper probe mode) is explicit in the artifact, never silently
+    // substituted for the measurement.
+    extras.get("write_quads_per_sec").foreach { qps =>
+      extras += "write_quads_per_sec_r14norm" ->
+        qps * math.max(1.0, probeP75 / 0.35)
+    }
     // ceiling on self-calibration (adaptive gate only): sustained
     // co-tenant load lifts p75 itself, and a gate that rises with the
     // noise would certify a contended run as a slow host — p75 far
