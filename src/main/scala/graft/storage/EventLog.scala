@@ -121,16 +121,24 @@ final class EventLog(
 
   /** Marker-resolved visible data files of ONE directory: plain visible
     * parquet files, plus marker-gated `cdata-*` files revealed by a marker,
-    * minus every marker-dropped name. One `listStatus` — the marker
-    * rename is atomic, so any single listing is a consistent snapshot
-    * of the directory's generation. */
+    * minus every marker-dropped name.
+    *
+    * The marker rename is atomic, but `listStatus` is NOT an atomic
+    * directory snapshot: a listing that starts before a compaction
+    * commit can pass the namespace position where a `cdata-` file will
+    * land, then enumerate the marker entry after the commit — observing
+    * the marker (which tombstones the old generation) while missing
+    * part of the generation it reveals. [[visibleFilesInOnce]] detects
+    * that tear (every `add` of a recognized marker must be present in
+    * the SAME listing) and throws; this wrapper re-lists, bounded. */
   private def visibleFilesIn(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path)
       : Seq[org.apache.hadoop.fs.FileStatus] = {
-    // a marker can be vacuumed by a concurrent compact between our
-    // listStatus and open (FileNotFoundException) — a fresh listing is
-    // a consistent snapshot of the NEW generation, so retry; bounded,
-    // because each retry means another full compaction cycle landed
+    // two transient races surface as FileNotFoundException here: a
+    // marker vacuumed by a concurrent compact between our listStatus
+    // and open, and a torn listing (marker seen, add file unseen —
+    // see visibleFilesInOnce). Both heal on a fresh listing; bounded,
+    // because each retry means another compaction event landed
     // mid-listing (never sustained in practice)
     var attempt = 0
     while (true) {
@@ -143,13 +151,31 @@ final class EventLog(
     throw new IllegalStateException("unreachable")
   }
 
+  /** Test seam: lets a spec deterministically inject an inconsistent
+    * listing (e.g. one that observes a compaction marker but not all of
+    * its `add` files — the torn-read interleaving a real scan can only
+    * hit in a narrow window). Production code never sets this. */
+  @transient private[storage] var listingSeam
+      : (org.apache.hadoop.fs.Path, Array[org.apache.hadoop.fs.FileStatus])
+        => Array[org.apache.hadoop.fs.FileStatus] = null
+
   /** One listing + marker resolution; throws FileNotFoundException if
-    * a concurrent compact() vacuums a grace-expired marker between our
-    * listStatus and open — [[visibleFilesIn]] re-lists on that. */
+    * (a) a concurrent compact() vacuums a grace-expired marker between
+    * our listStatus and open, or (b) the listing is TORN — it contains
+    * a marker but not every `add` file that marker reveals (listStatus
+    * enumerates the namespace non-atomically, so a scan racing a
+    * compaction commit can see the marker entry while having already
+    * passed the position where a `cdata-` file landed). Serving such a
+    * listing would tombstone the old generation while exposing only
+    * part of the new one — a torn row set. [[visibleFilesIn]] re-lists
+    * on both. */
   private def visibleFilesInOnce(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path)
       : Seq[org.apache.hadoop.fs.FileStatus] = {
-    val entries = fs.listStatus(dir)
+    val entries = {
+      val raw = fs.listStatus(dir)
+      if (listingSeam eq null) raw else listingSeam(dir, raw)
+    }
     val adds = scala.collection.mutable.HashSet.empty[String]
     val drops = scala.collection.mutable.HashSet.empty[String]
     entries.foreach { e =>
@@ -159,6 +185,26 @@ final class EventLog(
         val (a, d) = readMarker(fs, e.getPath)
         adds ++= a; drops ++= d
       }
+    }
+    // torn-listing guard: every add a marker reveals must appear in
+    // THIS listing. An add absent from the listing is benign only if
+    // the file is genuinely gone from disk (vacuumed by a newer
+    // generation — possibly one whose own marker was vacuumed in the
+    // same pass, so the drops set alone cannot prove it); a marker's
+    // adds are renamed to their stable names BEFORE the marker
+    // commits, and cdata names embed a fresh generation id (never
+    // reused), so add-on-disk + add-not-in-listing can ONLY mean the
+    // listing raced the commit and missed the file — re-list.
+    if (adds.nonEmpty) {
+      val names = entries.iterator.map(_.getPath.getName).toSet
+      adds.iterator
+        .filterNot(names.contains).filterNot(drops.contains)
+        .foreach { a =>
+          if (fs.exists(new org.apache.hadoop.fs.Path(dir, a)))
+            throw new java.io.FileNotFoundException(
+              s"torn listing of $dir: marker reveals add file '$a' " +
+                "that is on disk but absent from the listing — re-list")
+        }
     }
     entries.toSeq.filter { e =>
       val n = e.getPath.getName

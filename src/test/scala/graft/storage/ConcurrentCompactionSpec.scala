@@ -166,6 +166,58 @@ class ConcurrentCompactionSpec extends AnyFunSuite {
         "fault never fired — the test exercised nothing")
     } finally FlakyMarkerFileSystem.disarm()
   }
+
+  test("DETERMINISTIC torn listing (marker seen, one add unseen) is " +
+      "detected and re-listed — a partial generation is never served") {
+    // The interleaving the r16 storm hit probabilistically (readers
+    // counting 23 of 5-row batches): listStatus is not an atomic
+    // namespace snapshot, so a scan racing a compaction commit can
+    // enumerate the marker entry while having already passed the
+    // position where one of its cdata files landed. Injected here
+    // through the listing seam so it fires on EVERY run.
+    val dir = Files.createTempDirectory("cc-torn").resolve("log")
+    val log = new EventLog(spark, dir.toString, bucketMs = 1000000L,
+      autoCompactFiles = 0)
+    (0 until 5).foreach { i =>
+      log.append(RdfEvent.toDF(spark,
+        (0 until 5).map(j => ev(i * 100L + j + 1L, i * 100 + j)))
+        .coalesce(1))
+    }
+    // commit a generation with TWO cdata files; long grace keeps the
+    // dropped originals on disk, exactly as in the live race window
+    assert(log.compact(maxFilesPerBucket = 2, filesPerBucket = 2,
+      graceMs = HourMs) === 1)
+
+    // arm the seam: the NEXT listing of the bucket observes the marker
+    // and the dropped originals but is missing one cdata add
+    val seamFired = new java.util.concurrent.atomic.AtomicInteger(0)
+    log.listingSeam = (_, raw) => {
+      val cdatas = raw.filter(
+        _.getPath.getName.startsWith(EventLog.CompactDataPrefix))
+      if (cdatas.length >= 2 && seamFired.compareAndSet(0, 1))
+        raw.filterNot(_.getPath.getName ==
+          cdatas.head.getPath.getName)
+      else raw
+    }
+    try {
+      // UNFIXED: the torn listing is served — the marker tombstones
+      // all 5 originals while only half the new generation is visible,
+      // so the count lands partial (a non-multiple of 5). FIXED: the
+      // tear is detected (an add absent from its own listing), the
+      // listing is retried, and the full 25 rows are read.
+      val n = log.query(0, Long.MaxValue / 2).count()
+      assert(seamFired.get() === 1, "seam never exercised — vacuous")
+      assert(n === 25L, s"torn generation served: counted $n of 25")
+
+      // the pointQuery driver-side index binds the same snapshot —
+      // re-arm and prove the guard covers it too
+      log.append(RdfEvent.toDF(spark, Seq(ev(9999L, 999))).coalesce(1))
+      seamFired.set(0)
+      val hits = log.pointQuery(0, Long.MaxValue / 2)
+      assert(seamFired.get() === 1, "seam never re-fired for pointQuery")
+      assert(hits.length === 26, s"torn index: ${hits.length} of 26")
+    } finally log.listingSeam = null
+  }
 }
 
 /** Local filesystem whose first `open` of each `_compact-*` marker
