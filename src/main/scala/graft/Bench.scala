@@ -176,10 +176,13 @@ object Bench {
     }
     // per-entry contention tagging: each query is bracketed by the
     // probe taken just before its group and the one just after — if
-    // BOTH sit inside a spike window, every sample of that entry
-    // overlapped the spike and the recorded timing is phantom
-    // (round 15's driver rerun recorded a 1.0 s entry at 22.4 s that
-    // way). Brackets feed the post-gate re-sample pass below.
+    // EITHER bracket sits inside a spike window, some (possibly all)
+    // samples of that entry may have overlapped the spike and the
+    // recorded timing is suspect (round 15's driver rerun recorded a
+    // 1.0 s entry at 22.4 s that way). EITHER, not BOTH: a spike that
+    // begins mid-group contaminates the group's tail while only the
+    // trailing probe runs hot. Brackets feed the post-gate re-sample
+    // pass below.
     val brackets =
       scala.collection.mutable.LinkedHashMap.empty[String, (Int, Int)]
     val pendingBracket = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -354,7 +357,13 @@ object Bench {
           colds += name -> t1
           var samples = List(t1, t2)
           val best0 = math.min(t1, t2)
-          if (best0 < 2.0 || (math.max(t1, t2) > 2.0 * best0 && best0 > 0.2))
+          // third-sample band raised 2 s → 4 s (round-16 verdict #3):
+          // at 2 samples the median IS the cold run, so a one-off
+          // JIT/GC event on a 2–4 s entry read as a 1.7–1.9×
+          // "regression" (retrieval_ndcg, emb_int8_quant) with no way
+          // to tell from the artifact; one extra ~3 s run per entry in
+          // the band buys a real median-of-3
+          if (best0 < 4.0 || (math.max(t1, t2) > 2.0 * best0 && best0 > 0.2))
             samples = timeSec(materialize(fn(spark, sfDir))) :: samples
           val sorted = samples.sorted
           results += name -> sorted.head
@@ -400,6 +409,11 @@ object Bench {
     // absolute — spec fixtures and deliberate overrides mean exactly
     // what they say.
     val probeSeries = probes.values.toIndexedSeq
+    // label → index over the SAME snapshot as probeSeries (repair-pass
+    // rs_* probes appended later never shift these)
+    val probeIdxByLabel = probes.keys.zipWithIndex.map {
+      case (k, i) => k.drop(4) -> i // strip the "pNN_" ordinal prefix
+    }.toMap
     val probeP75 = {
       val s = probeSeries.sorted; s((s.size * 3) / 4)
     }
@@ -417,8 +431,14 @@ object Bench {
     // upper probe mode) is explicit in the artifact, never silently
     // substituted for the measurement.
     extras.get("write_quads_per_sec").foreach { qps =>
-      extras += "write_quads_per_sec_r14norm" ->
-        qps * math.max(1.0, probeP75 / 0.35)
+      // symmetric (round-16 ADVICE): a host FASTER than the round-14
+      // basis scales the figure DOWN, matching the field's stated
+      // meaning. Guard only against a degenerate p75 from the idle
+      // probe mode (~0.04 s — an all-idle series says nothing about
+      // host speed, so normalizing by it would divide by noise):
+      // below 0.15 s the raw figure is recorded unnormalized.
+      val ratio = if (probeP75 >= 0.15) probeP75 / 0.35 else 1.0
+      extras += "write_quads_per_sec_r14norm" -> qps * ratio
     }
     // ceiling on self-calibration (adaptive gate only): sustained
     // co-tenant load lifts p75 itself, and a gate that rises with the
@@ -456,29 +476,47 @@ object Bench {
       }.toSeq
       if (affected.nonEmpty) {
         val settle = settleMs.orElse(
-          sys.env.get("SPARK_GRAFT_SETTLE_MS").map(_.toLong)).getOrElse(
-          if (explicit.isDefined) 0L else 15000L)
+          sys.env.get("SPARK_GRAFT_SETTLE_MS").map { raw =>
+            try raw.toLong catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  "SPARK_GRAFT_SETTLE_MS must be an integer " +
+                    s"(milliseconds), got '$raw'")
+            }
+          }).getOrElse(if (explicit.isDefined) 0L else 15000L)
         Thread.sleep(settle)
         affected.foreach { name =>
           try {
             val pB = probeOnce()
+            // THREE fresh samples so every artifact field of a
+            // repaired entry keeps its documented meaning: cold =
+            // first post-settle run, min and a true median-of-3
+            // replace the phantom readings (originals preserved in
+            // `resampled`)
             val s1 = timeSec(materialize(queries(name)(spark, sfDir)))
             val s2 = timeSec(materialize(queries(name)(spark, sfDir)))
+            val s3 = timeSec(materialize(queries(name)(spark, sfDir)))
             val pA = probeOnce()
             probes += s"rs_${name}_pre" -> pB
             probes += s"rs_${name}_post" -> pA
             if (pB <= probeGate && pA <= probeGate) {
               resampled += name -> results(name)
-              results(name) = math.min(s1, s2)
-              medians(name) = math.max(s1, s2)
+              val sorted = Seq(s1, s2, s3).sorted
+              results(name) = sorted.head
+              medians(name) = sorted(1)
+              colds(name) = s1
             } else contended += name
           } catch { case _: Throwable => contended += name }
         }
       }
     }
+    // derived from probe LABELS, not literal indices (round-16 ADVICE:
+    // a probeAt added before the query loop would silently mislabel)
     val sectionSpikes = Seq(
-      0 -> "storage", 1 -> "storage", 1 -> "live", 2 -> "live")
-      .collect { case (i, s) if hotIdx(i) => s }.distinct
+      "start" -> "storage", "after_storage" -> "storage",
+      "after_storage" -> "live", "after_live" -> "live")
+      .collect { case (lbl, s)
+        if probeIdxByLabel.get(lbl).exists(hotIdx) => s }.distinct
     if (contended.nonEmpty)
       failed += f"probe_contention:max=${probeSeries.max}%.2fs" +
         f">$probeGate%.2fs(entries=${contended.mkString("|")})"

@@ -110,10 +110,25 @@ final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
           "graft HTTP API is running with degraded storage",
           s"""{"status":"error","background_flush_error":${jstr(err)}}""")
       }
+      // standing-state footprint: every live DeltaFrame spool (the
+      // log-structured state behind streaming folds) with location and
+      // measured size — tmpfs spools are RAM, so an operator needs
+      // this to see what a restart would rebuild and what /dev/shm is
+      // actually holding (round-16 verdict #6)
+      val spools = graft.streaming.SpoolOps.stats
+      val spoolsJson =
+        s"""{"count":${spools.size},""" +
+          s""""total_bytes":${spools.map(_.bytes).sum},""" +
+          s""""tmpfs_bytes":${
+            spools.filter(_.onTmpfs).map(_.bytes).sum},""" +
+          s""""spools":[${spools.map(sp =>
+            s"""{"name":${jstr(sp.name)},"root":${jstr(sp.root)},""" +
+              s""""bytes":${sp.bytes},"on_tmpfs":${sp.onTmpfs},""" +
+              s""""auto_placed":${sp.autoPlaced}}""").mkString(",")}]}"""
       respond(ex, code,
         s"""{"status":${jstr(status)},"message":${jstr(message)},""" +
           s""""storage":$storage,"replay":${replayStatusJson()},""" +
-          s""""queries":$queries}""")
+          s""""queries":$queries,"spools":$spoolsJson}""")
     })
     server.createContext("/api/replay", (ex: HttpExchange) =>
       try routeReplay(ex)

@@ -69,6 +69,8 @@ private[streaming] final class DeltaFrame(spark: SparkSession,
       DeltaFrame.registerLive(r)
       r
   }
+  DeltaFrame.trackSpool(root, name, autoPlaced)
+
   private val gens = scala.collection.mutable.ArrayBuffer.empty[String]
   private var nextGen = 0L
 
@@ -116,6 +118,8 @@ private[streaming] final class DeltaFrame(spark: SparkSession,
     }
     val oldRoot = root
     root = newRoot
+    DeltaFrame.untrackSpool(oldRoot)
+    DeltaFrame.trackSpool(newRoot, name, autoPlaced)
     if (autoPlaced) DeltaFrame.unregisterLive(oldRoot)
     deleteRecursively(oldRoot.toString)
   }
@@ -156,6 +160,7 @@ private[streaming] final class DeltaFrame(spark: SparkSession,
   /** Delete the spool from disk. The frame is unusable afterwards. */
   def delete(): Unit = {
     gens.clear()
+    DeltaFrame.untrackSpool(root)
     if (autoPlaced) DeltaFrame.unregisterLive(root)
     deleteRecursively(root.toString)
   }
@@ -174,7 +179,16 @@ private[streaming] object DeltaFrame {
     * (GRAFT_DELTA_TMPFS_MIN_FREE_MB overrides). */
   val TmpfsMinFreeBytes: Long =
     sys.env.get("GRAFT_DELTA_TMPFS_MIN_FREE_MB")
-      .map(_.toLong << 20).getOrElse(8L << 30)
+      .map { raw =>
+        val mb =
+          try raw.toLong catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                "GRAFT_DELTA_TMPFS_MIN_FREE_MB must be an integer " +
+                  s"(megabytes), got '$raw'")
+          }
+        mb << 20
+      }.getOrElse(8L << 30)
 
   /** Usable-bytes floor below which an already-tmpfs spool migrates to
     * disk on the next append. */
@@ -212,11 +226,55 @@ private[streaming] object DeltaFrame {
   private val lastSweepAt =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Cross-process liveness: name of the heartbeat file each
+    * auto-placed spool carries at its root. The owning JVM refreshes
+    * its mtime every [[HeartbeatIntervalMs]] (daemon thread), so a
+    * spool can be IDLE for days — a standing frame only being queried,
+    * a stream folding daily batches — and still never read as an
+    * orphan by ANOTHER process's sweep. `liveRoots` alone cannot give
+    * this: it is JVM-local, and root mtime only moves on writes. */
+  private[streaming] val HeartbeatFile = "_graft_heartbeat"
+  private[streaming] val HeartbeatIntervalMs: Long = 5L * 60 * 1000
+
+  private def touchHeartbeat(root: java.nio.file.Path): Unit =
+    try {
+      val hb = root.resolve(HeartbeatFile)
+      if (!java.nio.file.Files.exists(hb))
+        java.nio.file.Files.createFile(hb)
+      else
+        java.nio.file.Files.setLastModifiedTime(hb,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis()))
+      ()
+    } catch { case _: Exception => () }
+
+  /** Refresh every live spool's heartbeat now (the daemon thread's
+    * body; directly callable so a spec can verify without waiting). */
+  private[streaming] def refreshHeartbeats(): Unit = {
+    val it = liveRoots.iterator()
+    while (it.hasNext) touchHeartbeat(it.next())
+  }
+
+  private val refresherStarted =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private def registerLive(p: java.nio.file.Path): Unit = {
     liveRoots.add(p)
+    touchHeartbeat(p)
     if (hookInstalled.compareAndSet(false, true))
       Runtime.getRuntime.addShutdownHook(
         new Thread(() => shutdownCleanup(), "graft-delta-cleanup"))
+    if (refresherStarted.compareAndSet(false, true)) {
+      val t = new Thread(() => {
+        while (true) {
+          try Thread.sleep(HeartbeatIntervalMs)
+          catch { case _: InterruptedException => return }
+          refreshHeartbeats()
+        }
+      }, "graft-delta-heartbeat")
+      t.setDaemon(true)
+      t.start()
+    }
   }
 
   private def unregisterLive(p: java.nio.file.Path): Unit = {
@@ -248,8 +306,15 @@ private[streaming] object DeltaFrame {
     parents.filter(_.isDirectory).foreach { parent =>
       val kids = Option(parent.listFiles()).getOrElse(Array.empty)
       kids.foreach { f =>
+        // liveness = newest of root mtime and heartbeat mtime: a spool
+        // owned by ANY healthy JVM (this one or a concurrent process)
+        // keeps a fresh heartbeat, so only spools whose owner stopped
+        // refreshing — killed, or pre-heartbeat leftovers — qualify
+        val hb = new java.io.File(f, HeartbeatFile)
+        val lastAlive = math.max(f.lastModified(),
+          if (hb.exists()) hb.lastModified() else 0L)
         if (f.isDirectory && f.getName.startsWith("graft-delta-") &&
-            now - f.lastModified() > minAgeMs &&
+            now - lastAlive > minAgeMs &&
             !liveRoots.contains(f.toPath))
           try deleteTree(f) catch { case _: Exception => () }
       }
@@ -262,4 +327,47 @@ private[streaming] object DeltaFrame {
     f.delete()
     ()
   }
+
+  // -- ops observability: ALL live spools (auto-placed AND caller-
+  // managed), so a cluster operator can see standing-state footprint --
+  private val allSpools = new java.util.concurrent.ConcurrentHashMap[
+    java.nio.file.Path, (String, Boolean)]()
+
+  private def trackSpool(root: java.nio.file.Path, name: String,
+      autoPlaced: Boolean): Unit = {
+    allSpools.put(root, (name, autoPlaced)); ()
+  }
+
+  private def untrackSpool(root: java.nio.file.Path): Unit = {
+    allSpools.remove(root); ()
+  }
+
+  private def treeBytes(f: java.io.File): Long =
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).map(treeBytes).sum
+    else f.length()
+
+  /** Snapshot of every live spool in this JVM: fold name, root path,
+    * on-disk bytes, tmpfs placement, auto-placed vs caller-managed.
+    * Sizes are measured on call (ops endpoint cadence), not cached. */
+  private[graft] def spoolStats: Seq[SpoolStat] = {
+    import scala.jdk.CollectionConverters._
+    allSpools.asScala.toSeq.sortBy(_._1.toString).map {
+      case (root, (name, auto)) =>
+        SpoolStat(name, root.toString, treeBytes(root.toFile),
+          onTmpfs(root), auto)
+    }
+  }
+}
+
+/** One live [[DeltaFrame]] spool, as reported on the ops surface. */
+private[graft] final case class SpoolStat(name: String, root: String,
+    bytes: Long, onTmpfs: Boolean, autoPlaced: Boolean)
+
+/** Ops facade over this JVM's live [[DeltaFrame]] spools: the
+  * log-structured standing state of streaming folds is real disk (or
+  * tmpfs = RAM) footprint a cluster operator must be able to see —
+  * the HTTP layer reports these without touching DeltaFrame itself. */
+private[graft] object SpoolOps {
+  def stats: Seq[SpoolStat] = DeltaFrame.spoolStats
 }

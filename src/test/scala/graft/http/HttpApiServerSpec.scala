@@ -148,7 +148,32 @@ class HttpApiServerSpec extends AnyFunSuite {
       assert(r.body().contains("\"running_queries\":0"))
       assert(r.body().contains("\"storage\":{\"status\":\"ok\""))
       assert(r.body().contains("\"replay\":{\"is_running\":false"))
+      assert(r.body().contains("\"spools\":{\"count\":"),
+        "ops status must report standing-state spool footprint")
     }
+  }
+
+  test("ops status reports a live DeltaFrame spool's name, size and " +
+      "placement (standing-state footprint, round-16 verdict #6)") {
+    import spark.implicits._
+    val fold = new graft.streaming.StructuredStreams
+      .StreamingLineDedup("doc_id", "text")
+    try {
+      fold.fold(Seq((1L, "one line\nanother line")).toDF("doc_id", "text"))
+      withServer { (c, base) =>
+        val r = get(c, s"$base/ops/status")
+        assert(r.statusCode() === 200)
+        val b = r.body()
+        assert(b.contains("\"spools\":{\"count\":"), b.take(400))
+        // at least one spool present, with measured nonzero size
+        val m = java.util.regex.Pattern
+          .compile("\"total_bytes\":(\\d+)").matcher(b)
+        assert(m.find(), "total_bytes missing")
+        assert(m.group(1).toLong > 0L, "spool bytes must be measured")
+        assert(b.contains("\"on_tmpfs\":"))
+        assert(b.contains("\"auto_placed\":"))
+      }
+    } finally fold.unpersist()
   }
 
   // ---- /api/replay/* (server.rs:281-283,550-705 +

@@ -57,6 +57,51 @@ class DeltaFrameHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("a spool idle past the age cutoff but carrying a fresh " +
+      "heartbeat (live in ANOTHER process) survives the sweep") {
+    val now = System.currentTimeMillis()
+    // simulates a concurrent JVM's spool: root mtime hours old (reads
+    // don't touch it; the stream folds daily), heartbeat fresh because
+    // that JVM's refresher daemon is alive
+    val idle = new java.io.File(tmpParent, "graft-delta-idlelive-spec")
+    val dead = new java.io.File(tmpParent, "graft-delta-deadhb-spec")
+    try {
+      assert(idle.mkdirs() || idle.isDirectory)
+      assert(dead.mkdirs() || dead.isDirectory)
+      val hb = new java.io.File(idle, DeltaFrame.HeartbeatFile)
+      assert(hb.createNewFile() || hb.exists())
+      val deadHb = new java.io.File(dead, DeltaFrame.HeartbeatFile)
+      assert(deadHb.createNewFile() || deadHb.exists())
+      val old = now - DeltaFrame.OrphanAgeMs - 60000L
+      assert(idle.setLastModified(old))
+      assert(dead.setLastModified(old))
+      assert(deadHb.setLastModified(old)) // owner stopped refreshing
+      DeltaFrame.sweepOrphans(parents = Seq(tmpParent), force = true)
+      assert(idle.exists(),
+        "fresh heartbeat must prove cross-process liveness")
+      assert(!dead.exists(),
+        "stale heartbeat + stale root = orphan, must be swept")
+    } finally {
+      new java.io.File(idle, DeltaFrame.HeartbeatFile).delete()
+      idle.delete(); dead.delete(); ()
+    }
+  }
+
+  test("the owning JVM's refresher touches live spools' heartbeats") {
+    import spark.implicits._
+    val d = new DeltaFrame(spark, "hbspec", compactEvery = 3)
+    try {
+      d.append(Seq((1L, "a")).toDF("k", "v"))
+      val hb = new java.io.File(new java.io.File(d.rootDir),
+        DeltaFrame.HeartbeatFile)
+      assert(hb.exists(), "registration must create the heartbeat")
+      val old = System.currentTimeMillis() - 3600000L
+      assert(hb.setLastModified(old))
+      DeltaFrame.refreshHeartbeats() // the daemon thread's body
+      assert(hb.lastModified() > old, "refresh must advance mtime")
+    } finally d.delete()
+  }
+
   test("tmpfs placement is capacity-gated (pure predicate) and a " +
       "spool migrates to disk preserving contents") {
     import spark.implicits._
