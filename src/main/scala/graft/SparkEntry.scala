@@ -43,7 +43,9 @@ private[graft] object SparkEntryOracleFixtures {
     * comma-joined minima — injective for longs, so string equality ≡
     * Spark's band-array equality), the banded candidate self-join,
     * the exact all-pairs truth, and the summary counts. */
-  val dedupEvalSql: String = {
+  /** lazy: appends [[jaccardPairStages]], which is defined below —
+    * a strict val here would read it as null at object init. */
+  lazy val dedupEvalSql: String = {
     val k = 16; val bands = 4; val rows = 4
     val mins = (0 until k).map(i =>
       s"""list_min(list_transform(sh, x -> CAST(CONCAT('0x',
@@ -54,6 +56,7 @@ private[graft] object SparkEntryOracleFixtures {
         .mkString(" || ',' || ")
       s"CONCAT('$j:', $parts)"
     }.mkString(",\n    ")
+    jaccardPairStages +
     s"""WITH t AS (
        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+')
        |    AS toks
@@ -71,17 +74,9 @@ private[graft] object SparkEntryOracleFixtures {
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bk a JOIN bk b ON a.bucket = b.bucket
        |    AND a.doc_id < b.doc_id),
-       |e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s),
-       |p AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    CAST(COUNT(*) AS DOUBLE) AS inter,
-       |    CAST(MIN(a.n) + MIN(b.n) AS DOUBLE)
-       |      - CAST(COUNT(*) AS DOUBLE) AS uni
-       |  FROM e a JOIN e b ON a.shingle = b.shingle
-       |    AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
        |truth AS (
-       |  SELECT id_a, id_b FROM p WHERE uni > 0 AND inter / uni >= 0.8),
+       |  SELECT id_a, id_b FROM __mh_pairs
+       |  WHERE uni > 0 AND inter / uni >= 0.8),
        |j AS (
        |  SELECT coalesce(c.c, 0) AS c, coalesce(tr.t, 0) AS t FROM
        |    (SELECT id_a, id_b, 1 AS c FROM cand) c
@@ -98,6 +93,68 @@ private[graft] object SparkEntryOracleFixtures {
        |    AS recall_ppm
        |FROM j""".stripMargin
   }
+
+  /** Shared TEMP-TABLE stage chain for the exact symmetric near-dup
+    * oracles (`dedup_minhash`, `dedup_jaccard`, `dedup_corpus`):
+    * distinct per-doc shingles, 64-bit hashed twins with a global
+    * injectivity guard, the hash-ascending Jaccard PREFIX (recall is
+    * exact by the AllPairs pigeonhole rule: J(A,B) ≥ t forces the
+    * first |S|−⌈t·|S|⌉+1 elements of A and B to intersect in ANY fixed
+    * global order), prefix×prefix candidates, and a hashed-sorted-list
+    * intersect verify. Bounds the oracle's work to CANDIDATE volume
+    * instead of the Σdf² all-pairs shingle join — the difference
+    * between a ~6 h and a ~2 min DuckDB replay at sf10, which is what
+    * makes the flagship LSH dedup family hash-checkable at 100×
+    * (round-16 verdict "missing" #1). Equality with the LSH entry
+    * holds because the Spark side verifies candidates with EXACT
+    * Jaccard and the 32×4 banding's miss probability at J ≥ 0.8 is
+    * < 5e-8 — the same argument the sf0.1/sf1 all-pairs oracle
+    * already certified. */
+  val jaccardPairStages: String =
+    """SET preserve_insertion_order = false;
+      |CREATE OR REPLACE TEMP TABLE __mh_e AS
+      |  WITH t AS (
+      |    SELECT doc_id AS id,
+      |      string_split_regex(lower(trim(text)), '\s+') AS toks
+      |    FROM documents)
+      |  SELECT DISTINCT id, unnest(list_transform(range(1, len(toks)-1),
+      |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS shingle
+      |  FROM t WHERE len(toks) >= 3;
+      |CREATE OR REPLACE TEMP TABLE __mh_eh AS
+      |  SELECT id, (hash(shingle) % 9223372036854775807)::BIGINT AS h
+      |  FROM __mh_e;
+      |CREATE OR REPLACE TEMP TABLE __mh_inj AS
+      |  SELECT (COUNT(DISTINCT shingle) = COUNT(DISTINCT
+      |    (hash(shingle) % 9223372036854775807)::BIGINT)) AS ok
+      |  FROM __mh_e;
+      |CREATE OR REPLACE TEMP TABLE __mh_sh2 AS
+      |  SELECT id, list_sort(list(h)) AS shh, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM __mh_eh GROUP BY id;
+      |CREATE OR REPLACE TEMP TABLE __mh_pe AS
+      |  SELECT id, unnest(shh[1 :
+      |    (n - ((n * 800000 + 999999) // 1000000) + 1)::INT]) AS h
+      |  FROM __mh_sh2;
+      |CREATE OR REPLACE TEMP TABLE __mh_cand AS
+      |  SELECT a.id AS id_a, b.id AS id_b
+      |  FROM __mh_pe a JOIN __mh_pe b ON a.h = b.h AND a.id < b.id
+      |  GROUP BY 1, 2;
+      |CREATE OR REPLACE TEMP TABLE __mh_pairs AS
+      |  SELECT c.id_a, c.id_b,
+      |    CAST(len(list_intersect(sa.shh, sb.shh)) AS DOUBLE) AS inter,
+      |    CAST(sa.n + sb.n AS DOUBLE)
+      |      - CAST(len(list_intersect(sa.shh, sb.shh)) AS DOUBLE) AS uni
+      |  FROM __mh_cand c
+      |  JOIN __mh_sh2 sa ON sa.id = c.id_a
+      |  JOIN __mh_sh2 sb ON sb.id = c.id_b
+      |  CROSS JOIN __mh_inj
+      |  WHERE __mh_inj.ok;
+      |""".stripMargin
+
+  /** Final select over [[jaccardPairStages]]: the verified near-dup
+    * pairs (shared by `dedup_minhash` and `dedup_jaccard`). */
+  val jaccardPairsSql: String = jaccardPairStages +
+    """SELECT id_a, id_b, ROUND(inter / uni, 6) AS jaccard
+      |FROM __mh_pairs WHERE uni > 0 AND inter / uni >= 0.8""".stripMargin
 
   /** DuckDB restatement of [[SparkEntryFixtures.linedText]] +
     * first-occurrence line dedup; used verbatim by both `dedup_lines`
@@ -5260,66 +5317,16 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, COUNT(*) AS n, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1""".stripMargin,
-    "dedup_jaccard" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
-        |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
-        |  FROM t WHERE len(toks) >= 3),
-        |e AS (
-        |  SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(COUNT(*) AS DOUBLE) AS inter,
-        |    CAST(MIN(a.n) + MIN(b.n) AS DOUBLE)
-        |      - CAST(COUNT(*) AS DOUBLE) AS uni
-        |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id)
-        |SELECT id_a, id_b, ROUND(inter / uni, 6) AS jaccard
-        |FROM p WHERE uni > 0 AND inter / uni >= 0.8""".stripMargin,
+    "dedup_jaccard" -> SparkEntryOracleFixtures.jaccardPairsSql,
     "dedup_eval" -> SparkEntryOracleFixtures.dedupEvalSql,
-    "dedup_minhash" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
-        |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
-        |  FROM t WHERE len(toks) >= 3),
-        |e AS (
-        |  SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(COUNT(*) AS DOUBLE) AS inter,
-        |    CAST(MIN(a.n) + MIN(b.n) AS DOUBLE)
-        |      - CAST(COUNT(*) AS DOUBLE) AS uni
-        |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id)
-        |SELECT id_a, id_b, ROUND(inter / uni, 6) AS jaccard
-        |FROM p WHERE uni > 0 AND inter / uni >= 0.8""".stripMargin,
+    "dedup_minhash" -> SparkEntryOracleFixtures.jaccardPairsSql,
     "dedup_corpus" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
-        |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
-        |  FROM t WHERE len(toks) >= 3),
-        |e AS (
-        |  SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM s),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(COUNT(*) AS DOUBLE) AS inter,
-        |    CAST(MIN(a.n) + MIN(b.n) AS DOUBLE)
-        |      - CAST(COUNT(*) AS DOUBLE) AS uni
-        |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
-        |drops AS (
-        |  SELECT DISTINCT id_b FROM p WHERE uni > 0 AND inter / uni >= 0.8)
-        |SELECT doc_id FROM documents
-        |WHERE doc_id NOT IN (SELECT id_b FROM drops)""".stripMargin,
+      (SparkEntryOracleFixtures.jaccardPairStages +
+        """WITH drops AS (
+          |  SELECT DISTINCT id_b FROM __mh_pairs
+          |  WHERE uni > 0 AND inter / uni >= 0.8)
+          |SELECT doc_id FROM documents
+          |WHERE doc_id NOT IN (SELECT id_b FROM drops)""".stripMargin),
     "dedup_incremental" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks

@@ -348,6 +348,16 @@ object StructuredStreams {
     /** Live postings generation count (spec observability). */
     def generationCount: Int = postDl.map(_.generationCount).getOrElse(0)
 
+    /** Per-fold work attribution (`graft.debug.foldstats` system
+      * property turns the counters on — they cost extra actions):
+      * every term of a fold's cost is ∝ one of these, NEVER the
+      * standing corpus, which is the 100 TB feasibility claim the
+      * ScaleProbe SCALE12 series verifies against measured walls. */
+    final case class Bm25FoldStats(batchDocs: Long, batchPostings: Long,
+        standingGens: Int)
+    @volatile private var foldStats: Option[Bm25FoldStats] = None
+    def lastFoldStats: Option[Bm25FoldStats] = foldStats
+
     def fold(batch: DataFrame): Unit = synchronized {
       val R = graft.pipeline.Retrieval
       val b = R.buildBm25Acc(batch, col(idCol), col(textCol))
@@ -355,6 +365,10 @@ object StructuredStreams {
         postDl = Some(new DeltaFrame(batch.sparkSession, "bm25-post",
           compactEvery, spoolDir.map(d => s"$d/postings")))
       postDl.get.append(b.postings)
+      if (sys.props.contains("graft.debug.foldstats"))
+        foldStats = Some(Bm25FoldStats(
+          b.counts.select(col("n_docs")).head().getLong(0),
+          b.postings.count(), postDl.get.generationCount))
       val foldedCounts = countsSt match {
         case None     => b.counts
         case Some(c0) => c0.unionByName(b.counts)
@@ -1124,6 +1138,17 @@ object StructuredStreams {
     def generationCounts: Seq[Int] =
       Seq(idxDl, outDl).flatten.map(_.generationCount)
 
+    /** Per-fold work attribution (`graft.debug.foldstats` turns the
+      * counters on): batch docs, distinct batch lines (the appended
+      * index partial AND the semi-filter vocabulary), and the standing
+      * owner rows the semi-join actually surfaced — every fold cost
+      * term is ∝ one of these, never the standing index size
+      * (ScaleProbe SCALE13 verifies walls against them at sf10). */
+    final case class LineFoldStats(batchDocs: Long, batchLines: Long,
+        matchedOwners: Long, standingGens: Int)
+    @volatile private var foldStats: Option[LineFoldStats] = None
+    def lastFoldStats: Option[LineFoldStats] = foldStats
+
     def fold(batch: DataFrame): Unit = synchronized {
       val D = graft.pipeline.Dedup
       if (idxDl.isEmpty) {
@@ -1149,6 +1174,9 @@ object StructuredStreams {
         val out = D.dedupLinesWithIndex(batch, col(idCol), col(textCol),
           D.LineIndex(ownersNow), sep)
         outDl.get.append(out)
+        if (sys.props.contains("graft.debug.foldstats"))
+          foldStats = Some(LineFoldStats(batch.count(), bOwners.count(),
+            ownersNow.count(), idxDl.get.generationCount))
       } finally releaseCheckpoint(bOwners)
     }
 

@@ -484,6 +484,101 @@ object ScaleProbe {
         // walls must stay flat on equal-size batches
         streamingContainmentSeries("SCALE11",
           xxhash64(col("doc_id")).asc, Seq(1, 2, 3))
+
+      // SCALE12/13: fold-wall attribution for the OTHER two corpus-
+      // sized DeltaFrame folds (round-16 verdict "missing" #3) — same
+      // methodology as SCALE10/11: equal random-split batches, each
+      // fold's wall printed NEXT TO its recorded work terms, then an
+      // exact equivalence check against the one-shot build. Flat walls
+      // on equal batches + work terms ∝ batch rule out a hidden
+      // standing-size term in the fold cost.
+      def randomThirds = docs.withColumn("__third",
+        ntile(3).over(org.apache.spark.sql.expressions.Window
+          .orderBy(xxhash64(col("doc_id")).asc, col("doc_id"))))
+
+      if (waveOn(12)) {
+        // BM25: counts add associatively and a doc's postings live in
+        // exactly one batch, so ANY split folds to the one-shot index.
+        // Equality = postings-table checksum (order-free xor/sum over
+        // row hashes) + the exact integer counts row.
+        System.setProperty("graft.debug.foldstats", "1")
+        try {
+          val R = graft.pipeline.Retrieval
+          def checksum(postings: org.apache.spark.sql.DataFrame): Long =
+            postings.select(xxhash64(col("token"), col("id"), col("tf"),
+              col("dl")).as("h"))
+              .agg(sum(col("h"))).head().getLong(0)
+          val sb = new graft.streaming.StructuredStreams
+            .StreamingBm25("doc_id", "text")
+          Seq(1, 2, 3).foreach { third =>
+            val b = randomThirds.where(col("__third") === third)
+              .select(col("doc_id"), col("text"))
+            val t = timeSec(sb.fold(b))
+            val st = sb.lastFoldStats.map(s =>
+              s"batch=${s.batchDocs} postings=${s.batchPostings} " +
+                s"gens=${s.standingGens}").getOrElse("(no stats)")
+            println(f"  [SCALE12] fold third=$third wall=$t%.1fs $st")
+          }
+          val acc = sb.current.get
+          val oneShot = R.buildBm25Acc(docs, col("doc_id"), col("text"))
+          val cs = checksum(acc.postings)
+          val co = checksum(oneShot.postings)
+          val cntS = acc.counts.head()
+          val cntO = oneShot.counts.head()
+          require(cs == co && cntS == cntO,
+            s"streaming BM25 diverged from one-shot at $dir: " +
+              s"postings checksum $cs vs $co, counts $cntS vs $cntO")
+          println(f"SCALE12 $dir streaming_bm25 postings_checksum=$cs" +
+            s" == one-shot, counts=$cntS docs=$nDocs")
+          sb.unpersist()
+        } finally System.clearProperty("graft.debug.foldstats")
+      }
+
+      if (waveOn(13)) {
+        // Line dedup: ownership is min occ_key (= smallest doc id), so
+        // doc-id-ASCENDING thirds make the standing index at each fold
+        // already contain every line's global owner for the batch being
+        // rewritten → streamed rewrites ≡ one-shot EXACTLY. (A random
+        // arrival order has first-SEEN ownership semantics — correct
+        // for a stream, but not comparable to the one-shot pass; the
+        // ascending split keeps the equality check exact while the
+        // batches stay equal-sized and content-random.)
+        System.setProperty("graft.debug.foldstats", "1")
+        try {
+          val D = graft.pipeline.Dedup
+          // same multi-line reshaping as the dedup_lines entry (4-token
+          // lines + planted cross-doc banner/footer lines) — raw docs
+          // are single-line, which would degenerate the index
+          val lined = docs.select(col("doc_id"),
+            graft.SparkEntryFixtures.linedText.as("text"))
+          val byId = lined.withColumn("__third",
+            ntile(3).over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("doc_id"))))
+          val sl = new graft.streaming.StructuredStreams
+            .StreamingLineDedup("doc_id", "text")
+          Seq(1, 2, 3).foreach { third =>
+            val b = byId.where(col("__third") === third)
+              .select(col("doc_id"), col("text"))
+            val t = timeSec(sl.fold(b))
+            val st = sl.lastFoldStats.map(s =>
+              s"batch=${s.batchDocs} lines=${s.batchLines} " +
+                s"matched=${s.matchedOwners} gens=${s.standingGens}")
+              .getOrElse("(no stats)")
+            println(f"  [SCALE13] fold third=$third wall=$t%.1fs $st")
+          }
+          val streamed = sl.current.get
+          val oneShot = D.dedupLines(lined, col("doc_id"), col("text"))
+          val diff = streamed.unionByName(oneShot)
+            .groupBy("doc_id", "n_lines", "n_kept", "clean_text")
+            .count().where(col("count") =!= 2).count()
+          require(diff == 0,
+            s"streaming line dedup diverged from one-shot at $dir: " +
+              s"$diff differing rows")
+          println(f"SCALE13 $dir streaming_linededup rows=" +
+            f"${streamed.count()} == one-shot (exact) docs=$nDocs")
+          sl.unpersist()
+        } finally System.clearProperty("graft.debug.foldstats")
+      }
     }
     spark.stop()
   }
