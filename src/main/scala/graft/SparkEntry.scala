@@ -43,7 +43,7 @@ private[graft] object SparkEntryOracleFixtures {
     * comma-joined minima — injective for longs, so string equality ≡
     * Spark's band-array equality), the banded candidate self-join,
     * the exact all-pairs truth, and the summary counts. */
-  /** lazy: appends [[jaccardPairStages]], which is defined below —
+  /** lazy: appends [[bandPairStages]], which is defined below —
     * a strict val here would read it as null at object init. */
   lazy val dedupEvalSql: String = {
     val k = 16; val bands = 4; val rows = 4
@@ -56,7 +56,7 @@ private[graft] object SparkEntryOracleFixtures {
         .mkString(" || ',' || ")
       s"CONCAT('$j:', $parts)"
     }.mkString(",\n    ")
-    jaccardPairStages +
+    bandPairStages +
     s"""WITH t AS (
        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+')
        |    AS toks
@@ -94,23 +94,11 @@ private[graft] object SparkEntryOracleFixtures {
        |FROM j""".stripMargin
   }
 
-  /** Shared TEMP-TABLE stage chain for the exact symmetric near-dup
-    * oracles (`dedup_minhash`, `dedup_jaccard`, `dedup_corpus`):
+  /** Shared TEMP-TABLE base for the symmetric near-dup oracles:
     * distinct per-doc shingles, 64-bit hashed twins with a global
-    * injectivity guard, the hash-ascending Jaccard PREFIX (recall is
-    * exact by the AllPairs pigeonhole rule: J(A,B) ≥ t forces the
-    * first |S|−⌈t·|S|⌉+1 elements of A and B to intersect in ANY fixed
-    * global order), prefix×prefix candidates, and a hashed-sorted-list
-    * intersect verify. Bounds the oracle's work to CANDIDATE volume
-    * instead of the Σdf² all-pairs shingle join — the difference
-    * between a ~6 h and a ~2 min DuckDB replay at sf10, which is what
-    * makes the flagship LSH dedup family hash-checkable at 100×
-    * (round-16 verdict "missing" #1). Equality with the LSH entry
-    * holds because the Spark side verifies candidates with EXACT
-    * Jaccard and the 32×4 banding's miss probability at J ≥ 0.8 is
-    * < 5e-8 — the same argument the sf0.1/sf1 all-pairs oracle
-    * already certified. */
-  val jaccardPairStages: String =
+    * injectivity guard, and per-doc sorted hash sets for the exact
+    * intersect verify. */
+  val nearDupBaseStages: String =
     """SET preserve_insertion_order = false;
       |CREATE OR REPLACE TEMP TABLE __mh_e AS
       |  WITH t AS (
@@ -130,15 +118,13 @@ private[graft] object SparkEntryOracleFixtures {
       |CREATE OR REPLACE TEMP TABLE __mh_sh2 AS
       |  SELECT id, list_sort(list(h)) AS shh, CAST(COUNT(*) AS BIGINT) AS n
       |  FROM __mh_eh GROUP BY id;
-      |CREATE OR REPLACE TEMP TABLE __mh_pe AS
-      |  SELECT id, unnest(shh[1 :
-      |    (n - ((n * 800000 + 999999) // 1000000) + 1)::INT]) AS h
-      |  FROM __mh_sh2;
-      |CREATE OR REPLACE TEMP TABLE __mh_cand AS
-      |  SELECT a.id AS id_a, b.id AS id_b
-      |  FROM __mh_pe a JOIN __mh_pe b ON a.h = b.h AND a.id < b.id
-      |  GROUP BY 1, 2;
-      |CREATE OR REPLACE TEMP TABLE __mh_pairs AS
+      |""".stripMargin
+
+  /** Exact intersect verify over a candidate table `__mh_cand`
+    * (id_a, id_b): appended after whichever candidate generator a
+    * given oracle uses. */
+  private val pairsVerifyStage: String =
+    """CREATE OR REPLACE TEMP TABLE __mh_pairs AS
       |  SELECT c.id_a, c.id_b,
       |    CAST(len(list_intersect(sa.shh, sb.shh)) AS DOUBLE) AS inter,
       |    CAST(sa.n + sb.n AS DOUBLE)
@@ -150,9 +136,77 @@ private[graft] object SparkEntryOracleFixtures {
       |  WHERE __mh_inj.ok;
       |""".stripMargin
 
-  /** Final select over [[jaccardPairStages]]: the verified near-dup
-    * pairs (shared by `dedup_minhash` and `dedup_jaccard`). */
-  val jaccardPairsSql: String = jaccardPairStages +
+  /** BANDED candidate chain for the LSH-entry oracles (`dedup_minhash`,
+    * `dedup_corpus`, `dedup_eval`'s truth): the engine-portable md5
+    * MinHash (128 hashes, the repo's cross-engine `shingle || ':i'`
+    * convention) banded 32×4 — the SAME band strength as the Spark
+    * entry, so both sides' J ≥ 0.8 miss probability is < 5e-8/pair —
+    * candidates from the band-bucket self-join, then the exact
+    * hashed-set verify. Candidate volume is governed by band-collision
+    * probability — essential on this corpus, where EVERY shingle is
+    * globally frequent (sf10 measured: the rarest shingle of an
+    * average doc has df ≈ 591, so even the recall-exact df-ascending
+    * AllPairs prefix yields 1.10 BILLION candidate pairs and a >60 GB
+    * spill; banding yields output-scale candidates in seconds).
+    * Band strength matters at 100×: a 16×4 first cut missed 109 of
+    * 27,113,782 pairs in the sf10 J≈0.8 tail (miss ~2e-4 there);
+    * 32×4 hash-matches the Spark output EXACTLY (deterministic
+    * hashes: equality either holds for this corpus or fails loudly —
+    * verified green at sf0.01 AND sf10, 220 s). */
+  val bandPairStages: String = {
+    val k = 128; val bands = 32; val rows = 4
+    val mins = (0 until k).map(i =>
+      s"""MIN(CAST(CONCAT('0x', substr(md5(shingle || ':$i'), 1, 15))
+         |      AS BIGINT)) AS m$i""".stripMargin).mkString(",\n    ")
+    val bandExprs = (0 until bands).map { j =>
+      val parts = (0 until rows).map(r => s"m${j * rows + r}")
+        .mkString(" || ',' || ")
+      s"CONCAT('$j:', $parts)"
+    }.mkString(",\n    ")
+    nearDupBaseStages +
+      s"""CREATE OR REPLACE TEMP TABLE __mh_sig AS
+         |  SELECT id,
+         |    $mins
+         |  FROM __mh_e GROUP BY id;
+         |CREATE OR REPLACE TEMP TABLE __mh_bk AS
+         |  SELECT id, unnest([
+         |    $bandExprs]) AS bucket FROM __mh_sig;
+         |CREATE OR REPLACE TEMP TABLE __mh_cand AS
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM __mh_bk a JOIN __mh_bk b
+         |    ON a.bucket = b.bucket AND a.id < b.id
+         |  GROUP BY 1, 2;
+         |""".stripMargin + pairsVerifyStage
+  }
+
+  /** PREFIX-FILTERED candidate chain for the exact-join oracle
+    * (`dedup_jaccard`, whose Spark side is itself the AllPairs prefix
+    * join): recall-exact by the pigeonhole rule in the df-ascending
+    * (rarest-first) global order. NOTE the volume caveat measured at
+    * sf10: on a corpus where every shingle is frequent the prefix rule
+    * cannot bound candidates (1.10 G pairs) — this oracle is certified
+    * through sf1; the LSH entries above carry the 100× point. */
+  val prefixPairStages: String =
+    nearDupBaseStages +
+      """CREATE OR REPLACE TEMP TABLE __mh_dfreq AS
+        |  SELECT h, COUNT(*) AS df FROM __mh_eh GROUP BY 1;
+        |CREATE OR REPLACE TEMP TABLE __mh_pe AS
+        |  SELECT id, h FROM (
+        |    SELECT eh.id, eh.h,
+        |      row_number() OVER (PARTITION BY eh.id
+        |        ORDER BY d.df ASC, eh.h ASC) AS rk,
+        |      s.n
+        |    FROM __mh_eh eh JOIN __mh_dfreq d USING (h)
+        |    JOIN __mh_sh2 s USING (id))
+        |  WHERE rk <= n - ((n * 800000 + 999999) // 1000000) + 1;
+        |CREATE OR REPLACE TEMP TABLE __mh_cand AS
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM __mh_pe a JOIN __mh_pe b ON a.h = b.h AND a.id < b.id
+        |  GROUP BY 1, 2;
+        |""".stripMargin + pairsVerifyStage
+
+  /** Verified near-dup pairs select (appended to either chain). */
+  val nearDupPairsSelect: String =
     """SELECT id_a, id_b, ROUND(inter / uni, 6) AS jaccard
       |FROM __mh_pairs WHERE uni > 0 AND inter / uni >= 0.8""".stripMargin
 
@@ -5317,11 +5371,15 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, COUNT(*) AS n, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1""".stripMargin,
-    "dedup_jaccard" -> SparkEntryOracleFixtures.jaccardPairsSql,
+    "dedup_jaccard" ->
+      (SparkEntryOracleFixtures.prefixPairStages +
+        SparkEntryOracleFixtures.nearDupPairsSelect),
     "dedup_eval" -> SparkEntryOracleFixtures.dedupEvalSql,
-    "dedup_minhash" -> SparkEntryOracleFixtures.jaccardPairsSql,
+    "dedup_minhash" ->
+      (SparkEntryOracleFixtures.bandPairStages +
+        SparkEntryOracleFixtures.nearDupPairsSelect),
     "dedup_corpus" ->
-      (SparkEntryOracleFixtures.jaccardPairStages +
+      (SparkEntryOracleFixtures.bandPairStages +
         """WITH drops AS (
           |  SELECT DISTINCT id_b FROM __mh_pairs
           |  WHERE uni > 0 AND inter / uni >= 0.8)

@@ -505,9 +505,11 @@ object ScaleProbe {
         try {
           val R = graft.pipeline.Retrieval
           def checksum(postings: org.apache.spark.sql.DataFrame): Long =
+            // bit_xor fold: order-free AND overflow-free (an ANSI-mode
+            // sum of 64-bit hashes overflows long)
             postings.select(xxhash64(col("token"), col("id"), col("tf"),
               col("dl")).as("h"))
-              .agg(sum(col("h"))).head().getLong(0)
+              .agg(expr("bit_xor(h)")).head().getLong(0)
           val sb = new graft.streaming.StructuredStreams
             .StreamingBm25("doc_id", "text")
           Seq(1, 2, 3).foreach { third =>
