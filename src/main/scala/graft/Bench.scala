@@ -433,11 +433,16 @@ object Bench {
     extras.get("write_quads_per_sec").foreach { qps =>
       // symmetric (round-16 ADVICE): a host FASTER than the round-14
       // basis scales the figure DOWN, matching the field's stated
-      // meaning. Guard only against a degenerate p75 from the idle
-      // probe mode (~0.04 s — an all-idle series says nothing about
-      // host speed, so normalizing by it would divide by noise):
-      // below 0.15 s the raw figure is recorded unnormalized.
-      val ratio = if (probeP75 >= 0.15) probeP75 / 0.35 else 1.0
+      // meaning. The ratio is only meaningful when p75 sits in the
+      // post-query UPPER probe mode (0.30-0.45 across certified
+      // rounds) — on a fast or lightly-probed host p75 can land
+      // between the bimodal modes (measured 0.22 locally), where the
+      // CPU probe no longer estimates host class and "normalizing" by
+      // it would misstate an IO-bound write figure by 2x. Below the
+      // historical upper-mode floor the raw figure is recorded
+      // unnormalized; probe_p75 is always in the artifact for manual
+      // adjudication.
+      val ratio = if (probeP75 >= 0.25) probeP75 / 0.35 else 1.0
       extras += "write_quads_per_sec_r14norm" -> qps * ratio
     }
     // ceiling on self-calibration (adaptive gate only): sustained
