@@ -412,7 +412,11 @@ object Bench {
     // label → index over the SAME snapshot as probeSeries (repair-pass
     // rs_* probes appended later never shift these)
     val probeIdxByLabel = probes.keys.zipWithIndex.map {
-      case (k, i) => k.drop(4) -> i // strip the "pNN_" ordinal prefix
+      // strip the "pNN_" ordinal prefix digit-count-independently
+      // (round-17 ADVICE: drop(4) mis-stripped once the index widened
+      // to 3 digits at probe 100 — the same silent-mislabel class the
+      // label mapping was built to eliminate)
+      case (k, i) => k.replaceFirst("^p\\d+_", "") -> i
     }.toMap
     val probeP75 = {
       val s = probeSeries.sorted; s((s.size * 3) / 4)
@@ -442,7 +446,16 @@ object Bench {
       // historical upper-mode floor the raw figure is recorded
       // unnormalized; probe_p75 is always in the artifact for manual
       // adjudication.
-      val ratio = if (probeP75 >= 0.25) probeP75 / 0.35 else 1.0
+      // cutoff = 0.30, the documented upper-mode floor itself
+      // (round-17 ADVICE: 0.25 sat in the inter-mode band the comment
+      // above says does NOT estimate host class, so a p75 in
+      // [0.25, 0.30) would still have down-scaled an IO-bound figure
+      // by up to ~29%). The applied/not-applied decision is recorded
+      // explicitly so adjudication never re-derives it from probe_p75
+      // against a constant.
+      val normalized = probeP75 >= 0.30
+      val ratio = if (normalized) probeP75 / 0.35 else 1.0
+      extras += "write_norm_applied" -> (if (normalized) 1.0 else 0.0)
       extras += "write_quads_per_sec_r14norm" -> qps * ratio
     }
     // ceiling on self-calibration (adaptive gate only): sustained
@@ -472,6 +485,8 @@ object Bench {
     // localized spike cannot set — spikes there are annotated
     // (`contended_sections`), not repaired and not failed.
     val resampled =
+      scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val coldsResampled =
       scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val contended = scala.collection.mutable.ArrayBuffer.empty[String]
     if (hotIdx.nonEmpty) {
@@ -509,7 +524,13 @@ object Bench {
               val sorted = Seq(s1, s2, s3).sorted
               results(name) = sorted.head
               medians(name) = sorted(1)
-              colds(name) = s1
+              // the repaired first run is NOT a cold run (plan + JIT
+              // already warm), so it must not overwrite queries_cold's
+              // documented 'one-time Catalyst/JIT cost' meaning
+              // (round-17 ADVICE). The original cold stays in place;
+              // the post-settle first sample is recorded under its own
+              // key so consumers never compare mixed semantics.
+              coldsResampled += name -> s1
             } else contended += name
           } catch { case _: Throwable => contended += name }
         }
@@ -541,7 +562,7 @@ object Bench {
       contended.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sectionsJson =
       sectionSpikes.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","ok":$ok,"queries":${jm(results)},"queries_median":${jm(medians)},"queries_cold":${jm(colds)},"probes":${jm(probes)},"resampled":${jm(resampled)},"contended":$contendedJson,"contended_sections":$sectionsJson,"sf":"$sfDir","extras":${jm(extras)},"failed":$failedJson}"""
+    val json = s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","ok":$ok,"queries":${jm(results)},"queries_median":${jm(medians)},"queries_cold":${jm(colds)},"queries_cold_resampled":${jm(coldsResampled)},"probes":${jm(probes)},"resampled":${jm(resampled)},"contended":$contendedJson,"contended_sections":$sectionsJson,"sf":"$sfDir","extras":${jm(extras)},"failed":$failedJson}"""
     // Compact tail-window summary: headline metrics + the slowest
     // queries only. Stays well under the driver's 2000-char stdout
     // capture even with hundreds of registered queries; the full

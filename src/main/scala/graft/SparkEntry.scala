@@ -152,7 +152,21 @@ private[graft] object SparkEntryOracleFixtures {
     * 27,113,782 pairs in the sf10 J≈0.8 tail (miss ~2e-4 there);
     * 32×4 hash-matches the Spark output EXACTLY (deterministic
     * hashes: equality either holds for this corpus or fails loudly —
-    * verified green at sf0.01 AND sf10, 220 s). */
+    * verified green at sf0.01 AND sf10, 220 s).
+    *
+    * DEPENDENCY (round-17 ADVICE): because this oracle reuses the
+    * identical MinHash convention and 32×4 banding as the Spark side,
+    * a banding RECALL miss is deterministic and identical on both
+    * sides — `dedup_minhash`/`dedup_corpus` alone can no longer detect
+    * one (the withdrawn all-pairs oracle could). Banding recall is
+    * pinned by `dedup_eval`, whose truth side is the EXACT all-pairs
+    * join compared against the banded candidates — so `dedup_eval`
+    * must stay gated at every scale factor where these entries
+    * certify. It is: green at sf0.001/0.01/0.1 (every round) and at
+    * sf1 (`CORRECTNESS_sf1.json`); at sf10 the exact-truth side is
+    * measured infeasible (1.10 G candidates), so the sf10 tier's
+    * recall guarantee is the 32×4 analytic bound plus the sf1 exact
+    * cross-check, stated here rather than implied. */
   val bandPairStages: String = {
     val k = 128; val bands = 32; val rows = 4
     val mins = (0 until k).map(i =>
