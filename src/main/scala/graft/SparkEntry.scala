@@ -2324,14 +2324,21 @@ object SparkEntry {
     // ln · (1/ln 2) — ln is the gate's proven-portable transcendental
     "retrieval_ndcg" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val queries = docs.where(col("doc_id") % 25 === 0)
+      // query-set modulus scales with the corpus (= 25 through
+      // sf0.1, so gate outputs are unchanged): a fixed %25 grows the
+      // query count with the corpus while posting lists also grow —
+      // quadratic-in-sf score join (29.1 G rows at sf10). One
+      // driver-side count() picks the modulus; the oracle derives the
+      // identical value from COUNT(*)
+      val m = 25L * math.max(1L, docs.count() / 5000L)
+      val queries = docs.where(col("doc_id") % m === 0)
         .select(col("doc_id").as("query_id"),
           explode(array_distinct(slice(
             graft.pipeline.TextAnalysis.tokens(col("text")), 1, 4)))
             .as("token"))
       val scores = graft.pipeline.Retrieval.bm25ScoresForQueries(
         docs, col("doc_id"), col("text"), queries)
-      val qids = docs.where(col("doc_id") % 25 === 0)
+      val qids = docs.where(col("doc_id") % m === 0)
         .select(col("doc_id").as("query_id"))
       val relevance = qids
         .select(col("query_id"), col("query_id").as("rel_id"),
@@ -5545,18 +5552,28 @@ object SparkEntry {
         |  WHERE id = query_id AND rank <= 10) r USING (query_id)"""
         .stripMargin,
     // NDCG@10 with graded relevance (source doc grade 3, successor
-    // grade 1); log2 = ln · 1/ln2, the portable formulation
+    // grade 1); log2 = ln · 1/ln2, the portable formulation. The
+    // query-set modulus scales with the corpus (25 · max(1,
+    // n_docs/5000) — exactly 25 through sf0.1, so gate outputs are
+    // unchanged): a FIXED %25 makes the query count grow with the
+    // corpus while per-query posting lists also grow, so the score
+    // join is quadratic-in-sf (measured 29.1 G rows at sf10); the
+    // scaled modulus pins the query count at gate size (200 at sf≥1)
+    // and the join at ∝ corpus — the same scale-with-corpus rule the
+    // ANN nCells parameter uses
     "retrieval_ndcg" ->
       """WITH d AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+')
         |    AS toks
+        |  FROM documents),
+        |qm AS (SELECT 25 * greatest(1, COUNT(*) // 5000) AS m
         |  FROM documents),
         |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
         |  AVG(CAST(len(toks) AS DOUBLE)) AS avgdl FROM d),
         |q AS (
         |  SELECT doc_id AS query_id,
         |    unnest(list_distinct(toks[1:4])) AS token
-        |  FROM d WHERE doc_id % 25 = 0),
+        |  FROM d WHERE doc_id % (SELECT m FROM qm) = 0),
         |f AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
         |  unnest(toks) AS token FROM d),
         |tf AS (
@@ -5580,10 +5597,10 @@ object SparkEntry {
         |  FROM sc),
         |rel AS (
         |  SELECT doc_id AS query_id, doc_id AS rel_id, 3 AS grade
-        |  FROM documents WHERE doc_id % 25 = 0
+        |  FROM documents WHERE doc_id % (SELECT m FROM qm) = 0
         |  UNION ALL
         |  SELECT doc_id, doc_id + 1, 1
-        |  FROM documents WHERE doc_id % 25 = 0),
+        |  FROM documents WHERE doc_id % (SELECT m FROM qm) = 0),
         |dcg AS (
         |  SELECT rel.query_id,
         |    ROUND(SUM((POW(2.0, grade) - 1) / ln(rank + 1))

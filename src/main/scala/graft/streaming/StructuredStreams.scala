@@ -1061,53 +1061,100 @@ object StructuredStreams {
     * batch is scored against the fold INCLUDING itself. With ascending
     * doc ids across batches, the accumulated outputs equal the
     * one-shot `ngramNovelty` over the concatenated stream
-    * (`StreamingNoveltySpec`). The accumulated frame is re-pinned per
-    * fold (plan stays one leaf deep) and superseded checkpoints
-    * release through Lineage. */
+    * (`StreamingNoveltySpec`). Both corpus-sized frames are
+    * log-structured [[DeltaFrame]] spools (the StreamingLineDedup
+    * shape, round-17 verdict "missing" #3): the index spool holds
+    * per-BATCH owner partials (per-shingle min is associative, so the
+    * standing owner is the min over generations — and a batch's
+    * scoring only needs owners for its OWN shingles, so the read-time
+    * fold is semi-filtered to the batch's vocabulary before
+    * aggregating); the outputs spool is a pure append. Each fold
+    * writes ∝ batch instead of re-pinning the full standing index and
+    * every score so far (the pre-round-18 shape — its fold wall grew
+    * with the corpus). */
   final class StreamingNovelty(idCol: String, textCol: String,
-      n: Int = 3) {
-    @volatile private var index
-        : Option[graft.pipeline.TextAnalysis.NoveltyIndex] = None
-    @volatile private var outputs: Option[DataFrame] = None
+      n: Int = 3, compactEvery: Int = 64,
+      spoolDir: Option[String] = None) {
+    @volatile private var idxDl: Option[DeltaFrame] = None
+    @volatile private var outDl: Option[DeltaFrame] = None
+
+    /** Live generation counts (index, outputs) — spec observability. */
+    def generationCounts: Seq[Int] =
+      Seq(idxDl, outDl).flatten.map(_.generationCount)
+
+    /** Per-fold work attribution (`graft.debug.foldstats` turns the
+      * counters on — they cost extra actions): batch docs, distinct
+      * batch shingles (the appended index partial AND the semi-filter
+      * vocabulary), and the standing owner rows the semi-join actually
+      * surfaced — every fold cost term is ∝ one of these, never the
+      * standing index size (ScaleProbe SCALE14 verifies walls against
+      * them at sf1/sf10). */
+    final case class NoveltyFoldStats(batchDocs: Long, batchShingles: Long,
+        matchedOwners: Long, standingGens: Int)
+    @volatile private var foldStats: Option[NoveltyFoldStats] = None
+    def lastFoldStats: Option[NoveltyFoldStats] = foldStats
 
     def fold(batch: DataFrame): Unit = synchronized {
       val T = graft.pipeline.TextAnalysis
-      val b = T.buildNoveltyIndex(batch, col(idCol), col(textCol), n)
-      val folded = index match {
-        case None     => b
-        case Some(i0) => T.foldNoveltyIndex(i0, b)
+      if (idxDl.isEmpty) {
+        idxDl = Some(new DeltaFrame(batch.sparkSession, "novelty-idx",
+          compactEvery, spoolDir.map(d => s"$d/index")))
+        outDl = Some(new DeltaFrame(batch.sparkSession, "novelty-out",
+          compactEvery, spoolDir.map(d => s"$d/outputs")))
       }
-      val pinned = T.NoveltyIndex(folded.firstOwners.localCheckpoint(true))
-      index.foreach(i => releaseCheckpoint(i.firstOwners))
-      index = Some(pinned)
-      val out = T.noveltyWithIndex(batch, col(idCol), col(textCol),
-        pinned, n)
-      val acc = (outputs match {
-        case None     => out
-        case Some(o0) => o0.unionByName(out)
-      }).localCheckpoint(true)
-      outputs.foreach(releaseCheckpoint)
-      outputs = Some(acc)
+      val b = T.buildNoveltyIndex(batch, col(idCol), col(textCol), n)
+      // batch partial pinned once: it is both appended (parquet write)
+      // and the semi-filter vocabulary below
+      val bOwners = b.firstOwners.localCheckpoint(true)
+      try {
+        idxDl.get.append(bOwners)
+        // standing owners for exactly this batch's shingles: min over
+        // generations, semi-filtered BEFORE the aggregation so the
+        // shuffle is ∝ batch matches, not the standing index — and the
+        // just-appended partial makes the scored index "already
+        // include the batch", the noveltyWithIndex contract. The
+        // fixed-size batch-vocabulary bloom pre-reduces the standing
+        // scan before the exact semi-join (see StreamingLineDedup —
+        // same rationale, same output-identity argument).
+        val nb = math.max(bOwners.count(), 1L)
+        val standing = graft.pipeline.Joins.bloomReduce(idxDl.get.read,
+          "sh", graft.pipeline.Joins.keyBloom(bOwners, "sh", nb, 0.01))
+        val ownersNow = standing
+          .join(bOwners.select(col("sh")), Seq("sh"), "left_semi")
+          .groupBy(col("sh")).agg(min(col("first_doc")).as("first_doc"))
+        val out = T.noveltyWithIndex(batch, col(idCol), col(textCol),
+          T.NoveltyIndex(ownersNow), n)
+        outDl.get.append(out)
+        if (sys.props.contains("graft.debug.foldstats"))
+          foldStats = Some(NoveltyFoldStats(batch.count(), nb,
+            ownersNow.count(), idxDl.get.generationCount))
+      } finally releaseCheckpoint(bOwners)
     }
 
-    def current: Option[DataFrame] = outputs
+    /** Accumulated per-batch novelty rows — backed by the delta spool,
+      * valid until the next fold. None before any batch. */
+    def current: Option[DataFrame] =
+      outDl.filter(!_.isEmpty).map(_.read)
 
     def save(path: String): Unit = synchronized {
-      requireSaved(index.nonEmpty, "StreamingNovelty")
-      saveFrame(index.get.firstOwners, s"$path/index")
-      outputs.foreach(o => saveFrame(o, s"$path/outputs"))
+      requireSaved(idxDl.exists(!_.isEmpty), "StreamingNovelty")
+      idxDl.get.saveTo(s"$path/index")
+      outDl.get.saveTo(s"$path/outputs")
     }
 
     def restore(spark: SparkSession, path: String): Unit = synchronized {
-      requireFresh(index.isEmpty && outputs.isEmpty, "StreamingNovelty")
-      index = Some(graft.pipeline.TextAnalysis.NoveltyIndex(
-        loadFrame(spark, s"$path/index")))
-      outputs = Some(loadFrame(spark, s"$path/outputs"))
+      requireFresh(idxDl.isEmpty && outDl.isEmpty, "StreamingNovelty")
+      idxDl = Some(new DeltaFrame(spark, "novelty-idx",
+        spoolDir = spoolDir.map(d => s"$d/index")))
+      outDl = Some(new DeltaFrame(spark, "novelty-out",
+        spoolDir = spoolDir.map(d => s"$d/outputs")))
+      idxDl.get.loadFrom(s"$path/index")
+      outDl.get.loadFrom(s"$path/outputs")
     }
 
     def unpersist(): Unit = synchronized {
-      index.foreach(i => releaseCheckpoint(i.firstOwners)); index = None
-      outputs.foreach(releaseCheckpoint); outputs = None
+      Seq(idxDl, outDl).foreach(_.foreach(_.delete()))
+      idxDl = None; outDl = None
     }
   }
 
@@ -1165,8 +1212,22 @@ object StructuredStreams {
         idxDl.get.append(bOwners)
         // standing owners for exactly this batch's hashes: min over
         // generations, semi-filtered BEFORE the aggregation so the
-        // shuffle is ∝ batch matches, not the standing index
-        val ownersNow = idxDl.get.read
+        // shuffle is ∝ batch matches, not the standing index. A
+        // fixed-size bloom over the batch vocabulary pre-reduces the
+        // standing side BEFORE the exact semi-join (round-17 verdict
+        // #5): when the batch vocabulary outgrows the broadcast
+        // threshold the semi-join degrades to shuffling the WHOLE
+        // standing index — the ~1 MB bloom always broadcasts and cuts
+        // that to batch matches + fpp·standing. The sequential
+        // parquet SCAN of the spool's two integer columns remains
+        // ∝ standing by design (uniformly-hashed probes defeat any
+        // min/max or bucket pruning); output is identical — the bloom
+        // passes a superset and the semi-join stays exact.
+        val nb = math.max(bOwners.count(), 1L)
+        val standing = graft.pipeline.Joins.bloomReduce(idxDl.get.read,
+          "line_hash",
+          graft.pipeline.Joins.keyBloom(bOwners, "line_hash", nb, 0.01))
+        val ownersNow = standing
           .join(bOwners.select(col("line_hash")), Seq("line_hash"),
             "left_semi")
           .groupBy(col("line_hash")).agg(min(col("owner_key"))
@@ -1175,7 +1236,7 @@ object StructuredStreams {
           D.LineIndex(ownersNow), sep)
         outDl.get.append(out)
         if (sys.props.contains("graft.debug.foldstats"))
-          foldStats = Some(LineFoldStats(batch.count(), bOwners.count(),
+          foldStats = Some(LineFoldStats(batch.count(), nb,
             ownersNow.count(), idxDl.get.generationCount))
       } finally releaseCheckpoint(bOwners)
     }
@@ -1471,44 +1532,70 @@ object StructuredStreams {
 
   /** Standing boilerplate dictionary over a document stream: each
     * micro-batch's (group, line, df) counts fold into the standing
-    * table via [[graft.pipeline.TextAnalysis.foldBoilerplateCounts]].
-    * Same contract and shape as [[StreamingSketches]]: exact when
-    * batches carry disjoint documents (distinct-doc counts are then
-    * additive), per-batch cost ∝ batch + dictionary, lineage truncated
-    * per fold. `StreamingBoilerplateSpec` asserts streaming-folded ≡
-    * one-shot batch counts on the concatenated stream. */
+    * table (per-(group, line) counts are additive when batches carry
+    * disjoint documents — the append contract every standing index
+    * here shares). The dictionary is a log-structured [[DeltaFrame]]
+    * spool of per-BATCH count partials (the StreamingBm25 counts
+    * shape, round-17 verdict "missing" #3): a fold writes ONLY the
+    * batch's partial (cost ∝ batch), and [[current]] folds the
+    * generations lazily with one keyed sum (cost ∝ dictionary, paid by
+    * the READER that needs the whole table — same contract as
+    * StreamingBm25's postings). The pre-round-18 shape re-aggregated
+    * and re-pinned the full dictionary every fold.
+    * `StreamingBoilerplateSpec` asserts streaming-folded ≡ one-shot
+    * batch counts on the concatenated stream. */
   final class StreamingBoilerplate(idCol: String, textCol: String,
-      groupCol: String, lineTokens: Int = 2) {
-    @volatile private var state: Option[DataFrame] = None
+      groupCol: String, lineTokens: Int = 2, compactEvery: Int = 64,
+      spoolDir: Option[String] = None) {
+    @volatile private var cntDl: Option[DeltaFrame] = None
+
+    /** Live dictionary-spool generation count (spec observability). */
+    def generationCount: Int = cntDl.map(_.generationCount).getOrElse(0)
+
+    /** Per-fold work attribution (`graft.debug.foldstats` turns the
+      * counters on): batch docs and the batch partial's (group, line)
+      * rows — both fold cost terms are ∝ one of these, never the
+      * standing dictionary size (ScaleProbe SCALE15 verifies walls
+      * against them at sf1/sf10). */
+    final case class BoilerFoldStats(batchDocs: Long, batchLines: Long,
+        standingGens: Int)
+    @volatile private var foldStats: Option[BoilerFoldStats] = None
+    def lastFoldStats: Option[BoilerFoldStats] = foldStats
 
     def fold(batch: DataFrame): Unit = synchronized {
       val b = graft.pipeline.TextAnalysis.boilerplateCounts(batch,
         col(idCol), col(textCol), col(groupCol), lineTokens)
-      val next = state match {
-        case None => b.localCheckpoint(true)
-        case Some(s0) =>
-          val merged = graft.pipeline.TextAnalysis
-            .foldBoilerplateCounts(s0, b).localCheckpoint(true)
-          releaseCheckpoint(s0)
-          merged
-      }
-      state = Some(next)
+      if (cntDl.isEmpty)
+        cntDl = Some(new DeltaFrame(batch.sparkSession, "boiler-cnt",
+          compactEvery, spoolDir.map(d => s"$d/counts")))
+      cntDl.get.append(b)
+      if (sys.props.contains("graft.debug.foldstats"))
+        foldStats = Some(BoilerFoldStats(batch.count(), b.count(),
+          cntDl.get.generationCount))
     }
 
-    def current: Option[DataFrame] = state
+    /** The folded standing dictionary (grp, line_text, line_df) —
+      * computed lazily over the spool's generations, valid until the
+      * next fold. None before any batch. */
+    def current: Option[DataFrame] =
+      cntDl.filter(!_.isEmpty).map(_.read
+        .groupBy(col("grp"), col("line_text"))
+        .agg(sum(col("line_df")).as("line_df")))
 
     def save(path: String): Unit = synchronized {
-      requireSaved(state.nonEmpty, "StreamingBoilerplate")
-      saveFrame(state.get, s"$path/state")
+      requireSaved(cntDl.exists(!_.isEmpty), "StreamingBoilerplate")
+      cntDl.get.saveTo(s"$path/state")
     }
 
     def restore(spark: SparkSession, path: String): Unit = synchronized {
-      requireFresh(state.isEmpty, "StreamingBoilerplate")
-      state = Some(loadFrame(spark, s"$path/state"))
+      requireFresh(cntDl.isEmpty, "StreamingBoilerplate")
+      cntDl = Some(new DeltaFrame(spark, "boiler-cnt",
+        spoolDir = spoolDir.map(d => s"$d/counts")))
+      cntDl.get.loadFrom(s"$path/state")
     }
 
     def unpersist(): Unit = synchronized {
-      state.foreach(releaseCheckpoint); state = None
+      cntDl.foreach(_.delete()); cntDl = None
     }
   }
 

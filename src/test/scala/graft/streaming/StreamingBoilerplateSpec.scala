@@ -62,6 +62,14 @@ class StreamingBoilerplateSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text"))
       .toMap
     assert(cleaned(0L) === "alpha beta") // banner removed via the fold
+
+    // log-structured state: three folds leave three generations in the
+    // count spool (well under the compaction threshold) and NO standing
+    // checkpoint pins — the per-fold cost is the batch partial's write,
+    // not a full-dictionary re-aggregation
+    assert(dict.generationCount === 3,
+      "expected one delta generation per fold in the count spool")
     dict.unpersist()
+    assert(dict.current.isEmpty)
   }
 }

@@ -48,10 +48,13 @@ class StreamingNoveltySpec extends AnyFunSuite {
     assert(streamed(2L)._2 === 0L, "verbatim copy must score 0 novel")
     assert(streamed(3L)._2 === streamed(3L)._1, "fresh doc fully novel")
 
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // log-structured state: three folds leave three generations per
+    // spool (well under the compaction threshold) and NO standing
+    // checkpoint pins — the per-fold cost is the batch write, not a
+    // full-corpus re-pin
+    assert(nov.generationCounts === Seq(3, 3),
+      "expected one delta generation per fold in index and outputs")
     nov.unpersist()
     assert(nov.current.isEmpty)
-    assert(spark.sparkContext.getPersistentRDDs.size <= before - 2,
-      "index and outputs checkpoints must release")
   }
 }
