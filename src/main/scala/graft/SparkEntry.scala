@@ -1343,16 +1343,21 @@ object SparkEntry {
           graft.core.RdfEvent(100L, s"${EventsAsQuads.Base}u/$u",
             EventsAsQuads.PValue, "100", "")))
         lp.closeStream("http://graft.dev/feed", 1000L)
-        // drain the unified queue: the historical batch plus one live
-        // result per anomaly; 3 s of silence = the fire has fully
-        // propagated through the 10 ms poller
+        // drain the unified queue: closeStream fires windows
+        // SYNCHRONOUSLY (advance() runs on this thread), so when it
+        // returns every live result is already in the processor deque
+        // and no further one can ever be emitted — the quiet threshold
+        // only needs to cover the 10 ms poller's transfer into the
+        // unified queue, not guess at fire propagation. The historical
+        // batch is filtered out of the output either way, so the rows
+        // collected are identical to the old 3 s-of-silence drain.
         val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
         var quiet = false
-        while (!quiet) handle.receive(3000) match {
+        while (!quiet) handle.receive(500) match {
           case Some(r) if r.source == graft.api.JanusApi.ResultSource.Live =>
             r.bindings.foreach(b => rows += ((b("sensor"), b("mean"))))
           case Some(_) => () // historical batch
-          case None    => quiet = true
+          case None    => quiet = lp.pendingResultCount == 0
         }
         require(rows.nonEmpty, "no live anomalies fired")
         rows.toSeq.toDF("sensor", "mean")

@@ -432,22 +432,38 @@ final class HttpApiServer(api: JanusApi, registry: QueryRegistry,
       var open = true
       var sentAny = false
       val firstDeadline = System.nanoTime() + firstResultTimeoutMs * 1000000L
+      // Poll in short slices so a terminal + drained query closes the
+      // stream the moment its last frame is delivered instead of
+      // sitting out the full idle timeout. Ordering makes the
+      // drained-and-empty close safe: the forwarder publishes every
+      // frame BEFORE flagging drainedForwarders (program order in the
+      // forwarder thread; the concurrent set provides the
+      // release/acquire edge), so reading drained=true FIRST and then
+      // polling empty proves no further frame can ever arrive.
+      var idleSince = System.nanoTime()
       while (open) {
-        val msg = q.next(sseIdleTimeoutMs)
+        val drained = drainedForwarders.contains(id)
+        val msg = q.next(if (drained) 0L else math.min(sseIdleTimeoutMs, 100L))
         if (msg != null) {
           sentAny = true
+          idleSince = System.nanoTime()
           try {
             out.write(s"data: $msg\n\n".getBytes(StandardCharsets.UTF_8))
             out.flush()
           } catch { case _: java.io.IOException => open = false }
+        } else if (drained) {
+          // end-of-stream: terminal status observed and queue empty
+          open = false
         } else {
-          // idle: close — UNLESS no frame has been sent yet and the
-          // forwarder has not published end-of-stream (cold start at
-          // scale: the query may still be computing, or the forwarder
-          // may still be serializing a huge final frame), in which
-          // case keep waiting up to firstResultTimeoutMs
-          open = !sentAny && !drainedForwarders.contains(id) &&
-            System.nanoTime() < firstDeadline
+          // idle: close after sseIdleTimeoutMs of silence — UNLESS no
+          // frame has been sent yet (cold start at scale: the query may
+          // still be computing, or the forwarder may still be
+          // serializing a huge final frame), in which case keep waiting
+          // up to firstResultTimeoutMs
+          val now = System.nanoTime()
+          open =
+            if (sentAny) now - idleSince < sseIdleTimeoutMs * 1000000L
+            else now < firstDeadline
         }
       }
       out.close()

@@ -24,6 +24,14 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's stream cache defaults to FileCache*: every read/write
+  // call spools the (tiny, in-memory) payload through a disk temp file.
+  // Memory-backed streams decode the same bytes to the same pixels —
+  // bit-identical — without a create/delete of a temp file per row.
+  // JVM-global, set on class load (executors load this object before
+  // first use; local mode shares the driver JVM).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Canonical media-table schema: opaque payload + typed metadata. */
   val schema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

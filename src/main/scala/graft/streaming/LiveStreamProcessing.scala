@@ -125,6 +125,13 @@ final class LiveStreamProcessing(spark: SparkSession, queryText: String,
 
   def tryReceiveResult(): Option[LiveResult] = Option(results.pollFirst())
 
+  /** Results emitted but not yet consumed. `addEvents`/`closeStream`
+    * fire windows SYNCHRONOUSLY (advance() runs on the caller's
+    * thread), so once a close call has returned and this reads 0, every
+    * result the close produced has been handed to a consumer — the
+    * drain signal that replaces fixed quiet-period sleeps. */
+  def pendingResultCount: Int = results.size()
+
   /** Buffered events across streams (observability / eviction tests). */
   def bufferedEventCount: Int = synchronized {
     buffers.values.map(_.length).sum
