@@ -1032,14 +1032,21 @@ object Dedup {
       // quadratic work (caught by the r12 bench: dedup_semdedup
       // 2.3 s → 10 s). Full materialization BEFORE the release keeps
       // every round one hop deep
+      // the convergence probe rides INSIDE the round's checkpoint as a
+      // flag column (propagated's id set equals labels' — viaNbr ids
+      // are edge srcs — so the inner join drops nothing): the separate
+      // probe join paid a second action per round whose only output
+      // was one boolean
       val next = propagated
         .join(propagated.toDF("jid", "jlbl"), col("lbl") === col("jid"), "left")
         .select(col("id"), coalesce(col("jlbl"), col("lbl")).as("lbl"))
+        .join(labels.toDF("id", "prev"), "id")
+        .select(col("id"), col("lbl"),
+          (col("lbl") =!= col("prev")).as("__chg"))
         .localCheckpoint(true)
-      val changed = next.join(labels.toDF("id", "prev"), "id")
-        .where(col("lbl") =!= col("prev")).limit(1).count()
+      val changed = next.where(col("__chg")).limit(1).count()
       graft.util.Lineage.release(labels)
-      labels = next
+      labels = next.select(col("id"), col("lbl"))
       converged = changed == 0
       iter += 1
     }

@@ -274,6 +274,10 @@ object Graphs {
       .localCheckpoint(true)
     var round = 0
     var stable = false
+    // edge count carried across rounds: this round's surviving count
+    // IS next round's starting count — recounting `und` paid a whole
+    // extra job per round for a number already in hand
+    var nUnd = und.count()
     while (!stable && round < maxRounds) {
       val deg = und.select(col("u").as("node"))
         .unionAll(und.select(col("v").as("node")))
@@ -284,7 +288,9 @@ object Graphs {
         .join(keep.toDF("v"), Seq("v"), "left_semi")
         .select("u", "v")
         .localCheckpoint(true)
-      val removed = und.count() - next.count()
+      val nNext = next.count()
+      val removed = nUnd - nNext
+      nUnd = nNext
       graft.util.Lineage.release(und)
       und = next
       stable = removed == 0
@@ -334,27 +340,37 @@ object Graphs {
           col("a") =!= col("b")))
       .distinct()
       .localCheckpoint(true)
+    // Round state is ONE frame (node, dist, __new) with the frontier
+    // tagged in-band: each round folds the discovered set into the
+    // visited table with a single full-outer join and pays ONE eager
+    // checkpoint + ONE count, where the two-frame formulation paid two
+    // checkpoints (frontier, visited-union) and an extra anti-join —
+    // at micro-batch scale the saved actions are whole scheduling
+    // floors, at cluster scale a shuffle per round. The frontier view
+    // is lazy over the round's checkpoint (no separate pin).
     var visited = seeds
       .select(col(seeds.columns.head).cast("long").as("node"))
       .distinct()
       .withColumn("dist", lit(0L))
+      .withColumn("__new", lit(true))
       .localCheckpoint(true)
-    var frontier = visited
     var depth = 0
     var exhausted = false
     while (!exhausted && depth < maxDepth) {
-      val next = frontier.select(col("node").as("a"))
+      val discovered = visited.where(col("__new"))
+        .select(col("node").as("a"))
         .join(adj, "a")
         .select(col("b").as("node")).distinct()
-        .join(visited.select("node"), Seq("node"), "left_anti")
-        .withColumn("dist", lit(depth + 1L))
+        .withColumn("__d", lit(depth + 1L))
+      val nextVisited = visited.select(col("node"), col("dist"))
+        .join(discovered, Seq("node"), "full_outer")
+        .select(col("node"),
+          coalesce(col("dist"), col("__d")).as("dist"),
+          col("dist").isNull.as("__new"))
         .localCheckpoint(true)
-      val grew = next.count()
-      val nextVisited = visited.unionByName(next).localCheckpoint(true)
+      val grew = nextVisited.where(col("__new")).count()
       graft.util.Lineage.release(visited)
-      graft.util.Lineage.release(frontier)
       visited = nextVisited
-      frontier = next
       depth += 1
       exhausted = grew == 0L
     }
@@ -365,7 +381,7 @@ object Graphs {
     require(exhausted,
       s"bfsDistances frontier still live after $maxDepth rounds")
     graft.util.Lineage.release(adj)
-    visited
+    visited.select(col("node"), col("dist"))
   }
 
   /** Single/multi-source WEIGHTED shortest paths (non-negative integer
@@ -390,46 +406,43 @@ object Graphs {
       .localCheckpoint(true)
     val negs = adj.where(col("w") < 0L).count()
     require(negs == 0L, s"sssp needs non-negative weights, $negs negative")
+    // Same in-band delta-frontier shape as [[bfsDistances]]: one frame
+    // (node, dist, __imp) per round, ONE full-outer join folding the
+    // relaxation into the dist table, ONE checkpoint + ONE count —
+    // the two-frame version paid two checkpoints and two extra joins
+    // (left_outer diff + left_anti merge) per round. The delta view is
+    // lazy over the round's checkpoint.
     var dist = seeds
       .select(col(seeds.columns.head).cast("long").as("node"))
       .distinct()
       .withColumn("dist", lit(0L))
+      .withColumn("__imp", lit(true))
       .localCheckpoint(true)
-    var delta = dist // vertices improved last round
     var round = 0
     var settled = false
     while (!settled && round < maxRounds) {
-      val relaxed = delta.select(col("node").as("a"), col("dist"))
+      val relaxed = dist.where(col("__imp"))
+        .select(col("node").as("a"), col("dist"))
         .join(adj, "a")
         .groupBy(col("b").as("node"))
         .agg(min(col("dist") + col("w")).as("cand"))
-      val joined = relaxed
-        .join(dist.withColumnRenamed("dist", "old"), Seq("node"),
-          "left_outer")
-      val improved = joined
-        .where(col("old").isNull || col("cand") < col("old"))
-        .select(col("node"), col("cand").as("dist"))
+      val better = col("dist").isNull ||
+        (col("cand").isNotNull && col("cand") < col("dist"))
+      val nextDist = dist.select(col("node"), col("dist"))
+        .join(relaxed, Seq("node"), "full_outer")
+        .select(col("node"),
+          when(better, col("cand")).otherwise(col("dist")).as("dist"),
+          better.as("__imp"))
         .localCheckpoint(true)
-      val n = improved.count()
-      if (n == 0L) {
-        graft.util.Lineage.release(improved)
-        settled = true
-      } else {
-        val nextDist = dist.join(improved.select("node"), Seq("node"),
-            "left_anti")
-          .unionByName(improved)
-          .localCheckpoint(true)
-        graft.util.Lineage.release(dist)
-        if (!(delta eq dist)) graft.util.Lineage.release(delta)
-        dist = nextDist
-        delta = improved
-      }
+      val n = nextDist.where(col("__imp")).count()
+      graft.util.Lineage.release(dist)
+      dist = nextDist
+      settled = n == 0L
       round += 1
     }
     require(settled,
       s"sssp still improving after $maxRounds rounds")
-    if (!(delta eq dist)) graft.util.Lineage.release(delta)
     graft.util.Lineage.release(adj)
-    dist
+    dist.select(col("node"), col("dist"))
   }
 }
