@@ -4007,8 +4007,12 @@ object SparkEntry {
         .unionByName(emb.where(col("vec_id") % 25 === 0)
           .select((col("vec_id") + 1000000L).as("vec_id"),
             col("embedding")))
+      // checkpoint: the SRP map (an opaque typed map — 64 dot products
+      // per row) runs once, not once per band-join branch (the
+      // dedup_audio discipline)
       val sigs = graft.pipeline.Embeddings.srpSignatures(corpus,
         col("vec_id"), col("embedding"), dim = 64).toDF()
+        .localCheckpoint(true)
       graft.pipeline.Dedup.hammingDuplicates64(sigs, col("vec_id"),
         col("sig"), maxHamming = 3)
         .select(col("id_a"), col("id_b"), col("hamming"))

@@ -259,8 +259,10 @@ object Embeddings {
     val coefs = srpCoefs(planes, dim)
     val spark = df.sparkSession
     import spark.implicits._
+    // Array[Double] decodes through the primitive-array encoder — no
+    // per-element boxing on the deserialization path of this hot map
     df.select(idCol.cast("long"), vecCol.cast("array<double>"))
-      .as[(Long, Seq[Double])]
+      .as[(Long, Array[Double])]
       .map { case (id, v) =>
         var sig = 0L
         val bits = new java.lang.StringBuilder(planes)
