@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses ONE JSON line from `sbt "runMain graft.Bench"`
+// stdout. Two sbt defaults broke that parse in every round to date
+// (BENCH_rNN.json: "parsed": null since r01): forked run output was
+// routed through sbt's logger, prefixing every line — including the
+// bench's JSON — with "[info] ", and the "[success] Total time" banner
+// trailed it as the final stdout line. Pass forked output through
+// verbatim and drop the banner so the bench's own JSON line is the
+// last thing on stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // TaskRetrySpec injects a REAL first-attempt task failure, so it needs
 // task retries (local[4, 2]); every other suite must run at
 // maxFailures=1 so a genuinely flaky first attempt FAILS the suite

@@ -44,7 +44,8 @@ object Bench {
     * guaranteed to fit whole inside a 2000-char stdout tail capture. */
   final case class Report(json: String, ok: Boolean,
       results: Map[String, Double], failed: Seq[String],
-      compactJson: String = "")
+      compactJson: String = "",
+      fullArtifact: String = "BENCH_FULL.json")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -75,20 +76,24 @@ object Bench {
     // their full form. Recorded in extras for artifact transparency.
     System.setProperty("graft.bench.pilotDocs", PilotDocs.toString)
     val report = run(spark, sfDir, SparkEntry.queries, cpus.toInt)
-    // The round driver keeps only the LAST 2000 chars of stdout; the
-    // full per-query JSON outgrew that window rounds ago (its head —
-    // including the {"metric" marker — gets truncated away, so the
-    // driver's parse step has recorded `parsed:null` every round).
     // Persist the full artifact to a file in the working directory
-    // (committed with the round) and END stdout with a compact summary
-    // line that always fits whole inside the tail window.
+    // (committed with the round). The filename is cpu-suffixed for any
+    // non-official core count so the driver's low-core scaling rerun
+    // can never clobber the 32-core per-query table (it did in r18:
+    // the c8 run overwrote BENCH_FULL.json).
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_FULL.json"),
+        java.nio.file.Paths.get(report.fullArtifact),
         (report.json + "\n").getBytes("UTF-8"))
     } catch { case _: java.io.IOException => () }
+    // Driver stdout contract: EXACTLY ONE JSON line, printed last.
+    // build.sbt routes forked-run stdout through verbatim (no "[info] "
+    // prefix) and suppresses the "[success]" banner, so this line is
+    // both the only and the final parse candidate — no first-line /
+    // last-line ambiguity for the driver's parser. The human-oriented
+    // compact summary goes to stderr.
+    System.err.println(report.compactJson)
     println(report.json)
-    println(report.compactJson)
     spark.stop()
     if (!report.ok) sys.exit(1)
   }
@@ -575,7 +580,9 @@ object Bench {
       .sortBy(-_._2).take(8)
     val failedCompact = failed.take(8).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    val compact = s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","ok":$ok,"n_queries":${results.size},"resampled_n":${resampled.size},"contended_n":${contended.size},"sf":"$sfDir","headline":${jm(collection.mutable.LinkedHashMap(headline: _*))},"slowest":${jm(collection.mutable.LinkedHashMap(slowest: _*))},"extras":${jm(extras)},"failed_n":${failed.size},"failed":$failedCompact,"full":"BENCH_FULL.json"}"""
-    Report(json, ok, results.toMap, failed.toSeq, compact)
+    val fullArtifact =
+      if (nCpus == 32) "BENCH_FULL.json" else s"BENCH_FULL_c$nCpus.json"
+    val compact = s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","ok":$ok,"n_queries":${results.size},"resampled_n":${resampled.size},"contended_n":${contended.size},"sf":"$sfDir","headline":${jm(collection.mutable.LinkedHashMap(headline: _*))},"slowest":${jm(collection.mutable.LinkedHashMap(slowest: _*))},"extras":${jm(extras)},"failed_n":${failed.size},"failed":$failedCompact,"full":"$fullArtifact"}"""
+    Report(json, ok, results.toMap, failed.toSeq, compact, fullArtifact)
   }
 }
