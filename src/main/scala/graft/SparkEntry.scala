@@ -271,6 +271,30 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("r1_bgp_join")(spark, "/root/testdata/sf0.001")
 
+  /** (|a|, |distinct(a) ∩ distinct(b)|, |b|) in ONE Spark action — the
+    * self-verifying incremental entries compared `a.count()`,
+    * `a.intersect(b).count()` and `b.count()` as THREE actions, which
+    * evaluated the one-shot-rebuild side TWICE (once under the
+    * intersect, once for its own count) and paid three job floors.
+    * Semantics match exactly: `intersect` is the null-safe distinct
+    * row intersection (groupBy treats nulls as equal the same way);
+    * the side counts keep duplicates. */
+  private def setCompareCounts(a: DataFrame, b: DataFrame)
+      : (Long, Long, Long) = {
+    val cols = a.columns.toSeq.map(col)
+    val tagged = a.withColumn("__side", lit(1))
+      .unionByName(b.toDF(a.columns: _*).withColumn("__side", lit(2)))
+    val r = tagged.groupBy(cols: _*)
+      .agg(sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__side") === 2, 1L).otherwise(0L)).as("__nb"))
+      .agg(coalesce(sum(col("__na")), lit(0L)),
+        coalesce(sum(when(col("__na") > 0 && col("__nb") > 0, 1L)
+          .otherwise(0L)), lit(0L)),
+        coalesce(sum(col("__nb")), lit(0L)))
+      .head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
   // DuckDB-side IRI constructors, mirroring EventsAsQuads
   private val E = "'http://graft.dev/e/' || CAST(event_id AS VARCHAR)"
   private val U = "'http://graft.dev/u/' || CAST(user_id AS VARCHAR)"

@@ -706,21 +706,43 @@ object Ann {
     def unpersist(): Unit = { ivf.unpersist(); pq.unpersist() }
   }
 
+  /** Run the independent IVF and PQ component builds CONCURRENTLY
+    * (guide §2.6 — actions are only sequential because the driver
+    * calls them sequentially): the two halves share no state, each is
+    * a chain of small driver-steered jobs whose scheduling floor, not
+    * compute, dominates at any corpus size, and overlapping them lets
+    * one half's jobs back-fill the executor idle time of the other's.
+    * Results are bit-identical to the sequential form — both halves
+    * are deterministic functions of their inputs. */
+  private def joinHalves[A, B](ivfHalf: => A, pqHalf: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val f = Future(ivfHalf)
+    val pq = pqHalf
+    (Await.result(f, Duration.Inf), pq)
+  }
+
   /** Train + build a standing incremental IVF-PQ index. */
   def buildIvfPq(corpus: DataFrame, nCells: Int, m: Int,
-      ksub: Int = 16, iterations: Int = 2): IvfPqIndex =
-    IvfPqIndex(buildIvf(corpus, nCells, iterations),
+      ksub: Int = 16, iterations: Int = 2): IvfPqIndex = {
+    val (ivf, pq) = joinHalves(
+      buildIvf(corpus, nCells, iterations),
       buildPq(corpus, m, ksub, iterations))
+    IvfPqIndex(ivf, pq)
+  }
 
   /** Append a vector batch to both components (stateless maps, cost ∝
     * batch); either reclusters independently past `reclusterAt` —
     * after which each is BY CONSTRUCTION identical to a one-shot
     * rebuild with its final model. */
   def appendToIvfPqIndex(idx: IvfPqIndex, batch: DataFrame,
-      reclusterAt: Double = 0.5, iterations: Int = 2): IvfPqIndex =
-    IvfPqIndex(
+      reclusterAt: Double = 0.5, iterations: Int = 2): IvfPqIndex = {
+    val (ivf, pq) = joinHalves(
       appendToIvfIndex(idx.ivf, batch, reclusterAt, iterations),
       appendToPqIndex(idx.pq, batch, reclusterAt, iterations))
+    IvfPqIndex(ivf, pq)
+  }
 
   /** IVF-PQ search over a standing [[IvfPqIndex]]. */
   def ivfPqTopKOnIndex(idx: IvfPqIndex, queries: DataFrame, k: Int,

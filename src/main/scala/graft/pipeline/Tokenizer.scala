@@ -68,28 +68,54 @@ object Tokenizer {
     // per-round state is materialized AND lineage-truncated
     // (localCheckpoint): plain persist keeps the logical plan, which
     // compounds across rounds until planning itself OOMs — same
-    // discipline as Dedup.duplicateClusters' label-propagation loop
+    // discipline as Dedup.duplicateClusters' label-propagation loop.
+    // The checkpoints are LAZY: each round's argmax collect is the
+    // first (and only) action over that round's word table, so it
+    // materializes the checkpoint as a side effect — ONE Spark job per
+    // merge round instead of two (the eager form paid a dedicated
+    // checkpoint job per round; at 30 merges over a vocabulary-sized
+    // table the per-job scheduling floor, not compute, was the wall).
+    // The superseded generation's blocks are released only AFTER the
+    // collect that materializes its successor.
     var words = wordCounts(docs, text)
       .select(split(col("word"), "").as("syms"), col("f"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    var prev: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
-    while (merges.length < numMerges && !exhausted) {
-      val top = pairCounts(words)
-        .orderBy(desc("pf"), col("l"), col("r")).limit(1).collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
-        merges += ((a, b))
-        val next = words
-          .withColumn("syms", mergeOnce(col("syms"), lit(a), lit(b)))
-          .localCheckpoint(true)
-        // checkpoint blocks release through the RDD (Lineage), not
-        // Dataset.unpersist (a no-op for checkpoints)
-        graft.util.Lineage.release(words)
-        words = next
+    // the loop's queries are all over the SAME vocabulary-sized table;
+    // AQE's per-query stage orchestration (a separate job per shuffle
+    // stage plus runtime re-optimization) is pure driver overhead here
+    // — the driver round-trip floor, not data volume, is the wall of a
+    // numMerges-round greedy loop at any scale. Scoped to the loop and
+    // restored after.
+    val spark = docs.sparkSession
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      while (merges.length < numMerges && !exhausted) {
+        val top = pairCounts(words)
+          .orderBy(desc("pf"), col("l"), col("r")).limit(1).collect()
+        // `words` is now checkpointed (the collect computed every
+        // partition via the groupBy); its predecessor can be dropped
+        prev.foreach(graft.util.Lineage.release)
+        prev = None
+        if (top.isEmpty) exhausted = true
+        else {
+          val (a, b) = (top(0).getString(0), top(0).getString(1))
+          merges += ((a, b))
+          val next = words
+            .withColumn("syms", mergeOnce(col("syms"), lit(a), lit(b)))
+            .localCheckpoint(false)
+          // checkpoint blocks release through the RDD (Lineage), not
+          // Dataset.unpersist (a no-op for checkpoints) — and only
+          // after the next round's collect materialized the successor
+          prev = Some(words)
+          words = next
+        }
       }
-    }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    prev.foreach(graft.util.Lineage.release)
     graft.util.Lineage.release(words)
     merges.toSeq
   }
